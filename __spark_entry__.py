@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every implemented operator from SURVEY.md section 2
+as a (spark, sf_dir) -> DataFrame callable over the driver's parquet
+tables; `oracle_sql()` gives the DuckDB-equivalent ANSI SQL.
+
+The `documents` table is the pages stand-in (FIXTURES.md F7). Its text
+is punctuation-free word soup, so each query first "senticizes" it with
+a deterministic substitution (' a ' -> '. ') — expressible identically
+in Spark and DuckDB — which gives the sentence operators real multi-
+sentence inputs at the oracle gate. Char-offset and case semantics are
+covered by the self-oracle fixture tests in tests/ (FIXTURES.md F1/F4).
 """
 
 from __future__ import annotations
@@ -12,27 +17,185 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Dictionary over the documents-table vocabulary: unigrams, bigrams and
+# a trigram, exercising the n-gram matching paths (SURVEY section 2.4 T4).
+DICT = [
+    ("hash", "kw1"),
+    ("merge", "kw1"),
+    ("spark", "kw1"),
+    ("window", "kw1"),
+    ("sort table", "kw2"),
+    ("row scan", "kw2"),
+    ("fast merge", "kw2"),
+    ("table value part", "kw3"),
+]
+
+# NEL alias lookup over the same dictionary (SURVEY section 2.5 J1):
+# one term maps to two IDs (one-to-many), one term is absent ('' path).
+ALIAS = [
+    ("hash", "KB:01"),
+    ("merge", "KB:02"),
+    ("merge", "KB:12"),
+    ("spark", "KB:03"),
+    ("sort table", "KB:04"),
+    ("row scan", "KB:04"),
+    ("fast merge", "KB:02"),
+    ("table value part", "KB:05"),
+    # "window" intentionally absent -> ''
+]
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages-shaped df with synthetic sentence boundaries."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.regexp_replace("text", " a ", ". ").alias("text"),
+        "lang",
+    )
+
+
+def _sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.splitter import split_sentences
+
+    return split_sentences(_pages(spark, sf_dir), lang_filter=None)
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.ner_dict import dict_ner
+
+    return dict_ner(_sentences(spark, sf_dir), DICT)
+
+
+def _as_doc_id(df: DataFrame) -> DataFrame:
+    return df.withColumn("doc_id", F.col("url").cast("long")).drop("url")
+
+
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _sentences(spark, sf_dir)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "sentence",
+    )
+
+
+def q_dict_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _mentions(spark, sf_dir)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("begin_tok").cast("long").alias("begin_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        "mention_lc",
+        "class",
+    )
+
+
+def q_entity_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.analysis import entity_frequency
+
+    freq = entity_frequency(_mentions(spark, sf_dir), mention_col="mention_lc")
+    return freq.select(
+        "mention",
+        F.col("total_count").cast("long").alias("total_count"),
+        F.col("articles_spanned").cast("long").alias("articles_spanned"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages -> sentences -> dictionary NER -> ranked entity
+    frequency top-50 (the reference pipeline's main output,
+    reference README.md:71; scripts/analysis.py:40-80)."""
+    from easyner_spark.operators.analysis import entity_frequency, top_n
+
+    sf_dir = "/root/testdata/sf0.001"
+    freq = entity_frequency(_mentions(spark, sf_dir), mention_col="mention_lc")
+    return top_n(freq, 50)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "split_sentences": q_split_sentences,
+        "dict_ner": q_dict_ner,
+        "entity_frequency": q_entity_frequency,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles. Shared CTE prelude mirroring the Spark pipeline:
+# senticize -> normalize -> sentence split (sentinel chr(30) trick; RE2
+# has no lookbehind) -> tokenize -> n-gram leads -> dictionary join.
+# ---------------------------------------------------------------------------
+
+_DICT_VALUES = ", ".join(f"('{t}', '{c}')" for t, c in DICT)
+
+_PRELUDE = r"""
+WITH sent0 AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(
+             regexp_replace(
+               trim(regexp_replace(regexp_replace(text, ' a ', '. ', 'g'), '\n+', ' ', 'g')),
+               '([.!?])\s+', '\1' || chr(30), 'g'),
+             chr(30)),
+           s -> length(s) > 0) AS sents
+  FROM documents
+),
+sentences AS (
+  SELECT doc_id,
+         generate_subscripts(sents, 1) - 1 AS sent_idx,
+         unnest(sents) AS sentence
+  FROM sent0
+),
+toks AS (
+  SELECT doc_id, sent_idx,
+         generate_subscripts(regexp_extract_all(sentence, '\w+|[^\w\s]'), 1) - 1 AS tok_idx,
+         unnest(regexp_extract_all(sentence, '\w+|[^\w\s]')) AS tok
+  FROM sentences
+),
+leads AS (
+  SELECT doc_id, sent_idx, tok_idx, tok AS t0,
+         lead(tok, 1) OVER w AS t1,
+         lead(tok, 2) OVER w AS t2
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id, sent_idx ORDER BY tok_idx)
+),
+grams AS (
+  SELECT doc_id, sent_idx, tok_idx AS begin_tok, tok_idx + 1 AS end_tok, t0 AS gram FROM leads
+  UNION ALL
+  SELECT doc_id, sent_idx, tok_idx, tok_idx + 2, t0 || ' ' || t1 FROM leads WHERE t1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, sent_idx, tok_idx, tok_idx + 3, t0 || ' ' || t1 || ' ' || t2 FROM leads WHERE t2 IS NOT NULL
+),
+dict(term, class) AS (VALUES __DICT__),
+mentions AS (
+  SELECT g.doc_id, g.sent_idx, g.begin_tok, g.end_tok, g.gram AS mention_lc, d.class
+  FROM grams g JOIN dict d ON g.gram = d.term
+)
+""".replace("__DICT__", _DICT_VALUES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "split_sentences": _PRELUDE
+        + """
+SELECT doc_id, sent_idx::BIGINT AS sent_idx, sentence FROM sentences
+""",
+        "dict_ner": _PRELUDE
+        + """
+SELECT doc_id, sent_idx::BIGINT AS sent_idx, begin_tok::BIGINT AS begin_tok,
+       end_tok::BIGINT AS end_tok, mention_lc, class
+FROM mentions
+""",
+        "entity_frequency": _PRELUDE
+        + """
+SELECT mention_lc AS mention,
+       count(*)::BIGINT AS total_count,
+       count(DISTINCT doc_id)::BIGINT AS articles_spanned
+FROM mentions
+GROUP BY mention_lc
+""",
+    }
