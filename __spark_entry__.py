@@ -105,6 +105,58 @@ def q_entity_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _alias_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ALIAS, "term string, ID string")
+
+
+def q_link_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.nel import link_entities
+
+    out = link_entities(_mentions(spark, sf_dir), _alias_df(spark))
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("begin_tok").cast("long").alias("begin_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        "mention_lc",
+        "entity_id",
+    )
+
+
+def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.triples import extract_triples
+
+    linked = link_entities(
+        _mentions(spark, sf_dir), primary_alias(_alias_df(spark)), keep_unmatched=False
+    )
+    out = extract_triples(linked)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "subj_id",
+        "pred",
+        "obj_id",
+    )
+
+
+def q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.triples import aggregate_edges, extract_triples
+
+    linked = link_entities(
+        _mentions(spark, sf_dir), primary_alias(_alias_df(spark)), keep_unmatched=False
+    )
+    out = aggregate_edges(extract_triples(linked))
+    return out.select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        F.col("support").cast("long").alias("support"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> sentences -> dictionary NER -> ranked entity
     frequency top-50 (the reference pipeline's main output,
@@ -121,6 +173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sentences": q_split_sentences,
         "dict_ner": q_dict_ner,
         "entity_frequency": q_entity_frequency,
+        "link_entities": q_link_entities,
+        "triples": q_triples,
+        "edges": q_edges,
     }
 
 
@@ -131,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _DICT_VALUES = ", ".join(f"('{t}', '{c}')" for t, c in DICT)
+_ALIAS_VALUES = ", ".join(f"('{t}', '{i}')" for t, i in ALIAS)
 
 _PRELUDE = r"""
 WITH sent0 AS (
@@ -174,8 +230,33 @@ dict(term, class) AS (VALUES __DICT__),
 mentions AS (
   SELECT g.doc_id, g.sent_idx, g.begin_tok, g.end_tok, g.gram AS mention_lc, d.class
   FROM grams g JOIN dict d ON g.gram = d.term
+),
+alias(term, id) AS (VALUES __ALIAS__),
+linked AS (
+  SELECT m.doc_id, m.sent_idx, m.begin_tok, m.end_tok, pa.id AS entity_id
+  FROM mentions m
+  JOIN (SELECT term, min(id) AS id FROM alias GROUP BY term) pa
+    ON m.mention_lc = pa.term
+),
+firsts AS (
+  SELECT doc_id, sent_idx, entity_id, begin_tok, end_tok,
+         row_number() OVER (PARTITION BY doc_id, sent_idx, entity_id
+                            ORDER BY begin_tok, end_tok) AS rn
+  FROM linked
+),
+ranked AS (
+  SELECT doc_id, sent_idx, entity_id,
+         row_number() OVER (PARTITION BY doc_id, sent_idx
+                            ORDER BY begin_tok, end_tok, entity_id) AS ord
+  FROM firsts WHERE rn = 1
+),
+triples AS (
+  SELECT a.doc_id, a.sent_idx, a.entity_id AS subj_id,
+         'co_occurs_with' AS pred, b.entity_id AS obj_id
+  FROM ranked a
+  JOIN ranked b ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.ord < b.ord
 )
-""".replace("__DICT__", _DICT_VALUES)
+""".replace("__DICT__", _DICT_VALUES).replace("__ALIAS__", _ALIAS_VALUES)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -197,5 +278,23 @@ SELECT mention_lc AS mention,
        count(DISTINCT doc_id)::BIGINT AS articles_spanned
 FROM mentions
 GROUP BY mention_lc
+""",
+        "link_entities": _PRELUDE
+        + """
+SELECT m.doc_id, m.sent_idx::BIGINT AS sent_idx, m.begin_tok::BIGINT AS begin_tok,
+       m.end_tok::BIGINT AS end_tok, m.mention_lc,
+       coalesce(a.id, '') AS entity_id
+FROM mentions m LEFT JOIN alias a ON m.mention_lc = a.term
+""",
+        "triples": _PRELUDE
+        + """
+SELECT doc_id, sent_idx::BIGINT AS sent_idx, subj_id, pred, obj_id FROM triples
+""",
+        "edges": _PRELUDE
+        + """
+SELECT subj_id, pred, obj_id, count(*)::BIGINT AS support,
+       count(DISTINCT doc_id)::BIGINT AS doc_count
+FROM triples
+GROUP BY subj_id, pred, obj_id
 """,
     }

@@ -1,0 +1,127 @@
+"""NEL + triple extraction + the P/R >= 0.95 gate vs fixture gold
+(BASELINE.md targets; SURVEY.md sections 2.5 J1, 7.0.4, 5.2.3)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from easyner_spark.fixtures import ALIAS, TERMS
+from easyner_spark.operators.evaluate import (
+    corpus_rollup,
+    prf,
+    set_eval,
+    span_match_counts,
+)
+from easyner_spark.operators.nel import canonicalize_mentions, link_entities, primary_alias
+from easyner_spark.operators.ner_dict import dict_ner
+from easyner_spark.operators.splitter import split_sentences
+from easyner_spark.operators.triples import aggregate_edges, extract_triples
+
+
+@pytest.fixture(scope="module")
+def mentions_df(spark, pages_df):
+    return dict_ner(split_sentences(pages_df), TERMS).cache()
+
+
+@pytest.fixture(scope="module")
+def alias_df(spark, fx):
+    return spark.createDataFrame(fx.alias_lookup)
+
+
+def test_link_entities_one_to_many_and_miss(spark, alias_df):
+    rows = [
+        ("u", 0, "rapamycin", "rapamycin", 0, 9, 0, 1, "chemical"),
+        ("u", 0, "human", "human", 12, 17, 2, 3, "species"),
+        ("u", 0, "MTOR", "mtor", 20, 24, 4, 5, "gene"),
+    ]
+    cols = "url string, sent_idx int, mention string, mention_lc string, begin int, end int, begin_tok int, end_tok int, class string"
+    m = spark.createDataFrame(rows, cols)
+    out = link_entities(m, alias_df).toPandas().sort_values(["begin", "entity_id"])
+    # rapamycin fans out to two ids; human (absent) -> ''; mtor -> KB:0001
+    assert list(out["entity_id"]) == ["KB:0004", "KB:0104", "", "KB:0001"]
+
+
+def test_link_entities_salted_matches_broadcast(spark, mentions_df, alias_df):
+    a = link_entities(mentions_df, alias_df).toPandas()
+    b = link_entities(mentions_df, alias_df, salt_buckets=4).toPandas()
+    key = ["url", "sent_idx", "begin", "end", "class", "entity_id"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
+
+
+def test_primary_alias_deterministic(spark, alias_df):
+    pa = {r["term"]: r["ID"] for r in primary_alias(alias_df).collect()}
+    assert pa["rapamycin"] == "KB:0004"  # min of the two ids
+    assert pa["akt1"] == "KB:0001"
+
+
+def test_triples_match_gold_gate(spark, fx, mentions_df, alias_df):
+    """The BASELINE gate: emitted triples vs analytic gold, P/R >= 0.95
+    (engine is exact by construction -> expect 1.0)."""
+    linked = link_entities(mentions_df, primary_alias(alias_df), keep_unmatched=False)
+    triples = extract_triples(linked)
+    gold = spark.createDataFrame(fx.gold_triples)
+    res = set_eval(triples, gold, ["url", "sent_idx", "subj_id", "pred", "obj_id"])
+    assert res["n_gold"] > 50
+    assert res["precision"] >= 0.95, res
+    assert res["recall"] >= 0.95, res
+    # exact engine: expect perfect parity, not just the gate
+    assert res["precision"] == 1.0 and res["recall"] == 1.0, res
+
+
+def test_aggregate_edges_provenance(spark, fx, mentions_df, alias_df):
+    linked = link_entities(mentions_df, primary_alias(alias_df), keep_unmatched=False)
+    edges = aggregate_edges(extract_triples(linked), exact_sets=True).toPandas()
+    gold = fx.gold_triples.groupby(["subj_id", "pred", "obj_id"]).agg(
+        support=("url", "size"), doc_count=("url", "nunique")
+    ).reset_index()
+    merged = edges.merge(gold, on=["subj_id", "pred", "obj_id"], suffixes=("", "_g"))
+    assert len(merged) == len(edges) == len(gold)
+    assert (merged["support"] == merged["support_g"]).all()
+    assert (merged["doc_count"] == merged["doc_count_g"]).all()
+
+
+def test_span_eval_tolerance_and_rollup(spark):
+    gold_rows = [
+        ("u1", "gene", 10, 20),
+        ("u1", "gene", 30, 40),
+        ("u1", "chem", 50, 60),
+        ("u2", "gene", 10, 20),
+    ]
+    pred_rows = [
+        ("u1", "gene", 11, 19),   # TP within stride=1
+        ("u1", "gene", 33, 40),   # FP: begin off by 3
+        ("u1", "chem", 50, 60),   # TP exact
+        ("u2", "chem", 10, 20),   # FP: wrong class
+    ]
+    gold = spark.createDataFrame(gold_rows, "url string, class string, begin int, end int")
+    pred = spark.createDataFrame(pred_rows, "url string, class string, begin int, end int")
+    m = prf(span_match_counts(pred, gold, stride=1)).toPandas().set_index("class")
+    assert m.loc["gene", "tp"] == 1 and m.loc["gene", "fp"] == 1 and m.loc["gene", "fn"] == 2
+    assert m.loc["chem", "tp"] == 1 and m.loc["chem", "fp"] == 1 and m.loc["chem", "fn"] == 0
+    roll = corpus_rollup(m.reset_index().pipe(spark.createDataFrame)).toPandas().iloc[0]
+    assert abs(roll["micro_precision"] - 2 / 4) < 1e-9
+    assert abs(roll["micro_recall"] - 2 / 4) < 1e-9
+    # macro: gene P=.5 R=1/3; chem P=.5 R=1
+    assert abs(roll["macro_precision"] - 0.5) < 1e-9
+    assert abs(roll["macro_recall"] - (1 / 3 + 1.0) / 2) < 1e-9
+
+
+def test_mentions_eval_against_gold_is_perfect(spark, fx, mentions_df):
+    gold = spark.createDataFrame(
+        fx.gold_mentions[["url", "class", "begin", "end"]].assign(
+            sent_key=fx.gold_mentions["url"] + "#" + fx.gold_mentions["sent_idx"].astype(str)
+        ).drop(columns=[])
+    )
+    pred = mentions_df.withColumn(
+        "sent_key", F.concat_ws("#", "url", "sent_idx")
+    )
+    counts = prf(
+        span_match_counts(
+            pred, gold.withColumnRenamed("sent_key", "sent_key"),
+            keys=["sent_key", "class"], stride=0,
+        )
+    ).toPandas()
+    assert (counts["fp"] == 0).all() and (counts["fn"] == 0).all()
+    assert (counts["precision"] == 1.0).all() and (counts["recall"] == 1.0).all()
