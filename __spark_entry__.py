@@ -157,6 +157,61 @@ def q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEARCH_TERMS = ["hash", "sort table"]
+
+
+def q_search_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.search import search_sentences
+
+    sents = _sentences(spark, sf_dir)
+    out = search_sentences(sents, _mentions(spark, sf_dir), SEARCH_TERMS, match_col="mention_lc")
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "sentence",
+    )
+
+
+def q_doc_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.sinks.pubtator import sentence_doc_offsets
+
+    out = sentence_doc_offsets(_sentences(spark, sf_dir))
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("doc_offset").cast("long").alias("doc_offset"),
+    )
+
+
+def q_term_freq_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.analysis import term_frequency_per_doc
+
+    out = term_frequency_per_doc(_mentions(spark, sf_dir).withColumn("mention", F.col("mention_lc")))
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "mention",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def q_resolve_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-dependent sequential rules (reference entity_merger2.py:
+    99-146) — not SQL-expressible; driver records the rows-only check,
+    bit-exact parity is established by tests/test_merger_parity.py."""
+    from easyner_spark.operators.merger import resolve_conflicts
+
+    pri = {"kw1": 1, "kw2": 2, "kw3": 3}
+    out = resolve_conflicts(_mentions(spark, sf_dir), priority=pri)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("begin_tok").cast("long").alias("begin_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        "mention_lc",
+        "class",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> sentences -> dictionary NER -> ranked entity
     frequency top-50 (the reference pipeline's main output,
@@ -176,6 +231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_entities": q_link_entities,
         "triples": q_triples,
         "edges": q_edges,
+        "search_sentences": q_search_sentences,
+        "doc_offsets": q_doc_offsets,
+        "term_freq_per_doc": q_term_freq_per_doc,
+        "resolve_conflicts": q_resolve_conflicts,
     }
 
 
@@ -296,5 +355,29 @@ SELECT subj_id, pred, obj_id, count(*)::BIGINT AS support,
        count(DISTINCT doc_id)::BIGINT AS doc_count
 FROM triples
 GROUP BY subj_id, pred, obj_id
+""",
+        "search_sentences": _PRELUDE
+        + f"""
+SELECT s.doc_id, s.sent_idx::BIGINT AS sent_idx, s.sentence
+FROM sentences s
+WHERE EXISTS (
+  SELECT 1 FROM mentions m
+  WHERE m.doc_id = s.doc_id AND m.sent_idx = s.sent_idx
+    AND m.mention_lc IN ({", ".join(repr(t) for t in SEARCH_TERMS)})
+)
+""",
+        "doc_offsets": _PRELUDE
+        + """
+SELECT doc_id, sent_idx::BIGINT AS sent_idx,
+       coalesce(sum(length(sentence) + 1) OVER (
+         PARTITION BY doc_id ORDER BY sent_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS doc_offset
+FROM sentences
+""",
+        "term_freq_per_doc": _PRELUDE
+        + """
+SELECT doc_id, mention_lc AS mention, count(*)::BIGINT AS cnt
+FROM mentions
+GROUP BY doc_id, mention_lc
 """,
     }

@@ -1,0 +1,97 @@
+"""PubTator export (SURVEY.md K5, W2) and compat span conversion.
+
+Reference: convert_easyner_output_json_to_pubtator.py:34-57, 97-130 —
+re-assembles the document text by space-joining sentences, shifts each
+sentence-local span to document offsets by accumulating
+`len(sentence) + 1` per preceding sentence, then writes
+`id|t|title` / `id|a|text` lines plus one
+`id TAB start TAB end TAB mention TAB class TAB -1` line per mention.
+
+Spark shape: the running offset is a classic window frame —
+sum(length + 1) over (partition by url order by sent_idx rows between
+unbounded preceding and 1 preceding) — one shuffle on url, then pure
+projections; the line rendering is concat_ws, fully JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sentence_doc_offsets(sentences: DataFrame) -> DataFrame:
+    """sentences + `doc_offset`: char offset of each sentence within the
+    space-joined document text."""
+    w = (
+        Window.partitionBy("url")
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sentences.withColumn(
+        "doc_offset",
+        F.coalesce(F.sum(F.length("sentence") + 1).over(w), F.lit(0)).cast("int"),
+    )
+
+
+def mentions_with_doc_spans(mentions: DataFrame, sentences: DataFrame) -> DataFrame:
+    """mention spans shifted to document offsets (doc_begin, doc_end)."""
+    offs = sentence_doc_offsets(sentences).select("url", "sent_idx", "doc_offset")
+    return (
+        mentions.join(offs, ["url", "sent_idx"])
+        .withColumn("doc_begin", F.col("begin") + F.col("doc_offset"))
+        .withColumn("doc_end", F.col("end") + F.col("doc_offset"))
+        .drop("doc_offset")
+    )
+
+
+def doc_text(sentences: DataFrame) -> DataFrame:
+    """Space-joined document text (reference :41-49). sort_array on the
+    (sent_idx, sentence) struct keeps the aggregation order-insensitive
+    to partitioning — deterministic at any parallelism."""
+    return sentences.groupBy("url").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sent_idx", "sentence"))),
+                lambda s: s["sentence"],
+            ),
+        ).alias("text")
+    )
+
+
+def to_pubtator_lines(
+    mentions: DataFrame,
+    sentences: DataFrame,
+    titles: DataFrame | None = None,
+    inclusive_end: bool = False,
+) -> DataFrame:
+    """(url, line_no, line) export table; write with
+    df.orderBy(...).write.text after a coalesce, or keep as a table.
+
+    `inclusive_end=True` applies the reference dictionary-path span
+    quirk (scripts/ner_main.py:80 stores end_char - 1) at this boundary
+    only — engine-internal spans stay [begin, end) exclusive.
+    """
+    texts = doc_text(sentences)
+    t_lines = (
+        (titles if titles is not None else texts.select("url", F.lit("").alias("title")))
+        .select(
+            "url",
+            F.lit(0).alias("line_no"),
+            F.concat_ws("|", "url", F.lit("t"), "title").alias("line"),
+        )
+    )
+    a_lines = texts.select(
+        "url", F.lit(1).alias("line_no"), F.concat_ws("|", "url", F.lit("a"), "text").alias("line")
+    )
+    spans = mentions_with_doc_spans(mentions, sentences)
+    end_col = F.col("doc_end") - 1 if inclusive_end else F.col("doc_end")
+    m_lines = spans.select(
+        "url",
+        (F.lit(2) + F.col("sent_idx")).alias("line_no"),
+        F.concat_ws(
+            "\t", "url", F.col("doc_begin"), end_col, "mention", "class", F.lit("-1")
+        ).alias("line"),
+    )
+    return t_lines.unionByName(a_lines).unionByName(m_lines)

@@ -1,0 +1,178 @@
+"""Differential parity: the engine's conflict-resolution and
+separator-merge loops vs the reference implementations themselves
+(loaded function-by-function from /root/reference — read-only; module
+bodies have side effects so only defs+imports are executed).
+
+This is the bit-exact guarantee SURVEY.md section 7.4 asks for on the
+order-dependent loops."""
+
+import ast
+import contextlib
+import io
+import os
+import random
+
+import pandas as pd
+import pytest
+
+from easyner_spark.operators.merger import (
+    _merge_separated_rows,
+    _resolve_rows,
+    DEFAULT_PRIORITY,
+    merge_runs,
+    resolve_conflicts,
+)
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference snapshot not available"
+)
+
+
+def _load_funcs(path):
+    with open(path, encoding="utf-8") as f:
+        tree = ast.parse(f.read())
+    keep = [
+        n
+        for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.Import, ast.ImportFrom))
+        and not (isinstance(n, (ast.Import, ast.ImportFrom)) and _nonstdlib(n))
+    ]
+    ns = {}
+    exec(compile(ast.Module(body=keep, type_ignores=[]), path, "exec"), ns)
+    return ns
+
+
+def _nonstdlib(node):
+    names = [a.name for a in node.names] if isinstance(node, ast.Import) else [node.module or ""]
+    return any(n.split(".")[0] not in {"os", "json", "re", "collections"} for n in names)
+
+
+@pytest.fixture(scope="module")
+def ref_sep():
+    return _load_funcs(f"{REF}/supplementary/experiment_scripts/postprocess_separator_merging.py")
+
+
+@pytest.fixture(scope="module")
+def ref_merge():
+    return _load_funcs(f"{REF}/supplementary/experiment_scripts/entity_merger2.py")
+
+
+def _run_ref_sep(ref_sep, entities, spans, text):
+    e, s = [list(x) for x in (entities, [list(p) for p in spans])]
+    with contextlib.redirect_stdout(io.StringIO()):
+        e2, s2 = ref_sep["merge_entities"](e, s, text)
+    return list(zip(e2, [tuple(p) for p in s2]))
+
+
+def _run_mine_sep(entities, spans, text):
+    rows = [
+        {"mention": m, "begin": b, "end": e, "class": "x"}
+        for m, (b, e) in zip(entities, spans)
+    ]
+    out = _merge_separated_rows(rows, text)
+    return [(r["mention"], (r["begin"], r["end"])) for r in out]
+
+
+def test_separator_merge_reference_testcase(ref_sep):
+    # the reference's own commented test case (:154-156)
+    text = "ab(de fg]hi jk{lm no-pq rs-tu, vw x-y-z a-b-c. abc d-e-f; gh-ij-kl"
+    entities = ["ab", "(de", "]hi", "jk{", "lm", "no-", "-", "vw", "x-", "-z", "a-", "abc", "-e-", "gh", "ij-"]
+    spans = [(0, 2), (2, 5), (8, 11), (12, 15), (15, 17), (18, 21), (26, 27), (31, 33), (34, 36), (37, 39), (40, 42), (46, 49), (52, 55), (58, 60), (61, 64)]
+    assert _run_mine_sep(entities, spans, text) == _run_ref_sep(ref_sep, entities, spans, text)
+
+
+def test_separator_merge_gst_testcase(ref_sep):
+    text = "Co-immunoprecipitation analysis and glutathione-S-transferase (GST) pull down assay were conducted to analyze the association between EZH2 and H2BY37ph ."
+    entities = ["glutathione", "-"]
+    spans = [(36, 47), (47, 48)]
+    assert _run_mine_sep(entities, spans, text) == _run_ref_sep(ref_sep, entities, spans, text)
+
+
+def test_separator_merge_fuzz(ref_sep):
+    rng = random.Random(7)
+    vocab = ["ab", "cd-ef", "(gh)", "x", "ij-", "-kl", "m{n", "op"]
+    for trial in range(200):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(2, 8))]
+        text = " ".join(toks) + "."
+        # random token-aligned sub-spans as entities
+        spans, ents = [], []
+        pos = 0
+        for t in toks:
+            if rng.random() < 0.6:
+                b = pos + rng.randint(0, max(0, len(t) - 1))
+                e = pos + rng.randint(b - pos + 1, len(t))
+                spans.append((b, e))
+                ents.append(text[b:e])
+            pos += len(t) + 1
+        if not ents:
+            continue
+        expected = _run_ref_sep(ref_sep, ents, spans, text)
+        got = _run_mine_sep(ents, spans, text)
+        assert got == expected, (trial, text, ents, spans)
+
+
+def _run_ref_conflicts(ref_merge, rows):
+    doc = {
+        "a1": {
+            "title": "",
+            "sentences": [
+                {
+                    "text": "t",
+                    "entities": [r["mention"] for r in rows],
+                    "entity_spans": [[r["begin"], r["end"]] for r in rows],
+                    "entity_classes": [r["class"] for r in rows],
+                }
+            ],
+        }
+    }
+    with contextlib.redirect_stdout(io.StringIO()):
+        out = ref_merge["remove_conflicting_entities"](doc)
+    s = out["a1"]["sentences"][0]
+    return list(zip(s["entities"], [tuple(p) for p in s["entity_spans"]], s["entity_classes"]))
+
+
+def test_conflict_resolution_fuzz(ref_merge):
+    rng = random.Random(11)
+    classes = list(DEFAULT_PRIORITY)
+    words = ["mtor", "tsc1 gene", "rapamycin", "x", "longermention", "ab"]
+    for trial in range(300):
+        n = rng.randint(1, 7)
+        rows = []
+        for _ in range(n):
+            b = rng.randint(0, 20)
+            e = b + rng.randint(1, 10)
+            rows.append(
+                {"mention": rng.choice(words), "begin": b, "end": e, "class": rng.choice(classes)}
+            )
+        rows.sort(key=lambda r: (r["begin"], r["end"]))
+        expected = _run_ref_conflicts(ref_merge, [dict(r) for r in rows])
+        got = [
+            (r["mention"], (r["begin"], r["end"]), r["class"])
+            for r in _resolve_rows([dict(r) for r in rows], DEFAULT_PRIORITY)
+        ]
+        assert got == expected, (trial, rows)
+
+
+def test_merge_runs_and_resolve_spark(spark):
+    """Spark-level plumbing: two runs with engineered conflicts
+    (FIXTURES.md F6)."""
+    cols = "url string, sent_idx int, mention string, mention_lc string, begin int, end int, begin_tok int, end_tok int, class string"
+    run_gene = spark.createDataFrame(
+        [
+            ("u", 0, "mtor", "mtor", 0, 4, 0, 1, "gene"),       # same span as chemical -> gene loses
+            ("u", 0, "tsc1 gene", "tsc1 gene", 10, 19, 2, 4, "gene"),
+        ],
+        cols,
+    )
+    run_chem = spark.createDataFrame(
+        [
+            ("u", 0, "mtor", "mtor", 0, 4, 0, 1, "chemical"),
+            ("u", 0, "tsc1", "tsc1", 10, 14, 2, 3, "chemical"),  # contained in tsc1 gene -> dropped
+        ],
+        cols,
+    )
+    merged = merge_runs([run_gene, run_chem])
+    out = resolve_conflicts(merged).toPandas().sort_values("begin")
+    assert list(out["mention"]) == ["mtor", "tsc1 gene"]
+    assert list(out["class"]) == ["chemical", "gene"]

@@ -1,0 +1,65 @@
+"""Search semi-joins (P5) and PubTator export offsets (W2/K5)."""
+
+from pyspark.sql import functions as F
+
+from easyner_spark.fixtures import TERMS
+from easyner_spark.operators.ner_dict import dict_ner
+from easyner_spark.operators.search import search_mentions, search_sentences
+from easyner_spark.operators.splitter import split_sentences
+from easyner_spark.sinks.pubtator import (
+    doc_text,
+    mentions_with_doc_spans,
+    to_pubtator_lines,
+)
+
+
+def test_search_sentences_exact_membership(spark, pages_df):
+    sents = split_sentences(pages_df)
+    ments = dict_ner(sents, TERMS)
+    hits = search_sentences(sents, ments, ["rapamycin"], match_col="mention_lc")
+    got = hits.toPandas()
+    # every returned sentence really contains the term (case-insensitive)
+    assert len(got) > 0
+    assert got["sentence"].str.lower().str.contains("rapamycin").all()
+    # and no sentence containing it is missed
+    all_sents = sents.toPandas()
+    expected_keys = set()
+    m = ments.where(F.col("mention_lc") == "rapamycin").select("url", "sent_idx").distinct()
+    for r in m.collect():
+        expected_keys.add((r["url"], r["sent_idx"]))
+    assert set(zip(got["url"], got["sent_idx"])) == expected_keys
+
+
+def test_search_cased_vs_lowercase(spark):
+    sents = spark.createDataFrame(
+        [("u", 0, "RAPAMYCIN works"), ("u", 1, "rapamycin works")],
+        "url string, sent_idx int, sentence string",
+    )
+    ments = dict_ner(sents, TERMS)
+    cased = search_sentences(sents, ments, ["rapamycin"], match_col="mention")
+    assert cased.count() == 1  # only the lowercase surface matches exactly
+    lc = search_sentences(sents, ments, ["rapamycin"], match_col="mention_lc")
+    assert lc.count() == 2
+    assert search_mentions(ments, ["rapamycin"], "mention_lc").count() == 2
+
+
+def test_doc_span_shift_slices_doc_text(spark, pages_df):
+    sents = split_sentences(pages_df)
+    ments = dict_ner(sents, TERMS)
+    shifted = mentions_with_doc_spans(ments, sents)
+    texts = doc_text(sents)
+    joined = shifted.join(texts, "url").select(
+        "mention",
+        F.expr("substring(text, doc_begin + 1, doc_end - doc_begin)").alias("slice"),
+    )
+    assert joined.where(F.col("mention") != F.col("slice")).count() == 0
+
+
+def test_pubtator_lines_shape(spark, pages_df):
+    sents = split_sentences(pages_df).where(F.col("url").endswith("/doc/0"))
+    ments = dict_ner(sents, TERMS)
+    lines = to_pubtator_lines(ments, sents).orderBy("url", "line_no", "line").toPandas()
+    assert lines.iloc[0]["line"].split("|")[1] == "t"
+    assert lines.iloc[1]["line"].split("|")[1] == "a"
+    body = lines.iloc[2:]
+    assert (body["line"].str.count("\t") == 5).all()
