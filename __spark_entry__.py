@@ -212,6 +212,17 @@ def q_resolve_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the co-occurrence graph (iterative
+    large-star/small-star; oracle = recursive-CTE min-label closure)."""
+    from easyner_spark.operators.components import connected_components
+
+    edges = q_triples(spark, sf_dir).select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    return connected_components(edges).select("node", "component")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> sentences -> dictionary NER -> ranked entity
     frequency top-50 (the reference pipeline's main output,
@@ -235,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_offsets": q_doc_offsets,
         "term_freq_per_doc": q_term_freq_per_doc,
         "resolve_conflicts": q_resolve_conflicts,
+        "components": q_components,
     }
 
 
@@ -379,5 +391,17 @@ FROM sentences
 SELECT doc_id, mention_lc AS mention, count(*)::BIGINT AS cnt
 FROM mentions
 GROUP BY doc_id, mention_lc
+""",
+        "components": _PRELUDE.replace("WITH sent0", "WITH RECURSIVE sent0", 1)
+        + """
+, cc_edges AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM triples),
+cc_sym AS (SELECT a, b FROM cc_edges UNION SELECT b, a FROM cc_edges),
+cc_nodes AS (SELECT DISTINCT a AS node FROM cc_sym),
+reach(node, lbl) AS (
+  SELECT node, node FROM cc_nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN cc_sym e ON r.node = e.a
+)
+SELECT node, min(lbl) AS component FROM reach GROUP BY node
 """,
     }

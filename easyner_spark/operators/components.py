@@ -1,0 +1,118 @@
+"""Connected components for cross-document entity merging
+(SURVEY.md section 4.3.2 / 7.2.9; north_star "GraphFrames-style
+iterative DataFrame joins").
+
+No Spark built-in exists; this is the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — public literature), expressed purely
+as DataFrame groupBy/join rounds:
+
+  large-star: every node points its LARGER neighbors at its minimum
+              neighbor (incl. itself);
+  small-star: every node points its smaller neighbors (and itself) at
+              that minimum.
+
+Converges in O(log n) rounds to a star per component whose center is
+the component's lexicographically minimal node id — deterministic at
+any parallelism. Each round is two shuffles (groupBy min + join) on the
+node id; `localCheckpoint` after every round cuts the exploding lineage
+(SURVEY section 7.4: required for iterative DataFrame algorithms).
+
+Skew note: a giant component (common alias) concentrates its edges on
+the component-min key. large-star specifically bounds that: high-degree
+centers delegate to subtree minima before small-star recenters, and AQE
+skew-join splitting handles the residual hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected canonical edge list (big -> small), self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.withColumn("m", F.least("src", "mn")).select("src", "m")
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    dir_e = _canon(edges)  # src > dst for every row
+    mins = dir_e.groupBy("src").agg(F.min("dst").alias("m"))
+    to_min = dir_e.join(mins, "src").select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_e = mins.select("src", F.col("m").alias("dst"))
+    return (
+        to_min.unionByName(self_e)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive, overflow-free under ANSI mode; rows
+    # are distinct so xor cancellation can't mask a real change
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """edges -> (node, component) with component = min node id of the
+    component. Isolated endpoints appear (an edge list has no isolated
+    nodes; union extra singletons upstream if needed)."""
+    cur = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    cur = cur.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+    # post-state: src > dst = component center. membership = pointers +
+    # centers themselves.
+    members = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    centers = cur.select(F.col("dst").alias("node"), F.col("dst").alias("component")).distinct()
+    return members.unionByName(centers).distinct()
+
+
+def alias_component_nodes(alias: DataFrame) -> DataFrame:
+    """Entity-merge graph from the alias table (north_star:
+    cross-document entity merging): bipartite term <-> KB-id edges;
+    components merge entities that share any alias (reference analog:
+    the NEL lookup's synonym groups, scripts/nel.py:13)."""
+    edges = alias.select(
+        F.concat(F.lit("term:"), F.lower("term")).alias("src"),
+        F.concat(F.lit("id:"), F.col("ID")).alias("dst"),
+    )
+    return connected_components(edges)

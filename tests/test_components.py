@@ -1,0 +1,78 @@
+"""Connected components vs an independent union-find oracle."""
+
+import random
+
+import pytest
+
+from easyner_spark.operators.components import alias_component_nodes, connected_components
+
+
+def union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    expected = union_find_components(edges)
+    # normalize union-find roots to component minimum
+    comp_min = {}
+    for n, r in expected.items():
+        comp_min.setdefault(r, n)
+        comp_min[r] = min(comp_min[r], n)
+    expected_min = {n: comp_min[r] for n, r in expected.items()}
+    assert got == expected_min
+
+
+def test_two_cliques_and_bridge(spark):
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z"), ("c", "x")]
+    _check(spark, edges)
+
+
+def test_chain_graph(spark):
+    # worst case for naive label propagation; star alg is O(log n)
+    edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(60)]
+    _check(spark, edges)
+
+
+def test_random_graphs(spark):
+    rng = random.Random(3)
+    nodes = [f"v{i:02d}" for i in range(40)]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(45)]
+    _check(spark, edges)
+
+
+def test_alias_graph_components(spark, fx):
+    alias_df = spark.createDataFrame(fx.alias_lookup)
+    got = {r["node"]: r["component"] for r in alias_component_nodes(alias_df).collect()}
+    # akt1 and mtor share KB:0001 -> same component
+    assert got["term:akt1"] == got["term:mtor"] == got["id:KB:0001"]
+    # rapamycin bridges its two ids
+    assert got["id:KB:0004"] == got["id:KB:0104"] == got["term:rapamycin"]
+    # the whole cov synonym family merges
+    fam = {got[f"term:{t}"] for t in ["cov", "2019 cov", "2019 cov disease", "covid"]}
+    assert len(fam) == 1
+    # distinct groups stay distinct
+    assert got["term:hela"] != got["term:autophagy"]
+    assert got["term:sars-cov-2"] != got["term:cov"]
+
+
+def test_empty_and_selfloop(spark):
+    df = spark.createDataFrame([("a", "a")], "src string, dst string")
+    assert connected_components(df).count() == 0
