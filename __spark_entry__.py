@@ -223,6 +223,121 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select("node", "component")
 
 
+# ---------------------------------------------------------------------------
+# Training-data-pipeline operators (dedup / similarity / text analysis)
+# over the raw documents + embeddings tables.
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+def _docs_perturbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ first-word-dropped copy (+100000 ids): deterministic
+    near-duplicates so the near-dup operators demonstrate real recall."""
+    d = _docs(spark, sf_dir)
+    p = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return d.unionByName(p)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.textstats import text_stats
+
+    out = text_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.col("n_tokens_re").cast("long").alias("n_tokens_re"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "alpha_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.textstats import lang_id
+
+    out = lang_id(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        *[F.col(f"hits_{lg}").cast("long").alias(f"hits_{lg}") for lg in ("de", "en", "es", "fr")],
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.dedup import exact_dedup
+
+    d = _docs(spark, sf_dir)
+    dup = d.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    return exact_dedup(d.unionByName(dup)).select(
+        "doc_id", "content_hash", "canonical_id", "is_dup"
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_perturbed(spark, sf_dir)).select(
+        "a", "b", "est_jaccard"
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs2 = _docs_perturbed(spark, sf_dir)
+    return ngram_jaccard_pairs(docs2, minhash_lsh_pairs(docs2)).select(
+        "a", "b", "jaccard"
+    )
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_perturbed(spark, sf_dir)).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_emb(spark, sf_dir), k=10).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(_emb(spark, sf_dir), k=10).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easyner_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3).select(
+        "a", "b", "cosine"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> sentences -> dictionary NER -> ranked entity
     frequency top-50 (the reference pipeline's main output,
@@ -247,6 +362,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_freq_per_doc": q_term_freq_per_doc,
         "resolve_conflicts": q_resolve_conflicts,
         "components": q_components,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_dedup": q_simhash_dedup,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_neardup": q_emb_neardup,
     }
 
 
@@ -330,8 +454,241 @@ triples AS (
 """.replace("__DICT__", _DICT_VALUES).replace("__ALIAS__", _ALIAS_VALUES)
 
 
-def oracle_sql() -> dict[str, str]:
+# ---------------------------------------------------------------------------
+# Oracle SQL for the training-data operators. Generated programmatically
+# so the hash constants / marker lists / hyperplanes are shared verbatim
+# with the Spark implementations (easyner_spark.operators.{textstats,
+# dedup,similarity}). Float determinism: every double is produced by the
+# same IEEE op sequence in both engines (sequential-fold dot products,
+# int/int divisions, literal-weight blends) — verified bitwise in tests.
+# ---------------------------------------------------------------------------
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _textstats_oracle() -> tuple[str, str]:
+    from easyner_spark.operators.textstats import LANG_MARKERS, STOPWORDS_EN
+
+    hits_cols = ",\n    ".join(
+        f"len(list_filter(words, w -> list_contains({_sql_list(m)}, w))) AS hits_{lg}"
+        for lg, m in sorted(LANG_MARKERS.items())
+    )
+    # Mirror the Spark when-chain: CJK wins, then codes ascending on ties.
+    lang_case = (
+        "CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+        + " ".join(
+            f"WHEN hits_{lg} > 0 AND hits_{lg} = best THEN '{lg}'"
+            for lg in sorted(LANG_MARKERS)
+        )
+        + " ELSE 'und' END"
+    )
+    feat = f"""
+WITH base AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\\w+') AS words
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, words,
+    length(text) AS n_chars,
+    len(words) AS n_words,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+    len(list_filter(words, w -> list_contains({_sql_list(STOPWORDS_EN)}, w))) AS n_stop,
+    list_sum(list_transform(words, w -> length(w))) AS sum_wlen,
+    {hits_cols}
+  FROM base
+),
+feat2 AS (
+  SELECT *,
+    greatest(hits_de, hits_en, hits_es, hits_fr) AS best,
+    CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0::DOUBLE END AS alpha_ratio,
+    CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0::DOUBLE END AS punct_ratio,
+    CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0::DOUBLE END AS stop_ratio,
+    CASE WHEN n_words > 0 THEN sum_wlen / n_words ELSE 0.0::DOUBLE END AS mean_wlen
+  FROM feat
+)
+"""
+    stats = f"""{feat}
+SELECT doc_id,
+  n_chars::BIGINT AS n_chars,
+  len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens_ws,
+  len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens_re,
+  n_words::BIGINT AS n_words,
+  round(alpha_ratio, 6) AS alpha_ratio,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stop_ratio, 6) AS stopword_ratio,
+  round(mean_wlen, 6) AS mean_word_len,
+  round(alpha_ratio * 0.4::DOUBLE + (1.0::DOUBLE - punct_ratio) * 0.3::DOUBLE
+        + stop_ratio * 0.3::DOUBLE, 6) AS quality,
+  {lang_case} AS lang_pred,
+  CASE WHEN length(text) >= 8
+    THEN list_min(list_transform(range(1, length(text) - 6),
+                                 i -> md5(substr(text, i::INT, 8))))
+    ELSE md5(text) END AS fingerprint
+FROM feat2
+"""
+    langid = f"""{feat}
+SELECT doc_id, {lang_case} AS lang_pred,
+  hits_de::BIGINT AS hits_de, hits_en::BIGINT AS hits_en,
+  hits_es::BIGINT AS hits_es, hits_fr::BIGINT AS hits_fr
+FROM feat2
+"""
+    return stats, langid
+
+
+def _dedup_oracles() -> dict[str, str]:
+    from easyner_spark.operators.dedup import BAND_ROWS, N_HASHES, SIMHASH_BITS
+
+    n_bands = N_HASHES // BAND_ROWS
+    docs2 = """
+docs2 AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1) FROM documents
+)"""
+    sig_comps = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(N_HASHES)
+    )
+    band_hash = " || '|' || ".join(
+        f"sig[({BAND_ROWS} * band_idx + {r + 1})::INT]" for r in range(BAND_ROWS)
+    )
+    eq_terms = " + ".join(f"(sig_a[{i + 1}] = sig_b[{i + 1}])::INT" for i in range(N_HASHES))
+    band_list = "[" + ", ".join(str(j) for j in range(n_bands)) + "]"
+    mh_prelude = f"""
+WITH {docs2},
+toks AS (SELECT id, regexp_extract_all(lower(text), '\\w+') AS toks FROM docs2),
+sh AS (
+  SELECT id, list_sort(list_distinct(
+    CASE WHEN len(toks) >= 3
+      THEN list_transform(range(0, len(toks) - 2),
+             i -> toks[(i + 1)::INT] || ' ' || toks[(i + 2)::INT] || ' ' || toks[(i + 3)::INT])
+      ELSE [array_to_string(toks, ' ')] END)) AS sh
+  FROM toks
+),
+sig AS (SELECT id, [{sig_comps}] AS sig FROM sh),
+bands AS (SELECT id, sig, unnest({band_list}) AS band_idx FROM sig),
+bands2 AS (SELECT id, sig, band_idx, md5({band_hash}) AS band_hash FROM bands),
+cand AS (
+  SELECT DISTINCT a.id AS a, b.id AS b, a.sig AS sig_a, b.sig AS sig_b
+  FROM bands2 a JOIN bands2 b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+)"""
+    minhash = f"""{mh_prelude}
+SELECT a, b, round(({eq_terms}) / {N_HASHES}, 6) AS est_jaccard FROM cand
+"""
+    jaccard = f"""{mh_prelude}
+SELECT c.a, c.b,
+  round(len(list_intersect(sa.sh, sb.sh))
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand c JOIN sh sa ON c.a = sa.id JOIN sh sb ON c.b = sb.id
+"""
+    sum_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp_expr = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    simhash = f"""
+WITH {docs2},
+toks AS (SELECT id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok FROM docs2),
+cnt AS (SELECT id, tok, count(*) AS cnt FROM toks GROUP BY id, tok),
+h AS (SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h, cnt FROM cnt),
+sums AS (SELECT id, {sum_cols} FROM h GROUP BY id),
+fp AS (SELECT id, ({fp_expr})::BIGINT AS simhash FROM sums),
+bands AS (SELECT id, simhash, unnest([0, 1, 2, 3]) AS band_idx FROM fp),
+bands2 AS (SELECT id, simhash, band_idx, (simhash >> (8 * band_idx)) & 255 AS band_val FROM bands),
+pairs AS (
+  SELECT DISTINCT a.id AS a, b.id AS b, a.simhash AS sa, b.simhash AS sb
+  FROM bands2 a JOIN bands2 b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id
+)
+SELECT a, b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+"""
+    exact = """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, text FROM documents
+),
+h AS (SELECT doc_id, sha256(text) AS content_hash FROM docs2)
+SELECT doc_id, content_hash,
+  min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+  doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
+FROM h
+"""
     return {
+        "exact_dedup": exact,
+        "minhash_dedup": minhash,
+        "ngram_jaccard": jaccard,
+        "simhash_dedup": simhash,
+    }
+
+
+def _similarity_oracles() -> dict[str, str]:
+    from easyner_spark.operators.similarity import N_BITS, hyperplanes
+
+    planes = hyperplanes()
+    norm = """
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)"""
+    bucket_expr = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(f"{x:.1f}" for x in p)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    topk = f"""{norm},
+p AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id,
+         list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
+  FROM n a JOIN n b ON a.id <> b.id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM r WHERE rank <= 10
+"""
+    lsh = f"""{norm},
+bk AS (SELECT id, v, norm, {bucket_expr} AS bucket FROM n),
+p AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id,
+         list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id <> b.id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM r WHERE rank <= 10
+"""
+    neardup = f"""{norm},
+p AS (
+  SELECT a.id AS a, b.id AS b,
+         list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
+  FROM n a JOIN n b ON a.id < b.id
+)
+SELECT a, b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.3
+"""
+    assert N_BITS == len(planes)
+    return {"ann_topk": topk, "ann_lsh_topk": lsh, "emb_neardup": neardup}
+
+
+def oracle_sql() -> dict[str, str]:
+    stats_sql, langid_sql = _textstats_oracle()
+    extra = {
+        "text_stats": stats_sql,
+        "lang_id": langid_sql,
+        **_dedup_oracles(),
+        **_similarity_oracles(),
+    }
+    return extra | {
         "split_sentences": _PRELUDE
         + """
 SELECT doc_id, sent_idx::BIGINT AS sent_idx, sentence FROM sentences

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set:
+  - e2e_kg:           synthetic pages corpus (fixtures.generate, scaled
+                      by sf) -> normalize/split -> dictionary NER ->
+                      NEL -> triples -> aggregated edges (the full
+                      pages->edges KG job from the north_star).
+  - entity_frequency: analysis rollup A1 over the same mentions.
+  - components:       connected components over the co-occurrence graph.
+  - minhash_dedup:    MinHash-LSH near-duplicate pairs over `documents`.
+  - ann_topk:         brute-force cosine top-k over `embeddings`.
+  - text_stats:       lang-id + quality + token counts over `documents`.
+
+Execution is forced with a `noop` datasource write (runs the whole plan,
+materializes nothing on the driver). The synthetic pages corpus is
+written once per (sf, size) to /tmp and reused across invocations so
+per-round bench time stays bounded; generation cost is excluded from
+the timings.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_PAGES (override
+pages-corpus row count), BENCH_REPEAT (timed repetitions, default 1;
+the scaling harness tools/scaling_bench.py uses 3 and reports medians).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _pages_parquet(spark, n_docs: int) -> str:
+    """Materialize the deterministic synthetic pages corpus once."""
+    path = f"/tmp/easyner_bench_pages_{n_docs}.parquet"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from easyner_spark.fixtures import generate
+
+        fx = generate(n_docs=n_docs, seed=42, with_gold=False)
+        (
+            spark.createDataFrame(fx.pages)
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def build_queries(spark, sf_dir: str, pages_path: str):
+    from pyspark.sql import functions as F
+
+    from easyner_spark.fixtures import ALIAS, TERMS
+    from easyner_spark.operators.analysis import entity_frequency
+    from easyner_spark.operators.components import connected_components
+    from easyner_spark.operators.dedup import minhash_lsh_pairs
+    from easyner_spark.operators.ner_dict import dict_ner
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.similarity import brute_force_topk
+    from easyner_spark.operators.splitter import split_sentences
+    from easyner_spark.operators.textstats import text_stats
+    from easyner_spark.operators.triples import aggregate_edges, extract_triples
+
+    pages = spark.read.parquet(pages_path)
+    alias_df = spark.createDataFrame(ALIAS, "term string, ID string")
+
+    def mentions():
+        return dict_ner(split_sentences(pages), TERMS)
+
+    def q_e2e_kg():
+        linked = link_entities(mentions(), primary_alias(alias_df), keep_unmatched=False)
+        return aggregate_edges(extract_triples(linked))
+
+    def q_entity_frequency():
+        return entity_frequency(mentions(), mention_col="mention_lc")
+
+    def q_components():
+        linked = link_entities(mentions(), primary_alias(alias_df), keep_unmatched=False)
+        tri = extract_triples(linked)
+        edges = tri.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+        return connected_components(edges)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    return {
+        "e2e_kg": q_e2e_kg,
+        "entity_frequency": q_entity_frequency,
+        "components": q_components,
+        "minhash_dedup": lambda: minhash_lsh_pairs(docs),
+        "ann_topk": lambda: brute_force_topk(emb, k=10),
+        "text_stats": lambda: text_stats(docs),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    n_pages = int(os.environ.get("BENCH_PAGES", str(max(2000, int(200_000 * sf_num)))))
+
+    from easyner_spark.session import get_spark
+
+    spark = get_spark("easyner-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages_path = _pages_parquet(spark, n_pages)
+    queries = build_queries(spark, sf_dir, pages_path)
+
+    # Warm the JVM/Arrow paths once on the cheapest query.
+    _force(queries["text_stats"]())
+
+    timings: dict[str, float] = {}
+    for name, qf in queries.items():
+        runs = []
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            _force(qf())
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "easyner_spark_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+                "cpus": cpus,
+                "pages_rows": n_pages,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

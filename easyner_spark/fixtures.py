@@ -124,7 +124,10 @@ def brute_force_matches(text: str, terms: list[tuple[str, str]]):
     return out
 
 
-def generate(n_docs: int = 500, seed: int = 42) -> Fixture:
+def generate(n_docs: int = 500, seed: int = 42, with_gold: bool = True) -> Fixture:
+    """`with_gold=False` skips the brute-force oracle pass (gold tables
+    come back empty) — used by bench.py to synthesize large pages
+    corpora quickly; correctness fixtures always use the default."""
     rng = random.Random(seed)
     host_w = [1.0 / (i + 1) ** ZIPF_S for i in range(N_HOSTS)]
 
@@ -164,7 +167,10 @@ def generate(n_docs: int = 500, seed: int = 42) -> Fixture:
         # engine's sentence table), by the independent matcher; only for
         # lang='en' docs — the pipeline's default language filter (P2
         # analog) drops the rest before splitting.
-        for sent_idx, sent in enumerate(split_sentences_py(text) if lang == "en" else []):
+        sents_for_gold = (
+            split_sentences_py(text) if (with_gold and lang == "en") else []
+        )
+        for sent_idx, sent in enumerate(sents_for_gold):
             matches = brute_force_matches(sent, TERMS)
             for surface, b, e, bt, et, cls in matches:
                 gm_rows.append((url, sent_idx, surface, surface.lower(), b, e, bt, et, cls))

@@ -1,0 +1,291 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference dedups only by document key (last-wins dict merge,
+scripts/util.py:15; scripts/downloader.py:68-79 — our exact_dedup's
+degenerate case). A web-scale training-data pipeline needs content
+dedup too; these are the standard batteries, each expressed as
+DataFrame ops that scale:
+
+  - exact_dedup: sha256(text) groupBy. The hash key is uniform, so the
+    shuffle has NO skew by construction; count ~ distinct texts.
+  - MinHash+LSH: signatures are a narrow per-row projection (all md5 +
+    array built-ins, no Python); candidate generation is ONE shuffle on
+    (band_idx, band_hash); the classic shingle->minhash->band->
+    bucket-join pipeline. Giant buckets (boilerplate-identical pages)
+    are the skew risk -> `max_bucket_size` drops pathological buckets
+    (they are already-exact dups; route those through exact_dedup).
+  - SimHash: 32-bit weighted-token fingerprint; candidates share one of
+    four 8-bit bands (Hamming<=3 within 32 bits guarantees a shared
+    band by pigeonhole); verify with bit_count(xor).
+  - n-gram Jaccard: exact verification on candidate pairs only (never
+    all-pairs).
+
+Determinism contract: every hash is md5/sha2 of an explicit string --
+no seeds, no Math.random -- and "min over hex strings" is the minhash
+order, so the DuckDB oracle reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from easyner_spark.operators.textstats import WORD_RE
+
+N_HASHES = 12
+BAND_ROWS = 3            # 12 hashes -> 4 bands of 3
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4        # 4 bands of 8 bits
+
+
+def _words(text_col: str) -> Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), r'{WORD_RE}', 0)")
+
+
+def shingle_set(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct, sorted word k-shingles ('w1 w2 w3'). Documents shorter
+    than k words contribute their whole word sequence as one shingle."""
+    toks = _words(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    grams = F.when(F.size(toks) >= k, grams).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, content_hash, canonical_id, is_dup): canonical = min id per
+    sha256(text) group. One shuffle on the uniform hash key."""
+    h = F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash")
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.select(F.col(id_col), h)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content clusters with >1 member: (content_hash, canonical_id, dup_count)."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    text_col: str = "text", n_hashes: int = N_HASHES, k: int = 3
+) -> Column:
+    """array<string> of n minhashes: component i = min over shingles of
+    md5('i|' || shingle). Min over 32-char lowercase-hex strings is the
+    (deterministic, engine-portable) hash order."""
+    sh = shingle_set(text_col, k)
+
+    def comp(i: int):
+        # NB: the lambda must be single-arg — a second parameter would be
+        # bound by Spark to the array index, not the closure.
+        prefix = f"{i}|"
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary")))
+        )
+
+    return F.array(*[comp(i) for i in range(n_hashes)])
+
+
+def minhash_bands(sig: Column, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS) -> Column:
+    """array<string> of band keys: md5 of the '|'-joined signature slice."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws("|", F.slice(sig, j * band_rows + 1, band_rows)).cast("binary"))
+            for j in range(n_hashes // band_rows)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+    k: int = 3,
+    min_est_jaccard: float = 0.0,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (a, b, est_jaccard), a < b.
+
+    est_jaccard = fraction of equal signature components (the standard
+    MinHash estimator). Plan shape: narrow signature projection ->
+    posexplode bands -> self equi-join on (band_idx, band_hash) ->
+    distinct. The signature rides through the explode (n_hashes * 32 B
+    per row) to avoid a second join; at petabyte scale prefer re-joining
+    signatures by id instead of widening the shuffle.
+    """
+    sig = minhash_signature(text_col, n_hashes, k)
+    with_sig = docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    exploded = with_sig.select(
+        "id",
+        "sig",
+        F.posexplode(minhash_bands(F.col("sig"), n_hashes, band_rows)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band_idx", "band_hash")
+        exploded = exploded.withColumn("bsz", F.count("*").over(wb)).where(
+            F.col("bsz") <= max_bucket_size
+        ).drop("bsz")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    out = pairs.select(
+        "a", "b", F.round(eq / F.lit(n_hashes), 6).alias("est_jaccard")
+    )
+    if min_est_jaccard > 0:
+        out = out.where(F.col("est_jaccard") >= min_est_jaccard)
+    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate (a, b) pairs:
+    |A ∩ B| / |A ∪ B| over distinct word k-shingles. Two joins against
+    the (narrow) shingle projection — candidates only, never all pairs.
+    """
+    sh = docs.select(F.col(id_col).alias("id"), shingle_set(text_col, k).alias("sh"))
+    out = (
+        candidates.select("a", "b")
+        .join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    out = out.select(
+        "a", "b", F.round(inter / union, 6).alias("jaccard")
+    )
+    if min_jaccard > 0:
+        out = out.where(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, simhash): 32-bit weighted-token SimHash.
+
+    token hash = first 8 md5 hex chars as uint32; per bit, sum +count
+    (bit set) / -count (bit clear) over the doc's token frequencies;
+    sign -> bit. Two narrow aggs (token counts, then 32 conditional
+    sums), both shuffling on doc id — no skew beyond document size.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("tok")
+    )
+    cnt = toks.groupBy("id", "tok").agg(F.count("*").alias("cnt"))
+    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast("bigint")
+    cnt = cnt.withColumn("h", h)
+    sums = cnt.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (a, b, hamming) with Hamming(simhash) <= t.
+
+    Candidates = pairs sharing at least one of 4 disjoint 8-bit bands
+    (pigeonhole: hamming <= 3 over 32 bits leaves >= 1 band untouched);
+    verified with bit_count(xor). One shuffle on (band_idx, band_val).
+    """
+    sh = simhash(docs, text_col, id_col)
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * j).bitwiseAND(F.lit(255))
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

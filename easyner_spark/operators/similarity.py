@@ -1,0 +1,191 @@
+"""Similarity search over an embedding column (array<float>).
+
+No analog in the reference (its NEL is exact string lookup,
+scripts/nel.py:13-33); this is the vector leg a training-data pipeline
+needs: approximate-nearest-neighbor retrieval and embedding-cosine
+near-duplicate detection.
+
+Two paths:
+  - brute_force_topk: exact cosine top-k. All-pairs is the baseline /
+    verification path; norms are precomputed per row BEFORE the join so
+    the pair-side work is one fold + one divide. At cluster scale the
+    query side is broadcast block-by-block (queries are usually << the
+    corpus); the corpus side never shuffles.
+  - lsh_topk: random-hyperplane (sign-LSH) buckets. Hyperplanes are
+    DETERMINISTIC (+-1 components derived from md5 of "plane,dim" —
+    reproducible across engines and runs, no RNG); candidates = same
+    bucket; exact cosine re-rank inside the bucket. Recall is tunable
+    with n_bits (fewer bits -> bigger buckets -> higher recall); the
+    production upgrade is multi-probe (flip one bit) — implemented as
+    `probe_bits`. One shuffle on the bucket key.
+
+All arithmetic is double-precision with a fixed evaluation order
+(sequential left fold for dots), which DuckDB's list_dot_product
+reproduces bit-for-bit — verified property, see tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_BITS = 6
+DIM = 64
+
+
+def hyperplanes(n_bits: int = N_BITS, dim: int = DIM) -> list[list[float]]:
+    """Deterministic +-1 hyperplanes: component (j, i) is +1 iff the
+    first byte of md5('j,i') < 128. Shared verbatim by the SQL oracle."""
+    return [
+        [
+            1.0 if hashlib.md5(f"{j},{i}".encode()).digest()[0] < 128 else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("norm"),
+    )
+
+
+def _pair_cosine() -> Column:
+    return _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
+
+    `queries` defaults to the corpus itself (self-join, self matches
+    excluded). Rank orders by (cosine desc, neighbor_id asc) — a total,
+    engine-portable order.
+    """
+    corpus = _with_norm(emb, id_col, vec_col)
+    qs = _with_norm(queries, id_col, vec_col) if queries is not None else corpus
+    a, b = qs.alias("a"), corpus.alias("b")
+    pairs = a.join(b, F.col("a.id") != F.col("b.id")).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        _pair_cosine().alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def _bucket(planes: list[list[float]]) -> Column:
+    """Sign-bit bucket string for column `v` ('1'/'0' per plane)."""
+    bits = [
+        F.when(
+            _dot(F.col("v"), F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = N_BITS,
+    dim: int = DIM,
+    probe_bits: int = 0,
+) -> DataFrame:
+    """Sign-LSH bucketed ANN top-k: same output shape as brute force but
+    only neighbors sharing a hash bucket are scored.
+
+    `probe_bits` > 0 enables multi-probe: each QUERY row is also placed
+    in the buckets at Hamming distance 1 for its first `probe_bits`
+    bits (corpus rows stay in their one true bucket, so candidates stay
+    deduplicated).
+    """
+    planes = hyperplanes(n_bits, dim)
+    base = _with_norm(emb, id_col, vec_col).withColumn("bucket", _bucket(planes))
+    q = base.select("id", "v", "norm", "bucket")
+    if probe_bits > 0:
+        probes = [q.select("id", "v", "norm", "bucket")]
+        for b in range(min(probe_bits, n_bits)):
+            flipped = F.concat(
+                F.substring("bucket", 1, b),
+                F.when(F.substring("bucket", b + 1, 1) == "1", F.lit("0")).otherwise(
+                    F.lit("1")
+                ),
+                F.substring("bucket", b + 2, n_bits - b - 1),
+            )
+            probes.append(q.select("id", "v", "norm", flipped.alias("bucket")))
+        q = probes[0]
+        for p in probes[1:]:
+            q = q.unionByName(p)
+    a, b = q.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        _pair_cosine().alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 0,
+    dim: int = DIM,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a, b, cosine), a < b,
+    cosine >= threshold. n_bits=0 -> exact all-pairs (verification
+    path); n_bits>0 -> sign-LSH bucket prefilter (scale path; pairs in
+    different buckets are missed, the standard ANN-dedup tradeoff)."""
+    base = _with_norm(emb, id_col, vec_col)
+    if n_bits > 0:
+        base = base.withColumn("bucket", _bucket(hyperplanes(n_bits, dim)))
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col("a.id") < F.col("b.id")
+        )
+    else:
+        cond = F.col("a.id") < F.col("b.id")
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            _pair_cosine().alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 6).alias("cosine"))
+    )

@@ -1,0 +1,167 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+These extend the reference's corpus hygiene (empty-abstract filter,
+scripts/pubmed_bulk.py:115-117; char-count normalization,
+tutorials/Tutorial_benchmarking_runtime.md:5-17) into the standard
+web-corpus curation battery a 100 TB pipeline needs before NER.
+
+Everything here is 100% JVM-side built-in column expressions — no
+Python UDFs, no shuffle: each operator is a narrow per-row projection
+that whole-stage codegen fuses into the scan, so throughput scales
+linearly with input splits at any cluster size. All derived values are
+integer counts or exact IEEE ratios of integer counts, written so the
+DuckDB oracle computes bit-identical results.
+
+Regex note: patterns here are ASCII-class (`\\w` without (?U)) so Java
+(Spark) and RE2 (DuckDB) agree; the NER tokenizer contract in
+functions.text keeps its own unicode-aware flavor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = r"\w+"
+TOKEN_RE_ASCII = r"\w+|[^\w\s]"
+PUNCT_KEEP_RE = r"[\w\s]"       # delete these -> punctuation remains
+ALPHA_DEL_RE = r"[^A-Za-z]"     # delete these -> ascii letters remain
+WS_SPLIT_RE = r"\s+"
+
+# Tiny per-language marker lexicons for the stopword-heuristic language
+# ID. Closed sets, lowercase; a word may appear in several languages
+# (e.g. "en", "que") — the argmax handles it.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with", "for", "was"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es": ("el", "los", "las", "y", "es", "una", "en", "que", "por", "con"),
+}
+CJK_RE = r"[一-鿿]"
+
+FINGERPRINT_K = 8  # char-shingle width for the rolling fingerprint
+
+# English stopword set for the quality ratio (same as the en markers).
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def _words(text_col: str) -> Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), r'{WORD_RE}', 0)")
+
+
+def _marker_hits(words: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+
+def _token_count_cols(text_col: str) -> dict[str, Column]:
+    return {
+        "n_chars": F.length(text_col),
+        "n_tokens_ws": F.size(F.split(F.trim(F.col(text_col)), WS_SPLIT_RE)),
+        "n_tokens_re": F.size(
+            F.expr(f"regexp_extract_all({text_col}, r'{TOKEN_RE_ASCII}', 0)")
+        ),
+        "n_words": F.size(_words(text_col)),
+    }
+
+
+def _quality_cols(text_col: str) -> dict[str, Column]:
+    words = _words(text_col)
+    n_chars = F.length(text_col)
+    n_words = F.size(words)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), ALPHA_DEL_RE, ""))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_KEEP_RE, ""))
+    n_stop = _marker_hits(words, STOPWORDS_EN)
+    sum_wlen = F.aggregate(F.transform(words, F.length), F.lit(0), lambda a, x: a + x)
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n_words > 0, sum_wlen / n_words).otherwise(F.lit(0.0))
+    quality = F.round(
+        alpha_ratio * 0.4 + (F.lit(1.0) - punct_ratio) * 0.3 + stop_ratio * 0.3, 6
+    )
+    return {
+        "alpha_ratio": F.round(alpha_ratio, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "mean_word_len": F.round(mean_wlen, 6),
+        "quality": quality,
+    }
+
+
+def _lang_cols(text_col: str) -> dict[str, Column]:
+    """Deterministic argmax over marker-hit counts: CJK codepoints win
+    outright ('zh'); otherwise highest hit count, ties broken by
+    language code ascending; all-zero -> 'und'."""
+    words = _words(text_col)
+    hits = {lang: _marker_hits(words, m) for lang, m in sorted(LANG_MARKERS.items())}
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    # Chain in REVERSE code order so the earliest code wins ties.
+    for lang in sorted(hits, reverse=True):
+        pred = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(pred)
+    pred = F.when(
+        F.expr(f"regexp_extract({text_col}, r'{CJK_RE}', 0)") != "", F.lit("zh")
+    ).otherwise(pred)
+    out = {"lang_pred": pred}
+    out.update({f"hits_{lang}": hits[lang] for lang in sorted(hits)})
+    return out
+
+
+def _fingerprint_col(text_col: str) -> Column:
+    """Minimum md5 over all character 8-grams — a rolling-window
+    min-hash (the single-hash core of winnowing). Texts shorter than
+    the window hash whole."""
+    k = FINGERPRINT_K
+    win_min = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text_col) - (k - 1)),
+            lambda i: F.md5(F.substring(F.col(text_col), i, k).cast("binary")),
+        )
+    )
+    return F.when(F.length(text_col) >= k, win_min).otherwise(
+        F.md5(F.col(text_col).cast("binary"))
+    )
+
+
+def _select(docs: DataFrame, id_col: str, cols: dict[str, Column]) -> DataFrame:
+    return docs.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace-token and regex-token (BPE-ish `\\w+|[^\\w\\s]`) counts.
+
+    Reference analog: per-corpus character counts used to normalize
+    runtimes (Tutorial_benchmarking_runtime.md:5-17), generalized to the
+    token statistics a tokenizer-budgeted training pipeline tracks.
+    """
+    return _select(docs, id_col, _token_count_cols(text_col))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score. All exact ratios of
+    integer counts; rows with no words score 0, not null."""
+    return _select(docs, id_col, _quality_cols(text_col))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-lexicon language ID (`lang_pred` + per-language hit counts)."""
+    return _select(docs, id_col, _lang_cols(text_col))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-defined fingerprint column; identical content -> identical
+    fingerprint, robust to where a shared 8-gram sits in the document."""
+    return _select(docs, id_col, {"fingerprint": _fingerprint_col(text_col)})
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All four analyses in ONE narrow projection — the plan is a single
+    Project over the scan (no joins, no shuffle); at 100 TB this runs at
+    scan speed."""
+    cols: dict[str, Column] = {}
+    cols.update(_token_count_cols(text_col))
+    cols.update(_quality_cols(text_col))
+    cols["lang_pred"] = _lang_cols(text_col)["lang_pred"]
+    cols["fingerprint"] = _fingerprint_col(text_col)
+    return _select(docs, id_col, cols)

@@ -1,0 +1,250 @@
+"""Tests for the training-data operators: dedup family, similarity
+search, text analysis. Expected values are computed by independent
+plain-Python implementations (not the engine's column expressions), so
+these genuinely cross-validate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+WORD_RE = re.compile(r"\w+")
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "quick brown fox jumps over the lazy dog near the river bank"),  # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (4, "completely different content about spark shuffles and partitions"),
+    (5, "der hund und die katze sind nicht auf der strasse"),
+    (6, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def py_shingles(text: str, k: int = 3) -> list[str]:
+    toks = WORD_RE.findall(text.lower())
+    if len(toks) < k:
+        return sorted({" ".join(toks)})
+    return sorted({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+
+
+def py_minhash(sh: list[str], n: int = 12) -> list[str]:
+    return [
+        min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh) for i in range(n)
+    ]
+
+
+class TestExactDedup:
+    def test_groups(self, spark, docs_df):
+        from easyner_spark.operators.dedup import exact_dedup, exact_dup_groups
+
+        out = {r.doc_id: r for r in exact_dedup(docs_df).collect()}
+        assert out[1].canonical_id == 1 and not out[1].is_dup
+        assert out[3].canonical_id == 1 and out[3].is_dup
+        assert out[2].canonical_id == 2 and not out[2].is_dup
+        expected = hashlib.sha256(DOCS[0][1].encode()).hexdigest()
+        assert out[1].content_hash == expected
+
+        groups = exact_dup_groups(docs_df).collect()
+        assert len(groups) == 1
+        assert groups[0].canonical_id == 1 and groups[0].dup_count == 2
+
+    def test_plan_is_single_shuffle(self, spark, docs_df):
+        from easyner_spark.operators.dedup import exact_dup_groups
+
+        plan = exact_dup_groups(docs_df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1
+
+
+class TestMinhash:
+    def test_signature_matches_python(self, spark, docs_df):
+        from easyner_spark.operators.dedup import minhash_signature, shingle_set
+
+        rows = docs_df.select(
+            "doc_id", shingle_set().alias("sh"), minhash_signature().alias("sig")
+        ).collect()
+        for r in rows:
+            text = dict(DOCS)[r.doc_id]
+            assert list(r.sh) == py_shingles(text), r.doc_id
+            assert list(r.sig) == py_minhash(py_shingles(text)), r.doc_id
+
+    def test_lsh_finds_near_and_exact_dups(self, spark, docs_df):
+        from easyner_spark.operators.dedup import minhash_lsh_pairs
+
+        pairs = {(r.a, r.b): r.est_jaccard for r in minhash_lsh_pairs(docs_df).collect()}
+        assert pairs[(1, 3)] == 1.0          # exact dup: all components equal
+        assert (1, 2) in pairs               # near dup: banded together
+        assert pairs[(1, 2)] > 0.5
+        assert (1, 4) not in pairs           # unrelated docs never collide
+
+    def test_bucket_cap_drops_giant_buckets(self, spark):
+        from easyner_spark.operators.dedup import minhash_lsh_pairs
+
+        same = spark.createDataFrame(
+            [(i, "identical boilerplate page text here repeated") for i in range(10)],
+            "doc_id long, text string",
+        )
+        capped = minhash_lsh_pairs(same, max_bucket_size=5)
+        assert capped.count() == 0  # all buckets exceed the cap -> dropped
+
+    def test_ngram_jaccard_exact(self, spark, docs_df):
+        from easyner_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+        jac = {
+            (r.a, r.b): r.jaccard
+            for r in ngram_jaccard_pairs(docs_df, minhash_lsh_pairs(docs_df)).collect()
+        }
+        a, b = set(py_shingles(DOCS[0][1])), set(py_shingles(DOCS[1][1]))
+        expected = round(len(a & b) / len(a | b), 6)
+        assert jac[(1, 2)] == expected
+        assert jac[(1, 3)] == 1.0
+
+
+class TestSimhash:
+    def test_simhash_matches_python(self, spark, docs_df):
+        from easyner_spark.operators.dedup import simhash
+
+        def py_simhash(text: str, bits: int = 32) -> int:
+            counts: dict[str, int] = {}
+            for w in WORD_RE.findall(text.lower()):
+                counts[w] = counts.get(w, 0) + 1
+            sums = [0] * bits
+            for w, c in counts.items():
+                h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                for b in range(bits):
+                    sums[b] += c if (h >> b) & 1 else -c
+            return sum(1 << b for b in range(bits) if sums[b] > 0)
+
+        out = {r.id: r.simhash for r in simhash(docs_df).collect()}
+        for doc_id, text in DOCS:
+            assert out[doc_id] == py_simhash(text), doc_id
+
+    def test_pairs_hamming(self, spark, docs_df):
+        from easyner_spark.operators.dedup import simhash_pairs
+
+        pairs = {(r.a, r.b): r.hamming for r in simhash_pairs(docs_df).collect()}
+        assert pairs[(1, 3)] == 0            # identical docs -> distance 0
+        assert all(h <= 3 for h in pairs.values())
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb_df(self, spark):
+        # 8-dim vectors: 0/1 near-identical, 2 orthogonal-ish, 3 opposite.
+        vecs = [
+            (0, [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.01, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0]),
+            (4, [0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]),
+        ]
+        return spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    def test_brute_force_topk(self, spark, emb_df):
+        from easyner_spark.operators.similarity import brute_force_topk
+
+        out = brute_force_topk(emb_df, k=2)
+        top = {
+            r.query_id: (r.neighbor_id, r.cosine)
+            for r in out.where("rank = 1").collect()
+        }
+        assert top[0][0] == 1 and top[0][1] > 0.99
+        assert top[1][0] == 0
+        # every query emits exactly k rows (n-1 >= k here)
+        counts = out.groupBy("query_id").count().collect()
+        assert all(r["count"] == 2 for r in counts)
+
+    def test_cosine_value(self, spark, emb_df):
+        from easyner_spark.operators.similarity import brute_force_topk
+
+        out = brute_force_topk(emb_df, k=4)
+        row = [r for r in out.collect() if r.query_id == 0 and r.neighbor_id == 3]
+        assert row and row[0].cosine == -1.0
+
+    def test_lsh_subset_of_exact_and_agrees(self, spark, emb_df):
+        from easyner_spark.operators.similarity import brute_force_topk, lsh_topk
+
+        exact = {
+            (r.query_id, r.neighbor_id): r.cosine
+            for r in brute_force_topk(emb_df, k=4).collect()
+        }
+        approx = lsh_topk(emb_df, k=4, n_bits=2, dim=8).collect()
+        assert approx  # buckets are coarse enough to pair something
+        for r in approx:
+            key = (r.query_id, r.neighbor_id)
+            if key in exact:
+                assert abs(exact[key] - r.cosine) < 1e-9
+
+    def test_neardup_threshold(self, spark, emb_df):
+        from easyner_spark.operators.similarity import embedding_neardup_pairs
+
+        pairs = embedding_neardup_pairs(emb_df, threshold=0.99).collect()
+        assert [(r.a, r.b) for r in pairs] == [(0, 1)]
+
+    def test_hyperplanes_deterministic(self):
+        from easyner_spark.operators.similarity import hyperplanes
+
+        p1, p2 = hyperplanes(4, 8), hyperplanes(4, 8)
+        assert p1 == p2
+        assert all(x in (1.0, -1.0) for row in p1 for x in row)
+
+
+class TestTextStats:
+    def test_counts_and_ratios(self, spark, docs_df):
+        from easyner_spark.operators.textstats import text_stats
+
+        out = {r.doc_id: r for r in text_stats(docs_df).collect()}
+        text = DOCS[0][1]
+        words = WORD_RE.findall(text.lower())
+        assert out[1].n_words == len(words)
+        assert out[1].n_chars == len(text)
+        assert out[1].n_tokens_ws == len(text.split())
+        n_alpha = sum(c.isalpha() for c in text)
+        assert out[1].alpha_ratio == round(n_alpha / len(text), 6)
+        stops = {"the", "and", "of", "to", "in", "is", "that", "with", "for", "was"}
+        n_stop = sum(w in stops for w in words)
+        assert out[1].stopword_ratio == round(n_stop / len(words), 6)
+        assert out[1].mean_word_len == round(
+            sum(len(w) for w in words) / len(words), 6
+        )
+
+    def test_lang_id(self, spark, docs_df):
+        from easyner_spark.operators.textstats import lang_id
+
+        out = {r.doc_id: r.lang_pred for r in lang_id(docs_df).collect()}
+        assert out[1] == "en"
+        assert out[5] == "de"
+        assert out[6] == "und"
+
+    def test_lang_id_cjk(self, spark):
+        from easyner_spark.operators.textstats import lang_id
+
+        df = spark.createDataFrame([(1, "这是 一个 测试 文档")], "doc_id long, text string")
+        assert lang_id(df).collect()[0].lang_pred == "zh"
+
+    def test_fingerprint_content_defined(self, spark):
+        from easyner_spark.operators.textstats import fingerprint
+
+        df = spark.createDataFrame(
+            [(1, "shared content body"), (2, "shared content body"), (3, "other")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+        assert out[1] == out[2] != out[3]
+        # short text: whole-string md5
+        assert out[3] == hashlib.md5(b"other").hexdigest()
+
+    def test_stats_plan_has_no_shuffle(self, spark, docs_df):
+        from easyner_spark.operators.textstats import text_stats
+
+        plan = text_stats(docs_df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

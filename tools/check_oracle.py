@@ -1,18 +1,21 @@
+#!/usr/bin/env python
 """Local stand-in for the driver's correctness gate: run every
-`queries()` entry on Spark and its `oracle_sql()` twin on DuckDB over
-the same parquet, compare row count, schema width and an
-order-insensitive value multiset. Usage:
+__spark_entry__ query AND its DuckDB oracle at sf0.01, compare row
+count, column names, and sorted values. Usage:
 
-    python tools/check_oracle.py [sf_dir]
+    python tools/check_oracle.py [query ...]   # default: all
 """
 
 from __future__ import annotations
 
+import math
+import os
 import sys
 
-import duckdb
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-sys.path.insert(0, "/root/repo")
+import duckdb
+import pandas as pd
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -20,66 +23,87 @@ TABLES = [
 ]
 
 
-def normalize_cell(v):
-    import datetime
-    import math
-
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, list):
-        return tuple(normalize_cell(x) for x in v)
-    return v
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
-    import __spark_entry__ as entrymod
-    from easyner_spark import get_spark
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    return a == b
 
-    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    import __spark_entry__ as entry
+
+    from easyner_spark.session import get_spark
+
+    spark = get_spark("oracle-check", cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    failures = 0
-    for name, fn in qs.items():
-        sdf = fn(spark, sf_dir)
-        srows = [tuple(normalize_cell(c) for c in row) for row in sdf.collect()]
-        scols = sdf.columns
-        if name not in oracles:
-            print(f"{name}: rows={len(srows)} (no oracle — rows-only check)")
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    names = sys.argv[1:] or list(queries)
+    failures = []
+    for name in names:
+        qf = queries[name]
+        try:
+            sdf = qf(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {e}")
             continue
-        orel = con.sql(oracles[name])
-        orows = [tuple(normalize_cell(c) for c in row) for row in orel.fetchall()]
-        ocols = [d[0] for d in orel.description]
-        ok_schema = [c.lower() for c in scols] == [c.lower() for c in ocols]
-        # order-insensitive, column-name-sorted value comparison (what
-        # the driver's value-hash does)
-        order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
-        sset = sorted([tuple(r[i] for i in order) for r in srows])
-        oset = sorted([tuple(r[i] for i in order) for r in orows])
-        ok = ok_schema and len(srows) == len(orows) and sset == oset
-        status = "OK " if ok else "FAIL"
-        print(f"{status} {name}: spark={len(srows)} duckdb={len(orows)} schema_match={ok_schema}")
-        if not ok:
-            failures += 1
-            if not ok_schema:
-                print(f"   spark cols: {scols}\n   duck cols:  {ocols}")
-            diff1 = [r for r in sset if r not in oset][:3]
-            diff2 = [r for r in oset if r not in sset][:3]
-            if diff1:
-                print(f"   spark-only: {diff1}")
-            if diff2:
-                print(f"   duck-only:  {diff2}")
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only check, {len(sdf)} rows)")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {str(e)[:300]}")
+            continue
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            failures.append(name)
+            print(f"FAIL {name}: columns spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+            continue
+        if len(sdf) != len(ddf):
+            failures.append(name)
+            print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}")
+            continue
+        a, b = canon(sdf), canon(ddf)
+        mism = 0
+        for c in a.columns:
+            for x, y in zip(a[c].values, b[c].values):
+                if not values_equal(x, y):
+                    mism += 1
+                    if mism <= 3:
+                        print(f"  {name}.{c}: spark={x!r} duck={y!r}")
+        if mism:
+            failures.append(name)
+            print(f"FAIL {name}: {mism} value mismatches ({len(sdf)} rows)")
+        else:
+            print(f"OK   {name}: {len(sdf)} rows match")
     spark.stop()
-    return failures
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("all green")
 
 
 if __name__ == "__main__":
-    sys.exit(main(*sys.argv[1:]))
+    main()
