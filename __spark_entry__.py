@@ -338,6 +338,31 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' text bytes as an opaque media
+    blob -> mapInPandas fake decoder -> typed metadata (the Spark-side
+    schema/batch plumbing is real; the codec is a deterministic stub,
+    see operators/multimodal.py)."""
+    from easyner_spark.operators.multimodal import decode_media
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    out = decode_media(media)
+    return out.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "content_sha",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "codec",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> sentences -> dictionary NER -> ranked entity
     frequency top-50 (the reference pipeline's main output,
@@ -371,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "emb_neardup": q_emb_neardup,
+        "media_meta": q_media_meta,
     }
 
 
@@ -680,11 +706,29 @@ SELECT a, b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.3
     return {"ann_topk": topk, "ann_lsh_topk": lsh, "emb_neardup": neardup}
 
 
+_MEDIA_META_SQL = """
+WITH m AS (
+  SELECT doc_id::VARCHAR AS media_id, 'image' AS kind, text,
+         ('0x' || substr(sha256(text), 1, 8))::BIGINT AS h
+  FROM documents
+)
+SELECT media_id, kind,
+  octet_length(encode(text))::BIGINT AS n_bytes,
+  sha256(text) AS content_sha,
+  (64 + h % 1024)::BIGINT AS width,
+  (64 + (h >> 10) % 1024)::BIGINT AS height,
+  (1 + h % 300)::BIGINT AS n_frames,
+  'fake/image' AS codec
+FROM m
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stats_sql, langid_sql = _textstats_oracle()
     extra = {
         "text_stats": stats_sql,
         "lang_id": langid_sql,
+        "media_meta": _MEDIA_META_SQL,
         **_dedup_oracles(),
         **_similarity_oracles(),
     }

@@ -34,6 +34,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode runs every task inside the driver JVM: the 1g
+        # default heap GC-thrashes at high parallelism. On a cluster
+        # this knob moves to spark-submit --executor-memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.python.worker.reuse", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

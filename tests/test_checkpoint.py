@@ -1,0 +1,108 @@
+"""Checkpoint/resume semantics (SURVEY §5.2.6): kill mid-run, re-run,
+assert byte-identical final tables; last-wins merge parity with the
+reference's dict-merge (scripts/util.py:15)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from easyner_spark.sinks.checkpoint import SnapshotTable, resumable_run
+
+
+@pytest.fixture()
+def tmp_table(tmp_path):
+    def make(name, keys):
+        return SnapshotTable(str(tmp_path / name), keys)
+
+    return make
+
+
+class TestSnapshotTable:
+    def test_merge_last_wins(self, spark, tmp_table):
+        t = tmp_table("t", ["url"])
+        t.merge(spark.createDataFrame([("u1", 1), ("u2", 2)], "url string, v int"))
+        t.merge(spark.createDataFrame([("u2", 20), ("u3", 3)], "url string, v int"))
+        got = {r.url: r.v for r in t.read(spark).collect()}
+        assert got == {"u1": 1, "u2": 20, "u3": 3}
+
+    def test_snapshots_and_rollback(self, spark, tmp_table):
+        t = tmp_table("t", ["url"])
+        s1 = t.merge(spark.createDataFrame([("u1", 1)], "url string, v int"))
+        s2 = t.merge(spark.createDataFrame([("u1", 99)], "url string, v int"))
+        assert t.history() == [s1, s2]
+        assert t.read(spark).collect()[0].v == 99
+        t.rollback(s1)
+        assert t.read(spark).collect()[0].v == 1
+        with pytest.raises(ValueError):
+            t.rollback(42)
+
+    def test_unreadable_before_first_commit(self, spark, tmp_table):
+        assert tmp_table("t", ["url"]).read(spark) is None
+
+
+class TestResumableRun:
+    @pytest.fixture()
+    def inputs(self, spark):
+        rows = [(f"u{i}", i % 4, i * 10) for i in range(40)]
+        return spark.createDataFrame(rows, "url string, batch int, v int")
+
+    @staticmethod
+    def process(df):
+        return df.select("url", "batch", (F.col("v") * 2).alias("v2"))
+
+    def test_full_run_then_noop_rerun(self, spark, inputs, tmp_table):
+        table, lineage, metrics = (
+            tmp_table("data", ["url"]),
+            tmp_table("lineage", ["batch_id"]),
+            tmp_table("metrics", ["batch_id", "partition_id"]),
+        )
+        ran = resumable_run(spark, inputs, "batch", self.process, table, lineage, metrics)
+        assert ran == ["0", "1", "2", "3"]
+        assert table.read(spark).count() == 40
+        lin = {r.batch_id: r for r in lineage.read(spark).collect()}
+        assert set(lin) == {"0", "1", "2", "3"}
+        assert all(r.n_rows == 10 and r.status == "done" for r in lin.values())
+        # metrics: per-partition rows sum to lineage rows
+        m = metrics.read(spark).groupBy("batch_id").agg(F.sum("n_rows").alias("s")).collect()
+        assert all(r.s == 10 for r in m)
+        # re-run: everything already done -> no work, identical table
+        assert resumable_run(spark, inputs, "batch", self.process, table, lineage, metrics) == []
+        assert table.read(spark).count() == 40
+
+    def test_kill_and_resume_identical(self, spark, inputs, tmp_table):
+        table, lineage = tmp_table("data", ["url"]), tmp_table("lineage", ["batch_id"])
+
+        boom = {"after": 2, "n": 0}
+
+        def failing_process(df):
+            if boom["n"] >= boom["after"]:
+                raise RuntimeError("simulated kill")
+            boom["n"] += 1
+            return self.process(df)
+
+        with pytest.raises(RuntimeError):
+            resumable_run(spark, inputs, "batch", failing_process, table, lineage)
+        assert table.read(spark).count() == 20          # two batches committed
+        done_before = {r.batch_id for r in lineage.read(spark).collect()}
+        assert done_before == {"0", "1"}
+
+        # resume with the healthy process: only the missing batches run
+        ran = resumable_run(spark, inputs, "batch", self.process, table, lineage)
+        assert ran == ["2", "3"]
+
+        # final table identical to a one-shot run
+        oneshot = tmp_table("oneshot", ["url"])
+        resumable_run(spark, inputs, "batch", self.process, oneshot, tmp_table("l2", ["batch_id"]))
+        a = sorted(map(tuple, table.read(spark).collect()))
+        b = sorted(map(tuple, oneshot.read(spark).collect()))
+        assert a == b
+
+    def test_reprocessing_batch_is_idempotent(self, spark, inputs, tmp_table):
+        """Force-reprocess a completed batch (lineage wiped): last-wins
+        merge keeps the table deduplicated on the key."""
+        table, lineage = tmp_table("data", ["url"]), tmp_table("lineage", ["batch_id"])
+        resumable_run(spark, inputs, "batch", self.process, table, lineage)
+        fresh_lineage = tmp_table("lineage2", ["batch_id"])
+        resumable_run(spark, inputs, "batch", self.process, table, fresh_lineage)
+        assert table.read(spark).count() == 40  # no dupes after double-processing

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling benchmark (BASELINE.md protocol).
+
+The north rule requires >= 0.8 throughput scaling efficiency between
+N- and 4N-executor cluster runs; the sandbox stand-in is the SAME
+end-to-end KG job (pages -> sentences -> dictionary NER -> NEL ->
+triples -> edges) on the SAME input at local[8] and local[32], fresh
+JVM per parallelism level, warm run + median of 3 timed runs.
+
+    python tools/scaling_bench.py [--pages 150000] [--runs 3]
+    python tools/scaling_bench.py --worker --cores 8 --pages 150000
+
+Orchestrator prints one JSON line:
+  {"pages": N, "runs": R,
+   "throughput": {"8": docs_per_sec, "32": docs_per_sec},
+   "elapsed": {"8": [..], "32": [..]},
+   "scaling_efficiency": (thr32/thr8)/4}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def ensure_corpus(n_docs: int) -> str:
+    path = f"/tmp/easyner_bench_pages_{n_docs}.parquet"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from easyner_spark.fixtures import generate
+    from easyner_spark.session import get_spark
+
+    spark = get_spark("gen", cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    fx = generate(n_docs=n_docs, seed=42, with_gold=False)
+    spark.createDataFrame(fx.pages).repartition(128).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def run_worker(cores: int, pages_path: str, runs: int) -> None:
+    from pyspark.sql import functions as F
+
+    from easyner_spark.fixtures import ALIAS, TERMS
+    from easyner_spark.operators.ner_dict import dict_ner
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.splitter import split_sentences
+    from easyner_spark.operators.triples import aggregate_edges, extract_triples
+    from easyner_spark.session import get_spark
+
+    spark = get_spark(
+        f"scaling-{cores}",
+        cores=cores,
+        shuffle_partitions=max(cores * 2, 16),
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # local-mode quirk: with 32 task threads sharing ONE
+            # python daemon, REUSED pandas-UDF workers degrade run
+            # over run (measured 8s -> 24s); fresh forks are stable.
+            # On a real cluster each executor (4-8 cores) has its own
+            # daemon and reuse=true is the right default for
+            # model-loading UDFs — see session.get_spark.
+            "spark.python.worker.reuse": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    alias_df = spark.createDataFrame(ALIAS, "term string, ID string")
+
+    def job():
+        pages = spark.read.parquet(pages_path)
+        mentions = dict_ner(split_sentences(pages), TERMS)
+        linked = link_entities(mentions, primary_alias(alias_df), keep_unmatched=False)
+        edges = aggregate_edges(extract_triples(linked))
+        edges.write.mode("overwrite").format("noop").save()
+
+    job()  # warm
+    elapsed = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        job()
+        elapsed.append(round(time.perf_counter() - t0, 3))
+    spark.stop()
+    print(json.dumps({"cores": cores, "elapsed": elapsed}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=600_000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--worker", action="store_true")
+    args = ap.parse_args()
+
+    path = ensure_corpus(args.pages)
+    if args.worker:
+        run_worker(args.cores, path, args.runs)
+        return
+
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--cores", str(cores), "--pages", str(args.pages),
+             "--runs", str(args.runs)],
+            capture_output=True, text=True, cwd=REPO, check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[str(cores)] = json.loads(line)["elapsed"]
+
+    med = {c: statistics.median(v) for c, v in results.items()}
+    thr = {c: round(args.pages / m, 1) for c, m in med.items()}
+    eff = round((thr["32"] / thr["8"]) / 4, 3)
+    print(json.dumps({
+        "pages": args.pages,
+        "runs": args.runs,
+        "elapsed": results,
+        "throughput_docs_per_sec": thr,
+        "scaling_efficiency": eff,
+    }))
+
+
+if __name__ == "__main__":
+    main()
