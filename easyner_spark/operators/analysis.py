@@ -59,6 +59,48 @@ def entity_frequency(
     return out
 
 
+def entity_frequency_skew_resistant(
+    mentions: DataFrame,
+    mention_col: str = "mention",
+    doc_col: str = "url",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-immune exact rollup (north_rule 'salted repartitioning';
+    SURVEY section 4.3.1).
+
+    A single groupBy(mention) sends every row for a hot entity (think
+    'human', 'covid' at web scale) to ONE reducer. Two-phase plan:
+
+      phase 1: groupBy(mention, url, salt) partial counts — the salt
+               splits even a (hot mention, hot url) pair across
+               `salt_buckets` reducers; including `url` in the key
+               makes phase 2's distinct-doc count a plain count;
+      phase 2: groupBy(mention, url) combines salt shards (tiny);
+      phase 3: groupBy(mention) sums counts + counts rows = exact
+               total_count + articles_spanned.
+
+    Output is identical to entity_frequency() (asserted in tests); the
+    phases replace one skewed shuffle with three uniform ones — the
+    right trade exactly when the key histogram is Zipf, which the
+    host-skewed pages table guarantees.
+    """
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    phase1 = (
+        mentions.select(F.col(mention_col).alias("mention"), F.col(doc_col).alias("url"))
+        .withColumn("_salt", salt)
+        .groupBy("mention", "url", "_salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    phase2 = phase1.groupBy("mention", "url").agg(F.sum("c").alias("c"))
+    out = phase2.groupBy("mention").agg(
+        F.sum("c").alias("total_count"),
+        F.count(F.lit(1)).alias("articles_spanned"),
+    )
+    return out.withColumn(
+        "freq_per_article", F.col("total_count") / F.col("articles_spanned")
+    )
+
+
 def ranked(freq: DataFrame) -> DataFrame:
     """Deterministic ranking order (reference sort + pinned tie-break)."""
     return freq.orderBy(F.desc("total_count"), F.asc("mention"))

@@ -1,0 +1,138 @@
+"""Token-level IOB2 evaluation (SURVEY.md §2.6 A6 + §2.5 J6).
+
+Reference: scripts/metrics.py:10-44 zips aligned gold/pred IOB2 files
+(`token label` lines, blank line between sentences), checks equal
+length + first-token mismatches, and feeds seqeval's
+classification_report (entity-level: an entity is correct iff its full
+B/I span and class match exactly). scripts/error_detection.py:30-45 is
+the same zip emitting mismatching spans in context.
+
+Spark shape: IOB2 span reconstruction is window logic — lag() to find
+B/I boundaries, a running sum of span-starts as the span id (SURVEY
+§2.7 W1-pattern) — followed by an exact span equi-join gold<->pred and
+the shared prf()/corpus_rollup() from operators.evaluate. Eval corpora
+are small (thousands of sentences); the windows partition by sequence
+id so nothing big ever sits in one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from easyner_spark.operators.evaluate import corpus_rollup, prf
+
+TOKENS_SCHEMA = "seq_id int, tok_idx int, token string, label string"
+
+
+def parse_iob2_lines(spark: SparkSession, path: str) -> DataFrame:
+    """`token label` lines, blank line = sentence boundary ->
+    (seq_id, tok_idx, token, label).
+
+    Line order matters, so the file is read single-partition (IOB2 eval
+    files are small by construction — the reference zips them whole
+    into driver memory, scripts/metrics.py:16-18)."""
+    lines = (
+        spark.read.text(path)
+        .coalesce(1)
+        .withColumn("line_no", F.monotonically_increasing_id())
+        .select("line_no", F.trim("value").alias("line"))
+    )
+    w = Window.orderBy("line_no")
+    seq = F.sum(F.when(F.col("line") == "", 1).otherwise(0)).over(w)
+    toks = (
+        lines.withColumn("seq_id", seq.cast("int"))
+        .where(F.col("line") != "")
+        .withColumn("token", F.split("line", r"\s+").getItem(0))
+        .withColumn("label", F.split("line", r"\s+").getItem(1))
+    )
+    tw = Window.partitionBy("seq_id").orderBy("line_no")
+    return toks.select(
+        "seq_id",
+        (F.row_number().over(tw) - 1).alias("tok_idx"),
+        "token",
+        "label",
+    )
+
+
+def iob_spans(tokens: DataFrame) -> DataFrame:
+    """IOB2 -> entity spans (seq_id, class, begin, end) with [begin,
+    end) token-index convention.
+
+    Start rule (seqeval IOB2 semantics): a token starts an entity when
+    its label is B-*, or I-* not preceded by a same-class B-*/I-*.
+    """
+    cls = F.when(
+        F.col("label").rlike("^[BI]-"), F.substring("label", 3, 1000)
+    ).otherwise(F.lit(""))
+    w = Window.partitionBy("seq_id").orderBy("tok_idx")
+    t = (
+        tokens.withColumn("cls", cls)
+        .withColumn("tag", F.substring("label", 1, 1))
+        .withColumn("prev_tag", F.lag("tag").over(w))
+        .withColumn("prev_cls", F.lag("cls").over(w))
+    )
+    is_start = F.when(F.col("tag") == "B", 1).when(
+        (F.col("tag") == "I")
+        & (
+            F.col("prev_tag").isNull()
+            | (F.col("prev_tag") == "O")
+            | (F.col("prev_cls") != F.col("cls"))
+        ),
+        1,
+    ).otherwise(0)
+    t = t.withColumn("span_id", F.sum(is_start).over(w))
+    return (
+        t.where(F.col("tag") != "O")
+        .groupBy("seq_id", "span_id", "cls")
+        .agg(F.min("tok_idx").alias("begin"), (F.max("tok_idx") + 1).alias("end"))
+        .select("seq_id", F.col("cls").alias("class"), "begin", "end")
+    )
+
+
+def token_zip_check(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """J6: positional alignment check of two token streams
+    (reference scripts/metrics.py:16-33: equal-length assert + token
+    mismatch warnings). Full-outer join on (seq_id, tok_idx); rows
+    where either side is missing or tokens differ are the mismatches.
+    """
+    p = pred.select("seq_id", "tok_idx", F.col("token").alias("p_tok"))
+    g = gold.select("seq_id", "tok_idx", F.col("token").alias("g_tok"))
+    j = p.join(g, ["seq_id", "tok_idx"], "full_outer")
+    return j.where(
+        F.col("p_tok").isNull()
+        | F.col("g_tok").isNull()
+        | (F.col("p_tok") != F.col("g_tok"))
+    )
+
+
+def seqeval_class_metrics(pred_tokens: DataFrame, gold_tokens: DataFrame) -> DataFrame:
+    """Entity-level P/R/F1 per class from aligned IOB2 token tables
+    (seqeval classification_report semantics: exact span + class)."""
+    p = iob_spans(pred_tokens)
+    g = iob_spans(gold_tokens)
+    keys = ["seq_id", "class", "begin", "end"]
+    tp = (
+        p.join(g, keys, "left_semi").groupBy("class").agg(F.count("*").alias("tp"))
+    )
+    fp = (
+        p.join(g, keys, "left_anti").groupBy("class").agg(F.count("*").alias("fp"))
+    )
+    fn = (
+        g.join(p, keys, "left_anti").groupBy("class").agg(F.count("*").alias("fn"))
+    )
+    base = p.select("class").union(g.select("class")).distinct()
+    counts = (
+        base.join(tp, "class", "left")
+        .join(fp, "class", "left")
+        .join(fn, "class", "left")
+        .na.fill(0, ["tp", "fp", "fn"])
+    )
+    return prf(counts)
+
+
+def seqeval_report(pred_tokens: DataFrame, gold_tokens: DataFrame) -> DataFrame:
+    """Corpus-level macro/micro/weighted rollup (mirrors the shape of
+    the span-tolerant evaluator's corpus_rollup, reference :418-498)."""
+    return corpus_rollup(seqeval_class_metrics(pred_tokens, gold_tokens))

@@ -1,0 +1,43 @@
+"""Export sinks (SURVEY.md §2.2 K3/K6): TSV ranked list + counts.
+
+Reference: scripts/analysis.py:150 writes the ranked entity table as a
+single TSV (pandas to_csv sep='\\t'); scripts/pubmed_bulk.py:59-87
+writes per-input-file article counts plus a globally sorted PMID list.
+
+Cluster posture: a single-file TSV is a driver-adjacent compat export
+(coalesce(1) — only for the small ranked rollup, never for fact
+tables); the engine-native sink for anything big is partitioned
+parquet via sinks.checkpoint.SnapshotTable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_tsv(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """TSV with header (reference scripts/analysis.py:150). single_file
+    coalesces to one part — use ONLY for driver-scale aggregates."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)
+
+
+def batch_counts(df: DataFrame, batch_col: str = "batch_id") -> DataFrame:
+    """Per-batch row counts + a grand-total row (reference
+    scripts/pubmed_bulk.py:59-80: per-file counts then total)."""
+    per = df.groupBy(F.col(batch_col).cast("string").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = df.agg(
+        F.lit("__total__").alias("batch"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return per.unionByName(total).orderBy("batch")
+
+
+def sorted_id_list(df: DataFrame, id_col: str = "url", numeric: bool = False) -> DataFrame:
+    """Globally sorted distinct id list (reference
+    scripts/pubmed_bulk.py:85-86 sorts PMIDs numerically)."""
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    key = F.col("id").cast("long") if numeric else F.col("id")
+    return ids.orderBy(key)

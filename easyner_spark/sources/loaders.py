@@ -1,0 +1,169 @@
+"""Sources/scans (SURVEY.md §2.1): the reference's four offline loaders
+re-expressed as DataFrame scans into the canonical `pages` shape
+(url/doc_id, title, text[, metadata...]).
+
+The PubMed API/FTP downloaders (S1/S2 network legs) are out of scope
+for a cluster engine — ingestion starts from files/tables already in
+distributed storage. What IS preserved is every load-time semantic:
+filters, id coalescing, subset semi-join, concatenation quirks.
+
+All loaders are scan + narrow projections (+ one broadcast semi-join
+for the subset filter); nothing here shuffles, so ingest runs at scan
+speed at any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# CORD-19 metadata.csv id columns, in the reference's coalesce priority
+# order (scripts/cord_loader.py:52-83).
+CORD_ID_COLS = [
+    "cord_uid", "doi", "pmcid", "pubmed_id", "mag_id", "who_covidence_id", "arxiv_id",
+]
+
+
+def cord_csv_load(
+    spark: SparkSession,
+    path: str,
+    subset_df: DataFrame | None = None,
+) -> DataFrame:
+    """CORD-19 CSV loader (S3; reference scripts/cord_loader.py:14-103).
+
+    Semantics preserved:
+      - rows with empty title OR abstract dropped (:41-42);
+      - doc id = first non-empty of the 7 id columns, else
+        sha256(title) (:52-83), with `id_type` recording which won;
+      - optional subset: keep rows whose lowercased cord_uid is in the
+        subset list (:20-25, :85-86) -> broadcast LEFT-SEMI join.
+    """
+    df = spark.read.csv(path, header=True).na.fill("", CORD_ID_COLS + ["title", "abstract"])
+    df = df.where((F.col("title") != "") & (F.col("abstract") != ""))
+
+    id_expr = F.coalesce(
+        *[F.nullif(F.col(c), F.lit("")) for c in CORD_ID_COLS],
+        F.sha2(F.col("title").cast("binary"), 256),
+    )
+    type_expr = F.lit("hash")
+    for c in reversed(CORD_ID_COLS):
+        type_expr = F.when(F.col(c) != "", F.lit(c)).otherwise(type_expr)
+
+    out = df.select(
+        id_expr.alias("doc_id"),
+        type_expr.alias("id_type"),
+        "title",
+        F.col("abstract").alias("text"),
+        *CORD_ID_COLS,
+    )
+    if subset_df is not None:
+        uids = subset_df.select(F.lower(F.trim(subset_df.columns[0])).alias("cord_uid"))
+        out = out.join(
+            F.broadcast(uids),
+            F.lower(out["cord_uid"]) == uids["cord_uid"],
+            "left_semi",
+        )
+    return out
+
+
+def free_text_load(spark: SparkSession, glob_path: str, prefix: str = "freetext") -> DataFrame:
+    """Free-text loader (S4; reference scripts/text_loader.py:6-39).
+
+    One doc per *.txt file: lines stripped and joined with single
+    spaces; title = filename stem. The reference's doc id is
+    `prefix_<enumeration index over the sorted glob>` — positional ids
+    are non-deterministic under distributed listing, so the id here is
+    derived from the SORTED filename rank (a tiny window over the
+    distinct file list), which reproduces the reference's ids exactly
+    for the same file set.
+    """
+    from pyspark.sql.window import Window
+
+    lines = (
+        spark.read.text(glob_path)
+        .withColumn("file", F.input_file_name())
+        .select("file", F.trim("value").alias("line"))
+    )
+    # preserve line order within each file for the join
+    lines = lines.withColumn("line_id", F.monotonically_increasing_id())
+    docs = lines.groupBy("file").agg(
+        F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("line_id", "line"))).getField("line")).alias("text")
+    )
+    rank_w = Window.orderBy("file")
+    return docs.withColumn("idx", F.row_number().over(rank_w) - 1).select(
+        F.concat(F.lit(f"{prefix}_"), F.col("idx")).alias("doc_id"),
+        F.regexp_replace(
+            F.regexp_extract("file", r"([^/]+)\.txt$", 1), r"\.txt$", ""
+        ).alias("title"),
+        "text",
+    )
+
+
+def pubtator_load(
+    spark: SparkSession,
+    path: str,
+    variant: str = "bioid",
+) -> DataFrame:
+    """PubTator corpus loader (S5; reference
+    supplementary/experiment_scripts/convert_hunflair2_pubtator_to_json.py).
+
+    Variants (:48-67 bioid, :101-128 medmentions, :162-186 tmvar3,
+    :221-247 biored):
+      - 'bioid': one `id|text` paragraph line per doc; title = id.
+      - 'medmentions' / 'tmvar3' / 'biored': `id|t|title` and
+        `id|a|abstract` lines; text = title + '.' + ' ' + abstract for
+        medmentions (the `.`-append quirk, :117), title + ' ' +
+        abstract for the others (:97).
+    Conditional aggregation over regexp-extracted (id, kind, payload)
+    rows — one groupBy on doc id.
+    """
+    lines = spark.read.text(path)
+    if variant == "bioid":
+        m = lines.select(
+            F.regexp_extract("value", r"^([^|]+)\|(.+)$", 1).alias("doc_id"),
+            F.regexp_extract("value", r"^([^|]+)\|(.+)$", 2).alias("text"),
+        ).where(F.col("doc_id") != "")
+        return m.select("doc_id", F.col("doc_id").alias("title"), F.trim("text").alias("text"))
+
+    parsed = lines.select(
+        F.regexp_extract("value", r"^(\d+)\|([ta])\|(.*)$", 1).alias("doc_id"),
+        F.regexp_extract("value", r"^(\d+)\|([ta])\|(.*)$", 2).alias("kind"),
+        F.regexp_extract("value", r"^(\d+)\|([ta])\|(.*)$", 3).alias("payload"),
+    ).where(F.col("doc_id") != "")
+    agg = parsed.groupBy("doc_id").agg(
+        F.max(F.when(F.col("kind") == "t", F.col("payload"))).alias("title"),
+        F.max(F.when(F.col("kind") == "a", F.col("payload"))).alias("abstract"),
+    )
+    if variant == "medmentions":
+        title = F.concat(F.col("title"), F.lit("."))
+    else:
+        title = F.col("title")
+    return agg.select(
+        "doc_id",
+        title.alias("title"),
+        F.concat(title, F.lit(" "), F.col("abstract")).alias("text"),
+    )
+
+
+def presplit_json_scan(
+    spark: SparkSession,
+    path: str,
+    batch_range: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Pre-split batch-JSON scan (S6; reference
+    scripts/splitter_pubmed.py:15-35 + scripts/ner_main.py:141-151).
+
+    The reference sorts batch files by numeric filename suffix and
+    range-filters `[start, end]` inclusive. Here the batch id is parsed
+    from the input file name into a column and the range becomes a
+    pushable predicate (partition pruning once the table is written
+    partitioned by batch_id).
+    """
+    df = spark.read.json(path, multiLine=True).withColumn(
+        "batch_id",
+        F.regexp_extract(F.input_file_name(), r"(\d+)\.json$", 1).cast("int"),
+    )
+    if batch_range is not None:
+        lo, hi = batch_range
+        df = df.where((F.col("batch_id") >= lo) & (F.col("batch_id") <= hi))
+    return df

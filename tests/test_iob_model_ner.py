@@ -1,0 +1,183 @@
+"""IOB2/seqeval evaluation (SURVEY §2.6 A6, §2.5 J6) and the model-NER
+path (T5) behind the shared mention-table interface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+IOB_GOLD = """\
+The O
+TSC1 B-gene
+gene O
+
+mTOR B-gene
+kinase I-gene
+binds O
+rapamycin B-chemical
+
+broken I-gene
+start I-gene
+"""
+
+# pred: TSC1 correct; mTOR-kinase truncated to just mTOR (span mismatch);
+# rapamycin correct; I-start entity matched exactly.
+IOB_PRED = """\
+The O
+TSC1 B-gene
+gene O
+
+mTOR B-gene
+kinase O
+binds O
+rapamycin B-chemical
+
+broken I-gene
+start I-gene
+"""
+
+
+@pytest.fixture(scope="module")
+def iob_pair(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("iob")
+    (d / "gold.txt").write_text(IOB_GOLD)
+    (d / "pred.txt").write_text(IOB_PRED)
+    from easyner_spark.operators.iob import parse_iob2_lines
+
+    return (
+        parse_iob2_lines(spark, str(d / "pred.txt")),
+        parse_iob2_lines(spark, str(d / "gold.txt")),
+    )
+
+
+class TestIobParsing:
+    def test_parse_shapes(self, iob_pair):
+        pred, gold = iob_pair
+        assert gold.count() == 9
+        seqs = {r.seq_id for r in gold.select("seq_id").distinct().collect()}
+        assert len(seqs) == 3
+        first = {(r.tok_idx, r.token, r.label) for r in gold.where("seq_id = 0").collect()}
+        assert first == {(0, "The", "O"), (1, "TSC1", "B-gene"), (2, "gene", "O")}
+
+    def test_span_reconstruction(self, iob_pair):
+        from easyner_spark.operators.iob import iob_spans
+
+        _, gold = iob_pair
+        spans = {(r.seq_id, r["class"], r.begin, r.end) for r in iob_spans(gold).collect()}
+        s1 = sorted(r.seq_id for r in gold.select("seq_id").distinct().collect())
+        a, b, c = s1
+        assert (a, "gene", 1, 2) in spans               # TSC1
+        assert (b, "gene", 0, 2) in spans               # mTOR kinase (B+I merged)
+        assert (b, "chemical", 3, 4) in spans           # rapamycin
+        assert (c, "gene", 0, 2) in spans               # I-start run = one entity
+        assert len(spans) == 4
+
+    def test_token_zip_check(self, iob_pair):
+        from easyner_spark.operators.iob import token_zip_check
+
+        pred, gold = iob_pair
+        assert token_zip_check(pred, gold).count() == 0  # aligned streams
+        # drop one pred token -> 1 mismatch row
+        assert token_zip_check(pred.where("token != 'binds'"), gold).count() == 1
+
+
+class TestSeqeval:
+    def test_class_metrics(self, iob_pair):
+        from easyner_spark.operators.iob import seqeval_class_metrics
+
+        pred, gold = iob_pair
+        m = {r["class"]: r for r in seqeval_class_metrics(pred, gold).collect()}
+        # gene: gold has 3 spans, pred has 3 (TSC1 ok, mTOR truncated != mTOR-kinase, I-run ok)
+        assert (m["gene"].tp, m["gene"].fp, m["gene"].fn) == (2, 1, 1)
+        assert (m["chemical"].tp, m["chemical"].fp, m["chemical"].fn) == (1, 0, 0)
+        assert m["chemical"].precision == 1.0 and m["chemical"].recall == 1.0
+        assert m["gene"].precision == pytest.approx(2 / 3)
+
+    def test_corpus_rollup(self, iob_pair):
+        from easyner_spark.operators.iob import seqeval_report
+
+        pred, gold = iob_pair
+        r = seqeval_report(pred, gold).collect()[0]
+        assert r.tp == 3 and r.fp == 1 and r.fn == 1
+        assert r.micro_precision == pytest.approx(3 / 4)
+        assert r.micro_recall == pytest.approx(3 / 4)
+        assert r.macro_precision == pytest.approx((2 / 3 + 1.0) / 2)
+
+
+class TestModelNer:
+    @pytest.fixture(scope="class")
+    def sents(self, spark):
+        rows = [
+            ("u1", 0, "The TSC1 gene binds AKT1 here."),
+            ("u1", 1, "no entities in lowercase text"),
+            ("u2", 0, None),  # null sentence must not crash
+        ]
+        return spark.createDataFrame(rows, "url string, sent_idx int, sentence string")
+
+    def test_regex_predictor_mentions(self, spark, sents):
+        from easyner_spark.operators.ner_model import model_ner, regex_predictor_factory
+
+        out = model_ner(sents, regex_predictor_factory()).collect()
+        got = {(r.url, r.sent_idx, r.mention, r.begin, r.end) for r in out}
+        assert ("u1", 0, "TSC1", 4, 8) in got
+        assert ("u1", 0, "AKT1", 20, 24) in got
+        assert len(got) == 2
+        assert all(0.5 <= r.score <= 1.0 for r in out)
+
+    def test_same_interface_as_dict_ner(self, spark, sents):
+        """model mentions flow through NEL/triples unchanged."""
+        from easyner_spark.operators.nel import link_entities
+        from easyner_spark.operators.ner_model import model_ner, regex_predictor_factory
+        from easyner_spark.operators.triples import extract_triples
+
+        alias = spark.createDataFrame(
+            [("tsc1", "KB:0002"), ("akt1", "KB:0001")], "term string, ID string"
+        )
+        ments = model_ner(sents, regex_predictor_factory())
+        linked = link_entities(ments, alias, keep_unmatched=False)
+        tri = extract_triples(linked).collect()
+        assert len(tri) == 1
+        assert (tri[0].subj_id, tri[0].obj_id) == ("KB:0002", "KB:0001")
+
+    def test_score_filter(self, spark, sents):
+        from easyner_spark.operators.ner_model import (
+            model_ner,
+            regex_predictor_factory,
+            score_filter,
+        )
+
+        out = model_ner(sents, regex_predictor_factory())
+        assert score_filter(out, 0.99).count() == 0
+        assert score_filter(out, 0.0).count() == 2
+
+    def test_poison_sentence_isolated(self, spark, sents):
+        """A predictor that explodes on one text loses only that text
+        (reference try/except -> [] semantic, scripts/ner_main.py:100-108)."""
+        from easyner_spark.operators.ner_model import model_ner
+
+        def factory():
+            def predict(texts):
+                out = []
+                for t in texts:
+                    if "lowercase" in (t or ""):
+                        raise RuntimeError("poison")
+                    out.append(
+                        [{"mention": "TSC1", "begin": 0, "end": 4, "class": "gene", "score": 1.0}]
+                        if "TSC1" in (t or "")
+                        else []
+                    )
+                return out
+
+            return predict
+
+        out = model_ner(sents, factory, batch_size=64).collect()
+        # poison sentence dropped, healthy sentence in the same batch kept
+        assert {(r.url, r.sent_idx) for r in out} == {("u1", 0)}
+
+    def test_hf_factory_gated(self, spark, sents):
+        from easyner_spark.operators.ner_model import hf_predictor_factory, model_ner
+
+        with pytest.raises(Exception):
+            # transformers absent in this env: the task must surface the
+            # ImportError, not silently return empties
+            model_ner(sents, hf_predictor_factory("some/model", "gene")).collect()

@@ -1,0 +1,180 @@
+"""Sources (SURVEY §2.1 S3-S6), export sinks (K3/K6), salted rollup,
+and the config-driven CLI pipeline."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestCordLoader:
+    CSV = (
+        "cord_uid,doi,pmcid,pubmed_id,mag_id,who_covidence_id,arxiv_id,url,title,abstract\n"
+        "uid1,10.1/x,,,,,,http://a,Title One,Abstract one\n"
+        ",10.2/y,,,,,,http://b,Title Two,Abstract two\n"
+        ",,,,,,,http://c,Title Three,Abstract three\n"
+        "uid4,,,,,,,http://d,,Abstract four\n"          # empty title -> dropped
+        "uid5,,,,,,,http://e,Title Five,\n"             # empty abstract -> dropped
+    )
+
+    @pytest.fixture()
+    def csv_path(self, tmp_path):
+        p = tmp_path / "metadata.csv"
+        p.write_text(self.CSV)
+        return str(p)
+
+    def test_id_coalesce_and_filters(self, spark, csv_path):
+        from easyner_spark.sources.loaders import cord_csv_load
+
+        rows = {r.title: r for r in cord_csv_load(spark, csv_path).collect()}
+        assert set(rows) == {"Title One", "Title Two", "Title Three"}
+        assert rows["Title One"].doc_id == "uid1" and rows["Title One"].id_type == "cord_uid"
+        assert rows["Title Two"].doc_id == "10.2/y" and rows["Title Two"].id_type == "doi"
+        # no id at all -> sha256(title) (reference cord_loader.py:16-17, 83)
+        assert rows["Title Three"].doc_id == hashlib.sha256(b"Title Three").hexdigest()
+        assert rows["Title Three"].id_type == "hash"
+
+    def test_subset_semi_join(self, spark, csv_path):
+        from easyner_spark.sources.loaders import cord_csv_load
+
+        subset = spark.createDataFrame([("UID1",)], "cord_uid string")
+        rows = cord_csv_load(spark, csv_path, subset_df=subset).collect()
+        assert [r.doc_id for r in rows] == ["uid1"]  # case-insensitive match
+
+
+class TestFreeTextLoader:
+    def test_files_to_docs(self, spark, tmp_path):
+        from easyner_spark.sources.loaders import free_text_load
+
+        (tmp_path / "alpha.txt").write_text("line one\nline two\n")
+        (tmp_path / "beta.txt").write_text("solo line\n")
+        out = {r.doc_id: r for r in free_text_load(spark, f"{tmp_path}/*.txt").collect()}
+        # ids follow sorted-filename rank (reference text_loader.py:13-20)
+        assert set(out) == {"freetext_0", "freetext_1"}
+        assert out["freetext_0"].title == "alpha"
+        assert out["freetext_0"].text == "line one line two"
+        assert out["freetext_1"].text == "solo line"
+
+
+class TestPubtatorLoader:
+    def test_medmentions_variant(self, spark, tmp_path):
+        from easyner_spark.sources.loaders import pubtator_load
+
+        p = tmp_path / "mm.txt"
+        p.write_text(
+            "101|t|First title\n101|a|First abstract\n\n"
+            "102|t|Second title\n102|a|Second abstract\n"
+        )
+        out = {r.doc_id: r for r in pubtator_load(spark, str(p), "medmentions").collect()}
+        # medmentions appends '.' to the title, then joins with a space
+        assert out["101"].title == "First title."
+        assert out["101"].text == "First title. First abstract"
+
+    def test_bioid_variant(self, spark, tmp_path):
+        from easyner_spark.sources.loaders import pubtator_load
+
+        p = tmp_path / "bioid.txt"
+        p.write_text("doc1|some paragraph text\ndoc2|other text\n")
+        out = {r.doc_id: r for r in pubtator_load(spark, str(p), "bioid").collect()}
+        assert out["doc1"].title == "doc1" and out["doc1"].text == "some paragraph text"
+
+
+class TestPresplitScan:
+    def test_batch_range_filter(self, spark, tmp_path):
+        from easyner_spark.sources.loaders import presplit_json_scan
+
+        for i in range(4):
+            (tmp_path / f"batch-{i}.json").write_text(
+                json.dumps([{"url": f"u{i}", "text": f"text {i}"}])
+            )
+        full = presplit_json_scan(spark, str(tmp_path))
+        assert full.count() == 4
+        part = presplit_json_scan(spark, str(tmp_path), batch_range=(1, 2))
+        assert sorted(r.batch_id for r in part.collect()) == [1, 2]
+
+
+class TestExportSinks:
+    def test_write_tsv_single_file(self, spark, tmp_path):
+        from easyner_spark.sinks.export import write_tsv
+
+        df = spark.createDataFrame([("a", 3), ("b", 1)], "mention string, total_count int")
+        path = str(tmp_path / "ranked")
+        write_tsv(df.orderBy(F.desc("total_count")), path)
+        import glob
+
+        parts = glob.glob(f"{path}/part-*.csv")
+        assert len(parts) == 1
+        content = open(parts[0]).read().splitlines()
+        assert content[0] == "mention\ttotal_count"
+        assert content[1] == "a\t3"
+
+    def test_batch_counts_with_total(self, spark):
+        from easyner_spark.sinks.export import batch_counts
+
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "z")], "batch_id int, url string"
+        )
+        rows = {r.batch: r.n_docs for r in batch_counts(df).collect()}
+        assert rows == {"1": 2, "2": 1, "__total__": 3}
+
+    def test_sorted_id_list_numeric(self, spark):
+        from easyner_spark.sinks.export import sorted_id_list
+
+        df = spark.createDataFrame([("10",), ("2",), ("2",)], "url string")
+        assert [r.id for r in sorted_id_list(df, numeric=True).collect()] == ["2", "10"]
+
+
+class TestSaltedRollup:
+    def test_matches_plain_rollup(self, spark, pages_df, fx):
+        from easyner_spark.fixtures import TERMS
+        from easyner_spark.operators.analysis import (
+            entity_frequency,
+            entity_frequency_skew_resistant,
+        )
+        from easyner_spark.operators.ner_dict import dict_ner
+        from easyner_spark.operators.splitter import split_sentences
+
+        ments = dict_ner(split_sentences(pages_df), TERMS)
+        plain = {
+            r.mention: (r.total_count, r.articles_spanned, r.freq_per_article)
+            for r in entity_frequency(ments, mention_col="mention_lc").collect()
+        }
+        salted = {
+            r.mention: (r.total_count, r.articles_spanned, r.freq_per_article)
+            for r in entity_frequency_skew_resistant(ments, mention_col="mention_lc").collect()
+        }
+        assert plain == salted
+
+
+class TestCli:
+    def test_pipeline_end_to_end_and_resume(self, spark, pages_df, tmp_path, capsys):
+        from easyner_spark.cli import run_pipeline
+
+        pages_path = str(tmp_path / "pages.parquet")
+        pages_df.write.parquet(pages_path)
+        cfg = {"input": {"pages_path": pages_path}, "output_dir": str(tmp_path / "out")}
+        counts = run_pipeline(spark, cfg)
+        assert set(counts) == {"sentences", "mentions", "frequency", "linked", "edges", "nodes"}
+        assert all(v > 0 for v in counts.values())
+
+        # resume: all stages skip, identical counts
+        counts2 = run_pipeline(spark, cfg)
+        assert counts2 == counts
+        skipped = capsys.readouterr().out.count("[skip]")
+        assert skipped == 6
+
+    def test_module_flags(self, spark, pages_df, tmp_path):
+        from easyner_spark.cli import run_pipeline
+
+        pages_path = str(tmp_path / "pages.parquet")
+        pages_df.write.parquet(pages_path)
+        cfg = {
+            "input": {"pages_path": pages_path},
+            "output_dir": str(tmp_path / "out2"),
+            "modules": {"nel": False, "triples": False, "components": False},
+        }
+        counts = run_pipeline(spark, cfg)
+        assert set(counts) == {"sentences", "mentions", "frequency"}
