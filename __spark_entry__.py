@@ -363,6 +363,37 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap each document's text in boilerplate-laden HTML (nav, a
+    link-dense related-links div, script, footer), run the REAL
+    trafilatura-style extractor over the binary column, and return the
+    extracted text. The oracle is the identity on documents.text — the
+    north-star byte-identity invariant AS the parity check."""
+    from easyner_spark.operators.boilerplate import extract_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>t</title><style>p{}</style></head>"
+                      "<body><nav>home | about | subscribe</nav>"
+                      "<div><a href='/1'>rel one</a> <a href='/2'>rel two</a></div>"
+                      "<p>"),
+                F.col("text"),
+                F.lit("</p><script>var x=1;</script>"
+                      "<footer>(c) crawl</footer></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    out = extract_text(pages)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("extracted").alias("text"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> sentences -> dictionary NER -> ranked entity
     frequency top-50 (the reference pipeline's main output,
@@ -397,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "emb_neardup": q_emb_neardup,
         "media_meta": q_media_meta,
+        "boilerplate_extract": q_boilerplate_extract,
     }
 
 
@@ -729,6 +761,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": stats_sql,
         "lang_id": langid_sql,
         "media_meta": _MEDIA_META_SQL,
+        # byte-identity invariant: extracting the synthesized page must
+        # return documents.text verbatim, so the oracle is the identity
+        "boilerplate_extract": "SELECT doc_id, text FROM documents",
         **_dedup_oracles(),
         **_similarity_oracles(),
     }

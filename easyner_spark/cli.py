@@ -106,6 +106,20 @@ def run_pipeline(spark: SparkSession, cfg: dict) -> dict[str, int]:
     counts: dict[str, int] = {}
     pages = spark.read.parquet(cfg["input"]["pages_path"])
 
+    # Boilerplate stripping (north_star stage 1): forced via
+    # modules.extract, or automatic when the crawl has html but no
+    # pre-extracted text column. Narrow projection — no snapshot table,
+    # it fuses into the splitter stage's scan.
+    want_extract = modules.get("extract", "text" not in pages.columns)
+    if want_extract and "html" in pages.columns:
+        from easyner_spark.operators.boilerplate import extract_text
+
+        pages = (
+            extract_text(pages, out_col="__extracted")
+            .withColumn("text", F.col("__extracted"))
+            .drop("__extracted")
+        )
+
     sents = None
     if modules["splitter"]:
         sents = materialize(
