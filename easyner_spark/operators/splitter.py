@@ -36,6 +36,7 @@ def split_sentences(
     text_col: str = "text",
     id_col: str = "url",
     lang_filter: str | None = "en",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """pages -> (url, sent_idx, sentence), all JVM-side built-ins.
 
@@ -54,6 +55,7 @@ def split_sentences(
     sents = F.filter(sents, lambda s: F.length(s) > 0)
     return df.select(
         F.col(id_col).alias("url"),
+        *[F.col(c) for c in keep_cols],
         F.posexplode(sents).alias("sent_idx", "sentence"),
     )
 

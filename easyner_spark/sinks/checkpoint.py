@@ -117,6 +117,24 @@ class SnapshotTable:
         self._commit(snap)
         return snap
 
+    def merge_additive(self, df: DataFrame, sum_cols: list[str]) -> int:
+        """Additive upsert: union with the current snapshot and re-sum
+        `sum_cols` grouped by key_cols (all other columns must be in
+        key_cols or sum_cols). The streaming-edges merge primitive —
+        microbatch deltas fold into running totals with ONE shuffle on
+        the key, sized to the (small) aggregate table, never the input.
+        On Iceberg this is MERGE INTO ... UPDATE SET c = t.c + s.c."""
+        spark = df.sparkSession
+        cur = self.read(spark)
+        snap = (self.current_snapshot() or 0) + 1
+        merged = df if cur is None else cur.unionByName(df)
+        merged = merged.groupBy(*self.key_cols).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
+        merged.write.mode("overwrite").parquet(self._snap_dir(snap))
+        self._commit(snap)
+        return snap
+
     def overwrite(self, df: DataFrame) -> int:
         snap = (self.current_snapshot() or 0) + 1
         df.write.mode("overwrite").parquet(self._snap_dir(snap))

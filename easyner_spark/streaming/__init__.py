@@ -1,0 +1,7 @@
+from easyner_spark.streaming.pipeline import (
+    incremental_kg,
+    stream_pages,
+    windowed_mention_rates,
+)
+
+__all__ = ["incremental_kg", "stream_pages", "windowed_mention_rates"]

@@ -1,0 +1,182 @@
+"""Structured Streaming front-end: continuous crawl ingestion.
+
+The reference has no streaming surface — its incremental story is
+"re-run the missing batch files" (scripts/util.py:7-18, README.md:73).
+Here the same pipeline becomes a Structured Streaming job over the
+pages table's landing directory, with two consumption modes:
+
+  1. `incremental_kg` — foreachBatch micro-batching into the engine's
+     SnapshotTable checkpoint layer: sentences/mentions/linked merge
+     last-wins on their keys; edges fold ADDITIVELY
+     (`SnapshotTable.merge_additive`), so each micro-batch costs one
+     shuffle sized to the delta + one sized to the (small) edge
+     aggregate, never a reprocess of history. A processed-batch ledger
+     makes replayed epochs no-ops — foreachBatch re-delivers the last
+     uncommitted batch after a crash, and exactly-once then comes from
+     idempotency, the standard Spark recipe.
+  2. `windowed_mention_rates` — a native streaming windowed
+     aggregation with a watermark on `warc_ts` (late crawl records
+     are folded in up to the watermark, then dropped), demonstrating
+     the watermark + window path for monitoring-style consumers.
+
+Both reuse the BATCH operators verbatim — split_sentences / dict_ner /
+link_entities / extract_triples are stateless row transforms, so the
+same code serves `spark.read` and `spark.readStream` (the DataFrame
+abstraction is the unification point; no operator forks).
+
+Scale notes: file-source listing is driver-side — at real crawl scale
+set `maxFilesPerTrigger` to bound micro-batch size, and partition the
+landing dir by arrival hour so listing stays cheap. The additive edge
+merge assumes a url's page lands wholly in one micro-batch (true for
+file sources: a file belongs to exactly one epoch), which keeps
+`doc_count` summable without cross-batch distinct state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from easyner_spark.schemas import PAGES
+
+
+def stream_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over the crawl landing directory (parquet files of
+    PAGES shape). Schema is pinned — no streaming inference."""
+    reader = spark.readStream.schema(PAGES)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(pages_dir)
+
+
+def windowed_mention_rates(
+    pages_stream: DataFrame,
+    terms: list[tuple[str, str | None]],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming windowed aggregate: mentions per (warc_ts window,
+    class). Watermark bounds state: windows older than max(warc_ts) -
+    watermark are finalized and their state dropped. Append-mode safe.
+
+    Streaming-safe shape: NO self-join back to the sentence row (that
+    would be a stream-stream join needing two watermarks) — instead the
+    timestamp stays ON the row and a narrow Arrow UDF emits the matched
+    classes per sentence, exploded in place. One stateful operator
+    total: the windowed aggregation.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from easyner_spark.operators.ner_dict import build_trie, match_tokens
+    from easyner_spark.functions.text import tokenize_with_offsets
+    from easyner_spark.operators.splitter import split_sentences
+
+    bc = pages_stream.sparkSession.sparkContext.broadcast(terms)
+
+    # no type annotations: postponed-annotations mode stringizes them,
+    # which pyspark's pandas_udf signature inference can't resolve;
+    # the explicit returnType on pandas_udf() below is authoritative
+    def _classes(texts):
+        trie = build_trie(bc.value)
+
+        def one(text: str) -> list[str]:
+            if not text:
+                return []
+            out = []
+            for _bt, _et, _bc, _ec, classes in match_tokens(
+                trie, tokenize_with_offsets(text)
+            ):
+                out.extend(classes)
+            return out
+
+        return texts.map(one)
+
+    classes_udf = pandas_udf(_classes, "array<string>")
+    sents = split_sentences(pages_stream, keep_cols=("warc_ts",))
+    with_ts = sents.select(
+        "warc_ts", F.explode(classes_udf(F.col("sentence"))).alias("class")
+    )
+    return (
+        with_ts.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "class")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "class",
+            "n_mentions",
+        )
+    )
+
+
+def incremental_kg(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    terms: list[tuple[str, str | None]],
+    alias_df: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous pages -> KG job. Returns the started StreamingQuery;
+    with available_now the caller `awaitTermination()`s to drain the
+    backlog and stop (the incremental batch-refresh pattern)."""
+    from easyner_spark.operators.ner_dict import dict_ner
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.splitter import split_sentences
+    from easyner_spark.operators.triples import aggregate_edges, extract_triples
+    from easyner_spark.sinks.checkpoint import SnapshotTable
+
+    alias = primary_alias(alias_df)
+    tables = {
+        "sentences": SnapshotTable(f"{out_dir}/sentences", ["url", "sent_idx"]),
+        "mentions": SnapshotTable(
+            f"{out_dir}/mentions", ["url", "sent_idx", "begin", "end", "class"]
+        ),
+        "edges": SnapshotTable(f"{out_dir}/edges", ["subj_id", "pred", "obj_id"]),
+    }
+    ledger_dir = f"{out_dir}/_epochs"
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"epoch-{batch_id}")
+        if os.path.exists(marker):  # replayed epoch after restart: no-op
+            return
+        sents = split_sentences(batch_df)
+        # one micro-batch feeds three sinks — cache the shared prefix
+        # so NER runs once, not three times
+        sents.persist()
+        try:
+            mentions = dict_ner(sents, terms)
+            mentions.persist()
+            try:
+                linked = link_entities(mentions, alias, keep_unmatched=False)
+                delta_edges = aggregate_edges(extract_triples(linked))
+                tables["sentences"].merge(sents)
+                tables["mentions"].merge(mentions)
+                tables["edges"].merge_additive(
+                    delta_edges, sum_cols=["support", "doc_count"]
+                )
+            finally:
+                mentions.unpersist()
+        finally:
+            sents.unpersist()
+        with open(marker, "w") as f:  # commit the epoch last
+            f.write("done")
+
+    writer = (
+        stream_pages(spark, pages_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,135 @@
+"""Structured Streaming front-end: incremental KG equivalence with the
+batch pipeline, epoch-replay idempotency, and the watermark + windowed
+aggregation path."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from easyner_spark.fixtures import ALIAS, TERMS
+from easyner_spark.schemas import PAGES
+from easyner_spark.streaming import incremental_kg, windowed_mention_rates, stream_pages
+
+
+def _batch_edges(spark, pages_df):
+    from easyner_spark.operators.ner_dict import dict_ner
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.splitter import split_sentences
+    from easyner_spark.operators.triples import aggregate_edges, extract_triples
+
+    alias = primary_alias(spark.createDataFrame(ALIAS, "term string, ID string"))
+    linked = link_entities(
+        dict_ner(split_sentences(pages_df), TERMS), alias, keep_unmatched=False
+    )
+    return aggregate_edges(extract_triples(linked))
+
+
+def _edges_pdf(df):
+    return (
+        df.select("subj_id", "pred", "obj_id", "support", "doc_count")
+        .toPandas()
+        .sort_values(["subj_id", "pred", "obj_id"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def landing(tmp_path_factory, spark, fx):
+    """Two arrival waves of fixture pages written as separate files."""
+    root = tmp_path_factory.mktemp("stream")
+    pages_dir = str(root / "pages")
+    os.makedirs(pages_dir)
+    pdf = fx.pages
+    half = len(pdf) // 2
+    df1 = spark.createDataFrame(pdf.iloc[:half], schema=PAGES)
+    df2 = spark.createDataFrame(pdf.iloc[half:], schema=PAGES)
+    return {"root": root, "pages_dir": pages_dir, "waves": (df1, df2)}
+
+
+def _drain(q):
+    q.awaitTermination(300)
+
+
+class TestIncrementalKG:
+    def test_two_wave_equivalence_and_replay(self, spark, landing, pages_df):
+        pages_dir = landing["pages_dir"]
+        out_dir = str(landing["root"] / "out")
+        cp = str(landing["root"] / "cp")
+        df1, df2 = landing["waves"]
+        alias_df = spark.createDataFrame(ALIAS, "term string, ID string")
+
+        # wave 1 arrives; drain the backlog
+        df1.coalesce(1).write.mode("append").parquet(pages_dir)
+        _drain(incremental_kg(spark, pages_dir, out_dir, TERMS, alias_df, cp))
+
+        from easyner_spark.sinks.checkpoint import SnapshotTable
+
+        edges_t = SnapshotTable(f"{out_dir}/edges", ["subj_id", "pred", "obj_id"])
+        got1 = _edges_pdf(edges_t.read(spark))
+        want1 = _edges_pdf(_batch_edges(spark, df1))
+        assert got1.equals(want1), "wave-1 edges != batch edges on wave 1"
+
+        # wave 2 arrives; same checkpoint resumes and folds the delta
+        df2.coalesce(1).write.mode("append").parquet(pages_dir)
+        _drain(incremental_kg(spark, pages_dir, out_dir, TERMS, alias_df, cp))
+        got_all = _edges_pdf(edges_t.read(spark))
+        want_all = _edges_pdf(_batch_edges(spark, pages_df))
+        assert got_all.equals(want_all), "incremental edges != batch edges on full input"
+
+        # drain again with no new files: snapshots unchanged (idempotent)
+        snap_before = edges_t.current_snapshot()
+        _drain(incremental_kg(spark, pages_dir, out_dir, TERMS, alias_df, cp))
+        assert edges_t.current_snapshot() == snap_before
+
+        # sentences table matches batch splitter output
+        sents_t = SnapshotTable(f"{out_dir}/sentences", ["url", "sent_idx"])
+        from easyner_spark.operators.splitter import split_sentences
+
+        assert sents_t.read(spark).count() == split_sentences(pages_df).count()
+
+
+class TestWindowedRates:
+    def test_watermark_windowed_counts_match_batch(self, spark, landing, pages_df):
+        pages_dir = landing["pages_dir"]  # both waves present by fixture order
+        rates = windowed_mention_rates(
+            stream_pages(spark, pages_dir), TERMS, window="1 hour", watermark="2 hours"
+        )
+        q = (
+            rates.writeStream.format("memory")
+            .queryName("rates")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        got = (
+            spark.table("rates")
+            .toPandas()
+            .sort_values(["window_start", "class"])
+            .reset_index(drop=True)
+        )
+        assert (got["n_mentions"] > 0).all() and len(got) > 2
+
+        # batch oracle: same window aggregation over the static table
+        from easyner_spark.operators.ner_dict import dict_ner
+        from easyner_spark.operators.splitter import split_sentences
+
+        sents = split_sentences(pages_df, keep_cols=("warc_ts",))
+        mentions = dict_ner(sents, TERMS).join(
+            sents.select("url", "sent_idx", "warc_ts"), ["url", "sent_idx"]
+        )
+        want = (
+            mentions.groupBy(F.window("warc_ts", "1 hour").alias("w"), "class")
+            .agg(F.count(F.lit(1)).alias("n_mentions"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "class",
+                "n_mentions",
+            )
+            .toPandas()
+            .sort_values(["window_start", "class"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(want)
