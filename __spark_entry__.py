@@ -140,6 +140,39 @@ def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_predicate_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-pattern predicate extraction (north_star): inject a
+    deterministic relation verb into the word soup (' b ' -> ' inhibits ')
+    so the lexicon path fires on real pairs, then run the char-gap
+    pattern rule; pairs with no verb between the spans keep the
+    co-occurrence fallback."""
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.ner_dict import dict_ner
+    from easyner_spark.operators.splitter import split_sentences
+    from easyner_spark.operators.triples import extract_predicate_triples
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.regexp_replace(
+            F.regexp_replace("text", " b ", " inhibits "), " a ", ". "
+        ).alias("text"),
+        "lang",
+    )
+    sents = split_sentences(pages, lang_filter=None)
+    linked = link_entities(
+        dict_ner(sents, DICT), primary_alias(_alias_df(spark)), keep_unmatched=False
+    )
+    out = extract_predicate_triples(linked, sents)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "subj_id",
+        "pred",
+        "obj_id",
+    )
+
+
 def q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easyner_spark.operators.nel import link_entities, primary_alias
     from easyner_spark.operators.triples import aggregate_edges, extract_triples
@@ -412,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_frequency": q_entity_frequency,
         "link_entities": q_link_entities,
         "triples": q_triples,
+        "predicate_triples": q_predicate_triples,
         "edges": q_edges,
         "search_sentences": q_search_sentences,
         "doc_offsets": q_doc_offsets,
@@ -738,6 +772,59 @@ SELECT a, b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.3
     return {"ann_topk": topk, "ann_lsh_topk": lsh, "emb_neardup": neardup}
 
 
+def _predicate_triples_oracle() -> str:
+    """Oracle for the char-gap pattern rule, expressed on TOKEN indices:
+    the engine's mentions are token-aligned and the lexicon is
+    letters-only, so "first lexicon token in the char gap
+    (subj.end, obj.begin)" == "first lexicon token with tok_idx in
+    [subj.end_tok, obj.begin_tok)" — same hit, same order. The prelude
+    is rewritten with the same ' b ' -> ' inhibits ' verb injection the
+    Spark query applies (before senticizing, same replace order)."""
+    from easyner_spark.operators.triples import PRED_LEXICON
+
+    lex_values = ", ".join(
+        f"('{s}', '{c}')" for s, c in sorted(PRED_LEXICON.items())
+    )
+    prelude = _PRELUDE.replace(
+        "regexp_replace(text, ' a ', '. ', 'g')",
+        "regexp_replace(regexp_replace(text, ' b ', ' inhibits ', 'g'), ' a ', '. ', 'g')",
+    )
+    return (
+        prelude
+        + f"""
+, f2 AS (
+  SELECT doc_id, sent_idx, entity_id, begin_tok, end_tok,
+         row_number() OVER (PARTITION BY doc_id, sent_idx
+                            ORDER BY begin_tok, end_tok, entity_id) AS ord
+  FROM firsts WHERE rn = 1
+),
+pp AS (
+  SELECT a.doc_id, a.sent_idx, a.entity_id AS subj_id, b.entity_id AS obj_id,
+         a.end_tok AS gb, b.begin_tok AS ge
+  FROM f2 a JOIN f2 b
+    ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.ord < b.ord
+),
+lex(surface, canon) AS (VALUES {lex_values}),
+lex_toks AS (
+  SELECT t.doc_id, t.sent_idx, t.tok_idx, l.canon
+  FROM toks t JOIN lex l ON lower(t.tok) = l.surface
+),
+hit AS (
+  SELECT p.doc_id, p.sent_idx, p.subj_id, p.obj_id,
+         arg_min(h.canon, h.tok_idx) AS canon
+  FROM pp p
+  LEFT JOIN lex_toks h
+    ON h.doc_id = p.doc_id AND h.sent_idx = p.sent_idx
+   AND h.tok_idx >= p.gb AND h.tok_idx < p.ge
+  GROUP BY p.doc_id, p.sent_idx, p.subj_id, p.obj_id
+)
+SELECT doc_id, sent_idx::BIGINT AS sent_idx, subj_id,
+       coalesce(canon, 'co_occurs_with') AS pred, obj_id
+FROM hit
+"""
+    )
+
+
 _MEDIA_META_SQL = """
 WITH m AS (
   SELECT doc_id::VARCHAR AS media_id, 'image' AS kind, text,
@@ -764,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
         # byte-identity invariant: extracting the synthesized page must
         # return documents.text verbatim, so the oracle is the identity
         "boilerplate_extract": "SELECT doc_id, text FROM documents",
+        "predicate_triples": _predicate_triples_oracle(),
         **_dedup_oracles(),
         **_similarity_oracles(),
     }

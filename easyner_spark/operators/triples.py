@@ -128,3 +128,108 @@ def aggregate_edges(triples: DataFrame, exact_sets: bool = False) -> DataFrame:
             F.slice(F.sort_array(F.collect_set("url")), 1, 16).alias("example_urls")
         )
     return triples.groupBy("subj_id", "pred", "obj_id").agg(*aggs)
+
+
+# Dependency-pattern predicate extraction (north_star: "dependency-
+# pattern triple extraction (subj, pred, obj)"). The reference never
+# ships a dependency parser — its relation signal is bare co-occurrence
+# (scripts/entity_parser.py:41-42) — so the pinned contract here is a
+# deterministic PATTERN rule, the classic dep-parse surrogate:
+#   pred(subj, obj) = canonical form of the FIRST relation-verb token
+#   in the text strictly BETWEEN subj's and obj's first occurrences,
+#   else the co-occurrence fallback.
+# A statistical parser (spaCy/stanza) can be slotted in behind the same
+# output contract via a pandas-UDF variant; the rule form keeps the hot
+# path 100% JVM (whole-stage codegen, zero Python).
+PRED_LEXICON: dict[str, str] = {}
+for _canon, _forms in {
+    "activates": ("activate", "activates", "activated", "activating"),
+    "inhibits": ("inhibit", "inhibits", "inhibited", "inhibiting"),
+    "binds": ("bind", "binds", "bound"),
+    "regulates": ("regulate", "regulates", "regulated", "regulating"),
+    "induces": ("induce", "induces", "induced", "inducing"),
+    "suppresses": ("suppress", "suppresses", "suppressed", "suppressing"),
+    "phosphorylates": ("phosphorylate", "phosphorylates", "phosphorylated"),
+    "encodes": ("encode", "encodes", "encoded", "encoding"),
+    "targets_": ("targets", "targeted", "targeting"),
+    "blocks": ("block", "blocks", "blocked", "blocking"),
+    "promotes": ("promote", "promotes", "promoted", "promoting"),
+    "mediates": ("mediate", "mediates", "mediated", "mediating"),
+    "modulates": ("modulate", "modulates", "modulated", "modulating"),
+    "causes": ("cause", "causes", "caused", "causing"),
+    "treats": ("treat", "treats", "treated", "treating"),
+    "interacts_with": ("interacts", "interacting", "interact"),
+}.items():
+    for _f in _forms:
+        PRED_LEXICON[_f] = _canon.rstrip("_")
+
+
+def extract_predicate_triples(
+    linked_mentions: DataFrame,
+    sentences: DataFrame,
+    lexicon: dict[str, str] | None = None,
+    fallback: str = PRED_CO_OCCURS,
+) -> DataFrame:
+    """linked mentions + sentences -> (url, sent_idx, subj_id, pred,
+    obj_id) with pattern-extracted predicates.
+
+    Plan: the same two-shuffle array formulation as extract_triples,
+    but pairs carry the inter-span char window (subj.end, obj.begin);
+    ONE extra equi-join on (url, sent_idx) attaches the sentence text
+    (co-clustered with the groupBys — AQE reuses the partitioning),
+    then the predicate rule is pure column algebra: substring ->
+    lowercase -> non-letter split -> first lexicon hit via a literal
+    map. Overlapping/nested spans yield an empty window -> fallback.
+    """
+    lex = PRED_LEXICON if lexicon is None else lexicon
+    lex_map = F.create_map(
+        *[F.lit(x) for surface, canon in sorted(lex.items()) for x in (surface, canon)]
+    )
+
+    ids = (
+        linked_mentions.where(F.col("entity_id") != "")
+        .groupBy("url", "sent_idx", "entity_id")
+        .agg(F.min(F.struct("begin", "end")).alias("first_span"))
+    )
+    per_sent = ids.groupBy("url", "sent_idx").agg(
+        F.array_sort(F.collect_list(F.struct("first_span", "entity_id"))).alias("ents")
+    )
+    n = F.size("ents")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ents"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ents"), i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x.getField("entity_id").alias("subj_id"),
+                    y.getField("entity_id").alias("obj_id"),
+                    x.getField("first_span").getField("end").alias("gap_begin"),
+                    y.getField("first_span").getField("begin").alias("gap_end"),
+                ),
+            ),
+        )
+    )
+    exploded = (
+        per_sent.where(n >= 2)
+        .select("url", "sent_idx", F.explode(pairs).alias("p"))
+        .join(sentences.select("url", "sent_idx", "sentence"), ["url", "sent_idx"])
+    )
+    gap = F.expr(
+        "substring(sentence, p.gap_begin + 1, greatest(p.gap_end - p.gap_begin, 0))"
+    )
+    toks = F.split(F.lower(gap), r"[^\p{L}]+")
+    # try_element_at: ANSI-safe on missing map keys / empty hit arrays
+    canon = F.try_element_at(
+        F.filter(
+            F.transform(toks, lambda t: F.try_element_at(lex_map, t)),
+            lambda c: c.isNotNull(),
+        ),
+        F.lit(1),
+    )
+    return exploded.select(
+        "url",
+        "sent_idx",
+        F.col("p.subj_id").alias("subj_id"),
+        F.coalesce(canon, F.lit(fallback)).alias("pred"),
+        F.col("p.obj_id").alias("obj_id"),
+    )

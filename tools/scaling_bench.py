@@ -106,8 +106,14 @@ def main() -> None:
 
     results = {}
     for cores in (8, 32):
+        # taskset pins the WHOLE process tree (JVM + python workers) to
+        # `cores` physical CPUs. Without it, local[N] bounds task slots
+        # only — a pandas-UDF task burns a JVM thread AND a python
+        # worker, so an unpinned "8-core" run really consumes ~16 CPUs
+        # and the measured N->4N ratio understates true cluster scaling.
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
+            ["taskset", "-c", f"0-{cores - 1}",
+             sys.executable, os.path.abspath(__file__), "--worker",
              "--cores", str(cores), "--pages", str(args.pages),
              "--runs", str(args.runs)],
             capture_output=True, text=True, cwd=REPO, check=True,
