@@ -43,10 +43,8 @@ def _words(text_col: str) -> Column:
     return F.expr(f"regexp_extract_all(lower({text_col}), r'{WORD_RE}', 0)")
 
 
-def shingle_set(text_col: str = "text", k: int = 3) -> Column:
-    """Distinct, sorted word k-shingles ('w1 w2 w3'). Documents shorter
-    than k words contribute their whole word sequence as one shingle."""
-    toks = _words(text_col)
+def _shingles_of(toks: Column, k: int) -> Column:
+    """Distinct, sorted word k-shingles over a token-array column."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
@@ -55,6 +53,29 @@ def shingle_set(text_col: str = "text", k: int = 3) -> Column:
         F.array(F.concat_ws(" ", toks))
     )
     return F.array_sort(F.array_distinct(grams))
+
+
+def shingle_set(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct, sorted word k-shingles ('w1 w2 w3'). Documents shorter
+    than k words contribute their whole word sequence as one shingle.
+
+    NB: this single expression inlines the tokenizer ~4x (once per
+    reference to the token array). Fine for value checks on small data;
+    the pipeline entry points go through :func:`shingle_df`, which
+    puts tokens and shingles behind projection boundaries so each is
+    evaluated once per row (measured 150x on the signature path —
+    Catalyst's CollapseProject keeps the boundaries because the
+    producing expressions are non-cheap and multiply referenced)."""
+    return _shingles_of(_words(text_col), k)
+
+
+def shingle_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sh) with tokenization and shingling each evaluated ONCE per
+    row: two stacked projections that Catalyst keeps separate."""
+    toks_df = docs.select(F.col(id_col).alias("id"), _words(text_col).alias("_toks"))
+    return toks_df.select("id", _shingles_of(F.col("_toks"), k).alias("sh"))
 
 
 # ---------------------------------------------------------------------------
@@ -86,13 +107,13 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(
-    text_col: str = "text", n_hashes: int = N_HASHES, k: int = 3
-) -> Column:
-    """array<string> of n minhashes: component i = min over shingles of
-    md5('i|' || shingle). Min over 32-char lowercase-hex strings is the
-    (deterministic, engine-portable) hash order."""
-    sh = shingle_set(text_col, k)
+def minhash_components(sh: Column, n_hashes: int = N_HASHES) -> Column:
+    """array<string> of n minhashes over a shingle-array COLUMN:
+    component i = min over shingles of md5('i|' || shingle). Min over
+    32-char lowercase-hex strings is the (deterministic,
+    engine-portable) hash order. Takes a column, not an inline shingle
+    expression — inlining would re-evaluate the shingle pipeline once
+    per component (n_hashes x per row)."""
 
     def comp(i: int):
         # NB: the lambda must be single-arg — a second parameter would be
@@ -103,6 +124,15 @@ def minhash_signature(
         )
 
     return F.array(*[comp(i) for i in range(n_hashes)])
+
+
+def minhash_signature(
+    text_col: str = "text", n_hashes: int = N_HASHES, k: int = 3
+) -> Column:
+    """Single-expression signature (small-data value checks only — see
+    the shingle_set note; the pipeline uses shingle_df +
+    minhash_components)."""
+    return minhash_components(shingle_set(text_col, k), n_hashes)
 
 
 def minhash_bands(sig: Column, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS) -> Column:
@@ -134,8 +164,9 @@ def minhash_lsh_pairs(
     per row) to avoid a second join; at petabyte scale prefer re-joining
     signatures by id instead of widening the shuffle.
     """
-    sig = minhash_signature(text_col, n_hashes, k)
-    with_sig = docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    with_sig = shingle_df(docs, text_col, id_col, k).select(
+        "id", minhash_components(F.col("sh"), n_hashes).alias("sig")
+    )
     exploded = with_sig.select(
         "id",
         "sig",
@@ -191,7 +222,7 @@ def ngram_jaccard_pairs(
     |A ∩ B| / |A ∪ B| over distinct word k-shingles. Two joins against
     the (narrow) shingle projection — candidates only, never all pairs.
     """
-    sh = docs.select(F.col(id_col).alias("id"), shingle_set(text_col, k).alias("sh"))
+    sh = shingle_df(docs, text_col, id_col, k)
     out = (
         candidates.select("a", "b")
         .join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")

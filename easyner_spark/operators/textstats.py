@@ -54,29 +54,54 @@ def _marker_hits(words: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(words, lambda w: w.isin(*markers)))
 
 
-def _token_count_cols(text_col: str) -> dict[str, Column]:
+# Layered-projection note (performance contract): higher-order-function
+# expressions (transform/filter/aggregate lambdas) are NOT deduplicated
+# by codegen subexpression elimination, so inlining the `words` array
+# into every consumer re-runs the tokenizer regex once per reference.
+# Every public operator below therefore stacks Projects — words, then
+# integer counts, then derived ratios/argmax — and Catalyst keeps the
+# boundaries (CollapseProject refuses to duplicate non-cheap
+# multiply-referenced expressions). Same trick as dedup.shingle_df;
+# measured 150x on the MinHash path.
+
+
+def _with_words(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(F.col(id_col), F.col(text_col), _words(text_col).alias("_w"))
+
+
+def _token_count_cols(text_col: str, words: Column) -> dict[str, Column]:
     return {
         "n_chars": F.length(text_col),
         "n_tokens_ws": F.size(F.split(F.trim(F.col(text_col)), WS_SPLIT_RE)),
         "n_tokens_re": F.size(
             F.expr(f"regexp_extract_all({text_col}, r'{TOKEN_RE_ASCII}', 0)")
         ),
-        "n_words": F.size(_words(text_col)),
+        "n_words": F.size(words),
     }
 
 
-def _quality_cols(text_col: str) -> dict[str, Column]:
-    words = _words(text_col)
-    n_chars = F.length(text_col)
-    n_words = F.size(words)
-    n_alpha = F.length(F.regexp_replace(F.col(text_col), ALPHA_DEL_RE, ""))
-    n_punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_KEEP_RE, ""))
-    n_stop = _marker_hits(words, STOPWORDS_EN)
-    sum_wlen = F.aggregate(F.transform(words, F.length), F.lit(0), lambda a, x: a + x)
-    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
-    mean_wlen = F.when(n_words > 0, sum_wlen / n_words).otherwise(F.lit(0.0))
+def _quality_int_cols(text_col: str, words: Column) -> dict[str, Column]:
+    """The integer/count layer: each HOF evaluated exactly once."""
+    return {
+        "_n_chars": F.length(text_col),
+        "_n_words": F.size(words),
+        "_n_alpha": F.length(F.regexp_replace(F.col(text_col), ALPHA_DEL_RE, "")),
+        "_n_punct": F.length(F.regexp_replace(F.col(text_col), PUNCT_KEEP_RE, "")),
+        "_n_stop": _marker_hits(words, STOPWORDS_EN),
+        "_sum_wlen": F.aggregate(
+            F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+        ),
+    }
+
+
+def _quality_ratio_cols() -> dict[str, Column]:
+    """Ratio layer over the _-prefixed count columns (same IEEE op
+    sequence as the DuckDB oracle: int/int division, literal blends)."""
+    n_chars, n_words = F.col("_n_chars"), F.col("_n_words")
+    alpha_ratio = F.when(n_chars > 0, F.col("_n_alpha") / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, F.col("_n_punct") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, F.col("_n_stop") / n_words).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n_words > 0, F.col("_sum_wlen") / n_words).otherwise(F.lit(0.0))
     quality = F.round(
         alpha_ratio * 0.4 + (F.lit(1.0) - punct_ratio) * 0.3 + stop_ratio * 0.3, 6
     )
@@ -89,23 +114,26 @@ def _quality_cols(text_col: str) -> dict[str, Column]:
     }
 
 
-def _lang_cols(text_col: str) -> dict[str, Column]:
-    """Deterministic argmax over marker-hit counts: CJK codepoints win
+def _hit_cols(words: Column) -> dict[str, Column]:
+    return {
+        f"hits_{lang}": _marker_hits(words, m)
+        for lang, m in sorted(LANG_MARKERS.items())
+    }
+
+
+def _lang_pred_col(text_col: str) -> Column:
+    """Deterministic argmax over the hits_* COLUMNS: CJK codepoints win
     outright ('zh'); otherwise highest hit count, ties broken by
     language code ascending; all-zero -> 'und'."""
-    words = _words(text_col)
-    hits = {lang: _marker_hits(words, m) for lang, m in sorted(LANG_MARKERS.items())}
+    hits = {lang: F.col(f"hits_{lang}") for lang in sorted(LANG_MARKERS)}
     best = F.greatest(*hits.values())
     pred = F.lit("und")
     # Chain in REVERSE code order so the earliest code wins ties.
     for lang in sorted(hits, reverse=True):
         pred = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(pred)
-    pred = F.when(
+    return F.when(
         F.expr(f"regexp_extract({text_col}, r'{CJK_RE}', 0)") != "", F.lit("zh")
     ).otherwise(pred)
-    out = {"lang_pred": pred}
-    out.update({f"hits_{lang}": hits[lang] for lang in sorted(hits)})
-    return out
 
 
 def _fingerprint_col(text_col: str) -> Column:
@@ -135,18 +163,31 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     runtimes (Tutorial_benchmarking_runtime.md:5-17), generalized to the
     token statistics a tokenizer-budgeted training pipeline tracks.
     """
-    return _select(docs, id_col, _token_count_cols(text_col))
+    base = _with_words(docs, text_col, id_col)
+    return _select(base, id_col, _token_count_cols(text_col, F.col("_w")))
 
 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features + composite score. All exact ratios of
     integer counts; rows with no words score 0, not null."""
-    return _select(docs, id_col, _quality_cols(text_col))
+    base = _with_words(docs, text_col, id_col)
+    ints = _select(base, id_col, _quality_int_cols(text_col, F.col("_w")))
+    return _select(ints, id_col, _quality_ratio_cols())
 
 
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-lexicon language ID (`lang_pred` + per-language hit counts)."""
-    return _select(docs, id_col, _lang_cols(text_col))
+    base = _with_words(docs, text_col, id_col)
+    hits = base.select(
+        F.col(id_col),
+        F.col(text_col),
+        *[c.alias(n) for n, c in _hit_cols(F.col("_w")).items()],
+    )
+    return hits.select(
+        F.col(id_col),
+        _lang_pred_col(text_col).alias("lang_pred"),
+        *[f"hits_{lang}" for lang in sorted(LANG_MARKERS)],
+    )
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -156,12 +197,26 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """All four analyses in ONE narrow projection — the plan is a single
-    Project over the scan (no joins, no shuffle); at 100 TB this runs at
-    scan speed."""
-    cols: dict[str, Column] = {}
-    cols.update(_token_count_cols(text_col))
-    cols.update(_quality_cols(text_col))
-    cols["lang_pred"] = _lang_cols(text_col)["lang_pred"]
-    cols["fingerprint"] = _fingerprint_col(text_col)
-    return _select(docs, id_col, cols)
+    """All four analyses in one narrow chain of stacked Projects over the
+    scan (no joins, no shuffle — codegen fuses the layers into one
+    stage); at 100 TB this runs at scan speed."""
+    base = _with_words(docs, text_col, id_col)
+    w = F.col("_w")
+    mid_cols: dict[str, Column] = {}
+    mid_cols.update(_token_count_cols(text_col, w))
+    mid_cols.update({k: v for k, v in _quality_int_cols(text_col, w).items()
+                     if k not in ("_n_chars", "_n_words")})
+    mid_cols.update(_hit_cols(w))
+    mid_cols["fingerprint"] = _fingerprint_col(text_col)
+    mid = base.select(F.col(id_col), F.col(text_col), *[c.alias(n) for n, c in mid_cols.items()])
+    # ratio layer reads _n_chars/_n_words under their public names
+    mid = mid.withColumn("_n_chars", F.col("n_chars")).withColumn(
+        "_n_words", F.col("n_words")
+    )
+    final_cols: dict[str, Column] = {
+        n: F.col(n) for n in ("n_chars", "n_tokens_ws", "n_tokens_re", "n_words")
+    }
+    final_cols.update(_quality_ratio_cols())
+    final_cols["lang_pred"] = _lang_pred_col(text_col)
+    final_cols["fingerprint"] = F.col("fingerprint")
+    return _select(mid, id_col, final_cols)
