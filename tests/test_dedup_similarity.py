@@ -170,6 +170,22 @@ class TestSimilarity:
         row = [r for r in out.collect() if r.query_id == 0 and r.neighbor_id == 3]
         assert row and row[0].cosine == -1.0
 
+    def test_fast_topk_matches_fold_path(self, spark, emb_df):
+        """BLAS variant reproduces the sequential-fold verification path
+        (same ranks and 6-decimal cosines) — the bench's hot path is
+        value-pinned against the oracle-checked one."""
+        from easyner_spark.operators.similarity import (
+            brute_force_topk,
+            brute_force_topk_fast,
+        )
+
+        exact = sorted(map(tuple, brute_force_topk(emb_df, k=3).collect()))
+        fast = sorted(map(tuple, brute_force_topk_fast(emb_df, k=3).collect()))
+        assert len(exact) == len(fast)
+        for e, f in zip(exact, fast):
+            assert e[:3] == f[:3]           # query, neighbor, rank identical
+            assert abs(e[3] - f[3]) < 2e-6  # cosine equal after round(6)
+
     def test_lsh_subset_of_exact_and_agrees(self, spark, emb_df):
         from easyner_spark.operators.similarity import brute_force_topk, lsh_topk
 
