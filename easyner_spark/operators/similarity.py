@@ -218,12 +218,14 @@ def brute_force_topk_fast(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     corpus_pdf = slim.toPandas()
+    schema = "query_id long, neighbor_id long, rank long, cosine double"
+    if corpus_pdf.empty:
+        return spark.createDataFrame([], schema)
     c_ids = corpus_pdf["id"].to_numpy()
     c_mat = np.stack(corpus_pdf["v"].to_numpy())
     c_norm = np.linalg.norm(c_mat, axis=1)
     bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
 
-    schema = "query_id long, neighbor_id long, rank long, cosine double"
 
     def gen(batches):
         ids_c, mat_c, norm_c = bc.value
