@@ -57,7 +57,11 @@ def cord_csv_load(
         *CORD_ID_COLS,
     )
     if subset_df is not None:
-        uids = subset_df.select(F.lower(F.trim(subset_df.columns[0])).alias("cord_uid"))
+        # reference parity: subset entries are strip()ped but NOT
+        # lowercased (cord_loader.py:20-25) — only the row's cord_uid is
+        # lowercased before the membership test, so an uppercase subset
+        # entry never matches, bug-for-bug.
+        uids = subset_df.select(F.trim(subset_df.columns[0]).alias("cord_uid"))
         out = out.join(
             F.broadcast(uids),
             F.lower(out["cord_uid"]) == uids["cord_uid"],
@@ -82,7 +86,10 @@ def free_text_load(spark: SparkSession, glob_path: str, prefix: str = "freetext"
     lines = (
         spark.read.text(glob_path)
         .withColumn("file", F.input_file_name())
-        .select("file", F.trim("value").alias("line"))
+        # Python str.strip() parity: remove ALL leading/trailing
+        # whitespace (\t \r \f \v ...), not just ASCII space as F.trim
+        # does — CRLF .txt files must not leave stray \r in the text.
+        .select("file", F.regexp_replace("value", r"^\s+|\s+$", "").alias("line"))
     )
     # preserve line order within each file for the join
     lines = lines.withColumn("line_id", F.monotonically_increasing_id())
@@ -92,9 +99,7 @@ def free_text_load(spark: SparkSession, glob_path: str, prefix: str = "freetext"
     rank_w = Window.orderBy("file")
     return docs.withColumn("idx", F.row_number().over(rank_w) - 1).select(
         F.concat(F.lit(f"{prefix}_"), F.col("idx")).alias("doc_id"),
-        F.regexp_replace(
-            F.regexp_extract("file", r"([^/]+)\.txt$", 1), r"\.txt$", ""
-        ).alias("title"),
+        F.regexp_extract("file", r"([^/]+)\.txt$", 1).alias("title"),
         "text",
     )
 

@@ -43,6 +43,27 @@ def test_search_cased_vs_lowercase(spark):
     assert search_mentions(ments, ["rapamycin"], "mention_lc").count() == 2
 
 
+def test_search_hit_keys_not_force_broadcast(spark, pages_df):
+    """A hot term's hit-key set is unbounded; the default plan must not
+    carry a forced broadcast hint on it (AQE decides at runtime)."""
+    sents = split_sentences(pages_df)
+    ments = dict_ner(sents, TERMS)
+    auto = search_sentences(sents, ments, ["rapamycin"], match_col="mention_lc")
+    # optimized logical plan: exactly one broadcast hint (the tiny term
+    # list inside _hit_keys), none on the hit-key side of the outer join
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("ResolvedHint") <= 1
+    forced = search_sentences(
+        sents, ments, ["rapamycin"], match_col="mention_lc", hint="broadcast"
+    )
+    fplan = forced._jdf.queryExecution().optimizedPlan().toString()
+    assert fplan.count("ResolvedHint") >= plan.count("ResolvedHint")
+    # same answer either way
+    assert sorted(map(tuple, auto.select("url", "sent_idx").collect())) == sorted(
+        map(tuple, forced.select("url", "sent_idx").collect())
+    )
+
+
 def test_doc_span_shift_slices_doc_text(spark, pages_df):
     sents = split_sentences(pages_df)
     ments = dict_ner(sents, TERMS)

@@ -40,16 +40,22 @@ class TestCordLoader:
     def test_subset_semi_join(self, spark, csv_path):
         from easyner_spark.sources.loaders import cord_csv_load
 
-        subset = spark.createDataFrame([("UID1",)], "cord_uid string")
+        # reference parity (cord_loader.py:20-25): subset entries are
+        # strip()ped but NOT lowercased, so an uppercase entry never
+        # matches (the row side IS lowercased before comparing)
+        subset = spark.createDataFrame([(" uid1 ",)], "cord_uid string")
         rows = cord_csv_load(spark, csv_path, subset_df=subset).collect()
-        assert [r.doc_id for r in rows] == ["uid1"]  # case-insensitive match
+        assert [r.doc_id for r in rows] == ["uid1"]
+        upper = spark.createDataFrame([("UID1",)], "cord_uid string")
+        assert cord_csv_load(spark, csv_path, subset_df=upper).count() == 0
 
 
 class TestFreeTextLoader:
     def test_files_to_docs(self, spark, tmp_path):
         from easyner_spark.sources.loaders import free_text_load
 
-        (tmp_path / "alpha.txt").write_text("line one\nline two\n")
+        # CRLF + tabs: str.strip() parity means \r and \t go too
+        (tmp_path / "alpha.txt").write_text("line one\r\n\tline two\t\r\n")
         (tmp_path / "beta.txt").write_text("solo line\n")
         out = {r.doc_id: r for r in free_text_load(spark, f"{tmp_path}/*.txt").collect()}
         # ids follow sorted-filename rank (reference text_loader.py:13-20)
