@@ -363,12 +363,36 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of exact top-k (VERDICT r1 fix #1): block-partitioned
+    matmul over packed chunks, no driver-side corpus collect. Same
+    oracle as ann_topk — the two paths must agree value-for-value.
+    block_size below the 500-row tier forces a real multi-block run."""
+    from easyner_spark.operators.similarity import brute_force_topk_blocked
+
+    return brute_force_topk_blocked(_emb(spark, sf_dir), k=10, block_size=128).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default near-dup path is now sign-LSH bucketed (VERDICT r1 fix
+    #4): one equi-join shuffle on the 4-bit bucket key; the oracle
+    reproduces the same deterministic buckets in SQL."""
     from easyner_spark.operators.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3).select(
         "a", "b", "cosine"
     )
+
+
+def q_emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit O(n^2) verification twin (n_bits=0)."""
+    from easyner_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.3, n_bits=0
+    ).select("a", "b", "cosine")
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,8 +483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_dedup": q_simhash_dedup,
         "ann_topk": q_ann_topk,
+        "ann_topk_blocked": q_ann_topk_blocked,
         "ann_lsh_topk": q_ann_lsh_topk,
         "emb_neardup": q_emb_neardup,
+        "emb_neardup_exact": q_emb_neardup_exact,
         "media_meta": q_media_meta,
         "boilerplate_extract": q_boilerplate_extract,
     }
@@ -720,19 +746,28 @@ FROM h
     }
 
 
-def _similarity_oracles() -> dict[str, str]:
-    from easyner_spark.operators.similarity import N_BITS, hyperplanes
-
-    planes = hyperplanes()
-    norm = """
-WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)"""
-    bucket_expr = " || ".join(
+def _bucket_sql(planes: list[list[float]]) -> str:
+    return " || ".join(
         "(CASE WHEN list_dot_product(v, ["
         + ", ".join(f"{x:.1f}" for x in p)
         + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
         for p in planes
     )
+
+
+def _similarity_oracles() -> dict[str, str]:
+    from easyner_spark.operators.similarity import (
+        DIM,
+        N_BITS,
+        NEARDUP_BITS,
+        hyperplanes,
+    )
+
+    planes = hyperplanes()
+    norm = """
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)"""
+    bucket_expr = _bucket_sql(planes)
     topk = f"""{norm},
 p AS (
   SELECT a.id AS query_id, b.id AS neighbor_id,
@@ -760,7 +795,17 @@ r AS (
 )
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM r WHERE rank <= 10
 """
+    nd_bucket = _bucket_sql(hyperplanes(NEARDUP_BITS, DIM))
     neardup = f"""{norm},
+bk AS (SELECT id, v, norm, {nd_bucket} AS bucket FROM n),
+p AS (
+  SELECT a.id AS a, b.id AS b,
+         list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+)
+SELECT a, b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.3
+"""
+    neardup_exact = f"""{norm},
 p AS (
   SELECT a.id AS a, b.id AS b,
          list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
@@ -769,7 +814,13 @@ p AS (
 SELECT a, b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.3
 """
     assert N_BITS == len(planes)
-    return {"ann_topk": topk, "ann_lsh_topk": lsh, "emb_neardup": neardup}
+    return {
+        "ann_topk": topk,
+        "ann_topk_blocked": topk,
+        "ann_lsh_topk": lsh,
+        "emb_neardup": neardup,
+        "emb_neardup_exact": neardup_exact,
+    }
 
 
 def _predicate_triples_oracle() -> str:

@@ -69,7 +69,7 @@ def build_queries(spark, sf_dir: str, pages_path: str):
     from easyner_spark.operators.dedup import minhash_lsh_pairs
     from easyner_spark.operators.ner_dict import dict_ner
     from easyner_spark.operators.nel import link_entities, primary_alias
-    from easyner_spark.operators.similarity import brute_force_topk_fast
+    from easyner_spark.operators.similarity import brute_force_topk_blocked
     from easyner_spark.operators.splitter import split_sentences
     from easyner_spark.operators.textstats import text_stats
     from easyner_spark.operators.triples import aggregate_edges, extract_triples
@@ -101,9 +101,9 @@ def build_queries(spark, sf_dir: str, pages_path: str):
         "entity_frequency": q_entity_frequency,
         "components": q_components,
         "minhash_dedup": lambda: minhash_lsh_pairs(docs),
-        # BLAS mapInPandas path; value-pinned to the oracle-checked
-        # fold path by tests (test_fast_topk_matches_fold_path)
-        "ann_topk": lambda: brute_force_topk_fast(emb, k=10),
+        # block-partitioned BLAS path (no driver collect); oracle-checked
+        # directly (ann_topk_blocked) and value-pinned to the fold path
+        "ann_topk": lambda: brute_force_topk_blocked(emb, k=10),
         "text_stats": lambda: text_stats(docs),
     }
 

@@ -158,20 +158,35 @@ def lsh_topk(
     )
 
 
+NEARDUP_BITS = 4
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 0,
-    dim: int = DIM,
+    n_bits: int = NEARDUP_BITS,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a, b, cosine), a < b,
-    cosine >= threshold. n_bits=0 -> exact all-pairs (verification
-    path); n_bits>0 -> sign-LSH bucket prefilter (scale path; pairs in
-    different buckets are missed, the standard ANN-dedup tradeoff)."""
+    cosine >= threshold.
+
+    The DEFAULT is the scale path: a sign-LSH bucket prefilter
+    (n_bits=4) so candidate generation is ONE equi-join shuffle on the
+    bucket key, never an all-pairs theta join; cosines on candidates
+    are exact, so every emitted pair is a true >= threshold pair (pairs
+    whose signs differ in some bucket bit are missed — the standard
+    ANN-dedup recall tradeoff, smaller the higher the threshold).
+    n_bits=0 is the explicit O(n^2) verification twin for tests and
+    oracles. `dim` is derived from the data when not given (one O(1)
+    first() — plane width must match the vector width or zip_with
+    null-pads and every bucket degenerates)."""
     base = _with_norm(emb, id_col, vec_col)
     if n_bits > 0:
+        if dim is None:
+            row = emb.select(F.size(F.col(vec_col))).first()
+            dim = row[0] if row else DIM
         base = base.withColumn("bucket", _bucket(hyperplanes(n_bits, dim)))
         cond = (F.col("a.bucket") == F.col("b.bucket")) & (
             F.col("a.id") < F.col("b.id")
@@ -191,61 +206,129 @@ def embedding_neardup_pairs(
     )
 
 
-def brute_force_topk_fast(
+def _pack_blocks(slim: DataFrame, n_blocks: int) -> DataFrame:
+    """Disjoint pmod(xxhash64(id), B) block assignment, one packed row
+    per block: (blk, chunk: array<struct<id, v>>)."""
+    return (
+        slim.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("chunk"))
+    )
+
+
+def brute_force_topk_blocked(
     emb: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+    block_size: int = 4096,
 ) -> DataFrame:
-    """BLAS-backed exact cosine top-k: same output contract as
-    brute_force_topk, ~2 orders of magnitude faster.
+    """Exact cosine top-k by block-partitioned matmul — the BLAS speed
+    of the round-1 fast path with NO driver-side corpus collect (the
+    round-1 variant's `toPandas()` was the flagged scale-killer).
 
-    The corpus matrix is collected once and broadcast (queries >> corpus
-    is the usual cluster shape; for self-top-k the corpus must fit per
-    executor — at 100 TB the IVF/LSH path takes over). Each Arrow batch
-    of queries does ONE numpy matmul against the broadcast matrix and
-    emits only its top-k rows — zero shuffles, no window, no pair
-    explosion. Cosines use numpy's pairwise-summation order, so values
-    can differ from the sequential-fold verification path in the last
-    ulp; the 6-decimal rounding of the output contract absorbs that
-    (property-tested against brute_force_topk).
+    Physical shape:
+      - corpus  -> Bc packed blocks of <= block_size vectors,
+      - queries -> Bq packed blocks (Bq >= 2 * defaultParallelism so
+        every core gets work even when the corpus fits one block),
+      - SHUFFLE_REPLICATE_NL cross join => CartesianProductExec with
+        Bq * Bc tasks, each reading ONE query block + ONE corpus block.
+        Bounded task memory (two blocks, ~2 MB each at the default
+        size), never the whole corpus on the driver or on any single
+        executor — the inherent O(Nq * Nc / block_size) data movement
+        of EXACT all-pairs is spread across the cluster.
+      - one numpy matmul + block-local top-k per task, then a global
+        top-k window over the Nq * k * Bc candidate rows.
+
+    Output contract identical to brute_force_topk: ids keep their input
+    type (no hardcoded long schema), rank/rounding are computed by the
+    SAME Spark expressions as the fold path (F.round HALF_UP), so the
+    two paths agree exactly after round(6). Raw cosines use numpy's
+    pairwise summation, which can differ from the sequential fold in
+    the last ulp; the 6-decimal contract absorbs that (property-tested).
     """
+    import math
+
     import numpy as np
     import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     spark = emb.sparkSession
     slim = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    corpus_pdf = slim.toPandas()
-    schema = "query_id long, neighbor_id long, rank long, cosine double"
-    if corpus_pdf.empty:
-        return spark.createDataFrame([], schema)
-    c_ids = corpus_pdf["id"].to_numpy()
-    c_mat = np.stack(corpus_pdf["v"].to_numpy())
-    c_norm = np.linalg.norm(c_mat, axis=1)
-    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+    q_slim = (
+        queries.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        if queries is not None
+        else slim
+    )
+    out_schema = StructType(
+        [
+            StructField("query_id", (queries if queries is not None else emb).schema[id_col].dataType),
+            StructField("neighbor_id", emb.schema[id_col].dataType),
+            StructField("cos", DoubleType()),
+        ]
+    )
+    n_c = slim.count()
+    n_q = n_c if queries is None else q_slim.count()
+    if n_c == 0 or n_q == 0 or k <= 0:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.select(
+            "query_id",
+            "neighbor_id",
+            F.lit(1).alias("rank"),
+            F.col("cos").alias("cosine"),
+        ).limit(0)
 
+    par = max(1, spark.sparkContext.defaultParallelism)
+    q_rows = max(1, min(block_size, math.ceil(n_q / (2 * par))))
+    bq = math.ceil(n_q / q_rows)
+    bc = max(1, math.ceil(n_c / block_size))
+    pairs = (
+        _pack_blocks(q_slim, bq)
+        .select(F.col("chunk").alias("qc"))
+        .join(_pack_blocks(slim, bc).select(F.col("chunk").alias("cc")).hint("shuffle_replicate_nl"), how="cross")
+    )
 
     def gen(batches):
-        ids_c, mat_c, norm_c = bc.value
         for pdf in batches:
-            if pdf.empty:
-                continue
-            q_ids = pdf["id"].to_numpy()
-            q_mat = np.stack(pdf["v"].to_numpy())
-            q_norm = np.linalg.norm(q_mat, axis=1)
-            sims = (q_mat @ mat_c.T) / np.outer(q_norm, norm_c)
-            rows = []
-            for r in range(sims.shape[0]):
-                s = sims[r]
-                # total order: cosine desc, neighbor_id asc; self excluded
-                order = np.lexsort((ids_c, -s))
-                order = order[ids_c[order] != q_ids[r]][:k]
-                for rank, j in enumerate(order, 1):
-                    rows.append((q_ids[r], ids_c[j], rank, round(float(s[j]), 6)))
-            yield pd.DataFrame(
-                rows, columns=["query_id", "neighbor_id", "rank", "cosine"]
-            )
+            for qc, cc in zip(pdf["qc"], pdf["cc"]):
+                q_ids = np.asarray([r["id"] for r in qc])
+                q_mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qc])
+                c_ids = np.asarray([r["id"] for r in cc])
+                c_mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in cc])
+                sims = (q_mat @ c_mat.T) / np.outer(
+                    np.linalg.norm(q_mat, axis=1), np.linalg.norm(c_mat, axis=1)
+                )
+                out_q: list = []
+                out_n: list = []
+                out_s: list = []
+                for r in range(sims.shape[0]):
+                    s = sims[r]
+                    # block-local total order: cos desc, neighbor_id asc
+                    order = np.lexsort((c_ids, -s))
+                    order = order[c_ids[order] != q_ids[r]][:k]
+                    out_q.extend([q_ids[r]] * len(order))
+                    out_n.extend(c_ids[order].tolist())
+                    out_s.extend(s[order].tolist())
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cos": out_s}
+                )
 
-    return slim.mapInPandas(gen, schema)
+    cand = pairs.mapInPandas(gen, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# Backwards-compatible name for the bench hot path; the blocked design
+# replaced the driver-collect BLAS variant outright.
+brute_force_topk_fast = brute_force_topk_blocked

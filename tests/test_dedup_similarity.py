@@ -170,21 +170,72 @@ class TestSimilarity:
         row = [r for r in out.collect() if r.query_id == 0 and r.neighbor_id == 3]
         assert row and row[0].cosine == -1.0
 
-    def test_fast_topk_matches_fold_path(self, spark, emb_df):
-        """BLAS variant reproduces the sequential-fold verification path
-        (same ranks and 6-decimal cosines) — the bench's hot path is
-        value-pinned against the oracle-checked one."""
+    def test_blocked_topk_matches_fold_path(self, spark, emb_df):
+        """Block-partitioned BLAS variant reproduces the sequential-fold
+        verification path (same ranks and 6-decimal cosines) — the
+        bench's hot path is value-pinned against the oracle-checked one.
+        block_size=2 forces a real multi-block (Bc=3) run so the
+        cross-block global top-k merge is exercised, not just the
+        single-matmul degenerate case."""
         from easyner_spark.operators.similarity import (
             brute_force_topk,
-            brute_force_topk_fast,
+            brute_force_topk_blocked,
         )
 
         exact = sorted(map(tuple, brute_force_topk(emb_df, k=3).collect()))
-        fast = sorted(map(tuple, brute_force_topk_fast(emb_df, k=3).collect()))
+        fast = sorted(
+            map(tuple, brute_force_topk_blocked(emb_df, k=3, block_size=2).collect())
+        )
         assert len(exact) == len(fast)
         for e, f in zip(exact, fast):
             assert e[:3] == f[:3]           # query, neighbor, rank identical
             assert abs(e[3] - f[3]) < 2e-6  # cosine equal after round(6)
+
+    def test_blocked_topk_no_driver_collect_plan(self, spark, emb_df):
+        """The blocked path's physical plan is a CartesianProduct over
+        packed blocks (each task reads one query block + one corpus
+        block) — NOT a broadcast of the whole corpus."""
+        from easyner_spark.operators.similarity import brute_force_topk_blocked
+
+        out = brute_force_topk_blocked(emb_df, k=2, block_size=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    def test_blocked_topk_preserves_id_type_and_queries(self, spark):
+        """String ids survive (no hardcoded long schema — ADVICE r1),
+        and an explicit small query set against a larger corpus works."""
+        from easyner_spark.operators.similarity import (
+            brute_force_topk,
+            brute_force_topk_blocked,
+        )
+
+        corpus = spark.createDataFrame(
+            [(f"d{i}", [float(i % 3 == j) for j in range(4)]) for i in range(9)],
+            "vec_id string, embedding array<float>",
+        )
+        queries = corpus.where("vec_id in ('d0', 'd4')")
+        exact = sorted(
+            map(tuple, brute_force_topk(corpus, k=2, queries=queries).collect())
+        )
+        fast = sorted(
+            map(
+                tuple,
+                brute_force_topk_blocked(
+                    corpus, k=2, queries=queries, block_size=3
+                ).collect(),
+            )
+        )
+        assert exact == fast
+        assert fast and isinstance(fast[0][0], str)
+
+    def test_blocked_topk_empty_corpus(self, spark):
+        from easyner_spark.operators.similarity import brute_force_topk_blocked
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        out = brute_force_topk_blocked(empty, k=3)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "rank", "cosine"]
 
     def test_lsh_subset_of_exact_and_agrees(self, spark, emb_df):
         from easyner_spark.operators.similarity import brute_force_topk, lsh_topk
@@ -203,8 +254,37 @@ class TestSimilarity:
     def test_neardup_threshold(self, spark, emb_df):
         from easyner_spark.operators.similarity import embedding_neardup_pairs
 
-        pairs = embedding_neardup_pairs(emb_df, threshold=0.99).collect()
+        # n_bits=0: the exact all-pairs verification twin
+        pairs = embedding_neardup_pairs(emb_df, threshold=0.99, n_bits=0).collect()
         assert [(r.a, r.b) for r in pairs] == [(0, 1)]
+
+    def test_neardup_default_is_bucketed_subset(self, spark):
+        """The DEFAULT near-dup path (VERDICT r1 fix) is LSH-bucketed:
+        one equi-join shuffle, no all-pairs theta join; every emitted
+        pair carries the exact cosine and appears in the exact twin.
+        The near-dup pair has a dominant first component, so its sign
+        w.r.t. every +-1 plane equals sign(p0) for both vectors — they
+        provably share all buckets and cannot be missed."""
+        from easyner_spark.operators.similarity import embedding_neardup_pairs
+
+        vecs = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.99, 0.001, 0.001, 0.001]),
+            (2, [0.0, 1.0, -1.0, 0.0]),
+            (3, [-1.0, 0.2, 0.0, 0.3]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        exact = {
+            (r.a, r.b): r.cosine
+            for r in embedding_neardup_pairs(df, threshold=0.5, n_bits=0).collect()
+        }
+        bucketed = embedding_neardup_pairs(df, threshold=0.5)  # defaults
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+        got = bucketed.collect()
+        for r in got:
+            assert exact[(r.a, r.b)] == r.cosine
+        assert any((r.a, r.b) == (0, 1) for r in got)
 
     def test_hyperplanes_deterministic(self):
         from easyner_spark.operators.similarity import hyperplanes
