@@ -451,6 +451,57 @@ def q_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pubmed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap each document's text in a PubMed baseline XML envelope
+    (PMID / ArticleTitle / Abstract), run the REAL S2 parser
+    (sources/pubmed.py, reference scripts/pubmed_bulk.py:108-139) over
+    the binary blob, and return (doc_id, text). Oracle = identity on
+    documents — field-extraction parity as a value check."""
+    import pandas as pd
+
+    from easyner_spark.sources.pubmed import PUBMED_SCHEMA, parse_pubmed_xml_bytes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    xml = docs.select(
+        F.encode(
+            F.concat(
+                F.lit(
+                    "<PubmedArticleSet><PubmedArticle><MedlineCitation><PMID>"
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    "</PMID><Article><Journal><JournalIssue><PubDate>"
+                    "<Year>2024</Year></PubDate></JournalIssue></Journal>"
+                    "<ArticleTitle>t</ArticleTitle><Abstract><AbstractText>"
+                ),
+                F.col("text"),
+                F.lit(
+                    "</AbstractText></Abstract></Article>"
+                    "</MedlineCitation></PubmedArticle></PubmedArticleSet>"
+                ),
+            ),
+            "UTF-8",
+        ).alias("blob")
+    )
+
+    def gen(batches):
+        cols = [
+            "pmid", "title", "abstract", "mesh_terms",
+            "pubdate", "chemical_list", "file_num",
+        ]
+        for pdf in batches:
+            rows = []
+            for blob in pdf["blob"]:
+                rows.extend(parse_pubmed_xml_bytes(bytes(blob), 0))
+            yield pd.DataFrame(rows, columns=cols)
+
+    parsed = xml.mapInPandas(gen, PUBMED_SCHEMA)
+    return parsed.select(
+        F.col("pmid").cast("long").alias("doc_id"),
+        F.col("abstract").alias("text"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> sentences -> dictionary NER -> ranked entity
     frequency top-50 (the reference pipeline's main output,
@@ -489,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_exact": q_emb_neardup_exact,
         "media_meta": q_media_meta,
         "boilerplate_extract": q_boilerplate_extract,
+        "pubmed_extract": q_pubmed_extract,
     }
 
 
@@ -902,6 +954,10 @@ def oracle_sql() -> dict[str, str]:
         # byte-identity invariant: extracting the synthesized page must
         # return documents.text verbatim, so the oracle is the identity
         "boilerplate_extract": "SELECT doc_id, text FROM documents",
+        # same pattern for the S2 PubMed XML parser: wrapping each doc
+        # in a baseline-XML envelope and parsing it back must return
+        # the abstract verbatim
+        "pubmed_extract": "SELECT doc_id, text FROM documents",
         "predicate_triples": _predicate_triples_oracle(),
         **_dedup_oracles(),
         **_similarity_oracles(),
