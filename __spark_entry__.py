@@ -229,8 +229,10 @@ def q_term_freq_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_resolve_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-dependent sequential rules (reference entity_merger2.py:
-    99-146) — not SQL-expressible; driver records the rows-only check,
-    bit-exact parity is established by tests/test_merger_parity.py."""
+    99-146). The oracle expresses the loop as a recursive CTE over a
+    survivor bitmask (delete i iff some alive j beats it, i descending)
+    — see oracle_sql(); bit-exact parity is additionally pinned by
+    tests/test_merger_parity.py."""
     from easyner_spark.operators.merger import resolve_conflicts
 
     pri = {"kw1": 1, "kw2": 2, "kw3": 3}
@@ -1022,6 +1024,51 @@ FROM sentences
 SELECT doc_id, mention_lc AS mention, count(*)::BIGINT AS cnt
 FROM mentions
 GROUP BY doc_id, mention_lc
+""",
+        # Sequential conflict resolution (entity_merger2.py:99-146) as a
+        # recursive CTE: the reference loop scans i last-to-first and
+        # deletes rows[i] iff SOME still-alive j beats it (the for-j
+        # break order is irrelevant because every match has the same
+        # effect), so the state is just a survivor bitmask evolving as
+        # i descends. Mentions are token-aligned, so the char-span
+        # rules map 1:1 onto (begin_tok, end_tok); max 16 mentions per
+        # sentence at this tier -> a 64-bit mask is ample.
+        "resolve_conflicts": _PRELUDE.replace("WITH sent0", "WITH RECURSIVE sent0", 1)
+        + """
+, rc AS (
+  SELECT doc_id, sent_idx, begin_tok AS b, end_tok AS e, mention_lc, class,
+         CASE class WHEN 'kw1' THEN 1 WHEN 'kw2' THEN 2 WHEN 'kw3' THEN 3
+                    ELSE 4 END AS prio,
+         row_number() OVER (PARTITION BY doc_id, sent_idx
+                            ORDER BY begin_tok, end_tok, class, mention_lc
+                           ) - 1 AS idx
+  FROM mentions
+),
+sizes AS (SELECT doc_id, sent_idx, count(*)::INT AS n FROM rc GROUP BY doc_id, sent_idx),
+step AS (
+  SELECT doc_id, sent_idx, n - 1 AS i, ((1::BIGINT << n) - 1) AS mask FROM sizes
+  UNION ALL
+  SELECT s.doc_id, s.sent_idx, s.i - 1,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM rc b, rc j
+           WHERE b.doc_id = s.doc_id AND b.sent_idx = s.sent_idx AND b.idx = s.i
+             AND j.doc_id = s.doc_id AND j.sent_idx = s.sent_idx
+             AND j.idx <> s.i AND ((s.mask >> j.idx) & 1) = 1
+             AND (
+               (b.b = j.b AND b.e = j.e AND b.class <> j.class AND b.prio > j.prio)
+               OR (NOT (b.b = j.b AND b.e = j.e) AND b.b >= j.b AND b.e <= j.e)
+               OR (((b.b < j.b AND j.b < b.e AND b.e < j.e)
+                    OR (j.b < b.b AND b.b < j.e AND j.e < b.e))
+                   AND length(b.mention_lc) < length(j.mention_lc))
+             )
+         ) THEN s.mask & ~(1::BIGINT << s.i) ELSE s.mask END
+  FROM step s WHERE s.i >= 0
+),
+final AS (SELECT doc_id, sent_idx, mask FROM step WHERE i = -1)
+SELECT r.doc_id, r.sent_idx::BIGINT AS sent_idx,
+       r.b::BIGINT AS begin_tok, r.e::BIGINT AS end_tok, r.mention_lc, r.class
+FROM rc r JOIN final f ON r.doc_id = f.doc_id AND r.sent_idx = f.sent_idx
+WHERE ((f.mask >> r.idx) & 1) = 1
 """,
         "components": _PRELUDE.replace("WITH sent0", "WITH RECURSIVE sent0", 1)
         + """
