@@ -227,6 +227,30 @@ def q_term_freq_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_frequency_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 compat completion: the nested per-batch count map
+    (scripts/analysis.py:47-80). batch_id is synthesized as
+    doc_id % 7; the map is rendered with to_json (keys in ascending
+    batch order) so DuckDB can build the identical string."""
+    from easyner_spark.operators.analysis import entity_frequency
+
+    m = _mentions(spark, sf_dir).withColumn(
+        "batch_id", F.pmod(F.col("url").cast("long"), F.lit(7))
+    )
+    freq = entity_frequency(
+        m, mention_col="mention_lc", batch_col="batch_id", batch_counts=True
+    )
+    return freq.select(
+        "mention",
+        F.col("total_count").cast("long").alias("total_count"),
+        F.col("articles_spanned").cast("long").alias("articles_spanned"),
+        F.col("batches_spanned").cast("long").alias("batches_spanned"),
+        F.to_json("batch_count").alias("batch_count_json"),
+        "freq_per_article",
+        "freq_per_batch",
+    )
+
+
 def q_resolve_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-dependent sequential rules (reference entity_merger2.py:
     99-146). The oracle expresses the loop as a recursive CTE over a
@@ -520,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sentences": q_split_sentences,
         "dict_ner": q_dict_ner,
         "entity_frequency": q_entity_frequency,
+        "entity_frequency_batched": q_entity_frequency_batched,
         "link_entities": q_link_entities,
         "triples": q_triples,
         "predicate_triples": q_predicate_triples,
@@ -982,6 +1007,27 @@ SELECT mention_lc AS mention,
        count(DISTINCT doc_id)::BIGINT AS articles_spanned
 FROM mentions
 GROUP BY mention_lc
+""",
+        "entity_frequency_batched": _PRELUDE
+        + """
+, mb AS (SELECT mention_lc, doc_id, doc_id % 7 AS batch FROM mentions),
+pb AS (SELECT mention_lc, batch, count(*)::BIGINT AS cnt FROM mb GROUP BY mention_lc, batch),
+roll AS (
+  SELECT mention_lc AS mention,
+         sum(cnt)::BIGINT AS total_count,
+         count(*)::BIGINT AS batches_spanned,
+         '{' || string_agg('"' || batch || '":' || cnt, ',' ORDER BY batch) || '}' AS batch_count_json
+  FROM pb GROUP BY mention_lc
+),
+arts AS (
+  SELECT mention_lc AS mention, count(DISTINCT doc_id)::BIGINT AS articles_spanned
+  FROM mb GROUP BY mention_lc
+)
+SELECT r.mention, r.total_count, a.articles_spanned, r.batches_spanned,
+       r.batch_count_json,
+       r.total_count / a.articles_spanned AS freq_per_article,
+       r.total_count / r.batches_spanned AS freq_per_batch
+FROM roll r JOIN arts a ON r.mention = a.mention
 """,
         "link_entities": _PRELUDE
         + """

@@ -35,26 +35,116 @@ def entity_frequency(
     batch_col: str | None = None,
     exact_sets: bool = False,
     approximate: bool = False,
+    batch_counts: bool = False,
 ) -> DataFrame:
-    cd = F.approx_count_distinct if approximate else F.countDistinct
-    aggs = [
-        F.count(F.lit(1)).alias("total_count"),
-        cd(doc_col).alias("articles_spanned"),
-    ]
-    if batch_col is not None:
-        aggs.append(cd(batch_col).alias("batches_spanned"))
-    if exact_sets:
-        aggs.append(F.sort_array(F.collect_set(doc_col)).alias("articles_set"))
-        if batch_col is not None:
-            aggs.append(F.sort_array(F.collect_set(batch_col)).alias("batch_set"))
+    """`batch_counts=True` adds the reference's nested per-batch count
+    map (`batch_count`, scripts/analysis.py:47-80) as
+    map<batch, count> with keys in ascending batch order.
 
-    out = mentions.groupBy(F.col(mention_col).alias("mention")).agg(*aggs)
+    Plan shape of that path: ONE real shuffle. A composite pre-agg
+    g0 = groupBy(mention, doc, batch) runs after an explicit
+    repartition on `mention` (HashPartitioning(mention) satisfies
+    ClusteredDistribution(mention, doc, batch), so the agg is local);
+    every downstream rollup — per-doc, per-batch, the batch_count map,
+    the exact sets, the final equi-join — groups on a key prefixed by
+    `mention` and inherits that same partitioning, so Catalyst plans no
+    further exchange (the two branch subplans share one shuffle via
+    ReuseExchange). Distinct counts become plain `count(*)` over the
+    pre-agg, avoiding the Expand rewrite of countDistinct, which would
+    reset the partitioning. The count(*)s are exact, so `approximate`
+    is a no-op on this path."""
+    if batch_counts and batch_col is not None:
+        g0 = (
+            mentions.select(
+                F.col(mention_col).alias("mention"),
+                F.col(doc_col).alias("doc"),
+                F.col(batch_col).alias("batch"),
+            )
+            .repartition(F.col("mention"))
+            .groupBy("mention", "doc", "batch")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        per_doc = g0.groupBy("mention", "doc").agg(F.sum("cnt").alias("c"))
+        doc_aggs = [
+            F.count(F.lit(1)).alias("articles_spanned"),
+            F.sum("c").alias("total_count"),
+        ]
+        if exact_sets:
+            doc_aggs.append(F.sort_array(F.collect_list("doc")).alias("articles_set"))
+        docs_roll = per_doc.groupBy("mention").agg(*doc_aggs)
+        per_batch = g0.groupBy("mention", "batch").agg(F.sum("cnt").alias("c"))
+        batch_aggs = [
+            F.count(F.lit(1)).alias("batches_spanned"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("batch", "c")))
+            ).alias("batch_count"),
+        ]
+        if exact_sets:
+            batch_aggs.append(F.sort_array(F.collect_list("batch")).alias("batch_set"))
+        batches_roll = per_batch.groupBy("mention").agg(*batch_aggs)
+        out = docs_roll.join(batches_roll, "mention")
+    else:
+        cd = F.approx_count_distinct if approximate else F.countDistinct
+        aggs = [
+            F.count(F.lit(1)).alias("total_count"),
+            cd(doc_col).alias("articles_spanned"),
+        ]
+        if batch_col is not None:
+            aggs.append(cd(batch_col).alias("batches_spanned"))
+        if exact_sets:
+            aggs.append(F.sort_array(F.collect_set(doc_col)).alias("articles_set"))
+            if batch_col is not None:
+                aggs.append(F.sort_array(F.collect_set(batch_col)).alias("batch_set"))
+        out = mentions.groupBy(F.col(mention_col).alias("mention")).agg(*aggs)
     out = out.withColumn(
         "freq_per_article", F.col("total_count") / F.col("articles_spanned")
     )
     if batch_col is not None:
         out = out.withColumn(
             "freq_per_batch", F.col("total_count") / F.col("batches_spanned")
+        )
+    return out
+
+
+REFERENCE_COLUMNS = [
+    "mention",
+    "total_count",
+    "articles_spanned",
+    "batches_spanned",
+    "freq_per_article",
+    "freq_per_batch",
+    "batch_set",
+    "batch_count",
+    "articles_set",
+]
+
+
+def reference_frame(freq: DataFrame) -> DataFrame:
+    """Reference-exact ranked column order for the compat TSV
+    (scripts/analysis.py:78: [total_count, articles_spanned,
+    batches_spanned, freq_per_article, freq_per_batch, batch_set,
+    batch_count, articles_set], entity as the index -> first column).
+    Collection cells are rendered as strings: sets ascending, the
+    batch_count map `{batch: cnt}` in ascending batch order (the
+    reference's dict insertion order — batches are ingested sorted)."""
+    cols = [c for c in REFERENCE_COLUMNS if c in freq.columns]
+    out = ranked(freq).select(*cols)
+    for c in ("batch_set", "articles_set"):
+        if c in cols:
+            out = out.withColumn(
+                c,
+                F.concat(
+                    F.lit("{"), F.array_join(F.col(c).cast("array<string>"), ", "), F.lit("}")
+                ),
+            )
+    if "batch_count" in cols:
+        entries = F.transform(
+            F.map_entries("batch_count"),
+            lambda e: F.concat(e["key"].cast("string"), F.lit(": "), e["value"].cast("string")),
+        )
+        out = out.withColumn(
+            "batch_count",
+            F.concat(F.lit("{"), F.array_join(entries, ", "), F.lit("}")),
         )
     return out
 

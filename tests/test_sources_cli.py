@@ -155,6 +155,76 @@ class TestSaltedRollup:
         assert plain == salted
 
 
+class TestBatchCountCompat:
+    """A1 compat completion (VERDICT r1 missing #3): nested per-batch
+    count map + reference-exact ranked TSV column order
+    (scripts/analysis.py:47-80)."""
+
+    @pytest.fixture()
+    def ments(self, spark):
+        rows = [
+            ("A", 1, "x"), ("A", 1, "x"), ("A", 1, "y"),
+            ("B", 1, "x"),
+            ("C", 2, "x"), ("C", 2, "z"),
+        ]
+        return spark.createDataFrame(rows, "url string, batch_id int, mention_lc string")
+
+    def test_batch_count_map(self, spark, ments):
+        from easyner_spark.operators.analysis import entity_frequency
+
+        freq = entity_frequency(
+            ments, mention_col="mention_lc", batch_col="batch_id",
+            exact_sets=True, batch_counts=True,
+        )
+        rows = {r.mention: r for r in freq.collect()}
+        assert rows["x"].total_count == 4
+        assert rows["x"].articles_spanned == 3
+        assert rows["x"].batches_spanned == 2
+        assert rows["x"].batch_count == {1: 3, 2: 1}
+        assert rows["x"].batch_set == [1, 2]
+        assert rows["y"].batch_count == {1: 1}
+        assert rows["z"].freq_per_batch == 1.0
+
+    def test_single_shuffle_plan(self, spark, ments, tmp_path):
+        """The doc-rollup branch, the batch-rollup branch and the final
+        join all hang off ONE repartition on mention: after AQE reuse,
+        exactly one real hashpartitioning exchange survives (the second
+        branch reads it as ReusedExchange; the tiny rollup join is
+        broadcast)."""
+        from easyner_spark.operators.analysis import entity_frequency
+
+        path = str(tmp_path / "m.parquet")
+        ments.write.parquet(path)
+        freq = entity_frequency(
+            spark.read.parquet(path),
+            mention_col="mention_lc", batch_col="batch_id", batch_counts=True,
+        )
+        freq.collect()
+        plan = freq._jdf.queryExecution().executedPlan().toString()
+        # AdaptiveSparkPlan prints the pre-AQE plan after the final one
+        plan = plan.split("== Initial Plan ==")[0]
+        real = [
+            l for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l and "ReusedExchange" not in l
+        ]
+        assert len(real) == 1, plan
+        assert "ReusedExchange" in plan
+
+    def test_reference_tsv_golden(self, spark, ments, tmp_path):
+        """Byte-parity against the committed golden ranked TSV."""
+        import pathlib
+
+        from easyner_spark.operators.analysis import entity_frequency, reference_frame
+
+        freq = entity_frequency(
+            ments, mention_col="mention_lc", batch_col="batch_id",
+            exact_sets=True, batch_counts=True,
+        )
+        got = reference_frame(freq).toPandas().to_csv(sep="\t", index=False)
+        golden = pathlib.Path(__file__).parent / "golden" / "entity_frequency_ranked.tsv"
+        assert got == golden.read_text()
+
+
 class TestCli:
     def test_pipeline_end_to_end_and_resume(self, spark, pages_df, tmp_path, capsys):
         from easyner_spark.cli import run_pipeline
