@@ -65,3 +65,34 @@ def split_sentences_py(text: str) -> list[str]:
 def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
     """Canonical tokenizer with char offsets: (token, begin, end)."""
     return [(m.group(0), m.start(), m.end()) for m in TOKEN_RE.finditer(text)]
+
+
+# Reference entity_parser.py:44-53: the detokenized sentence text gets
+# this literal replace chain (order matters — applied left to right).
+DETOK_FIXUPS = [
+    (" .", "."), (" ,", ","), (" - ", "-"), ("( ", "("), (" )", ")"),
+    (" :", ":"), (" ;", ";"), (" !", "!"), (" ?", "?"),
+]
+# Reference entity_parser.py:38-39: entity surfaces get only these two.
+ENTITY_FIXUPS = [(" - ", "-"), (" , ", ",")]
+
+
+def detok_fixups(col: Column) -> Column:
+    """Column expression applying the reference's detokenization
+    replace chain (entity_parser.py:44-53) — literal, not regex."""
+    for old, new in DETOK_FIXUPS:
+        col = F.replace(col, F.lit(old), F.lit(new))
+    return col
+
+
+def detok_fixups_py(s: str) -> str:
+    for old, new in DETOK_FIXUPS:
+        s = s.replace(old, new)
+    return s
+
+
+def entity_fixups_py(s: str) -> str:
+    """Reference entity_parser.py:38-39 entity-surface repairs."""
+    for old, new in ENTITY_FIXUPS:
+        s = s.replace(old, new)
+    return s

@@ -136,3 +136,67 @@ def seqeval_report(pred_tokens: DataFrame, gold_tokens: DataFrame) -> DataFrame:
     """Corpus-level macro/micro/weighted rollup (mirrors the shape of
     the span-tolerant evaluator's corpus_rollup, reference :418-498)."""
     return corpus_rollup(seqeval_class_metrics(pred_tokens, gold_tokens))
+
+
+CO_OCCUR_SCHEMA = (
+    "seq_id int, has_cooccurrence boolean, entities array<string>, text string"
+)
+
+
+def co_occurrence(tokens: DataFrame) -> DataFrame:
+    """T6 compat: the reference's co-occurrence extractor
+    (entity_parser.py:4-55) over (seq_id, tok_idx, token, label) rows.
+
+    Reproduced bit-exactly, quirks included:
+      - detokenize: a label containing 'X' merges `token[2:]` into the
+        previous word (WordPiece '##' convention, :4-16);
+      - 'B' while already inside an entity keeps accumulating WITHOUT
+        a space separator (:26-28 has no in_entity reset);
+      - an entity still open at sequence end is DROPPED (the loop only
+        appends on an 'O', :34-38);
+      - entity surfaces get the ' - '/' , ' repairs, the joined text
+        gets the 9-step replace chain (:38-53).
+
+    Grouped applyInPandas per sequence — groups are sentence-sized and
+    the (seq_id) grouping reuses the pipeline's partitioning; this is
+    a compat/eval boundary, not a hot path."""
+    import pandas as pd
+
+    from easyner_spark.functions.text import detok_fixups_py, entity_fixups_py
+
+    def _per_seq(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("tok_idx", kind="stable")
+        pairs = list(zip(pdf["token"], pdf["label"]))
+        # detokenize (entity_parser.py:4-16)
+        labels, words = [], []
+        for token, label in pairs:
+            if "X" not in label:
+                words.append(token)
+                labels.append(label)
+            elif words:
+                words[-1] = words[-1] + token[2:]
+        # co_occurrence_extractor (entity_parser.py:19-55)
+        entities: list[str] = []
+        entity, in_entity = "", False
+        for label, word in zip(labels, words):
+            if "B" in label:
+                entity = entity + word
+                in_entity = True
+            elif in_entity:
+                if "I" in label:
+                    entity = entity + " " + word
+                elif "O" in label:
+                    in_entity = False
+                    entities.append(entity_fixups_py(entity))
+                    entity = ""
+        text = detok_fixups_py(" ".join(words))
+        return pd.DataFrame(
+            {
+                "seq_id": [int(pdf["seq_id"].iloc[0])],
+                "has_cooccurrence": [len(entities) >= 2],
+                "entities": [entities],
+                "text": [text],
+            }
+        )
+
+    return tokens.groupBy("seq_id").applyInPandas(_per_seq, CO_OCCUR_SCHEMA)

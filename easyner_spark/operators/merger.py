@@ -182,3 +182,58 @@ def merge_separated(mentions: DataFrame, sentences: DataFrame) -> DataFrame:
         return out
 
     return with_text.groupBy("url", "sent_idx").applyInPandas(_per_sentence, schema)
+
+
+def merger_v1_export(mentions: DataFrame, tag_col: str = "class") -> DataFrame:
+    """J2 compat boundary: the reference merger's nested per-sentence
+    shape (entity_merger.py:20-56): each sentence's flat entity list
+    becomes `{tag: [entities]}` / `{tag: [[begin, end], ...]}`, tags
+    accumulating across runs via dict.update; sentences with no
+    entities export `{}`.
+
+    Columnar shape: two stacked aggs sharing one shuffle — per
+    (url, sent_idx, tag) ordered lists, then per (url, sent_idx)
+    map_from_entries. Map-key order: ascending run_idx when the input
+    carries it (= the reference's input-folder update order), else
+    ascending tag. A `json` column renders the byte-stable export
+    (to_json keeps map insertion order).
+    """
+    has_run = "run_idx" in mentions.columns
+    order_key = F.min("run_idx") if has_run else F.first(F.lit(0))
+    per_tag = (
+        mentions.repartition("url", "sent_idx")
+        .groupBy("url", "sent_idx", F.col(tag_col).alias("tag"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("begin", "end", "mention"))
+            ).alias("spans_sorted"),
+            order_key.alias("ord"),
+        )
+        .select(
+            "url",
+            "sent_idx",
+            "tag",
+            "ord",
+            F.transform(F.col("spans_sorted"), lambda s: s["mention"]).alias("ents"),
+            F.transform(
+                F.col("spans_sorted"), lambda s: F.array(s["begin"], s["end"])
+            ).alias("spans"),
+        )
+    )
+    nested = per_tag.groupBy("url", "sent_idx").agg(
+        F.map_from_entries(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "tag", "ents"))),
+                lambda s: F.struct(s["tag"].alias("key"), s["ents"].alias("value")),
+            )
+        ).alias("entities"),
+        F.map_from_entries(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "tag", "spans"))),
+                lambda s: F.struct(s["tag"].alias("key"), s["spans"].alias("value")),
+            )
+        ).alias("entity_spans"),
+    )
+    return nested.withColumn(
+        "json", F.to_json(F.struct("entities", "entity_spans"))
+    )

@@ -176,3 +176,68 @@ def test_merge_runs_and_resolve_spark(spark):
     out = resolve_conflicts(merged).toPandas().sort_values("begin")
     assert list(out["mention"]) == ["mtor", "tsc1 gene"]
     assert list(out["class"]) == ["chemical", "gene"]
+
+
+class TestMergerV1Export:
+    def test_nested_map_shape(self, spark):
+        """Reference entity_merger.py:20-56: per sentence
+        {tag: [entities]} / {tag: [[b, e], ...]}, tags in run order."""
+        from easyner_spark.operators.merger import merger_v1_export
+
+        rows = [
+            ("u", 0, "aspirin", 0, 7, "chemical", 0),
+            ("u", 0, "fever", 10, 15, "disease", 1),
+            ("u", 0, "mild fever", 5, 15, "disease", 1),
+            ("u", 1, "tnf", 0, 3, "gene", 2),
+        ]
+        m = spark.createDataFrame(
+            rows,
+            "url string, sent_idx int, mention string, begin int, end int, "
+            "class string, run_idx int",
+        )
+        out = {r.sent_idx: r for r in merger_v1_export(m).where("url = 'u'").collect()}
+        s0 = out[0]
+        assert s0.entities == {
+            "chemical": ["aspirin"],
+            "disease": ["mild fever", "fever"],  # (begin, end) order
+        }
+        assert s0.entity_spans == {
+            "chemical": [[0, 7]],
+            "disease": [[5, 15], [10, 15]],
+        }
+        assert list(s0.entities.keys()) == ["chemical", "disease"]  # run order
+        assert out[1].entities == {"gene": ["tnf"]}
+        # byte-stable export boundary
+        import json
+
+        j = json.loads(s0.json)
+        assert j["entities"]["disease"] == ["mild fever", "fever"]
+        assert j["entity_spans"]["chemical"] == [[0, 7]]
+
+
+class TestCoOccurrence:
+    def test_reference_loop_quirks(self, spark):
+        """entity_parser.py:4-55 bit-parity: X-label merge, B-without-
+        space accumulation, trailing-entity drop, punctuation chains."""
+        from easyner_spark.operators.iob import co_occurrence
+
+        rows = [
+            # seq 0: two entities incl. separator repair + detok chain
+            (0, 0, "TNF", "B"), (0, 1, "-", "I"), (0, 2, "alpha", "I"),
+            (0, 3, "binds", "O"), (0, 4, "IL", "B"), (0, 5, "##6", "X"),
+            (0, 6, ".", "O"),
+            # seq 1: trailing entity never closed by an O -> dropped
+            (1, 0, "only", "O"), (1, 1, "aspirin", "B"),
+            # seq 2: B directly after B accumulates without a space
+            (2, 0, "foo", "B"), (2, 1, "bar", "B"), (2, 2, "!", "O"),
+        ]
+        toks = spark.createDataFrame(
+            rows, "seq_id int, tok_idx int, token string, label string"
+        )
+        out = {r.seq_id: r for r in co_occurrence(toks).collect()}
+        assert out[0].entities == ["TNF-alpha", "IL6"]  # ' - ' repaired; X merged
+        assert out[0].has_cooccurrence is True
+        assert out[0].text == "TNF-alpha binds IL6."  # ' - '->'-', ' .'->'.'
+        assert out[1].entities == []  # trailing entity dropped (ref quirk)
+        assert out[2].entities == ["foobar"]  # B-after-B, no space (ref quirk)
+        assert out[2].has_cooccurrence is False

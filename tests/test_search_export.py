@@ -84,3 +84,23 @@ def test_pubtator_lines_shape(spark, pages_df):
     assert lines.iloc[1]["line"].split("|")[1] == "a"
     body = lines.iloc[2:]
     assert (body["line"].str.count("\t") == 5).all()
+
+
+def test_barchart_svg_render(spark, pages_df, tmp_path):
+    """K4: ranked top-n feed -> driver-side SVG export (reference
+    scripts/analysis.py:82-122; the matplotlib twin is import-gated)."""
+    from easyner_spark.operators.analysis import entity_frequency
+    from easyner_spark.sinks.chart import render_barchart_svg, write_barchart_svg
+
+    ments = dict_ner(split_sentences(pages_df), TERMS)
+    freq = entity_frequency(ments, mention_col="mention_lc")
+    svg = render_barchart_svg(freq, n=5, title="Top 5 entities")
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    top = freq.orderBy(F.desc("total_count"), F.asc("mention")).limit(5).collect()
+    for r in top:  # every ranked entity appears as a label + its value
+        assert f">{r.mention}<" in svg
+        assert f">{r.total_count}<" in svg
+    assert svg.count("<rect") == len(top) + 1  # bars + surface
+    out = tmp_path / "chart.svg"
+    write_barchart_svg(freq, str(out), n=5)
+    assert out.read_text() == svg
