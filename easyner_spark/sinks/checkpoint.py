@@ -61,12 +61,29 @@ class SnapshotTable:
         os.makedirs(path, exist_ok=True)
 
     # -- snapshot pointer management ------------------------------------
-    def current_snapshot(self) -> int | None:
+    def _read_pointer(self) -> tuple[int, int | None] | None:
+        """(snapshot, committed_epoch|None) from the _CURRENT pointer.
+        The epoch rides IN the pointer so 'data + epoch' is one atomic
+        os.replace — there is no crash window between them."""
         try:
             with open(os.path.join(self.path, _CURRENT), encoding="utf-8") as f:
-                return int(f.read().strip())
+                raw = f.read().strip()
         except FileNotFoundError:
             return None
+        if "," in raw:
+            snap_s, epoch_s = raw.split(",", 1)
+            return int(snap_s), int(epoch_s)
+        return int(raw), None
+
+    def current_snapshot(self) -> int | None:
+        ptr = self._read_pointer()
+        return None if ptr is None else ptr[0]
+
+    def current_epoch(self) -> int | None:
+        """Highest epoch id committed WITH a snapshot (None before the
+        first epoch-carrying commit)."""
+        ptr = self._read_pointer()
+        return None if ptr is None else ptr[1]
 
     def history(self) -> list[int]:
         return sorted(
@@ -78,10 +95,10 @@ class SnapshotTable:
     def _snap_dir(self, snap: int) -> str:
         return os.path.join(self.path, f"snap-{snap:06d}")
 
-    def _commit(self, snap: int) -> None:
+    def _commit(self, snap: int, epoch: int | None = None) -> None:
         tmp = os.path.join(self.path, f".current.{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as f:
-            f.write(str(snap))
+            f.write(str(snap) if epoch is None else f"{snap},{epoch}")
         os.replace(tmp, os.path.join(self.path, _CURRENT))  # atomic repoint
 
     def rollback(self, snap: int) -> None:
@@ -117,14 +134,27 @@ class SnapshotTable:
         self._commit(snap)
         return snap
 
-    def merge_additive(self, df: DataFrame, sum_cols: list[str]) -> int:
+    def merge_additive(
+        self, df: DataFrame, sum_cols: list[str], epoch: int | None = None
+    ) -> int:
         """Additive upsert: union with the current snapshot and re-sum
         `sum_cols` grouped by key_cols (all other columns must be in
         key_cols or sum_cols). The streaming-edges merge primitive —
         microbatch deltas fold into running totals with ONE shuffle on
         the key, sized to the (small) aggregate table, never the input.
-        On Iceberg this is MERGE INTO ... UPDATE SET c = t.c + s.c."""
+        On Iceberg this is MERGE INTO ... UPDATE SET c = t.c + s.c.
+
+        Additive folds are NOT idempotent, so exactly-once under replay
+        needs the epoch id committed atomically with the data: pass
+        `epoch` and the call becomes a no-op (returning the current
+        snapshot) when that epoch is already committed — a crash
+        after this commit but before any downstream marker can no
+        longer double-count on replay."""
         spark = df.sparkSession
+        if epoch is not None:
+            done = self.current_epoch()
+            if done is not None and done >= epoch:
+                return self.current_snapshot()  # replayed epoch: no-op
         cur = self.read(spark)
         snap = (self.current_snapshot() or 0) + 1
         merged = df if cur is None else cur.unionByName(df)
@@ -132,7 +162,7 @@ class SnapshotTable:
             *[F.sum(c).alias(c) for c in sum_cols]
         )
         merged.write.mode("overwrite").parquet(self._snap_dir(snap))
-        self._commit(snap)
+        self._commit(snap, epoch)
         return snap
 
     def overwrite(self, df: DataFrame) -> int:
@@ -174,7 +204,11 @@ def resumable_run(
         if b in done:
             continue
         t0 = time.perf_counter()
-        out = process(inputs.where(F.col(batch_col).cast("string") == b))
+        # persist the batch output so the metrics collect and the merge
+        # read ONE execution of `process` — a non-deterministic process
+        # fn cannot commit data its lineage counts don't describe, and
+        # the batch doesn't pay double compute (ADVICE r1)
+        out = process(inputs.where(F.col(batch_col).cast("string") == b)).persist()
         part_counts = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
             .count()
@@ -186,7 +220,10 @@ def resumable_run(
             .collect()
         )
         n_rows = sum(r.n_rows for r in part_counts)
-        snap = table.merge(out)
+        try:
+            snap = table.merge(out)
+        finally:
+            out.unpersist()
         wall_ms = int((time.perf_counter() - t0) * 1000)
         lineage.merge(
             spark.createDataFrame(

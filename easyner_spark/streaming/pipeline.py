@@ -162,8 +162,15 @@ def incremental_kg(
                 delta_edges = aggregate_edges(extract_triples(linked))
                 tables["sentences"].merge(sents)
                 tables["mentions"].merge(mentions)
+                # the ONLY non-idempotent merge: the epoch id is
+                # committed atomically with the edges snapshot, so a
+                # crash between this commit and the marker write
+                # cannot double-count on replay (the last-wins merges
+                # above are replay-safe by construction) — ADVICE r1
                 tables["edges"].merge_additive(
-                    delta_edges, sum_cols=["support", "doc_count"]
+                    delta_edges,
+                    sum_cols=["support", "doc_count"],
+                    epoch=batch_id,
                 )
             finally:
                 mentions.unpersist()

@@ -106,3 +106,33 @@ class TestResumableRun:
         fresh_lineage = tmp_table("lineage2", ["batch_id"])
         resumable_run(spark, inputs, "batch", self.process, table, fresh_lineage)
         assert table.read(spark).count() == 40  # no dupes after double-processing
+
+
+class TestEpochedAdditiveMerge:
+    def test_replayed_epoch_is_noop(self, spark, tmp_table):
+        """ADVICE r1: the epoch id commits atomically with the additive
+        snapshot, so replaying the SAME epoch (crash before any
+        downstream marker) cannot double-count."""
+        t = tmp_table("edges", ["k"])
+        delta = spark.createDataFrame([("a", 2), ("b", 1)], "k string, n int")
+        s1 = t.merge_additive(delta, sum_cols=["n"], epoch=0)
+        assert t.current_epoch() == 0
+        # crash-window replay: same epoch again -> no-op, same snapshot
+        assert t.merge_additive(delta, sum_cols=["n"], epoch=0) == s1
+        assert {r.k: r.n for r in t.read(spark).collect()} == {"a": 2, "b": 1}
+        # next epoch folds normally
+        t.merge_additive(delta, sum_cols=["n"], epoch=1)
+        assert {r.k: r.n for r in t.read(spark).collect()} == {"a": 4, "b": 2}
+        assert t.current_epoch() == 1
+        # and an older epoch arriving late is also refused
+        t.merge_additive(delta, sum_cols=["n"], epoch=0)
+        assert {r.k: r.n for r in t.read(spark).collect()} == {"a": 4, "b": 2}
+
+    def test_pointer_backward_compat(self, spark, tmp_table):
+        """Epoch-less commits keep the plain pointer format."""
+        t = tmp_table("t", ["k"])
+        t.merge_additive(
+            spark.createDataFrame([("a", 1)], "k string, n int"), sum_cols=["n"]
+        )
+        assert t.current_epoch() is None
+        assert t.current_snapshot() == 1
