@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Skew-stress tier (VERDICT r1 next-step #8): deliberately hot host +
+hot mention, salted vs unsalted plans, measured.
+
+Corpus: the cached bench pages corpus (fixtures.generate Zipf hosts),
+skew-amplified at load time by a deterministic projection — ~30% of
+mention rows are remapped to ONE mention surface ('covid') on ONE host
+('hot.example.com'), the worst case the north_rule's "URL-host skew via
+salted repartitioning and AQE skew-join splitting" clause is about.
+
+Contenders (median of N timed runs after a warm run, noop-write forced):
+  rollup_unsalted    entity_frequency: one groupBy(mention) w/ partial
+                     aggs + countDistinct expand — the hot mention's
+                     (mention, url) groups land on one reducer
+  rollup_salted      entity_frequency_skew_resistant: 3-phase salted
+  nel_bcast          link_entities default: broadcast join (the engine
+                     default — skew-immune because there is no reducer)
+  nel_shuffle        shuffle join on term, broadcast disabled (the
+                     oversized-dictionary scenario): hot term -> one
+                     reducer
+  nel_shuffle_salted link_entities(salt_buckets=32), broadcast disabled
+
+Prints one JSON line; paste the table into BASELINE.md.
+
+Usage: SKEW_PAGES=600000 SKEW_CPUS=32 SKEW_REPEAT=3 python tools/skew_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    n_pages = int(os.environ.get("SKEW_PAGES", "600000"))
+    cpus = int(os.environ.get("SKEW_CPUS", "32"))
+    repeat = int(os.environ.get("SKEW_REPEAT", "3"))
+
+    from bench import _pages_parquet  # reuse the cached corpus
+    from easyner_spark.fixtures import ALIAS, TERMS
+    from easyner_spark.operators.analysis import (
+        entity_frequency,
+        entity_frequency_skew_resistant,
+    )
+    from easyner_spark.operators.nel import link_entities
+    from easyner_spark.operators.ner_dict import dict_ner
+    from easyner_spark.operators.splitter import split_sentences
+    from easyner_spark.session import get_spark
+
+    spark = get_spark(
+        "skew_bench",
+        cores=cpus,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.shuffle.partitions": str(cpus),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- materialize the skewed mention table once (cached) -----------
+    ments_path = f"/tmp/easyner_skew_mentions_{n_pages}.parquet"
+    if not os.path.exists(os.path.join(ments_path, "_SUCCESS")):
+        pages = spark.read.parquet(_pages_parquet(spark, n_pages))
+        ments = dict_ner(split_sentences(pages), TERMS)
+        # deterministic 30% hot spike: one mention surface on one host
+        hot = F.pmod(F.xxhash64("url", "sent_idx", "begin"), F.lit(10)) < 3
+        skewed = ments.select(
+            F.when(
+                hot, F.concat(F.lit("https://hot.example.com"), F.expr("substring(url, 9)"))
+            ).otherwise(F.col("url")).alias("url"),
+            "sent_idx", "begin", "end", "begin_tok", "end_tok",
+            F.when(hot, F.lit("covid")).otherwise(F.col("mention")).alias("mention"),
+            F.when(hot, F.lit("covid")).otherwise(F.col("mention_lc")).alias("mention_lc"),
+            F.when(hot, F.lit("disease")).otherwise(F.col("class")).alias("class"),
+        )
+        skewed.write.mode("overwrite").parquet(ments_path)
+    ments = spark.read.parquet(ments_path)
+    alias_df = spark.createDataFrame(ALIAS, "term string, ID string")
+
+    def timed_all(contenders: dict) -> dict:
+        """Interleave contenders round-robin (this VM's absolute speed
+        drifts ~2x across minutes — BASELINE.md 'Measured scaling
+        evidence'; interleaving exposes every contender to the same
+        drift). First round is warm-up, then `repeat` timed rounds;
+        per-contender median."""
+        runs: dict = {k: [] for k in contenders}
+        for i in range(repeat + 1):
+            for k, fn in contenders.items():
+                t0 = time.perf_counter()
+                _force(fn())
+                dt = time.perf_counter() - t0
+                if i > 0:
+                    runs[k].append(dt)
+        return {k: round(statistics.median(v), 3) for k, v in runs.items()}
+
+    no_bcast = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+
+    def with_conf(conf: dict, fn):
+        def run():
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+            try:
+                return fn()
+            finally:
+                for k in conf:
+                    spark.conf.unset(k)
+        return run
+
+    results = timed_all(
+        {
+            "rollup_unsalted": lambda: entity_frequency(
+                ments, mention_col="mention_lc"
+            ),
+            "rollup_salted": lambda: entity_frequency_skew_resistant(
+                ments, mention_col="mention_lc"
+            ),
+            "nel_bcast": lambda: link_entities(
+                ments, alias_df, keep_unmatched=False
+            ),
+            "nel_shuffle": with_conf(
+                no_bcast,
+                lambda: ments.join(
+                    alias_df.select(F.lower("term").alias("__term"), "ID"),
+                    ments["mention_lc"] == F.col("__term"),
+                    "inner",
+                ),
+            ),
+            "nel_shuffle_salted": with_conf(
+                no_bcast,
+                lambda: link_entities(
+                    ments, alias_df, keep_unmatched=False, salt_buckets=cpus
+                ),
+            ),
+        }
+    )
+    n_ments = ments.count()
+    hot_share = ments.where(F.col("mention_lc") == "covid").count() / n_ments
+    print(
+        json.dumps(
+            {
+                "metric": "skew_stress",
+                "pages": n_pages,
+                "mentions": n_ments,
+                "hot_mention_share": round(hot_share, 3),
+                "cpus": cpus,
+                "repeat": repeat,
+                "sec": results,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
