@@ -271,6 +271,59 @@ def q_resolve_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merger_v1_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 compat boundary (reference entity_merger.py:20-56): the
+    per-sentence {tag: [entities]} / {tag: [[b, e]]} nesting rendered
+    as the byte-stable to_json export. Token spans feed begin/end so
+    the oracle can rebuild the identical JSON string in SQL."""
+    from easyner_spark.operators.merger import merger_v1_export
+
+    m = _mentions(spark, sf_dir).select(
+        "url",
+        "sent_idx",
+        F.col("mention_lc").alias("mention"),
+        F.col("begin_tok").alias("begin"),
+        F.col("end_tok").alias("end"),
+        "class",
+    )
+    out = merger_v1_export(m)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "json",
+    )
+
+
+def q_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 compat: the reference co-occurrence extractor
+    (entity_parser.py:19-55) over a deterministic IOB labeling of the
+    document token stream (B on 'covid'/'rapamycin', I on 'cov',
+    else O). Quirk parity (B-after-B concat, trailing-entity drop,
+    punctuation chains) is pinned bit-level in pytest; this oracle
+    checks the full-corpus values."""
+    from easyner_spark.operators.iob import co_occurrence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.col("doc_id").cast("int").alias("seq_id"),
+        F.posexplode(
+            F.expr(r"regexp_extract_all(lower(text), r'(?U)\w+|[^\w\s]', 0)")
+        ).alias("tok_idx", "token"),
+    ).withColumn(
+        "label",
+        F.when(F.col("token").isin("covid", "rapamycin"), F.lit("B"))
+        .when(F.col("token") == "cov", F.lit("I"))
+        .otherwise(F.lit("O")),
+    )
+    out = co_occurrence(toks)
+    return out.select(
+        F.col("seq_id").cast("long").alias("doc_id"),
+        "has_cooccurrence",
+        F.to_json("entities").alias("entities_json"),
+        "text",
+    )
+
+
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the co-occurrence graph (iterative
     large-star/small-star; oracle = recursive-CTE min-label closure)."""
@@ -553,6 +606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_offsets": q_doc_offsets,
         "term_freq_per_doc": q_term_freq_per_doc,
         "resolve_conflicts": q_resolve_conflicts,
+        "merger_v1_nested": q_merger_v1_nested,
+        "co_occurrence": q_co_occurrence,
         "components": q_components,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1070,6 +1125,93 @@ FROM sentences
 SELECT doc_id, mention_lc AS mention, count(*)::BIGINT AS cnt
 FROM mentions
 GROUP BY doc_id, mention_lc
+""",
+        # Nested merger-v1 export: rebuild the exact to_json string in
+        # SQL (same (begin, end, mention) order inside each tag, tags
+        # ascending, compact JSON)
+        "merger_v1_nested": _PRELUDE
+        + """
+, pt AS (
+  SELECT doc_id, sent_idx, class,
+    '"' || class || '":[' ||
+      string_agg('"' || mention_lc || '"', ',' ORDER BY begin_tok, end_tok, mention_lc)
+      || ']' AS ef,
+    '"' || class || '":[' ||
+      string_agg('[' || begin_tok || ',' || end_tok || ']', ',' ORDER BY begin_tok, end_tok, mention_lc)
+      || ']' AS sf
+  FROM mentions GROUP BY doc_id, sent_idx, class
+)
+SELECT doc_id, sent_idx::BIGINT AS sent_idx,
+  '{"entities":{' || string_agg(ef, ',' ORDER BY class) ||
+  '},"entity_spans":{' || string_agg(sf, ',' ORDER BY class) || '}}' AS json
+FROM pt GROUP BY doc_id, sent_idx
+""",
+        # Co-occurrence extractor: one entity per maximal non-O run
+        # starting at its first B (B appends bare, I appends ' '+tok);
+        # runs reaching sequence end are dropped (the reference only
+        # closes an entity on an O); 9-step detok chain on the text
+        "co_occurrence": """
+WITH toks0 AS (
+  SELECT doc_id,
+         generate_subscripts(t, 1) - 1 AS idx,
+         unnest(t) AS tok
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+|[^\\w\\s]') AS t
+        FROM documents)
+),
+lab AS (
+  SELECT doc_id, idx, tok,
+         CASE WHEN tok IN ('covid', 'rapamycin') THEN 'B'
+              WHEN tok = 'cov' THEN 'I' ELSE 'O' END AS label
+  FROM toks0
+),
+runs AS (
+  SELECT *, sum((label = 'O')::INT) OVER (PARTITION BY doc_id ORDER BY idx) AS run_id
+  FROM lab
+),
+nz AS (SELECT * FROM runs WHERE label <> 'O'),
+fb AS (
+  SELECT doc_id, run_id,
+         min(idx) FILTER (label = 'B') AS first_b,
+         max(idx) AS run_max
+  FROM nz GROUP BY doc_id, run_id
+),
+seqmax AS (SELECT doc_id, max(idx) AS seq_max FROM lab GROUP BY doc_id),
+ents AS (
+  SELECT n.doc_id, n.run_id,
+         string_agg(CASE WHEN n.label = 'B' THEN n.tok ELSE ' ' || n.tok END,
+                    '' ORDER BY n.idx) AS entity
+  FROM nz n
+  JOIN fb ON n.doc_id = fb.doc_id AND n.run_id = fb.run_id
+  WHERE fb.first_b IS NOT NULL AND n.idx >= fb.first_b
+  GROUP BY n.doc_id, n.run_id
+),
+kept AS (
+  SELECT e.doc_id, e.run_id,
+         replace(replace(e.entity, ' - ', '-'), ' , ', ',') AS entity
+  FROM ents e
+  JOIN fb ON e.doc_id = fb.doc_id AND e.run_id = fb.run_id
+  JOIN seqmax s ON e.doc_id = s.doc_id
+  WHERE fb.run_max < s.seq_max
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_ents,
+         '[' || string_agg('"' || entity || '"', ',' ORDER BY run_id) || ']' AS ej
+  FROM kept GROUP BY doc_id
+),
+txt AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(replace(replace(replace(replace(
+      string_agg(tok, ' ' ORDER BY idx),
+      ' .', '.'), ' ,', ','), ' - ', '-'), '( ', '('), ' )', ')'),
+      ' :', ':'), ' ;', ';'), ' !', '!'), ' ?', '?') AS text
+  FROM lab GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.n_ents >= 2, FALSE) AS has_cooccurrence,
+       coalesce(a.ej, '[]') AS entities_json,
+       t.text
+FROM txt t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """,
         # Sequential conflict resolution (entity_merger2.py:99-146) as a
         # recursive CTE: the reference loop scans i last-to-first and
