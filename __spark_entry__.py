@@ -454,6 +454,17 @@ def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic md5-ranked centroids, argmax-cosine
+    cell assignment (pure JVM array_max), nprobe-cell candidates, exact
+    re-rank. The oracle rebuilds the identical quantizer in SQL."""
+    from easyner_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), k=10).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Default near-dup path is now sign-LSH bucketed (VERDICT r1 fix
     #4): one equi-join shuffle on the 4-bit bucket key; the oracle
@@ -618,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_blocked": q_ann_topk_blocked,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_exact": q_emb_neardup_exact,
         "media_meta": q_media_meta,
@@ -929,6 +941,34 @@ r AS (
 )
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM r WHERE rank <= 10
 """
+    from easyner_spark.operators.similarity import IVF_CENTROIDS, IVF_NPROBE
+
+    ivf = f"""{norm},
+cent AS (SELECT id AS cid, v AS cv FROM n ORDER BY md5(id::VARCHAR), id LIMIT {IVF_CENTROIDS}),
+asg0 AS (
+  SELECT n.id, n.v, n.norm, c.cid,
+         list_dot_product(n.v, c.cv)
+           / (n.norm * sqrt(list_dot_product(c.cv, c.cv))) AS ccos,
+         row_number() OVER (PARTITION BY n.id
+                            ORDER BY list_dot_product(n.v, c.cv)
+                                     / (n.norm * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                     c.cid ASC) AS rn
+  FROM n CROSS JOIN cent c
+),
+asg AS (SELECT id, v, norm, cid AS cell FROM asg0 WHERE rn = 1),
+probes AS (SELECT id, v, norm, cid AS cell FROM asg0 WHERE rn <= {IVF_NPROBE}),
+p AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id,
+         list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
+  FROM probes a JOIN asg b ON a.cell = b.cell AND a.id <> b.id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM r WHERE rank <= 10
+"""
     nd_bucket = _bucket_sql(hyperplanes(NEARDUP_BITS, DIM))
     neardup = f"""{norm},
 bk AS (SELECT id, v, norm, {nd_bucket} AS bucket FROM n),
@@ -952,6 +992,7 @@ SELECT a, b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.3
         "ann_topk": topk,
         "ann_topk_blocked": topk,
         "ann_lsh_topk": lsh,
+        "ann_ivf_topk": ivf,
         "emb_neardup": neardup,
         "emb_neardup_exact": neardup_exact,
     }

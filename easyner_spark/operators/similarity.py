@@ -332,3 +332,85 @@ def brute_force_topk_blocked(
 # Backwards-compatible name for the bench hot path; the blocked design
 # replaced the driver-collect BLAS variant outright.
 brute_force_topk_fast = brute_force_topk_blocked
+
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _centroid_structs(cents: list[tuple], vec: Column) -> Column:
+    """array<struct<cos, neg_cid>> of `vec` against every centroid —
+    array_max picks (max cos, tie -> smallest centroid id)."""
+    entries = []
+    for cid, cvec in cents:
+        cv = F.array(*[F.lit(float(x)) for x in cvec])
+        cos = _dot(vec, cv) / (
+            F.sqrt(_dot(vec, vec)) * F.sqrt(_dot(cv, cv))
+        )
+        entries.append(F.struct(cos.alias("cos"), F.lit(-cid).alias("neg_cid")))
+    return F.array(*entries)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-flat ANN top-k: deterministic coarse quantizer + multi-cell
+    probe + exact re-rank — the inverted-file counterpart to lsh_topk.
+
+    Quantizer: centroids are the corpus vectors whose md5(vec_id) sort
+    first (deterministic, engine-portable, no RNG/k-means state; the
+    SQL oracle rebuilds them verbatim). Every corpus vector lands in
+    ONE cell (argmax cosine, ties to the smallest centroid id) — cell
+    assignment is a pure JVM column expression (array_max over a
+    16-struct array), no UDF, no shuffle. Queries probe their `nprobe`
+    nearest cells; candidates = corpus vectors in those cells, scored
+    exactly and re-ranked. ONE equi-join shuffle on the cell id.
+
+    At cluster scale: centroid list is O(n_centroids) driver data
+    (like a broadcast dictionary — NOT a corpus collect); recall tunes
+    with nprobe; cells can further bucket-join with AQE handling
+    any hot cell.
+    """
+    slim = _with_norm(emb, id_col, vec_col)
+    cents = [
+        (r["id"], list(r["v"]))
+        for r in slim.select("id", "v")
+        .withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(n_centroids)
+        .collect()
+    ]
+    scored = slim.withColumn("cs", _centroid_structs(cents, F.col("v")))
+    corpus = scored.select(
+        "id", "v", "norm", (-F.array_max("cs")["neg_cid"]).alias("cell")
+    )
+    probes = scored.select(
+        "id",
+        "v",
+        "norm",
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort("cs")), 1, nprobe),
+                lambda s: -s["neg_cid"],
+            )
+        ).alias("cell"),
+    )
+    a, b = probes.alias("a"), corpus.alias("b")
+    pairs = a.join(
+        b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") != F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        _pair_cosine().alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )

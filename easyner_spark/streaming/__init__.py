@@ -1,7 +1,13 @@
 from easyner_spark.streaming.pipeline import (
     incremental_kg,
+    stateful_first_seen,
     stream_pages,
     windowed_mention_rates,
 )
 
-__all__ = ["incremental_kg", "stream_pages", "windowed_mention_rates"]
+__all__ = [
+    "incremental_kg",
+    "stateful_first_seen",
+    "stream_pages",
+    "windowed_mention_rates",
+]

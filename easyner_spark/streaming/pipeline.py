@@ -187,3 +187,60 @@ def incremental_kg(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stateful_first_seen(
+    stream: DataFrame,
+    key_col: str = "content_hash",
+    payload_cols: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY §2.11 surface):
+    cross-micro-batch exact dedup — emit each key the FIRST time it is
+    ever seen, drop every later arrival, via applyInPandasWithState.
+
+    State per key: a single seen-flag (one boolean per distinct key —
+    the minimal state for streaming exact dedup; at web scale the same
+    shape runs with RocksDB state store + watermark-based state TTL).
+    Grouping shuffles on the key, so a key's arrivals all visit the
+    same state partition in arrival order — exactly-once emission under
+    Structured Streaming's checkpointed state.
+
+    Output: (key, first payload cols); append mode — each emitted
+    row is final (a key never re-emits), so file sinks compose.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, " + ", ".join(
+        f"{c} string" for c in payload_cols
+    )
+    state_schema = "seen boolean"
+
+    def dedup(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            for _ in pdfs:  # drain; key already emitted in a prior batch
+                pass
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[0]
+        if first is None:
+            return iter(())
+        state.update((True,))
+        row = {key_col: key[0]}
+        row.update({c: first[c] for c in payload_cols})
+        return iter([pd.DataFrame([row])])
+
+    return (
+        stream.select(key_col, *payload_cols)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

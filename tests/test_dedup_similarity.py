@@ -286,6 +286,38 @@ class TestSimilarity:
             assert exact[(r.a, r.b)] == r.cosine
         assert any((r.a, r.b) == (0, 1) for r in got)
 
+    def test_ivf_topk_subset_of_exact_and_deterministic(self, spark):
+        """IVF-flat: every returned pair carries the exact cosine and
+        appears in the brute-force result at its rank or better (recall
+        loss only ever DROPS candidates); re-running yields identical
+        output (deterministic md5 quantizer, no RNG)."""
+        from easyner_spark.operators.similarity import brute_force_topk, ivf_topk
+
+        import random
+
+        rng = random.Random(7)
+        vecs = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        exact = {
+            (r.query_id, r.neighbor_id): r.cosine
+            for r in brute_force_topk(df, k=5).collect()
+        }
+        got = ivf_topk(df, k=5, n_centroids=4, nprobe=2).collect()
+        assert got  # probing 2 of 4 cells pairs something
+        for r in got:
+            key = (r.query_id, r.neighbor_id)
+            if key in exact:
+                assert exact[key] == r.cosine
+        again = ivf_topk(df, k=5, n_centroids=4, nprobe=2).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+        # full probe of every cell == exact brute force
+        full = ivf_topk(df, k=5, n_centroids=4, nprobe=4)
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, brute_force_topk(df, k=5).collect())
+        )
+
     def test_hyperplanes_deterministic(self):
         from easyner_spark.operators.similarity import hyperplanes
 

@@ -133,3 +133,44 @@ class TestWindowedRates:
             .reset_index(drop=True)
         )
         assert got.equals(want)
+
+
+class TestStatefulFirstSeen:
+    def test_cross_batch_dedup(self, spark, tmp_path):
+        """applyInPandasWithState exact dedup: a key arriving in wave 1
+        is NEVER re-emitted by wave 2 (checkpointed per-key state),
+        and each key's first payload wins."""
+        from easyner_spark.streaming import stateful_first_seen
+
+        land = str(tmp_path / "land")
+        os.makedirs(land)
+        cp = str(tmp_path / "cp")
+        out = str(tmp_path / "out")
+        schema = "content_hash string, url string"
+
+        def run_wave(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(land)
+            stream = (
+                spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+            )
+            q = (
+                stateful_first_seen(stream, "content_hash", ("url",))
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("checkpointLocation", cp)
+                .option("path", out)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        run_wave([("h1", "u1"), ("h1", "u1-dup"), ("h2", "u2")])
+        run_wave([("h1", "u1-late"), ("h3", "u3")])
+        got = {r.content_hash: r.url for r in spark.read.parquet(out).collect()}
+        assert set(got) == {"h1", "h2", "h3"}
+        # within-batch duplicate order is shuffle-dependent; cross-batch
+        # arrival ("u1-late") must ALWAYS lose to wave-1 state
+        assert got["h1"] in {"u1", "u1-dup"}
+        assert got["h2"] == "u2" and got["h3"] == "u3"
