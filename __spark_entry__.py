@@ -510,6 +510,41 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_meta_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decoding (engine='headers'): wrap each document's
+    text as a P6 PPM with deterministic dimensions and parse the header
+    back. The oracle recomputes dimensions/size/sha in SQL."""
+    from easyner_spark.operators.multimodal import decode_media
+
+    docs = _docs(spark, sf_dir)
+    w = F.pmod(F.col("doc_id"), F.lit(1000)) + 1
+    h = F.pmod(F.col("doc_id"), F.lit(77)) + 1
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(
+            F.concat(
+                F.lit("P6\n"),
+                w.cast("string"),
+                F.lit(" "),
+                h.cast("string"),
+                F.lit("\n255\n"),
+                F.col("text"),
+            ),
+            "UTF-8",
+        ).alias("content"),
+    )
+    out = decode_media(media, engine="headers")
+    return out.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "content_sha",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "codec",
+    )
+
+
 def q_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrap each document's text in boilerplate-laden HTML (nav, a
     link-dense related-links div, script, footer), run the REAL
@@ -633,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": q_emb_neardup,
         "emb_neardup_exact": q_emb_neardup_exact,
         "media_meta": q_media_meta,
+        "media_meta_headers": q_media_meta_headers,
         "boilerplate_extract": q_boilerplate_extract,
         "pubmed_extract": q_pubmed_extract,
     }
@@ -1074,6 +1110,21 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": stats_sql,
         "lang_id": langid_sql,
         "media_meta": _MEDIA_META_SQL,
+        "media_meta_headers": """
+WITH m AS (
+  SELECT doc_id,
+         'P6' || chr(10) || (doc_id % 1000 + 1) || ' ' || (doc_id % 77 + 1)
+              || chr(10) || '255' || chr(10) || text AS payload
+  FROM documents
+)
+SELECT doc_id::VARCHAR AS media_id,
+       octet_length(encode(payload))::BIGINT AS n_bytes,
+       sha256(payload) AS content_sha,
+       (doc_id % 1000 + 1)::BIGINT AS width,
+       (doc_id % 77 + 1)::BIGINT AS height,
+       'image/ppm' AS codec
+FROM m
+""",
         # byte-identity invariant: extracting the synthesized page must
         # return documents.text verbatim, so the oracle is the identity
         "boilerplate_extract": "SELECT doc_id, text FROM documents",

@@ -5,13 +5,19 @@ No analog in the reference (text-only); this is the media leg of a
 training-data pipeline. The input_hint already carries `html: binary`,
 so binary payload columns are first-class here.
 
-The DECODE step is STUBBED: the real image/audio libraries are not in
-this container, so `decode_media(..., engine="real")` raises
-NotImplementedError, and the default `engine="fake"` derives
-deterministic metadata/features from the bytes themselves (length +
-md5). Everything AROUND the decode — schema, mapInPandas batch shape,
-partitioning, null handling — is real and tested; swapping in PIL /
-torchaudio later only changes the per-batch body.
+Decode engines:
+  - "headers" — REAL, dependency-free container parsing: PNG (IHDR),
+    BMP (BITMAPINFOHEADER), GIF (logical screen descriptor + frame
+    count), WAV (RIFF fmt/data chunks -> sample rate, channels, sample
+    frames), PPM/PGM (ASCII header). These are actual decoders of the
+    on-disk formats, not fakes; unrecognized magic falls through to
+    codec='unknown' with size/sha only.
+  - "fake" (default for the oracle path) — deterministic metadata
+    derived from the bytes (length + sha), so the driver-contract
+    oracle can mirror it in SQL.
+  - "real" — the integration point for pixel/sample decoding (PIL /
+    av / soundfile), which is NOT in this container: raises at PLAN
+    time (a task-time raise would poison the job).
 
 Scale shape: all three operators are narrow mapInPandas passes (no
 shuffle). Media bytes never leave the executor that read them; only
@@ -58,17 +64,89 @@ def _fake_meta(media_id: str, kind: str, content: bytes) -> tuple:
     )
 
 
+def _header_meta(media_id: str, kind: str, content: bytes) -> tuple:
+    """REAL container-header decode (no third-party deps).
+
+    Formats: PNG, BMP, GIF (n_frames = image-descriptor count), WAV
+    (width=sample_rate, height=channels, n_frames=sample frames —
+    audio reuses the spatial slots, see META_SCHEMA note), PPM/PGM.
+    Truncated/unknown payloads degrade to codec='unknown' with
+    size/sha only — never a task failure."""
+    import struct
+
+    c = content or b""
+    n = len(c)
+    sha = hashlib.sha256(c).hexdigest()
+    w = h = frames = 0
+    codec = "unknown"
+    try:
+        if c[:8] == b"\x89PNG\r\n\x1a\n" and c[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", c[16:24])
+            frames, codec = 1, "image/png"
+        elif c[:2] == b"BM" and n >= 26:
+            w = struct.unpack("<i", c[18:22])[0]
+            h = abs(struct.unpack("<i", c[22:26])[0])  # may be top-down
+            frames, codec = 1, "image/bmp"
+        elif c[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
+            w, h = struct.unpack("<HH", c[6:10])
+            frames = max(1, c.count(b"\x2c"))  # image descriptors (upper bound)
+            codec = "image/gif"
+        elif c[:4] == b"RIFF" and c[8:12] == b"WAVE":
+            # walk RIFF chunks for fmt + data
+            off, rate, channels, block_align, data_len = 12, 0, 0, 0, 0
+            while off + 8 <= n:
+                cid, clen = c[off : off + 4], struct.unpack("<I", c[off + 4 : off + 8])[0]
+                if cid == b"fmt " and off + 24 <= n:
+                    channels = struct.unpack("<H", c[off + 10 : off + 12])[0]
+                    rate = struct.unpack("<I", c[off + 12 : off + 16])[0]
+                    block_align = struct.unpack("<H", c[off + 20 : off + 22])[0]
+                elif cid == b"data":
+                    data_len = clen
+                off += 8 + clen + (clen & 1)  # chunks are word-aligned
+            w, h = rate, channels
+            frames = data_len // block_align if block_align else 0
+            codec = "audio/wav"
+        elif c[:2] in (b"P5", b"P6"):
+            toks, i = [], 2
+            while len(toks) < 2 and i < n:
+                while i < n and c[i : i + 1].isspace():
+                    i += 1
+                if c[i : i + 1] == b"#":  # comment line
+                    while i < n and c[i : i + 1] != b"\n":
+                        i += 1
+                    continue
+                j = i
+                while j < n and not c[j : j + 1].isspace():
+                    j += 1
+                toks.append(c[i:j])
+                i = j
+            w, h = int(toks[0]), int(toks[1])
+            frames = 1
+            codec = "image/ppm" if c[:2] == b"P6" else "image/pgm"
+    except (struct.error, ValueError, IndexError):
+        w = h = frames = 0
+        codec = "unknown"
+    return (media_id, kind, n, sha, w, h, frames, codec)
+
+
 def decode_media(media: DataFrame, engine: str = "fake") -> DataFrame:
     """(media_id, kind, content) -> typed metadata rows.
 
-    engine="real" is the integration point for actual codecs — not
-    available in this environment (NotImplementedError raised at task
-    runtime would poison the job, so it raises at PLAN time here).
+    engine="headers" is a real dependency-free container decoder (see
+    `_header_meta`); engine="real" (pixel/sample decoding) is the
+    PIL/av/soundfile integration point — not available in this
+    environment, raises at PLAN time (a task-time raise would poison
+    the job).
     """
-    if engine != "fake":
+    if engine == "fake":
+        meta = _fake_meta
+    elif engine == "headers":
+        meta = _header_meta
+    else:
         raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present "
-            "in this environment; use engine='fake' (deterministic stub)"
+            "pixel/sample decoding requires image/audio libraries not present "
+            "in this environment; use engine='headers' (real container "
+            "metadata) or engine='fake' (deterministic stub)"
         )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -78,7 +156,7 @@ def decode_media(media: DataFrame, engine: str = "fake") -> DataFrame:
         ]
         for pdf in batches:
             rows = [
-                _fake_meta(m, k, c)
+                meta(m, k, c)
                 for m, k, c in zip(pdf["media_id"], pdf["kind"], pdf["content"])
             ]
             yield pd.DataFrame(rows, columns=cols)
