@@ -136,3 +136,48 @@ class TestEpochedAdditiveMerge:
         )
         assert t.current_epoch() is None
         assert t.current_snapshot() == 1
+
+
+class TestBucketedJoin:
+    def test_colocated_join_no_exchange(self, spark, tmp_path):
+        """Both sides bucketed+sorted on the join key -> SortMergeJoin
+        with ZERO Exchange (and zero Sort) in the final plan; the same
+        join from plain path reads shuffles both sides."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from easyner_spark.sinks.bucketed import read_table, write_bucketed
+
+        sfx = uuid.uuid4().hex[:8]
+        sents = spark.range(0, 500).select(
+            F.concat(F.lit("u"), (F.col("id") % 50).cast("string")).alias("url"),
+            F.col("id").alias("sent_idx"),
+        )
+        ments = sents.where("sent_idx % 3 = 0").withColumn("mention", F.lit("m"))
+        try:
+            write_bucketed(sents, f"b_sents_{sfx}", ["url"], n_buckets=4)
+            write_bucketed(ments, f"b_ments_{sfx}", ["url"], n_buckets=4)
+            joined = read_table(spark, f"b_sents_{sfx}").join(
+                read_table(spark, f"b_ments_{sfx}"), "url"
+            )
+            # force the merge-join path: the point is bucket co-location,
+            # not broadcastability of a toy table
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                assert len(joined.collect()) > 0
+                plan = joined._jdf.queryExecution().executedPlan().toString()
+                plan = plan.split("== Initial Plan ==")[0]
+                assert "SortMergeJoin" in plan
+                assert "Exchange" not in plan, plan
+                # un-bucketed twin shuffles both sides
+                plain = sents.join(ments, "url")
+                plain.collect()
+                pplan = plain._jdf.queryExecution().executedPlan().toString()
+                pplan = pplan.split("== Initial Plan ==")[0]
+                assert "Exchange hashpartitioning" in pplan
+            finally:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS b_sents_{sfx}")
+            spark.sql(f"DROP TABLE IF EXISTS b_ments_{sfx}")
