@@ -9,13 +9,16 @@ query plan). Same contract here, Spark-native:
     # or locally:
     python -m easyner_spark.cli --config job.json
 
-Config shape (every key optional except input.pages_path):
+Config shape (every key optional except one input path):
 
     {
       "input":  {"pages_path": "/data/pages.parquet"},
+                 # or {"pubmed_xml_path": "/data/pubmed/"} — S2 ingest
       "output_dir": "/data/out",
       "modules": {"splitter": true, "ner": true, "analysis": true,
-                   "nel": true, "triples": true, "components": true},
+                   "nel": true, "triples": true, "components": true,
+                   "dedup": false,   # content-hash duplicate drop
+                   "chart": false},  # top-n barchart SVG export
       "dictionary_path": "terms.txt",      # one term per line (+ optional \\tclass)
       "alias_path": "alias.tsv",           # term\\tID
       "lang": "en",
@@ -104,7 +107,30 @@ def run_pipeline(spark: SparkSession, cfg: dict) -> dict[str, int]:
         return t.read(spark)
 
     counts: dict[str, int] = {}
-    pages = spark.read.parquet(cfg["input"]["pages_path"])
+    inp = cfg["input"]
+    if "pubmed_xml_path" in inp:
+        # the reference's primary real-data ingest (S2): baseline
+        # XML[.gz] files -> article table -> canonical pages shape
+        from easyner_spark.sources.pubmed import pubmed_bulk_load, pubmed_pages
+
+        pages = (
+            pubmed_pages(pubmed_bulk_load(spark, inp["pubmed_xml_path"]))
+            .withColumnRenamed("doc_id", "url")
+            .withColumn("lang", F.lit(cfg.get("lang", "en")))
+        )
+    else:
+        pages = spark.read.parquet(inp["pages_path"])
+
+    # exact dedup gate (off by default): drop content-hash duplicates
+    # before any downstream work — the standard first pass of a webtext
+    # training-data pipeline (one shuffle on the uniform hash key)
+    if modules.get("dedup"):
+        from easyner_spark.operators.dedup import exact_dedup
+
+        flags = exact_dedup(pages, text_col="text", id_col="url")
+        pages = pages.join(
+            flags.where(~F.col("is_dup")).select("url"), "url", "left_semi"
+        )
 
     # Boilerplate stripping (north_star stage 1): forced via
     # modules.extract, or automatic when the crawl has html but no
@@ -138,6 +164,12 @@ def run_pipeline(spark: SparkSession, cfg: dict) -> dict[str, int]:
             "frequency", lambda: entity_frequency(ments, mention_col="mention_lc")
         )
         counts["frequency"] = freq.count()
+        if modules.get("chart"):
+            from easyner_spark.sinks.chart import write_barchart_svg
+
+            write_barchart_svg(
+                freq, f"{out_dir}/top_entities.svg", n=cfg.get("chart_top_n", 50)
+            )
 
     linked = None
     if modules["nel"] and ments is not None:

@@ -254,3 +254,52 @@ class TestCli:
         }
         counts = run_pipeline(spark, cfg)
         assert set(counts) == {"sentences", "mentions", "frequency"}
+
+
+class TestCliRound2Stages:
+    def test_dedup_and_chart_stages(self, spark, pages_df, tmp_path):
+        from easyner_spark.cli import run_pipeline
+
+        # duplicate the first page's text under a new url
+        first = pages_df.limit(1).withColumn("url", F.concat(F.col("url"), F.lit("-dup")))
+        pages = pages_df.unionByName(first)
+        pages_path = str(tmp_path / "pages.parquet")
+        pages.write.parquet(pages_path)
+        n_unique = pages_df.count()
+        cfg = {
+            "input": {"pages_path": pages_path},
+            "output_dir": str(tmp_path / "out"),
+            "modules": {"dedup": True, "chart": True,
+                        "nel": False, "triples": False, "components": False},
+        }
+        counts = run_pipeline(spark, cfg)
+        # the duplicated doc contributes nothing downstream
+        base = run_pipeline(
+            spark,
+            {"input": {"pages_path": pages_path.replace("pages", "x")}}
+            if False
+            else {
+                "input": {"pages_path": pages_path},
+                "output_dir": str(tmp_path / "out2"),
+                "modules": {"nel": False, "triples": False, "components": False},
+            },
+        )
+        assert counts["sentences"] < base["sentences"]
+        svg = (tmp_path / "out" / "top_entities.svg").read_text()
+        assert svg.startswith("<svg")
+
+    def test_pubmed_xml_input(self, spark, tmp_path):
+        import gzip
+
+        from easyner_spark.cli import run_pipeline
+        from tests.test_pubmed_bulk import XML_ONE
+
+        (tmp_path / "pubmed23n0001.xml.gz").write_bytes(gzip.compress(XML_ONE.encode()))
+        cfg = {
+            "input": {"pubmed_xml_path": str(tmp_path)},
+            "output_dir": str(tmp_path / "out"),
+            "modules": {"nel": False, "triples": False, "components": False},
+        }
+        counts = run_pipeline(spark, cfg)
+        assert counts["sentences"] >= 2  # two abstract sentences from pmid 101
+        assert counts["mentions"] >= 1   # 'rapamycin'/'autophagy' in fixture text
