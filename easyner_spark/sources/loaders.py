@@ -172,3 +172,101 @@ def presplit_json_scan(
         lo, hi = batch_range
         df = df.where((F.col("batch_id") >= lo) & (F.col("batch_id") <= hi))
     return df
+
+
+ANNOTATED_SENT_SCHEMA = (
+    "doc_id string, sent_idx int, sentence string, batch_id int, "
+    "anns array<struct<mention:string, begin:int, end:int, class:string>>"
+)
+
+
+def annotated_json_load(spark: SparkSession, path: str) -> DataFrame:
+    """Reference NER-output batch JSON loader (the format
+    scripts/ner_main.py WRITES and entity_merger/analysis READ:
+    {pmid: {title, sentences: [{text, entities, entity_spans}]}};
+    results/sample_output/ner_huner_gene-1.json is a bundled example).
+
+    Handles BOTH annotation shapes: the flat per-run lists
+    (entities: [..], class='') and the merged nested maps
+    (entities: {tag: [..]}, class=tag — entity_merger.py:20-33).
+    One task per batch file (wholetext read, stdlib json parse in an
+    Arrow batch); batch_id = trailing integer in the file stem."""
+    import json as _json
+    import re as _re
+
+    import pandas as pd
+
+    files = spark.read.format("text").option("wholetext", "true").load(path)
+    files = files.withColumn("file", F.input_file_name())
+
+    def gen(batches):
+        cols = ["doc_id", "sent_idx", "sentence", "batch_id", "anns"]
+        for pdf in batches:
+            rows = []
+            for raw, fname in zip(pdf["value"], pdf["file"]):
+                m = _re.search(r"(\d+)\.json$", fname)
+                batch = int(m.group(1)) if m else -1
+                for pmid, art in _json.loads(raw).items():
+                    for i, s in enumerate(art.get("sentences", [])):
+                        ents = s.get("entities") or []
+                        spans = s.get("entity_spans") or []
+                        anns = []
+                        if isinstance(ents, dict):
+                            for tag in ents:
+                                for e, sp in zip(ents[tag], spans.get(tag, [])):
+                                    anns.append((e, int(sp[0]), int(sp[1]), tag))
+                        else:
+                            for e, sp in zip(ents, spans):
+                                anns.append((e, int(sp[0]), int(sp[1]), ""))
+                        rows.append((pmid, i, s.get("text", ""), batch, anns))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("value", "file").mapInPandas(gen, ANNOTATED_SENT_SCHEMA)
+
+
+def annotated_mentions(sents: DataFrame) -> DataFrame:
+    """Explode the annotation arrays to the engine's mention-row shape
+    (url, sent_idx, mention, mention_lc, begin, end, class)."""
+    ex = sents.select(
+        F.col("doc_id").alias("url"),
+        "sent_idx",
+        "batch_id",
+        F.explode("anns").alias("a"),
+    )
+    return ex.select(
+        "url",
+        "sent_idx",
+        "batch_id",
+        F.col("a.mention").alias("mention"),
+        F.lower(F.col("a.mention")).alias("mention_lc"),
+        F.col("a.begin").alias("begin"),
+        F.col("a.end").alias("end"),
+        F.col("a.class").alias("class"),
+    )
+
+
+def articles_json_load(
+    spark: SparkSession, path: str, text_field: str = "abstract"
+) -> DataFrame:
+    """Downloader/bulk-loader article JSON ({pmid: {title, abstract,
+    ...}} — data/Lund-Autophagy-1_articles.json is a bundled example)
+    -> canonical pages (doc_id, title, text). One task per file."""
+    import json as _json
+
+    import pandas as pd
+
+    files = spark.read.format("text").option("wholetext", "true").load(path)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for raw in pdf["value"]:
+                for pmid, art in _json.loads(raw).items():
+                    rows.append(
+                        (pmid, art.get("title", ""), art.get(text_field, "") or "")
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "title", "text"])
+
+    return files.select("value").mapInPandas(
+        gen, "doc_id string, title string, text string"
+    )
