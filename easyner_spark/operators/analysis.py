@@ -127,15 +127,25 @@ def reference_frame(freq: DataFrame) -> DataFrame:
     Collection cells are rendered as strings: sets ascending, the
     batch_count map `{batch: cnt}` in ascending batch order (the
     reference's dict insertion order — batches are ingested sorted)."""
+    from pyspark.sql.types import StringType
+
     cols = [c for c in REFERENCE_COLUMNS if c in freq.columns]
     out = ranked(freq).select(*cols)
     for c in ("batch_set", "articles_set"):
         if c in cols:
+            # python-set-repr parity (the real artifact,
+            # results/sample_output/...result_chemical.tsv): string
+            # elements carry single quotes, ints don't; order is the
+            # engine's pinned ascending sort (a python set's iteration
+            # order is not reproducible — documented divergence)
+            elems = F.col(c).cast("array<string>")
+            if isinstance(freq.schema[c].dataType.elementType, StringType):
+                elems = F.transform(
+                    elems, lambda e: F.concat(F.lit("'"), e, F.lit("'"))
+                )
             out = out.withColumn(
                 c,
-                F.concat(
-                    F.lit("{"), F.array_join(F.col(c).cast("array<string>"), ", "), F.lit("}")
-                ),
+                F.concat(F.lit("{"), F.array_join(elems, ", "), F.lit("}")),
             )
     if "batch_count" in cols:
         entries = F.transform(
