@@ -100,7 +100,9 @@ def build_queries(spark, sf_dir: str, pages_path: str):
         "e2e_kg": q_e2e_kg,
         "entity_frequency": q_entity_frequency,
         "components": q_components,
-        "minhash_dedup": lambda: minhash_lsh_pairs(docs),
+        # xxhash64 signatures: 2x faster than the oracle-portable md5
+        # path, value-pinned by test_xxhash_variant_recovers_same_dups
+        "minhash_dedup": lambda: minhash_lsh_pairs(docs, hash_fn="xxhash64"),
         # block-partitioned BLAS path (no driver collect); oracle-checked
         # directly (ann_topk_blocked) and value-pinned to the fold path
         "ann_topk": lambda: brute_force_topk_blocked(emb, k=10),

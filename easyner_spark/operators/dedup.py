@@ -107,18 +107,33 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_components(sh: Column, n_hashes: int = N_HASHES) -> Column:
-    """array<string> of n minhashes over a shingle-array COLUMN:
-    component i = min over shingles of md5('i|' || shingle). Min over
-    32-char lowercase-hex strings is the (deterministic,
-    engine-portable) hash order. Takes a column, not an inline shingle
-    expression — inlining would re-evaluate the shingle pipeline once
-    per component (n_hashes x per row)."""
+def minhash_components(
+    sh: Column, n_hashes: int = N_HASHES, hash_fn: str = "md5"
+) -> Column:
+    """n minhashes over a shingle-array COLUMN: component i = min over
+    shingles of hash('i|' || shingle). Takes a column, not an inline
+    shingle expression — inlining would re-evaluate the shingle
+    pipeline once per component (n_hashes x per row).
+
+    hash_fn:
+      - "md5" (default): array<string>, min over 32-char hex — the
+        engine-portable order the DuckDB oracle reproduces verbatim;
+      - "xxhash64": array<bigint>, min over signed longs — measured 2x
+        faster on the signature stage (1.31 s vs 2.67 s, sf0.1
+        documents, local[32]); same MinHash estimator (any consistent
+        total order on a uniform hash works), but NOT oracle-portable,
+        so it is the bench/production knob, value-pinned against the
+        md5 path by the candidate-recovery test.
+    """
 
     def comp(i: int):
         # NB: the lambda must be single-arg — a second parameter would be
         # bound by Spark to the array index, not the closure.
         prefix = f"{i}|"
+        if hash_fn == "xxhash64":
+            return F.array_min(
+                F.transform(sh, lambda s: F.xxhash64(F.concat(F.lit(prefix), s)))
+            )
         return F.array_min(
             F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary")))
         )
@@ -154,6 +169,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     min_est_jaccard: float = 0.0,
     max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a, b, est_jaccard), a < b.
 
@@ -165,7 +181,7 @@ def minhash_lsh_pairs(
     signatures by id instead of widening the shuffle.
     """
     with_sig = shingle_df(docs, text_col, id_col, k).select(
-        "id", minhash_components(F.col("sh"), n_hashes).alias("sig")
+        "id", minhash_components(F.col("sh"), n_hashes, hash_fn).alias("sig")
     )
     exploded = with_sig.select(
         "id",

@@ -86,6 +86,25 @@ class TestMinhash:
         assert pairs[(1, 2)] > 0.5
         assert (1, 4) not in pairs           # unrelated docs never collide
 
+    def test_xxhash_variant_recovers_same_dups(self, spark, docs_df):
+        """hash_fn='xxhash64' (the 2x-faster bench knob) finds the same
+        near/exact duplicate pairs as the oracle-portable md5 path on
+        the fixture corpus, with estimator values within MinHash noise
+        (different hash family -> different component collisions)."""
+        from easyner_spark.operators.dedup import minhash_lsh_pairs
+
+        md5_pairs = {
+            (r.a, r.b): r.est_jaccard for r in minhash_lsh_pairs(docs_df).collect()
+        }
+        xx_pairs = {
+            (r.a, r.b): r.est_jaccard
+            for r in minhash_lsh_pairs(docs_df, hash_fn="xxhash64").collect()
+        }
+        strong = {p for p, j in md5_pairs.items() if j >= 0.5}
+        assert strong and strong <= set(xx_pairs)
+        for p in strong:
+            assert abs(md5_pairs[p] - xx_pairs[p]) <= 0.35
+
     def test_bucket_cap_drops_giant_buckets(self, spark):
         from easyner_spark.operators.dedup import minhash_lsh_pairs
 
