@@ -271,6 +271,41 @@ def q_resolve_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 + A5: span-tolerant P/R/F1 with a deterministic perturbed
+    gold twin — doc_id%3==0 shifts spans +1 (inside stride -> TP),
+    doc_id%10==7 shifts +5 (outside stride -> FP+FN), doc_id%10==3
+    drops the gold row (-> FP). The oracle replays the band-match
+    EXISTS semantics (each pred counted once) in SQL."""
+    from easyner_spark.operators.evaluate import prf, span_match_counts
+
+    m = _mentions(spark, sf_dir).select(
+        "url",
+        "class",
+        F.col("begin_tok").alias("begin"),
+        F.col("end_tok").alias("end"),
+    )
+    d = F.col("url").cast("long")
+    shift = (
+        F.when(d % 10 == 7, F.lit(5)).when(d % 3 == 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    gold = (
+        m.where(d % 10 != 3)
+        .withColumn("begin", F.col("begin") + shift)
+        .withColumn("end", F.col("end") + shift)
+    )
+    out = prf(span_match_counts(m, gold, keys=["url", "class"], stride=1))
+    return out.select(
+        "class",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        "precision",
+        "recall",
+        "f1",
+    )
+
+
 def q_merger_v1_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 compat boundary (reference entity_merger.py:20-56): the
     per-sentence {tag: [entities]} / {tag: [[b, e]]} nesting rendered
@@ -652,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_offsets": q_doc_offsets,
         "term_freq_per_doc": q_term_freq_per_doc,
         "resolve_conflicts": q_resolve_conflicts,
+        "span_eval": q_span_eval,
         "merger_v1_nested": q_merger_v1_nested,
         "co_occurrence": q_co_occurrence,
         "components": q_components,
@@ -1217,6 +1253,58 @@ FROM sentences
 SELECT doc_id, mention_lc AS mention, count(*)::BIGINT AS cnt
 FROM mentions
 GROUP BY doc_id, mention_lc
+""",
+        # Span-tolerant eval: band-match EXISTS on (doc, class) with
+        # |d_begin|<=1 AND |d_end|<=1; gold twin perturbed exactly as
+        # the Spark query constructs it
+        "span_eval": _PRELUDE
+        + """
+, p AS (SELECT doc_id, class, begin_tok AS b, end_tok AS e FROM mentions),
+g AS (
+  SELECT doc_id, class,
+         b + CASE WHEN doc_id % 10 = 7 THEN 5 WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS b,
+         e + CASE WHEN doc_id % 10 = 7 THEN 5 WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS e
+  FROM p WHERE doc_id % 10 <> 3
+),
+cls AS (SELECT DISTINCT class FROM (SELECT class FROM p UNION ALL SELECT class FROM g)),
+tp AS (
+  SELECT class, count(*) AS tp FROM p
+  WHERE EXISTS (SELECT 1 FROM g WHERE g.doc_id = p.doc_id AND g.class = p.class
+                  AND abs(p.b - g.b) <= 1 AND abs(p.e - g.e) <= 1)
+  GROUP BY class
+),
+fp AS (
+  SELECT class, count(*) AS fp FROM p
+  WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.doc_id = p.doc_id AND g.class = p.class
+                      AND abs(p.b - g.b) <= 1 AND abs(p.e - g.e) <= 1)
+  GROUP BY class
+),
+fn AS (
+  SELECT class, count(*) AS fn FROM g
+  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.doc_id = g.doc_id AND p.class = g.class
+                      AND abs(g.b - p.b) <= 1 AND abs(g.e - p.e) <= 1)
+  GROUP BY class
+),
+c AS (
+  SELECT cls.class,
+         coalesce(tp.tp, 0)::BIGINT AS tp,
+         coalesce(fp.fp, 0)::BIGINT AS fp,
+         coalesce(fn.fn, 0)::BIGINT AS fn
+  FROM cls LEFT JOIN tp ON cls.class = tp.class
+           LEFT JOIN fp ON cls.class = fp.class
+           LEFT JOIN fn ON cls.class = fn.class
+)
+SELECT class, tp, fp, fn,
+  CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS precision,
+  CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END AS recall,
+  CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END)
+          + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END) > 0
+       THEN 2 * (CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END)
+              * (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END)
+            / ((CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END)
+               + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END))
+       ELSE 0.0 END AS f1
+FROM c
 """,
         # Nested merger-v1 export: rebuild the exact to_json string in
         # SQL (same (begin, end, mention) order inside each tag, tags
