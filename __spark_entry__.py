@@ -634,7 +634,15 @@ def q_pubmed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "<Year>2024</Year></PubDate></JournalIssue></Journal>"
                     "<ArticleTitle>t</ArticleTitle><Abstract><AbstractText>"
                 ),
-                F.col("text"),
+                F.replace(
+                    F.replace(
+                        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                        F.lit("<"),
+                        F.lit("&lt;"),
+                    ),
+                    F.lit(">"),
+                    F.lit("&gt;"),
+                ),
                 F.lit(
                     "</AbstractText></Abstract></Article>"
                     "</MedlineCitation></PubmedArticle></PubmedArticleSet>"
@@ -994,7 +1002,7 @@ p AS (
 ),
 r AS (
   SELECT query_id, neighbor_id, cos,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
   FROM p
 )
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM r WHERE rank <= 10
@@ -1008,7 +1016,7 @@ p AS (
 ),
 r AS (
   SELECT query_id, neighbor_id, cos,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
   FROM p
 )
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM r WHERE rank <= 10
@@ -1036,7 +1044,7 @@ p AS (
 ),
 r AS (
   SELECT query_id, neighbor_id, cos,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
   FROM p
 )
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM r WHERE rank <= 10
@@ -1414,7 +1422,9 @@ FROM txt t LEFT JOIN agg a ON t.doc_id = a.doc_id
 ),
 sizes AS (SELECT doc_id, sent_idx, count(*)::INT AS n FROM rc GROUP BY doc_id, sent_idx),
 step AS (
-  SELECT doc_id, sent_idx, n - 1 AS i, ((1::BIGINT << n) - 1) AS mask FROM sizes
+  SELECT doc_id, sent_idx, n - 1 AS i,
+         CASE WHEN n >= 64 THEN error('resolve_conflicts oracle: sentence with >= 64 mentions exceeds the 64-bit survivor mask')
+              ELSE ((1::BIGINT << n) - 1) END AS mask FROM sizes
   UNION ALL
   SELECT s.doc_id, s.sent_idx, s.i - 1,
          CASE WHEN EXISTS (

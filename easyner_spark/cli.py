@@ -121,17 +121,6 @@ def run_pipeline(spark: SparkSession, cfg: dict) -> dict[str, int]:
     else:
         pages = spark.read.parquet(inp["pages_path"])
 
-    # exact dedup gate (off by default): drop content-hash duplicates
-    # before any downstream work — the standard first pass of a webtext
-    # training-data pipeline (one shuffle on the uniform hash key)
-    if modules.get("dedup"):
-        from easyner_spark.operators.dedup import exact_dedup
-
-        flags = exact_dedup(pages, text_col="text", id_col="url")
-        pages = pages.join(
-            flags.where(~F.col("is_dup")).select("url"), "url", "left_semi"
-        )
-
     # Boilerplate stripping (north_star stage 1): forced via
     # modules.extract, or automatic when the crawl has html but no
     # pre-extracted text column. Narrow projection — no snapshot table,
@@ -144,6 +133,18 @@ def run_pipeline(spark: SparkSession, cfg: dict) -> dict[str, int]:
             extract_text(pages, out_col="__extracted")
             .withColumn("text", F.col("__extracted"))
             .drop("__extracted")
+        )
+
+    # exact dedup gate (off by default): drop content-hash duplicates
+    # before any downstream stage. Runs AFTER boilerplate extraction so
+    # it hashes the text the pipeline actually processes (and works on
+    # html-only crawls); one shuffle on the uniform hash key.
+    if modules.get("dedup"):
+        from easyner_spark.operators.dedup import exact_dedup
+
+        flags = exact_dedup(pages, text_col="text", id_col="url")
+        pages = pages.join(
+            flags.where(~F.col("is_dup")).select("url"), "url", "left_semi"
         )
 
     sents = None

@@ -68,6 +68,22 @@ def _pair_cosine() -> Column:
     return _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
 
 
+def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Shared top-k ranking: order by the ROUNDED cosine (desc), ties by
+    neighbor_id. Ranking on raw doubles would let numpy-vs-sequential-
+    fold last-ulp drift flip the order of 6-decimal ties between the
+    engine paths and the DuckDB oracle; rounding first makes the order
+    identical everywhere by construction."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     k: int = 10,
@@ -89,12 +105,7 @@ def brute_force_topk(
         F.col("b.id").alias("neighbor_id"),
         _pair_cosine().alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
-    )
+    return _rank_topk(pairs, k)
 
 
 def _bucket(planes: list[list[float]]) -> Column:
@@ -150,12 +161,7 @@ def lsh_topk(
         F.col("b.id").alias("neighbor_id"),
         _pair_cosine().alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
-    )
+    return _rank_topk(pairs, k)
 
 
 NEARDUP_BITS = 4
@@ -223,6 +229,8 @@ def brute_force_topk_blocked(
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
     block_size: int = 4096,
+    n_corpus: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k by block-partitioned matmul — the BLAS speed
     of the round-1 fast path with NO driver-side corpus collect (the
@@ -274,8 +282,15 @@ def brute_force_topk_blocked(
             StructField("cos", DoubleType()),
         ]
     )
-    n_c = slim.count()
-    n_q = n_c if queries is None else q_slim.count()
+    # block sizing needs row counts: one count() job (self mode), two
+    # with an explicit query set. Callers with computed/expensive
+    # inputs should pass n_corpus/n_queries (or persist upstream) —
+    # the counts only size blocks, so estimates are fine.
+    n_c = n_corpus if n_corpus is not None else slim.count()
+    if queries is None:
+        n_q = n_c
+    else:
+        n_q = n_queries if n_queries is not None else q_slim.count()
     if n_c == 0 or n_q == 0 or k <= 0:
         empty = spark.createDataFrame([], out_schema)
         return empty.select(
@@ -321,12 +336,7 @@ def brute_force_topk_blocked(
                 )
 
     cand = pairs.mapInPandas(gen, out_schema)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
-    )
+    return _rank_topk(cand, k)
 
 
 # Backwards-compatible name for the bench hot path; the blocked design
@@ -339,15 +349,17 @@ IVF_NPROBE = 4
 
 
 def _centroid_structs(cents: list[tuple], vec: Column) -> Column:
-    """array<struct<cos, neg_cid>> of `vec` against every centroid —
-    array_max picks (max cos, tie -> smallest centroid id)."""
+    """array<struct<ncos, cid>> of `vec` against every centroid:
+    ncos = NEGATED cosine, so array_min picks (max cos, tie -> smallest
+    centroid id) without negating the id — ids keep any orderable type
+    (string ids work, ADVICE r1 contract)."""
     entries = []
     for cid, cvec in cents:
         cv = F.array(*[F.lit(float(x)) for x in cvec])
         cos = _dot(vec, cv) / (
             F.sqrt(_dot(vec, vec)) * F.sqrt(_dot(cv, cv))
         )
-        entries.append(F.struct(cos.alias("cos"), F.lit(-cid).alias("neg_cid")))
+        entries.append(F.struct((-cos).alias("ncos"), F.lit(cid).alias("cid")))
     return F.array(*entries)
 
 
@@ -387,7 +399,7 @@ def ivf_topk(
     ]
     scored = slim.withColumn("cs", _centroid_structs(cents, F.col("v")))
     corpus = scored.select(
-        "id", "v", "norm", (-F.array_max("cs")["neg_cid"]).alias("cell")
+        "id", "v", "norm", F.array_min("cs")["cid"].alias("cell")
     )
     probes = scored.select(
         "id",
@@ -395,8 +407,7 @@ def ivf_topk(
         "norm",
         F.explode(
             F.transform(
-                F.slice(F.reverse(F.array_sort("cs")), 1, nprobe),
-                lambda s: -s["neg_cid"],
+                F.slice(F.array_sort("cs"), 1, nprobe), lambda s: s["cid"]
             )
         ).alias("cell"),
     )
@@ -408,9 +419,4 @@ def ivf_topk(
         F.col("b.id").alias("neighbor_id"),
         _pair_cosine().alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
-    )
+    return _rank_topk(pairs, k)

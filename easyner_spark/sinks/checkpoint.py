@@ -104,7 +104,7 @@ class SnapshotTable:
     def rollback(self, snap: int) -> None:
         if snap not in self.history():
             raise ValueError(f"unknown snapshot {snap}; have {self.history()}")
-        self._commit(snap)
+        self._commit(snap, self.current_epoch())
 
     # -- data ------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame | None:
@@ -131,7 +131,10 @@ class SnapshotTable:
                 .drop("_cp_gen", "_cp_rn")
             )
         merged.write.mode("overwrite").parquet(self._snap_dir(snap))
-        self._commit(snap)
+        # carry the replay-protection epoch forward: a last-wins merge
+        # on an epoch-carrying table must not erase merge_additive's
+        # committed epoch (that would re-open the replay window)
+        self._commit(snap, self.current_epoch())
         return snap
 
     def merge_additive(
@@ -162,13 +165,13 @@ class SnapshotTable:
             *[F.sum(c).alias(c) for c in sum_cols]
         )
         merged.write.mode("overwrite").parquet(self._snap_dir(snap))
-        self._commit(snap, epoch)
+        self._commit(snap, epoch if epoch is not None else self.current_epoch())
         return snap
 
     def overwrite(self, df: DataFrame) -> int:
         snap = (self.current_snapshot() or 0) + 1
         df.write.mode("overwrite").parquet(self._snap_dir(snap))
-        self._commit(snap)
+        self._commit(snap, self.current_epoch())
         return snap
 
 

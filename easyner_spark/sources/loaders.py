@@ -89,7 +89,7 @@ def free_text_load(spark: SparkSession, glob_path: str, prefix: str = "freetext"
         # Python str.strip() parity: remove ALL leading/trailing
         # whitespace (\t \r \f \v ...), not just ASCII space as F.trim
         # does — CRLF .txt files must not leave stray \r in the text.
-        .select("file", F.regexp_replace("value", r"^\s+|\s+$", "").alias("line"))
+        .select("file", F.regexp_replace("value", r"(?U)^\s+|\s+$", "").alias("line"))
     )
     # preserve line order within each file for the join
     lines = lines.withColumn("line_id", F.monotonically_increasing_id())

@@ -209,9 +209,13 @@ def stateful_first_seen(
     row is final (a key never re-emits), so file sinks compose.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
 
-    out_schema = f"{key_col} string, " + ", ".join(
-        f"{c} string" for c in payload_cols
+    # output types derive from the input stream — hardcoding string
+    # would mis-declare long/timestamp keys and break the Arrow convert
+    in_fields = {f.name: f for f in stream.schema.fields}
+    out_schema = StructType(
+        [in_fields[key_col]] + [in_fields[c] for c in payload_cols]
     )
     state_schema = "seen boolean"
 

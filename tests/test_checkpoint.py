@@ -181,3 +181,26 @@ class TestBucketedJoin:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS b_sents_{sfx}")
             spark.sql(f"DROP TABLE IF EXISTS b_ments_{sfx}")
+
+
+class TestEpochCarryForward:
+    def test_lastwins_merge_preserves_epoch(self, spark, tmp_table):
+        """A merge()/overwrite()/rollback() on an epoch-carrying table
+        must not erase the replay-protection epoch (code-review r2)."""
+        t = tmp_table("edges", ["k"])
+        delta = spark.createDataFrame([("a", 2)], "k string, n int")
+        t.merge_additive(delta, sum_cols=["n"], epoch=42)
+        assert t.current_epoch() == 42
+        t.merge(spark.createDataFrame([("a", 9)], "k string, n int"))
+        assert t.current_epoch() == 42
+        t.overwrite(spark.createDataFrame([("a", 1)], "k string, n int"))
+        assert t.current_epoch() == 42
+        t.rollback(1)
+        assert t.current_epoch() == 42
+        # epoch-less additive fold also keeps it
+        t.merge_additive(delta, sum_cols=["n"])
+        assert t.current_epoch() == 42
+        # and the replay guard still holds after all of that
+        before = {r.k: r.n for r in t.read(spark).collect()}
+        t.merge_additive(delta, sum_cols=["n"], epoch=42)
+        assert {r.k: r.n for r in t.read(spark).collect()} == before

@@ -337,6 +337,21 @@ class TestSimilarity:
             map(tuple, brute_force_topk(df, k=5).collect())
         )
 
+    def test_ivf_topk_string_ids(self, spark):
+        """String vector ids survive the IVF path (type-agnostic
+        tie-break via negated cosine, code-review r2)."""
+        from easyner_spark.operators.similarity import brute_force_topk, ivf_topk
+
+        import random
+
+        rng = random.Random(3)
+        vecs = [(f"v{i:02d}", [rng.uniform(-1, 1) for _ in range(6)]) for i in range(20)]
+        df = spark.createDataFrame(vecs, "vec_id string, embedding array<float>")
+        full = ivf_topk(df, k=3, n_centroids=4, nprobe=4)
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, brute_force_topk(df, k=3).collect())
+        )
+
     def test_hyperplanes_deterministic(self):
         from easyner_spark.operators.similarity import hyperplanes
 

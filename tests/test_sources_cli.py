@@ -265,7 +265,6 @@ class TestCliRound2Stages:
         pages = pages_df.unionByName(first)
         pages_path = str(tmp_path / "pages.parquet")
         pages.write.parquet(pages_path)
-        n_unique = pages_df.count()
         cfg = {
             "input": {"pages_path": pages_path},
             "output_dir": str(tmp_path / "out"),
@@ -276,9 +275,7 @@ class TestCliRound2Stages:
         # the duplicated doc contributes nothing downstream
         base = run_pipeline(
             spark,
-            {"input": {"pages_path": pages_path.replace("pages", "x")}}
-            if False
-            else {
+            {
                 "input": {"pages_path": pages_path},
                 "output_dir": str(tmp_path / "out2"),
                 "modules": {"nel": False, "triples": False, "components": False},
