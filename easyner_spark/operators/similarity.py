@@ -370,23 +370,31 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat ANN top-k: deterministic coarse quantizer + multi-cell
     probe + exact re-rank — the inverted-file counterpart to lsh_topk.
 
-    Quantizer: centroids are the corpus vectors whose md5(vec_id) sort
-    first (deterministic, engine-portable, no RNG/k-means state; the
-    SQL oracle rebuilds them verbatim). Every corpus vector lands in
-    ONE cell (argmax cosine, ties to the smallest centroid id) — cell
-    assignment is a pure JVM column expression (array_max over a
-    16-struct array), no UDF, no shuffle. Queries probe their `nprobe`
+    Quantizer: SEED centroids are the corpus vectors whose md5(vec_id)
+    sort first (deterministic, engine-portable, no RNG; the SQL oracle
+    rebuilds them verbatim). `refine_iters` > 0 runs that many Lloyd
+    (k-means) rounds: assign all vectors JVM-side, new centroid =
+    element-wise mean of its cell (posexplode + avg, one shuffle per
+    round, an O(n_centroids x dim) driver collect — dictionary-sized,
+    never the corpus); components are rounded to 9 decimals so
+    aggregation-order ulp noise cannot flip borderline assignments
+    between runs. Refinement adapts cell granularity to the data —
+    the production recall lever (the oracle covers refine_iters=0).
+
+    Every corpus vector lands in ONE cell (argmax cosine, ties to the
+    smallest centroid id) — cell assignment is a pure JVM column
+    expression, no UDF, no shuffle. Queries probe their `nprobe`
     nearest cells; candidates = corpus vectors in those cells, scored
     exactly and re-ranked. ONE equi-join shuffle on the cell id.
 
     At cluster scale: centroid list is O(n_centroids) driver data
     (like a broadcast dictionary — NOT a corpus collect); recall tunes
-    with nprobe; cells can further bucket-join with AQE handling
-    any hot cell.
+    with nprobe/refine_iters; AQE handles any hot cell in the join.
     """
     slim = _with_norm(emb, id_col, vec_col)
     cents = [
@@ -397,6 +405,23 @@ def ivf_topk(
         .limit(n_centroids)
         .collect()
     ]
+    for _ in range(refine_iters):
+        assigned = slim.withColumn(
+            "cell", F.array_min(_centroid_structs(cents, F.col("v")))["cid"]
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("mv")
+            )
+            .collect()
+        )
+        cents = sorted(
+            (r["cell"], [e["m"] for e in r["mv"]]) for r in means
+        )
     scored = slim.withColumn("cs", _centroid_structs(cents, F.col("v")))
     corpus = scored.select(
         "id", "v", "norm", F.array_min("cs")["cid"].alias("cell")

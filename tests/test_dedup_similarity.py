@@ -352,6 +352,73 @@ class TestSimilarity:
             map(tuple, brute_force_topk(df, k=3).collect())
         )
 
+    def test_ivf_refinement_reduces_distortion(self, spark):
+        """Lloyd rounds are real k-means: mean cosine distance of each
+        vector to its assigned centroid is non-increasing, the refined
+        index stays deterministic across runs, and results remain a
+        valid top-k (exact cosines, subset-of-exact property)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from easyner_spark.operators.similarity import (
+            _centroid_structs,
+            _with_norm,
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        rng = random.Random(11)
+        # three gaussian-ish clusters in 6d
+        centers = [[3, 0, 0, 0, 0, 0], [0, 3, 0, 0, 0, 0], [0, 0, 3, 0, 0, 0]]
+        vecs = [
+            (i, [c + rng.gauss(0, 0.4) for c in centers[i % 3]])
+            for i in range(45)
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+        def distortion(refine):
+            # rebuild the quantizer exactly as ivf_topk does
+            slim = _with_norm(df, "vec_id", "embedding")
+            cents = [
+                (r["id"], list(r["v"]))
+                for r in slim.select("id", "v")
+                .withColumn("h", F.md5(F.col("id").cast("string")))
+                .orderBy("h", "id")
+                .limit(3)
+                .collect()
+            ]
+            for _ in range(refine):
+                assigned = slim.withColumn(
+                    "cell", F.array_min(_centroid_structs(cents, F.col("v")))["cid"]
+                )
+                means = (
+                    assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+                    .groupBy("cell", "pos")
+                    .agg(F.round(F.avg("x"), 9).alias("m"))
+                    .groupBy("cell")
+                    .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("mv"))
+                    .collect()
+                )
+                cents = sorted((r["cell"], [e["m"] for e in r["mv"]]) for r in means)
+            scored = slim.withColumn(
+                "best", F.array_min(_centroid_structs(cents, F.col("v")))["ncos"]
+            )
+            return scored.agg(F.avg("best")).collect()[0][0]  # avg NEGATED cos
+
+        d0, d2 = distortion(0), distortion(2)
+        assert d2 <= d0 + 1e-9  # avg(-cos) falls => cells fit tighter
+        a = sorted(map(tuple, ivf_topk(df, k=3, n_centroids=3, nprobe=1, refine_iters=2).collect()))
+        b = sorted(map(tuple, ivf_topk(df, k=3, n_centroids=3, nprobe=1, refine_iters=2).collect()))
+        assert a == b  # deterministic across runs
+        exact = {
+            (r.query_id, r.neighbor_id): r.cosine
+            for r in brute_force_topk(df, k=3).collect()
+        }
+        for qid, nid, rank, cos in a:
+            if (qid, nid) in exact:
+                assert exact[(qid, nid)] == cos
+
     def test_hyperplanes_deterministic(self):
         from easyner_spark.operators.similarity import hyperplanes
 
