@@ -128,3 +128,18 @@ def test_medlinedate_fallback_and_pages_projection(spark, tmp_path):
     assert row.pubdate == "2000"
     pages = pubmed_pages(arts).collect()[0]
     assert pages.doc_id == "101" and pages.text.startswith("Rapamycin")
+
+
+def test_pubmed_extract_query_escapes_metachars(spark, tmp_path):
+    """The driver-contract roundtrip query must survive text containing
+    XML metacharacters (escaped into the envelope, unescaped by the
+    parser — identity preserved; code-review r2)."""
+    import __spark_entry__ as e
+
+    docs = spark.createDataFrame(
+        [(1, "a & b < c > d"), (2, "plain text")],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r.text for r in e.q_pubmed_extract(spark, str(tmp_path)).collect()}
+    assert out == {1: "a & b < c > d", 2: "plain text"}
