@@ -98,22 +98,32 @@ def _ui_name_list(art, item_path: str, ui_path: str) -> str:
 
 
 def parse_pubmed_xml_bytes(blob: bytes, file_num: int) -> list[tuple]:
-    """One file -> article tuples (the empty-abstract drop applied)."""
+    """One file -> article tuples (the empty-abstract drop applied).
+
+    Streaming parse (iterparse + element clearing): a baseline file is
+    ~30 MB gzipped / ~600 MB of XML, and a whole-file DOM would cost
+    several GB of Python objects per task — iterparse holds ONE
+    PubmedArticle subtree at a time, so task memory is O(article), not
+    O(file)."""
+    import io
     import xml.etree.ElementTree as ET
 
     if blob[:2] == b"\x1f\x8b":
         blob = gzip.decompress(blob)
-    root = ET.fromstring(blob)
     rows = []
-    for art in root.iter("PubmedArticle"):
+    for _event, art in ET.iterparse(io.BytesIO(blob), events=("end",)):
+        if art.tag != "PubmedArticle":
+            continue
         cit = art.find("MedlineCitation")
         if cit is None:
+            art.clear()
             continue
         sections = [
             _flat(s) for s in cit.findall(".//Article/Abstract/AbstractText")
         ]
         abstract = " ".join(x for x in sections if x)
         if not abstract:
+            art.clear()
             continue  # reference gate: len(abstract) > 0
         rows.append(
             (
@@ -126,6 +136,7 @@ def parse_pubmed_xml_bytes(blob: bytes, file_num: int) -> list[tuple]:
                 file_num,
             )
         )
+        art.clear()  # free the subtree: O(article) task memory
     return rows
 
 

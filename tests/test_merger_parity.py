@@ -241,3 +241,28 @@ class TestCoOccurrence:
         assert out[1].entities == []  # trailing entity dropped (ref quirk)
         assert out[2].entities == ["foobar"]  # B-after-B, no space (ref quirk)
         assert out[2].has_cooccurrence is False
+
+
+def test_merger_v1_export_single_shuffle(spark, tmp_path):
+    """The two stacked aggs share the one explicit (url, sent_idx)
+    repartition — one real hashpartitioning exchange in the final plan."""
+    from easyner_spark.operators.merger import merger_v1_export
+    from pyspark.sql import functions as F
+
+    rows = [("u", 0, "a", 0, 1, "x", 0), ("u", 0, "b", 2, 3, "y", 1)]
+    m = spark.createDataFrame(
+        rows,
+        "url string, sent_idx int, mention string, begin int, end int, "
+        "class string, run_idx int",
+    )
+    path = str(tmp_path / "m.parquet")
+    m.write.parquet(path)
+    out = merger_v1_export(spark.read.parquet(path))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    real = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "ReusedExchange" not in l
+    ]
+    assert len(real) == 1, plan
