@@ -190,7 +190,11 @@ def annotated_json_load(spark: SparkSession, path: str) -> DataFrame:
     (entities: [..], class='') and the merged nested maps
     (entities: {tag: [..]}, class=tag — entity_merger.py:20-33).
     One task per batch file (wholetext read, stdlib json parse in an
-    Arrow batch); batch_id = trailing integer in the file stem."""
+    Arrow batch); batch_id = trailing integer in the file stem.
+    Scale note: the task unit is one WHOLE batch file in memory — the
+    reference writes bounded ~1000-doc batches (config.json
+    splitter.batch_size), which is what keeps this O(batch) per task;
+    re-batch pathological multi-GB files upstream before loading."""
     import json as _json
     import re as _re
 
@@ -250,7 +254,8 @@ def articles_json_load(
 ) -> DataFrame:
     """Downloader/bulk-loader article JSON ({pmid: {title, abstract,
     ...}} — data/Lund-Autophagy-1_articles.json is a bundled example)
-    -> canonical pages (doc_id, title, text). One task per file."""
+    -> canonical pages (doc_id, title, text). One task per file; same
+    bounded-batch-file assumption as annotated_json_load."""
     import json as _json
 
     import pandas as pd
