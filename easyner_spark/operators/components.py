@@ -45,12 +45,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
     mins = mins.withColumn("m", F.least("src", "mn")).select("src", "m")
+    # NO trailing distinct: the output is already (src > dst)-oriented
+    # (m <= old_src < old_dst), and the next step — small_star's
+    # _canon — dedups anyway; a distinct here would be a redundant
+    # extra shuffle every round (measured in the round-2 plan audit)
     return (
         sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
