@@ -172,8 +172,9 @@ def embedding_neardup_pairs(
     threshold: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = NEARDUP_BITS,
+    n_bits: int | str = NEARDUP_BITS,
     dim: int | None = None,
+    target_bucket: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a, b, cosine), a < b,
     cosine >= threshold.
@@ -185,10 +186,25 @@ def embedding_neardup_pairs(
     whose signs differ in some bucket bit are missed — the standard
     ANN-dedup recall tradeoff, smaller the higher the threshold).
     n_bits=0 is the explicit O(n^2) verification twin for tests and
-    oracles. `dim` is derived from the data when not given (one O(1)
-    first() — plane width must match the vector width or zip_with
-    null-pads and every bucket degenerates)."""
+    oracles.
+
+    Within-bucket scoring is still quadratic in the bucket size, so a
+    FIXED bit count quietly degrades as the corpus grows (16 buckets
+    over 10^12 rows is all-pairs again). n_bits="auto" sizes the
+    prefilter from the data: ceil(log2(n / target_bucket)) bits, so
+    expected bucket size stays ~target_bucket at ANY corpus size (one
+    count() job; more bits trade recall for the quadratic constant —
+    raise target_bucket to recover recall at higher cost).
+
+    `dim` is derived from the data when not given (one O(1) first() —
+    plane width must match the vector width or zip_with null-pads and
+    every bucket degenerates)."""
+    import math
+
     base = _with_norm(emb, id_col, vec_col)
+    if n_bits == "auto":
+        n = emb.count()
+        n_bits = max(1, math.ceil(math.log2(max(2, n / target_bucket))))
     if n_bits > 0:
         if dim is None:
             row = emb.select(F.size(F.col(vec_col))).first()

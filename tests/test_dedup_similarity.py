@@ -352,6 +352,30 @@ class TestSimilarity:
             map(tuple, brute_force_topk(df, k=3).collect())
         )
 
+    def test_neardup_auto_bits_scale_with_corpus(self, spark):
+        """n_bits='auto' sizes the prefilter so expected bucket size
+        tracks target_bucket regardless of corpus size (the fix for a
+        fixed bit count going quadratic as n grows)."""
+        from easyner_spark.operators.similarity import embedding_neardup_pairs
+
+        import random
+
+        rng = random.Random(5)
+        vecs = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(64)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        out = embedding_neardup_pairs(df, threshold=0.9, n_bits="auto", target_bucket=8)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # 64 rows / target 8 -> 3 bits -> an 8-way bucket prefilter in
+        # the join condition (concat of 3 sign bits)
+        assert plan.count("CASE WHEN") >= 3
+        got = out.collect()
+        exact = {
+            (r.a, r.b): r.cosine
+            for r in embedding_neardup_pairs(df, threshold=0.9, n_bits=0).collect()
+        }
+        for r in got:
+            assert exact[(r.a, r.b)] == r.cosine
+
     def test_ivf_refinement_reduces_distortion(self, spark):
         """Lloyd rounds are real k-means: mean cosine distance of each
         vector to its assigned centroid is non-increasing, the refined
