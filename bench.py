@@ -24,8 +24,9 @@ per-round bench time stays bounded; generation cost is excluded from
 the timings.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_PAGES (override
-pages-corpus row count), BENCH_REPEAT (timed repetitions, default 1;
-the scaling harness tools/scaling_bench.py uses 3 and reports medians).
+pages-corpus row count), BENCH_REPEAT (timed repetitions per query,
+default 3, median reported — this VM's absolute speed drifts ~2x
+across minutes, so single-shot timings are noise; see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -113,7 +114,7 @@ def build_queries(spark, sf_dir: str, pages_path: str):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)
