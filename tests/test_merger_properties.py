@@ -91,3 +91,27 @@ def test_property_holds_for_any_priority_map(items, prios):
     got = _resolve_rows([dict(r) for r in rows], prio)
     want = declarative_resolve([dict(r) for r in rows], prio)
     assert got == want
+
+
+def test_resolve_oracle_mask_guard_fires():
+    """The DuckDB oracle refuses (visibly) a sentence with >= 64
+    mentions instead of silently overflowing the survivor bitmask."""
+    import duckdb
+    import pytest
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    text = " ".join(["spark"] * 70)  # 70 unigram mentions, one sentence
+    con.execute(
+        f"CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id, '{text}' AS text"
+    )
+    with pytest.raises(duckdb.Error, match="64 mentions"):
+        con.execute(e.oracle_sql()["resolve_conflicts"]).fetchall()
+    con.execute("DROP VIEW documents")
+    # and a normal-sized sentence still resolves
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id, 'spark beats hash' AS text"
+    )
+    rows = con.execute(e.oracle_sql()["resolve_conflicts"]).fetchall()
+    assert len(rows) == 2
