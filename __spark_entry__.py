@@ -205,6 +205,25 @@ def q_search_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/J5 companion: every annotation row of every hit sentence
+    (the reference re-emits the full entities/spans lists,
+    scripts/search.py:47-53)."""
+    from easyner_spark.operators.search import search_mentions
+
+    out = search_mentions(
+        _mentions(spark, sf_dir), SEARCH_TERMS, match_col="mention_lc"
+    )
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("begin_tok").cast("long").alias("begin_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        "mention_lc",
+        "class",
+    )
+
+
 def q_doc_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easyner_spark.sinks.pubtator import sentence_doc_offsets
 
@@ -692,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_triples": q_predicate_triples,
         "edges": q_edges,
         "search_sentences": q_search_sentences,
+        "search_mentions": q_search_mentions,
         "doc_offsets": q_doc_offsets,
         "term_freq_per_doc": q_term_freq_per_doc,
         "resolve_conflicts": q_resolve_conflicts,
@@ -1246,6 +1266,18 @@ WHERE EXISTS (
   SELECT 1 FROM mentions m
   WHERE m.doc_id = s.doc_id AND m.sent_idx = s.sent_idx
     AND m.mention_lc IN ({", ".join(repr(t) for t in SEARCH_TERMS)})
+)
+""",
+        "search_mentions": _PRELUDE
+        + f"""
+SELECT m.doc_id, m.sent_idx::BIGINT AS sent_idx,
+       m.begin_tok::BIGINT AS begin_tok, m.end_tok::BIGINT AS end_tok,
+       m.mention_lc, m.class
+FROM mentions m
+WHERE EXISTS (
+  SELECT 1 FROM mentions h
+  WHERE h.doc_id = m.doc_id AND h.sent_idx = m.sent_idx
+    AND h.mention_lc IN ({", ".join(repr(t) for t in SEARCH_TERMS)})
 )
 """,
         "doc_offsets": _PRELUDE
