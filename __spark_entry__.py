@@ -365,8 +365,8 @@ def q_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok_idx", "token"),
     ).withColumn(
         "label",
-        F.when(F.col("token").isin("covid", "rapamycin"), F.lit("B"))
-        .when(F.col("token") == "cov", F.lit("I"))
+        F.when(F.col("token").isin("hash", "scan"), F.lit("B"))
+        .when(F.col("token") == "merge", F.lit("I"))
         .otherwise(F.lit("O")),
     )
     out = co_occurrence(toks)
@@ -375,6 +375,43 @@ def q_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_cooccurrence",
         F.to_json("entities").alias("entities_json"),
         "text",
+    )
+
+
+def q_error_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NER error-inspection regions (error_detection.py:8-95) over a
+    deterministic gold/pred IOB labeling of the document token stream:
+    gold marks covid=B cov=I, pred only covid=B — so every gold I
+    continuation is a disagreement region."""
+    from easyner_spark.operators.iob import error_regions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.col("doc_id").cast("int").alias("seq_id"),
+        F.posexplode(
+            F.expr(r"regexp_extract_all(lower(text), r'(?U)\w+|[^\w\s]', 0)")
+        ).alias("tok_idx", "token"),
+    ).select(
+        "seq_id",
+        "tok_idx",
+        "token",
+        F.when(F.col("token") == "hash", F.lit("B"))
+        .when(F.col("token") == "merge", F.lit("I"))
+        .otherwise(F.lit("O"))
+        .alias("label_true"),
+        F.when(
+            (F.col("token") == "hash") & (F.col("tok_idx") % 2 == 0), F.lit("B")
+        )
+        .otherwise(F.lit("O"))
+        .alias("label_pred"),
+    )
+    out = error_regions(toks)
+    return out.select(
+        F.col("seq_id").cast("long").alias("doc_id"),
+        F.col("region_idx").cast("long").alias("region_idx"),
+        "word",
+        F.to_json("true_tags").alias("true_tags_json"),
+        F.to_json("pred_tags").alias("pred_tags_json"),
     )
 
 
@@ -718,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_eval": q_span_eval,
         "merger_v1_nested": q_merger_v1_nested,
         "co_occurrence": q_co_occurrence,
+        "error_regions": q_error_regions,
         "components": q_components,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1380,8 +1418,8 @@ WITH toks0 AS (
 ),
 lab AS (
   SELECT doc_id, idx, tok,
-         CASE WHEN tok IN ('covid', 'rapamycin') THEN 'B'
-              WHEN tok = 'cov' THEN 'I' ELSE 'O' END AS label
+         CASE WHEN tok IN ('hash', 'scan') THEN 'B'
+              WHEN tok = 'merge' THEN 'I' ELSE 'O' END AS label
   FROM toks0
 ),
 runs AS (
@@ -1432,6 +1470,54 @@ SELECT t.doc_id,
        coalesce(a.ej, '[]') AS entities_json,
        t.text
 FROM txt t LEFT JOIN agg a ON t.doc_id = a.doc_id
+""",
+        # Error-region extraction: both-O tokens bound the runs, a
+        # region starts at its first B, regions open at sequence end
+        # are dropped, agreeing regions suppressed
+        "error_regions": """
+WITH toks0 AS (
+  SELECT doc_id,
+         generate_subscripts(t, 1) - 1 AS idx,
+         unnest(t) AS tok
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+|[^\\w\\s]') AS t
+        FROM documents)
+),
+lab AS (
+  SELECT doc_id, idx, tok,
+         CASE WHEN tok = 'hash' THEN 'B' WHEN tok = 'merge' THEN 'I' ELSE 'O' END AS lt,
+         CASE WHEN tok = 'hash' AND idx % 2 = 0 THEN 'B' ELSE 'O' END AS lp
+  FROM toks0
+),
+runs AS (
+  SELECT *, sum((lt = 'O' AND lp = 'O')::INT)
+              OVER (PARTITION BY doc_id ORDER BY idx) AS run_id
+  FROM lab
+),
+nz AS (SELECT * FROM runs WHERE NOT (lt = 'O' AND lp = 'O')),
+fb AS (
+  SELECT doc_id, run_id,
+         min(idx) FILTER (lt = 'B' OR lp = 'B') AS first_b,
+         max(idx) AS run_max
+  FROM nz GROUP BY doc_id, run_id
+),
+seqmax AS (SELECT doc_id, max(idx) AS seq_max FROM lab GROUP BY doc_id),
+reg AS (
+  SELECT n.doc_id, n.run_id,
+         string_agg(n.tok, ' ' ORDER BY n.idx) AS word,
+         to_json(list(n.lt ORDER BY n.idx)) AS tt,
+         to_json(list(n.lp ORDER BY n.idx)) AS tp
+  FROM nz n
+  JOIN fb ON n.doc_id = fb.doc_id AND n.run_id = fb.run_id
+  JOIN seqmax s ON n.doc_id = s.doc_id
+  WHERE fb.first_b IS NOT NULL AND n.idx >= fb.first_b
+    AND fb.run_max < s.seq_max
+  GROUP BY n.doc_id, n.run_id
+),
+bad AS (SELECT * FROM reg WHERE tt <> tp)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY run_id) - 1 AS region_idx,
+       word, tt AS true_tags_json, tp AS pred_tags_json
+FROM bad
 """,
         # Sequential conflict resolution (entity_merger2.py:99-146) as a
         # recursive CTE: the reference loop scans i last-to-first and

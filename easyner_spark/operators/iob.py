@@ -200,3 +200,68 @@ def co_occurrence(tokens: DataFrame) -> DataFrame:
         )
 
     return tokens.groupBy("seq_id").applyInPandas(_per_seq, CO_OCCUR_SCHEMA)
+
+
+ERROR_REGION_SCHEMA = (
+    "seq_id int, region_idx int, word string, "
+    "true_tags array<string>, pred_tags array<string>, text string"
+)
+
+
+def error_regions(tokens: DataFrame) -> DataFrame:
+    """NER error inspection (reference scripts/error_detection.py:
+    8-95): zip the gold and predicted IOB streams per sentence and
+    emit the disagreement regions.
+
+    Input: (seq_id, tok_idx, token, label_true, label_pred) — build it
+    by joining two token tables on (seq_id, tok_idx), or from
+    token_zip_check output.
+
+    Reference semantics, quirks included (:65-88):
+      - a region OPENS at the first token where either stream says B
+        (leading I tokens before any B are skipped);
+      - while open, every token where either stream is non-O joins the
+        region (a both-O token closes it);
+      - a closed region is emitted only when the tag sequences differ;
+      - a region still open at sentence end is DROPPED (no flush after
+        the loop — same trailing-drop family as the co-occurrence
+        extractor);
+      - output: one row per mismatched region with the joined surface
+        and both tag lists, plus the full sentence text.
+
+    Grouped applyInPandas per sequence (sentence-sized groups; eval
+    tooling, not a hot path)."""
+    import pandas as pd
+
+    def _per_seq(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("tok_idx", kind="stable")
+        text = " ".join(pdf["token"])
+        rows = []
+        cur_w: list[str] = []
+        cur_t: list[str] = []
+        cur_p: list[str] = []
+        cont = False
+        for word, tt, tp in zip(pdf["token"], pdf["label_true"], pdf["label_pred"]):
+            if tt != "O" or tp != "O":
+                if tt == "B" or tp == "B":
+                    cont = True
+                if cont:
+                    cur_w.append(word)
+                    cur_t.append(tt)
+                    cur_p.append(tp)
+            if tt == "O" and tp == "O":
+                cont = False
+                if cur_w:
+                    if cur_t != cur_p:
+                        rows.append((" ".join(cur_w), list(cur_t), list(cur_p)))
+                    cur_w, cur_t, cur_p = [], [], []
+        out = [
+            (int(pdf["seq_id"].iloc[0]), i, w, t, p, text)
+            for i, (w, t, p) in enumerate(rows)
+        ]
+        return pd.DataFrame(
+            out,
+            columns=["seq_id", "region_idx", "word", "true_tags", "pred_tags", "text"],
+        )
+
+    return tokens.groupBy("seq_id").applyInPandas(_per_seq, ERROR_REGION_SCHEMA)

@@ -181,3 +181,37 @@ class TestModelNer:
             # transformers absent in this env: the task must surface the
             # ImportError, not silently return empties
             model_ner(sents, hf_predictor_factory("some/model", "gene")).collect()
+
+
+class TestErrorRegions:
+    def test_reference_quirks(self, spark):
+        """error_detection.py parity: region open at first B, both-O
+        close, match-regions suppressed, trailing region dropped."""
+        from easyner_spark.operators.iob import error_regions
+
+        rows = [
+            # seq 0: one mismatched region (pred misses token 2) and one
+            # agreeing region (suppressed)
+            (0, 0, "the", "O", "O"),
+            (0, 1, "tumor", "B", "B"),
+            (0, 2, "cells", "I", "O"),
+            (0, 3, "grow", "O", "O"),
+            (0, 4, "fast", "B", "B"),
+            (0, 5, ".", "O", "O"),
+            # seq 1: leading I (no B yet) skipped entirely; later region
+            # left open at sentence end -> dropped
+            (1, 0, "odd", "I", "O"),
+            (1, 1, "x", "O", "O"),
+            (1, 2, "gene", "B", "O"),
+        ]
+        toks = spark.createDataFrame(
+            rows,
+            "seq_id int, tok_idx int, token string, label_true string, label_pred string",
+        )
+        got = error_regions(toks).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.seq_id, r.region_idx) == (0, 0)
+        assert r.word == "tumor cells"
+        assert r.true_tags == ["B", "I"] and r.pred_tags == ["B", "O"]
+        assert r.text == "the tumor cells grow fast ."
