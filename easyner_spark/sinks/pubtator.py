@@ -95,3 +95,80 @@ def to_pubtator_lines(
         ).alias("line"),
     )
     return t_lines.unionByName(a_lines).unionByName(m_lines)
+
+
+ANNOTATION_SCHEMA = (
+    "doc_id string, begin int, end int, mention string, class string, identifier string"
+)
+
+
+def pubtator_annotations(spark, path: str):
+    """Parse PubTator ANNOTATION lines (doc\\tbegin\\tend\\tmention\\t
+    class[\\tidentifier]) into rows; text lines (|t|/|a|, < 5 tab
+    fields) are skipped — load those with sources.loaders.pubtator_load.
+    A missing identifier gets the reference's dummy '-1'
+    (preprocess_pubtatorformat.py:64-66)."""
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    anns = lines.where(F.size(parts) >= 5).select(
+        parts.getItem(0).alias("doc_id"),
+        parts.getItem(1).cast("int").alias("begin"),
+        parts.getItem(2).cast("int").alias("end"),
+        parts.getItem(3).alias("mention"),
+        parts.getItem(4).alias("class"),
+        F.coalesce(F.get(parts, 5), F.lit("-1")).alias("identifier"),
+    )
+    return anns
+
+
+def remap_annotation_classes(anns, mapping):
+    """Entity-class remap against a (old_class, new_class) table
+    (preprocess_pubtatorformat.py:24-70): matched classes rewrite
+    (the reference strips the class before lookup), unmatched pass
+    through. Broadcast left join — no shuffle of the fact side."""
+    m = mapping.select(
+        F.col(mapping.columns[0]).alias("__old"),
+        F.col(mapping.columns[1]).alias("__new"),
+    )
+    return (
+        anns.join(F.broadcast(m), F.trim(anns["class"]) == m["__old"], "left")
+        .withColumn("class", F.coalesce(F.col("__new"), F.col("class")))
+        .drop("__old", "__new")
+    )
+
+
+def preprocess_pubtator_lines(spark, path: str, mapping=None):
+    """Byte-level twin of the reference's file rewrite: text lines
+    (< 5 tab fields) pass through verbatim; annotation lines gain the
+    dummy '-1' identifier when missing and remap their class. Emits
+    (file, line_no, line) so callers can write back in input order."""
+    lines = (
+        spark.read.text(path)
+        .withColumn("file", F.input_file_name())
+        .withColumn("line_no", F.monotonically_increasing_id())
+    )
+    parts = F.split(F.col("value"), "\t")
+    is_ann = F.size(parts) >= 5
+    # F.get: NULL (not ANSI error) when the identifier is absent
+    ident = F.coalesce(F.get(parts, 5), F.lit("-1"))
+    cls = F.get(parts, 4)  # NULL on text lines (ANSI-safe)
+    if mapping is not None:
+        m = mapping.select(
+            F.col(mapping.columns[0]).alias("__old"),
+            F.col(mapping.columns[1]).alias("__new"),
+        )
+        lines = lines.join(
+            F.broadcast(m), F.trim(cls) == m["__old"], "left"
+        )
+        cls = F.coalesce(F.col("__new"), cls)
+    rebuilt = F.concat_ws(
+        "\t",
+        F.get(parts, 0), F.get(parts, 1), F.get(parts, 2),
+        F.get(parts, 3), cls, ident,
+    )
+    out = lines.select(
+        "file",
+        "line_no",
+        F.when(is_ann, rebuilt).otherwise(F.col("value")).alias("line"),
+    )
+    return out

@@ -104,3 +104,54 @@ def test_barchart_svg_render(spark, pages_df, tmp_path):
     out = tmp_path / "chart.svg"
     write_barchart_svg(freq, str(out), n=5)
     assert out.read_text() == svg
+
+
+class TestPubtatorPreprocess:
+    CORPUS = (
+        "101|t|A title\n"
+        "101|a|An abstract with TNF here\n"
+        "101\t17\t20\tTNF\tGene\n"                  # 5 fields -> dummy id
+        "101\t0\t1\tA\tDisease\tMESH:D1\n"          # 6 fields -> kept
+        "\n"
+        "102|t|Other\n"
+        "102\t3\t7\tther\tChemical\n"
+    )
+
+    def test_annotations_and_dummy_id(self, spark, tmp_path):
+        from easyner_spark.sinks.pubtator import pubtator_annotations
+
+        p = tmp_path / "c.txt"
+        p.write_text(self.CORPUS)
+        anns = {(r.doc_id, r.begin): r for r in pubtator_annotations(spark, str(p)).collect()}
+        assert len(anns) == 3
+        assert anns[("101", 17)].identifier == "-1"      # dummy added
+        assert anns[("101", 0)].identifier == "MESH:D1"  # existing kept
+        assert anns[("102", 3)].mention == "ther"
+
+    def test_remap_and_byte_twin(self, spark, tmp_path):
+        from easyner_spark.sinks.pubtator import (
+            preprocess_pubtator_lines,
+            pubtator_annotations,
+            remap_annotation_classes,
+        )
+
+        p = tmp_path / "c.txt"
+        p.write_text(self.CORPUS)
+        mapping = spark.createDataFrame(
+            [("Gene", "GeneOrGeneProduct")], "old string, new string"
+        )
+        anns = remap_annotation_classes(pubtator_annotations(spark, str(p)), mapping)
+        classes = {r.begin: r["class"] for r in anns.where("doc_id = '101'").collect()}
+        assert classes == {17: "GeneOrGeneProduct", 0: "Disease"}  # unmapped pass
+        lines = [
+            r.line
+            for r in preprocess_pubtator_lines(spark, str(p), mapping)
+            .orderBy("line_no")
+            .collect()
+        ]
+        # reference byte behavior: text lines verbatim, annotations
+        # rewritten with dummy id + remapped class
+        assert lines[0] == "101|t|A title"
+        assert lines[2] == "101\t17\t20\tTNF\tGeneOrGeneProduct\t-1"
+        assert lines[3] == "101\t0\t1\tA\tDisease\tMESH:D1"
+        assert lines[6] == "102\t3\t7\tther\tChemical\t-1"
