@@ -381,8 +381,8 @@ def q_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_error_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NER error-inspection regions (error_detection.py:8-95) over a
     deterministic gold/pred IOB labeling of the document token stream:
-    gold marks covid=B cov=I, pred only covid=B — so every gold I
-    continuation is a disagreement region."""
+    gold marks hash=B merge=I, pred only hash-at-even-token-index=B —
+    corpus vocabulary, so disagreement regions genuinely occur."""
     from easyner_spark.operators.iob import error_regions
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

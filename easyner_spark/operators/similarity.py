@@ -435,9 +435,12 @@ def ivf_topk(
             )
             .collect()
         )
-        cents = sorted(
-            (r["cell"], [e["m"] for e in r["mv"]]) for r in means
-        )
+        refined = {r["cell"]: [e["m"] for e in r["mv"]] for r in means}
+        # empty-cluster keep: a cell no vector chose retains its
+        # previous centroid (dropping it would silently shrink the
+        # quantizer below n_centroids — degenerate worst case: one
+        # giant all-pairs cell)
+        cents = sorted((cid, refined.get(cid, vec)) for cid, vec in cents)
     scored = slim.withColumn("cs", _centroid_structs(cents, F.col("v")))
     corpus = scored.select(
         "id", "v", "norm", F.array_min("cs")["cid"].alias("cell")

@@ -97,11 +97,6 @@ def to_pubtator_lines(
     return t_lines.unionByName(a_lines).unionByName(m_lines)
 
 
-ANNOTATION_SCHEMA = (
-    "doc_id string, begin int, end int, mention string, class string, identifier string"
-)
-
-
 def pubtator_annotations(spark, path: str):
     """Parse PubTator ANNOTATION lines (doc\\tbegin\\tend\\tmention\\t
     class[\\tidentifier]) into rows; text lines (|t|/|a|, < 5 tab
@@ -109,7 +104,9 @@ def pubtator_annotations(spark, path: str):
     A missing identifier gets the reference's dummy '-1'
     (preprocess_pubtatorformat.py:64-66)."""
     lines = spark.read.text(path)
-    parts = F.split(F.col("value"), "\t")
+    # reference parity: line.strip() BEFORE splitting — a trailing tab
+    # must not create a phantom empty identifier field
+    parts = F.split(F.regexp_replace("value", r"(?U)^\s+|\s+$", ""), "\t")
     anns = lines.where(F.size(parts) >= 5).select(
         parts.getItem(0).alias("doc_id"),
         parts.getItem(1).cast("int").alias("begin"),
@@ -121,15 +118,28 @@ def pubtator_annotations(spark, path: str):
     return anns
 
 
+def _remap_table(mapping):
+    """(old, new) mapping normalized for the broadcast join. Duplicate
+    old-class rows are deduped (max new-class wins — the reference's
+    dict is last-file-line-wins, an order a DataFrame doesn't have;
+    max is the deterministic stand-in) so a dirty TSV can't duplicate
+    fact rows through the join."""
+    return (
+        mapping.select(
+            F.col(mapping.columns[0]).alias("__old"),
+            F.col(mapping.columns[1]).alias("__new"),
+        )
+        .groupBy("__old")
+        .agg(F.max("__new").alias("__new"))
+    )
+
+
 def remap_annotation_classes(anns, mapping):
     """Entity-class remap against a (old_class, new_class) table
     (preprocess_pubtatorformat.py:24-70): matched classes rewrite
     (the reference strips the class before lookup), unmatched pass
     through. Broadcast left join — no shuffle of the fact side."""
-    m = mapping.select(
-        F.col(mapping.columns[0]).alias("__old"),
-        F.col(mapping.columns[1]).alias("__new"),
-    )
+    m = _remap_table(mapping)
     return (
         anns.join(F.broadcast(m), F.trim(anns["class"]) == m["__old"], "left")
         .withColumn("class", F.coalesce(F.col("__new"), F.col("class")))
@@ -147,24 +157,30 @@ def preprocess_pubtator_lines(spark, path: str, mapping=None):
         .withColumn("file", F.input_file_name())
         .withColumn("line_no", F.monotonically_increasing_id())
     )
-    parts = F.split(F.col("value"), "\t")
+    # reference parity: split the STRIPPED line (a trailing tab must
+    # not read as an empty identifier); text lines pass through with
+    # their original bytes
+    parts = F.split(F.regexp_replace("value", r"(?U)^\s+|\s+$", ""), "\t")
     is_ann = F.size(parts) >= 5
     # F.get: NULL (not ANSI error) when the identifier is absent
     ident = F.coalesce(F.get(parts, 5), F.lit("-1"))
     cls = F.get(parts, 4)  # NULL on text lines (ANSI-safe)
     if mapping is not None:
-        m = mapping.select(
-            F.col(mapping.columns[0]).alias("__old"),
-            F.col(mapping.columns[1]).alias("__new"),
-        )
+        m = _remap_table(mapping)
         lines = lines.join(
             F.broadcast(m), F.trim(cls) == m["__old"], "left"
         )
         cls = F.coalesce(F.col("__new"), cls)
-    rebuilt = F.concat_ws(
+    # keep fields BEYOND the identifier verbatim (the reference joins
+    # the whole split list back; extended corpora carry extra columns)
+    rebuilt = F.array_join(
+        F.concat(
+            F.slice(parts, 1, 4),
+            F.array(cls, ident),
+            F.when(F.size(parts) > 6, F.slice(parts, 7, F.size(parts) - 6))
+            .otherwise(F.array().cast("array<string>")),
+        ),
         "\t",
-        F.get(parts, 0), F.get(parts, 1), F.get(parts, 2),
-        F.get(parts, 3), cls, ident,
     )
     out = lines.select(
         "file",

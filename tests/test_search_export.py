@@ -155,3 +155,33 @@ class TestPubtatorPreprocess:
         assert lines[2] == "101\t17\t20\tTNF\tGeneOrGeneProduct\t-1"
         assert lines[3] == "101\t0\t1\tA\tDisease\tMESH:D1"
         assert lines[6] == "102\t3\t7\tther\tChemical\t-1"
+
+
+def test_pubtator_preprocess_review_regressions(spark, tmp_path):
+    """code-review r2b: trailing-tab lines still get the dummy id,
+    extra fields beyond the identifier survive verbatim, duplicate
+    mapping keys don't duplicate lines."""
+    from easyner_spark.sinks.pubtator import (
+        preprocess_pubtator_lines,
+        pubtator_annotations,
+    )
+
+    p = tmp_path / "c.txt"
+    p.write_text(
+        "101\t17\t20\tTNF\tGene\t\n"                    # trailing tab
+        "101\t0\t5\tBRCA1\tGene\tNCBI:672\tExtraCol\n"  # 7 fields
+    )
+    anns = {r.begin: r for r in pubtator_annotations(spark, str(p)).collect()}
+    assert anns[17].identifier == "-1"
+    mapping = spark.createDataFrame(
+        [("Gene", "A"), ("Gene", "B")], "old string, new string"
+    )
+    lines = [
+        r.line
+        for r in preprocess_pubtator_lines(spark, str(p), mapping)
+        .orderBy("line_no")
+        .collect()
+    ]
+    assert len(lines) == 2  # duplicate mapping key didn't duplicate rows
+    assert lines[0] == "101\t17\t20\tTNF\tB\t-1"
+    assert lines[1] == "101\t0\t5\tBRCA1\tB\tNCBI:672\tExtraCol"
