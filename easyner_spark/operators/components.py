@@ -22,6 +22,17 @@ Skew note: a giant component (common alias) concentrates its edges on
 the component-min key. large-star specifically bounds that: high-degree
 centers delegate to subtree minima before small-star recenters, and AQE
 skew-join splitting handles the residual hot key.
+
+Plan-iteration record (round 2, interleaved A/B at bench scale):
+  - large_star's trailing distinct REMOVED (redundant with small_star's
+    canon distinct): 5.6 -> 5.3 s, one fewer shuffle per round;
+  - checkpoint every round vs every 2: every-round WINS (4.6 vs 5.9 s —
+    the un-checkpointed round re-executes lineage in the convergence
+    checksum AND the next round);
+  - skipping canon's distinct inside the loop (defer dedup to the final
+    distinct): LOSES slightly (5.2 vs 5.4 s — the fatter join offsets
+    the saved shuffle). Current shape kept: 5 exchanges/round with 3
+    reused, measured locally optimal among the variants tried.
 """
 
 from __future__ import annotations
