@@ -351,8 +351,8 @@ def q_merger_v1_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 compat: the reference co-occurrence extractor
     (entity_parser.py:19-55) over a deterministic IOB labeling of the
-    document token stream (B on 'covid'/'rapamycin', I on 'cov',
-    else O). Quirk parity (B-after-B concat, trailing-entity drop,
+    document token stream (B on 'hash'/'scan', I on 'merge', else O —
+    corpus vocabulary, so entities genuinely occur). Quirk parity (B-after-B concat, trailing-entity drop,
     punctuation chains) is pinned bit-level in pytest; this oracle
     checks the full-corpus values."""
     from easyner_spark.operators.iob import co_occurrence

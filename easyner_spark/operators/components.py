@@ -97,15 +97,24 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges -> (node, component) with component = min node id of the
     component. Isolated endpoints appear (an edge list has no isolated
-    nodes; union extra singletons upstream if needed)."""
+    nodes; union extra singletons upstream if needed).
+
+    Pass `stats={}` to receive {"rounds": n} — the skew/stress tooling
+    reports round counts alongside wall time (a giant component costs
+    extra ROUNDS, not a hot reducer; see tools/components_stress.py)."""
     cur = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     cur = cur.localCheckpoint(eager=True)
     prev_sig = None
+    rounds = 0
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        rounds += 1
+        if stats is not None:
+            stats["rounds"] = rounds
         sig = _checksum(cur)
         if sig == prev_sig:
             break

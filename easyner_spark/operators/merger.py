@@ -184,12 +184,25 @@ def merge_separated(mentions: DataFrame, sentences: DataFrame) -> DataFrame:
     return with_text.groupBy("url", "sent_idx").applyInPandas(_per_sentence, schema)
 
 
-def merger_v1_export(mentions: DataFrame, tag_col: str = "class") -> DataFrame:
+def merger_v1_export(
+    mentions: DataFrame,
+    tag_col: str = "class",
+    sentences: DataFrame | None = None,
+) -> DataFrame:
     """J2 compat boundary: the reference merger's nested per-sentence
     shape (entity_merger.py:20-56): each sentence's flat entity list
     becomes `{tag: [entities]}` / `{tag: [[begin, end], ...]}`, tags
-    accumulating across runs via dict.update; sentences with no
-    entities export `{}`.
+    accumulating across runs via dict.update.
+
+    Boundary notes (ADVICE r2): from the MENTIONS table alone,
+    sentences with no mentions are absent from the output; pass
+    `sentences` (url, sent_idx, ...) to left-join the full sentence
+    universe and emit the reference's empty maps / `{}` json for
+    mention-less sentences. And when two runs share a tag, the lists
+    are unioned per tag; the reference's dict.update instead REPLACES
+    the earlier run's list for that tag — a divergence we keep, since
+    losing run-1 annotations on a tag collision is a reference quirk,
+    not a contract.
 
     Columnar shape: two stacked aggs sharing one shuffle — per
     (url, sent_idx, tag) ordered lists, then per (url, sent_idx)
@@ -234,6 +247,19 @@ def merger_v1_export(mentions: DataFrame, tag_col: str = "class") -> DataFrame:
             )
         ).alias("entity_spans"),
     )
+    if sentences is not None:
+        universe = sentences.select("url", "sent_idx").distinct()
+        # empty-map literals typed off the agg output so the coalesce
+        # branches match whatever begin/end width the input carried
+        types = {f.name: f.dataType.simpleString() for f in nested.schema.fields}
+        empty_ents = F.from_json(F.lit("{}"), types["entities"])
+        empty_spans = F.from_json(F.lit("{}"), types["entity_spans"])
+        nested = universe.join(nested, ["url", "sent_idx"], "left").select(
+            "url",
+            "sent_idx",
+            F.coalesce("entities", empty_ents).alias("entities"),
+            F.coalesce("entity_spans", empty_spans).alias("entity_spans"),
+        )
     return nested.withColumn(
         "json", F.to_json(F.struct("entities", "entity_spans"))
     )

@@ -129,6 +129,152 @@ def hf_predictor_factory(
     return build
 
 
+# the reference's ONNX label inventory (ner_inference.py:89)
+ONNX_LABELS = ["[PAD]", "B", "I", "O", "X", "[CLS]", "[SEP]"]
+
+
+def decode_token_labels(
+    pairs: list[tuple[str, str]], cls: str = "entity"
+) -> list[dict]:
+    """(wordpiece token, IOB label) pairs -> mention dicts, using the
+    reference's detokenize + entity-accumulation semantics bit-exactly
+    (entity_parser.py:4-38 quirks preserved: a label containing 'X'
+    merges token[2:] into the previous word; 'B' while already inside
+    an entity concatenates WITHOUT a space; an entity still open at
+    sequence end is dropped; surfaces get the ' - '/' , ' repairs).
+
+    begin/end are WORD indices into the detokenized stream — the
+    reference's ONNX path (ner_inference.py:59-80) stops at token-label
+    pairs and never recovers original char offsets, so none exist to
+    report. Callers needing char spans use the HF path."""
+    from easyner_spark.functions.text import entity_fixups_py
+
+    labels: list[str] = []
+    words: list[str] = []
+    for token, label in pairs:
+        if "X" not in label:
+            words.append(token)
+            labels.append(label)
+        elif words:
+            words[-1] = words[-1] + token[2:]
+    mentions: list[dict] = []
+    entity, in_entity, start = "", False, -1
+    for i, (label, word) in enumerate(zip(labels, words)):
+        if "B" in label:
+            if not in_entity:
+                start = i
+            entity = entity + word
+            in_entity = True
+        elif in_entity:
+            if "I" in label:
+                entity = entity + " " + word
+            elif "O" in label:
+                mentions.append(
+                    {
+                        "mention": entity_fixups_py(entity),
+                        "begin": start,
+                        "end": i,
+                        "class": cls,
+                        "score": 1.0,
+                    }
+                )
+                entity, in_entity, start = "", False, -1
+    return mentions
+
+
+def onnx_predictor_factory(
+    model_dir: str,
+    model_name: str,
+    model_vocab: str,
+    labels: list[str] | None = None,
+    cls: str = "entity",
+    max_length: int = 128,
+    session_factory: Callable | None = None,
+    tokenizer_factory: Callable | None = None,
+) -> Callable[[], Predictor]:
+    """ONNX-runtime token-classification predictor mirroring the
+    reference's NERInferenceSession_biobert_onnx (ner_inference.py:
+    25-80): BertTokenizer vocab, max_length=128 padded encode, the
+    graph's pinned input-feed names, labels[index] decode, then the
+    bit-parity IOB detokenizer (`decode_token_labels`).
+
+    Import-gated: onnxruntime/transformers are absent in this sandbox,
+    so `session_factory`/`tokenizer_factory` inject substitutes — the
+    tests drive the full encode/run/decode path with a fake session,
+    and a real deployment passes nothing and gets the genuine stack.
+    Scores are 1.0: the reference graph emits label ids, not
+    probabilities (ner_inference.py:62-73)."""
+    labels = list(labels) if labels is not None else list(ONNX_LABELS)
+
+    def build() -> Predictor:
+        import os
+
+        import numpy as np
+
+        if session_factory is not None and tokenizer_factory is not None:
+            session = session_factory()
+            tokenizer = tokenizer_factory()
+        else:
+            try:
+                import onnxruntime
+                from transformers import BertTokenizer
+            except ImportError as e:  # pragma: no cover - env without ONNX
+                raise ImportError(
+                    "onnxruntime/transformers not available in this "
+                    "environment; pass session_factory/tokenizer_factory "
+                    "or install the model stack"
+                ) from e
+            model_path = os.path.join(model_dir, model_name)
+            if os.path.islink(model_path):  # reference symlink allowance (:22-23)
+                model_path = os.readlink(model_path)
+            session = onnxruntime.InferenceSession(model_path)
+            onnxruntime.set_default_logger_severity(3)
+            tokenizer = BertTokenizer.from_pretrained(model_vocab)
+
+        pad_token = tokenizer.convert_ids_to_tokens(0)
+
+        def predict(texts: list[str]) -> list[list[dict]]:
+            out = []
+            for seq in texts:
+                encoded = tokenizer.encode_plus(
+                    seq,
+                    max_length=max_length,
+                    add_special_tokens=True,
+                    return_token_type_ids=True,
+                    padding="max_length",
+                    truncation=True,
+                    return_attention_mask=True,
+                    return_tensors="np",
+                )
+                tokens = tokenizer.convert_ids_to_tokens(encoded["input_ids"][0])
+                for i, token in enumerate(tokens):
+                    if token == pad_token:  # truncate at first [PAD] (:41-44)
+                        tokens = tokens[:i]
+                        break
+                _, logits, _ = session.run(
+                    [],
+                    {
+                        "segment_ids_1:0": np.asarray(
+                            encoded["token_type_ids"], dtype=np.int32
+                        ),
+                        "input_mask_1_raw_output___9:0": np.asarray(
+                            encoded["attention_mask"], dtype=np.int32
+                        ),
+                        "input_ids_1:0": np.asarray(
+                            encoded["input_ids"], dtype=np.int32
+                        ),
+                        "label_ids_1:0": np.asarray([0], dtype=np.int32),
+                    },
+                )
+                predicted = [labels[int(i)] for i in logits[0]]
+                out.append(decode_token_labels(list(zip(tokens, predicted)), cls))
+            return out
+
+        return predict
+
+    return build
+
+
 def model_ner(
     sentences: DataFrame,
     predictor_factory: Callable[[], Predictor],

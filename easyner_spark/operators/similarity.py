@@ -341,9 +341,19 @@ def brute_force_topk_blocked(
                 out_s: list = []
                 for r in range(sims.shape[0]):
                     s = sims[r]
-                    # block-local total order: cos desc, neighbor_id asc
-                    order = np.lexsort((c_ids, -s))
-                    order = order[c_ids[order] != q_ids[r]][:k]
+                    # block-local total order: cos desc, neighbor_id asc.
+                    # Sort on the ROUNDED cosine (the global contract is
+                    # round(cos, 6)): truncating the block-local top-k on
+                    # raw cosines could drop a candidate within ~5e-7 of
+                    # the k-th value that rounds equal but has a smaller
+                    # neighbor_id (ADVICE r2). Raw values still flow out
+                    # for the final F.round, so HALF_UP stays Spark's.
+                    order = np.lexsort((c_ids, -np.round(s, 6)))
+                    # np.round is HALF_EVEN vs F.round's HALF_UP; a +4
+                    # over-fetch covers the measure-zero half-boundary
+                    # cases so the global window always sees the true
+                    # top-k under the Spark rounding.
+                    order = order[c_ids[order] != q_ids[r]][: k + 4]
                     out_q.extend([q_ids[r]] * len(order))
                     out_n.extend(c_ids[order].tolist())
                     out_s.extend(s[order].tolist())

@@ -88,8 +88,28 @@ def render_barchart_svg(
 
 
 def write_barchart_svg(freq: DataFrame, path: str, n: int = 50, **kw) -> None:
-    with open(path, "w", encoding="utf-8") as f:
-        f.write(render_barchart_svg(freq, n=n, **kw))
+    """Driver-side SVG sink, filesystem-scheme aware: non-local URIs
+    (hdfs://, s3a://, ...) go through the Hadoop FileSystem API so the
+    chart stage works wherever the pipeline's output_dir lives (ADVICE
+    r2 — every other stage already writes through Spark)."""
+    svg = render_barchart_svg(freq, n=n, **kw)
+    if "://" in path and not path.startswith("file:"):
+        sc = freq.sparkSession.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        out = fs.create(hpath, True)
+        try:
+            out.write(bytearray(svg.encode("utf-8")))
+        finally:
+            out.close()
+        return
+    local = path
+    if local.startswith("file:"):
+        from urllib.parse import urlparse
+
+        local = urlparse(local).path
+    with open(local, "w", encoding="utf-8") as f:
+        f.write(svg)
 
 
 def plot_frequency_barchart(freq: DataFrame, n: int = 50, title: str | None = None):

@@ -96,15 +96,41 @@ class SnapshotTable:
         return os.path.join(self.path, f"snap-{snap:06d}")
 
     def _commit(self, snap: int, epoch: int | None = None) -> None:
+        # record the epoch alongside the snapshot data too (underscore
+        # file: ignored by the parquet reader) so rollback() can restore
+        # the epoch that was live WITH that snapshot — carrying the
+        # latest epoch onto an older snapshot would make merge_additive
+        # silently no-op the replay of the very epochs the rollback just
+        # undid, losing their contributions permanently (ADVICE r2)
+        snap_dir = self._snap_dir(snap)
+        if os.path.isdir(snap_dir):
+            tmp_e = os.path.join(snap_dir, f"._epoch.{uuid.uuid4().hex}")
+            with open(tmp_e, "w", encoding="utf-8") as f:
+                f.write("" if epoch is None else str(epoch))
+            os.replace(tmp_e, os.path.join(snap_dir, "_EPOCH"))
         tmp = os.path.join(self.path, f".current.{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(str(snap) if epoch is None else f"{snap},{epoch}")
         os.replace(tmp, os.path.join(self.path, _CURRENT))  # atomic repoint
 
+    def _snap_epoch(self, snap: int) -> int | None:
+        """Epoch recorded with snapshot `snap` (None if none/pre-fix)."""
+        try:
+            with open(
+                os.path.join(self._snap_dir(snap), "_EPOCH"), encoding="utf-8"
+            ) as f:
+                raw = f.read().strip()
+        except FileNotFoundError:
+            return None
+        return int(raw) if raw else None
+
     def rollback(self, snap: int) -> None:
+        """Repoint _CURRENT to a retained snapshot, restoring the epoch
+        committed with it — so epochs that arrived after `snap` replay
+        through merge_additive instead of being guard-skipped."""
         if snap not in self.history():
             raise ValueError(f"unknown snapshot {snap}; have {self.history()}")
-        self._commit(snap, self.current_epoch())
+        self._commit(snap, self._snap_epoch(snap))
 
     # -- data ------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame | None:

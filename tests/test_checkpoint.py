@@ -204,3 +204,38 @@ class TestEpochCarryForward:
         before = {r.k: r.n for r in t.read(spark).collect()}
         t.merge_additive(delta, sum_cols=["n"], epoch=42)
         assert {r.k: r.n for r in t.read(spark).collect()} == before
+
+
+class TestRollbackRestoresEpoch:
+    def test_rollback_reopens_replay_of_undone_epochs(self, spark, tmp_table):
+        """ADVICE r2: rollback must restore the epoch committed WITH the
+        target snapshot — carrying the latest epoch backwards would make
+        merge_additive guard-skip the replay of exactly the epochs the
+        rollback undid, losing their contributions forever."""
+        t = tmp_table("edges", ["k"])
+        d = lambda n: spark.createDataFrame([("a", n)], "k string, n int")
+        s1 = t.merge_additive(d(1), sum_cols=["n"], epoch=0)   # a=1
+        t.merge_additive(d(10), sum_cols=["n"], epoch=1)       # a=11
+        t.merge_additive(d(100), sum_cols=["n"], epoch=2)      # a=111
+
+        t.rollback(s1)
+        assert t.current_epoch() == 0  # epoch travels WITH the snapshot
+        assert {r.k: r.n for r in t.read(spark).collect()} == {"a": 1}
+
+        # replay of the undone epochs now folds instead of no-op'ing
+        t.merge_additive(d(10), sum_cols=["n"], epoch=1)
+        t.merge_additive(d(100), sum_cols=["n"], epoch=2)
+        assert {r.k: r.n for r in t.read(spark).collect()} == {"a": 111}
+        assert t.current_epoch() == 2
+
+    def test_rollback_to_epochless_snapshot(self, spark, tmp_table):
+        t = tmp_table("t", ["k"])
+        s1 = t.merge(spark.createDataFrame([("a", 1)], "k string, v int"))
+        t.merge_additive(
+            spark.createDataFrame([("a", 5)], "k string, v int"),
+            sum_cols=["v"],
+            epoch=7,
+        )
+        t.rollback(s1)
+        assert t.current_epoch() is None
+        assert t.current_snapshot() == s1

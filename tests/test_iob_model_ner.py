@@ -215,3 +215,138 @@ class TestErrorRegions:
         assert r.word == "tumor cells"
         assert r.true_tags == ["B", "I"] and r.pred_tags == ["B", "O"]
         assert r.text == "the tumor cells grow fast ."
+
+
+# ---------------------------------------------------------------------------
+# ONNX predictor (reference scripts/ner_inference.py:25-80) exercised
+# end-to-end through fake session/tokenizer injectables — onnxruntime and
+# transformers are absent in this sandbox, but the encode/run/decode path
+# is the real code.
+
+def _make_fakes():
+    """Fake tokenizer + session, defined LOCALLY so cloudpickle ships
+    them by value to Spark workers (the tests module itself is not
+    importable there)."""
+    vocab = {
+        0: "[PAD]", 101: "[CLS]", 102: "[SEP]",
+        5: "mtor", 6: "kinase", 7: "binds", 8: "rapa", 9: "##mycin", 10: "the",
+    }
+    word_ids = {
+        "mtor": [5], "kinase": [6], "binds": [7], "rapamycin": [8, 9], "the": [10],
+    }
+    # label index per token id, into ONNX_LABELS = [PAD, B, I, O, X, CLS, SEP]
+    token_label_id = {101: 5, 102: 6, 5: 1, 6: 2, 7: 3, 8: 1, 9: 4, 10: 3, 0: 0}
+
+    class FakeTokenizer:
+        def convert_ids_to_tokens(self, ids):
+            if isinstance(ids, int):
+                return vocab[ids]
+            return [vocab[int(i)] for i in ids]
+
+        def encode_plus(self, seq, max_length, **kw):
+            import numpy as np
+
+            ids = [101]
+            for w in (seq or "").lower().split():
+                ids.extend(word_ids.get(w, [10]))
+            ids.append(102)
+            ids = ids[:max_length]
+            n = len(ids)
+            ids = ids + [0] * (max_length - n)
+            return {
+                "input_ids": np.asarray([ids]),
+                "token_type_ids": np.asarray([[0] * max_length]),
+                "attention_mask": np.asarray([[1] * n + [0] * (max_length - n)]),
+            }
+
+    class FakeSession:
+        """Emits the reference graph's output shape: (_, label_ids, _),
+        one label id per input position, keyed off the token id."""
+
+        def run(self, _outputs, feeds):
+            ids = feeds["input_ids_1:0"][0]
+            assert feeds["segment_ids_1:0"].dtype.name == "int32"
+            assert feeds["input_mask_1_raw_output___9:0"].dtype.name == "int32"
+            assert feeds["label_ids_1:0"].tolist() == [0]
+            return None, [[token_label_id[int(i)] for i in ids]], None
+
+    return FakeSession, FakeTokenizer
+
+
+class TestOnnxPredictor:
+    def test_decode_token_labels_quirks(self):
+        """Bit-parity with entity_parser.py:4-38: X-merge, B-after-B
+        concat without space, trailing-open-entity drop, surface fixups."""
+        from easyner_spark.operators.ner_model import decode_token_labels
+
+        pairs = [
+            ("[CLS]", "[CLS]"),
+            ("mtor", "B"),
+            ("kin", "I"),
+            ("##ase", "X"),       # merges into previous word
+            ("binds", "O"),       # closes -> mention 1
+            ("tsc", "B"),
+            ("1", "B"),           # B-after-B: concat WITHOUT space
+            (".", "O"),           # closes -> mention 2
+            ("open", "B"),        # still open at end -> dropped
+            ("[SEP]", "[SEP]"),
+        ]
+        got = decode_token_labels(pairs, cls="gene")
+        assert [(m["mention"], m["begin"], m["end"], m["class"]) for m in got] == [
+            ("mtor kinase", 1, 3, "gene"),
+            ("tsc1", 4, 6, "gene"),
+        ]
+
+    def test_factory_end_to_end_fake_session(self):
+        from easyner_spark.operators.ner_model import onnx_predictor_factory
+
+        fake_session, fake_tokenizer = _make_fakes()
+        build = onnx_predictor_factory(
+            "/nonexistent", "model.onnx", "/nonexistent/vocab.txt",
+            cls="gene",
+            session_factory=fake_session,
+            tokenizer_factory=fake_tokenizer,
+        )
+        predict = build()
+        (ments,) = predict(["mtor kinase binds rapamycin"])
+        # rapamycin is B..X right before [SEP]: open at end -> dropped
+        # (the reference's trailing-drop quirk); mtor-kinase survives
+        assert [(m["mention"], m["begin"], m["end"]) for m in ments] == [
+            ("mtor kinase", 1, 3)
+        ]
+        # a closed rapamycin mention decodes with the X-merge applied
+        (m2,) = predict(["rapamycin binds"])
+        assert [(m["mention"], m["begin"], m["end"]) for m in m2] == [
+            ("rapamycin", 1, 2)
+        ]
+
+    def test_factory_import_gated_without_injection(self):
+        from easyner_spark.operators.ner_model import onnx_predictor_factory
+
+        with pytest.raises(ImportError):
+            onnx_predictor_factory("/m", "m.onnx", "/m/vocab.txt")()
+
+    def test_model_ner_through_spark(self, spark):
+        from easyner_spark.operators.ner_model import (
+            model_ner,
+            onnx_predictor_factory,
+        )
+
+        sents = spark.createDataFrame(
+            [
+                ("u1", 0, "mtor kinase binds rapamycin"),
+                ("u2", 0, "the binds the"),
+            ],
+            "url string, sent_idx int, sentence string",
+        )
+        fake_session, fake_tokenizer = _make_fakes()
+        build = onnx_predictor_factory(
+            "/nonexistent", "model.onnx", "/nonexistent/vocab.txt",
+            cls="gene",
+            session_factory=fake_session,
+            tokenizer_factory=fake_tokenizer,
+        )
+        out = model_ner(sents, build).collect()
+        assert [(r.url, r.mention, r.begin, r.end, r["class"], r.score) for r in out] == [
+            ("u1", "mtor kinase", 1, 3, "gene", 1.0)
+        ]

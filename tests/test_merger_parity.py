@@ -266,3 +266,27 @@ def test_merger_v1_export_single_shuffle(spark, tmp_path):
         if "Exchange hashpartitioning" in l and "ReusedExchange" not in l
     ]
     assert len(real) == 1, plan
+
+
+def test_merger_v1_export_empty_sentences(spark):
+    """ADVICE r2: with a `sentences` universe, mention-less sentences
+    export the reference's empty maps / '{}' json instead of being
+    absent."""
+    import json as _json
+
+    from easyner_spark.operators.merger import merger_v1_export
+
+    m = spark.createDataFrame(
+        [("u", 0, "tsc1", 0, 4, "gene")],
+        "url string, sent_idx int, mention string, begin int, end int, class string",
+    )
+    sents = spark.createDataFrame(
+        [("u", 0, "x"), ("u", 1, "no entities here")],
+        "url string, sent_idx int, sentence string",
+    )
+    out = {r.sent_idx: r for r in merger_v1_export(m, sentences=sents).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].entities == {"gene": ["tsc1"]}
+    assert out[1].entities == {} and out[1].entity_spans == {}
+    parsed = _json.loads(out[1].json)
+    assert parsed == {"entities": {}, "entity_spans": {}}
