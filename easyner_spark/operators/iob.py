@@ -56,6 +56,42 @@ def parse_iob2_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def parse_flair_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Flair prediction output (supplementary/experiment_scripts/
+    Flair_prediction_evaluation.py:10-12): `token gold pred` 3-column
+    lines, blank line = sentence boundary ->
+    (seq_id, tok_idx, token, label_true, label_pred) — the exact input
+    shape of :func:`error_regions` and, via the per-stream projections,
+    of :func:`seqeval_report`/:func:`iob_spans`.
+
+    Same single-partition read rationale as :func:`parse_iob2_lines`
+    (line order is the only sequence information; these eval files are
+    small by construction)."""
+    lines = (
+        spark.read.text(path)
+        .coalesce(1)
+        .withColumn("line_no", F.monotonically_increasing_id())
+        .select("line_no", F.trim("value").alias("line"))
+    )
+    w = Window.orderBy("line_no")
+    seq = F.sum(F.when(F.col("line") == "", 1).otherwise(0)).over(w)
+    toks = (
+        lines.withColumn("seq_id", seq.cast("int"))
+        .where(F.col("line") != "")
+        .withColumn("token", F.split("line", r"\s+").getItem(0))
+        .withColumn("label_true", F.split("line", r"\s+").getItem(1))
+        .withColumn("label_pred", F.split("line", r"\s+").getItem(2))
+    )
+    tw = Window.partitionBy("seq_id").orderBy("line_no")
+    return toks.select(
+        "seq_id",
+        (F.row_number().over(tw) - 1).alias("tok_idx"),
+        "token",
+        "label_true",
+        "label_pred",
+    )
+
+
 def iob_spans(tokens: DataFrame) -> DataFrame:
     """IOB2 -> entity spans (seq_id, class, begin, end) with [begin,
     end) token-index convention.

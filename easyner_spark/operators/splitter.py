@@ -83,3 +83,43 @@ def split_sentences_udf(
         F.col(id_col).alias("url"),
         F.posexplode(_split(F.col(text_col))).alias("sent_idx", "sentence"),
     )
+
+
+def spacy_splitter_factory(model: str = "en_core_web_sm"):
+    """splitter_factory for :func:`split_sentences_udf` backed by real
+    spaCy (reference scripts/splitter.py:18-26: `doc.sents`,
+    `str(span)` per sentence) — but loading the model ONCE per
+    partition iterator instead of once per text (the reference's
+    biggest CPU waste, SURVEY §4.1). Import-gated: spaCy is absent in
+    this sandbox; the byte-parity proof against en_core_web_sm runs via
+    tests/golden/splitter_spacy.jsonl wherever spaCy is installed
+    (tools/gen_splitter_golden.py --spacy)."""
+
+    def build():
+        try:
+            import spacy
+        except ImportError as e:  # pragma: no cover - env without spaCy
+            raise ImportError(
+                "spaCy not available; use the pinned-regex default "
+                "splitter or install spacy + the model"
+            ) from e
+        nlp = spacy.load(model)
+        return lambda text: [str(s) for s in nlp(text).sents]
+
+    return build
+
+
+def nltk_splitter_factory():
+    """splitter_factory wrapping NLTK sent_tokenize (reference
+    scripts/splitter.py:13-15). Import-gated like the spaCy twin."""
+
+    def build():
+        try:
+            from nltk.tokenize import sent_tokenize
+        except ImportError as e:  # pragma: no cover - env without NLTK
+            raise ImportError(
+                "NLTK not available; use the pinned-regex default splitter"
+            ) from e
+        return sent_tokenize
+
+    return build
