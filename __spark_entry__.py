@@ -637,11 +637,23 @@ def q_media_meta_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wrap each document's text in boilerplate-laden HTML (nav, a
-    link-dense related-links div, script, footer), run the REAL
-    trafilatura-style extractor over the binary column, and return the
-    extracted text. The oracle is the identity on documents.text — the
-    north-star byte-identity invariant AS the parity check."""
+    """ADVERSARIAL (non-identity) extraction oracle (VERDICT r2 #7).
+
+    Each document's text is wrapped in HTML where correct extraction
+    must CHANGE the input — a trivial "return the input" extractor
+    cannot pass:
+
+      - a kept ``<h1>Doc {id}</h1>`` headline block the extractor must
+        EMIT (absent from documents.text);
+      - nested boilerplate INSIDE the kept ``<p>`` block: a mid-
+        paragraph ``<script>`` and a trailing ``<aside>`` rail that
+        must be REMOVED without splitting the block, plus a ``PRE-``
+        prefix so the kept block is not bytewise equal to the input;
+      - the usual dropped envelope (head/style, nav, a link-dense
+        related-links div, footer).
+
+    Expected output (computed independently by the DuckDB oracle):
+    ``'Doc ' || doc_id || '\\n' || 'PRE-' || text``."""
     from easyner_spark.operators.boilerplate import extract_text
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -651,10 +663,12 @@ def q_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.lit("<html><head><title>t</title><style>p{}</style></head>"
                       "<body><nav>home | about | subscribe</nav>"
-                      "<div><a href='/1'>rel one</a> <a href='/2'>rel two</a></div>"
-                      "<p>"),
+                      "<h1>Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("</h1><p>PRE-<script>var x=1;</script>"),
                 F.col("text"),
-                F.lit("</p><script>var x=1;</script>"
+                F.lit("<aside>share | print</aside></p>"
+                      "<div><a href='/1'>rel one</a> <a href='/2'>rel two</a></div>"
                       "<footer>(c) crawl</footer></body></html>"),
             ),
             "UTF-8",
@@ -668,11 +682,22 @@ def q_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pubmed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wrap each document's text in a PubMed baseline XML envelope
-    (PMID / ArticleTitle / Abstract), run the REAL S2 parser
-    (sources/pubmed.py, reference scripts/pubmed_bulk.py:108-139) over
-    the binary blob, and return (doc_id, text). Oracle = identity on
-    documents — field-extraction parity as a value check."""
+    """ADVERSARIAL (non-identity) S2-parser oracle (VERDICT r2 #7).
+
+    Each document's text becomes the FIRST of three labeled
+    AbstractText sections in a PubMed baseline envelope; the real
+    parser (sources/pubmed.py, reference scripts/pubmed_bulk.py:
+    108-139) must:
+
+      - join non-empty sections with a single space, SKIPPING the
+        empty ``Label="METHODS"`` section;
+      - NOT inject the Label attributes into the text;
+      - flatten inline markup (``Conc<i>lusion</i>`` -> Conclusion,
+        stringify_children semantics);
+      - round-trip XML-escaped metachars in the document text.
+
+    Expected output (computed independently by the DuckDB oracle):
+    ``text || ' Conclusion S-' || doc_id`` — identity cannot pass."""
     import pandas as pd
 
     from easyner_spark.sources.pubmed import PUBMED_SCHEMA, parse_pubmed_xml_bytes
@@ -688,7 +713,8 @@ def q_pubmed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(
                     "</PMID><Article><Journal><JournalIssue><PubDate>"
                     "<Year>2024</Year></PubDate></JournalIssue></Journal>"
-                    "<ArticleTitle>t</ArticleTitle><Abstract><AbstractText>"
+                    "<ArticleTitle>t</ArticleTitle><Abstract>"
+                    '<AbstractText Label="BACKGROUND" NlmCategory="BACKGROUND">'
                 ),
                 F.replace(
                     F.replace(
@@ -699,6 +725,12 @@ def q_pubmed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(">"),
                     F.lit("&gt;"),
                 ),
+                F.lit(
+                    "</AbstractText>"
+                    '<AbstractText Label="METHODS"></AbstractText>'
+                    '<AbstractText Label="CONCLUSIONS">Conc<i>lusion</i> S-'
+                ),
+                F.col("doc_id").cast("string"),
                 F.lit(
                     "</AbstractText></Abstract></Article>"
                     "</MedlineCitation></PubmedArticle></PubmedArticleSet>"
@@ -1227,13 +1259,21 @@ SELECT doc_id::VARCHAR AS media_id,
        'image/ppm' AS codec
 FROM m
 """,
-        # byte-identity invariant: extracting the synthesized page must
-        # return documents.text verbatim, so the oracle is the identity
-        "boilerplate_extract": "SELECT doc_id, text FROM documents",
-        # same pattern for the S2 PubMed XML parser: wrapping each doc
-        # in a baseline-XML envelope and parsing it back must return
-        # the abstract verbatim
-        "pubmed_extract": "SELECT doc_id, text FROM documents",
+        # ADVERSARIAL: the synthesized page adds a kept <h1> headline
+        # and a PRE- prefixed kept block with nested boilerplate inside
+        # it, so extraction must produce this exact non-identity
+        # transform (identity extractors fail)
+        "boilerplate_extract": (
+            "SELECT doc_id, concat('Doc ', doc_id, chr(10), 'PRE-', text)"
+            " AS text FROM documents"
+        ),
+        # ADVERSARIAL: three labeled AbstractText sections (one empty,
+        # one with inline markup); the parser must join non-empty
+        # sections with one space, drop Labels, flatten inline tags
+        "pubmed_extract": (
+            "SELECT doc_id, concat(text, ' Conclusion S-', doc_id)"
+            " AS text FROM documents"
+        ),
         "predicate_triples": _predicate_triples_oracle(),
         **_dedup_oracles(),
         **_similarity_oracles(),

@@ -133,7 +133,9 @@ def test_medlinedate_fallback_and_pages_projection(spark, tmp_path):
 def test_pubmed_extract_query_escapes_metachars(spark, tmp_path):
     """The driver-contract roundtrip query must survive text containing
     XML metacharacters (escaped into the envelope, unescaped by the
-    parser — identity preserved; code-review r2)."""
+    parser; code-review r2). Since r3 the query is ADVERSARIAL: the
+    parser must also append the joined labeled sections, so expected =
+    text + ' Conclusion S-' + doc_id."""
     import __spark_entry__ as e
 
     docs = spark.createDataFrame(
@@ -142,4 +144,7 @@ def test_pubmed_extract_query_escapes_metachars(spark, tmp_path):
     )
     docs.write.parquet(str(tmp_path / "documents.parquet"))
     out = {r.doc_id: r.text for r in e.q_pubmed_extract(spark, str(tmp_path)).collect()}
-    assert out == {1: "a & b < c > d", 2: "plain text"}
+    assert out == {
+        1: "a & b < c > d Conclusion S-1",
+        2: "plain text Conclusion S-2",
+    }
