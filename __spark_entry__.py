@@ -758,6 +758,65 @@ def q_pubmed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_craft_iob2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAFT pubannotator -> IOB2 converter (sources/craft.py; reference
+    supplementary/experiment_scripts/CRAFT_preprocessing_spacy.py:20-84)
+    over a closed-form adversarial corpus: per document the text is
+    ``T{id} binds protein X34 in vivo , strongly .`` and the denotation
+    list (in file order) exercises every converter quirk —
+
+      d1 mid-token span inside 'protein'  -> expands to the whole token (B);
+      d2 obj='_FRAGMENT'                  -> dropped;
+      d3 span over 'protein'+'X34'        -> expanded start < pointer, SKIPPED;
+      d4 span inside 'X34'                -> accepted after the skip (B);
+      d5 'in vivo'                        -> multi-token B/I;
+      d6 early span, late file position   -> out-of-order pointer skip;
+      d7 'strongly .'                     -> trailing B/I across punctuation.
+
+    Expected labels per doc: O O B B B I O B I — the oracle emits them
+    in closed form (all spans are offsets relative to len('T'||id), so
+    the oracle needs no char arithmetic)."""
+    from easyner_spark.sources.craft import craft_to_iob2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    L = F.length(F.concat(F.lit("T"), F.col("doc_id").cast("string")))
+
+    def den(i: int, obj: str, b: int, e: int):
+        return F.struct(
+            F.lit(f"d{i}").alias("id"),
+            F.lit(obj).alias("obj"),
+            F.struct(
+                (L + F.lit(b)).cast("long").alias("begin"),
+                (L + F.lit(e)).cast("long").alias("end"),
+            ).alias("span"),
+        )
+
+    pa = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("T"),
+            F.col("doc_id").cast("string"),
+            F.lit(" binds protein X34 in vivo , strongly ."),
+        ).alias("text"),
+        F.array(
+            den(1, "PR", 8, 10),
+            den(2, "_FRAGMENT", 1, 6),
+            den(3, "CHEM", 9, 18),
+            den(4, "GENE", 15, 17),
+            den(5, "CELL", 19, 26),
+            den(6, "OOO", 1, 5),
+            den(7, "ADJ", 29, 39),
+        ).alias("denotations"),
+    )
+    out = craft_to_iob2(pa)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tok_idx").cast("long").alias("tok_idx"),
+        "token",
+        "label",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> sentences -> dictionary NER -> ranked entity
     frequency top-50 (the reference pipeline's main output,
@@ -805,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_headers": q_media_meta_headers,
         "boilerplate_extract": q_boilerplate_extract,
         "pubmed_extract": q_pubmed_extract,
+        "craft_iob2": q_craft_iob2,
     }
 
 
@@ -1274,6 +1334,19 @@ FROM m
             "SELECT doc_id, concat(text, ' Conclusion S-', doc_id)"
             " AS text FROM documents"
         ),
+        # closed-form expected output of the CRAFT converter quirks
+        # (see q_craft_iob2's docstring for the per-denotation walk)
+        "craft_iob2": """
+SELECT d.doc_id,
+       (t.i - 1)::BIGINT AS tok_idx,
+       CASE t.i WHEN 1 THEN concat('T', d.doc_id)
+                WHEN 2 THEN 'binds' WHEN 3 THEN 'protein'
+                WHEN 4 THEN 'X34' WHEN 5 THEN 'in' WHEN 6 THEN 'vivo'
+                WHEN 7 THEN ',' WHEN 8 THEN 'strongly' ELSE '.' END AS token,
+       (['O','O','B','B','B','I','O','B','I'])[t.i] AS label
+FROM documents d
+CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS i) t
+""",
         "predicate_triples": _predicate_triples_oracle(),
         **_dedup_oracles(),
         **_similarity_oracles(),

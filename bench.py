@@ -212,6 +212,21 @@ def main() -> None:
             "docs_per_sec": round(x10_pages / el, 1),
         }
 
+    # North-rule scaling evidence: tools/scaling_bench.py writes its
+    # one-line result to SCALING.json at the repo root (committed per
+    # round); ride it in this JSON line so BENCH_rN.json itself carries
+    # throughput@8, throughput@32 and the efficiency.
+    scaling = None
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING.json"
+    )
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as fh:
+                scaling = json.load(fh)
+        except Exception:
+            scaling = None
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -229,6 +244,7 @@ def main() -> None:
                 "cpus": cpus,
                 "pages_rows": n_pages,
                 "tier2": tier2,
+                "scaling": scaling,
             }
         )
     )
