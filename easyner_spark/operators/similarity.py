@@ -27,6 +27,7 @@ reproduces bit-for-bit — verified property, see tests.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -374,19 +375,53 @@ IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 
 
-def _centroid_structs(cents: list[tuple], vec: Column) -> Column:
+def _py_fold_norm(cvec) -> float:
+    """sqrt of the sequential left-fold self-dot, replicated in Python
+    with the exact IEEE op order of :func:`_dot` (double adds in array
+    order from 0.0, then a correctly-rounded sqrt) — so F.lit(this)
+    is bit-identical to F.sqrt(_dot(cv, cv)) and the DuckDB oracle's
+    fold, and hoisting it driver-side cannot move an argmax tie."""
+    s = 0.0
+    for x in cvec:
+        x = float(x)
+        s = s + x * x
+    return math.sqrt(s)
+
+
+def _centroid_structs(
+    cents: list[tuple], vec: Column, norm: Column | None = None
+) -> Column:
     """array<struct<ncos, cid>> of `vec` against every centroid:
     ncos = NEGATED cosine, so array_min picks (max cos, tie -> smallest
     centroid id) without negating the id — ids keep any orderable type
-    (string ids work, ADVICE r1 contract)."""
-    entries = []
-    for cid, cvec in cents:
-        cv = F.array(*[F.lit(float(x)) for x in cvec])
-        cos = _dot(vec, cv) / (
-            F.sqrt(_dot(vec, vec)) * F.sqrt(_dot(cv, cv))
+    (string ids work, ADVICE r1 contract).
+
+    Built as ONE ``transform`` over a single 2-D literal centroid array
+    rather than n_centroids separate aggregate/zip_with trees: codegen
+    does NOT deduplicate HOF lambda subtrees, so the per-centroid form
+    re-expanded the query vector's self-dot n_centroids times and its
+    1000+-literal expression tree cost seconds of driver
+    analysis/codegen PER PLAN (r3 bench: 34 s ann_ivf, almost all
+    driver-side). Centroid norms are folded driver-side
+    (:func:`_py_fold_norm`, bit-identical); pass `norm` to reuse an
+    existing sqrt-self-dot column (same expression computed once in a
+    prior projection — IEEE-identical values, oracle-safe)."""
+    if norm is None:
+        norm = F.sqrt(_dot(vec, vec))
+    cvecs = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in cents]
+    )
+    cids = F.array(*[F.lit(cid) for cid, _ in cents])
+    cnorms = F.array(*[F.lit(_py_fold_norm(cvec)) for _, cvec in cents])
+
+    def entry(c: Column, i: Column) -> Column:
+        cos = _dot(vec, c) / (norm * F.try_element_at(cnorms, i + 1))
+        return F.struct(
+            (-cos).alias("ncos"),
+            F.try_element_at(cids, i + 1).alias("cid"),
         )
-        entries.append(F.struct((-cos).alias("ncos"), F.lit(cid).alias("cid")))
-    return F.array(*entries)
+
+    return F.transform(cvecs, entry)
 
 
 def ivf_topk(
@@ -397,9 +432,18 @@ def ivf_topk(
     n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
     refine_iters: int = 0,
+    score_engine: str = "pandas",
 ) -> DataFrame:
     """IVF-flat ANN top-k: deterministic coarse quantizer + multi-cell
     probe + exact re-rank — the inverted-file counterpart to lsh_topk.
+
+    `score_engine`: 'pandas' (default) scores candidates with a
+    cogrouped per-cell Arrow/BLAS matmul (:func:`_ivf_score_cogroup`
+    — r3 bench measured the interpreted-HOF pair scoring at ~15 s for
+    2M candidates vs milliseconds for BLAS); 'jvm' keeps the pure
+    column-expression join as the no-Arrow verification twin. Both
+    agree exactly after _rank_topk's 6-decimal rounding (pytest-pinned;
+    the DuckDB oracle runs against the default).
 
     Quantizer: SEED centroids are the corpus vectors whose md5(vec_id)
     sort first (deterministic, engine-portable, no RNG; the SQL oracle
@@ -433,7 +477,10 @@ def ivf_topk(
     ]
     for _ in range(refine_iters):
         assigned = slim.withColumn(
-            "cell", F.array_min(_centroid_structs(cents, F.col("v")))["cid"]
+            "cell",
+            F.array_min(
+                _centroid_structs(cents, F.col("v"), F.col("norm"))
+            )["cid"],
         )
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
@@ -451,7 +498,9 @@ def ivf_topk(
         # quantizer below n_centroids — degenerate worst case: one
         # giant all-pairs cell)
         cents = sorted((cid, refined.get(cid, vec)) for cid, vec in cents)
-    scored = slim.withColumn("cs", _centroid_structs(cents, F.col("v")))
+    scored = slim.withColumn(
+        "cs", _centroid_structs(cents, F.col("v"), F.col("norm"))
+    )
     corpus = scored.select(
         "id", "v", "norm", F.array_min("cs")["cid"].alias("cell")
     )
@@ -465,12 +514,89 @@ def ivf_topk(
             )
         ).alias("cell"),
     )
-    a, b = probes.alias("a"), corpus.alias("b")
-    pairs = a.join(
-        b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") != F.col("b.id"))
-    ).select(
-        F.col("a.id").alias("query_id"),
-        F.col("b.id").alias("neighbor_id"),
-        _pair_cosine().alias("cos"),
-    )
+    if score_engine == "jvm":
+        a, b = probes.alias("a"), corpus.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") != F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+            _pair_cosine().alias("cos"),
+        )
+    else:
+        pairs = _ivf_score_cogroup(probes, corpus, emb.schema[id_col].dataType)
     return _rank_topk(pairs, k)
+
+
+def _ivf_score_cogroup(probes: DataFrame, corpus: DataFrame, id_type) -> DataFrame:
+    """Per-cell exact candidate scoring via a cogrouped Arrow matmul:
+    (probes grouped by cell) x (corpus grouped by cell) ->
+    (query_id, neighbor_id, cos) pair rows.
+
+    Catalyst higher-order functions are interpreted per element, so
+    scoring ~2M candidate pairs with the zip_with/aggregate fold cost
+    ~15 s at bench scale; one BLAS matmul per cell does the same
+    arithmetic in milliseconds. Query rows are chunked so each partial
+    product stays ~2M cells (~16 MB) regardless of cell size; task
+    memory is ONE cell's corpus + one query chunk — at cluster scale
+    n_centroids must grow with the corpus (the standard IVF sqrt(N)
+    sizing) so cells stay bounded, which the docstring contract of
+    ivf_topk already requires. Raw cosines use numpy pairwise
+    summation; the 6-decimal rounding contract of _rank_topk absorbs
+    the last-ulp difference vs the sequential fold (same property the
+    blocked brute-force path relies on, oracle-checked)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def score(qpdf: pd.DataFrame, cpdf: pd.DataFrame):
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []})
+        C = np.vstack(cpdf["v"].to_numpy())
+        cn = cpdf["norm"].to_numpy()
+        cid = cpdf["id"].to_numpy()
+        Q = np.vstack(qpdf["v"].to_numpy())
+        qn = qpdf["norm"].to_numpy()
+        qid = qpdf["id"].to_numpy()
+        n = len(cid)
+        chunk = max(1, 2_000_000 // n)
+        out = []
+        for s in range(0, len(qid), chunk):
+            e = s + chunk
+            sim = (Q[s:e] @ C.T) / np.outer(qn[s:e], cn)
+            qi = np.repeat(qid[s:e], n)
+            ci = np.tile(cid, len(qid[s:e]))
+            keep = qi != ci
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qi[keep],
+                        "neighbor_id": ci[keep],
+                        "cos": sim.ravel()[keep],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    # probes and corpus share lineage (both derive from the scored
+    # self-frame), so their columns carry the SAME attribute ids;
+    # cogroup's right-side dedup then prunes everything but the key
+    # (observed: cpdf arrives with only ['cell']). toDF re-aliases
+    # with fresh ids, keeping both sides' full columns.
+    corpus = corpus.toDF(*corpus.columns)
+    return (
+        probes.groupBy("cell")
+        .cogroup(corpus.groupBy("cell"))
+        .applyInPandas(score, out_schema)
+    )

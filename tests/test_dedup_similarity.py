@@ -337,6 +337,43 @@ class TestSimilarity:
             map(tuple, brute_force_topk(df, k=5).collect())
         )
 
+    def test_ivf_score_engines_agree(self, spark):
+        """The cogrouped Arrow/BLAS scorer (default) and the pure
+        JVM-expression join produce IDENTICAL rows — numpy pairwise-sum
+        vs sequential-fold ulp drift is absorbed by _rank_topk's
+        6-decimal rounding contract (r3; same property the blocked
+        brute-force relies on). Also pins the cogroup lineage-dedup
+        workaround (corpus side must arrive with all columns)."""
+        import random
+
+        from easyner_spark.operators.similarity import ivf_topk
+
+        rng = random.Random(11)
+        vecs = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        for refine in (0, 2):
+            pandas_rows = sorted(
+                map(
+                    tuple,
+                    ivf_topk(
+                        df, k=4, n_centroids=4, nprobe=2,
+                        refine_iters=refine, score_engine="pandas",
+                    ).collect(),
+                )
+            )
+            jvm_rows = sorted(
+                map(
+                    tuple,
+                    ivf_topk(
+                        df, k=4, n_centroids=4, nprobe=2,
+                        refine_iters=refine, score_engine="jvm",
+                    ).collect(),
+                )
+            )
+            assert pandas_rows == jvm_rows and pandas_rows
+
     def test_ivf_topk_string_ids(self, spark):
         """String vector ids survive the IVF path (type-agnostic
         tie-break via negated cosine, code-review r2)."""
