@@ -194,7 +194,14 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
         controls[name] = round(statistics.median(ctls), 3)
-        normalized[name] = round(timings[name] / controls[name], 3)
+        # median of PER-REPETITION ratios — each repetition's query time
+        # is divided by the control measured immediately before it (the
+        # same drift window); a ratio of independent medians could pair
+        # a fast-window control with a slow-window run and leak drift
+        # back into the "drift-immune" number.
+        normalized[name] = round(
+            statistics.median(r / c for r, c in zip(runs, ctls)), 3
+        )
 
     tier2 = None
     if x10_pages > 0:

@@ -26,13 +26,16 @@ from easyner_spark.operators.evaluate import corpus_rollup, prf
 TOKENS_SCHEMA = "seq_id int, tok_idx int, token string, label string"
 
 
-def parse_iob2_lines(spark: SparkSession, path: str) -> DataFrame:
-    """`token label` lines, blank line = sentence boundary ->
-    (seq_id, tok_idx, token, label).
+def _parse_columned_lines(
+    spark: SparkSession, path: str, label_cols: list[str]
+) -> DataFrame:
+    """Shared mechanics of the whitespace-columned token-line formats:
+    `token <label>...` lines, blank line = sentence boundary ->
+    (seq_id, tok_idx, token, *label_cols).
 
-    Line order matters, so the file is read single-partition (IOB2 eval
-    files are small by construction — the reference zips them whole
-    into driver memory, scripts/metrics.py:16-18)."""
+    Line order matters, so the file is read single-partition (these
+    eval files are small by construction — the reference zips them
+    whole into driver memory, scripts/metrics.py:16-18)."""
     lines = (
         spark.read.text(path)
         .coalesce(1)
@@ -45,15 +48,22 @@ def parse_iob2_lines(spark: SparkSession, path: str) -> DataFrame:
         lines.withColumn("seq_id", seq.cast("int"))
         .where(F.col("line") != "")
         .withColumn("token", F.split("line", r"\s+").getItem(0))
-        .withColumn("label", F.split("line", r"\s+").getItem(1))
     )
+    for i, col in enumerate(label_cols):
+        toks = toks.withColumn(col, F.split("line", r"\s+").getItem(i + 1))
     tw = Window.partitionBy("seq_id").orderBy("line_no")
     return toks.select(
         "seq_id",
         (F.row_number().over(tw) - 1).alias("tok_idx"),
         "token",
-        "label",
+        *label_cols,
     )
+
+
+def parse_iob2_lines(spark: SparkSession, path: str) -> DataFrame:
+    """`token label` lines, blank line = sentence boundary ->
+    (seq_id, tok_idx, token, label)."""
+    return _parse_columned_lines(spark, path, ["label"])
 
 
 def parse_flair_lines(spark: SparkSession, path: str) -> DataFrame:
@@ -62,34 +72,8 @@ def parse_flair_lines(spark: SparkSession, path: str) -> DataFrame:
     lines, blank line = sentence boundary ->
     (seq_id, tok_idx, token, label_true, label_pred) — the exact input
     shape of :func:`error_regions` and, via the per-stream projections,
-    of :func:`seqeval_report`/:func:`iob_spans`.
-
-    Same single-partition read rationale as :func:`parse_iob2_lines`
-    (line order is the only sequence information; these eval files are
-    small by construction)."""
-    lines = (
-        spark.read.text(path)
-        .coalesce(1)
-        .withColumn("line_no", F.monotonically_increasing_id())
-        .select("line_no", F.trim("value").alias("line"))
-    )
-    w = Window.orderBy("line_no")
-    seq = F.sum(F.when(F.col("line") == "", 1).otherwise(0)).over(w)
-    toks = (
-        lines.withColumn("seq_id", seq.cast("int"))
-        .where(F.col("line") != "")
-        .withColumn("token", F.split("line", r"\s+").getItem(0))
-        .withColumn("label_true", F.split("line", r"\s+").getItem(1))
-        .withColumn("label_pred", F.split("line", r"\s+").getItem(2))
-    )
-    tw = Window.partitionBy("seq_id").orderBy("line_no")
-    return toks.select(
-        "seq_id",
-        (F.row_number().over(tw) - 1).alias("tok_idx"),
-        "token",
-        "label_true",
-        "label_pred",
-    )
+    of :func:`seqeval_report`/:func:`iob_spans`."""
+    return _parse_columned_lines(spark, path, ["label_true", "label_pred"])
 
 
 def iob_spans(tokens: DataFrame) -> DataFrame:

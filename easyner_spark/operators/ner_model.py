@@ -211,6 +211,12 @@ def onnx_predictor_factory(
 
         import numpy as np
 
+        if (session_factory is None) != (tokenizer_factory is None):
+            raise ValueError(
+                "session_factory and tokenizer_factory must be passed "
+                "together (injecting only one would silently mix a fake "
+                "with the real model stack)"
+            )
         if session_factory is not None and tokenizer_factory is not None:
             session = session_factory()
             tokenizer = tokenizer_factory()
@@ -224,9 +230,10 @@ def onnx_predictor_factory(
                     "environment; pass session_factory/tokenizer_factory "
                     "or install the model stack"
                 ) from e
-            model_path = os.path.join(model_dir, model_name)
-            if os.path.islink(model_path):  # reference symlink allowance (:22-23)
-                model_path = os.readlink(model_path)
+            # reference symlink allowance (:22-23); realpath resolves
+            # relative link targets against the link's own directory
+            # (raw readlink would resolve them against the CWD)
+            model_path = os.path.realpath(os.path.join(model_dir, model_name))
             session = onnxruntime.InferenceSession(model_path)
             onnxruntime.set_default_logger_severity(3)
             tokenizer = BertTokenizer.from_pretrained(model_vocab)

@@ -120,8 +120,20 @@ def craft_to_iob2(
                     labels[lo] = "B"
                     for i in range(lo + 1, hi):
                         labels[i] = "I"
+                # reference :81 is_space guard: spans/labels are
+                # computed over the FULL token stream (a real spaCy
+                # tokenizer emits whitespace tokens and char_span
+                # expansion sees them), but whitespace tokens are
+                # dropped from the OUTPUT lines; tok_idx numbers the
+                # emitted stream, matching the reference's line order.
+                # The pinned tokenizer never emits them (no-op there).
                 rows.extend(
-                    (doc_id, i, t[0], labels[i]) for i, t in enumerate(toks)
+                    (doc_id, j, t[0], lab)
+                    for j, (t, lab) in enumerate(
+                        (t, lab)
+                        for t, lab in zip(toks, labels)
+                        if t[0].strip()
+                    )
                 )
             yield pd.DataFrame(rows, columns=cols)
 

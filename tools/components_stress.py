@@ -49,11 +49,16 @@ def build_tiers(spark, n_edges: int, chain: int):
     node ids disjoint from each other's hub ranges."""
 
     def stars(n: int, offset: int = 0):
-        # nodes [offset, offset + 5n/4): stars of 5 -> n edges
-        ids = spark.range(offset, offset + (n * 5) // 4)
-        return ids.where(F.pmod("id", F.lit(5)) != 0).select(
-            F.col("id").alias("src"),
-            (F.col("id") - F.pmod("id", F.lit(5))).alias("dst"),
+        # EXACTLY n edges for any n (the old 5n//4-range form shorted
+        # the tier by up to 3 edges when n % 4 != 0, breaking the
+        # equal-edge-count premise): edge i joins leaf 1 + i%4 of star
+        # i//4 to that star's hub; the last star may be partial — still
+        # a star, still n rows.
+        ids = spark.range(n)
+        hub = F.lit(offset) + F.floor(F.col("id") / 4) * 5
+        return ids.select(
+            (hub + 1 + F.pmod("id", F.lit(4))).alias("src"),
+            hub.alias("dst"),
         )
 
     n_hub = (n_edges * 3) // 10  # 30% of edges = hub degree; hub
