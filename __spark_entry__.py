@@ -817,6 +817,49 @@ def q_craft_iob2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flair_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flair 3-column prediction-file reader (operators/iob.
+    parse_flair_lines; reference supplementary/experiment_scripts/
+    Flair_prediction_evaluation.py:10-12) driven end-to-end through a
+    REAL file: one 3-token sentence per document (sorted doc_id order,
+    blank-line boundaries), written to /tmp (driver-side fixture
+    generation — the collect is the fixture, not the operator), parsed
+    back through the single-partition line reader. The oracle rebuilds
+    (seq_id, tok_idx, token, label_true, label_pred) in closed form:
+    seq_id = dense doc rank, tokens w{id}{a,b,c}, fixed gold/pred
+    labels including a disagreement pair."""
+    import os
+
+    from easyner_spark.operators.iob import parse_flair_lines
+
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    rows = [("a", "B-GENE", "B-GENE"), ("b", "I-GENE", "O"), ("c", "O", "B-CHEM")]
+    lines = []
+    for d in ids:
+        lines.extend(f"w{d}{suf} {lt} {lp}" for suf, lt, lp in rows)
+        lines.append("")
+    path = f"/tmp/easyner_flair_parse_{len(ids)}_{ids[0]}_{ids[-1]}.txt"
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.replace(tmp, path)
+    out = parse_flair_lines(spark, path)
+    return out.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("tok_idx").cast("long").alias("tok_idx"),
+        "token",
+        "label_true",
+        "label_pred",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> sentences -> dictionary NER -> ranked entity
     frequency top-50 (the reference pipeline's main output,
@@ -865,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_extract": q_boilerplate_extract,
         "pubmed_extract": q_pubmed_extract,
         "craft_iob2": q_craft_iob2,
+        "flair_parse": q_flair_parse,
     }
 
 
@@ -1346,6 +1390,24 @@ SELECT d.doc_id,
        (['O','O','B','B','B','I','O','B','I'])[t.i] AS label
 FROM documents d
 CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS i) t
+""",
+        # closed-form expected output of the Flair 3-column file parse
+        # (one 3-token sentence per doc in sorted doc_id order)
+        "flair_parse": """
+WITH d AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS seq
+  FROM documents
+),
+t(i, suf, lt, lp) AS (VALUES
+  (0, 'a', 'B-GENE', 'B-GENE'),
+  (1, 'b', 'I-GENE', 'O'),
+  (2, 'c', 'O', 'B-CHEM'))
+SELECT d.seq::BIGINT AS seq_id,
+       t.i::BIGINT AS tok_idx,
+       concat('w', d.doc_id, t.suf) AS token,
+       t.lt AS label_true,
+       t.lp AS label_pred
+FROM d CROSS JOIN t
 """,
         "predicate_triples": _predicate_triples_oracle(),
         **_dedup_oracles(),
