@@ -426,6 +426,43 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select("node", "component")
 
 
+def q_kg_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI/NPMI edge weighting over sentence-level entity co-occurrence
+    (beyond-reference KG edge scoring; reference analog is the raw pair
+    count in cooccurrence_analysis.py). Floats follow the repo-wide
+    round(·, 6) oracle contract; counts are exact integers."""
+    from easyner_spark.operators.graph import edge_pmi
+
+    out = edge_pmi(_mentions(spark, sf_dir))
+    return out.select(
+        "a", "b", "pair_cnt", "cnt_a", "cnt_b", "pmi", "npmi"
+    )
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration (3) PageRank over the distinct directed triple
+    graph — GraphFrames-style iterative DataFrame joins with a per-
+    iteration round(·, 9) state contract so the unrolled DuckDB CTE
+    oracle is bit-stable (see operators/graph.py docstring)."""
+    from easyner_spark.operators.graph import pagerank
+
+    edges = q_triples(spark, sf_dir).select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    return pagerank(edges).select("node", "rank")
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected entity
+    co-occurrence graph (canonical-ordering wedge join, a < b < c) —
+    integer-exact, the graph-cohesion companion to components."""
+    from easyner_spark.operators.graph import sentence_pairs, triangle_counts
+
+    pairs = sentence_pairs(_mentions(spark, sf_dir))
+    und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return triangle_counts(und).select("node", "triangles")
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline operators (dedup / similarity / text analysis)
 # over the raw documents + embeddings tables.
@@ -891,6 +928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_occurrence": q_co_occurrence,
         "error_regions": q_error_regions,
         "components": q_components,
+        "kg_pmi": q_kg_pmi,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_triangles": q_kg_triangles,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
@@ -1342,6 +1382,39 @@ FROM m
 """
 
 
+def _pagerank_oracle_body(iters: int = 3) -> str:
+    """Unrolled PageRank CTE chain over the distinct triple graph,
+    mirroring operators/graph.pagerank's op order exactly: base =
+    (1.0 - 0.85) / N, inflow = sum(rank / deg), state = round(base +
+    0.85 * coalesce(inflow, 0.0), 9), output round(·, 6)."""
+    parts = [
+        """
+, e AS (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+it0 AS (SELECT node, round(1.0 / nn.n, 9) AS rank FROM nodes CROSS JOIN nn)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+it{t} AS (
+  SELECT nodes.node,
+         round((1.0 - 0.85) / nn.n + 0.85 * coalesce(s.inflow, 0.0), 9) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / deg.deg) AS inflow
+    FROM e
+    JOIN deg ON e.src = deg.src
+    JOIN it{t - 1} r ON e.src = r.node
+    GROUP BY e.dst
+  ) s ON nodes.node = s.node
+)"""
+        )
+    parts.append(f"\nSELECT node, round(rank, 6) AS rank FROM it{iters}\n")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     stats_sql, langid_sql = _textstats_oracle()
     extra = {
@@ -1752,5 +1825,61 @@ reach(node, lbl) AS (
   SELECT e.b, r.lbl FROM reach r JOIN cc_sym e ON r.node = e.a
 )
 SELECT node, min(lbl) AS component FROM reach GROUP BY node
+""",
+        # PMI over sentence-level entity co-occurrence: counts cast to
+        # double BEFORE arithmetic (exact), one libm ln() per output,
+        # round(6) — mirrors operators/graph.edge_pmi op-for-op
+        "kg_pmi": _PRELUDE
+        + """
+, occ AS (SELECT DISTINCT doc_id, sent_idx, mention_lc AS term FROM mentions),
+ns AS (SELECT count(*)::DOUBLE AS n_sents
+       FROM (SELECT DISTINCT doc_id, sent_idx FROM occ)),
+marg AS (SELECT term, count(*) AS cnt FROM occ GROUP BY term),
+prs AS (
+  SELECT x.term AS a, y.term AS b, count(*) AS pair_cnt
+  FROM occ x JOIN occ y
+    ON x.doc_id = y.doc_id AND x.sent_idx = y.sent_idx AND x.term < y.term
+  GROUP BY x.term, y.term
+)
+SELECT p.a, p.b, p.pair_cnt::BIGINT AS pair_cnt,
+       ma.cnt::BIGINT AS cnt_a, mb.cnt::BIGINT AS cnt_b,
+       round(ln((p.pair_cnt::DOUBLE * ns.n_sents)
+                / (ma.cnt::DOUBLE * mb.cnt::DOUBLE)), 6) AS pmi,
+       round(ln((p.pair_cnt::DOUBLE * ns.n_sents)
+                / (ma.cnt::DOUBLE * mb.cnt::DOUBLE))
+             / -ln(p.pair_cnt::DOUBLE / ns.n_sents), 6) AS npmi
+FROM prs p
+JOIN marg ma ON p.a = ma.term
+JOIN marg mb ON p.b = mb.term
+CROSS JOIN ns
+""",
+        # Unrolled 3-iteration PageRank; per-iteration round(·, 9) is
+        # the cross-engine state contract (operators/graph.pagerank)
+        "kg_pagerank": _PRELUDE + _pagerank_oracle_body(),
+        # Canonical-ordering wedge join, integer-exact
+        "kg_triangles": _PRELUDE
+        + """
+, occ AS (SELECT DISTINCT doc_id, sent_idx, mention_lc AS term FROM mentions),
+pr AS (
+  SELECT DISTINCT x.term AS a, y.term AS b
+  FROM occ x JOIN occ y
+    ON x.doc_id = y.doc_id AND x.sent_idx = y.sent_idx AND x.term < y.term
+),
+tri AS (
+  SELECT w1.a, w1.b, w2.b AS c
+  FROM pr w1
+  JOIN pr w2 ON w1.a = w2.a AND w1.b < w2.b
+  JOIN pr e ON e.a = w1.b AND e.b = w2.b
+),
+corners AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY node
+),
+alln AS (SELECT a AS node FROM pr UNION SELECT b FROM pr)
+SELECT alln.node, coalesce(corners.triangles, 0)::BIGINT AS triangles
+FROM alln LEFT JOIN corners ON alln.node = corners.node
 """,
     }

@@ -1,0 +1,257 @@
+"""Graph analytics over the materialized KG edge/mention tables.
+
+The north_star materializes deduplicated node/edge tables; these
+operators are the downstream KG-analytics layer a consumer runs on
+them (edge weighting, centrality, cohesion). The reference pipeline
+stops at frequency rollups (supplementary/experiment_scripts/
+cooccurrence_analysis.py computes pair counts only); PMI / PageRank /
+triangles are the standard next steps in the KG-construction
+literature, added here beyond-reference with full DuckDB value
+oracles.
+
+Spark-first scale notes (100 TB framing):
+
+* `edge_pmi` — NO self-join at all: sentences collapse to sorted
+  distinct term arrays in one shuffle (`collect_set` dedupes, so no
+  upstream `distinct` either), and a < b pairs come from a
+  slice-explode over the sorted array (plain codegen'd array
+  functions — NOT lambda HOFs, which Catalyst interprets per element;
+  see the round-3 ivf lesson in BASELINE.md). Pair counts, marginals
+  and the sentence total all derive from that ONE grouped
+  intermediate, whose exchange canonicalizes off the parquet scan and
+  is reused across the three consumers. Marginals are
+  vocabulary-sized (<< corpus), so their joins are AQE-broadcast in
+  practice; the scalar sentence total is a broadcast 1-row cross
+  join — never `.collect()`. A sentence with k distinct entities
+  emits C(k, 2) pairs in its own task — the same per-sentence
+  quadratic a self-join would pay, without the join's shuffles.
+* `pagerank` — fixed-iteration power method as DataFrame joins
+  (GraphFrames-style). Ranks are rounded to 9 dp per iteration: the
+  rounding IS the cross-engine float contract (sum order inside one
+  iteration differs between engines/partitionings by ~1e-16; rounding
+  re-synchronizes state so error cannot compound across iterations).
+  `localCheckpoint` per iteration cuts the exploding join lineage,
+  same as operators/components.py. Out-degrees are computed once,
+  outside the loop. Skew: a celebrity node concentrates its IN-edge
+  contributions on one reduce key; partial aggregation absorbs it
+  (sum is algebraic — the same reason the skew tier showed unsalted
+  rollups winning, BASELINE.md).
+* `triangle_counts` — canonical-ordering wedge join (a < b < c),
+  the standard MapReduce triangle enumeration: ordering each wedge at
+  its smallest endpoint bounds wedge generation at sum(deg_min^2)
+  instead of sum(deg^2); the residual hot key (one node inside many
+  triangles) is again absorbed by partial aggregation. Integer-exact
+  end to end — the safest possible oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def _sent_term_sets(
+    mentions: DataFrame, doc_col: str, sent_col: str, term_col: str
+) -> DataFrame:
+    """One sorted distinct-term array per sentence — the single
+    shuffle every edge_pmi consumer derives from (collect_set dedupes,
+    so no upstream distinct; sort_array fixes the a < b order)."""
+    return (
+        mentions.select(
+            F.col(doc_col).alias("doc"),
+            F.col(sent_col).alias("sent"),
+            F.col(term_col).alias("term"),
+        )
+        .groupBy("doc", "sent")
+        .agg(F.sort_array(F.collect_set("term")).alias("terms"))
+    )
+
+
+def _pairs_from_sets(sets: DataFrame) -> DataFrame:
+    """a < b pairs via slice-explode over the sorted array: posexplode
+    yields (i, a), slice(terms, i+2, size) yields every later element.
+    slice/size are regular codegen'd expressions, not interpreted
+    lambda HOFs."""
+    return (
+        sets.select(F.posexplode("terms").alias("i", "a"), "terms")
+        .select(
+            "a",
+            F.explode(
+                F.slice("terms", F.col("i") + F.lit(2), F.size("terms"))
+            ).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+
+
+def sentence_pairs(
+    mentions: DataFrame,
+    doc_col: str = "url",
+    sent_col: str = "sent_idx",
+    term_col: str = "mention_lc",
+) -> DataFrame:
+    """Per-sentence unordered distinct-term pairs (a < b) with counts.
+    Two shuffles total (sentence grouping + pair rollup), zero joins."""
+    return _pairs_from_sets(_sent_term_sets(mentions, doc_col, sent_col, term_col))
+
+
+def edge_pmi(
+    mentions: DataFrame,
+    doc_col: str = "url",
+    sent_col: str = "sent_idx",
+    term_col: str = "mention_lc",
+) -> DataFrame:
+    """PMI / NPMI edge weights over sentence-level co-occurrence.
+
+    For terms a < b with pair count c_ab, marginal sentence counts
+    c_a, c_b, and N = number of distinct sentences containing at
+    least one term:
+
+        pmi  = ln((c_ab * N) / (c_a * c_b))      (natural log)
+        npmi = pmi / -ln(c_ab / N)
+
+    Cross-engine float contract: every count is cast to double BEFORE
+    any arithmetic, products/quotients of exactly-representable
+    integers (< 2^53) are exact, and both outputs are round(·, 6) —
+    the repo-wide oracle rounding (see similarity oracles). The only
+    libm call is ln(), identical input both sides, <= 1 ulp apart.
+    """
+    sets = _sent_term_sets(mentions, doc_col, sent_col, term_col)
+    pairs = _pairs_from_sets(sets)
+    marg = (
+        sets.select(F.explode("terms").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_df = sets.agg(F.count(F.lit(1)).cast("double").alias("n_sents"))
+    j = (
+        pairs.join(marg.select(F.col("term").alias("a"), F.col("cnt").alias("ca")), "a")
+        .join(marg.select(F.col("term").alias("b"), F.col("cnt").alias("cb")), "b")
+        .crossJoin(F.broadcast(n_df))
+    )
+    ratio = (F.col("pair_cnt").cast("double") * F.col("n_sents")) / (
+        F.col("ca").cast("double") * F.col("cb").cast("double")
+    )
+    pmi_raw = F.log(ratio)
+    npmi_raw = pmi_raw / -F.log(F.col("pair_cnt").cast("double") / F.col("n_sents"))
+    return j.select(
+        "a",
+        "b",
+        F.col("pair_cnt").cast("long").alias("pair_cnt"),
+        F.col("ca").cast("long").alias("cnt_a"),
+        F.col("cb").cast("long").alias("cnt_b"),
+        F.round(pmi_raw, 6).alias("pmi"),
+        F.round(npmi_raw, 6).alias("npmi"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = DAMPING,
+    state_round: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Contract (mirrored verbatim by the DuckDB oracle):
+      * edges are DISTINCT (src, dst) directed pairs;
+      * nodes = distinct src UNION dst, N = node count;
+      * r_0 = round(1/N, state_round);
+      * r_{t+1}(n) = round((1-d)/N + d * sum_{m->n} r_t(m)/deg(m),
+        state_round) — dangling-node mass is dropped (documented
+        choice: no teleport redistribution), nodes without in-edges
+        get the (1-d)/N floor.
+
+    The per-iteration rounding is what makes an iterative float
+    algorithm oracle-able at all: within one iteration the sum of k
+    doubles may differ across engines by ~k ulps, rounding snaps both
+    engines back to the identical state before it can compound.
+
+    Scale: deg is computed once; each iteration is one shuffle
+    (groupBy dst) plus a rank join keyed on src — with edges
+    pre-partitioned on src the join reuses one exchange across all
+    iterations. localCheckpoint per iteration caps lineage growth
+    exactly as connected_components does.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.repartition("src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (1.0 - damping) / float(n)
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / float(n)), state_round).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg").cast("double")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    state_round,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected graph.
+
+    Canonicalizes to a < b, enumerates wedges at the smallest endpoint
+    (a < b < c), closes them against the edge list, then credits each
+    triangle to all three corners. Every node that appears in the
+    (canonical) edge list is emitted, zero-count nodes included —
+    integer-exact, so the oracle is hash-safe by construction."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    w1 = und.select(F.col("a"), F.col("b"))
+    w2 = und.select(F.col("a"), F.col("b").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    tri = wedges.join(
+        und.select(F.col("a").alias("b"), F.col("b").alias("c")), ["b", "c"]
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    all_nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return all_nodes.join(corners, "node", "left").select(
+        "node", F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles")
+    )

@@ -1,0 +1,103 @@
+"""KG graph-analytics operators: PMI edge weights, fixed-iteration
+PageRank, triangle counts — each checked against an independent
+pure-Python computation (the DuckDB value oracles ride in
+__spark_entry__.oracle_sql)."""
+
+import math
+
+import pytest
+
+from easyner_spark.operators.graph import (
+    edge_pmi,
+    pagerank,
+    sentence_pairs,
+    triangle_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def mentions_df(spark):
+    # 4 sentences; terms co-occur with controlled marginals, one
+    # duplicate mention inside a sentence (must count once)
+    rows = [
+        # (url, sent_idx, mention_lc)
+        ("u1", 0, "x"), ("u1", 0, "y"), ("u1", 0, "x"),
+        ("u1", 1, "x"), ("u1", 1, "z"),
+        ("u2", 0, "y"), ("u2", 0, "z"),
+        ("u2", 1, "x"), ("u2", 1, "y"), ("u2", 1, "z"),
+    ]
+    return spark.createDataFrame(rows, "url string, sent_idx int, mention_lc string")
+
+
+def test_sentence_pairs_counts(mentions_df):
+    got = {(r["a"], r["b"]): r["pair_cnt"] for r in sentence_pairs(mentions_df).collect()}
+    # duplicate (u1,0,x) must not double-count the (x,y) pair
+    assert got == {("x", "y"): 2, ("x", "z"): 2, ("y", "z"): 2}
+
+
+def test_edge_pmi_values(mentions_df):
+    out = {(r["a"], r["b"]): r for r in edge_pmi(mentions_df).collect()}
+    # N = 4 sentences; marginals: x=3, y=3, z=3; every pair count = 2
+    for key in [("x", "y"), ("x", "z"), ("y", "z")]:
+        r = out[key]
+        assert (r["pair_cnt"], r["cnt_a"], r["cnt_b"]) == (2, 3, 3)
+        pmi = math.log((2.0 * 4.0) / (3.0 * 3.0))
+        assert r["pmi"] == round(pmi, 6)
+        assert r["npmi"] == round(pmi / -math.log(2.0 / 4.0), 6)
+
+
+def _py_pagerank(edges, iters=3, d=0.85, state_round=9):
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: round(1.0 / n, state_round) for v in nodes}
+    for _ in range(iters):
+        inflow = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            inflow[t] += r[s] / deg[s]
+        r = {
+            v: round((1.0 - d) / n + d * inflow[v], state_round)
+            for v in nodes
+        }
+    return {v: round(x, 6) for v, x in r.items()}
+
+
+def test_pagerank_matches_pure_python(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"),  # d is dangling-IN only source
+        ("e", "a"), ("c", "e"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    assert got == _py_pagerank(edges)
+
+
+def test_pagerank_floor_for_no_inedge_node(spark):
+    # 'solo' only points outward: its rank is exactly the (1-d)/N floor
+    df = spark.createDataFrame(
+        [("solo", "hub"), ("hub", "x"), ("x", "hub")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    assert got["solo"] == round(round((1.0 - 0.85) / 3.0, 9), 6)
+    assert got == _py_pagerank([("solo", "hub"), ("hub", "x"), ("x", "hub")])
+
+
+def test_triangles_k4_and_pendant(spark):
+    # K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles; node 5
+    # hangs off node 1 with none. Direction/self-loops must not matter.
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges += [(5, 1), (1, 5), (2, 2)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_triangles_triangle_free(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src int, dst int"
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
