@@ -463,6 +463,142 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(und).select("node", "triangles")
 
 
+def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-iteration label propagation over the entity
+    co-occurrence graph — the community layer between edge_pmi's
+    weights and components' pure reachability (operators/graph.py
+    docstring: LPA splits what transitivity over-merges)."""
+    from easyner_spark.operators.graph import label_propagation, sentence_pairs
+
+    pairs = sentence_pairs(_mentions(spark, sf_dir))
+    und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return label_propagation(und, iters=3).select("node", "label")
+
+
+# ---------------------------------------------------------------------------
+# Webtext URL/host operators over the documents table with
+# deterministically synthesized urls (input_hint: pages keyed by url).
+# The url construction is repeated VERBATIM in the oracle SQL; both
+# engines parse/canonicalize with the same ASCII regexes.
+# ---------------------------------------------------------------------------
+
+
+def _synth_url_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages with a skewed deterministic url per doc:
+    30% of docs on one hot host, 20% on a second, the rest spread over
+    37 tail hosts; every 13th doc http, every 11th carries a port."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 10 < 3, F.lit("hub.example.com"))
+        .when(did % 10 < 5, F.lit("blog.example.org"))
+        .otherwise(F.concat(F.lit("site"), (did % 37).cast("string"), F.lit(".example.net")))
+    )
+    scheme = F.when(did % 13 == 0, F.lit("http")).otherwise(F.lit("https"))
+    port = F.when(did % 11 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), host, port, F.lit("/p/"), did.cast("string"))
+    return d.select("doc_id", url.alias("url"), "text", "lang")
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host rollup (page count, chars, language spread) — one
+    partial-agg-absorbed shuffle on the extracted host key."""
+    from easyner_spark.operators.webtext import host_stats
+
+    out = host_stats(_synth_url_pages(spark, sf_dir))
+    return out.select(
+        "host",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        "mean_chars",
+    )
+
+
+def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-skew profile: rank/share/cumulative share plus the salt
+    factor a host-keyed join would need (target 50 rows/partition at
+    this scale so the hot host actually salts)."""
+    from easyner_spark.operators.webtext import host_skew_profile
+
+    out = host_skew_profile(_synth_url_pages(spark, sf_dir), target_partition_rows=50)
+    return out.select(
+        "host",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("host_rank").cast("long").alias("host_rank"),
+        "share",
+        "cum_share",
+        F.col("salt").cast("long").alias("salt"),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL exact dedup: recrawl variants (www., tracking
+    params, trailing slash, fragments) collapse onto one canonical
+    form; min raw url per group survives."""
+    from easyner_spark.operators.webtext import url_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 10 < 3, F.lit("hub.example.com"))
+        .when(did % 10 < 5, F.lit("blog.example.org"))
+        .otherwise(F.concat(F.lit("site"), (did % 37).cast("string"), F.lit(".example.net")))
+    )
+    base = F.concat(F.lit("https://"), host, F.lit("/p/"), (did % 211).cast("string"))
+    url = (
+        F.when(did % 4 == 0, F.concat(base, F.lit("?utm_source=feed&id="), (did % 211).cast("string")))
+        .when(did % 4 == 1, F.concat(F.lit("https://www."), host, F.lit("/p/"), (did % 211).cast("string")))
+        .when(did % 4 == 2, F.concat(base, F.lit("/")))
+        .otherwise(F.concat(base, F.lit("#sec-"), did.cast("string")))
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    return url_dedup(pages).select("doc_id", "url", "canon_url", "is_dup")
+
+
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate over documents restructured into
+    multi-line web-ish text (bullets, ellipsis lines, hashtag spam,
+    duplicated blocks injected deterministically by doc_id so every
+    rule fires on a known subset)."""
+    from easyner_spark.operators.textstats import gopher_filters
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did, nl = F.col("doc_id"), F.lit("\n")
+    t1 = F.when(
+        did % 5 == 0,
+        F.concat(F.lit("- "), F.regexp_replace("text", " a ", "\n- ")),
+    ).otherwise(F.regexp_replace("text", " a ", "\n"))
+    t2 = F.when(did % 9 == 0, F.replace(t1, nl, F.lit("...\n"))).otherwise(t1)
+    t3 = F.when(did % 3 == 0, F.concat(t2, F.lit(" ..."))).otherwise(t2)
+    t4 = F.when(
+        did % 7 == 0, F.concat(t3, F.lit("\nsee #a #b #c #d #e #f #g"))
+    ).otherwise(t3)
+    t5 = F.when(did % 11 == 0, F.concat(t4, nl, t4)).otherwise(t4)
+    docs = d.select("doc_id", t5.alias("text"))
+    out = gopher_filters(docs, min_words=30, max_words=100)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_ratio",
+        "ellipsis_line_ratio",
+        "alpha_word_ratio",
+        "dup_line_frac",
+        "word_count_ok",
+        "mean_word_len_ok",
+        "symbol_ratio_ok",
+        "bullet_ok",
+        "ellipsis_ok",
+        "alpha_ok",
+        "stopword_ok",
+        "dup_line_ok",
+        "gopher_keep",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline operators (dedup / similarity / text analysis)
 # over the raw documents + embeddings tables.
@@ -931,6 +1067,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pmi": q_kg_pmi,
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
+        "kg_communities": q_kg_communities,
+        "host_stats": q_host_stats,
+        "host_skew": q_host_skew,
+        "url_dedup": q_url_dedup,
+        "gopher_filters": q_gopher_filters,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
@@ -1379,6 +1520,139 @@ SELECT media_id, kind,
   (1 + h % 300)::BIGINT AS n_frames,
   'fake/image' AS codec
 FROM m
+"""
+
+
+def _lpa_oracle_body(iters: int = 3) -> str:
+    """Unrolled fixed-iteration label propagation over the undirected
+    entity co-occurrence graph, mirroring operators/graph.
+    label_propagation's contract exactly: symmetrized distinct edges,
+    label_0 = own id, per round the neighbor-majority label with ties
+    to the SMALLEST label (row_number over cnt DESC, label ASC ==
+    Spark's min(struct(-cnt, label)))."""
+    parts = [
+        """
+, occ AS (SELECT DISTINCT doc_id, sent_idx, mention_lc AS term FROM mentions),
+pr AS (
+  SELECT DISTINCT x.term AS a, y.term AS b
+  FROM occ x JOIN occ y
+    ON x.doc_id = y.doc_id AND x.sent_idx = y.sent_idx AND x.term < y.term
+),
+sym AS (SELECT a AS node, b AS nbr FROM pr UNION SELECT b, a FROM pr),
+it0 AS (SELECT DISTINCT node, node AS label FROM sym)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+it{t} AS (
+  SELECT node, label FROM (
+    SELECT s.node, r.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY s.node
+                              ORDER BY count(*) DESC, r.label) AS rn
+    FROM sym s JOIN it{t - 1} r ON s.nbr = r.node
+    GROUP BY s.node, r.label
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(f"\nSELECT node, label FROM it{iters}\n")
+    return "".join(parts)
+
+
+# Deterministic skewed url synthesis shared (verbatim) by the webtext
+# oracle queries — the SQL twin of __spark_entry__._synth_url_pages.
+_URL_HOST_CASE = """CASE WHEN doc_id % 10 < 3 THEN 'hub.example.com'
+         WHEN doc_id % 10 < 5 THEN 'blog.example.org'
+         ELSE 'site' || (doc_id % 37) || '.example.net' END"""
+
+_URL_PAGES_CTE = f"""
+WITH p AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 13 = 0 THEN 'http' ELSE 'https' END)
+         || '://' || {_URL_HOST_CASE}
+         || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+         || '/p/' || doc_id AS url,
+         text, lang
+  FROM documents
+),
+h AS (
+  SELECT *, regexp_replace(
+              lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)),
+              ':\\d+$', '') AS host
+  FROM p
+)
+"""
+
+
+def _gopher_oracle() -> str:
+    from easyner_spark.operators.textstats import STOPWORDS_EN
+
+    stop = _sql_list(STOPWORDS_EN)
+    # n_ellipsis: the '...'-strip always removes a multiple of 3 chars,
+    # so the /3 is integer-exact and the BIGINT cast cannot diverge
+    # from Spark's truncating cast.
+    return f"""
+WITH t0 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+         THEN '- ' || regexp_replace(text, ' a ', chr(10) || '- ', 'g')
+         ELSE regexp_replace(text, ' a ', chr(10), 'g') END AS t
+  FROM documents
+),
+t1 AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN replace(t, chr(10), '...' || chr(10)) ELSE t END AS t FROM t0),
+t2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN t || ' ...' ELSE t END AS t FROM t1),
+t3 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN t || chr(10) || 'see #a #b #c #d #e #f #g' ELSE t END AS t FROM t2),
+txt AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN t || chr(10) || t ELSE t END AS text FROM t3),
+feat AS (
+  SELECT doc_id, text,
+    regexp_extract_all(lower(text), '\\w+') AS words,
+    string_split(text, chr(10)) AS lines
+  FROM txt
+),
+ints AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    list_sum(list_transform(words, w -> length(w))) AS sum_wlen,
+    len(list_filter(words, w -> list_contains({stop}, w))) AS n_stop,
+    len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words,
+    len(lines) AS n_lines,
+    len(list_distinct(lines)) AS n_dist_lines,
+    len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*]'))) AS n_bullet,
+    len(list_filter(lines, l -> l LIKE '%...')) AS n_ell_lines,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    ((length(text) - length(replace(text, '...', ''))) / 3)::BIGINT AS n_ellipsis
+  FROM feat
+),
+r AS (
+  SELECT doc_id, n_words, n_lines, n_stop,
+    CASE WHEN n_words > 0 THEN sum_wlen / n_words ELSE 0.0::DOUBLE END AS mean_wlen,
+    CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) / n_words ELSE 0.0::DOUBLE END AS sym,
+    CASE WHEN n_lines > 0 THEN n_bullet / n_lines ELSE 0.0::DOUBLE END AS bul,
+    CASE WHEN n_lines > 0 THEN n_ell_lines / n_lines ELSE 0.0::DOUBLE END AS ell,
+    CASE WHEN n_words > 0 THEN n_alpha_words / n_words ELSE 0.0::DOUBLE END AS alp,
+    CASE WHEN n_lines > 0 THEN 1.0::DOUBLE - n_dist_lines / n_lines ELSE 0.0::DOUBLE END AS dup
+  FROM ints
+)
+SELECT doc_id,
+  n_words::BIGINT AS n_words,
+  n_lines::BIGINT AS n_lines,
+  round(mean_wlen, 6) AS mean_word_len,
+  round(sym, 6) AS symbol_word_ratio,
+  round(bul, 6) AS bullet_line_ratio,
+  round(ell, 6) AS ellipsis_line_ratio,
+  round(alp, 6) AS alpha_word_ratio,
+  round(dup, 6) AS dup_line_frac,
+  (n_words >= 30 AND n_words <= 100) AS word_count_ok,
+  (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS mean_word_len_ok,
+  (sym <= 0.1) AS symbol_ratio_ok,
+  (bul <= 0.9) AS bullet_ok,
+  (ell <= 0.3) AS ellipsis_ok,
+  (alp >= 0.8) AS alpha_ok,
+  (n_stop >= 2) AS stopword_ok,
+  (dup <= 0.3) AS dup_line_ok,
+  (n_words >= 30 AND n_words <= 100 AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+   AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3 AND alp >= 0.8
+   AND n_stop >= 2 AND dup <= 0.3) AS gopher_keep
+FROM r
 """
 
 
@@ -1882,4 +2156,77 @@ alln AS (SELECT a AS node FROM pr UNION SELECT b FROM pr)
 SELECT alln.node, coalesce(corners.triangles, 0)::BIGINT AS triangles
 FROM alln LEFT JOIN corners ON alln.node = corners.node
 """,
+        # Fixed-iteration neighbor-majority label propagation; unrolled
+        # CTE mirrors operators/graph.label_propagation's determinism
+        # contract (ties -> smallest label)
+        "kg_communities": _PRELUDE + _lpa_oracle_body(),
+        # Per-host rollup over deterministically skewed synthetic urls;
+        # host parse = the same ASCII regex as webtext.url_parts
+        "host_stats": _URL_PAGES_CTE
+        + """
+SELECT host,
+  count(*)::BIGINT AS n_docs,
+  sum(length(text))::BIGINT AS total_chars,
+  count(DISTINCT lang)::BIGINT AS n_langs,
+  round(sum(length(text))::DOUBLE / count(*)::DOUBLE, 6) AS mean_chars
+FROM h GROUP BY host
+""",
+        # Host-skew profile: rank/share/cum_share + salt factor
+        # (webtext.host_skew_profile, target_partition_rows=50)
+        "host_skew": _URL_PAGES_CTE
+        + """
+, c AS (SELECT host, count(*) AS n_docs FROM h GROUP BY host),
+t AS (SELECT sum(n_docs)::DOUBLE AS total FROM c)
+SELECT host,
+  n_docs::BIGINT AS n_docs,
+  row_number() OVER (ORDER BY n_docs DESC, host)::BIGINT AS host_rank,
+  round(n_docs::DOUBLE / t.total, 9) AS share,
+  round(sum(n_docs) OVER (ORDER BY n_docs DESC, host
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE / t.total,
+        9) AS cum_share,
+  greatest(1, ceil(n_docs::DOUBLE / 50.0)::INT)::BIGINT AS salt
+FROM c CROSS JOIN t
+""",
+        # Canonical-URL dedup: regexp chain mirrors
+        # webtext.canonical_url step for step ('g' only where Spark's
+        # replace-all semantics could see a second match)
+        "url_dedup": f"""
+WITH b AS (
+  SELECT doc_id,
+    {_URL_HOST_CASE} AS host,
+    'https://' || {_URL_HOST_CASE} || '/p/' || (doc_id % 211) AS base
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN base || '?utm_source=feed&id=' || (doc_id % 211)
+         WHEN doc_id % 4 = 1 THEN 'https://www.' || host || '/p/' || (doc_id % 211)
+         WHEN doc_id % 4 = 2 THEN base || '/'
+         ELSE base || '#sec-' || doc_id END AS url
+  FROM b
+),
+c AS (
+  SELECT doc_id, url,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                lower(regexp_extract(u0, '^([a-zA-Z0-9+.:/-]*://[^/?#]*)', 1))
+                || regexp_replace(u0, '^[a-zA-Z0-9+.:/-]*://[^/?#]*', ''),
+                '://www\\.', '://'),
+              '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+            '\\?&', '?'),
+          '^([^?&]*)&', '\\1?'),
+        '[?&]$', ''),
+      '/$', '') AS canon_url
+  FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u0 FROM p)
+)
+SELECT doc_id::BIGINT AS doc_id, url, canon_url,
+       (url != min(url) OVER (PARTITION BY canon_url)) AS is_dup
+FROM c
+""",
+        # Gopher quality-gate battery over restructured multi-line text
+        "gopher_filters": _gopher_oracle(),
     }

@@ -218,6 +218,72 @@ def pagerank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (community
+    detection; Raghavan et al. 2007) over an undirected edge list,
+    made fully deterministic so a value oracle can check it.
+
+    Contract (mirrored verbatim by the DuckDB oracle):
+      * the graph is symmetrized: (src,dst) and (dst,src), distinct,
+        self-loops dropped; nodes = distinct endpoints;
+      * label_0(n) = n (its own id);
+      * label_{t+1}(n) = the most frequent label among n's neighbors
+        at t, ties broken by SMALLEST label string — no self-vote, no
+        random order (the two determinism holes in textbook LPA);
+      * exactly `iters` synchronous rounds — no convergence test, so
+        both engines run the identical schedule.
+
+    vs connected_components: components converge to per-component min
+    ids (pure reachability); LPA's neighbor-majority keeps densely
+    linked clusters together but lets long chains fragment into
+    communities — the standard alias-clustering refinement when pure
+    transitivity over-merges (the "common alias" worst case in
+    components.py would become ONE component; LPA splits it).
+
+    Scale: per iteration ONE join keyed on the neighbor endpoint
+    (rank-table-sized, co-partitioned with the symmetrized edge list
+    which is repartitioned once outside the loop) plus one two-level
+    aggregate: the (node,label) vote count partially aggregates
+    map-side, and the argmin is `min(struct(-cnt, label))` — an
+    algebraic aggregate, NOT a row_number window, so no node-keyed
+    global sort and hub-node skew is absorbed map-side like every
+    other rollup here. localCheckpoint caps the iterative lineage.
+    """
+    fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+    rev = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    und = (
+        fwd.unionByName(rev)
+        .where(F.col("node") != F.col("nbr"))
+        .distinct()
+        .repartition("nbr")
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select("node").distinct().localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        votes = (
+            und.join(labels.select(F.col("node").alias("nbr"), "label"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+                ).alias("s")
+            )
+            .select("node", F.col("s.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle counts over an undirected graph.
 

@@ -196,6 +196,123 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return _select(docs, id_col, {"fingerprint": _fingerprint_col(text_col)})
 
 
+BULLET_LINE_RE = r"^[ \t]*[-*]"   # ASCII bullets; shared with the oracle
+ALPHA_WORD_RE = r"[a-z]"          # words are lowercased by _words
+
+
+def gopher_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 repetition/quality rules; same
+    battery popularized by C4/RefinedWeb/Dolma): per-document rule
+    flags plus the conjunction `gopher_keep`, with the measured ratios
+    kept as columns so thresholds can be re-tuned without a rescan.
+
+    Rules (defaults = the published Gopher thresholds):
+      word count in [min_words, max_words]; mean word length in
+      [3, 10]; symbol-to-word ratio (# and ellipsis) <= 0.1; lines
+      starting with a bullet <= 90%; lines ending in an ellipsis
+      <= 30%; >= 80% of words contain an alphabetic char; >= 2
+      English stopword hits; duplicate-line fraction <= 0.3 (the
+      line-wise member of Gopher's repetition family — the n-gram
+      members live in dedup.py as shingle/MinHash operators, which at
+      corpus scale subsume the within-doc variants).
+
+    Scale shape: zero shuffle — stacked narrow Projects over the scan
+    exactly like text_stats (words/lines arrays materialized once per
+    row; counts; then ratios+flags), so the gate runs at scan speed
+    and its selectivity makes every downstream stage cheaper. All
+    ratios are exact IEEE int/int divisions, bit-identical to the
+    DuckDB oracle.
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        t,
+        _words(text_col).alias("_w"),
+        F.split(t, r"\n").alias("_lines"),
+    )
+    w, lines = F.col("_w"), F.col("_lines")
+    ints = {
+        "_n_words": F.size(w),
+        "_sum_wlen": F.aggregate(
+            F.transform(w, F.length), F.lit(0), lambda a, x: a + x
+        ),
+        "_n_stop": _marker_hits(w, STOPWORDS_EN),
+        "_n_alpha_words": F.size(F.filter(w, lambda x: x.rlike(ALPHA_WORD_RE))),
+        "_n_lines": F.size(lines),
+        "_n_dist_lines": F.size(F.array_distinct(lines)),
+        "_n_bullet_lines": F.size(
+            F.filter(lines, lambda l: l.rlike(BULLET_LINE_RE))
+        ),
+        "_n_ellipsis_lines": F.size(F.filter(lines, lambda l: l.endswith("..."))),
+        "_n_hash": F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))),
+        "_n_ellipsis": (
+            (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+        ).cast("long"),
+    }
+    mid = base.select(F.col(id_col), *[c.alias(n) for n, c in ints.items()])
+
+    n_words, n_lines = F.col("_n_words"), F.col("_n_lines")
+    mean_wlen = F.when(n_words > 0, F.col("_sum_wlen") / n_words).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        n_words > 0, (F.col("_n_hash") + F.col("_n_ellipsis")) / n_words
+    ).otherwise(F.lit(0.0))
+    bullet_ratio = F.when(
+        n_lines > 0, F.col("_n_bullet_lines") / n_lines
+    ).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(
+        n_lines > 0, F.col("_n_ellipsis_lines") / n_lines
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_words > 0, F.col("_n_alpha_words") / n_words
+    ).otherwise(F.lit(0.0))
+    dup_line_frac = F.when(
+        n_lines > 0, F.lit(1.0) - F.col("_n_dist_lines") / n_lines
+    ).otherwise(F.lit(0.0))
+
+    flags = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_wlen >= min_mean_word_len)
+        & (mean_wlen <= max_mean_word_len),
+        "symbol_ratio_ok": symbol_ratio <= max_symbol_word_ratio,
+        "bullet_ok": bullet_ratio <= max_bullet_line_ratio,
+        "ellipsis_ok": ellipsis_ratio <= max_ellipsis_line_ratio,
+        "alpha_ok": alpha_ratio >= min_alpha_word_ratio,
+        "stopword_ok": F.col("_n_stop") >= min_stop_hits,
+        "dup_line_ok": dup_line_frac <= max_dup_line_frac,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    out_cols: dict[str, Column] = {
+        "n_words": n_words.cast("long"),
+        "n_lines": n_lines.cast("long"),
+        "mean_word_len": F.round(mean_wlen, 6),
+        "symbol_word_ratio": F.round(symbol_ratio, 6),
+        "bullet_line_ratio": F.round(bullet_ratio, 6),
+        "ellipsis_line_ratio": F.round(ellipsis_ratio, 6),
+        "alpha_word_ratio": F.round(alpha_ratio, 6),
+        "dup_line_frac": F.round(dup_line_frac, 6),
+    }
+    out_cols.update(flags)
+    out_cols["gopher_keep"] = keep
+    return _select(mid, id_col, out_cols)
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """All four analyses in one narrow chain of stacked Projects over the
     scan (no joins, no shuffle — codegen fuses the layers into one

@@ -1,0 +1,208 @@
+"""Web-corpus URL operators: host extraction, URL canonicalization,
+per-host corpus statistics, and the host-skew profile that drives the
+salting strategy for host-keyed shuffles.
+
+The north-star job runs over Common-Crawl-style pages keyed by url
+(BASELINE.json input_hint: `url:string, warc_ts, html, text, lang`).
+At 10^12 documents the url HOST is the natural partitioning key for
+politeness grouping, per-site dedup, and domain-level quality gates —
+and it is also the canonical skew hazard: a handful of hosts
+(wikipedia.org, blogspot hosts, large forums) hold orders of magnitude
+more pages than the median site. The reference pipeline never has to
+face this (its corpora are PubMed-sized); these operators are the
+beyond-reference layer that makes host-keyed work safe at crawl scale.
+
+Scale design:
+
+- `url_parts` / `canonical_url` are pure per-row codegen column chains
+  (regexp over the url string) — they fuse into the scan, zero shuffle.
+  We deliberately use `regexp_extract` rather than Spark's
+  `parse_url()` so the DuckDB oracle can run the byte-identical
+  pattern; both engines anchor the same ASCII regex.
+- `host_stats` is ONE hash aggregate on the host key with map-side
+  partial aggregation; skewed hosts are absorbed by the partial agg
+  (a hot host's rows combine within each input split before the
+  exchange), so unlike a host-keyed JOIN, the rollup itself needs no
+  salting — the same partial-agg-absorbs-skew result measured in
+  tools/skew_bench.py (BASELINE.md skew tier: unsalted rollup 1.66 s
+  beat salted 2.31 s at a 33% hot key).
+- `host_skew_profile` ranks hosts by page share and computes the salt
+  factor a host-keyed JOIN or applyInPandas would need
+  (`ceil(n_docs / target_partition_rows)`), i.e. it materializes the
+  skew diagnosis the north rule requires ("URL-host skew via salted
+  repartitioning") as a queryable table instead of a hard-coded
+  constant. Window functions over a single host-count aggregate: the
+  rank/cumsum window moves ONE row per host, not per page, so the
+  window stage operates on |hosts| rows (millions) not |pages|
+  (trillions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ASCII regexes shared verbatim with the DuckDB oracle (both Java regex
+# and RE2 interpret these identically; no unicode classes, no
+# lookaround).
+SCHEME_RE = r"^([a-z][a-z0-9+.-]*)://"
+HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+REG_DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+
+def url_parts(
+    pages: DataFrame, url_col: str = "url", keep: bool = True
+) -> DataFrame:
+    """Decompose `url` into scheme / host / registered domain / path as
+    pure codegen columns (no shuffle, no UDF).
+
+    `host` lowercases and strips any `:port` suffix; `reg_domain` is
+    the last two dot-labels of the host (a public-suffix-list-free
+    approximation that the oracle reproduces exactly — a production
+    deployment would swap in a PSL broadcast join). Malformed urls
+    (no scheme) yield empty-string parts rather than nulls so
+    downstream group keys stay total.
+    """
+    url = F.col(url_col)
+    host_raw = F.lower(F.regexp_extract(url, HOST_RE, 1))
+    host = F.regexp_replace(host_raw, r":\d+$", "")
+    cols = {
+        "scheme": F.regexp_extract(F.lower(url), SCHEME_RE, 1),
+        "host": host,
+        "reg_domain": F.regexp_extract(host, REG_DOMAIN_RE, 1),
+        "path": F.regexp_extract(url, PATH_RE, 1),
+    }
+    out = pages
+    for name, col in cols.items():
+        out = out.withColumn(name, col)
+    return out if keep else out.select(url_col, *cols)
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form for exact URL-level dedup: lowercase scheme+host,
+    drop `www.` prefix, drop fragment, drop common tracking query
+    params (utm_*, fbclid, gclid), drop a trailing `/` on the path.
+
+    Chain of regexp_replace — per-row codegen, runs at scan speed.
+    The param-strip removes `utm_`/`fbclid`/`gclid` pairs wherever
+    they appear in the query string, then tidies the separators left
+    behind: if the stripped pair was the leading `?p=v`, the first
+    surviving `&` is promoted back to `?`; a dangling trailing `?`/`&`
+    is dropped. A trailing `/` is stripped uniformly (including the
+    bare root path — documented normalization choice, mirrored by the
+    oracle).
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    # fragment off first so later patterns never match inside it
+    u = F.regexp_replace(u, r"#.*$", "")
+    # lowercase scheme://host (match group, rebuild)
+    scheme_host = F.lower(F.regexp_extract(u, r"^([a-zA-Z0-9+.:/-]*://[^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z0-9+.:/-]*://[^/?#]*", "")
+    u = F.concat(scheme_host, rest)
+    u = F.regexp_replace(u, r"://www\.", "://")
+    # tracking params; then re-tidy the separators they leave behind
+    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"^([^?&]*)&", r"$1?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def host_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Per-host corpus rollup: page count, total/mean text chars, and
+    language spread. ONE hash-aggregate shuffle on host; partial
+    aggregation absorbs host skew map-side (see module docstring).
+
+    `n_langs` uses a collect_set size rather than countDistinct: the
+    countDistinct Expand rewrite doubles the aggregate's input rows
+    and resets partitioning (measured round-2 pitfall), while a
+    set-union partial agg stays one pass. Language cardinality per
+    host is tiny (<200) so the set is bounded.
+    """
+    df = url_parts(pages, url_col=url_col, keep=True)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(F.col(text_col))).alias("total_chars"),
+    ]
+    if lang_col is not None:
+        aggs.append(F.size(F.collect_set(F.col(lang_col))).alias("n_langs"))
+    out = df.groupBy("host").agg(*aggs)
+    return out.withColumn(
+        "mean_chars",
+        F.round(F.col("total_chars") / F.col("n_docs"), 6),
+    )
+
+
+def host_skew_profile(
+    pages: DataFrame,
+    url_col: str = "url",
+    target_partition_rows: int = 1_000_000,
+) -> DataFrame:
+    """Rank hosts by page share and compute the salt factor a
+    host-keyed join/applyInPandas needs: `salt = ceil(n_docs /
+    target_partition_rows)` (1 for the long tail). Downstream callers
+    broadcast-join this profile back to pages and repartition on
+    `(host, pmod(hash(url), salt))` — exactly the salted-repartition
+    strategy the north rule names, sized from data instead of guessed.
+
+    Two stages: the host count (one skew-immune hash agg over pages)
+    then rank/cumshare windows over the |hosts|-row aggregate. The
+    global windows are single-partition by construction — acceptable
+    because they see one row per HOST; if |hosts| itself outgrew an
+    executor, the same columns derive from a two-pass total+range
+    partitioner, noted here as the escape hatch.
+    """
+    counts = url_parts(pages, url_col=url_col, keep=True).groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("host"))
+    total = Window.partitionBy()
+    return (
+        counts
+        .withColumn("host_rank", F.row_number().over(w))
+        .withColumn(
+            "share", F.round(F.col("n_docs") / F.sum("n_docs").over(total), 9)
+        )
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n_docs").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.sum("n_docs").over(total),
+                9,
+            ),
+        )
+        .withColumn(
+            "salt",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("n_docs") / F.lit(float(target_partition_rows))).cast("int"),
+            ),
+        )
+    )
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Exact URL-level dedup on the canonical form: keeps one page per
+    canonical url (min url string wins — deterministic), flags the
+    rest. Same one-shuffle shape as dedup.exact_dedup but keyed on
+    `canon_url` instead of a content hash, so recrawls of
+    `http://www.x.com/a?utm_source=rss` and `http://x.com/a`
+    collapse. Canonical-key grouping is host-skew-prone (one hot host
+    -> many canon keys, still fine; one hot PAGE url recrawled
+    billions of times -> hot key), so the group key includes the full
+    canonical url whose cardinality bounds any single reduce group by
+    the recrawl count of one page.
+    """
+    df = pages.withColumn("canon_url", canonical_url(url_col))
+    w = Window.partitionBy("canon_url")
+    return (
+        df.withColumn("keep_url", F.min(F.col(url_col)).over(w))
+        .withColumn("is_dup", (F.col(url_col) != F.col("keep_url")))
+    )

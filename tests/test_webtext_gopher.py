@@ -1,0 +1,209 @@
+"""Webtext URL/host operators + Gopher quality gate + label
+propagation: unit tests for the edge cases the sf0.01 oracle corpus
+never produces (malformed urls, all-symbol text, tie-broken labels)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from easyner_spark.operators.webtext import (
+    canonical_url,
+    host_skew_profile,
+    host_stats,
+    url_dedup,
+    url_parts,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string, lang string")
+
+
+class TestUrlParts:
+    def test_parts_port_and_case(self, spark):
+        df = _pages(
+            spark,
+            [
+                ("https://WWW.Example.COM:8443/a/b?q=1#f", "t", "en"),
+                ("http://sub.site.org/x", "t", "en"),
+                ("not a url", "t", "en"),
+            ],
+        )
+        out = {r["url"]: r for r in url_parts(df).collect()}
+        r = out["https://WWW.Example.COM:8443/a/b?q=1#f"]
+        assert r["scheme"] == "https"
+        assert r["host"] == "www.example.com"          # lowered, port stripped
+        assert r["reg_domain"] == "example.com"
+        assert r["path"] == "/a/b"
+        r2 = out["http://sub.site.org/x"]
+        assert (r2["host"], r2["reg_domain"], r2["path"]) == (
+            "sub.site.org", "site.org", "/x",
+        )
+        r3 = out["not a url"]                          # malformed -> empty parts
+        assert (r3["scheme"], r3["host"], r3["reg_domain"], r3["path"]) == ("", "", "", "")
+
+
+class TestCanonicalUrl:
+    CASES = [
+        # www strip + fragment strip
+        ("https://www.x.com/a#frag", "https://x.com/a"),
+        # trailing slash (incl. root)
+        ("https://x.com/a/", "https://x.com/a"),
+        ("https://x.com/", "https://x.com"),
+        # leading tracking param: '&' promoted back to '?'
+        ("https://x.com/a?utm_source=rss&id=3", "https://x.com/a?id=3"),
+        # mid/trailing tracking params
+        ("https://x.com/a?id=3&utm_medium=email", "https://x.com/a?id=3"),
+        ("https://x.com/a?fbclid=abc", "https://x.com/a"),
+        # scheme+host lowercase, path case preserved
+        ("HTTPS://X.COM/Path", "https://x.com/Path"),
+        # untouched url survives
+        ("https://x.com/a?id=3", "https://x.com/a?id=3"),
+    ]
+
+    def test_cases(self, spark):
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        got = {
+            r["url"]: r["c"]
+            for r in df.select("url", canonical_url("url").alias("c")).collect()
+        }
+        for raw, want in self.CASES:
+            assert got[raw] == want, raw
+
+
+class TestUrlDedup:
+    def test_variants_collapse(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("https://x.com/a",),
+                ("https://www.x.com/a",),
+                ("https://x.com/a/",),
+                ("https://x.com/a#f",),
+                ("https://x.com/b",),
+            ],
+            "url string",
+        )
+        rows = url_dedup(df).collect()
+        groups = {}
+        for r in rows:
+            groups.setdefault(r["canon_url"], []).append(r)
+        assert len(groups["https://x.com/a"]) == 4
+        # min raw url survives; the other three flagged
+        dups = [r["url"] for r in groups["https://x.com/a"] if r["is_dup"]]
+        keep = [r["url"] for r in groups["https://x.com/a"] if not r["is_dup"]]
+        assert keep == ["https://www.x.com/a"]  # lexicographically smallest raw
+        assert len(dups) == 3
+        assert not groups["https://x.com/b"][0]["is_dup"]
+
+
+class TestHostStats:
+    def test_rollup_and_skew(self, spark):
+        rows = [
+            (f"https://hot.com/{i}", "x" * 10, "en") for i in range(6)
+        ] + [
+            ("https://cold.org/1", "y" * 4, "en"),
+            ("https://cold.org/2", "y" * 6, "de"),
+        ]
+        out = {r["host"]: r for r in host_stats(_pages(spark, rows)).collect()}
+        assert out["hot.com"]["n_docs"] == 6
+        assert out["hot.com"]["total_chars"] == 60
+        assert out["hot.com"]["n_langs"] == 1
+        assert out["cold.org"]["mean_chars"] == 5.0
+        assert out["cold.org"]["n_langs"] == 2
+
+        prof = {
+            r["host"]: r
+            for r in host_skew_profile(
+                _pages(spark, rows), target_partition_rows=2
+            ).collect()
+        }
+        assert prof["hot.com"]["host_rank"] == 1
+        assert prof["hot.com"]["salt"] == 3          # ceil(6/2)
+        assert prof["cold.org"]["salt"] == 1
+        assert prof["hot.com"]["share"] == 0.75
+        assert prof["cold.org"]["cum_share"] == 1.0
+
+
+class TestGopherFilters:
+    def _run(self, spark, texts, **kw):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        from easyner_spark.operators.textstats import gopher_filters
+
+        return {r["doc_id"]: r for r in gopher_filters(df, **kw).collect()}
+
+    def test_rules_fire(self, spark):
+        good = "the cat and the dog sat with the bird for tea " * 5
+        out = self._run(
+            spark,
+            [
+                good,                                   # 0: passes
+                "",                                     # 1: empty
+                "#### #### ####",                       # 2: symbols, no alpha
+                "- one\n- two\n- three",                # 3: all bullets
+                "a...\nb...\nc...",                     # 4: ellipsis lines
+                "same line\nsame line\nsame line",      # 5: dup lines
+                "supercalifragilisticexpialidocious " * 60,  # 6: long words
+            ],
+            min_words=10,
+        )
+        assert out[0]["gopher_keep"]
+        assert not out[1]["word_count_ok"] and not out[1]["gopher_keep"]
+        assert out[1]["mean_word_len"] == 0.0           # guarded, not null
+        assert not out[2]["alpha_ok"]
+        assert not out[3]["bullet_ok"] and out[3]["bullet_line_ratio"] == 1.0
+        assert not out[4]["ellipsis_ok"]
+        assert not out[5]["dup_line_ok"]
+        assert out[5]["dup_line_frac"] == pytest.approx(2.0 / 3.0, abs=1e-6)
+        assert not out[6]["mean_word_len_ok"]
+
+    def test_symbol_ratio_counts_hash_and_ellipsis(self, spark):
+        out = self._run(spark, ["word #a ... word #b word word word word"], min_words=1)
+        # 2 '#' chars + 1 '...' occurrence over 8 words (a, b count as words)
+        assert out[0]["symbol_word_ratio"] == pytest.approx(3.0 / 8.0, abs=1e-6)
+
+
+class TestPlanShapes:
+    def test_gopher_filters_zero_shuffle(self, spark):
+        """The quality gate must stay a narrow projection chain —
+        no Exchange anywhere in its plan (scan-speed contract)."""
+        from easyner_spark.operators.textstats import gopher_filters
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = gopher_filters(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_host_stats_single_shuffle(self, spark):
+        """One hash-aggregate exchange on host, nothing else."""
+        df = _pages(spark, [("https://x.com/a", "t", "en")])
+        plan = host_stats(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
+class TestLabelPropagation:
+    def _lpa(self, spark, edges, iters=3):
+        from easyner_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {r["node"]: r["label"] for r in label_propagation(df, iters=iters).collect()}
+
+    def test_two_cliques_one_bridge(self, spark):
+        tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+        tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+        out = self._lpa(spark, tri1 + tri2 + [("c", "x")])
+        # each triangle converges to one internal label; the bridge
+        # does not merge them (unlike connected components, which
+        # would label all six nodes "a")
+        assert out["a"] == out["b"] == out["c"]
+        assert out["x"] == out["y"] == out["z"]
+        assert out["a"] != out["x"]
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        # node m has two neighbors with distinct labels, one vote each
+        out = self._lpa(spark, [("m", "q"), ("m", "p")], iters=1)
+        assert out["m"] == "p"
+
+    def test_self_loops_dropped_and_symmetric(self, spark):
+        out = self._lpa(spark, [("a", "a"), ("a", "b")], iters=2)
+        # self loop ignored: a<->b swap labels each sync round
+        assert out == {"a": "a", "b": "b"}
