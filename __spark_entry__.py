@@ -556,6 +556,26 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(pages).select("doc_id", "url", "canon_url", "is_dup")
 
 
+def q_latest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of crawl-snapshot selection: 5 synthetic recrawls per url
+    (doc_id % 100), deterministic warc_ts with deliberate ties so the
+    struct-max tie-break is exercised; as_of cutoff drops the most
+    recent fetches of some urls."""
+    from easyner_spark.operators.webtext import latest_crawl
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 10 < 3, F.lit("hub.example.com"))
+        .otherwise(F.concat(F.lit("site"), (did % 37).cast("string"), F.lit(".example.net")))
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), (did % 100).cast("string"))
+    ts = (F.lit(1700000000) + (did % 17) * 1000 + did % 7).cast("long")
+    pages = d.select(url.alias("url"), ts.alias("warc_ts"), "doc_id")
+    out = latest_crawl(pages, as_of=1700013000)
+    return out.select("url", "warc_ts", F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality gate over documents restructured into
     multi-line web-ish text (bullets, ellipsis lines, hashtag spam,
@@ -1071,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "host_skew": q_host_skew,
         "url_dedup": q_url_dedup,
+        "latest_crawl": q_latest_crawl,
         "gopher_filters": q_gopher_filters,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -2226,6 +2247,25 @@ c AS (
 SELECT doc_id::BIGINT AS doc_id, url, canon_url,
        (url != min(url) OVER (PARTITION BY canon_url)) AS is_dup
 FROM c
+""",
+        # As-of latest-crawl selection; ORDER BY ts DESC, doc_id DESC
+        # mirrors webtext.latest_crawl's max(struct) tie-break
+        "latest_crawl": """
+WITH pages AS (
+  SELECT 'https://' ||
+    (CASE WHEN doc_id % 10 < 3 THEN 'hub.example.com'
+          ELSE 'site' || (doc_id % 37) || '.example.net' END)
+    || '/p/' || (doc_id % 100) AS url,
+    1700000000 + (doc_id % 17) * 1000 + doc_id % 7 AS warc_ts,
+    doc_id
+  FROM documents
+),
+f AS (SELECT * FROM pages WHERE warc_ts <= 1700013000)
+SELECT url, warc_ts::BIGINT AS warc_ts, doc_id::BIGINT AS doc_id
+FROM (SELECT *, row_number() OVER (PARTITION BY url
+                                   ORDER BY warc_ts DESC, doc_id DESC) AS rn
+      FROM f)
+WHERE rn = 1
 """,
         # Gopher quality-gate battery over restructured multi-line text
         "gopher_filters": _gopher_oracle(),

@@ -188,6 +188,47 @@ def host_skew_profile(
     )
 
 
+def latest_crawl(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    as_of=None,
+) -> DataFrame:
+    """Crawl-snapshot selection: one row per url — the most recent
+    crawl, optionally as-of a cutoff (`warc_ts <= as_of`). This is the
+    recrawl-collapse step a Common-Crawl-style corpus needs before any
+    per-document stage (the input table holds every fetch of a url;
+    training pipelines want exactly one).
+
+    Contract: ties on `ts_col` break toward the LARGEST remaining
+    column tuple (struct comparison over the frame's column order) —
+    deterministic on null-free frames; the oracle mirrors it as
+    `ORDER BY ts DESC, <cols> DESC`.
+
+    Scale shape: `max(struct(ts, rest...))` is an ALGEBRAIC aggregate
+    — partial max per input split, ONE shuffle on url. Struct-typed
+    buffers aren't hash-aggregatable, so Spark plans a SortAggregate
+    (local sort by url inside each split) — still strictly better
+    than the row_number-window alternative, which would shuffle EVERY
+    replica of every page and then sort each url's full recrawl
+    history: here a hot url recrawled billions of times partially
+    aggregates down to one candidate row per upstream split before
+    the exchange, so recrawl skew never reaches a reducer. The as-of
+    predicate is a plain comparison pushed to the scan
+    (partition-prunes a warc_ts-partitioned Iceberg table).
+    """
+    other = [c for c in pages.columns if c not in (url_col, ts_col)]
+    df = pages if as_of is None else pages.where(F.col(ts_col) <= F.lit(as_of))
+    packed = df.groupBy(url_col).agg(
+        F.max(F.struct(F.col(ts_col), *[F.col(c) for c in other])).alias("_s")
+    )
+    return packed.select(
+        url_col,
+        F.col(f"_s.{ts_col}").alias(ts_col),
+        *[F.col(f"_s.{c}").alias(c) for c in other],
+    )
+
+
 def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Exact URL-level dedup on the canonical form: keeps one page per
     canonical url (min url string wins — deterministic), flags the

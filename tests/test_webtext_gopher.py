@@ -123,6 +123,45 @@ class TestHostStats:
         assert prof["cold.org"]["cum_share"] == 1.0
 
 
+class TestLatestCrawl:
+    def _df(self, spark):
+        from easyner_spark.operators.webtext import latest_crawl
+
+        rows = [
+            ("u1", 100, 1, "old"),
+            ("u1", 300, 2, "new"),
+            ("u1", 200, 3, "mid"),
+            ("u2", 100, 4, "a"),
+            ("u2", 100, 5, "b"),     # ts tie -> larger (doc_id, text) wins
+            ("u3", 900, 6, "future"),
+        ]
+        return latest_crawl, spark.createDataFrame(
+            rows, "url string, warc_ts long, doc_id long, text string"
+        )
+
+    def test_latest_per_url(self, spark):
+        latest_crawl, df = self._df(spark)
+        out = {r["url"]: r for r in latest_crawl(df).collect()}
+        assert (out["u1"]["warc_ts"], out["u1"]["text"]) == (300, "new")
+        assert out["u2"]["doc_id"] == 5  # tie on ts broken by doc_id
+
+    def test_as_of_cutoff(self, spark):
+        latest_crawl, df = self._df(spark)
+        out = {r["url"]: r for r in latest_crawl(df, as_of=250).collect()}
+        assert out["u1"]["warc_ts"] == 200     # 300 excluded by cutoff
+        assert "u3" not in out                 # all fetches after cutoff
+
+    def test_single_shuffle_no_window(self, spark):
+        """One url-keyed exchange with a map-side partial max; never a
+        row_number window (which would shuffle every replica). The
+        struct buffer forces SortAggregate — local sorts are fine."""
+        latest_crawl, df = self._df(spark)
+        plan = latest_crawl(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "Window" not in plan
+        assert "partial_max" in plan
+
+
 class TestGopherFilters:
     def _run(self, spark, texts, **kw):
         df = spark.createDataFrame(
