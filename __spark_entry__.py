@@ -556,6 +556,61 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(pages).select("doc_id", "url", "canon_url", "is_dup")
 
 
+def _synth_html_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_synth_url_pages + a deterministic html column (binary, as the
+    input_hint specifies) carrying 2-4 outlinks per page: one absolute
+    cross-host link, one relative link (resolves to the source host),
+    every 3rd page a protocol-relative link to the hub, every 4th a
+    mailto: (dropped by the classifier)."""
+    did = F.col("doc_id")
+    link_abs = F.concat(
+        F.lit('<a href="https://site'),
+        ((did * 7) % 37).cast("string"),
+        F.lit('.example.net/p/1">x</a>'),
+    )
+    link_rel = F.concat(
+        F.lit('<a href="/local/'), (did % 5).cast("string"), F.lit('">y</a>')
+    )
+    link_proto = F.when(
+        did % 3 == 0, F.lit('<a href="//hub.example.com/z">z</a>')
+    ).otherwise(F.lit(""))
+    link_mail = F.when(
+        did % 4 == 0, F.lit('<a href="mailto:a@b.c">m</a>')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body><p>t</p>"),
+        link_abs, link_rel, link_proto, link_mail,
+        F.lit("</body></html>"),
+    )
+    return _synth_url_pages(spark, sf_dir).withColumn(
+        "html", html.cast("binary")
+    )
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The host-level link graph (src_host, dst_host, n_links) — the
+    canonical Common-Crawl derived product, aggregated from regex href
+    extraction in one partial-agg shuffle."""
+    from easyner_spark.operators.webtext import host_graph
+
+    out = host_graph(_synth_html_pages(spark, sf_dir))
+    return out.select(
+        "src_host", "dst_host", F.col("n_links").cast("long").alias("n_links")
+    )
+
+
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-authority PageRank over the extracted link graph — link
+    extraction, host-graph rollup, and the fixed-iteration power
+    method composed end-to-end (crawl prioritization)."""
+    from easyner_spark.operators.graph import pagerank
+    from easyner_spark.operators.webtext import host_graph
+
+    hg = host_graph(_synth_html_pages(spark, sf_dir))
+    edges = hg.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    return pagerank(edges, iters=3).select("node", "rank")
+
+
 def q_latest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of crawl-snapshot selection: 5 synthetic recrawls per url
     (doc_id % 100), deterministic warc_ts with deliberate ties so the
@@ -1092,6 +1147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_skew": q_host_skew,
         "url_dedup": q_url_dedup,
         "latest_crawl": q_latest_crawl,
+        "host_graph": q_host_graph,
+        "host_rank": q_host_rank,
         "gopher_filters": q_gopher_filters,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1597,9 +1654,51 @@ WITH p AS (
 ),
 h AS (
   SELECT *, regexp_replace(
-              lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)),
+              lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
               ':\\d+$', '') AS host
   FROM p
+)
+"""
+
+
+# Host link-graph CTE: url/html synthesis mirrored verbatim from
+# _synth_html_pages, href extraction + classifier mirrored from
+# webtext.extract_links (same regexes, same when-chain order).
+_HOSTLINKS_CTE = f"""
+WITH d AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_extract(
+      (CASE WHEN doc_id % 13 = 0 THEN 'http' ELSE 'https' END) || '://'
+      || {_URL_HOST_CASE}
+      || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+      || '/p/' || doc_id,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':\\d+$', '') AS src_host,
+    '<html><body><p>t</p><a href="https://site' || ((doc_id * 7) % 37)
+    || '.example.net/p/1">x</a><a href="/local/' || (doc_id % 5) || '">y</a>'
+    || (CASE WHEN doc_id % 3 = 0 THEN '<a href="//hub.example.com/z">z</a>' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN '<a href="mailto:a@b.c">m</a>' ELSE '' END)
+    || '</body></html>' AS html
+  FROM documents
+),
+l AS (SELECT src_host,
+             unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+      FROM d),
+t AS (
+  SELECT src_host,
+    CASE WHEN regexp_matches(href, '^[hH][tT][tT][pP][sS]?://')
+         THEN regexp_replace(lower(regexp_extract(href,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':\\d+$', '')
+         WHEN href LIKE '//%'
+         THEN regexp_replace(lower(regexp_extract(href,
+                '^//([^/?#]+)', 1)), ':\\d+$', '')
+         WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
+         ELSE src_host END AS dst_host
+  FROM l
+),
+hg AS (
+  SELECT src_host, dst_host, count(*) AS n_links
+  FROM t WHERE dst_host IS NOT NULL
+  GROUP BY src_host, dst_host
 )
 """
 
@@ -1677,14 +1776,18 @@ FROM r
 """
 
 
-def _pagerank_oracle_body(iters: int = 3) -> str:
-    """Unrolled PageRank CTE chain over the distinct triple graph,
+def _pagerank_oracle_body(
+    iters: int = 3,
+    e_sql: str = "SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples",
+) -> str:
+    """Unrolled PageRank CTE chain over a distinct edge list (default:
+    the triple graph; host_rank passes the link-graph edges),
     mirroring operators/graph.pagerank's op order exactly: base =
     (1.0 - 0.85) / N, inflow = sum(rank / deg), state = round(base +
     0.85 * coalesce(inflow, 0.0), 9), output round(·, 6)."""
     parts = [
-        """
-, e AS (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples),
+        f"""
+, e AS ({e_sql}),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
 deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
@@ -2248,6 +2351,17 @@ SELECT doc_id::BIGINT AS doc_id, url, canon_url,
        (url != min(url) OVER (PARTITION BY canon_url)) AS is_dup
 FROM c
 """,
+        # Host-level link graph from regex href extraction
+        "host_graph": _HOSTLINKS_CTE
+        + """
+SELECT src_host, dst_host, n_links::BIGINT AS n_links FROM hg
+""",
+        # PageRank over the extracted host link graph (same unrolled
+        # body as kg_pagerank, edges from the link-graph CTE)
+        "host_rank": _HOSTLINKS_CTE
+        + _pagerank_oracle_body(
+            e_sql="SELECT DISTINCT src_host AS src, dst_host AS dst FROM hg"
+        ),
         # As-of latest-crawl selection; ORDER BY ts DESC, doc_id DESC
         # mirrors webtext.latest_crawl's max(struct) tie-break
         "latest_crawl": """

@@ -45,9 +45,9 @@ from pyspark.sql import functions as F
 # ASCII regexes shared verbatim with the DuckDB oracle (both Java regex
 # and RE2 interpret these identically; no unicode classes, no
 # lookaround).
-SCHEME_RE = r"^([a-z][a-z0-9+.-]*)://"
-HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
-PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+SCHEME_RE = r"^([a-z][a-z0-9+.-]*)://"          # applied to lower(url)
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
 REG_DOMAIN_RE = r"([^.]+\.[^.]+)$"
 
 
@@ -185,6 +185,94 @@ def host_skew_profile(
                 F.ceil(F.col("n_docs") / F.lit(float(target_partition_rows))).cast("int"),
             ),
         )
+    )
+
+
+HREF_RE = r'href="([^"]*)"'     # double-quoted hrefs; oracle-shared
+ABS_URL_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:"   # has a scheme
+PROTO_REL_HOST_RE = r"^//([^/?#]+)"
+
+
+def extract_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Outlink extraction: one row per (page url, href) with the
+    resolved target host. Pure codegen — regexp_extract_all over the
+    utf-8-decoded html, posexplode, a when-chain classifier:
+
+      * absolute http(s) links -> their own host (lowered, :port
+        stripped);
+      * protocol-relative `//host/...` -> that host;
+      * other scheme-ful links (mailto:, javascript:, ftp:, data:)
+        -> dropped (`target_host` null, filtered);
+      * everything else is a relative path -> the SOURCE host.
+
+    The href regex is the deliberate crawl-grade simplification
+    (double-quoted attributes only) so the DuckDB oracle can run the
+    byte-identical pattern; the boilerplate HTMLParser walk is the
+    place a full attribute parser would live if unquoted hrefs
+    mattered (operators/boilerplate.py handles real DOM quirks).
+
+    Scale shape: narrow projection + generator (posexplode) — no
+    shuffle; fan-out is bounded by links-per-page. Runs at scan speed
+    like every per-row stage here.
+    """
+    src_host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1)), r":\d+$", ""
+    )
+    links = pages.select(
+        F.col(url_col),
+        src_host.alias("src_host"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(cast({html_col} as string), '{HREF_RE}', 1)"
+            )
+        ).alias("href"),
+    )
+    href = F.col("href")
+    abs_host = F.regexp_replace(
+        F.lower(F.regexp_extract(href, HOST_RE, 1)), r":\d+$", ""
+    )
+    proto_rel_host = F.regexp_replace(
+        F.lower(F.regexp_extract(href, PROTO_REL_HOST_RE, 1)), r":\d+$", ""
+    )
+    target = (
+        F.when(href.rlike(r"^[hH][tT][tT][pP][sS]?://"), abs_host)
+        .when(href.startswith("//"), proto_rel_host)
+        .when(href.rlike(ABS_URL_RE), F.lit(None).cast("string"))
+        .otherwise(F.col("src_host"))
+    )
+    return (
+        links.withColumn("target_host", target)
+        .where(F.col("target_host").isNotNull())
+    )
+
+
+def host_graph(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    drop_self: bool = False,
+) -> DataFrame:
+    """The host-level link graph: (src_host, dst_host, n_links) edge
+    list aggregated from every outlink — the canonical Common-Crawl
+    derived product (the "host web graph") and the input to
+    graph.pagerank for host authority.
+
+    One shuffle (edge-key rollup with map-side partial agg — the hub
+    host's out-edges combine within each split, so host skew is
+    absorbed exactly like host_stats). Feed the result to
+    graph.pagerank(src='src_host', dst='dst_host') for the standard
+    crawl-prioritization ranking.
+    """
+    e = extract_links(pages, html_col=html_col, url_col=url_col)
+    if drop_self:
+        e = e.where(F.col("src_host") != F.col("target_host"))
+    return (
+        e.groupBy(F.col("src_host"), F.col("target_host").alias("dst_host"))
+        .agg(F.count(F.lit(1)).alias("n_links"))
     )
 
 

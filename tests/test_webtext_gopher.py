@@ -123,6 +123,50 @@ class TestHostStats:
         assert prof["cold.org"]["cum_share"] == 1.0
 
 
+class TestExtractLinks:
+    def _pages(self, spark, html):
+        return spark.createDataFrame(
+            [("https://src.example.com:8080/page", bytearray(html.encode()))],
+            "url string, html binary",
+        )
+
+    def test_classifier(self, spark):
+        from easyner_spark.operators.webtext import extract_links
+
+        html = (
+            '<a href="https://Other.COM:443/x">a</a>'
+            '<a href="HTTP://up.net/y">b</a>'
+            '<a href="//proto.org/z">c</a>'
+            '<a href="/relative/path">d</a>'
+            '<a href="page2.html">e</a>'
+            '<a href="mailto:a@b.c">drop</a>'
+            '<a href="javascript:void(0)">drop</a>'
+            "<a href='single-quoted'>not matched</a>"
+        )
+        out = extract_links(self._pages(spark, html)).collect()
+        got = {(r["href"], r["target_host"]) for r in out}
+        assert got == {
+            ("https://Other.COM:443/x", "other.com"),
+            ("HTTP://up.net/y", "up.net"),
+            ("//proto.org/z", "proto.org"),
+            ("/relative/path", "src.example.com"),   # port-stripped source
+            ("page2.html", "src.example.com"),
+        }
+
+    def test_host_graph_rollup(self, spark):
+        from easyner_spark.operators.webtext import host_graph
+
+        rows = [
+            ("https://a.com/1", b'<a href="https://b.com/x">l</a><a href="/s">l</a>'),
+            ("https://a.com/2", b'<a href="https://b.com/y">l</a>'),
+        ]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        out = {(r["src_host"], r["dst_host"]): r["n_links"] for r in host_graph(df).collect()}
+        assert out == {("a.com", "b.com"): 2, ("a.com", "a.com"): 1}
+        dropped = host_graph(df, drop_self=True).collect()
+        assert {(r["src_host"], r["dst_host"]) for r in dropped} == {("a.com", "b.com")}
+
+
 class TestLatestCrawl:
     def _df(self, spark):
         from easyner_spark.operators.webtext import latest_crawl
