@@ -611,6 +611,17 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=3).select("node", "rank")
 
 
+def q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word-2-gram character fraction per document (the
+    aggregation member of the Gopher repetition family)."""
+    from easyner_spark.operators.textstats import word_repetition
+
+    out = word_repetition(_docs(spark, sf_dir), n=2)
+    return out.select(
+        "doc_id", "top_gram", "top_cnt", "top_ngram_frac", "repetition_ok"
+    )
+
+
 def q_latest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of crawl-snapshot selection: 5 synthetic recrawls per url
     (doc_id % 100), deterministic warc_ts with deliberate ties so the
@@ -1149,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
+        "word_repetition": q_word_repetition,
         "gopher_filters": q_gopher_filters,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -2383,4 +2395,38 @@ WHERE rn = 1
 """,
         # Gopher quality-gate battery over restructured multi-line text
         "gopher_filters": _gopher_oracle(),
+        # Top word-2-gram char fraction; row_number (cnt DESC, gram
+        # ASC) mirrors textstats.word_repetition's min(struct) argmin
+        "word_repetition": """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS words FROM documents
+),
+denom AS (
+  SELECT doc_id, list_sum(list_transform(words, w -> length(w))) AS sum_wlen
+  FROM base
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(words) - 1),
+                               i -> words[i + 1] || ' ' || words[i + 2])) AS gram
+  FROM base WHERE len(words) >= 2
+),
+cnts AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram),
+top AS (
+  SELECT doc_id, gram, cnt FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, gram) AS rn
+    FROM cnts) WHERE rn = 1
+)
+SELECT d.doc_id,
+  coalesce(t.gram, '') AS top_gram,
+  coalesce(t.cnt, 0)::BIGINT AS top_cnt,
+  round(CASE WHEN t.cnt IS NOT NULL AND d.sum_wlen > 0
+             THEN (t.cnt * (length(t.gram) - 1)) / d.sum_wlen
+             ELSE 0.0::DOUBLE END, 6) AS top_ngram_frac,
+  (CASE WHEN t.cnt IS NOT NULL AND d.sum_wlen > 0
+        THEN (t.cnt * (length(t.gram) - 1)) / d.sum_wlen
+        ELSE 0.0::DOUBLE END <= 0.2) AS repetition_ok
+FROM denom d LEFT JOIN top t ON d.doc_id = t.doc_id
+""",
     }

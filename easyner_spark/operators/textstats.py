@@ -313,6 +313,83 @@ def gopher_filters(
     return _select(mid, id_col, out_cols)
 
 
+def word_repetition(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_top_ngram_frac: float = 0.20,
+) -> DataFrame:
+    """The aggregation member of Gopher's repetition family (§A1.1
+    "fraction of characters in most common n-gram"; the per-line
+    members live in gopher_filters, the cross-document members in
+    dedup.py): per document, the character fraction covered by the
+    most frequent word n-gram.
+
+    Contract (oracle-mirrored): words = lowercased `\\w+`; n-grams are
+    space-joined consecutive windows; the top gram is the (count DESC,
+    gram ASC) argmin — `min(struct(-cnt, gram))`, same determinism
+    trick as graph.label_propagation; `top_ngram_frac = cnt *
+    (length(gram) - (n-1)) / sum(word lengths)` (the subtraction
+    removes the joining spaces, so the numerator is exactly the
+    characters the gram's occurrences cover). Documents with fewer
+    than n words emit ('', 0, 0.0) and pass the gate.
+
+    Scale: gram expansion is per-row (bounded by words-per-doc); the
+    rollup is two algebraic aggregates — (doc, gram) partial counts
+    absorb within-doc repetition map-side, then the per-doc argmin.
+    The doc-level denominator join is doc_id-keyed and both sides are
+    pre-aggregated (one row per doc) — no window, no skew hazard
+    (doc_id is unique).
+    """
+    base = _with_words(docs, text_col, id_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_w")) - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
+    )
+    denom = base.select(
+        F.col(id_col),
+        F.aggregate(
+            F.transform(F.col("_w"), F.length), F.lit(0), lambda a, x: a + x
+        ).alias("_sum_wlen"),
+    )
+    exploded = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(F.col("_w")) >= n, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("gram"),
+    )
+    top = (
+        exploded.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram"))).alias("_s")
+        )
+        .select(
+            F.col(id_col),
+            F.col("_s.gram").alias("top_gram"),
+            (-F.col("_s.nc")).cast("long").alias("top_cnt"),
+        )
+    )
+    joined = denom.join(top, id_col, "left")
+    frac_raw = (
+        F.col("top_cnt") * (F.length(F.col("top_gram")) - F.lit(n - 1))
+    ) / F.col("_sum_wlen")
+    frac = F.when(
+        F.col("top_cnt").isNotNull() & (F.col("_sum_wlen") > 0), frac_raw
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col(id_col),
+        F.coalesce(F.col("top_gram"), F.lit("")).alias("top_gram"),
+        F.coalesce(F.col("top_cnt"), F.lit(0)).cast("long").alias("top_cnt"),
+        F.round(frac, 6).alias("top_ngram_frac"),
+        (frac <= max_top_ngram_frac).alias("repetition_ok"),
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """All four analyses in one narrow chain of stacked Projects over the
     scan (no joins, no shuffle — codegen fuses the layers into one

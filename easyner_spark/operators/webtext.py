@@ -317,6 +317,49 @@ def latest_crawl(
     )
 
 
+def salted_repartition_by_host(
+    pages: DataFrame,
+    profile: DataFrame | None = None,
+    url_col: str = "url",
+    target_partition_rows: int = 1_000_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Execute the salting strategy `host_skew_profile` diagnoses:
+    broadcast-join the (host, salt) profile onto pages and repartition
+    on `(host, pmod(xxhash64(url), salt))`, so a hot host's pages
+    spread over `salt` reduce partitions while long-tail hosts
+    (salt = 1) stay on a single key — exactly the "URL-host skew via
+    salted repartitioning" step of the north rule, sized from data.
+
+    If `profile` is None it is computed from `pages` (one extra
+    aggregate job — pass a cached/precomputed profile in production;
+    the profile is |hosts|-sized driver-safe broadcast data either
+    way). Downstream per-host work (applyInPandas politeness batches,
+    host-keyed joins) inherits the partitioning; host-level AGGREGATES
+    should aggregate the salted partials first (sum over salt cells)
+    — or simply use host_stats, whose partial aggs absorb skew without
+    salting (BASELINE.md skew tier).
+
+    The salt expression reuses xxhash64 (JVM codegen, same family as
+    the MinHash path) — deterministic, so two runs co-partition.
+    """
+    if profile is None:
+        profile = host_skew_profile(
+            pages, url_col=url_col, target_partition_rows=target_partition_rows
+        )
+    with_host = url_parts(pages, url_col=url_col, keep=True)
+    joined = with_host.join(
+        F.broadcast(profile.select("host", "salt")), "host", "left"
+    )
+    salted = joined.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(url_col)), F.coalesce(F.col("salt"), F.lit(1))),
+    )
+    if num_partitions is not None:
+        return salted.repartition(num_partitions, "host", "_salt")
+    return salted.repartition("host", "_salt")
+
+
 def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Exact URL-level dedup on the canonical form: keeps one page per
     canonical url (min url string wins — deterministic), flags the

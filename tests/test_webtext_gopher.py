@@ -123,6 +123,37 @@ class TestHostStats:
         assert prof["cold.org"]["cum_share"] == 1.0
 
 
+class TestSaltedRepartition:
+    def test_hot_host_spreads_tail_stays(self, spark):
+        from easyner_spark.operators.webtext import salted_repartition_by_host
+
+        rows = [(f"https://hot.com/{i}", "t", "en") for i in range(200)] + [
+            (f"https://tail{h}.org/{i}", "t", "en")
+            for h in range(10)
+            for i in range(5)
+        ]
+        df = _pages(spark, rows)
+        out = salted_repartition_by_host(
+            df, target_partition_rows=50, num_partitions=16
+        ).withColumn("pid", F.spark_partition_id())
+        per_host = {
+            r["host"]: (r["n_parts"], r["n_salts"])
+            for r in out.groupBy("host")
+            .agg(
+                F.countDistinct("pid").alias("n_parts"),
+                F.countDistinct("_salt").alias("n_salts"),
+            )
+            .collect()
+        }
+        # hot host: salt=ceil(200/50)=4 -> pages spread over >1 partition
+        assert per_host["hot.com"][1] == 4
+        assert per_host["hot.com"][0] > 1
+        # every tail host: salt=1 -> exactly one salt cell, one partition
+        for h, (n_parts, n_salts) in per_host.items():
+            if h != "hot.com":
+                assert (n_parts, n_salts) == (1, 1)
+
+
 class TestExtractLinks:
     def _pages(self, spark, html):
         return spark.createDataFrame(
@@ -261,6 +292,37 @@ class TestPlanShapes:
         df = _pages(spark, [("https://x.com/a", "t", "en")])
         plan = host_stats(df)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+class TestWordRepetition:
+    def _run(self, spark, texts, **kw):
+        from easyner_spark.operators.textstats import word_repetition
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {r["doc_id"]: r for r in word_repetition(df, **kw).collect()}
+
+    def test_repetitive_doc_fails_gate(self, spark):
+        out = self._run(spark, ["spam ham spam ham spam ham"])
+        r = out[0]
+        # "spam ham" x3 covers 3*7 of 21 word chars -> frac 1.0
+        assert (r["top_gram"], r["top_cnt"]) == ("spam ham", 3)
+        assert r["top_ngram_frac"] == 1.0
+        assert not r["repetition_ok"]
+
+    def test_edge_docs_pass(self, spark):
+        distinct_words = " ".join(f"w{i:02d}x" for i in range(30))
+        out = self._run(spark, ["solo", "", distinct_words])
+        assert (out[0]["top_gram"], out[0]["top_cnt"], out[0]["top_ngram_frac"]) == ("", 0, 0.0)
+        assert out[1]["repetition_ok"]
+        # 30 distinct words: any 2-gram occurs once, 8/120 chars < 0.2
+        assert out[2]["top_cnt"] == 1 and out[2]["repetition_ok"]
+
+    def test_tie_breaks_to_smallest_gram(self, spark):
+        out = self._run(spark, ["b a b a b"])
+        # "b a" x2 and "a b" x2 tie; smallest gram wins
+        assert out[0]["top_gram"] == "a b"
 
 
 class TestLabelPropagation:
