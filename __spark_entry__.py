@@ -1709,7 +1709,7 @@ t AS (
 ),
 hg AS (
   SELECT src_host, dst_host, count(*) AS n_links
-  FROM t WHERE dst_host IS NOT NULL
+  FROM t WHERE dst_host IS NOT NULL AND dst_host != ''
   GROUP BY src_host, dst_host
 )
 """
@@ -2349,8 +2349,8 @@ c AS (
           regexp_replace(
             regexp_replace(
               regexp_replace(
-                lower(regexp_extract(u0, '^([a-zA-Z0-9+.:/-]*://[^/?#]*)', 1))
-                || regexp_replace(u0, '^[a-zA-Z0-9+.:/-]*://[^/?#]*', ''),
+                lower(regexp_extract(u0, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                || regexp_replace(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
                 '://www\\.', '://'),
               '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
             '\\?&', '?'),

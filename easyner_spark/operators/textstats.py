@@ -54,6 +54,13 @@ def _marker_hits(words: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(words, lambda w: w.isin(*markers)))
 
 
+def _sum_wlen_col(words: Column) -> Column:
+    """Sum of word lengths (the shared mean-word-length / repetition
+    denominator). One HOF fold — callers must alias it ONCE per frame
+    (see the layered-projection note below)."""
+    return F.aggregate(F.transform(words, F.length), F.lit(0), lambda a, x: a + x)
+
+
 # Layered-projection note (performance contract): higher-order-function
 # expressions (transform/filter/aggregate lambdas) are NOT deduplicated
 # by codegen subexpression elimination, so inlining the `words` array
@@ -88,9 +95,7 @@ def _quality_int_cols(text_col: str, words: Column) -> dict[str, Column]:
         "_n_alpha": F.length(F.regexp_replace(F.col(text_col), ALPHA_DEL_RE, "")),
         "_n_punct": F.length(F.regexp_replace(F.col(text_col), PUNCT_KEEP_RE, "")),
         "_n_stop": _marker_hits(words, STOPWORDS_EN),
-        "_sum_wlen": F.aggregate(
-            F.transform(words, F.length), F.lit(0), lambda a, x: a + x
-        ),
+        "_sum_wlen": _sum_wlen_col(words),
     }
 
 
@@ -248,9 +253,7 @@ def gopher_filters(
     w, lines = F.col("_w"), F.col("_lines")
     ints = {
         "_n_words": F.size(w),
-        "_sum_wlen": F.aggregate(
-            F.transform(w, F.length), F.lit(0), lambda a, x: a + x
-        ),
+        "_sum_wlen": _sum_wlen_col(w),
         "_n_stop": _marker_hits(w, STOPWORDS_EN),
         "_n_alpha_words": F.size(F.filter(w, lambda x: x.rlike(ALPHA_WORD_RE))),
         "_n_lines": F.size(lines),
@@ -349,9 +352,7 @@ def word_repetition(
     )
     denom = base.select(
         F.col(id_col),
-        F.aggregate(
-            F.transform(F.col("_w"), F.length), F.lit(0), lambda a, x: a + x
-        ).alias("_sum_wlen"),
+        _sum_wlen_col(F.col("_w")).alias("_sum_wlen"),
     )
     exploded = base.select(
         F.col(id_col),

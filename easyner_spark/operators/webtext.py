@@ -51,6 +51,16 @@ PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
 REG_DOMAIN_RE = r"([^.]+\.[^.]+)$"
 
 
+def _host_col(col: Column, host_re: str = HOST_RE) -> Column:
+    """Lowercased, :port-stripped host extracted by `host_re` — the
+    single normalization every host consumer shares. '' (not null) on
+    no-match so group keys stay total; callers that must DROP
+    malformed values filter '' explicitly. (Known simplification,
+    shared with the oracle: userinfo 'user@host' and bracketed IPv6
+    hosts are not special-cased.)"""
+    return F.regexp_replace(F.lower(F.regexp_extract(col, host_re, 1)), r":\d+$", "")
+
+
 def url_parts(
     pages: DataFrame, url_col: str = "url", keep: bool = True
 ) -> DataFrame:
@@ -65,8 +75,7 @@ def url_parts(
     downstream group keys stay total.
     """
     url = F.col(url_col)
-    host_raw = F.lower(F.regexp_extract(url, HOST_RE, 1))
-    host = F.regexp_replace(host_raw, r":\d+$", "")
+    host = _host_col(url)
     cols = {
         "scheme": F.regexp_extract(F.lower(url), SCHEME_RE, 1),
         "host": host,
@@ -96,9 +105,14 @@ def canonical_url(url: Column | str) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     # fragment off first so later patterns never match inside it
     u = F.regexp_replace(u, r"#.*$", "")
-    # lowercase scheme://host (match group, rebuild)
-    scheme_host = F.lower(F.regexp_extract(u, r"^([a-zA-Z0-9+.:/-]*://[^/?#]*)", 1))
-    rest = F.regexp_replace(u, r"^[a-zA-Z0-9+.:/-]*://[^/?#]*", "")
+    # lowercase scheme://host (match group, rebuild). The scheme class
+    # must NOT admit ':' or '/' — a greedy class would extend the
+    # match to a LATER '://' inside the path and lowercase
+    # case-significant path segments.
+    scheme_host = F.lower(
+        F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    )
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
     u = F.concat(scheme_host, rest)
     u = F.regexp_replace(u, r"://www\.", "://")
     # tracking params; then re-tidy the separators they leave behind
@@ -219,9 +233,7 @@ def extract_links(
     shuffle; fan-out is bounded by links-per-page. Runs at scan speed
     like every per-row stage here.
     """
-    src_host = F.regexp_replace(
-        F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1)), r":\d+$", ""
-    )
+    src_host = _host_col(F.col(url_col))
     links = pages.select(
         F.col(url_col),
         src_host.alias("src_host"),
@@ -232,21 +244,18 @@ def extract_links(
         ).alias("href"),
     )
     href = F.col("href")
-    abs_host = F.regexp_replace(
-        F.lower(F.regexp_extract(href, HOST_RE, 1)), r":\d+$", ""
-    )
-    proto_rel_host = F.regexp_replace(
-        F.lower(F.regexp_extract(href, PROTO_REL_HOST_RE, 1)), r":\d+$", ""
-    )
     target = (
-        F.when(href.rlike(r"^[hH][tT][tT][pP][sS]?://"), abs_host)
-        .when(href.startswith("//"), proto_rel_host)
+        F.when(href.rlike(r"^[hH][tT][tT][pP][sS]?://"), _host_col(href))
+        .when(href.startswith("//"), _host_col(href, PROTO_REL_HOST_RE))
         .when(href.rlike(ABS_URL_RE), F.lit(None).cast("string"))
         .otherwise(F.col("src_host"))
     )
+    # '' arises from malformed absolute/protocol-relative hrefs
+    # ('https://', '//') whose host regex finds nothing — junk, same
+    # as the null-target schemes.
     return (
         links.withColumn("target_host", target)
-        .where(F.col("target_host").isNotNull())
+        .where(F.col("target_host").isNotNull() & (F.col("target_host") != ""))
     )
 
 

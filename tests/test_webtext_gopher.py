@@ -56,6 +56,9 @@ class TestCanonicalUrl:
         ("https://x.com/a?fbclid=abc", "https://x.com/a"),
         # scheme+host lowercase, path case preserved
         ("HTTPS://X.COM/Path", "https://x.com/Path"),
+        # a later '://' inside the path must NOT extend the lowered
+        # span (greedy-class regression)
+        ("https://x.com/redirect/HTTPS://EVIL.com", "https://x.com/redirect/HTTPS://EVIL.com"),
         # untouched url survives
         ("https://x.com/a?id=3", "https://x.com/a?id=3"),
     ]
@@ -172,6 +175,8 @@ class TestExtractLinks:
             '<a href="page2.html">e</a>'
             '<a href="mailto:a@b.c">drop</a>'
             '<a href="javascript:void(0)">drop</a>'
+            '<a href="https://">drop</a>'
+            '<a href="//">drop</a>'
             "<a href='single-quoted'>not matched</a>"
         )
         out = extract_links(self._pages(spark, html)).collect()
