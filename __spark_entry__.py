@@ -611,6 +611,100 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=3).select("node", "rank")
 
 
+def _synth_anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_synth_url_pages + html whose links carry MULTI-WORD anchor
+    text (the signal anchor_terms aggregates): an absolute cross-host
+    link ('Read Page N'), a relative link with two rotating labels,
+    every 4th page a protocol-relative 'The HUB portal' link."""
+    did = F.col("doc_id")
+    a1 = F.concat(
+        F.lit('<a href="https://site'),
+        ((did * 7) % 37).cast("string"),
+        F.lit('.example.net/p/1">Read Page '),
+        (did % 211).cast("string"),
+        F.lit("</a>"),
+    )
+    a2 = F.concat(
+        F.lit('<a href="/local/'),
+        (did % 5).cast("string"),
+        F.lit('">'),
+        F.when(did % 3 == 0, F.lit("Home & Garden")).otherwise(F.lit("next-page 2")),
+        F.lit("</a>"),
+    )
+    a3 = F.when(
+        did % 4 == 0, F.lit('<a href="//hub.example.com/z">The HUB portal</a>')
+    ).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><body>"), a1, a2, a3, F.lit("</body></html>"))
+    return _synth_url_pages(spark, sf_dir).withColumn("html", html.cast("binary"))
+
+
+def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host anchor-text term profile (dst_host, term, n) — the
+    web-derived alias/name table for entity canonicalization; one
+    partial-agg shuffle after scan-fused extraction."""
+    from easyner_spark.operators.webtext import anchor_terms
+
+    out = anchor_terms(_synth_anchor_pages(spark, sf_dir))
+    return out.select("dst_host", "term", F.col("n").cast("long").alias("n"))
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl change tracking: 5 synthetic fetches per url with
+    deterministic text flips (did%7<2 appends ' v2'), lag-compare per
+    url ordered by unique warc_ts."""
+    from easyner_spark.operators.webtext import crawl_delta
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (did % 100).cast("string"), F.lit(".example.net/p")
+    )
+    text = F.concat(
+        F.lit("page content "),
+        (did % 100).cast("string"),
+        F.when(did % 7 < 2, F.lit(" v2")).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        url.alias("url"),
+        (F.lit(1700000000) + did).cast("long").alias("warc_ts"),
+        text.alias("text"),
+        "doc_id",
+    )
+    out = crawl_delta(pages)
+    return out.select(
+        "url",
+        "warc_ts",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "change",
+        F.col("delta_chars").cast("long").alias("delta_chars"),
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup over documents
+    restructured into newline paragraphs, with shared boilerplate
+    paragraphs ('subscribe...', 'all rights reserved') injected on
+    every 2nd/3rd doc so cross-document collapse actually fires."""
+    from easyner_spark.operators.dedup import paragraph_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    text = F.concat(
+        F.regexp_replace("text", " a ", "\n"),
+        F.when(did % 2 == 0, F.lit("\nsubscribe to our newsletter")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 3 == 0, F.lit("\nall rights reserved")).otherwise(F.lit("")),
+    )
+    out = paragraph_dedup(d.select("doc_id", text.alias("text")))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text_dedup",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
 def q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top word-2-gram character fraction per document (the
     aggregation member of the Gopher repetition family)."""
@@ -1160,6 +1254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
+        "anchor_terms": q_anchor_terms,
+        "crawl_delta": q_crawl_delta,
+        "paragraph_dedup": q_paragraph_dedup,
         "word_repetition": q_word_repetition,
         "gopher_filters": q_gopher_filters,
         "text_stats": q_text_stats,
@@ -2374,6 +2471,110 @@ SELECT src_host, dst_host, n_links::BIGINT AS n_links FROM hg
         + _pagerank_oracle_body(
             e_sql="SELECT DISTINCT src_host AS src, dst_host AS dst FROM hg"
         ),
+        # Anchor-text term profile: element extraction + href/text
+        # pulls + target classifier mirrored from webtext
+        # (extract_anchors / anchor_terms), synthesis from
+        # _synth_anchor_pages
+        "anchor_terms": f"""
+WITH d AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_extract(
+      (CASE WHEN doc_id % 13 = 0 THEN 'http' ELSE 'https' END) || '://'
+      || {_URL_HOST_CASE}
+      || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+      || '/p/' || doc_id,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':\\d+$', '') AS src_host,
+    '<html><body><a href="https://site' || ((doc_id * 7) % 37)
+    || '.example.net/p/1">Read Page ' || (doc_id % 211) || '</a>'
+    || '<a href="/local/' || (doc_id % 5) || '">'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'Home & Garden' ELSE 'next-page 2' END)
+    || '</a>'
+    || (CASE WHEN doc_id % 4 = 0
+        THEN '<a href="//hub.example.com/z">The HUB portal</a>' ELSE '' END)
+    || '</body></html>' AS html
+  FROM documents
+),
+els AS (SELECT src_host,
+               unnest(regexp_extract_all(html,
+                 '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) AS el
+        FROM d),
+pa AS (SELECT src_host,
+              regexp_extract(el, 'href="([^"]*)"', 1) AS href,
+              regexp_extract(el, '>([^<]*)</a>', 1) AS anchor
+       FROM els),
+t AS (
+  SELECT anchor,
+    CASE WHEN regexp_matches(href, '^[hH][tT][tT][pP][sS]?://')
+         THEN regexp_replace(lower(regexp_extract(href,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':\\d+$', '')
+         WHEN href LIKE '//%'
+         THEN regexp_replace(lower(regexp_extract(href,
+                '^//([^/?#]+)', 1)), ':\\d+$', '')
+         WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
+         ELSE src_host END AS dst_host
+  FROM pa
+),
+tok AS (SELECT dst_host,
+               unnest(regexp_extract_all(lower(anchor), '[a-z0-9]+')) AS term
+        FROM t WHERE dst_host IS NOT NULL AND dst_host != '')
+SELECT dst_host, term, count(*)::BIGINT AS n
+FROM tok GROUP BY dst_host, term
+""",
+        # Recrawl change tracking: lag over (url, warc_ts) — ts unique
+        # per fetch by construction, so ordering is total
+        "crawl_delta": """
+WITH pages AS (
+  SELECT 'https://site' || (doc_id % 100) || '.example.net/p' AS url,
+         1700000000 + doc_id AS warc_ts,
+         'page content ' || (doc_id % 100)
+         || (CASE WHEN doc_id % 7 < 2 THEN ' v2' ELSE '' END) AS text,
+         doc_id
+  FROM documents
+),
+l AS (SELECT *, lag(text) OVER (PARTITION BY url ORDER BY warc_ts) AS prev
+      FROM pages)
+SELECT url, warc_ts::BIGINT AS warc_ts, doc_id::BIGINT AS doc_id,
+       CASE WHEN prev IS NULL THEN 'new'
+            WHEN prev = text THEN 'unchanged'
+            ELSE 'changed' END AS change,
+       (CASE WHEN prev IS NULL THEN 0
+             ELSE length(text) - length(prev) END)::BIGINT AS delta_chars
+FROM l
+""",
+        # CCNet-style paragraph dedup: first (doc_id, pidx) per distinct
+        # paragraph survives corpus-wide; row_number mirrors the
+        # min(struct) argmin (Spark keys on sha2(para) — same grouping
+        # absent collisions)
+        "paragraph_dedup": """
+WITH d AS (
+  SELECT doc_id,
+    regexp_replace(text, ' a ', chr(10), 'g')
+    || (CASE WHEN doc_id % 2 = 0
+        THEN chr(10) || 'subscribe to our newsletter' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+        THEN chr(10) || 'all rights reserved' ELSE '' END) AS text
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pidx,
+         unnest(string_split(text, chr(10))) AS para
+  FROM d
+),
+k AS (SELECT doc_id, pidx, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pidx) AS rn
+      FROM p),
+reb AS (SELECT doc_id,
+               string_agg(para, chr(10) ORDER BY pidx) AS text_dedup,
+               count(*) AS n_kept
+        FROM k WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_paras FROM d)
+SELECT t.doc_id::BIGINT AS doc_id,
+       coalesce(r.text_dedup, '') AS text_dedup,
+       t.n_paras::BIGINT AS n_paras,
+       coalesce(r.n_kept, 0)::BIGINT AS n_kept
+FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+""",
         # As-of latest-crawl selection; ORDER BY ts DESC, doc_id DESC
         # mirrors webtext.latest_crawl's max(struct) tie-break
         "latest_crawl": """

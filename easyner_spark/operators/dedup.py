@@ -336,3 +336,87 @@ def simhash_pairs(
         .dropDuplicates(["a", "b"])
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_para_chars: int = 0,
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup: split each document on
+    newlines, keep only the FIRST occurrence of every distinct
+    paragraph across the whole corpus (first = smallest
+    (doc_id, para_idx)), and rebuild each document from its surviving
+    paragraphs in original order. This is the boilerplate-killer for
+    web corpora — 'subscribe to our newsletter' / cookie banners /
+    copyright footers repeat across millions of pages and survive
+    document-level dedup because the surrounding text differs
+    (CCNet, Wenzek et al. 2020, dedupes on paragraph hashes for
+    exactly this reason).
+
+    Output: one row per input document —
+      (id, text_dedup, n_paras, n_kept); text_dedup = '' when every
+    paragraph was seen earlier elsewhere. Paragraphs shorter than
+    `min_para_chars` bypass dedup (kept verbatim: single-char list
+    bullets and blank separators are not boilerplate evidence and
+    would otherwise all collapse onto their global first occurrence).
+
+    Scale shape (3 shuffles, each keyed to stay narrow):
+      1. first-occurrence agg: groupBy sha2(para,256) with an
+         ALGEBRAIC min(struct(id,idx)) — partial aggs collapse a
+         paragraph repeated on 10^8 pages within each input split
+         before the exchange, so boilerplate-paragraph skew never
+         reaches a reducer (same absorb-by-partial-agg shape as
+         host_stats).
+      2. keeper join back on the 32-byte digest (never the paragraph
+         text) — co-partitioned with (1)'s output, and AQE reuses the
+         exchange when the plan canonicalizes.
+      3. document rebuild: groupBy id, sort_array over (idx, para)
+         structs — per-document data only.
+    The digest key is why this survives 100 TB: the wide column
+    (paragraph text) crosses each exchange exactly once, inside the
+    (id-keyed) rebuild where it must.
+    """
+    did, idx = F.col(id_col), F.col("_pidx")
+    paras = docs.select(
+        did,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pidx", "_para"),
+    )
+    gated = paras.where(F.length("_para") >= min_para_chars)
+    firsts = gated.groupBy(F.sha2(F.col("_para"), 256).alias("_pkey")).agg(
+        F.min(F.struct(did.alias("i"), idx.alias("p"))).alias("_first")
+    )
+    kept_dedup = (
+        gated.withColumn("_pkey", F.sha2(F.col("_para"), 256))
+        .join(firsts, "_pkey")
+        .where((did == F.col("_first.i")) & (idx == F.col("_first.p")))
+        .drop("_pkey", "_first")
+    )
+    bypass = paras.where(F.length("_para") < min_para_chars)
+    kept = kept_dedup.unionByName(bypass)
+    rebuilt = kept.groupBy(did).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(idx.alias("p"), F.col("_para").alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = docs.select(
+        did,
+        F.size(F.split(F.col(text_col), "\n")).alias("n_paras"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            did,
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.col("n_paras"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -243,19 +243,26 @@ def extract_links(
             )
         ).alias("href"),
     )
-    href = F.col("href")
-    target = (
-        F.when(href.rlike(r"^[hH][tT][tT][pP][sS]?://"), _host_col(href))
-        .when(href.startswith("//"), _host_col(href, PROTO_REL_HOST_RE))
-        .when(href.rlike(ABS_URL_RE), F.lit(None).cast("string"))
-        .otherwise(F.col("src_host"))
-    )
     # '' arises from malformed absolute/protocol-relative hrefs
     # ('https://', '//') whose host regex finds nothing — junk, same
     # as the null-target schemes.
     return (
-        links.withColumn("target_host", target)
+        links.withColumn("target_host", _target_host_col(F.col("href")))
         .where(F.col("target_host").isNotNull() & (F.col("target_host") != ""))
+    )
+
+
+def _target_host_col(href: Column, src_host: Column | None = None) -> Column:
+    """The outlink target-host classifier shared by extract_links and
+    extract_anchors (docstring on extract_links; the oracle mirrors the
+    when-chain order exactly)."""
+    if src_host is None:
+        src_host = F.col("src_host")
+    return (
+        F.when(href.rlike(r"^[hH][tT][tT][pP][sS]?://"), _host_col(href))
+        .when(href.startswith("//"), _host_col(href, PROTO_REL_HOST_RE))
+        .when(href.rlike(ABS_URL_RE), F.lit(None).cast("string"))
+        .otherwise(src_host)
     )
 
 
@@ -386,4 +393,129 @@ def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
     return (
         df.withColumn("keep_url", F.min(F.col(url_col)).over(w))
         .withColumn("is_dup", (F.col(url_col) != F.col("keep_url")))
+    )
+
+
+ANCHOR_EL_RE = r'<a href="[^"]*"[^>]*>[^<]*</a>'   # oracle-shared
+ANCHOR_HREF_RE = r'href="([^"]*)"'
+ANCHOR_TEXT_RE = r">([^<]*)</a>"
+ANCHOR_TOKEN_RE = r"[a-z0-9]+"
+
+
+def extract_anchors(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Anchor extraction: one row per (page url, href, anchor text)
+    with the resolved target host — extract_links plus the LINK TEXT,
+    the classic web-KG signal (anchor text is how the rest of the web
+    NAMES the target; Common-Crawl anchor corpora feed entity-alias
+    dictionaries exactly like the reference's NEL alias table,
+    /root/reference/data/dictionaries: the alias->ID lookup here is
+    built FROM anchors instead of curated lists).
+
+    Same crawl-grade double-quoted-attribute simplification as
+    extract_links (docstring there); elements are matched whole
+    (`<a href="..."...>text</a>`) then href/text pulled out per
+    element, so the DuckDB oracle can run byte-identical patterns.
+    Pure codegen: regexp_extract_all + posexplode, zero shuffle.
+    """
+    links = pages.select(
+        F.col(url_col),
+        _host_col(F.col(url_col)).alias("src_host"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(cast({html_col} as string), '{ANCHOR_EL_RE}', 0)"
+            )
+        ).alias("_el"),
+    )
+    out = links.select(
+        F.col(url_col),
+        F.col("src_host"),
+        F.regexp_extract(F.col("_el"), ANCHOR_HREF_RE, 1).alias("href"),
+        F.regexp_extract(F.col("_el"), ANCHOR_TEXT_RE, 1).alias("anchor"),
+    )
+    return out.withColumn("target_host", _target_host_col(F.col("href"))).where(
+        F.col("target_host").isNotNull() & (F.col("target_host") != "")
+    )
+
+
+def anchor_terms(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    drop_self: bool = False,
+) -> DataFrame:
+    """Per-host anchor-text term profile: (dst_host, term, n) — how
+    often each lowercased alphanumeric token appears in anchor text
+    pointing AT that host, aggregated over every inlink in the crawl.
+    This is the host-level name/alias table a web-scale KG builds its
+    entity-canonicalization dictionary from.
+
+    Scale shape: per-row anchor extraction and tokenization fuse into
+    the scan (regexp_extract_all, two posexplodes — fan-out bounded by
+    links-per-page x tokens-per-anchor); then ONE shuffle, the
+    (dst_host, term) rollup, with map-side partial aggregation
+    absorbing both hot hosts and stop-word-like common tokens the same
+    way host_stats absorbs host skew (partial aggs combine hot keys
+    within each split before the exchange).
+    """
+    a = extract_anchors(pages, html_col=html_col, url_col=url_col)
+    if drop_self:
+        a = a.where(F.col("src_host") != F.col("target_host"))
+    toks = a.select(
+        F.col("target_host").alias("dst_host"),
+        F.explode(
+            # Spark defaults regexp_extract_all's group idx to 1;
+            # this pattern has no groups, so idx 0 must be explicit
+            # (DuckDB's default IS 0 — the oracle omits it).
+            F.expr(f"regexp_extract_all(lower(anchor), '{ANCHOR_TOKEN_RE}', 0)")
+        ).alias("term"),
+    )
+    return toks.groupBy("dst_host", "term").agg(F.count(F.lit(1)).alias("n"))
+
+
+def crawl_delta(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Recrawl change tracking: for every fetch of every url, compare
+    against the PREVIOUS fetch of the same url (by `ts_col`) and emit
+    `change` in {'new','unchanged','changed'} plus `delta_chars`
+    (extracted-text length delta, 0 for first fetch). This is the
+    crawl-frequency/freshness signal a recrawl scheduler and an
+    incremental KG both consume (only 'changed' pages need re-NER).
+
+    Contract: ordering within a url is by `ts_col` alone — callers
+    must not feed duplicate (url, ts) fetches (latest_crawl's struct
+    tie-break exists for that collapse); comparison is exact string
+    equality on `text_col`.
+
+    Scale shape: ONE shuffle (window partitioned by url). Unlike a
+    corpus-wide sort, each url sorts only its OWN recrawl history —
+    a hot url recrawled millions of times is the bound, not the
+    10^12-row table. Production note: at that extreme, compare
+    sha2(text) instead of text to keep the shuffled row narrow; the
+    text comparison here keeps the oracle byte-identical.
+    """
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    prev = F.lag(F.col(text_col)).over(w)
+    return (
+        pages.withColumn("_prev", prev)
+        .withColumn(
+            "change",
+            F.when(F.col("_prev").isNull(), F.lit("new"))
+            .when(F.col("_prev") == F.col(text_col), F.lit("unchanged"))
+            .otherwise(F.lit("changed")),
+        )
+        .withColumn(
+            "delta_chars",
+            F.when(F.col("_prev").isNull(), F.lit(0)).otherwise(
+                F.length(text_col) - F.length("_prev")
+            ),
+        )
+        .drop("_prev")
     )

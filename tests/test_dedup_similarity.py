@@ -567,3 +567,62 @@ class TestIvfRecallGate:
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.75, f"ann_ivf recall@10 {recall:.3f} < 0.75"
+
+
+class TestParagraphDedup:
+    """paragraph_dedup vs a plain-Python first-occurrence reference."""
+
+    PDOCS = [
+        (1, "alpha beta\nsubscribe now\ngamma delta"),
+        (2, "epsilon zeta\nsubscribe now\nalpha beta"),   # both paras dup'd/kept mix
+        (3, "subscribe now\nalpha beta"),                 # all paras seen before
+        (4, "unique tail paragraph"),
+        (5, ""),                                          # single empty para
+        (6, "x\n\ny"),                                    # empty middle para
+        (7, "\nz"),                                       # empty first para (dup of 5's)
+    ]
+
+    @staticmethod
+    def py_expected(docs, min_chars=0):
+        seen = {}
+        rows = {}
+        for did, text in docs:
+            paras = text.split("\n")
+            kept = []
+            for i, p in enumerate(paras):
+                if len(p) < min_chars:
+                    kept.append(p)
+                    continue
+                if p not in seen:
+                    seen[p] = (did, i)
+                if seen[p] == (did, i):
+                    kept.append(p)
+            rows[did] = ("\n".join(kept), len(paras), len(kept))
+        return rows
+
+    def _run(self, spark, min_chars):
+        from easyner_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(self.PDOCS, "doc_id long, text string")
+        out = paragraph_dedup(df, min_para_chars=min_chars).collect()
+        got = {r["doc_id"]: (r["text_dedup"], r["n_paras"], r["n_kept"]) for r in out}
+        assert got == self.py_expected(self.PDOCS, min_chars)
+
+    def test_first_occurrence_semantics(self, spark):
+        self._run(spark, 0)
+
+    def test_min_chars_bypass(self, spark):
+        # empty paragraphs bypass dedup: doc 6's '' and doc 7's ''
+        # both survive even though doc 5 claimed '' first
+        self._run(spark, 1)
+
+    def test_every_doc_survives(self, spark):
+        from easyner_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(self.PDOCS, "doc_id long, text string")
+        out = paragraph_dedup(df)
+        assert out.count() == len(self.PDOCS)
+        fully = {r["doc_id"]: r for r in out.collect()}
+        # doc 3: every para is a global dup -> empty doc, n_kept 0
+        assert fully[3]["text_dedup"] == ""
+        assert fully[3]["n_kept"] == 0

@@ -357,3 +357,75 @@ class TestLabelPropagation:
         out = self._lpa(spark, [("a", "a"), ("a", "b")], iters=2)
         # self loop ignored: a<->b swap labels each sync round
         assert out == {"a": "a", "b": "b"}
+
+
+class TestAnchorsAndDelta:
+    def _pages(self, spark, html, url="https://a.example.com/p"):
+        return spark.createDataFrame(
+            [(url, bytearray(html, "utf-8"))], "url string, html binary"
+        )
+
+    def test_extract_anchors_pairs_href_and_text(self, spark):
+        from easyner_spark.operators.webtext import extract_anchors
+
+        html = (
+            '<a href="https://B.example.org/x">Read This Page</a>'
+            '<a href="/rel">local link</a>'
+            '<a href="//cdn.example.net/y">The CDN</a>'
+            '<a href="mailto:a@b.c">drop me</a>'
+            '<a href="https://c.example.io/q" rel="nofollow">attr salad</a>'
+        )
+        rows = {
+            r["href"]: (r["target_host"], r["anchor"])
+            for r in extract_anchors(self._pages(spark, html)).collect()
+        }
+        assert rows == {
+            "https://B.example.org/x": ("b.example.org", "Read This Page"),
+            "/rel": ("a.example.com", "local link"),
+            "//cdn.example.net/y": ("cdn.example.net", "The CDN"),
+            "https://c.example.io/q": ("c.example.io", "attr salad"),
+        }
+
+    def test_anchor_terms_rollup(self, spark):
+        from easyner_spark.operators.webtext import anchor_terms
+
+        html = (
+            '<a href="https://b.example.org/1">Great Site</a>'
+            '<a href="https://b.example.org/2">great site indeed</a>'
+            '<a href="/self">Home-Page 2</a>'
+        )
+        got = {
+            (r["dst_host"], r["term"]): r["n"]
+            for r in anchor_terms(self._pages(spark, html)).collect()
+        }
+        assert got == {
+            ("b.example.org", "great"): 2,
+            ("b.example.org", "site"): 2,
+            ("b.example.org", "indeed"): 1,
+            ("a.example.com", "home"): 1,
+            ("a.example.com", "page"): 1,
+            ("a.example.com", "2"): 1,
+        }
+
+    def test_crawl_delta(self, spark):
+        from easyner_spark.operators.webtext import crawl_delta
+
+        pages = spark.createDataFrame(
+            [
+                ("u1", 100, "aaa"),
+                ("u1", 200, "aaa"),
+                ("u1", 300, "aaabb"),
+                ("u2", 100, "zz"),
+            ],
+            "url string, warc_ts long, text string",
+        )
+        got = {
+            (r["url"], r["warc_ts"]): (r["change"], r["delta_chars"])
+            for r in crawl_delta(pages).collect()
+        }
+        assert got == {
+            ("u1", 100): ("new", 0),
+            ("u1", 200): ("unchanged", 0),
+            ("u1", 300): ("changed", 2),
+            ("u2", 100): ("new", 0),
+        }
