@@ -705,6 +705,64 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-gated 30% sample keyed on url (seed 'r3') —
+    reproducible split selection, zero shuffle."""
+    from easyner_spark.operators.sampling import deterministic_sample
+
+    pages = _synth_url_pages(spark, sf_dir)
+    out = deterministic_sample(pages, rate=0.3, key="url", seed="r3")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "url")
+
+
+def _quality_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_synth_url_pages + deterministic dyadic-exact quality and token
+    count columns (dyadic /4 and /8 divisions so DOUBLE arithmetic is
+    bit-identical across engines), host extracted for capping."""
+    from easyner_spark.operators.webtext import url_parts
+
+    did = F.col("doc_id")
+    return url_parts(_synth_url_pages(spark, sf_dir)).select(
+        "doc_id",
+        "url",
+        "host",
+        (((did * 37) % 101).cast("double") / F.lit(4.0)).alias("quality"),
+        (F.lit(50) + did % 200).cast("long").alias("n_tokens"),
+    )
+
+
+def q_per_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style domain diversity cap: best 5 pages per host by quality
+    (url tie-break) — one host-keyed window."""
+    from easyner_spark.operators.sampling import per_host_cap
+
+    out = per_host_cap(
+        _quality_pages(spark, sf_dir), cap=5, order_col="quality",
+        id_col="url", keep_rank=True,
+    )
+    return out.select(
+        "host", "url", "quality",
+        F.col("host_rank").cast("long").alias("host_rank"),
+    )
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered token-budget corpus cut: the best documents
+    whose running token sum stays within 30k tokens."""
+    from easyner_spark.operators.sampling import token_budget_select
+
+    out = token_budget_select(
+        _quality_pages(spark, sf_dir), budget=30_000,
+        order_col="quality", tokens_col="n_tokens", id_col="doc_id",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "quality",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
 def q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top word-2-gram character fraction per document (the
     aggregation member of the Gopher repetition family)."""
@@ -1257,6 +1315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": q_anchor_terms,
         "crawl_delta": q_crawl_delta,
         "paragraph_dedup": q_paragraph_dedup,
+        "deterministic_sample": q_deterministic_sample,
+        "per_host_cap": q_per_host_cap,
+        "token_budget": q_token_budget,
         "word_repetition": q_word_repetition,
         "gopher_filters": q_gopher_filters,
         "text_stats": q_text_stats,
@@ -1810,6 +1871,21 @@ hg AS (
   GROUP BY src_host, dst_host
 )
 """
+
+
+def _sample_oracle() -> str:
+    """md5-threshold sampling gate — threshold shared with
+    sampling.sample_threshold so both engines cut on the same 12-hex
+    prefix string."""
+    from easyner_spark.operators.sampling import sample_threshold
+
+    return (
+        _URL_PAGES_CTE
+        + f"""
+SELECT doc_id::BIGINT AS doc_id, url FROM p
+WHERE substring(md5('r3' || url), 1, 12) < '{sample_threshold(0.3)}'
+"""
+    )
 
 
 def _gopher_oracle() -> str:
@@ -2574,6 +2650,38 @@ SELECT t.doc_id::BIGINT AS doc_id,
        t.n_paras::BIGINT AS n_paras,
        coalesce(r.n_kept, 0)::BIGINT AS n_kept
 FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+""",
+        # Deterministic md5-gated sample (threshold string shared with
+        # sampling.sample_threshold)
+        "deterministic_sample": _sample_oracle(),
+        # Domain diversity cap: row_number per host mirrors
+        # sampling.per_host_cap (quality DESC, url tie-break)
+        "per_host_cap": _URL_PAGES_CTE
+        + """
+, q AS (SELECT doc_id, url, host,
+          ((doc_id * 37) % 101)::DOUBLE / 4::DOUBLE AS quality
+        FROM h),
+r AS (SELECT *, row_number() OVER (PARTITION BY host
+                                   ORDER BY quality DESC, url) AS rn
+      FROM q)
+SELECT host, url, quality, rn::BIGINT AS host_rank FROM r WHERE rn <= 5
+""",
+        # Quality-ordered token-budget cut; explicit ROWS frame mirrors
+        # Spark's rowsBetween (total order via doc_id tie-break anyway)
+        "token_budget": _URL_PAGES_CTE
+        + """
+, q AS (SELECT doc_id,
+          ((doc_id * 37) % 101)::DOUBLE / 4::DOUBLE AS quality,
+          50 + doc_id % 200 AS n_tokens
+        FROM p),
+c AS (SELECT doc_id, quality, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM q)
+SELECT doc_id::BIGINT AS doc_id, quality, n_tokens::BIGINT AS n_tokens,
+       cum::BIGINT AS cum_tokens
+FROM c WHERE cum <= 30000
 """,
         # As-of latest-crawl selection; ORDER BY ts DESC, doc_id DESC
         # mirrors webtext.latest_crawl's max(struct) tie-break

@@ -1,0 +1,144 @@
+"""Corpus-curation operators: deterministic sampling, per-host
+diversity caps, and quality-ordered token budgeting.
+
+These are the selection stages between "filtered crawl" and "training
+corpus": C4/RefinedWeb-style pipelines cap pages per domain (diversity),
+sample deterministically for held-out splits (reproducibility — resuming
+or re-running the job MUST pick the same rows, so no `rand()`), and cut
+the final corpus at a token budget in quality order. The reference
+pipeline's analog is its article-subset/batch-range selection
+(`scripts/main.py` cfg subsets; SURVEY §2 P3/P4) — recast here as
+crawl-scale, value-deterministic operators.
+
+Scale design:
+
+- `deterministic_sample` is a pure per-row predicate on md5(key) — zero
+  shuffle, scan-fused, and portable: md5 is bit-identical across Spark,
+  DuckDB, and any resume of the same job (xxhash64 would be faster but
+  is Spark-private; sampling gates are scan-bound anyway, and a stable
+  cross-engine contract is worth more than a cheaper hash here).
+- `per_host_cap` is ONE window (rank within host by quality) — the
+  skew-honest shape: a hot host's pages all land on one reducer to be
+  ranked. That is fundamental (a global per-host top-k is a per-host
+  total order), but two mitigations keep it safe at crawl scale: the
+  window carries only (key, order, id) — pre-project before applying
+  it — and hosts larger than available memory should be pre-thinned
+  with `deterministic_sample(rate = few×cap / est_host_size)` first,
+  which preserves the top-k distribution to within sampling error and
+  bounds every reducer. Both paths are deterministic.
+- `token_budget_select` needs a GLOBAL quality order — the one
+  genuinely total-order stage in the pipeline. Spark plans it as a
+  range-partitioned sort (sampled split points, so parallelism holds);
+  the running token cumsum is then a window over the SAME range
+  partitioning (one logical sort, no second exchange) and the budget
+  cut is a pushed filter on the cumsum. At 10^12 docs the sort moves
+  only (id, quality, n_tokens) triples — join the surviving ids back
+  to the wide table afterwards (semi-join, storage-partition-pruned)
+  rather than sorting page bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+SAMPLE_NIBBLES = 12  # 48 bits of the digest decide the gate
+
+
+def sample_threshold(rate: float) -> str:
+    """The 12-hex-digit cut for a keep-fraction `rate`. Lowercase hex
+    strings order EXACTLY like their numeric values ('0'-'9' < 'a'-'f'
+    in ASCII, both monotone), so `substring(md5(k),1,12) < threshold`
+    is a pure string comparison every engine evaluates identically —
+    no hex-to-int conversion to disagree on. rate is clamped to [0,1];
+    rate=1.0 keeps everything ('g' sorts above any hex digit)."""
+    rate = min(max(rate, 0.0), 1.0)
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16**SAMPLE_NIBBLES), f"0{SAMPLE_NIBBLES}x")
+
+
+def sample_hash(key: Column | str, seed: str = "") -> Column:
+    """The deterministic per-row sampling hash: first 12 hex chars of
+    md5(seed || key). Shared primitive of the sampling gates and the
+    DuckDB oracle (md5 is bit-identical across engines; xxhash64 would
+    be faster but is Spark-private — sampling gates are scan-bound
+    anyway, and a stable cross-engine contract is worth more here)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(F.lit(seed), k)), 1, SAMPLE_NIBBLES)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    key: str = "url",
+    seed: str = "",
+) -> DataFrame:
+    """Keep a deterministic `rate` fraction of rows by hashed key:
+    substring(md5(seed || key), 1, 12) < threshold(rate). Re-running,
+    resuming, or running on another engine selects the SAME rows (the
+    reason this is not `df.sample()`: Spark's sampler is seed-stable
+    only for an identical partitioning, which a resumed/rescaled job
+    won't have). Distinct `seed` strings give independent samples
+    (train/held-out splits that provably don't leak into each other).
+    Zero shuffle — a scan-fused predicate."""
+    return df.where(sample_hash(key, seed) < F.lit(sample_threshold(rate)))
+
+
+def per_host_cap(
+    pages: DataFrame,
+    cap: int,
+    host_col: str = "host",
+    order_col: str = "quality",
+    id_col: str = "url",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Domain-diversity cap: keep at most `cap` pages per host, best
+    `order_col` first (ties broken by `id_col` so the cut is
+    deterministic). The C4/RefinedWeb guard against mega-hosts drowning
+    the corpus — after this, no host contributes more than `cap`
+    documents no matter how large its crawl footprint.
+
+    ONE window shuffle on host (see module docstring for the hot-host
+    mitigation contract). row_number, not rank: exactly `cap` rows
+    survive per host, never `cap + ties`.
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    out = pages.withColumn("host_rank", F.row_number().over(w)).where(
+        F.col("host_rank") <= cap
+    )
+    return out if keep_rank else out.drop("host_rank")
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    order_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut the corpus at a token budget in quality order: sort all
+    documents by (`order_col` DESC, `id_col`), take the prefix whose
+    running `tokens_col` sum stays ≤ `budget`. The final assembly step
+    of a training corpus ("the best N-token subset"), made
+    deterministic by the id tie-break.
+
+    A document is kept iff the cumsum INCLUDING it is ≤ budget — the
+    first over-budget document (and everything after) is dropped, so
+    the selection never exceeds `budget` (documents are atomic; no
+    partial-document credit).
+
+    Emits (id, order, n_tokens, cum_tokens) — narrow by design; join
+    survivors back to the wide table by id (module docstring).
+    """
+    w = (
+        Window.orderBy(F.col(order_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    narrow = docs.select(id_col, order_col, tokens_col)
+    return narrow.withColumn(
+        "cum_tokens", F.sum(F.col(tokens_col)).over(w)
+    ).where(F.col("cum_tokens") <= budget)

@@ -1,0 +1,111 @@
+"""Corpus-curation operator tests (sampling.py) — expected values from
+independent plain-Python implementations (hashlib.md5, manual sort/
+cumsum), so these genuinely cross-validate the column expressions."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from easyner_spark.operators.sampling import (
+    deterministic_sample,
+    per_host_cap,
+    sample_threshold,
+    token_budget_select,
+)
+
+URLS = [f"https://site{i % 7}.example.net/p/{i}" for i in range(400)]
+
+
+def py_keep(url: str, rate: float, seed: str = "") -> bool:
+    h = hashlib.md5((seed + url).encode()).hexdigest()[:12]
+    return h < sample_threshold(rate)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame([(u,) for u in URLS], "url string")
+
+
+class TestDeterministicSample:
+    def test_matches_python_md5_gate(self, spark, pages):
+        got = {r["url"] for r in deterministic_sample(pages, 0.3, seed="s").collect()}
+        want = {u for u in URLS if py_keep(u, 0.3, "s")}
+        assert got == want
+        # sane rate on 400 urls (binomial 3-sigma ≈ 0.07)
+        assert 0.2 < len(got) / len(URLS) < 0.4
+
+    def test_rate_monotone_and_deterministic(self, spark, pages):
+        s_small = {r["url"] for r in deterministic_sample(pages, 0.2).collect()}
+        s_big = {r["url"] for r in deterministic_sample(pages, 0.5).collect()}
+        assert s_small <= s_big          # lower rate is a SUBSET: same hash, lower cut
+        again = {r["url"] for r in deterministic_sample(pages, 0.2).collect()}
+        assert again == s_small          # rerun picks identical rows
+
+    def test_seeds_independent(self, spark, pages):
+        a = {r["url"] for r in deterministic_sample(pages, 0.3, seed="a").collect()}
+        b = {r["url"] for r in deterministic_sample(pages, 0.3, seed="b").collect()}
+        assert a != b
+
+    def test_edge_rates(self, spark, pages):
+        assert deterministic_sample(pages, 0.0).count() == 0
+        assert deterministic_sample(pages, 1.0).count() == len(URLS)
+
+
+ROWS = [
+    # host, url, quality — ties on quality within h1 exercise url tie-break
+    ("h1", "u1", 5.0), ("h1", "u2", 5.0), ("h1", "u3", 7.0), ("h1", "u4", 1.0),
+    ("h2", "u5", 2.0), ("h2", "u6", 3.0),
+    ("h3", "u7", 9.0),
+]
+
+
+class TestPerHostCap:
+    @staticmethod
+    def py_cap(rows, cap):
+        out = {}
+        by_host: dict[str, list] = {}
+        for h, u, q in rows:
+            by_host.setdefault(h, []).append((u, q))
+        for h, items in by_host.items():
+            ranked = sorted(items, key=lambda t: (-t[1], t[0]))[:cap]
+            for rank, (u, q) in enumerate(ranked, 1):
+                out[u] = rank
+        return out
+
+    def test_cap_and_tiebreak(self, spark):
+        df = spark.createDataFrame(ROWS, "host string, url string, quality double")
+        out = per_host_cap(df, cap=2, id_col="url", keep_rank=True).collect()
+        got = {r["url"]: r["host_rank"] for r in out}
+        assert got == self.py_cap(ROWS, 2)
+        # h1 kept exactly cap rows: u3 (7.0) then u1 (5.0, url < u2)
+        assert got.keys() >= {"u3", "u1"} and "u2" not in got and "u4" not in got
+
+    def test_rank_col_dropped_by_default(self, spark):
+        df = spark.createDataFrame(ROWS, "host string, url string, quality double")
+        assert "host_rank" not in per_host_cap(df, cap=1, id_col="url").columns
+
+
+class TestTokenBudget:
+    DOCS = [
+        # id, quality, n_tokens
+        (1, 9.0, 100), (2, 8.0, 200), (3, 8.0, 50), (4, 5.0, 400), (5, 1.0, 10),
+    ]
+
+    def _run(self, spark, budget):
+        df = spark.createDataFrame(self.DOCS, "doc_id long, quality double, n_tokens long")
+        out = token_budget_select(df, budget=budget)
+        return {r["doc_id"]: r["cum_tokens"] for r in out.collect()}
+
+    def test_prefix_by_quality(self, spark):
+        # order: 1 (100), 2 (200, id<3 at q=8), 3 (50), 4 (400), 5 (10)
+        assert self._run(spark, 350) == {1: 100, 2: 300, 3: 350}
+
+    def test_atomic_documents_never_split(self, spark):
+        # budget 349: doc 3 would land exactly at 350 > 349 — dropped,
+        # and so is everything after it (prefix semantics, no skip-fill)
+        assert self._run(spark, 349) == {1: 100, 2: 300}
+
+    def test_budget_zero(self, spark):
+        assert self._run(spark, 0) == {}
