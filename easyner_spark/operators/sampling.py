@@ -119,6 +119,8 @@ def token_budget_select(
     order_col: str = "quality",
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    strategy: str = "distributed",
 ) -> DataFrame:
     """Cut the corpus at a token budget in quality order: sort all
     documents by (`order_col` DESC, `id_col`), take the prefix whose
@@ -133,12 +135,80 @@ def token_budget_select(
 
     Emits (id, order, n_tokens, cum_tokens) — narrow by design; join
     survivors back to the wide table by id (module docstring).
+
+    Strategy — the running sum needs a GLOBAL order, and the naive
+    `Window.orderBy(...)` (kept as strategy='window' for the parity
+    test) plans an `Exchange SinglePartition`: every row through ONE
+    reducer, the exact serial bottleneck this module exists to avoid
+    (caught by the plan audit, not by correctness tests — the values
+    are identical). The default 'distributed' path is a classic
+    two-pass prefix sum:
+
+      1. `repartitionByRange(n, order DESC, id)` — the ONE wide
+         shuffle; partition p holds strictly better documents than
+         p+1. PERSISTED, because range bounds are sampled per
+         execution — the offsets collected in pass 1 are only valid
+         for the final pass if both read the same materialization.
+      2. per-partition token totals -> driver (n rows — same
+         O(partitions) driver-data class as the IVF centroid list),
+         prefix-summed into per-partition offsets.
+      3. `sortWithinPartitions` (no exchange) + one Arrow-batched
+         mapInPandas that adds `offset[pid] + local running sum` —
+         cumsum is order-dependent per-partition logic, exactly the
+         narrow-UDF case; everything before it stays JVM-side.
+
+    Wall-clock is two jobs over the narrow triple, but no stage is
+    serial and no executor ever holds more than its range slice.
+    Result is bit-identical to the window path (integer sums,
+    identical total order) — pytest-pinned and oracle-checked.
     """
-    w = (
-        Window.orderBy(F.col(order_col).desc(), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     narrow = docs.select(id_col, order_col, tokens_col)
-    return narrow.withColumn(
-        "cum_tokens", F.sum(F.col(tokens_col)).over(w)
-    ).where(F.col("cum_tokens") <= budget)
+    w_order = [F.col(order_col).desc(), F.col(id_col)]
+    if strategy == "window":
+        w = Window.orderBy(*w_order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return narrow.withColumn(
+            "cum_tokens", F.sum(F.col(tokens_col)).over(w)
+        ).where(F.col("cum_tokens") <= budget)
+
+    spark = docs.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # persist is REQUIRED for correctness, not a cache hint: range
+    # bounds are re-sampled per execution, so without it the offsets
+    # collected below could describe a different partitioning than
+    # the one the final pass reads.
+    ranged = narrow.repartitionByRange(n, *w_order).persist()
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.sum(tokens_col).alias("_t"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for p in range(n):
+        offsets.append(acc)
+        acc += totals.get(p, 0) or 0
+    # short-circuit: partitions whose OFFSET already exceeds the
+    # budget cannot contribute rows — at a 1T-token budget over a
+    # 100 TB corpus the tail partitions never even sort.
+    last_alive = max((p for p in range(n) if offsets[p] <= budget), default=-1)
+    out_schema = ranged.schema.add("cum_tokens", "long")
+
+    def cumsum_part(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running = offsets[pid] if pid < len(offsets) else 0
+        for pdf in batches:
+            cum = pdf[tokens_col].cumsum() + running
+            running = int(cum.iloc[-1]) if len(cum) else running
+            pdf = pdf.assign(cum_tokens=cum)
+            yield pdf[pdf["cum_tokens"] <= budget]
+
+    alive = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .where(F.col("_pid") <= F.lit(last_alive))
+        .drop("_pid")
+    )
+    return alive.sortWithinPartitions(*w_order).mapInPandas(cumsum_part, out_schema)

@@ -93,9 +93,9 @@ class TestTokenBudget:
         (1, 9.0, 100), (2, 8.0, 200), (3, 8.0, 50), (4, 5.0, 400), (5, 1.0, 10),
     ]
 
-    def _run(self, spark, budget):
+    def _run(self, spark, budget, **kw):
         df = spark.createDataFrame(self.DOCS, "doc_id long, quality double, n_tokens long")
-        out = token_budget_select(df, budget=budget)
+        out = token_budget_select(df, budget=budget, **kw)
         return {r["doc_id"]: r["cum_tokens"] for r in out.collect()}
 
     def test_prefix_by_quality(self, spark):
@@ -109,3 +109,27 @@ class TestTokenBudget:
 
     def test_budget_zero(self, spark):
         assert self._run(spark, 0) == {}
+
+    def test_strategies_agree(self, spark):
+        # distributed two-pass prefix sum == naive global window,
+        # including with more partitions than rows (empty partitions)
+        for budget in (0, 349, 350, 100000):
+            assert self._run(spark, budget, num_partitions=7) == self._run(
+                spark, budget, strategy="window"
+            )
+
+    def test_distributed_at_scale_shape(self, spark):
+        # 2k docs across 16 range partitions; python reference cumsum
+        docs = [(i, float((i * 13) % 97), 10 + i % 50) for i in range(2000)]
+        df = spark.createDataFrame(docs, "doc_id long, quality double, n_tokens long")
+        got = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in token_budget_select(df, 40_000, num_partitions=16).collect()
+        }
+        acc, want = 0, {}
+        for i, q, t in sorted(docs, key=lambda d: (-d[1], d[0])):
+            acc += t
+            if acc > 40_000:
+                break
+            want[i] = acc
+        assert got == want

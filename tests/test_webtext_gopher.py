@@ -429,3 +429,75 @@ class TestAnchorsAndDelta:
             ("u1", 300): ("changed", 2),
             ("u2", 100): ("new", 0),
         }
+
+
+class TestNewOpPlans:
+    """Shuffle-count contracts for the round-3 additions (executedPlan
+    before AQE finalization — Exchange nodes present == shuffles the
+    logical shape demands)."""
+
+    def _pages(self, spark):
+        return spark.createDataFrame(
+            [("https://a.example.com/p", bytearray(b'<a href="/x">t</a>'), "body", 1)],
+            "url string, html binary, text string, warc_ts long",
+        )
+
+    def test_anchor_terms_one_shuffle(self, spark):
+        from easyner_spark.operators.webtext import anchor_terms
+
+        plan = (
+            anchor_terms(self._pages(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1  # the (dst_host, term) rollup
+
+    def test_extract_anchors_zero_shuffle(self, spark):
+        from easyner_spark.operators.webtext import extract_anchors
+
+        plan = (
+            extract_anchors(self._pages(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_crawl_delta_one_shuffle(self, spark):
+        from easyner_spark.operators.webtext import crawl_delta
+
+        plan = (
+            crawl_delta(self._pages(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1  # the url-keyed window
+
+    def test_sampling_plan_shapes(self, spark):
+        from easyner_spark.operators.sampling import (
+            deterministic_sample,
+            per_host_cap,
+            token_budget_select,
+        )
+
+        df = spark.createDataFrame(
+            [("h", "u", 1.0, 10)], "host string, url string, quality double, n_tokens long"
+        )
+        p1 = deterministic_sample(df, 0.5)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p1              # scan-fused predicate
+        p2 = (
+            per_host_cap(df, 3, id_col="url")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert p2.count("Exchange") == 1         # host-keyed window
+        # the naive global window serializes: Exchange SinglePartition
+        # (the anti-pattern the distributed strategy exists to avoid)
+        p3w = (
+            token_budget_select(df, 100, id_col="url", strategy="window")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SinglePartition" in p3w
+        # distributed: range partitioning + per-partition Arrow cumsum,
+        # NO single-partition stage anywhere
+        p3d = (
+            token_budget_select(df, 100, id_col="url", num_partitions=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SinglePartition" not in p3d
+        assert "MapInPandas" in p3d
