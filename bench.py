@@ -114,7 +114,7 @@ def build_queries(spark, sf_dir: str, pages_path: str):
     from easyner_spark.fixtures import ALIAS, TERMS
     from easyner_spark.operators.analysis import entity_frequency
     from easyner_spark.operators.components import connected_components
-    from easyner_spark.operators.dedup import minhash_lsh_pairs
+    from easyner_spark.operators.dedup import minhash_lsh_pairs, paragraph_dedup
     from easyner_spark.operators.ner_dict import dict_ner
     from easyner_spark.operators.nel import link_entities, primary_alias
     from easyner_spark.operators.similarity import brute_force_topk_blocked, ivf_topk
@@ -157,7 +157,59 @@ def build_queries(spark, sf_dir: str, pages_path: str):
         # one cell-key shuffle; recall gated vs the exact path in pytest
         "ann_ivf": lambda: ivf_topk(emb, k=10, nprobe=8, refine_iters=3),
         "text_stats": lambda: text_stats(docs),
+        # corpus-wide first-occurrence paragraph dedup over the pages
+        # corpus (sentences recast as paragraphs) — digest-keyed
+        # shuffles; the CCNet-style boilerplate killer
+        "paragraph_dedup": lambda: paragraph_dedup(
+            pages.select(
+                "url", F.regexp_replace("text", r"\. ", ".\n").alias("text")
+            ),
+            id_col="url",
+        ),
+        # the full crawl-curation funnel composed end-to-end:
+        # recrawl-collapse -> Gopher quality gate -> corpus-wide
+        # paragraph dedup -> per-host diversity cap -> deterministic
+        # held-out split. What actually runs between "raw crawl" and
+        # "training corpus" at 100 TB.
+        "crawl2corpus": lambda: _crawl2corpus(spark, pages_path),
     }
+
+
+def _crawl2corpus(spark, pages_path: str):
+    from pyspark.sql import functions as F
+
+    from easyner_spark.operators.dedup import paragraph_dedup
+    from easyner_spark.operators.sampling import (
+        deterministic_sample,
+        per_host_cap,
+    )
+    from easyner_spark.operators.textstats import gopher_filters
+    from easyner_spark.operators.webtext import latest_crawl, url_parts
+
+    pages = spark.read.parquet(pages_path)
+    latest = latest_crawl(pages)
+    # the gate emits (url, stats); left-semi the survivors back onto
+    # the page table. Thresholds adapted to the synthetic corpus
+    # (short docs; the closed FILLER vocabulary contains no English
+    # stopwords, so that rule is disabled) — the RULES all still
+    # evaluate; measured selectivity ~0.88 via dup_line_ok.
+    keep = (
+        gopher_filters(latest, id_col="url", min_words=20, min_stop_hits=0)
+        .where(F.col("gopher_keep"))
+        .select("url")
+    )
+    gated = latest.join(keep, "url", "left_semi")
+    paras = paragraph_dedup(
+        gated.select("url", F.regexp_replace("text", r"\. ", ".\n").alias("text")),
+        id_col="url",
+    )
+    with_host = url_parts(
+        paras.withColumnRenamed("text_dedup", "text"), keep=True
+    )
+    capped = per_host_cap(
+        with_host, cap=200, order_col="n_kept", id_col="url"
+    )
+    return deterministic_sample(capped, rate=0.9, key="url", seed="bench")
 
 
 def main() -> None:
