@@ -178,6 +178,7 @@ def build_queries(spark, sf_dir: str, pages_path: str):
 def _crawl2corpus(spark, pages_path: str):
     from pyspark.sql import functions as F
 
+    from easyner_spark.operators.boilerplate import extract_text
     from easyner_spark.operators.dedup import paragraph_dedup
     from easyner_spark.operators.sampling import (
         deterministic_sample,
@@ -188,17 +189,22 @@ def _crawl2corpus(spark, pages_path: str):
 
     pages = spark.read.parquet(pages_path)
     latest = latest_crawl(pages)
+    # stage 1 of the north pipeline: trafilatura-style main-content
+    # extraction from the raw html bytes (Arrow-batched, no shuffle)
+    extracted = extract_text(latest).select(
+        "url", F.col("extracted").alias("text")
+    )
     # the gate emits (url, stats); left-semi the survivors back onto
-    # the page table. Thresholds adapted to the synthetic corpus
+    # the extracted text. Thresholds adapted to the synthetic corpus
     # (short docs; the closed FILLER vocabulary contains no English
     # stopwords, so that rule is disabled) — the RULES all still
     # evaluate; measured selectivity ~0.88 via dup_line_ok.
     keep = (
-        gopher_filters(latest, id_col="url", min_words=20, min_stop_hits=0)
+        gopher_filters(extracted, id_col="url", min_words=20, min_stop_hits=0)
         .where(F.col("gopher_keep"))
         .select("url")
     )
-    gated = latest.join(keep, "url", "left_semi")
+    gated = extracted.join(keep, "url", "left_semi")
     paras = paragraph_dedup(
         gated.select("url", F.regexp_replace("text", r"\. ", ".\n").alias("text")),
         id_col="url",
