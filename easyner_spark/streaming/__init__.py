@@ -1,5 +1,6 @@
 from easyner_spark.streaming.pipeline import (
     incremental_kg,
+    stateful_crawl_delta,
     stateful_first_seen,
     stream_pages,
     windowed_mention_rates,
@@ -7,6 +8,7 @@ from easyner_spark.streaming.pipeline import (
 
 __all__ = [
     "incremental_kg",
+    "stateful_crawl_delta",
     "stateful_first_seen",
     "stream_pages",
     "windowed_mention_rates",

@@ -174,3 +174,58 @@ class TestStatefulFirstSeen:
         # arrival ("u1-late") must ALWAYS lose to wave-1 state
         assert got["h1"] in {"u1", "u1-dup"}
         assert got["h2"] == "u2" and got["h3"] == "u3"
+
+
+class TestStatefulCrawlDelta:
+    def test_matches_batch_crawl_delta_across_batches(self, spark, tmp_path):
+        """Streaming per-url change tracking == batch webtext.crawl_delta
+        when arrivals are ts-monotone per url (the crawl landing-dir
+        case): two waves, url u1 changes then reverts, u2 stays equal,
+        u3 appears in wave 2."""
+        from easyner_spark.operators.webtext import crawl_delta
+        from easyner_spark.streaming import stateful_crawl_delta
+
+        land = str(tmp_path / "land")
+        os.makedirs(land)
+        cp = str(tmp_path / "cp")
+        out = str(tmp_path / "out")
+        schema = "url string, warc_ts long, text string"
+        wave1 = [("u1", 100, "aaa"), ("u1", 200, "aaab"), ("u2", 100, "zz")]
+        wave2 = [("u1", 300, "aaa"), ("u2", 250, "zz"), ("u3", 50, "q")]
+
+        def run_wave(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(land)
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(land)
+            )
+            q = (
+                stateful_crawl_delta(stream)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("checkpointLocation", cp)
+                .option("path", out)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        run_wave(wave1)
+        run_wave(wave2)
+        got = {
+            (r.url, r.warc_ts): (r.change, r.delta_chars)
+            for r in spark.read.parquet(out).collect()
+        }
+        batch = spark.createDataFrame(wave1 + wave2, schema)
+        want = {
+            (r.url, r.warc_ts): (r.change, r.delta_chars)
+            for r in crawl_delta(batch).collect()
+        }
+        assert got == want
+        # spot-pin the interesting transitions
+        assert got[("u1", 300)] == ("changed", -1)   # revert is a change
+        assert got[("u2", 250)] == ("unchanged", 0)  # cross-batch equality
+        assert got[("u3", 50)] == ("new", 0)
