@@ -362,44 +362,59 @@ def paragraph_dedup(
     bullets and blank separators are not boilerplate evidence and
     would otherwise all collapse onto their global first occurrence).
 
-    Scale shape (3 shuffles, each keyed to stay narrow):
-      1. first-occurrence agg: groupBy sha2(para,256) with an
-         ALGEBRAIC min(struct(id,idx)) — partial aggs collapse a
-         paragraph repeated on 10^8 pages within each input split
-         before the exchange, so boilerplate-paragraph skew never
-         reaches a reducer (same absorb-by-partial-agg shape as
-         host_stats).
-      2. keeper join back on the 32-byte digest (never the paragraph
-         text) — co-partitioned with (1)'s output, and AQE reuses the
-         exchange when the plan canonicalizes.
-      3. document rebuild: groupBy id, sort_array over (idx, para)
-         structs — per-document data only.
-    The digest key is why this survives 100 TB: the wide column
-    (paragraph text) crosses each exchange exactly once, inside the
-    (id-keyed) rebuild where it must.
+    Scale shape (2 shuffles, both skew-safe):
+      1. first-occurrence agg: groupBy the paragraph DIGEST with an
+         ALGEBRAIC min(struct(id, idx, para)) — the winning row's text
+         rides IN the aggregation buffer, so the survivor set falls
+         out of ONE pass with no join back, and partial aggs collapse
+         a paragraph repeated on 10^8 pages within each input split
+         before the exchange: boilerplate-paragraph skew never reaches
+         a reducer. Rows shorter than min_para_chars get a per-row
+         singleton key ('B:' || id || '#' || idx — sha2 emits pure
+         hex, so the namespaces cannot collide) and therefore always
+         survive, without a second scan for a bypass branch.
+      2. document rebuild: groupBy id, sort_array over (idx, para)
+         structs — per-document data only. The totals frame then
+         left-joins on id (id-keyed like the rebuild — AQE broadcasts
+         or co-partitions).
+
+    Design note (measured, tools/skew_bench.py para tier, 6.2M
+    paragraphs / 29% on 3 hot keys, interleaved same-window pairs):
+    the textbook alternatives both lose. A keeper JOIN back on the
+    digest (agg of (id,idx) only, then join) double-scans the
+    explode+sha2 and shuffles paragraph text an extra time — 15.4 s
+    vs 4.0 s for a row_number() window in its window. The window is
+    fast at THIS scale but funnels every replica of a hot paragraph
+    through one reducer — 'all rights reserved' at 10^10 replicas is
+    a straggler/OOM, the exact failure partial aggs exist to prevent.
+    This min-struct-buffer form measured 6.2 s vs the window's 8.9 s
+    in ITS window: the one-pass shape AND the map-side collapse.
     """
     did, idx = F.col(id_col), F.col("_pidx")
     paras = docs.select(
         did,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pidx", "_para"),
     )
-    gated = paras.where(F.length("_para") >= min_para_chars)
-    firsts = gated.groupBy(F.sha2(F.col("_para"), 256).alias("_pkey")).agg(
-        F.min(F.struct(did.alias("i"), idx.alias("p"))).alias("_first")
+    pkey = F.when(
+        F.length("_para") >= min_para_chars, F.sha2(F.col("_para"), 256)
+    ).otherwise(F.concat(F.lit("B:"), did.cast("string"), F.lit("#"), idx))
+    firsts = paras.groupBy(pkey.alias("_pkey")).agg(
+        F.min(
+            F.struct(did.alias("i"), idx.alias("p"), F.col("_para").alias("t"))
+        ).alias("_first")
     )
-    kept_dedup = (
-        gated.withColumn("_pkey", F.sha2(F.col("_para"), 256))
-        .join(firsts, "_pkey")
-        .where((did == F.col("_first.i")) & (idx == F.col("_first.p")))
-        .drop("_pkey", "_first")
+    kept = firsts.select(
+        F.col("_first.i").alias(id_col),
+        F.col("_first.p").alias("_pidx"),
+        F.col("_first.t").alias("_para"),
     )
-    bypass = paras.where(F.length("_para") < min_para_chars)
-    kept = kept_dedup.unionByName(bypass)
-    rebuilt = kept.groupBy(did).agg(
+    rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(idx.alias("p"), F.col("_para").alias("t")))
+                    F.collect_list(
+                        F.struct(F.col("_pidx").alias("p"), F.col("_para").alias("t"))
+                    )
                 ),
                 lambda s: s["t"],
             ),

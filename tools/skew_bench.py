@@ -159,6 +159,96 @@ def main() -> None:
             }
         )
     )
+
+    # --- paragraph-dedup tier: boilerplate hot paragraph -------------
+    # every doc carries the SAME 3 boilerplate paragraphs (~25-45% of
+    # all paragraph rows land on 3 sha2 keys). Contenders:
+    #   para_agg     shipped paragraph_dedup: min(struct) ALGEBRAIC agg
+    #                on the digest — hot keys collapse map-side
+    #   para_window  the naive alternative: row_number() over
+    #                (partitionBy digest) — every replica of the hot
+    #                paragraph shuffles to ONE reducer and sorts there
+    if os.environ.get("SKEW_TIER", "all") in ("all", "para"):
+        from pyspark.sql.window import Window
+
+        from easyner_spark.operators.dedup import paragraph_dedup
+
+        pages = spark.read.parquet(_pages_parquet(spark, n_pages))
+        boiler = (
+            "\nsubscribe to our newsletter\ncookie policy applies"
+            "\nall rights reserved"
+        )
+        pdocs = pages.select(
+            "url",
+            F.concat(
+                F.regexp_replace("text", r"\. ", ".\n"), F.lit(boiler)
+            ).alias("text"),
+        )
+
+        def para_window():
+            # full-pipeline equivalent of paragraph_dedup (rebuild AND
+            # the totals left-join), differing ONLY in how the first
+            # occurrence is picked: row_number window on the digest
+            paras = pdocs.select(
+                F.col("url"),
+                F.posexplode(F.split(F.col("text"), "\n")).alias(
+                    "_pidx", "_para"
+                ),
+            ).withColumn("_pkey", F.sha2(F.col("_para"), 256))
+            w = Window.partitionBy("_pkey").orderBy("url", "_pidx")
+            kept = paras.withColumn("_rn", F.row_number().over(w)).where(
+                F.col("_rn") == 1
+            )
+            rebuilt = kept.groupBy("url").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("_pidx").alias("p"),
+                                    F.col("_para").alias("t"),
+                                )
+                            )
+                        ),
+                        lambda s: s["t"],
+                    ),
+                    "\n",
+                ).alias("text_dedup"),
+                F.count(F.lit(1)).alias("n_kept"),
+            )
+            totals = pdocs.select(
+                "url", F.size(F.split(F.col("text"), "\n")).alias("n_paras")
+            )
+            return totals.join(rebuilt, "url", "left").select(
+                "url",
+                F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                "n_paras",
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            )
+
+        para_results = timed_all(
+            {
+                "para_agg": lambda: paragraph_dedup(pdocs, id_col="url"),
+                "para_window": para_window,
+            }
+        )
+        n_paras = pdocs.select(
+            F.sum(F.size(F.split("text", "\n")))
+        ).collect()[0][0]
+        print(
+            json.dumps(
+                {
+                    "metric": "skew_stress_para",
+                    "pages": n_pages,
+                    "paragraph_rows": int(n_paras),
+                    "hot_keys": 3,
+                    "hot_share": round(3 * pdocs.count() / n_paras, 3),
+                    "cpus": cpus,
+                    "repeat": repeat,
+                    "sec": para_results,
+                }
+            )
+        )
     spark.stop()
 
 
