@@ -265,12 +265,14 @@ def stateful_crawl_delta(
     those (the batch job re-derives the same set with a full-history
     lag window; this keeps O(1) state per url instead).
 
-    State per url: (last_ts, last_text_len, last_text_hash) — the hash
-    stands in for the text so state stays ~50 bytes/url regardless of
-    page size ('unchanged' detection needs equality only; the batch
-    twin's docstring makes the same narrow-state recommendation at
-    scale). sha256 collisions are the accepted epsilon, as in
-    dedup.exact_dedup.
+    State per url: (last_text_len, last_text_hash) — the hash stands
+    in for the text so state stays ~50 bytes/url regardless of page
+    size ('unchanged' detection needs equality only; the batch twin's
+    docstring makes the same narrow-state recommendation at scale),
+    and the timestamp deliberately stays OUT of state: it is only a
+    sort key, so the operator works unchanged whether `ts_col` is a
+    long or a real timestamp (the input_hint type). sha256 collisions
+    are the accepted epsilon, as in dedup.exact_dedup.
 
     Ordering contract: fetches are processed in `ts_col` order WITHIN
     a micro-batch (explicit sort of the group's rows); ACROSS batches
@@ -303,7 +305,7 @@ def stateful_crawl_delta(
             StructField("delta_chars", LongType()),
         ]
     )
-    state_schema = "last_ts long, last_len long, last_hash string"
+    state_schema = "last_len long, last_hash string"
 
     def track(key, pdfs, state: GroupState):
         import pandas as pd
@@ -313,9 +315,9 @@ def stateful_crawl_delta(
             return iter(())
         batch = pd.concat(rows).sort_values(ts_col, kind="mergesort")
         if state.exists:
-            last_ts, last_len, last_hash = state.get
+            last_len, last_hash = state.get
         else:
-            last_ts, last_len, last_hash = None, None, None
+            last_len, last_hash = None, None
         out = []
         for _, r in batch.iterrows():
             text = r[text_col] or ""
@@ -335,8 +337,8 @@ def stateful_crawl_delta(
                     "delta_chars": delta,
                 }
             )
-            last_ts, last_len, last_hash = r[ts_col], n, h
-        state.update((int(last_ts), int(last_len), last_hash))
+            last_len, last_hash = n, h
+        state.update((int(last_len), last_hash))
         return iter([pd.DataFrame(out)])
 
     return (

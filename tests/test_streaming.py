@@ -229,3 +229,35 @@ class TestStatefulCrawlDelta:
         assert got[("u1", 300)] == ("changed", -1)   # revert is a change
         assert got[("u2", 250)] == ("unchanged", 0)  # cross-batch equality
         assert got[("u3", 50)] == ("new", 0)
+
+    def test_timestamp_typed_ts_col(self, spark, tmp_path):
+        """warc_ts as a REAL timestamp (the input_hint type) — the
+        sort key's type must not leak into the stored state."""
+        import datetime as dt
+
+        from easyner_spark.streaming import stateful_crawl_delta
+
+        land = str(tmp_path / "land2")
+        schema = "url string, warc_ts timestamp, text string"
+        t = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u1", t, "aaa"),
+            ("u1", t + dt.timedelta(hours=1), "aaaXY"),
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(land)
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = (
+            stateful_crawl_delta(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cp2"))
+            .option("path", str(tmp_path / "out2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            r.warc_ts: (r.change, r.delta_chars)
+            for r in spark.read.parquet(str(tmp_path / "out2")).collect()
+        }
+        assert got == {t: ("new", 0), t + dt.timedelta(hours=1): ("changed", 2)}
