@@ -716,9 +716,10 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """_synth_url_pages + deterministic dyadic-exact quality and token
-    count columns (dyadic /4 and /8 divisions so DOUBLE arithmetic is
-    bit-identical across engines), host extracted for capping."""
+    """_synth_url_pages + deterministic quality and token-count
+    columns: quality = ((doc_id*37) % 101) / 4 — the dyadic /4 keeps
+    the DOUBLE bit-identical across engines; n_tokens is pure integer
+    arithmetic. Host extracted for capping."""
     from easyner_spark.operators.webtext import url_parts
 
     did = F.col("doc_id")

@@ -194,27 +194,39 @@ def _crawl2corpus(spark, pages_path: str):
     extracted = extract_text(latest).select(
         "url", F.col("extracted").alias("text")
     )
-    # the gate emits (url, stats); left-semi the survivors back onto
-    # the extracted text. Thresholds adapted to the synthetic corpus
-    # (short docs; the closed FILLER vocabulary contains no English
-    # stopwords, so that rule is disabled) — the RULES all still
-    # evaluate; measured selectivity ~0.88 via dup_line_ok.
-    keep = (
-        gopher_filters(extracted, id_col="url", min_words=20, min_stop_hits=0)
+    # the gate carries the text IN-ROW (keep_cols) so survivors fall
+    # out of one filter — no join back that would re-run the
+    # extraction UDF over the corpus a second time. Thresholds adapted
+    # to the synthetic corpus (short docs; the closed FILLER
+    # vocabulary contains no English stopwords, so that rule is
+    # disabled) — the RULES all still evaluate; measured selectivity
+    # ~0.88 via dup_line_ok.
+    gated = (
+        gopher_filters(
+            extracted,
+            id_col="url",
+            min_words=20,
+            min_stop_hits=0,
+            keep_cols=("text",),
+        )
         .where(F.col("gopher_keep"))
-        .select("url")
+        .select("url", "text")
     )
-    gated = extracted.join(keep, "url", "left_semi")
     paras = paragraph_dedup(
         gated.select("url", F.regexp_replace("text", r"\. ", ".\n").alias("text")),
         id_col="url",
     )
-    with_host = url_parts(
-        paras.withColumnRenamed("text_dedup", "text"), keep=True
-    )
-    capped = per_host_cap(
-        with_host, cap=200, order_col="n_kept", id_col="url"
-    )
+    # per the sampling module's hot-host contract: the host window
+    # ranks a NARROW (host, order, id) projection; survivors semi-join
+    # back so page text never crosses the host-keyed sort
+    with_host = url_parts(paras, keep=True)
+    capped_ids = per_host_cap(
+        with_host.select("url", "host", "n_kept"),
+        cap=200,
+        order_col="n_kept",
+        id_col="url",
+    ).select("url")
+    capped = with_host.join(capped_ids, "url", "left_semi")
     return deterministic_sample(capped, rate=0.9, key="url", seed="bench")
 
 

@@ -42,6 +42,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# token_budget_select's pinned range-partitioned caches (its docstring)
+_RANGED_CACHES: list[DataFrame] = []
+
+
+def release_token_budget_caches() -> None:
+    """Unpersist every range-partitioned cache pinned by prior
+    token_budget_select calls. Call ONLY after their results are
+    materialized (or abandoned): a still-lazy result that recomputes
+    after release would re-sample range bounds its collected offsets
+    no longer describe."""
+    while _RANGED_CACHES:
+        df = _RANGED_CACHES.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # the owning session may already be stopped
+
 
 SAMPLE_NIBBLES = 12  # 48 bits of the digest decide the gate
 
@@ -177,8 +194,16 @@ def token_budget_select(
     # persist is REQUIRED for correctness, not a cache hint: range
     # bounds are re-sampled per execution, so without it the offsets
     # collected below could describe a different partitioning than
-    # the one the final pass reads.
+    # the one the final pass reads. The returned DataFrame reads this
+    # cache, so it CANNOT be unpersisted here (and must not be
+    # unpersisted before the result is materialized — a recompute
+    # would re-sample bounds the collected offsets no longer match).
+    # Long-lived sessions calling this repeatedly should call
+    # release_token_budget_caches() between materialized calls. NB:
+    # construction is eager (two Spark jobs: the range exchange + the
+    # offsets collect) — call it when you mean it.
     ranged = narrow.repartitionByRange(n, *w_order).persist()
+    _RANGED_CACHES.append(ranged)
     totals = {
         r["_pid"]: r["_t"]
         for r in ranged.groupBy(F.spark_partition_id().alias("_pid"))

@@ -219,6 +219,7 @@ def gopher_filters(
     min_alpha_word_ratio: float = 0.8,
     min_stop_hits: int = 2,
     max_dup_line_frac: float = 0.3,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style document quality gate (Rae et al. 2021, "Scaling
     Language Models: ... Gopher", §A1.1 repetition/quality rules; same
@@ -242,11 +243,19 @@ def gopher_filters(
     and its selectivity makes every downstream stage cheaper. All
     ratios are exact IEEE int/int divisions, bit-identical to the
     DuckDB oracle.
+
+    `keep_cols` are carried through unchanged (narrow projections, so
+    it costs nothing) — pass the text column when the caller keeps
+    gate survivors: filtering on `gopher_keep` with the payload
+    IN-ROW avoids a join back against the input, which would rescan
+    (and for a UDF-produced input, RECOMPUTE) the whole upstream.
     """
     t = F.col(text_col)
+    keep_cols = tuple(c for c in keep_cols if c != id_col)
     base = docs.select(
         F.col(id_col),
         t,
+        *[F.col(c) for c in keep_cols if c != text_col],
         _words(text_col).alias("_w"),
         F.split(t, r"\n").alias("_lines"),
     )
@@ -267,7 +276,11 @@ def gopher_filters(
             (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
         ).cast("long"),
     }
-    mid = base.select(F.col(id_col), *[c.alias(n) for n, c in ints.items()])
+    mid = base.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        *[c.alias(n) for n, c in ints.items()],
+    )
 
     n_words, n_lines = F.col("_n_words"), F.col("_n_lines")
     mean_wlen = F.when(n_words > 0, F.col("_sum_wlen") / n_words).otherwise(F.lit(0.0))
@@ -313,6 +326,8 @@ def gopher_filters(
     }
     out_cols.update(flags)
     out_cols["gopher_keep"] = keep
+    for c in keep_cols:
+        out_cols[c] = F.col(c)
     return _select(mid, id_col, out_cols)
 
 

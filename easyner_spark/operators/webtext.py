@@ -492,7 +492,11 @@ def crawl_delta(
     Contract: ordering within a url is by `ts_col` alone — callers
     must not feed duplicate (url, ts) fetches (latest_crawl's struct
     tie-break exists for that collapse); comparison is exact string
-    equality on `text_col`.
+    equality on `text_col`, with null text (failed extraction)
+    coalesced to '' first — so two consecutive failed fetches compare
+    'unchanged' and delta_chars is never null (the streaming twin,
+    streaming.stateful_crawl_delta, hashes '' for null and matches
+    row for row).
 
     Scale shape: ONE shuffle (window partitioned by url). Unlike a
     corpus-wide sort, each url sorts only its OWN recrawl history —
@@ -502,19 +506,22 @@ def crawl_delta(
     text comparison here keeps the oracle byte-identical.
     """
     w = Window.partitionBy(url_col).orderBy(ts_col)
-    prev = F.lag(F.col(text_col)).over(w)
+    # lag of the COALESCED text: '' is a real value, so _prev is null
+    # ONLY on the first fetch — 'new' detection stays unambiguous
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    prev = F.lag(cur).over(w)
     return (
         pages.withColumn("_prev", prev)
         .withColumn(
             "change",
             F.when(F.col("_prev").isNull(), F.lit("new"))
-            .when(F.col("_prev") == F.col(text_col), F.lit("unchanged"))
+            .when(F.col("_prev") == cur, F.lit("unchanged"))
             .otherwise(F.lit("changed")),
         )
         .withColumn(
             "delta_chars",
             F.when(F.col("_prev").isNull(), F.lit(0)).otherwise(
-                F.length(text_col) - F.length("_prev")
+                F.length(cur) - F.length("_prev")
             ),
         )
         .drop("_prev")

@@ -318,28 +318,38 @@ def stateful_crawl_delta(
             last_len, last_hash = state.get
         else:
             last_len, last_hash = None, None
-        out = []
-        for _, r in batch.iterrows():
-            text = r[text_col] or ""
-            h = hashlib.sha256(text.encode()).hexdigest()
-            n = len(text)
-            if last_hash is None:
-                change, delta = "new", 0
-            elif h == last_hash:
-                change, delta = "unchanged", 0
-            else:
-                change, delta = "changed", n - last_len
-            out.append(
-                {
-                    url_col: key[0],
-                    ts_col: r[ts_col],
-                    "change": change,
-                    "delta_chars": delta,
-                }
-            )
-            last_len, last_hash = n, h
-        state.update((int(last_len), last_hash))
-        return iter([pd.DataFrame(out)])
+        # vectorized: each fetch compares against the row above
+        # (shift), with the cross-batch state prepended as row -1; the
+        # only per-row work is the sha256 map — no iterrows, so a hot
+        # url's million-recrawl micro-batch stays columnar. Null text
+        # (failed extraction) hashes as '' — same contract as the
+        # batch twin's coalesce.
+        import numpy as np
+
+        texts = batch[text_col].fillna("")
+        lens = texts.str.len().astype("int64")
+        hashes = texts.map(lambda t: hashlib.sha256(t.encode()).hexdigest())
+        prev_h = hashes.shift(1)
+        prev_l = lens.shift(1)
+        if last_hash is not None:
+            prev_h.iloc[0] = last_hash
+            prev_l.iloc[0] = last_len
+        is_new = prev_h.isna().to_numpy()
+        same = (prev_h == hashes).to_numpy() & ~is_new
+        out = pd.DataFrame(
+            {
+                url_col: key[0],
+                ts_col: batch[ts_col].to_numpy(),
+                "change": np.where(
+                    is_new, "new", np.where(same, "unchanged", "changed")
+                ),
+                "delta_chars": np.where(
+                    is_new | same, 0, lens.to_numpy() - prev_l.fillna(0).to_numpy()
+                ).astype("int64"),
+            }
+        )
+        state.update((int(lens.iloc[-1]), hashes.iloc[-1]))
+        return iter([out])
 
     return (
         stream.select(url_col, ts_col, text_col)

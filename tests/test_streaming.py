@@ -191,7 +191,14 @@ class TestStatefulCrawlDelta:
         out = str(tmp_path / "out")
         schema = "url string, warc_ts long, text string"
         wave1 = [("u1", 100, "aaa"), ("u1", 200, "aaab"), ("u2", 100, "zz")]
-        wave2 = [("u1", 300, "aaa"), ("u2", 250, "zz"), ("u3", 50, "q")]
+        # u1's nulls pin the shared null-text contract (null -> '')
+        wave2 = [
+            ("u1", 300, "aaa"),
+            ("u1", 400, None),
+            ("u1", 500, None),
+            ("u2", 250, "zz"),
+            ("u3", 50, "q"),
+        ]
 
         def run_wave(rows):
             spark.createDataFrame(rows, schema).coalesce(1).write.mode(
@@ -227,6 +234,8 @@ class TestStatefulCrawlDelta:
         assert got == want
         # spot-pin the interesting transitions
         assert got[("u1", 300)] == ("changed", -1)   # revert is a change
+        assert got[("u1", 400)] == ("changed", -3)   # text -> null = ''
+        assert got[("u1", 500)] == ("unchanged", 0)  # null == null
         assert got[("u2", 250)] == ("unchanged", 0)  # cross-batch equality
         assert got[("u3", 50)] == ("new", 0)
 

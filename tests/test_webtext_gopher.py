@@ -407,6 +407,32 @@ class TestAnchorsAndDelta:
             ("a.example.com", "2"): 1,
         }
 
+    def test_crawl_delta_null_text_contract(self, spark):
+        """Null text (failed extraction) coalesces to '': consecutive
+        nulls are 'unchanged', delta_chars is never null — the exact
+        contract the streaming twin implements by hashing ''."""
+        from easyner_spark.operators.webtext import crawl_delta
+
+        pages = spark.createDataFrame(
+            [
+                ("u1", 100, "abc"),
+                ("u1", 200, None),
+                ("u1", 300, None),
+                ("u1", 400, "xy"),
+            ],
+            "url string, warc_ts long, text string",
+        )
+        got = {
+            r["warc_ts"]: (r["change"], r["delta_chars"])
+            for r in crawl_delta(pages).collect()
+        }
+        assert got == {
+            100: ("new", 0),
+            200: ("changed", -3),
+            300: ("unchanged", 0),
+            400: ("changed", 2),
+        }
+
     def test_crawl_delta(self, spark):
         from easyner_spark.operators.webtext import crawl_delta
 
