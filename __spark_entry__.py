@@ -705,6 +705,58 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl scheduling: next-fetch priority per url = host authority
+    (PageRank over the extracted link graph) x recrawl change activity
+    (crawl_delta 'changed' count). The composition a crawler actually
+    ranks its frontier by — authority says the host matters, change
+    rate says the page goes stale. 50 urls x ~10 fetches on hosts
+    overlapping the link graph's tail (missing hosts take the 0.15
+    teleport floor via the left join)."""
+    from easyner_spark.operators.graph import pagerank
+    from easyner_spark.operators.webtext import crawl_delta, host_graph
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    key = did % 50
+    host = F.concat(F.lit("site"), (key % 37).cast("string"), F.lit(".example.net"))
+    pages = d.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), key.cast("string")).alias("url"),
+        host.alias("host"),
+        (F.lit(1700000000) + did).cast("long").alias("warc_ts"),
+        F.concat(
+            F.lit("page content "),
+            key.cast("string"),
+            F.when(did % 7 < 2, F.lit(" v2")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    freq = (
+        crawl_delta(pages)
+        .groupBy("url", "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.sum(
+                F.when(F.col("change") == "changed", F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_changed"),
+        )
+    )
+    hg = host_graph(_synth_html_pages(spark, sf_dir))
+    ranks = pagerank(
+        hg.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")),
+        iters=3,
+    ).withColumnRenamed("node", "host")
+    out = freq.join(F.broadcast(ranks), "host", "left")
+    return out.select(
+        "url",
+        F.col("n_fetches").cast("long").alias("n_fetches"),
+        F.col("n_changed").cast("long").alias("n_changed"),
+        F.round(
+            F.coalesce(F.col("rank"), F.lit(0.15)) * (F.lit(1) + F.col("n_changed")),
+            6,
+        ).alias("priority"),
+    )
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-gated 30% sample keyed on url (seed 'r3') —
     reproducible split selection, zero shuffle."""
@@ -1316,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": q_anchor_terms,
         "crawl_delta": q_crawl_delta,
         "paragraph_dedup": q_paragraph_dedup,
+        "crawl_priority": q_crawl_priority,
         "deterministic_sample": q_deterministic_sample,
         "per_host_cap": q_per_host_cap,
         "token_budget": q_token_budget,
@@ -1965,12 +2018,18 @@ FROM r
 def _pagerank_oracle_body(
     iters: int = 3,
     e_sql: str = "SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples",
+    final_sql: str | None = None,
 ) -> str:
     """Unrolled PageRank CTE chain over a distinct edge list (default:
     the triple graph; host_rank passes the link-graph edges),
     mirroring operators/graph.pagerank's op order exactly: base =
     (1.0 - 0.85) / N, inflow = sum(rank / deg), state = round(base +
-    0.85 * coalesce(inflow, 0.0), 9), output round(·, 6)."""
+    0.85 * coalesce(inflow, 0.0), 9), output round(·, 6).
+
+    `final_sql` replaces the default terminal SELECT so consumers can
+    keep composing CTEs on top of the final iteration (crawl_priority
+    joins the ranks against recrawl change rates); it must start with
+    ', ' (CTE continuation) or a SELECT."""
     parts = [
         f"""
 , e AS ({e_sql}),
@@ -1995,7 +2054,11 @@ it{t} AS (
   ) s ON nodes.node = s.node
 )"""
         )
-    parts.append(f"\nSELECT node, round(rank, 6) AS rank FROM it{iters}\n")
+    parts.append(
+        final_sql
+        if final_sql is not None
+        else f"\nSELECT node, round(rank, 6) AS rank FROM it{iters}\n"
+    )
     return "".join(parts)
 
 
@@ -2652,6 +2715,38 @@ SELECT t.doc_id::BIGINT AS doc_id,
        coalesce(r.n_kept, 0)::BIGINT AS n_kept
 FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
 """,
+        # Crawl-frontier priority: link-graph PageRank (unrolled CTE
+        # chain continued past its final iteration via final_sql)
+        # joined against recrawl change counts
+        "crawl_priority": _HOSTLINKS_CTE
+        + _pagerank_oracle_body(
+            e_sql="SELECT DISTINCT src_host AS src, dst_host AS dst FROM hg",
+            final_sql="""
+, pr AS (SELECT node, round(rank, 6) AS rank FROM it3),
+pages AS (
+  SELECT 'https://site' || ((doc_id % 50) % 37) || '.example.net/p/'
+           || (doc_id % 50) AS url,
+         'site' || ((doc_id % 50) % 37) || '.example.net' AS host,
+         1700000000 + doc_id AS warc_ts,
+         'page content ' || (doc_id % 50)
+           || (CASE WHEN doc_id % 7 < 2 THEN ' v2' ELSE '' END) AS text
+  FROM documents
+),
+lg AS (SELECT *, lag(text) OVER (PARTITION BY url ORDER BY warc_ts) AS prev
+       FROM pages),
+freq AS (
+  SELECT url, host, count(*) AS n_fetches,
+         sum(CASE WHEN prev IS NOT NULL AND prev != text
+                  THEN 1 ELSE 0 END) AS n_changed
+  FROM lg GROUP BY url, host
+)
+SELECT f.url, f.n_fetches::BIGINT AS n_fetches,
+       f.n_changed::BIGINT AS n_changed,
+       round(coalesce(pr.rank, 0.15::DOUBLE) * (1 + f.n_changed), 6)
+         AS priority
+FROM freq f LEFT JOIN pr ON f.host = pr.node
+""",
+        ),
         # Deterministic md5-gated sample (threshold string shared with
         # sampling.sample_threshold)
         "deterministic_sample": _sample_oracle(),

@@ -32,10 +32,11 @@ the SAME window — a dimensionless work ratio that cancels the VM's
 speed factor. Compare rounds on `normalized`; raw seconds are kept for
 continuity.
 
-A second tier re-runs e2e_kg at 10x the pages (BENCH_X10_PAGES, default
-10 * n_pages) once, so shuffle-bound behavior rather than JVM warm-up
-dominates at least one headline number; it rides in the same JSON line
-under "tier2" (the driver contract is ONE line).
+A second tier re-runs e2e_kg AND crawl2corpus at 10x the pages
+(BENCH_X10_PAGES, default 10 * n_pages) once each, so shuffle-bound
+behavior rather than JVM warm-up dominates the two composed headline
+jobs; it rides in the same JSON line under "tier2" (a list; the driver
+contract is ONE line).
 
 Execution is forced with a `noop` datasource write (runs the whole plan,
 materializes nothing on the driver). The synthetic pages corpus is
@@ -276,18 +277,25 @@ def main() -> None:
     tier2 = None
     if x10_pages > 0:
         x10_path = _pages_parquet(spark, x10_pages)
-        c0 = _control_sec()
-        t0 = time.perf_counter()
-        _force(_kg_job(spark, x10_path))
-        el = time.perf_counter() - t0
-        tier2 = {
-            "query": "e2e_kg",
-            "pages_rows": x10_pages,
-            "sec": round(el, 3),
-            "control_sec": round(c0, 3),
-            "normalized": round(el / c0, 3),
-            "docs_per_sec": round(x10_pages / el, 1),
-        }
+        tier2 = []
+        for qname, job in (
+            ("e2e_kg", lambda: _kg_job(spark, x10_path)),
+            ("crawl2corpus", lambda: _crawl2corpus(spark, x10_path)),
+        ):
+            c0 = _control_sec()
+            t0 = time.perf_counter()
+            _force(job())
+            el = time.perf_counter() - t0
+            tier2.append(
+                {
+                    "query": qname,
+                    "pages_rows": x10_pages,
+                    "sec": round(el, 3),
+                    "control_sec": round(c0, 3),
+                    "normalized": round(el / c0, 3),
+                    "docs_per_sec": round(x10_pages / el, 1),
+                }
+            )
 
     # North-rule scaling evidence: tools/scaling_bench.py writes its
     # one-line result to SCALING.json at the repo root (committed per
