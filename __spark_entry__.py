@@ -423,7 +423,11 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = q_triples(spark, sf_dir).select(
         F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
     )
-    return connected_components(edges).select("node", "component")
+    # local_finish_edges=0: the oracle gate pins the DISTRIBUTED
+    # fixpoint; the hybrid local finish is pytest-pinned equal to it
+    return connected_components(edges, local_finish_edges=0).select(
+        "node", "component"
+    )
 
 
 def q_kg_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:

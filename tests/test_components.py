@@ -28,8 +28,17 @@ def union_find_components(edges):
 
 
 def _check(spark, edges):
+    """Both execution paths — the hybrid local finish (default: these
+    graphs are tiny) AND the forced distributed fixpoint — against the
+    independent union-find, and against each other."""
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    got_local = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_finish_edges=0).collect()
+    }
     expected = union_find_components(edges)
     # normalize union-find roots to component minimum
     comp_min = {}
@@ -37,7 +46,8 @@ def _check(spark, edges):
         comp_min.setdefault(r, n)
         comp_min[r] = min(comp_min[r], n)
     expected_min = {n: comp_min[r] for n, r in expected.items()}
-    assert got == expected_min
+    assert got_local == expected_min
+    assert got_dist == expected_min
 
 
 def test_two_cliques_and_bridge(spark):
