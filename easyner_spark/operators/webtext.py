@@ -387,6 +387,17 @@ def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
     billions of times -> hot key), so the group key includes the full
     canonical url whose cardinality bounds any single reduce group by
     the recrawl count of one page.
+
+    Plan choice (measured, tools/skew_bench.py `url` tier, 600k rows /
+    30% on ONE canon key, interleaved): the single-shuffle window
+    (1.14 s) beats the groupBy-min + join-back alternative (2.84 s) —
+    two shuffles cost more than sorting a 180k-row hot partition.
+    Unlike paragraph_dedup's boilerplate digests (10^10 replicas
+    possible), a canon-url key is bounded by ONE page's recrawl count;
+    if a snapshot table genuinely exceeds reducer capacity per page,
+    collapse recrawls with latest_crawl (algebraic, skew-immune)
+    BEFORE deduping — that is the intended composition, not a salted
+    window.
     """
     df = pages.withColumn("canon_url", canonical_url(url_col))
     w = Window.partitionBy("canon_url")
