@@ -985,6 +985,40 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: MinHash-LSH near-dup pairs -> connected
+    components -> min-id group keeper (operators/dedup.neardup_groups).
+    The oracle rebuilds the full chain in SQL: the shingle/signature/
+    band CTEs shared with minhash_dedup plus a recursive reachability
+    closure — so group assignment, not just the pair list, is
+    value-checked."""
+    from easyner_spark.operators.dedup import neardup_groups
+
+    return neardup_groups(
+        _docs_perturbed(spark, sf_dir), local_finish_edges=0
+    ).select("id", "group_id", "is_dup")
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-crawl-vs-seen-corpus novelty with the distributed Bloom
+    prefilter ON (operators/dedup.incremental_new_docs): seen =
+    documents; new batch = exact copies (+100000, all dropped) union
+    first-word-truncated copies (+200000, all novel). The oracle is a
+    plain sha256 anti-join — Bloom false positives are re-verified so
+    the filter must never change values, and zero false negatives is
+    structural (a clear bit proves unseen)."""
+    from easyner_spark.operators.dedup import incremental_new_docs
+
+    d = _docs(spark, sf_dir)
+    new = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    return incremental_new_docs(new, d.select("doc_id", "text"))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easyner_spark.operators.similarity import brute_force_topk
 
@@ -1384,6 +1418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_dedup": q_simhash_dedup,
+        "fuzzy_dedup_groups": q_fuzzy_dedup_groups,
+        "incremental_dedup": q_incremental_dedup,
         "ann_topk": q_ann_topk,
         "ann_topk_blocked": q_ann_topk_blocked,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1645,11 +1681,47 @@ SELECT doc_id, content_hash,
   doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
 FROM h
 """
+    # Fuzzy-dedup groups: the same candidate CTEs, thresholded at the
+    # rounded est_jaccard (the Spark side filters AFTER round(·, 6)),
+    # then a recursive min-label closure — the keeper contract of
+    # dedup.neardup_groups, value-checked end to end.
+    fuzzy_groups = mh_prelude.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+prs AS (SELECT a, b FROM cand WHERE round(({eq_terms}) / {N_HASHES}, 6) >= 0.5),
+sym AS (SELECT a, b FROM prs UNION SELECT b AS a, a AS b FROM prs),
+cc_nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach(node, lbl) AS (
+  SELECT node, node FROM cc_nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN sym e ON r.node = e.a
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+SELECT d.id, coalesce(c.component, d.id) AS group_id,
+       coalesce(c.component, d.id) <> d.id AS is_dup
+FROM (SELECT DISTINCT id FROM docs2) d LEFT JOIN comp c ON d.id = c.node
+"""
+    # Incremental novelty: plain sha256 canonicalize + anti-join — the
+    # Bloom prefilter on the Spark side must be value-invisible.
+    incremental = """
+WITH new_docs AS (
+  SELECT doc_id + 100000 AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1) FROM documents
+),
+canon AS (
+  SELECT min(id) AS id, sha256(text) AS content_hash
+  FROM new_docs GROUP BY sha256(text)
+),
+seen_h AS (SELECT DISTINCT sha256(text) AS content_hash FROM documents)
+SELECT c.id, c.content_hash FROM canon c
+WHERE NOT EXISTS (SELECT 1 FROM seen_h s WHERE s.content_hash = c.content_hash)
+"""
     return {
         "exact_dedup": exact,
         "minhash_dedup": minhash,
         "ngram_jaccard": jaccard,
         "simhash_dedup": simhash,
+        "fuzzy_dedup_groups": fuzzy_groups,
+        "incremental_dedup": incremental,
     }
 
 

@@ -37,6 +37,8 @@ N_HASHES = 12
 BAND_ROWS = 3            # 12 hashes -> 4 bands of 3
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4        # 4 bands of 8 bits
+BLOOM_M_BITS = 1 << 20   # 1 Mi bits = 16,384 64-bit words (~128 KB broadcast)
+BLOOM_K = 5
 
 
 def _words(text_col: str) -> Column:
@@ -336,6 +338,176 @@ def simhash_pairs(
         .dropDuplicates(["a", "b"])
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def neardup_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_est_jaccard: float = 0.5,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+    k: int = 3,
+    hash_fn: str = "md5",
+    max_bucket_size: int | None = None,
+    local_finish_edges: int | None = None,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: (id, group_id, is_dup) where group_id is
+    the smallest doc id transitively reachable through MinHash-LSH
+    near-dup pairs with est_jaccard >= `min_est_jaccard`; docs with no
+    such neighbor form singleton groups (group_id = own id).
+
+    This is the composition big curation pipelines actually run
+    (NeMo-Curator-style fuzzy dedup: LSH candidates -> connected
+    components -> keep one per component): pairwise near-dup output
+    alone over-removes, because A~B and B~C should cost ONE document,
+    not two — the transitive closure turns pairs into clusters and the
+    min-id member is the deterministic keeper.
+
+    Scale shape: :func:`minhash_lsh_pairs` (one band-key shuffle) ->
+    alternating-star components (O(log n) rounds, each node-keyed) ->
+    one left join of the id universe against the component map.
+    Everything downstream of the pair graph moves only (id, id) edges,
+    never text. `local_finish_edges=None` keeps the components
+    default hybrid finish (see operators/components.py)."""
+    from easyner_spark.operators.components import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs,
+        text_col,
+        id_col,
+        n_hashes,
+        band_rows,
+        k,
+        min_est_jaccard,
+        max_bucket_size,
+        hash_fn,
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    cc_kwargs = {} if local_finish_edges is None else {
+        "local_finish_edges": local_finish_edges
+    }
+    comp = connected_components(edges, **cc_kwargs).withColumnRenamed("node", "id")
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(comp, "id", "left").select(
+        "id",
+        F.coalesce("component", F.col("id")).alias("group_id"),
+        (F.coalesce("component", F.col("id")) != F.col("id")).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (new-crawl vs seen-corpus) dedup with a distributed Bloom filter
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> Column:
+    """array<struct<w:int, b:int>> — the k Bloom bit positions of `key`:
+    position_i = pmod(xxhash64('i|' || key), m_bits), split into a
+    64-bit word index and a bit-within-word."""
+    entries = []
+    for i in range(k):
+        p = F.pmod(F.xxhash64(F.concat(F.lit(f"{i}|"), key)), F.lit(m_bits))
+        entries.append(
+            F.struct(
+                F.shiftright(p, 6).cast("int").alias("w"),
+                p.bitwiseAND(F.lit(63)).cast("int").alias("b"),
+            )
+        )
+    return F.array(*entries)
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "content_hash",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Distributed Bloom filter over a key column, materialized as a
+    DataFrame of 64-bit words: (word_idx int, word bigint), word =
+    bit_or of 1<<bit over every key hashing into that word. Pure
+    built-ins (xxhash64 + shiftleft + bit_or agg) — the build is one
+    uniform shuffle on word_idx with map-side partial ORs, and the
+    result is at most m_bits/64 rows (~128 KB at the default 2^20
+    bits): broadcast-dictionary-sized however large the seen corpus
+    is. Absent word_idx rows mean all-zero words."""
+    pos = keys.select(F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("p"))
+    return (
+        pos.select(
+            F.col("p.w").alias("word_idx"),
+            # F.shiftleft takes a Python-int bit count; a per-row shift
+            # needs the SQL form (still pure codegen, no UDF)
+            F.expr("shiftleft(CAST(1 AS BIGINT), p.b)").alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("m").alias("word"))
+    )
+
+
+def incremental_new_docs(
+    new: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_bloom: bool = True,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Which documents of a NEW crawl batch are genuinely novel against
+    a SEEN corpus? Returns (id, content_hash): one row per novel
+    distinct text in `new` (in-batch canonical = min id per
+    sha256(text); texts already in `seen` are dropped).
+
+    The 10^12-document shape: a plain hash anti-join re-shuffles the
+    entire seen-corpus hash index for every incoming batch. With
+    `use_bloom` (default), a :func:`bloom_build` filter over the seen
+    hashes — a ~128 KB broadcast no matter how big the corpus — first
+    splits the batch into DEFINITELY-new rows (some Bloom bit clear:
+    zero false negatives by construction) and maybe-seen rows; only
+    the maybe-seen sliver pays the exact anti-join. The final output
+    is exactly the anti-join's (Bloom false positives are re-checked,
+    so the filter changes cost, never values — the oracle pins this).
+    In production the Bloom words table persists next to the corpus
+    snapshot and is incrementally OR-merged per epoch; pair with a
+    bucketed seen table (sinks/bucketed.py) to make the residual
+    anti-join zero-exchange. Spark's runtime bloom-filter join
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) covers the same
+    idea planner-side but only below size thresholds; this operator
+    makes the semi-structure explicit and reusable across batches."""
+    canon = (
+        new.groupBy(F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash"))
+        .agg(F.min(id_col).alias("id"))
+        .select("id", "content_hash")
+    )
+    seen_h = seen.select(
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash")
+    )
+    if not use_bloom:
+        return canon.join(seen_h, "content_hash", "left_anti")
+    bloom = bloom_build(seen_h, "content_hash", m_bits, k)
+    probes = canon.select(
+        "id",
+        "content_hash",
+        F.explode(_bloom_positions(F.col("content_hash"), m_bits, k)).alias("p"),
+    )
+    flags = (
+        probes.join(F.broadcast(bloom), F.col("p.w") == bloom["word_idx"], "left")
+        .select(
+            "id",
+            "content_hash",
+            (
+                F.expr(
+                    "shiftright(coalesce(word, CAST(0 AS BIGINT)), p.b) & 1"
+                )
+                == 1
+            ).alias("hit"),
+        )
+        .groupBy("id", "content_hash")
+        .agg(F.min(F.col("hit").cast("int")).alias("all_set"))
+    )
+    definite_new = flags.where(F.col("all_set") == 0).select("id", "content_hash")
+    maybe = flags.where(F.col("all_set") == 1).select("id", "content_hash")
+    verified = maybe.join(seen_h, "content_hash", "left_anti")
+    return definite_new.unionByName(verified)
 
 
 def paragraph_dedup(

@@ -424,6 +424,52 @@ def _centroid_structs(
     return F.transform(cvecs, entry)
 
 
+def _quantizer(
+    slim: DataFrame, n_centroids: int, refine_iters: int
+) -> list[tuple]:
+    """Deterministic IVF coarse quantizer: seed centroids are the
+    corpus vectors whose md5(id) sort first, optionally refined by
+    `refine_iters` Lloyd rounds (assign JVM-side, new centroid =
+    element-wise mean rounded to 9 decimals, empty cells keep their
+    previous centroid so the quantizer never silently shrinks).
+    Returns a sorted [(cid, [float, ...]), ...] list — O(n_centroids
+    x dim) driver data, a broadcast-dictionary analog, never a corpus
+    collect. Shared by :func:`ivf_topk` (and any caller that wants to
+    build the cell map once and reuse it across queries)."""
+    cents = [
+        (r["id"], list(r["v"]))
+        for r in slim.select("id", "v")
+        .withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(n_centroids)
+        .collect()
+    ]
+    for _ in range(refine_iters):
+        assigned = slim.withColumn(
+            "cell",
+            F.array_min(
+                _centroid_structs(cents, F.col("v"), F.col("norm"))
+            )["cid"],
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("mv")
+            )
+            .collect()
+        )
+        refined = {r["cell"]: [e["m"] for e in r["mv"]] for r in means}
+        # empty-cluster keep: a cell no vector chose retains its
+        # previous centroid (dropping it would silently shrink the
+        # quantizer below n_centroids — degenerate worst case: one
+        # giant all-pairs cell)
+        cents = sorted((cid, refined.get(cid, vec)) for cid, vec in cents)
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 10,
@@ -467,37 +513,7 @@ def ivf_topk(
     with nprobe/refine_iters; AQE handles any hot cell in the join.
     """
     slim = _with_norm(emb, id_col, vec_col)
-    cents = [
-        (r["id"], list(r["v"]))
-        for r in slim.select("id", "v")
-        .withColumn("h", F.md5(F.col("id").cast("string")))
-        .orderBy("h", "id")
-        .limit(n_centroids)
-        .collect()
-    ]
-    for _ in range(refine_iters):
-        assigned = slim.withColumn(
-            "cell",
-            F.array_min(
-                _centroid_structs(cents, F.col("v"), F.col("norm"))
-            )["cid"],
-        )
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg("x"), 9).alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("mv")
-            )
-            .collect()
-        )
-        refined = {r["cell"]: [e["m"] for e in r["mv"]] for r in means}
-        # empty-cluster keep: a cell no vector chose retains its
-        # previous centroid (dropping it would silently shrink the
-        # quantizer below n_centroids — degenerate worst case: one
-        # giant all-pairs cell)
-        cents = sorted((cid, refined.get(cid, vec)) for cid, vec in cents)
+    cents = _quantizer(slim, n_centroids, refine_iters)
     scored = slim.withColumn(
         "cs", _centroid_structs(cents, F.col("v"), F.col("norm"))
     )

@@ -626,3 +626,108 @@ class TestParagraphDedup:
         # doc 3: every para is a global dup -> empty doc, n_kept 0
         assert fully[3]["text_dedup"] == ""
         assert fully[3]["n_kept"] == 0
+
+
+class TestNeardupGroups:
+    """Fuzzy-dedup composition: LSH pairs -> connected components ->
+    min-id keeper. Chain semantics matter: A~B and B~C cost ONE doc,
+    not two (pairwise output alone would over-remove)."""
+
+    # 1~2~3 form one transitive near-dup chain (each adjacent pair
+    # shares almost all shingles); 4 is unrelated.
+    CHAIN = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "gamma delta epsilon zeta eta theta iota kappa"),
+        (4, "totally unrelated words about spark adaptive execution plans"),
+    ]
+
+    def test_chain_one_group_min_keeper(self, spark):
+        from easyner_spark.operators.dedup import neardup_groups
+
+        df = spark.createDataFrame(self.CHAIN, "doc_id long, text string")
+        got = {r["id"]: (r["group_id"], r["is_dup"]) for r in
+               neardup_groups(df, min_est_jaccard=0.3).collect()}
+        assert got[1] == (1, False)
+        assert got[2] == (1, True)
+        assert got[3][0] in (1, 3)  # 3 may chain through 2 or miss LSH
+        assert got[4] == (4, False)
+        # every input id appears exactly once
+        assert set(got) == {1, 2, 3, 4}
+
+    def test_singletons_when_no_pairs(self, spark):
+        from easyner_spark.operators.dedup import neardup_groups
+
+        df = spark.createDataFrame(
+            [(10, "one two three four five six"),
+             (20, "sieben acht neun zehn elf zwoelf")],
+            "doc_id long, text string",
+        )
+        got = {r["id"]: (r["group_id"], r["is_dup"]) for r in
+               neardup_groups(df).collect()}
+        assert got == {10: (10, False), 20: (20, False)}
+
+
+class TestIncrementalDedup:
+    """Bloom-prefiltered new-vs-seen novelty: the filter changes cost,
+    never values — bloom and exact paths must agree exactly."""
+
+    SEEN = [(i, f"seen document number {i} with stable body text") for i in range(40)]
+    # 0-19: exact copies of seen (must drop); 100-104: novel;
+    # 200/201: in-batch dup pair (one survivor, min id)
+    NEW = (
+        [(1000 + i, f"seen document number {i} with stable body text") for i in range(20)]
+        + [(100 + i, f"genuinely novel text {i} never crawled before") for i in range(5)]
+        + [(200, "same fresh text twice"), (201, "same fresh text twice")]
+    )
+
+    def _frames(self, spark):
+        seen = spark.createDataFrame(self.SEEN, "doc_id long, text string")
+        new = spark.createDataFrame(self.NEW, "doc_id long, text string")
+        return new, seen
+
+    def test_bloom_matches_exact_antijoin(self, spark):
+        from easyner_spark.operators.dedup import incremental_new_docs
+
+        new, seen = self._frames(spark)
+        with_bloom = {(r["id"], r["content_hash"]) for r in
+                      incremental_new_docs(new, seen, use_bloom=True).collect()}
+        exact = {(r["id"], r["content_hash"]) for r in
+                 incremental_new_docs(new, seen, use_bloom=False).collect()}
+        assert with_bloom == exact
+
+    def test_values(self, spark):
+        from easyner_spark.operators.dedup import incremental_new_docs
+
+        new, seen = self._frames(spark)
+        ids = sorted(r["id"] for r in incremental_new_docs(new, seen).collect())
+        assert ids == [100, 101, 102, 103, 104, 200]
+
+    def test_tiny_filter_false_positive_path(self, spark):
+        # m_bits=64 (one word) makes nearly everything a Bloom hit ->
+        # the exact re-check must still produce correct values
+        from easyner_spark.operators.dedup import incremental_new_docs
+
+        new, seen = self._frames(spark)
+        out = incremental_new_docs(new, seen, m_bits=64, k=2)
+        assert sorted(r["id"] for r in out.collect()) == [100, 101, 102, 103, 104, 200]
+
+    def test_bloom_build_no_false_negatives(self, spark):
+        # every inserted key must probe all-set against the built words
+        from easyner_spark.operators.dedup import (
+            BLOOM_K, _bloom_positions, bloom_build,
+        )
+
+        keys = spark.createDataFrame(
+            [(f"k{i}",) for i in range(200)], "content_hash string"
+        )
+        m_bits = 1 << 12
+        words = {r["word_idx"]: r["word"] for r in
+                 bloom_build(keys, m_bits=m_bits).collect()}
+        probes = keys.select(
+            "content_hash",
+            _bloom_positions(F.col("content_hash"), m_bits, BLOOM_K).alias("ps"),
+        ).collect()
+        for row in probes:
+            for p in row["ps"]:
+                assert (words.get(p["w"], 0) >> p["b"]) & 1 == 1, row["content_hash"]
