@@ -950,6 +950,59 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministically injected PII
+    (emails on doc_id%3==0, an IPv4 + phone tail on doc_id%5==0) so
+    every category and the sequential-redaction order are exercised.
+    The oracle replays the same injection and the same three-stage
+    regexp pipeline in DuckDB (explicit 'g' flag — DuckDB replaces
+    first-match by default while Spark replaces all)."""
+    from easyner_spark.operators.textstats import pii_redact
+
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" mail u"), sid, F.lit("@ex-a.org ok")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" ip 10."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".0.1 tel +46 70-123 45"),
+                    (F.col("doc_id") % 10).cast("string"),
+                    F.lit("8"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(injected)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark n-gram decontamination: bench = the
+    doc_id%97==0 slice of documents, so those docs score overlap 1.0
+    (self-contaminated) and the rest measure genuine 8-gram leakage.
+    The oracle rebuilds the 8-gram shingles + distinct bench grams +
+    per-doc hit rollup in SQL."""
+    from easyner_spark.operators.dedup import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(d, bench, n=8, threshold=0.5).select(
+        "id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "overlap_frac",
+        "contaminated",
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easyner_spark.operators.dedup import exact_dedup
 
@@ -1414,12 +1467,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filters": q_gopher_filters,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "pii_redact": q_pii_redact,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_dedup": q_simhash_dedup,
         "fuzzy_dedup_groups": q_fuzzy_dedup_groups,
         "incremental_dedup": q_incremental_dedup,
+        "decontaminate": q_decontaminate,
         "ann_topk": q_ann_topk,
         "ann_topk_blocked": q_ann_topk_blocked,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1715,6 +1770,33 @@ seen_h AS (SELECT DISTINCT sha256(text) AS content_hash FROM documents)
 SELECT c.id, c.content_hash FROM canon c
 WHERE NOT EXISTS (SELECT 1 FROM seen_h s WHERE s.content_hash = c.content_hash)
 """
+    # Benchmark 8-gram decontamination: same shingle construction at
+    # k=8, bench grams = the doc_id%97==0 slice, per-doc hit rollup.
+    # count(bg.gram) (not sum(::INT)) keeps n_hits BIGINT — DuckDB's
+    # sum(INTEGER) is HUGEINT, which would break schema parity.
+    gram8 = " || ' ' || ".join(f"toks[(i + {j})::INT]" for j in range(1, 9))
+    decontaminate = f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS toks FROM documents
+),
+sh AS (
+  SELECT id, list_sort(list_distinct(
+    CASE WHEN len(toks) >= 8
+      THEN list_transform(range(0, len(toks) - 7), i -> {gram8})
+      ELSE [array_to_string(toks, ' ')] END)) AS sh
+  FROM toks
+),
+dg AS (SELECT id, unnest(sh) AS gram FROM sh),
+bg AS (SELECT DISTINCT gram FROM dg WHERE id % 97 = 0),
+per AS (
+  SELECT dg.id, count(*) AS n_grams, count(bg.gram) AS n_hits
+  FROM dg LEFT JOIN bg ON dg.gram = bg.gram GROUP BY dg.id
+)
+SELECT id, n_grams, n_hits,
+       round(n_hits::DOUBLE / n_grams, 6) AS overlap_frac,
+       round(n_hits::DOUBLE / n_grams, 6) >= 0.5 AS contaminated
+FROM per
+"""
     return {
         "exact_dedup": exact,
         "minhash_dedup": minhash,
@@ -1722,6 +1804,7 @@ WHERE NOT EXISTS (SELECT 1 FROM seen_h s WHERE s.content_hash = c.content_hash)
         "simhash_dedup": simhash,
         "fuzzy_dedup_groups": fuzzy_groups,
         "incremental_dedup": incremental,
+        "decontaminate": decontaminate,
     }
 
 
@@ -2139,10 +2222,53 @@ it{t} AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from easyner_spark.operators.textstats import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
     stats_sql, langid_sql = _textstats_oracle()
+    # Same injection + same three-stage sequential redaction as
+    # q_pii_redact. Placeholders (not an f-string): the regexes contain
+    # {m,n} braces. DuckDB regexp_replace needs the explicit 'g' flag
+    # to match Spark's replace-all default.
+    pii_sql = """
+WITH injected AS (
+  SELECT doc_id AS id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+              THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex-a.org ok'
+              ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+                   || '.0.1 tel +46 70-123 45'
+                   || CAST(doc_id % 10 AS VARCHAR) || '8'
+              ELSE '' END AS t0
+  FROM documents
+),
+s1 AS (SELECT id,
+         len(regexp_extract_all(t0, '__EMAIL__', 0)) AS n_emails,
+         regexp_replace(t0, '__EMAIL__', '<EMAIL>', 'g') AS t1 FROM injected),
+s2 AS (SELECT id, n_emails,
+         len(regexp_extract_all(t1, '__IP__', 0)) AS n_ips,
+         regexp_replace(t1, '__IP__', '<IP>', 'g') AS t2 FROM s1),
+s3 AS (SELECT id, n_emails, n_ips,
+         len(regexp_extract_all(t2, '__PHONE__', 0)) AS n_phones,
+         regexp_replace(t2, '__PHONE__', '<PHONE>', 'g') AS text_redacted FROM s2)
+SELECT id, text_redacted,
+       n_emails::BIGINT AS n_emails,
+       n_ips::BIGINT AS n_ips,
+       n_phones::BIGINT AS n_phones,
+       (n_emails + n_ips + n_phones) > 0 AS has_pii
+FROM s3
+""".replace("__EMAIL__", PII_EMAIL_RE).replace("__IP__", PII_IPV4_RE).replace(
+        "__PHONE__", PII_PHONE_RE
+    )
     extra = {
         "text_stats": stats_sql,
         "lang_id": langid_sql,
+        "pii_redact": pii_sql,
         "media_meta": _MEDIA_META_SQL,
         "media_meta_headers": """
 WITH m AS (

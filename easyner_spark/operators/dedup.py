@@ -607,3 +607,68 @@ def paragraph_dedup(
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark n-gram decontamination: for every training document,
+    how much of it overlaps a held-out benchmark set? Returns
+    (id, n_grams, n_hits, overlap_frac, contaminated) where n_grams is
+    the document's distinct word n-gram count, n_hits how many of those
+    also occur anywhere in `bench`, overlap_frac = round(n_hits /
+    n_grams, 6), contaminated = overlap_frac >= `threshold`.
+
+    This is the GPT-3-appendix-C / PaLM-style n-gram decontamination
+    every serious pretraining pipeline runs (the reference has no
+    analog — it consumes curated PubMed). Documents shorter than n
+    words contribute their whole word sequence as one gram (same
+    fallback as the dedup shingles), so every document gets a row.
+
+    Scale shape: benchmark suites are tiny next to a 100 TB corpus —
+    the distinct benchmark grams are broadcast (default), so the
+    corpus side is explode -> broadcast left join -> ONE shuffle on
+    doc id for the per-doc rollup. `broadcast_bench=False` drops the
+    hint for a giant bench set and lets AQE pick the join; the rollup
+    is a uniform-key groupBy either way. Gram strings never leave the
+    exploded stage wider than (id, gram, flag).
+    """
+    dg = shingle_df(docs, text_col, id_col, k=n).select(
+        "id", F.explode("sh").alias("gram")
+    )
+    bg = (
+        shingle_df(bench, bench_text_col, bench_id_col, k=n)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+        .select("gram", F.lit(1).alias("_hit"))
+    )
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    per = (
+        dg.join(bg, "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hits"),
+        )
+    )
+    frac = F.round(F.col("n_hits") / F.col("n_grams"), 6)
+    return per.select(
+        "id",
+        "n_grams",
+        "n_hits",
+        frac.alias("overlap_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )

@@ -731,3 +731,95 @@ class TestIncrementalDedup:
         for row in probes:
             for p in row["ps"]:
                 assert (words.get(p["w"], 0) >> p["b"]) & 1 == 1, row["content_hash"]
+
+
+class TestDecontaminate:
+    """Benchmark n-gram overlap: bench-identical docs score 1.0, partial
+    overlaps measure leaked grams, disjoint docs score 0."""
+
+    BENCH = [(900, "one two three four five six seven eight nine ten")]
+    DOCS = [
+        # identical to the bench doc -> every 8-gram hits
+        (1, "one two three four five six seven eight nine ten"),
+        # shares the bench doc's first 8 words then diverges
+        (2, "one two three four five six seven eight zebra yak xylo walrus"),
+        # disjoint
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # short doc (<8 words): whole word sequence is the single gram
+        (4, "one two three"),
+    ]
+
+    def _run(self, spark, **kw):
+        from easyner_spark.operators.dedup import decontaminate
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        bench = spark.createDataFrame(self.BENCH, "doc_id long, text string")
+        return {r["id"]: r.asDict() for r in
+                decontaminate(docs, bench, n=8, threshold=0.5, **kw).collect()}
+
+    def test_values(self, spark):
+        got = self._run(spark)
+        # doc 1: 10 words -> 3 distinct 8-grams, all in bench
+        assert (got[1]["n_grams"], got[1]["n_hits"]) == (3, 3)
+        assert got[1]["overlap_frac"] == 1.0 and got[1]["contaminated"]
+        # doc 2: 12 words -> 5 grams, exactly one ("one..eight") in bench
+        assert (got[2]["n_grams"], got[2]["n_hits"]) == (5, 1)
+        assert got[2]["overlap_frac"] == 0.2 and not got[2]["contaminated"]
+        # doc 3: nothing shared
+        assert got[3]["n_hits"] == 0 and not got[3]["contaminated"]
+        # doc 4: one whole-sequence gram, not a bench 8-gram
+        assert (got[4]["n_grams"], got[4]["n_hits"]) == (1, 0)
+        # every input doc got a row
+        assert set(got) == {1, 2, 3, 4}
+
+    def test_broadcast_off_same_values(self, spark):
+        assert self._run(spark) == self._run(spark, broadcast_bench=False)
+
+
+class TestPiiRedact:
+    """Sequential email -> IPv4 -> phone scrub; counts are per-stage so
+    categories never double-count the same characters."""
+
+    def _run(self, spark, rows):
+        from easyner_spark.operators.textstats import pii_redact
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["id"]: r.asDict() for r in pii_redact(df).collect()}
+
+    def test_each_category(self, spark):
+        got = self._run(spark, [
+            (1, "write to jane.doe+x@sub.ex-a.org today"),
+            (2, "server at 10.0.255.7 answered"),
+            (3, "call +46 70-123 45 68 now"),
+            (4, "clean text with the number 42"),
+        ])
+        assert got[1]["n_emails"] == 1 and got[1]["text_redacted"] == \
+            "write to <EMAIL> today"
+        assert got[2]["n_ips"] == 1 and got[2]["text_redacted"] == \
+            "server at <IP> answered"
+        assert got[3]["n_phones"] == 1 and got[3]["text_redacted"] == \
+            "call <PHONE> now"
+        assert got[4] == {"id": 4, "text_redacted": "clean text with the number 42",
+                          "n_emails": 0, "n_ips": 0, "n_phones": 0, "has_pii": False}
+
+    def test_sequential_no_double_count(self, spark):
+        # the email's digit run disappears before the phone pass;
+        # the IP is redacted before the phone pass can see its digits
+        got = self._run(spark, [
+            (1, "mail a1234567890@x.com plus ip 192.168.100.200 end"),
+        ])
+        r = got[1]
+        assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 1, 0)
+        assert r["text_redacted"] == "mail <EMAIL> plus ip <IP> end"
+        assert r["has_pii"]
+
+    def test_multiple_matches_one_row(self, spark):
+        got = self._run(spark, [(1, "a@b.se then c@d.org then 10.1.1.1 and 10.2.2.2")])
+        assert got[1]["n_emails"] == 2 and got[1]["n_ips"] == 2
+
+    def test_zero_shuffle_plan(self, spark):
+        from easyner_spark.operators.textstats import pii_redact
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = pii_redact(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
