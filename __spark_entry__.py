@@ -904,6 +904,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def _docs_perturbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ first-word-dropped copy (+100000 ids): deterministic
     near-duplicates so the near-dup operators demonstrate real recall."""
@@ -1001,6 +1005,52 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overlap_frac",
         "contaminated",
     )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions over the events table via the built-in
+    session_window aggregation; the oracle rebuilds sessions with the
+    lag/gap-island formulation (new session when the micros gap is
+    STRICTLY > 30 min — Spark merges adjacent windows, so an event at
+    exactly prev + gap stays in the session; pinned by pytest), so the
+    two independent formulations must agree on every boundary."""
+    from easyner_spark.operators.events import sessionize
+
+    return sessionize(_events(spark, sf_dir))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF join: every 'view' event matched to the user's most recent
+    'click' at or before it (union-tag-window, one shuffle). The
+    oracle is a LATERAL top-1 per view row with the same (ts desc,
+    event_id desc) tie rule."""
+    from easyner_spark.operators.events import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    from easyner_spark.operators.events import ts_micros
+
+    out = asof_join(views, clicks, key="user_id", ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_micros("ts").alias("ts_us"),
+        F.col("event_id_right").alias("click_event_id"),
+        ts_micros("ts_right").alias("click_ts_us"),
+    )
+
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event rollup incl. a JSON field summed out of props
+    (from_json JVM-side). Integer cents keep double sums exact."""
+    from easyner_spark.operators.events import event_rollup
+
+    return event_rollup(_events(spark, sf_dir))
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1468,6 +1518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "pii_redact": q_pii_redact,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "event_rollup": q_event_rollup,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2265,10 +2318,55 @@ FROM s3
 """.replace("__EMAIL__", PII_EMAIL_RE).replace("__IP__", PII_IPV4_RE).replace(
         "__PHONE__", PII_PHONE_RE
     )
+    # events-table oracles: micros BIGINT time math, integer cents, and
+    # ::BIGINT casts on sums (DuckDB sum(BIGINT) is HUGEINT).
+    sessionize_sql = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, round(value * 100)::BIGINT AS cents
+  FROM events
+),
+l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev FROM ev),
+f AS (SELECT *, (prev IS NULL OR ts_us - prev > 1800000000)::INT AS new_s FROM l),
+s AS (SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM f)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) + 1800000000 AS session_end_us,
+       count(*) AS n_events,
+       sum(cents)::BIGINT AS value_cents
+FROM s GROUP BY user_id, sidx
+"""
+    asof_sql = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+v AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'view'),
+c AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click')
+SELECT v.event_id, v.user_id, v.ts_us,
+       l.click_event_id, l.click_ts_us
+FROM v LEFT JOIN LATERAL (
+  SELECT c.event_id AS click_event_id, c.ts_us AS click_ts_us
+  FROM c
+  WHERE c.user_id = v.user_id AND c.ts_us <= v.ts_us
+  ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1
+) l ON TRUE
+"""
+    rollup_sql = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents,
+       sum(CAST(CAST(props AS JSON)->>'k' AS BIGINT))::BIGINT AS k_sum
+FROM events GROUP BY event_type
+"""
     extra = {
         "text_stats": stats_sql,
         "lang_id": langid_sql,
         "pii_redact": pii_sql,
+        "sessionize": sessionize_sql,
+        "asof_join": asof_sql,
+        "event_rollup": rollup_sql,
         "media_meta": _MEDIA_META_SQL,
         "media_meta_headers": """
 WITH m AS (
