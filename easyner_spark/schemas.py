@@ -89,6 +89,20 @@ EDGES = T.StructType(
     ]
 )
 
+# Event-log table (testdata `events` shape). ts is NTZ: plain parquet
+# timestamps load as TIMESTAMP_NTZ, and the pinned streaming schema
+# must match the files or the file source errors.
+EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampNTZType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
 # Per-partition lineage/metrics row (replaces the reference's err.txt
 # retry ledger + TIMEKEEP wall-clock file, scripts/pubmed_bulk.py:33-55).
 LINEAGE = T.StructType(

@@ -2,7 +2,9 @@ from easyner_spark.streaming.pipeline import (
     incremental_kg,
     stateful_crawl_delta,
     stateful_first_seen,
+    stream_events,
     stream_pages,
+    streaming_sessions,
     windowed_mention_rates,
 )
 
@@ -10,6 +12,8 @@ __all__ = [
     "incremental_kg",
     "stateful_crawl_delta",
     "stateful_first_seen",
+    "stream_events",
     "stream_pages",
+    "streaming_sessions",
     "windowed_mention_rates",
 ]

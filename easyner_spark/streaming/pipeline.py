@@ -55,6 +55,46 @@ def stream_pages(
     return reader.parquet(pages_dir)
 
 
+def stream_events(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over an event-log landing directory (parquet files of
+    EVENTS shape). Schema is pinned — no streaming inference."""
+    from easyner_spark.schemas import EVENTS
+
+    reader = spark.readStream.schema(EVENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(events_dir)
+
+
+def streaming_sessions(
+    events_stream: DataFrame,
+    gap: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming gap sessionization: the BATCH operator
+    (`operators/events.sessionize`, a session_window groupBy) applied
+    unchanged to a stream — session_window is Spark's one aggregation
+    whose state can MERGE entries, so late events extend or join
+    sessions across micro-batches with no custom state code.
+
+    `watermark` bounds state (sessions whose end falls behind
+    max(ts) - watermark finalize and emit in append mode); None runs
+    unbounded (complete/update modes — fine for tests and bounded
+    replays, not for an infinite stream). Parity with the batch twin is
+    pinned in test_streaming; the value-level oracle is the batch
+    `sessionize` driver query."""
+    from easyner_spark.operators.events import SESSION_GAP, sessionize
+
+    s = events_stream
+    if watermark is not None:
+        s = s.withWatermark("ts", watermark)
+    return sessionize(s, gap=gap if gap is not None else SESSION_GAP)
+
+
 def windowed_mention_rates(
     pages_stream: DataFrame,
     terms: list[tuple[str, str | None]],

@@ -270,3 +270,59 @@ class TestStatefulCrawlDelta:
             for r in spark.read.parquet(str(tmp_path / "out2")).collect()
         }
         assert got == {t: ("new", 0), t + dt.timedelta(hours=1): ("changed", 2)}
+
+
+class TestStreamingSessions:
+    def test_complete_mode_matches_batch(self, spark, tmp_path):
+        """The batch sessionize operator applied to readStream: session
+        merging across micro-batches (maxFilesPerTrigger=1 forces the
+        two waves into separate batches, so user 1's session spanning
+        the wave boundary exercises the session-merge state path)."""
+        from datetime import datetime, timedelta
+
+        from easyner_spark.operators.events import sessionize
+        from easyner_spark.schemas import EVENTS
+        from easyner_spark.streaming import stream_events, streaming_sessions
+
+        t0 = datetime(2024, 1, 1)
+        m = timedelta(minutes=1)
+        wave1 = [
+            (0, t0, 1, "view", 1.0, "{}"),
+            (1, t0 + 10 * m, 1, "click", 2.0, "{}"),
+            (2, t0 + 5 * m, 2, "view", 3.0, "{}"),
+        ]
+        # user 1's event at +25 min continues the wave-1 session;
+        # +120 min starts a new one
+        wave2 = [
+            (3, t0 + 25 * m, 1, "view", 4.0, "{}"),
+            (4, t0 + 120 * m, 1, "view", 5.0, "{}"),
+        ]
+        events_dir = str(tmp_path / "events")
+        os.makedirs(events_dir)
+        df1 = spark.createDataFrame(wave1, EVENTS)
+        df2 = spark.createDataFrame(wave2, EVENTS)
+        df1.coalesce(1).write.mode("append").parquet(events_dir)
+        df2.coalesce(1).write.mode("append").parquet(events_dir)
+
+        q = (
+            streaming_sessions(
+                stream_events(spark, events_dir, max_files_per_trigger=1)
+            )
+            .writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        cols = ["user_id", "session_start_us", "session_end_us",
+                "n_events", "value_cents"]
+        got = sorted(tuple(r[c] for c in cols)
+                     for r in spark.table("sessions").collect())
+        want = sorted(tuple(r[c] for c in cols)
+                      for r in sessionize(df1.unionByName(df2)).collect())
+        assert got == want
+        # the cross-wave merge really happened: user 1 has exactly two
+        # sessions, the first with 3 events
+        u1 = [t for t in got if t[0] == 1]
+        assert len(u1) == 2 and u1[0][3] == 3
