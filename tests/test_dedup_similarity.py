@@ -775,6 +775,23 @@ class TestDecontaminate:
     def test_broadcast_off_same_values(self, spark):
         assert self._run(spark) == self._run(spark, broadcast_bench=False)
 
+    def test_scale_plan_shape(self, spark):
+        # bench grams broadcast; the corpus side pays ONE hash shuffle
+        # (the per-doc rollup) — bench-side distinct is the only other
+        # exchange and it is on the small side
+        from easyner_spark.operators.dedup import decontaminate
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        bench = spark.createDataFrame(self.BENCH, "doc_id long, text string")
+        df = decontaminate(docs, bench)
+        df.collect()
+        plan = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert plan.count("BroadcastExchange") == 1
+        assert plan.count("Exchange hashpartitioning") <= 2
+
 
 class TestPiiRedact:
     """Sequential email -> IPv4 -> phone scrub; counts are per-stage so
