@@ -2323,7 +2323,7 @@ FROM s3
     sessionize_sql = """
 WITH ev AS (
   SELECT user_id, epoch_us(ts) AS ts_us, round(value * 100)::BIGINT AS cents
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev FROM ev),
 f AS (SELECT *, (prev IS NULL OR ts_us - prev > 1800000000)::INT AS new_s FROM l),
@@ -2357,7 +2357,8 @@ SELECT event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
        sum(round(value * 100)::BIGINT)::BIGINT AS value_cents,
-       sum(CAST(CAST(props AS JSON)->>'k' AS BIGINT))::BIGINT AS k_sum
+       -- TRY_CASTs mirror from_json's malformed -> null -> sum-ignored
+       sum(TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT))::BIGINT AS k_sum
 FROM events GROUP BY event_type
 """
     extra = {

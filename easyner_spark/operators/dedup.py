@@ -45,6 +45,13 @@ def _words(text_col: str) -> Column:
     return F.expr(f"regexp_extract_all(lower({text_col}), r'{WORD_RE}', 0)")
 
 
+def _content_hash(text_col: str) -> Column:
+    """The engine-wide content-hash contract: sha256 over the utf-8
+    bytes. Every dedup path and every DuckDB oracle (sha256(text))
+    must share this exact expression — edit here only."""
+    return F.sha2(F.col(text_col).cast("binary"), 256)
+
+
 def _shingles_of(toks: Column, k: int) -> Column:
     """Distinct, sorted word k-shingles over a token-array column."""
     grams = F.transform(
@@ -87,7 +94,7 @@ def shingle_df(
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, content_hash, canonical_id, is_dup): canonical = min id per
     sha256(text) group. One shuffle on the uniform hash key."""
-    h = F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash")
+    h = _content_hash(text_col).alias("content_hash")
     w = Window.partitionBy("content_hash")
     return (
         docs.select(F.col(id_col), h)
@@ -99,7 +106,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content clusters with >1 member: (content_hash, canonical_id, dup_count)."""
     return (
-        docs.groupBy(F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash"))
+        docs.groupBy(_content_hash(text_col).alias("content_hash"))
         .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("dup_count"))
         .where(F.col("dup_count") > 1)
     )
@@ -451,6 +458,7 @@ def incremental_new_docs(
     use_bloom: bool = True,
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
+    prebuilt_bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Which documents of a NEW crawl batch are genuinely novel against
     a SEEN corpus? Returns (id, content_hash): one row per novel
@@ -467,23 +475,32 @@ def incremental_new_docs(
     is exactly the anti-join's (Bloom false positives are re-checked,
     so the filter changes cost, never values — the oracle pins this).
     In production the Bloom words table persists next to the corpus
-    snapshot and is incrementally OR-merged per epoch; pair with a
+    snapshot and is incrementally OR-merged per epoch — pass it back in
+    via `prebuilt_bloom` (built with the SAME m_bits/k) and the seen
+    corpus is scanned only for the residual anti-join, not to rebuild
+    the filter; pair with a
     bucketed seen table (sinks/bucketed.py) to make the residual
     anti-join zero-exchange. Spark's runtime bloom-filter join
     (spark.sql.optimizer.runtime.bloomFilter.enabled) covers the same
     idea planner-side but only below size thresholds; this operator
     makes the semi-structure explicit and reusable across batches."""
     canon = (
-        new.groupBy(F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash"))
+        new.groupBy(_content_hash(text_col).alias("content_hash"))
         .agg(F.min(id_col).alias("id"))
         .select("id", "content_hash")
     )
-    seen_h = seen.select(
-        F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash")
-    )
+    seen_h = seen.select(_content_hash(text_col).alias("content_hash"))
     if not use_bloom:
-        return canon.join(seen_h, "content_hash", "left_anti")
-    bloom = bloom_build(seen_h, "content_hash", m_bits, k)
+        # same column order as the bloom path (a using-join moves the
+        # key first): the flag must never change the output shape
+        return canon.join(seen_h, "content_hash", "left_anti").select(
+            "id", "content_hash"
+        )
+    bloom = (
+        prebuilt_bloom
+        if prebuilt_bloom is not None
+        else bloom_build(seen_h, "content_hash", m_bits, k)
+    )
     probes = canon.select(
         "id",
         "content_hash",

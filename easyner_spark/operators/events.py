@@ -82,7 +82,11 @@ def sessionize(
     is a single pathological user, which is bounded by that user's own
     row count (sessions never cross users)."""
     return (
-        events.groupBy(user_col, F.session_window(ts_col, gap).alias("w"))
+        # session_window silently drops null timestamps; filter them
+        # explicitly so the contract is visible and the lag-island
+        # oracle (WHERE ts IS NOT NULL) states the same rule
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(user_col, F.session_window(ts_col, gap).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(_cents(value_col)).alias("value_cents"),
@@ -120,8 +124,12 @@ def asof_join(
     forward, then keep only left rows. One shuffle on `key`, each
     partition a single sort — survives 100x data like any
     per-key-sorted agg. Ties: right sorts before left at equal ts
-    (side 0 < 1), and `tiebreak` (a unique right column) makes the
-    winner among equal-ts right rows deterministic (the largest)."""
+    (side 0 < 1), and `tiebreak` (a unique right column, compared in
+    its native type) makes the winner among equal-ts right rows
+    deterministic (the largest). Null-timestamp right rows are dropped
+    (a null ts can never be "at or before" anything — without the
+    filter it would sort first and shadow-match every left row);
+    null-ts left rows pass through with a null match."""
     lcols = left.columns
     rpay = F.struct(*[F.col(c) for c in right_cols]).alias("_rpay")
     null_rpay = F.lit(None).cast(
@@ -131,15 +139,15 @@ def asof_join(
         F.col(key).alias("_k"),
         ts_micros(ts_col).alias("_ts_us"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_tb"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tb"),
         null_rpay,
         F.struct(*[F.col(c) for c in lcols]).alias("_lpay"),
     )
-    r_tag = right.select(
+    r_tag = right.where(F.col(ts_col).isNotNull()).select(
         F.col(key).alias("_k"),
         ts_micros(ts_col).alias("_ts_us"),
         F.lit(0).alias("_side"),
-        F.col(tiebreak).cast("long").alias("_tb"),
+        F.col(tiebreak).alias("_tb"),
         rpay,
         F.lit(None).cast(l_tag.schema["_lpay"].dataType.simpleString()).alias("_lpay"),
     )

@@ -732,6 +732,25 @@ class TestIncrementalDedup:
             for p in row["ps"]:
                 assert (words.get(p["w"], 0) >> p["b"]) & 1 == 1, row["content_hash"]
 
+    def test_column_order_and_prebuilt_bloom(self, spark):
+        from easyner_spark.operators.dedup import (
+            bloom_build, incremental_new_docs,
+        )
+
+        new, seen = self._frames(spark)
+        a = incremental_new_docs(new, seen, use_bloom=True)
+        b = incremental_new_docs(new, seen, use_bloom=False)
+        assert a.columns == b.columns == ["id", "content_hash"]
+        # a caller-persisted filter must reproduce the rebuilt one
+        from pyspark.sql import functions as F
+        seen_h = seen.select(
+            F.sha2(F.col("text").cast("binary"), 256).alias("content_hash")
+        )
+        pre = bloom_build(seen_h, "content_hash")
+        c = incremental_new_docs(new, seen, prebuilt_bloom=pre)
+        assert sorted(r["id"] for r in c.collect()) == \
+            sorted(r["id"] for r in a.collect())
+
 
 class TestDecontaminate:
     """Benchmark n-gram overlap: bench-identical docs score 1.0, partial

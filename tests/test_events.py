@@ -59,6 +59,17 @@ class TestSessionize:
         rows = [(1, _ts(0), 1.0), (1, T0 + timedelta(minutes=30, microseconds=1), 1.0)]
         assert len(self._run(spark, rows)) == 2
 
+    def test_null_ts_dropped(self, spark):
+        from easyner_spark.operators.events import sessionize
+
+        df = spark.createDataFrame(
+            [(1, None, 5.0), (1, _ts(0), 2.0)],
+            "user_id long, ts timestamp_ntz, value double",
+        )
+        got = sessionize(df).collect()
+        assert len(got) == 1
+        assert got[0]["n_events"] == 1 and got[0]["value_cents"] == 200
+
     def test_single_shuffle_plan(self, spark):
         from easyner_spark.operators.events import sessionize
 
@@ -95,6 +106,26 @@ class TestAsofJoin:
         # click at the view's exact ts matches; among equal-ts clicks
         # the largest event_id wins deterministically
         assert got[10] == (101, _ts(5))
+
+    def test_null_ts_right_never_matches(self, spark):
+        # a null-ts click must not shadow-match (it would sort first in
+        # the window without the explicit filter)
+        views = [(10, 1, _ts(10))]
+        clicks = [(100, 1, None), (90, 1, _ts(1))]
+        assert self._run(spark, views, clicks)[10] == (90, _ts(1))
+
+    def test_string_tiebreak_native_type(self, spark):
+        # tiebreak column keeps its native type: a string id must still
+        # resolve equal-ts ties deterministically (largest string wins)
+        from easyner_spark.operators.events import asof_join
+
+        schema = "event_id string, user_id long, ts timestamp_ntz"
+        v = spark.createDataFrame([("v1", 1, _ts(5))], schema)
+        c = spark.createDataFrame(
+            [("ca", 1, _ts(5)), ("cb", 1, _ts(5))], schema
+        )
+        row = asof_join(v, c).collect()[0]
+        assert row["event_id_right"] == "cb"
 
     def test_key_isolation(self, spark):
         views = [(10, 1, _ts(10))]
