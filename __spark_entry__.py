@@ -1053,6 +1053,19 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_rollup(_events(spark, sf_dir))
 
 
+BM25_TERMS = ("spark", "join", "vector")
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of a fixed 3-term query over documents —
+    zero data-keyed shuffles (per-doc tf projection + one broadcast
+    1-row stats aggregate); oracle generated by the operator's own
+    bm25_oracle_sql so both float expression trees stay in lockstep."""
+    from easyner_spark.operators.ranking import bm25_rank
+
+    return bm25_rank(_docs(spark, sf_dir), BM25_TERMS)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easyner_spark.operators.dedup import exact_dedup
 
@@ -1521,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "event_rollup": q_event_rollup,
+        "bm25_rank": q_bm25_rank,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2275,6 +2289,7 @@ it{t} AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from easyner_spark.operators.ranking import bm25_oracle_sql
     from easyner_spark.operators.textstats import (
         PII_EMAIL_RE,
         PII_IPV4_RE,
@@ -2368,6 +2383,7 @@ FROM events GROUP BY event_type
         "sessionize": sessionize_sql,
         "asof_join": asof_sql,
         "event_rollup": rollup_sql,
+        "bm25_rank": bm25_oracle_sql(BM25_TERMS),
         "media_meta": _MEDIA_META_SQL,
         "media_meta_headers": """
 WITH m AS (

@@ -21,8 +21,9 @@ these cover the time-series surface Spark users expect:
     out of ``props`` with ``from_json`` (semi-structured columns stay
     JVM-side; no Python JSON parsing).
 
-Determinism contract: timestamps are compared as ``unix_micros`` BIGINT
-(no float time arithmetic), money-like doubles are summed as
+Determinism contract: timestamps are compared as micros-since-epoch
+BIGINT (``ts_micros`` — tz-proof NTZ wall-clock arithmetic, no float
+time math), money-like doubles are summed as
 ``round(value*100)`` cent BIGINTs (double sums reorder under
 parallelism; integer sums do not), and every window order has a total
 tiebreak, so the DuckDB oracle reproduces results bit-for-bit.

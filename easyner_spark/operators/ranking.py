@@ -1,0 +1,145 @@
+"""BM25 relevance ranking over a document corpus.
+
+Extends the reference's entity search (scripts/search_sentence.py —
+boolean term containment) with the standard relevance-scored variant a
+corpus-exploration UI needs: given a small set of query terms, score
+every document with Okapi BM25 and rank.
+
+Scale shape — the naive formulation (explode words → per-(doc, term)
+tf table → join a vocabulary-wide df table) shuffles the full postings
+list and hits stopword-term skew. Because the QUERY terms are known at
+plan time (a handful), none of that is needed:
+
+  1. one narrow projection computes, per document, its length and one
+     tf counter per query term (array built-ins, no explode, no
+     Python);
+  2. ONE global 1-row aggregate (count, avgdl, per-term df) broadcast
+     back via cross join — O(|terms|) numbers, never a vocab table;
+  3. the score is a pure per-row projection; optional top-k is a
+     TakeOrderedAndProject.
+
+So the whole ranking costs one scan + one scalar aggregate — no
+doc-keyed or term-keyed shuffle at all, at any corpus size.
+
+Determinism contract: tf/df/dl are exact integers; avgdl is one exact
+long/long division; the only libm call is ln() (<=1 ulp across
+engines) and every float expression is written with the same
+parenthesization as the DuckDB oracle, so round(score, 6) is
+bit-stable (same recipe as operators/graph.pmi_edges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from easyner_spark.operators.textstats import WORD_RE
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _words(text_col: str) -> Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), r'{WORD_RE}', 0)")
+
+
+def _term_count(words: Column, term: str) -> Column:
+    # close over the plain string (a second lambda param would be
+    # bound by Spark to the ARRAY INDEX — the documented bug class)
+    return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """(id, dl, score): Okapi BM25 of `terms` against every document,
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5)) (the non-negative "+1"
+    variant), score rounded to 6 decimals. `top_k` additionally sorts
+    (score desc, id) and truncates — a TakeOrderedAndProject, never a
+    global sort. Lowercase word tokenization matches the dedup /
+    textstats modules (`\\w+` on lower(text)); pass lowercase terms.
+    """
+    if not terms:
+        raise ValueError("bm25_rank needs at least one query term")
+    toks = docs.select(F.col(id_col).alias("id"), _words(text_col).alias("_w"))
+    per = toks.select(
+        "id",
+        F.size("_w").alias("dl"),
+        *[_term_count(F.col("_w"), t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = per.crossJoin(F.broadcast(stats))
+    # literals precomputed in Python and injected IDENTICALLY into the
+    # oracle SQL (k1 + 1 evaluated engine-side need not bit-match the
+    # 2.2 literal)
+    k1p1 = k1 + 1.0
+    onemb = 1.0 - b
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}")
+        df = F.col(f"_df{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("_n") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        part = idf * (
+            (tf * F.lit(k1p1))
+            / (tf + F.lit(k1) * (F.lit(onemb) + F.lit(b) * (F.col("dl") / F.col("_avgdl"))))
+        )
+        score = part if score is None else score + part
+    out = joined.select("id", "dl", F.round(score, 6).alias("score"))
+    if top_k is not None:
+        out = out.orderBy(F.col("score").desc(), "id").limit(top_k)
+    return out
+
+
+def bm25_oracle_sql(
+    terms: tuple[str, ...],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    source: str = "documents",
+) -> str:
+    """The DuckDB twin of :func:`bm25_rank` (kept next to the operator
+    so the float expression shapes stay in lockstep)."""
+    tf_cols = ",\n  ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ",\n  ".join(
+        f"sum((tf{i} > 0)::INT)::BIGINT AS df{i}" for i in range(len(terms))
+    )
+    k1p1 = k1 + 1.0
+    onemb = 1.0 - b
+    parts = " + ".join(
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * "
+        f"((tf{i} * {k1p1!r}) / (tf{i} + {k1!r} * ({onemb!r} + {b!r} * (dl / avgdl))))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS w FROM {source}
+),
+per AS (
+  SELECT id, len(w) AS dl,
+  {tf_cols}
+  FROM toks
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+  {df_cols}
+  FROM per
+)
+SELECT id, dl, round({parts}, 6) AS score
+FROM per, stats
+"""

@@ -125,3 +125,53 @@ def test_token_budget_strategies_random(spark, rows, budget):
             break
         want[i] = acc
     assert dist == win == want
+
+
+# ---------------------------------------------------------------------------
+# asof_join vs a brute-force per-row reference
+# ---------------------------------------------------------------------------
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),     # user (few keys -> ties)
+        st.integers(min_value=0, max_value=20),    # ts minute (dense -> ties)
+        st.booleans(),                             # is_view
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def py_asof(views, clicks):
+    """Contract reference: per view, the click with the same key, max
+    (ts, event_id) among clicks with ts <= view ts."""
+    out = {}
+    for vid, vu, vt in views:
+        cands = [(ct, cid) for cid, cu, ct in clicks if cu == vu and ct <= vt]
+        out[vid] = max(cands)[1] if cands else None
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(asof_events)
+def test_asof_join_random_events(spark, events):
+    from datetime import datetime, timedelta
+
+    from easyner_spark.operators.events import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    views, clicks = [], []
+    for i, (user, minute, is_view) in enumerate(events):
+        (views if is_view else clicks).append((i, user, minute))
+    if not views:
+        views = [(len(events), 1, 0)]
+    schema = "event_id long, user_id long, ts timestamp_ntz"
+    v = spark.createDataFrame(
+        [(i, u, t0 + timedelta(minutes=m)) for i, u, m in views], schema
+    )
+    c_rows = [(i, u, t0 + timedelta(minutes=m)) for i, u, m in clicks]
+    c = spark.createDataFrame(c_rows, schema) if c_rows else \
+        spark.createDataFrame([], schema)
+    got = {r["event_id"]: r["event_id_right"]
+           for r in asof_join(v, c).collect()}
+    assert got == py_asof(views, clicks)
