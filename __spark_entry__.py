@@ -430,6 +430,32 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental component-map maintenance: the triples graph is
+    split by sent_idx parity into an OLD graph (even — its component
+    map is computed first, standing in for the persisted map of all
+    prior crawl epochs) and a NEW edge batch (odd); the operator folds
+    the batch into the map WITHOUT the old edge list. The oracle is
+    the full-graph closure — the incremental contract is exact
+    equality with a full recompute."""
+    from easyner_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    t = q_triples(spark, sf_dir)
+    old = t.where(F.col("sent_idx") % 2 == 0).select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    new = t.where(F.col("sent_idx") % 2 == 1).select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    mapping = connected_components(old, local_finish_edges=0)
+    return incremental_components(mapping, new, local_finish_edges=0).select(
+        "node", "component"
+    )
+
+
 def q_kg_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI/NPMI edge weighting over sentence-level entity co-occurrence
     (beyond-reference KG edge scoring; reference analog is the raw pair
@@ -1509,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_occurrence": q_co_occurrence,
         "error_regions": q_error_regions,
         "components": q_components,
+        "incremental_components": q_incremental_components,
         "kg_pmi": q_kg_pmi,
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
@@ -2288,6 +2315,22 @@ it{t} AS (
     return "".join(parts)
 
 
+# min-label reachability closure over the co-occurrence triple graph —
+# shared by the `components` oracle and (identically, by the
+# incremental contract) `incremental_components`.
+_COMPONENTS_ORACLE = _PRELUDE.replace("WITH sent0", "WITH RECURSIVE sent0", 1) + """
+, cc_edges AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM triples),
+cc_sym AS (SELECT a, b FROM cc_edges UNION SELECT b, a FROM cc_edges),
+cc_nodes AS (SELECT DISTINCT a AS node FROM cc_sym),
+reach(node, lbl) AS (
+  SELECT node, node FROM cc_nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN cc_sym e ON r.node = e.a
+)
+SELECT node, min(lbl) AS component FROM reach GROUP BY node
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.ranking import bm25_oracle_sql
     from easyner_spark.operators.textstats import (
@@ -2778,18 +2821,12 @@ SELECT r.doc_id, r.sent_idx::BIGINT AS sent_idx,
 FROM rc r JOIN final f ON r.doc_id = f.doc_id AND r.sent_idx = f.sent_idx
 WHERE ((f.mask >> r.idx) & 1) = 1
 """,
-        "components": _PRELUDE.replace("WITH sent0", "WITH RECURSIVE sent0", 1)
-        + """
-, cc_edges AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM triples),
-cc_sym AS (SELECT a, b FROM cc_edges UNION SELECT b, a FROM cc_edges),
-cc_nodes AS (SELECT DISTINCT a AS node FROM cc_sym),
-reach(node, lbl) AS (
-  SELECT node, node FROM cc_nodes
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN cc_sym e ON r.node = e.a
-)
-SELECT node, min(lbl) AS component FROM reach GROUP BY node
-""",
+        "components": _COMPONENTS_ORACLE,
+        # the incremental contract IS "equal to the full recompute":
+        # incremental_components(cc(G1), E2) == cc(G1 ∪ E2), and the
+        # Spark query splits triples edges into G1/E2 by sent_idx
+        # parity — so the oracle is literally the full-graph closure
+        "incremental_components": _COMPONENTS_ORACLE,
         # PMI over sentence-level entity co-occurrence: counts cast to
         # double BEFORE arithmetic (exact), one libm ln() per output,
         # round(6) — mirrors operators/graph.edge_pmi op-for-op

@@ -194,3 +194,47 @@ def alias_component_nodes(alias: DataFrame) -> DataFrame:
         F.concat(F.lit("id:"), F.col("ID")).alias("dst"),
     )
     return connected_components(edges)
+
+
+def incremental_components(
+    mapping: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    **cc_kwargs,
+) -> DataFrame:
+    """Maintain a component map under a NEW batch of edges without the
+    old graph: given a valid (node, component) map of graph G1 and the
+    batch E2, returns the (node, component) map of G1 ∪ E2.
+
+    Correctness: the map rows are a spanning STAR of every old
+    component (each node is connected to its label, and labels are
+    real nodes), so cc(star(M) ∪ E2) has exactly the connectivity of
+    cc(G1 ∪ E2); labels stay "min node id of the component" because
+    every old node appears in the star.
+
+    This is the incremental-KG maintenance step the north rule's
+    resumable pipeline needs: per crawl epoch, the entity-merge map is
+    updated from the persisted map + the epoch's new alias/co-occurrence
+    edges — the full historical edge list is never re-read or
+    re-shuffled. Cost: the star is one edge per known node and is
+    ALREADY contracted (depth 1), so the alternating-star rounds
+    converge in one or two rounds plus whatever the delta requires,
+    instead of the full graph's O(log n); nodes untouched by E2 ride
+    through as already-canonical pointers. Output covers the union of
+    both node universes (old singletons survive via their self-star,
+    which edge canonicalization drops, hence the map left-join)."""
+    star = mapping.select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    delta = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    merged = connected_components(star.unionByName(delta), **cc_kwargs)
+    universe = (
+        mapping.select("node")
+        .unionByName(delta.select(F.col("src").alias("node")))
+        .unionByName(delta.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return universe.join(merged, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )

@@ -86,3 +86,48 @@ def test_alias_graph_components(spark, fx):
 def test_empty_and_selfloop(spark):
     df = spark.createDataFrame([("a", "a")], "src string, dst string")
     assert connected_components(df).count() == 0
+
+
+class TestIncrementalComponents:
+    def _inc(self, spark, old_edges, new_edges, **kw):
+        from easyner_spark.operators.components import (
+            connected_components,
+            incremental_components,
+        )
+
+        schema = "src string, dst string"
+        mapping = connected_components(
+            spark.createDataFrame(old_edges, schema)
+        )
+        return {
+            r["node"]: r["component"]
+            for r in incremental_components(
+                mapping, spark.createDataFrame(new_edges, schema), **kw
+            ).collect()
+        }
+
+    def test_bridge_merges_and_singletons_survive(self, spark):
+        # old: {a,b} and {c,d} components; new edge b-c merges them;
+        # old component {e,f} untouched by the delta must survive, and
+        # the delta introduces brand-new nodes {x,y}
+        got = self._inc(
+            spark,
+            [("a", "b"), ("c", "d"), ("e", "f")],
+            [("b", "c"), ("x", "y")],
+        )
+        assert got["a"] == got["b"] == got["c"] == got["d"] == "a"
+        assert got["e"] == got["f"] == "e"
+        assert got["x"] == got["y"] == "x"
+        assert set(got) == {"a", "b", "c", "d", "e", "f", "x", "y"}
+
+    def test_random_equals_full_recompute(self, spark):
+        # the contract: incremental(cc(G1), E2) == cc(G1 ∪ E2), pinned
+        # against the union-find oracle on random splits
+        rng = random.Random(7)
+        nodes = [f"v{i:02d}" for i in range(30)]
+        all_edges = [tuple(rng.sample(nodes, 2)) for _ in range(40)]
+        for cut in (0, 13, 40):
+            old, new = all_edges[:cut], all_edges[cut:]
+            got = self._inc(spark, old, new)
+            want = union_find_components(all_edges)
+            assert got == want, f"cut={cut}"
