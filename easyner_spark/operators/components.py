@@ -227,7 +227,13 @@ def incremental_components(
     star = mapping.select(
         F.col("node").alias("src"), F.col("component").alias("dst")
     )
-    delta = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # self-loops carry no connectivity and full cc() drops them during
+    # edge canonicalization — filter them BEFORE the universe union or
+    # a self-loop-only node in the delta would appear here but not in
+    # a full recompute (exact-equality contract)
+    delta = new_edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
     merged = connected_components(star.unionByName(delta), **cc_kwargs)
     universe = (
         mapping.select("node")

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from easyner_spark.operators.textstats import WORD_RE
+from easyner_spark.operators.textstats import words_array
 
 N_HASHES = 12
 BAND_ROWS = 3            # 12 hashes -> 4 bands of 3
@@ -39,10 +39,6 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4        # 4 bands of 8 bits
 BLOOM_M_BITS = 1 << 20   # 1 Mi bits = 16,384 64-bit words (~128 KB broadcast)
 BLOOM_K = 5
-
-
-def _words(text_col: str) -> Column:
-    return F.expr(f"regexp_extract_all(lower({text_col}), r'{WORD_RE}', 0)")
 
 
 def _content_hash(text_col: str) -> Column:
@@ -75,7 +71,7 @@ def shingle_set(text_col: str = "text", k: int = 3) -> Column:
     evaluated once per row (measured 150x on the signature path —
     Catalyst's CollapseProject keeps the boundaries because the
     producing expressions are non-cheap and multiply referenced)."""
-    return _shingles_of(_words(text_col), k)
+    return _shingles_of(words_array(text_col), k)
 
 
 def shingle_df(
@@ -83,7 +79,7 @@ def shingle_df(
 ) -> DataFrame:
     """(id, sh) with tokenization and shingling each evaluated ONCE per
     row: two stacked projections that Catalyst keeps separate."""
-    toks_df = docs.select(F.col(id_col).alias("id"), _words(text_col).alias("_toks"))
+    toks_df = docs.select(F.col(id_col).alias("id"), words_array(text_col).alias("_toks"))
     return toks_df.select("id", _shingles_of(F.col("_toks"), k).alias("sh"))
 
 
@@ -281,7 +277,7 @@ def simhash(
     sums), both shuffling on doc id — no skew beyond document size.
     """
     toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("tok")
+        F.col(id_col).alias("id"), F.explode(words_array(text_col)).alias("tok")
     )
     cnt = toks.groupBy("id", "tok").agg(F.count("*").alias("cnt"))
     h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast("bigint")

@@ -18,8 +18,10 @@ plan time (a handful), none of that is needed:
   3. the score is a pure per-row projection; optional top-k is a
      TakeOrderedAndProject.
 
-So the whole ranking costs one scan + one scalar aggregate — no
-doc-keyed or term-keyed shuffle at all, at any corpus size.
+So the whole ranking costs ONE corpus scan (the narrow per-doc
+counter frame is localCheckpoint-ed so the stats aggregate and the
+score projection share it) + one scalar aggregate — no doc-keyed or
+term-keyed shuffle at all, at any corpus size.
 
 Determinism contract: tf/df/dl are exact integers; avgdl is one exact
 long/long division; the only libm call is ln() (<=1 ulp across
@@ -30,17 +32,28 @@ bit-stable (same recipe as operators/graph.pmi_edges).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from easyner_spark.operators.textstats import WORD_RE
+from easyner_spark.operators.textstats import words_array
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+_TERM_RE = re.compile(r"[a-z0-9_]+\Z")
 
 
-def _words(text_col: str) -> Column:
-    return F.expr(f"regexp_extract_all(lower({text_col}), r'{WORD_RE}', 0)")
+def _check_terms(terms: tuple[str, ...]) -> None:
+    """Terms must be single lowercase word tokens: anything else can
+    never match the \\w+ lowercased tokenizer output (so a quoted or
+    uppercase term would silently score 0 — and raw interpolation into
+    the oracle's SQL literals would be unsafe)."""
+    if not terms:
+        raise ValueError("bm25 needs at least one query term")
+    bad = [t for t in terms if not _TERM_RE.match(t)]
+    if bad:
+        raise ValueError(f"bm25 terms must be lowercase word tokens: {bad}")
 
 
 def _term_count(words: Column, term: str) -> Column:
@@ -65,14 +78,19 @@ def bm25_rank(
     global sort. Lowercase word tokenization matches the dedup /
     textstats modules (`\\w+` on lower(text)); pass lowercase terms.
     """
-    if not terms:
-        raise ValueError("bm25_rank needs at least one query term")
-    toks = docs.select(F.col(id_col).alias("id"), _words(text_col).alias("_w"))
+    _check_terms(terms)
+    toks = docs.select(F.col(id_col).alias("id"), words_array(text_col).alias("_w"))
     per = toks.select(
         "id",
         F.size("_w").alias("dl"),
         *[_term_count(F.col("_w"), t).alias(f"_tf{i}") for i, t in enumerate(terms)],
     )
+    # the stats aggregate AND the scored output both consume `per`;
+    # without a materialization the scan + tokenization would run
+    # twice. localCheckpoint keeps it one corpus pass — the
+    # checkpointed frame is narrow (id + a few ints), the same
+    # bounded-materialization class as components' per-round state.
+    per = per.localCheckpoint(eager=True)
     stats = per.agg(
         F.count(F.lit(1)).alias("_n"),
         F.avg("dl").alias("_avgdl"),
@@ -112,7 +130,10 @@ def bm25_oracle_sql(
     source: str = "documents",
 ) -> str:
     """The DuckDB twin of :func:`bm25_rank` (kept next to the operator
-    so the float expression shapes stay in lockstep)."""
+    so the float expression shapes stay in lockstep). Terms pass the
+    same lowercase-word-token gate, so the SQL literal interpolation
+    below cannot be escaped out of."""
+    _check_terms(terms)
     tf_cols = ",\n  ".join(
         f"len(list_filter(w, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms)
     )

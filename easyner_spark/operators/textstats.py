@@ -46,8 +46,15 @@ FINGERPRINT_K = 8  # char-shingle width for the rolling fingerprint
 STOPWORDS_EN = LANG_MARKERS["en"]
 
 
-def _words(text_col: str) -> Column:
+def words_array(text_col: str) -> Column:
+    """THE engine-wide word tokenizer (lowercased \\w+ extraction) —
+    every operator module and every DuckDB oracle that mirrors it
+    (regexp_extract_all(lower(text), '\\w+')) shares this expression;
+    edit here only."""
     return F.expr(f"regexp_extract_all(lower({text_col}), r'{WORD_RE}', 0)")
+
+
+_words = words_array
 
 
 def _marker_hits(words: Column, markers: tuple[str, ...]) -> Column:

@@ -131,3 +131,9 @@ class TestIncrementalComponents:
             got = self._inc(spark, old, new)
             want = union_find_components(all_edges)
             assert got == want, f"cut={cut}"
+
+    def test_selfloop_delta_matches_full_recompute(self, spark):
+        # a self-loop-only node in the delta must NOT appear (full
+        # recompute drops self-loops during canonicalization)
+        got = self._inc(spark, [("a", "b")], [("x", "x")])
+        assert got == {"a": "a", "b": "a"}
