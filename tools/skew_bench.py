@@ -301,6 +301,82 @@ def main() -> None:
                 }
             )
         )
+    if os.environ.get("SKEW_TIER", "all") in ("all", "events"):
+        # hot-user sessionization: ONE user owns ~30% of all events
+        # (a bot/crawler identity). Both formulations shuffle once on
+        # user_id; the question is whether session_window's merging
+        # aggregate or the lag+cumsum window pair degrades worse when
+        # one partition holds 30% of the rows.
+        from pyspark.sql.window import Window
+
+        from easyner_spark.operators.events import (
+            SESSION_GAP_US,
+            sessionize,
+            ts_micros,
+        )
+
+        n_events = int(os.environ.get("SKEW_EVENTS", "2000000"))
+        ev_path = f"/tmp/easyner_skew_events_{n_events}.parquet"
+        if not os.path.exists(os.path.join(ev_path, "_SUCCESS")):
+            base = spark.range(n_events).select(
+                F.col("id").alias("event_id"),
+                F.when(
+                    F.pmod(F.xxhash64("id"), F.lit(10)) < 3, F.lit(0)
+                ).otherwise(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100000)))
+                .alias("user_id"),
+                F.timestamp_micros(
+                    F.lit(1704067200000000)
+                    + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(86400_000_000 * 30))
+                ).alias("ts"),
+                (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10000)) / 100.0)
+                .alias("value"),
+            )
+            base.write.mode("overwrite").parquet(ev_path)
+        ev = spark.read.parquet(ev_path)
+
+        def sess_lag():
+            # the oracle's island formulation as a Spark plan: lag +
+            # running sum (two window passes over one user-keyed sort)
+            # then the rollup groupBy reusing the same partitioning
+            w = Window.partitionBy("user_id").orderBy("ts_us")
+            wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            df = ev.select(
+                "user_id",
+                ts_micros("ts").alias("ts_us"),
+                F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            )
+            df = df.withColumn(
+                "new_s",
+                (
+                    F.lag("ts_us").over(w).isNull()
+                    | (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US)
+                ).cast("int"),
+            ).withColumn("sidx", F.sum("new_s").over(wrun))
+            return df.groupBy("user_id", "sidx").agg(
+                F.min("ts_us").alias("session_start_us"),
+                (F.max("ts_us") + SESSION_GAP_US).alias("session_end_us"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("value_cents"),
+            )
+
+        ev_results = timed_all(
+            {
+                "sess_window": lambda: sessionize(ev),
+                "sess_lag": sess_lag,
+            }
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "skew_stress_events",
+                    "events": n_events,
+                    "hot_share": 0.3,
+                    "cpus": cpus,
+                    "repeat": repeat,
+                    "sec": ev_results,
+                }
+            )
+        )
     spark.stop()
 
 
