@@ -197,9 +197,116 @@ def run_pipeline(spark: SparkSession, cfg: dict) -> dict[str, int]:
     return counts
 
 
+def run_curation(spark: SparkSession, cfg: dict) -> dict[str, int]:
+    """The crawl -> training-corpus pipeline (the composed job
+    bench.py measures as `crawl2corpus`, productized): recrawl
+    collapse -> boilerplate extraction -> Gopher quality gate ->
+    paragraph dedup -> optional PII scrub -> host cap + deterministic
+    sample, materialized as resumable SnapshotTables like
+    :func:`run_pipeline`. Returns {stage: row_count}.
+
+    Config (all under cfg["curation"], every key optional):
+
+        {"latest": true,                 # collapse recrawls per url
+         "gopher": {"min_words": 20},    # kwargs for gopher_filters
+         "paragraph_dedup": true,        # CCNet corpus-wide para dedup
+         "pii": false,                   # email/IP/phone scrub
+         "host_cap": 200,                # max pages per host (null = off)
+         "sample_rate": null}            # deterministic md5 gate
+    """
+    from easyner_spark.operators.textstats import gopher_filters
+    from easyner_spark.operators.webtext import latest_crawl, url_parts
+    from easyner_spark.sinks.checkpoint import SnapshotTable
+
+    out_dir = cfg.get("output_dir", "/tmp/easyner_out")
+    cur = cfg.get("curation", {})
+    resume = cfg.get("resume", True)
+    tables = {
+        "gated": SnapshotTable(f"{out_dir}/gated", ["url"]),
+        "corpus": SnapshotTable(f"{out_dir}/corpus", ["url"]),
+    }
+
+    def materialize(name: str, df_fn) -> DataFrame:
+        t = tables[name]
+        if resume and t.current_snapshot() is not None:
+            print(f"[skip] {name}: snapshot {t.current_snapshot()} exists")
+            return t.read(spark)
+        t.overwrite(df_fn())
+        return t.read(spark)
+
+    pages = spark.read.parquet(cfg["input"]["pages_path"])
+    if cur.get("latest", "warc_ts" in pages.columns) and "warc_ts" in pages.columns:
+        pages = latest_crawl(pages)
+    if cur.get("extract", "text" not in pages.columns) and "html" in pages.columns:
+        from easyner_spark.operators.boilerplate import extract_text
+
+        pages = (
+            extract_text(pages, out_col="__extracted")
+            .withColumn("text", F.col("__extracted"))
+            .drop("__extracted")
+        )
+
+    counts: dict[str, int] = {}
+
+    def gated_df() -> DataFrame:
+        g = gopher_filters(
+            pages, id_col="url", keep_cols=("text",), **cur.get("gopher", {})
+        )
+        return g.where(F.col("gopher_keep")).select("url", "text")
+
+    gated = materialize("gated", gated_df)
+    counts["gated"] = gated.count()
+
+    def corpus_df() -> DataFrame:
+        df = gated
+        if cur.get("paragraph_dedup", True):
+            from easyner_spark.operators.dedup import paragraph_dedup
+
+            df = (
+                paragraph_dedup(df, id_col="url")
+                .where(F.col("n_kept") > 0)
+                .select("url", F.col("text_dedup").alias("text"))
+            )
+        if cur.get("pii", False):
+            from easyner_spark.operators.textstats import pii_redact
+
+            df = pii_redact(df, id_col="url").select(
+                F.col("id").alias("url"),
+                F.col("text_redacted").alias("text"),
+            )
+        cap = cur.get("host_cap")
+        if cap:
+            from easyner_spark.operators.sampling import per_host_cap
+
+            with_host = url_parts(df, keep=True)
+            keep_ids = per_host_cap(
+                with_host.select("url", "host", F.length("text").alias("sz")),
+                cap=cap,
+                order_col="sz",
+                id_col="url",
+            ).select("url")
+            df = df.join(keep_ids, "url", "left_semi")
+        rate = cur.get("sample_rate")
+        if rate is not None:
+            from easyner_spark.operators.sampling import deterministic_sample
+
+            df = deterministic_sample(df, rate=rate, key="url", seed=str(cur.get("seed", "")))
+        return df
+
+    corpus = materialize("corpus", corpus_df)
+    counts["corpus"] = corpus.count()
+    return counts
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="easyner_spark.cli")
     ap.add_argument("--config", required=True)
+    ap.add_argument(
+        "--mode",
+        choices=("kg", "curate"),
+        default="kg",
+        help="kg = the reference IE/KG pipeline; curate = crawl -> training corpus",
+    )
     args = ap.parse_args(argv)
     with open(args.config, encoding="utf-8") as f:
         cfg = json.load(f)
@@ -208,7 +315,7 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark("easyner-pipeline")
     spark.sparkContext.setLogLevel("WARN")
-    counts = run_pipeline(spark, cfg)
+    counts = (run_curation if args.mode == "curate" else run_pipeline)(spark, cfg)
     print(json.dumps({"stages": counts}))
     spark.stop()
 

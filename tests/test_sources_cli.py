@@ -300,3 +300,48 @@ class TestCliRound2Stages:
         counts = run_pipeline(spark, cfg)
         assert counts["sentences"] >= 2  # two abstract sentences from pmid 101
         assert counts["mentions"] >= 1   # 'rapamycin'/'autophagy' in fixture text
+
+
+class TestCurationPipeline:
+    def _pages_path(self, spark, pages_df, tmp_path):
+        path = str(tmp_path / "pages.parquet")
+        pages_df.write.parquet(path)
+        return path
+
+    def test_curate_end_to_end_and_resume(self, spark, pages_df, tmp_path, capsys):
+        from easyner_spark.cli import run_curation
+
+        cfg = {
+            "input": {"pages_path": self._pages_path(spark, pages_df, tmp_path)},
+            "output_dir": str(tmp_path / "cur"),
+            "curation": {
+                "gopher": {"min_words": 3, "min_stop_hits": 0},
+                "pii": True,
+                "host_cap": 50,
+                "sample_rate": 0.9,
+            },
+        }
+        counts = run_curation(spark, cfg)
+        assert set(counts) == {"gated", "corpus"}
+        assert counts["gated"] > 0
+        assert 0 < counts["corpus"] <= counts["gated"]
+        # resume: both stages skip with identical counts
+        capsys.readouterr()
+        assert run_curation(spark, cfg) == counts
+        assert capsys.readouterr().out.count("[skip]") == 2
+        # the corpus table is (url, text)
+        from easyner_spark.sinks.checkpoint import SnapshotTable
+
+        corpus = SnapshotTable(f"{cfg['output_dir']}/corpus", ["url"]).read(spark)
+        assert set(corpus.columns) == {"url", "text"}
+
+    def test_curate_defaults_only(self, spark, pages_df, tmp_path):
+        from easyner_spark.cli import run_curation
+
+        cfg = {
+            "input": {"pages_path": self._pages_path(spark, pages_df, tmp_path)},
+            "output_dir": str(tmp_path / "cur2"),
+            "curation": {"gopher": {"min_words": 3, "min_stop_hits": 0}},
+        }
+        counts = run_curation(spark, cfg)
+        assert counts["corpus"] > 0
