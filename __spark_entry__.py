@@ -456,6 +456,18 @@ def q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop BFS neighborhood table over the co-occurrence triple
+    graph, every node as a source; oracle = bounded recursive CTE with
+    a min-dist rollup."""
+    from easyner_spark.operators.graph import k_hop
+
+    edges = q_triples(spark, sf_dir).select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    return k_hop(edges, k=2).select("source", "node", "dist")
+
+
 def q_kg_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI/NPMI edge weighting over sentence-level entity co-occurrence
     (beyond-reference KG edge scoring; reference analog is the raw pair
@@ -1536,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_regions": q_error_regions,
         "components": q_components,
         "incremental_components": q_incremental_components,
+        "k_hop": q_k_hop,
         "kg_pmi": q_kg_pmi,
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
@@ -2827,6 +2840,22 @@ WHERE ((f.mask >> r.idx) & 1) = 1
         # Spark query splits triples edges into G1/E2 by sent_idx
         # parity — so the oracle is literally the full-graph closure
         "incremental_components": _COMPONENTS_ORACLE,
+        "k_hop": _PRELUDE.replace("WITH sent0", "WITH RECURSIVE sent0", 1)
+        + """
+, kh_edges AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM triples
+               WHERE subj_id <> obj_id),
+kh_sym AS (SELECT a, b FROM kh_edges UNION SELECT b, a FROM kh_edges),
+kh_nodes AS (SELECT DISTINCT a AS node FROM kh_sym),
+walk(source, node, dist) AS (
+  SELECT node, node, 0 FROM kh_nodes
+  UNION
+  SELECT w.source, e.b, w.dist + 1
+  FROM walk w JOIN kh_sym e ON w.node = e.a
+  WHERE w.dist < 2
+)
+SELECT source, node, min(dist)::BIGINT AS dist
+FROM walk GROUP BY source, node
+""",
         # PMI over sentence-level entity co-occurrence: counts cast to
         # double BEFORE arithmetic (exact), one libm ln() per output,
         # round(6) — mirrors operators/graph.edge_pmi op-for-op

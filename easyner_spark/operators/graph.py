@@ -321,3 +321,54 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     return all_nodes.join(corners, "node", "left").select(
         "node", F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles")
     )
+
+
+def k_hop(
+    edges: DataFrame,
+    k: int = 2,
+    sources: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded BFS over the undirected edge set: (source, node, dist)
+    with dist = the MINIMUM hop count from `source` to `node`,
+    0 <= dist <= k (every source reaches itself at dist 0). `sources`
+    is a one-column (node) frame; None means every node of the graph —
+    the full k-hop neighborhood table a KG consumer samples
+    ("entities within 2 hops of X").
+
+    Scale shape: k joins of the frontier against the symmetric edge
+    list, each keyed on the node id (the standard iterative-DataFrame
+    BFS — GraphFrames' bfs is the same plan), with a min-dist
+    aggregate per round so the frontier never carries duplicate
+    (source, node) pairs into the next join. Frontier size is bounded
+    by the k-hop neighborhood, not the graph; hot hubs fan out but
+    land in the next round's dedup aggregate (partial aggs absorb).
+    k is a plan-time constant — no convergence loop, no driver
+    checksums."""
+    if k < 0:
+        raise ValueError("k_hop needs k >= 0")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).where(F.col("a") != F.col("b")).distinct()
+    nodes = (
+        sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+        if sources is not None
+        else sym.select(F.col("a").alias("node")).distinct()
+    )
+    best = nodes.select(
+        F.col("node").alias("source"), "node", F.lit(0).cast("long").alias("dist")
+    )
+    frontier = best
+    for d in range(1, k + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select("source", F.col("b").alias("node"), F.lit(d).cast("long").alias("dist"))
+        )
+        # keep only genuinely new (source, node) pairs as the next
+        # frontier (a shorter path already beat anything rediscovered,
+        # so surviving rows carry their MINIMUM dist by construction)
+        frontier = nxt.join(best, ["source", "node"], "left_anti").distinct()
+        best = best.unionByName(frontier)
+    return best

@@ -101,3 +101,47 @@ def test_triangles_triangle_free(spark):
     )
     got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
     assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+class TestKHop:
+    # path graph a-b-c-d-e plus a disconnected pair x-y
+    EDGES = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+
+    def _run(self, spark, k, sources=None):
+        from easyner_spark.operators.graph import k_hop
+
+        e = spark.createDataFrame(self.EDGES, "src string, dst string")
+        s = (
+            spark.createDataFrame([(n,) for n in sources], "node string")
+            if sources is not None
+            else None
+        )
+        return {(r["source"], r["node"]): r["dist"]
+                for r in k_hop(e, k=k, sources=s).collect()}
+
+    def test_min_dist_bfs(self, spark):
+        got = self._run(spark, k=2, sources=["a"])
+        assert got == {("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2}
+
+    def test_undirected_and_isolation(self, spark):
+        got = self._run(spark, k=2, sources=["e", "x"])
+        assert got[("e", "c")] == 2 and got[("e", "d")] == 1
+        # x reaches only its own island
+        assert {n for (s, n) in got if s == "x"} == {"x", "y"}
+
+    def test_k0_is_identity(self, spark):
+        got = self._run(spark, k=0)
+        assert all(s == n and d == 0 for (s, n), d in got.items())
+        assert len(got) == 7  # every node of the graph
+
+    def test_shorter_path_wins(self, spark):
+        # triangle a-b, b-c, a-c: c is at dist 1 from a, never 2
+        from easyner_spark.operators.graph import k_hop
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+        )
+        got = {(r["source"], r["node"]): r["dist"] for r in k_hop(e, k=2).collect()}
+        assert got[("a", "c")] == 1
+        # (source, node) pairs are unique — no duplicate rows
+        assert len(got) == 9
