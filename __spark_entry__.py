@@ -1104,6 +1104,29 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(_docs(spark, sf_dir), BM25_TERMS)
 
 
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health report over the text_stats chain —
+    integer-only aggregates (counts and sums of exact ints; float
+    columns enter only through comparisons against values the
+    text_stats oracle already hash-matches), so the rollup is
+    order-independent. The oracle wraps the text_stats SQL as a
+    subquery — one definition of the per-doc stats, two consumers."""
+    from easyner_spark.operators.textstats import text_stats
+
+    s = text_stats(_docs(spark, sf_dir))
+    langs = ("de", "en", "es", "fr")
+    return s.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_words").cast("long")).alias("total_words"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.sum((F.col("quality") >= 0.5).cast("long")).alias("n_quality_ge_half"),
+        *[
+            F.sum((F.col("lang_pred") == lg).cast("long")).alias(f"n_{lg}")
+            for lg in langs
+        ],
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easyner_spark.operators.dedup import exact_dedup
 
@@ -1571,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "pii_redact": q_pii_redact,
+        "corpus_summary": q_corpus_summary,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "event_rollup": q_event_rollup,
@@ -2436,6 +2460,18 @@ FROM events GROUP BY event_type
         "text_stats": stats_sql,
         "lang_id": langid_sql,
         "pii_redact": pii_sql,
+        "corpus_summary": f"""
+WITH per_doc AS ({stats_sql})
+SELECT count(*) AS n_docs,
+       sum(n_words)::BIGINT AS total_words,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum((quality >= 0.5)::INT)::BIGINT AS n_quality_ge_half,
+       sum((lang_pred = 'de')::INT)::BIGINT AS n_de,
+       sum((lang_pred = 'en')::INT)::BIGINT AS n_en,
+       sum((lang_pred = 'es')::INT)::BIGINT AS n_es,
+       sum((lang_pred = 'fr')::INT)::BIGINT AS n_fr
+FROM per_doc
+""",
         "sessionize": sessionize_sql,
         "asof_join": asof_sql,
         "event_rollup": rollup_sql,

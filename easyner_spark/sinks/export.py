@@ -41,3 +41,37 @@ def sorted_id_list(df: DataFrame, id_col: str = "url", numeric: bool = False) ->
     ids = df.select(F.col(id_col).alias("id")).distinct()
     key = F.col("id").cast("long") if numeric else F.col("id")
     return ids.orderBy(key)
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    id_col: str = "url",
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Training-corpus export: write `df` as `n_shards` deterministic
+    shards under `path` (parquet or json = JSONL), shard =
+    pmod(xxhash64(id), n_shards). Returns the (shard, n_docs) manifest
+    DataFrame (also written to `path`/_manifest as one TSV).
+
+    Why hashed shards and not coalesce(n): the shard of a document is
+    a pure function of its id — re-running the export, exporting an
+    incremental delta, or resuming after a failure lands every doc in
+    the SAME shard, so downstream training jobs can consume shards
+    independently and dedupe across exports by (shard, id). Rows are
+    sorted by id within each shard for a deterministic file layout.
+    One repartition on the uniform hash key — no skew by construction.
+    """
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be parquet or json, got {fmt!r}")
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    )
+    out = sharded.repartition(n_shards, "shard").sortWithinPartitions("shard", id_col)
+    out.write.mode("overwrite").partitionBy("shard").format(fmt).save(path)
+    manifest = (
+        sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("shard")
+    )
+    write_tsv(manifest, f"{path}/_manifest")
+    return manifest
