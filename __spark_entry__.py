@@ -1104,6 +1104,27 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(_docs(spark, sf_dir), BM25_TERMS)
 
 
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape quality filter: unigram LM trained on the corpus
+    itself (bounded vocab aggregate), every document scored by
+    per-token cross-entropy. Cross-row sums are exact BIGINT µ-units
+    (per-word floor(ln(p)*1e6)), floats only in per-row finals —
+    oracle generated by the operator's own unigram_lm_oracle_sql."""
+    from easyner_spark.operators.scoring import unigram_lm_score
+
+    return unigram_lm_score(_docs(spark, sf_dir), min_count=2)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier (fastText shape):
+    token -> md5 bucket -> deterministic integer weight, doc margin =
+    exact BIGINT fold, prob = sigmoid. ZERO shuffles — the entire
+    scorer is one scan-fused whole-stage-codegen projection."""
+    from easyner_spark.operators.scoring import hashed_linear_score
+
+    return hashed_linear_score(_docs(spark, sf_dir))
+
+
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health report over the text_stats chain —
     integer-only aggregates (counts and sums of exact ints; float
@@ -1599,6 +1620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "event_rollup": q_event_rollup,
         "bm25_rank": q_bm25_rank,
+        "unigram_lm": q_unigram_lm,
+        "quality_classifier": q_quality_classifier,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2370,6 +2393,10 @@ SELECT node, min(lbl) AS component FROM reach GROUP BY node
 
 def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.ranking import bm25_oracle_sql
+    from easyner_spark.operators.scoring import (
+        hashed_linear_oracle_sql,
+        unigram_lm_oracle_sql,
+    )
     from easyner_spark.operators.textstats import (
         PII_EMAIL_RE,
         PII_IPV4_RE,
@@ -2476,6 +2503,8 @@ FROM per_doc
         "asof_join": asof_sql,
         "event_rollup": rollup_sql,
         "bm25_rank": bm25_oracle_sql(BM25_TERMS),
+        "unigram_lm": unigram_lm_oracle_sql(min_count=2),
+        "quality_classifier": hashed_linear_oracle_sql(),
         "media_meta": _MEDIA_META_SQL,
         "media_meta_headers": """
 WITH m AS (

@@ -1,0 +1,253 @@
+"""Model-based document quality scoring for training-data curation.
+
+Two scorers the reference has no analog for (its quality gate is the
+boolean entity search, scripts/search_sentence.py); both are staples
+of LLM-corpus pipelines (CCNet / Gopher / FineWeb style):
+
+* :func:`unigram_lm_score` — train a unigram language model ON the
+  corpus itself (one bounded vocabulary aggregate), then score every
+  document by per-token cross-entropy against it. High cross-entropy
+  = gibberish / boilerplate / wrong-language; low = fluent in-domain
+  text. The CCNet filter shape, with the corpus standing in for the
+  Wikipedia LM.
+* :func:`hashed_linear_score` — a hashing-trick linear classifier
+  (fastText shape): every token hashes to one of `n_buckets` weight
+  cells, the document score is the sigmoid of the mean cell weight.
+  Weights here are a deterministic keyed hash (a stand-in for trained
+  weights — production swaps in a broadcast weight table with the
+  same bucket contract); the Spark plan is the real deliverable:
+  ZERO shuffles, the whole scorer is one scan-fused projection.
+
+Scale shape
+-----------
+`unigram_lm_score` costs two corpus scans and two shuffles at any
+corpus size: (1) token-count aggregate (map-side partial combine, the
+word key space is Zipf-bounded and the min_count cutoff caps the
+surviving vocab — O(vocab) rows, NOT O(corpus)); (2) per-doc score
+aggregate on doc_id (partial combine again). The token→vocab lookup
+join is AQE-decided; at web scale the cut vocab fits a broadcast.
+Callers that score many corpora against one LM pass a persisted
+`vocab=` frame and skip the training scan entirely.
+
+`hashed_linear_score` never shuffles: tokenize → per-token bucket →
+integer fold → sigmoid, all inside one whole-stage-codegen projection.
+
+Determinism contract (the reason every aggregate here is exact):
+per-token log-probabilities / weights are quantized to BIGINT
+micro-units (floor(x * 1e6)) BEFORE any cross-row sum, so sums are
+order-independent exact integer arithmetic; floats appear only in
+per-row final expressions (ln / exp / division — <=1-ulp libm calls
+on identical IEEE operands, same recipe as ranking.bm25_rank and
+graph.pmi_edges), rounded to 6 decimals. The md5-based token bucket
+is the sampling module's cross-engine primitive (sampling.sample_hash
+rationale: md5 is bit-identical everywhere; xxhash64 is
+Spark-private).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from easyner_spark.operators.textstats import words_array
+
+Q = 1_000_000  # micro-unit quantization for cross-row integer sums
+HASH_NIBBLES = 8  # 32 bits of md5 feed the weight bucket
+DEFAULT_BUCKETS = 1 << 20
+# Knuth multiplicative constant; with bucket < 2^20 the product stays
+# < 2^52, far from BIGINT overflow (DuckDB errors on overflow where
+# Spark wraps — staying exact keeps the engines in lockstep).
+_MIX = 2_654_435_761
+_WRANGE = 1_000_003  # prime; weights land in [-501001, +501001] µ-units
+_WSHIFT = _WRANGE // 2
+DEFAULT_GAIN = 8.0
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+    broadcast_vocab: bool = False,
+) -> DataFrame:
+    """(id, n_tokens, score_q, cross_entropy, ppl) — per-document
+    cross-entropy under an add-one-smoothed unigram LM estimated from
+    this corpus (or from `vocab`, a persisted (word, lp_q, lp_oov)
+    frame produced by :func:`unigram_vocab` — score new crawls against
+    a frozen LM without rescanning the training corpus).
+
+    p(w) = cnt_w / (N + 1) for words with cnt >= min_count, else
+    p_oov = 1 / (N + 1); lp_q = floor(ln(p) * 1e6) per WORD (bounded
+    vocab), summed per document as exact BIGINTs; cross_entropy =
+    -score_q / 1e6 / n_tokens, ppl = exp(cross_entropy), both rounded
+    to 6. Documents with zero tokens have no rows in the token stream
+    and are absent from the output (same as the SQL GROUP BY).
+    """
+    toks = docs.select(F.col(id_col).alias("id"), words_array(text_col).alias("_w"))
+    tok = toks.select("id", F.explode("_w").alias("word"))
+    if vocab is None:
+        vocab = unigram_vocab(docs, min_count=min_count, text_col=text_col)
+    v = F.broadcast(vocab) if broadcast_vocab else vocab
+    scored = tok.join(v, "word", "left")
+    # lp_oov is constant over the vocab frame; min() lifts it through
+    # the left-join nulls without a second stats pass.
+    oov = vocab.agg(F.min("lp_oov").alias("lp_oov_c"))
+    scored = scored.crossJoin(F.broadcast(oov))
+    per = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col("lp_q"), F.col("lp_oov_c"))).alias("score_q"),
+    )
+    ce = (-F.col("score_q") / F.lit(float(Q))) / F.col("n_tokens")
+    return per.select(
+        "id",
+        "n_tokens",
+        "score_q",
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("ppl"),
+    )
+
+
+def unigram_vocab(
+    docs: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(word, lp_q, lp_oov) — the smoothed unigram LM table. Bounded:
+    O(surviving vocab) rows regardless of corpus size. N counts ALL
+    tokens (including below-cutoff words), so the cutoff reassigns cut
+    words' mass to the OOV bucket rather than inflating kept words'
+    probabilities. The tiny two-column count frame is localCheckpointed
+    so the N aggregate and the cutoff projection share one token scan
+    (same bounded-materialization class as ranking.bm25_rank's `per`).
+    """
+    tok = docs.select(words_array(text_col).alias("_w")).select(
+        F.explode("_w").alias("word")
+    )
+    counts = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = counts.localCheckpoint(eager=True)
+    stats = counts.agg(F.sum("cnt").alias("n"))
+    kept = counts.where(F.col("cnt") >= F.lit(min_count)).crossJoin(F.broadcast(stats))
+    lp = F.floor(F.log(F.col("cnt") / (F.col("n") + F.lit(1.0))) * F.lit(float(Q)))
+    lp_oov = F.floor(F.log(F.lit(1.0) / (F.col("n") + F.lit(1.0))) * F.lit(float(Q)))
+    return kept.select(
+        "word",
+        lp.cast("long").alias("lp_q"),
+        lp_oov.cast("long").alias("lp_oov"),
+    )
+
+
+def unigram_lm_oracle_sql(min_count: int = 2, source: str = "documents") -> str:
+    """DuckDB twin of :func:`unigram_lm_score` (kept beside the
+    operator so the quantization and float expression shapes stay in
+    lockstep — the bm25_oracle_sql pattern)."""
+    mc = int(min_count)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS w FROM {source}
+),
+tok AS (
+  SELECT id, unnest(w) AS word FROM toks
+),
+counts AS (
+  SELECT word, count(*)::BIGINT AS cnt FROM tok GROUP BY word
+),
+stats AS (
+  SELECT sum(cnt)::BIGINT AS n FROM counts
+),
+vocab AS (
+  SELECT word,
+         CAST(floor(ln(cnt / (n + 1.0)) * 1000000.0) AS BIGINT) AS lp_q
+  FROM counts, stats WHERE cnt >= {mc}
+),
+oov AS (
+  SELECT CAST(floor(ln(1.0 / (n + 1.0)) * 1000000.0) AS BIGINT) AS lp_oov_c
+  FROM stats
+),
+per AS (
+  SELECT t.id,
+         count(*)::BIGINT AS n_tokens,
+         sum(coalesce(v.lp_q, o.lp_oov_c))::BIGINT AS score_q
+  FROM tok t LEFT JOIN vocab v USING (word), oov o
+  GROUP BY t.id
+)
+SELECT id, n_tokens, score_q,
+       round((-score_q / 1000000.0) / n_tokens, 6) AS cross_entropy,
+       round(exp((-score_q / 1000000.0) / n_tokens), 6) AS ppl
+FROM per
+"""
+
+
+def _bucket(word: Column, n_buckets: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(word), 1, HASH_NIBBLES), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def _weight_q(word: Column, n_buckets: int) -> Column:
+    return (_bucket(word, n_buckets) * F.lit(_MIX)) % F.lit(_WRANGE) - F.lit(_WSHIFT)
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    gain: float = DEFAULT_GAIN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_words, margin_q, prob) — hashing-trick linear quality
+    classifier, fastText shape: token -> md5 bucket -> µ-unit integer
+    weight, document margin = mean bucket weight, prob =
+    sigmoid(gain * margin). ZERO shuffles: one scan-fused projection
+    (tokenize, per-token fold, sigmoid — all whole-stage codegen).
+
+    The keyed-hash weights are a deterministic stand-in for trained
+    coefficients; swapping in real weights keeps the identical plan
+    (bucket contract unchanged, weight expression becomes a broadcast
+    map lookup). margin_q is the exact BIGINT fold (the oracle-strong
+    column); prob carries the only floats, per-row, rounded to 6.
+    n_buckets must stay <= 2^20 so the weight mix never overflows
+    BIGINT (DuckDB raises where Spark would wrap).
+    """
+    if not 0 < n_buckets <= DEFAULT_BUCKETS:
+        raise ValueError(f"n_buckets must be in (0, 2^20]: {n_buckets}")
+    toks = docs.select(F.col(id_col).alias("id"), words_array(text_col).alias("_w"))
+    fold = F.aggregate(
+        F.col("_w"),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + _weight_q(w, n_buckets),
+    )
+    per = toks.select("id", F.size("_w").alias("n_words"), fold.alias("margin_q"))
+    margin = F.col("margin_q") / F.lit(float(Q)) / (F.col("n_words") + F.lit(1.0))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(float(gain)) * margin))
+    return per.select("id", "n_words", "margin_q", F.round(prob, 6).alias("prob"))
+
+
+def hashed_linear_oracle_sql(
+    n_buckets: int = DEFAULT_BUCKETS,
+    gain: float = DEFAULT_GAIN,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`hashed_linear_score`. The empty-document
+    fold differs across engines (Spark aggregate inits to 0, DuckDB
+    list_sum of [] is NULL) — coalesce pins it to 0."""
+    nb = int(n_buckets)
+    g = float(gain)
+    wq = (
+        f"(('0x' || substr(md5(x), 1, {HASH_NIBBLES}))::BIGINT % {nb}) "
+        f"* {_MIX} % {_WRANGE} - {_WSHIFT}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS w FROM {source}
+),
+per AS (
+  SELECT id, len(w)::INT AS n_words,
+         coalesce(list_sum(list_transform(w, x -> {wq})), 0)::BIGINT AS margin_q
+  FROM toks
+)
+SELECT id, n_words, margin_q,
+       round(1.0 / (1.0 + exp(-({g!r}) * (margin_q / 1000000.0 / (n_words + 1.0)))), 6) AS prob
+FROM per
+"""
