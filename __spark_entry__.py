@@ -1458,6 +1458,97 @@ def q_pubmed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADVERSARIAL WARC-ingestion oracle (sources/warc.py — the
+    Common-Crawl-style front of the pages table; loader shape mirrors
+    sources/pubmed.py / reference scripts/pubmed_bulk.py:108-139).
+
+    Each document becomes a three-record WARC/1.0 segment built in
+    pure SQL expressions — warcinfo + request + response — and the
+    real parser must:
+
+      - skip the warcinfo and request records (WARC-Type gate), while
+        still honoring THEIR Content-Length headers exactly (the
+        request record's length varies with the url, so any boundary
+        drift corrupts the response record that follows);
+      - cut the response record by Content-Length, NOT by scanning
+        for blank lines: the html body embeds a ``\\r\\n\\r\\nWARC/1.0``
+        decoy that defeats delimiter-scanning parsers;
+      - count OCTETS, not characters (the body carries a multi-byte
+        'é'), read the status from the HTTP status line (doc_id%7==0
+        pages are 404) and the mime from Content-Type before ';'.
+
+    Expected output computed independently by the DuckDB oracle in
+    closed form — identity cannot pass."""
+    import pandas as pd
+
+    from easyner_spark.sources.warc import WARC_SCHEMA, parse_warc_bytes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("https://example.com/d/"), F.col("doc_id").cast("string")).alias("u"),
+        F.concat(
+            F.lit("2024-01-01T00:00:"),
+            F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+            F.lit("Z"),
+        ).alias("dt"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(404)).otherwise(F.lit(200)).alias("st"),
+        F.concat(
+            F.lit("<html><body>\r\n\r\nWARC/1.0 decoy\r\n<p>é "),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("body"),
+    )
+
+    def rec(wtype: str, uri, payload, ctype: str):
+        return F.concat(
+            F.lit(f"WARC/1.0\r\nWARC-Type: {wtype}\r\nWARC-Target-URI: "),
+            uri,
+            F.lit("\r\nWARC-Date: "),
+            F.col("dt"),
+            F.lit(f"\r\nContent-Type: {ctype}\r\nContent-Length: "),
+            F.octet_length(payload).cast("string"),
+            F.lit("\r\n\r\n"),
+            payload,
+            F.lit("\r\n\r\n"),
+        )
+
+    http = F.concat(
+        F.lit("HTTP/1.1 "),
+        F.col("st").cast("string"),
+        F.lit(" OK\r\nContent-Type: text/html; charset=UTF-8\r\nContent-Length: "),
+        F.octet_length("body").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("body"),
+    )
+    reqp = F.concat(F.lit("GET "), F.col("u"), F.lit(" HTTP/1.1\r\nHost: x\r\n\r\n"))
+    blob = F.concat(
+        rec("warcinfo", F.lit("urn:info"), F.lit("software: test\r\n"), "application/warc-fields"),
+        rec("request", F.col("u"), reqp, "application/http; msgtype=request"),
+        rec("response", F.col("u"), http, "application/http; msgtype=response"),
+    )
+    seg = d.select(F.encode(blob, "UTF-8").alias("blob"))
+
+    def gen(batches):
+        cols = ["url", "warc_date", "status", "mime", "html"]
+        for pdf in batches:
+            rows = []
+            for b in pdf["blob"]:
+                rows.extend(parse_warc_bytes(bytes(b)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    parsed = seg.mapInPandas(gen, WARC_SCHEMA)
+    return parsed.select(
+        F.regexp_extract("url", r"d/(\d+)", 1).cast("long").alias("doc_id"),
+        "url",
+        "warc_date",
+        "status",
+        "mime",
+        F.decode(F.col("html"), "UTF-8").alias("body_text"),
+    )
+
+
 def q_craft_iob2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRAFT pubannotator -> IOB2 converter (sources/craft.py; reference
     supplementary/experiment_scripts/CRAFT_preprocessing_spacy.py:20-84)
@@ -1639,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_headers": q_media_meta_headers,
         "boilerplate_extract": q_boilerplate_extract,
         "pubmed_extract": q_pubmed_extract,
+        "warc_extract": q_warc_extract,
         "craft_iob2": q_craft_iob2,
         "flair_parse": q_flair_parse,
     }
@@ -2535,6 +2627,21 @@ FROM m
         "pubmed_extract": (
             "SELECT doc_id, concat(text, ' Conclusion S-', doc_id)"
             " AS text FROM documents"
+        ),
+        # ADVERSARIAL: closed-form expected output of the WARC parser
+        # (warcinfo/request skipped, Content-Length octet math exact,
+        # \r\n\r\n decoy inside the body, per-doc status/date)
+        "warc_extract": (
+            "SELECT doc_id,"
+            " 'https://example.com/d/' || doc_id AS url,"
+            " '2024-01-01T00:00:' || lpad((doc_id % 60)::VARCHAR, 2, '0') || 'Z'"
+            "   AS warc_date,"
+            " CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status,"
+            " 'text/html' AS mime,"
+            " '<html><body>' || chr(13) || chr(10) || chr(13) || chr(10) ||"
+            " 'WARC/1.0 decoy' || chr(13) || chr(10) || '<p>é ' || text ||"
+            " '</p></body></html>' AS body_text"
+            " FROM documents"
         ),
         # closed-form expected output of the CRAFT converter quirks
         # (see q_craft_iob2's docstring for the per-denotation walk)
