@@ -799,6 +799,33 @@ def q_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist over the skewed synthetic urls:
+    blocking 'example.org' must also block 'blog.example.org' (parent-
+    domain semantics via the host_suffixes codegen array — zero
+    shuffle, zero join for a literal list). The oracle decides
+    membership by an INDEPENDENT formulation (exact-or-'.'-suffix
+    LIKE), so the suffix-array construction itself is under test."""
+    from easyner_spark.operators.webtext import url_blocklist_filter
+
+    blocked = ("example.org", "hub.example.com", "site5.example.net")
+    return url_blocklist_filter(_synth_url_pages(spark, sf_dir), blocked).select(
+        "doc_id", "url"
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style mixture resampling to fixed per-language keep
+    rates (ppm): exact 32-bit md5 gate h32 * 1e6 < ppm * 2^32, pure
+    BIGINT on both engines — no float thresholds. Zero shuffle."""
+    from easyner_spark.operators.sampling import mixture_sample
+
+    rates = {"en": 750_000, "de": 500_000, "fr": 250_000}
+    return mixture_sample(
+        _synth_url_pages(spark, sf_dir), rates, group_col="lang", key="url"
+    ).select("doc_id", "url", "lang")
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-gated 30% sample keyed on url (seed 'r3') —
     reproducible split selection, zero shuffle."""
@@ -1698,6 +1725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "paragraph_dedup": q_paragraph_dedup,
         "crawl_priority": q_crawl_priority,
+        "url_blocklist": q_url_blocklist,
+        "mixture_sample": q_mixture_sample,
         "deterministic_sample": q_deterministic_sample,
         "per_host_cap": q_per_host_cap,
         "token_budget": q_token_budget,
@@ -3304,6 +3333,25 @@ FROM freq f LEFT JOIN pr ON f.host = pr.node
         ),
         # Deterministic md5-gated sample (threshold string shared with
         # sampling.sample_threshold)
+        # INDEPENDENT membership formulation (exact host or dot-suffix
+        # LIKE) — does not mirror the suffix-array construction
+        "url_blocklist": _URL_PAGES_CTE
+        + """
+SELECT doc_id, url FROM h
+WHERE NOT (
+     host = 'example.org'       OR host LIKE '%.example.org'
+  OR host = 'hub.example.com'   OR host LIKE '%.hub.example.com'
+  OR host = 'site5.example.net' OR host LIKE '%.site5.example.net'
+)
+""",
+        # exact BIGINT mixture gate: h32(url) * 1e6 < ppm(lang) * 2^32
+        "mixture_sample": _URL_PAGES_CTE
+        + """
+SELECT doc_id, url, lang FROM h
+WHERE ('0x' || substr(md5(url), 1, 8))::BIGINT * 1000000
+      < (CASE lang WHEN 'en' THEN 750000 WHEN 'de' THEN 500000
+                   WHEN 'fr' THEN 250000 ELSE 0 END)::BIGINT * 4294967296
+""",
         "deterministic_sample": _sample_oracle(),
         # Domain diversity cap: row_number per host mirrors
         # sampling.per_host_cap (quality DESC, url tie-break)

@@ -237,3 +237,74 @@ def token_budget_select(
         .drop("_pid")
     )
     return alive.sortWithinPartitions(*w_order).mapInPandas(cumsum_part, out_schema)
+
+
+# 32-bit hash gate for the mixture sampler: md5's first 8 nibbles as
+# an exact integer, compared against rate_ppm * 2^32 in BIGINT space
+# (max product ~4.3e15, far under 2^63 — DuckDB errors on overflow
+# where Spark wraps, so staying small keeps the engines in lockstep).
+MIX_HASH_NIBBLES = 8
+_PPM = 1_000_000
+_2_32 = 1 << 32
+
+
+def mixture_rates(counts: dict, targets: dict) -> dict:
+    """Per-group keep-rates (integer ppm) that reshape `counts`
+    (group -> row count) to the `targets` mixture (group -> weight,
+    any positive scale) by DOWNSAMPLING ONLY: the output total is the
+    largest achievable without upsampling any group, i.e.
+    T = min_g(count_g * W / w_g); rate_g = w_g * T / (W * count_g).
+    Groups absent from `targets` get rate 0 (dropped). Driver-side
+    arithmetic over O(groups) numbers — the IVF-centroid class of
+    driver data, never row data."""
+    w_total = sum(targets.values())
+    if w_total <= 0:
+        raise ValueError("targets must carry positive total weight")
+    t = min(
+        counts.get(g, 0) * w_total / w
+        for g, w in targets.items()
+        if w > 0
+    )
+    rates = {}
+    for g, w in targets.items():
+        c = counts.get(g, 0)
+        if c > 0 and w > 0:
+            rates[g] = min(_PPM, int(w * t / (w_total * c) * _PPM))
+    return rates
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates_ppm: dict,
+    group_col: str,
+    key: str = "url",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic mixture resampler: keep each row iff
+    h32(seed||key) * 1e6 < rate_ppm(group) * 2^32 — exact BIGINT
+    arithmetic on both engines (no float thresholds to disagree on).
+    Same guarantees as deterministic_sample: re-runs, resumes, and
+    other engines select identical rows; ZERO shuffle (scan-fused
+    predicate over a small CASE on the group column). Compose with
+    `mixture_rates` over a tiny group-count aggregate to hit a target
+    domain/language mixture (DoReMi-style corpus reweighting) at any
+    corpus size."""
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(key))), 1, MIX_HASH_NIBBLES),
+        16,
+        10,
+    ).cast("long")
+    rate = None
+    for g, ppm in sorted(rates_ppm.items()):
+        if not 0 <= int(ppm) <= _PPM:
+            raise ValueError(f"rate_ppm out of [0, 1e6]: {g}={ppm}")
+        cond = F.col(group_col) == F.lit(g)
+        rate = (
+            F.when(cond, F.lit(int(ppm)))
+            if rate is None
+            else rate.when(cond, F.lit(int(ppm)))
+        )
+    if rate is None:
+        return df.limit(0)
+    rate = rate.otherwise(F.lit(0))
+    return df.where(h32 * F.lit(_PPM) < rate * F.lit(_2_32))

@@ -537,3 +537,60 @@ def crawl_delta(
         )
         .drop("_prev")
     )
+
+
+def host_suffixes(host: Column | str) -> Column:
+    """All dot-suffixes of a host with >= 2 labels, most-specific
+    first: 'a.b.example.net' -> ['a.b.example.net', 'b.example.net',
+    'example.net']. Pure codegen (split + sequence + slice HOFs);
+    single-label / empty hosts yield [host] so membership tests stay
+    total. Shared contract with the DuckDB oracle
+    (list_transform(range(...), i -> array_to_string(parts[i:], '.')))."""
+    h = F.col(host) if isinstance(host, str) else host
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+        ),
+    ).otherwise(F.array(h))
+
+
+def url_blocklist_filter(
+    pages: DataFrame,
+    blocked,
+    url_col: str = "url",
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Drop pages whose host matches a blocked domain OR any parent
+    domain of it (UT1-blocklist semantics: blocking 'example.org'
+    blocks 'blog.example.org'). `blocked` is either
+
+      - a Python sequence of domain strings (the common small-list
+        case): membership becomes `arrays_overlap(suffixes, literal)`
+        — ZERO shuffle, zero join, scan-fused; or
+      - a DataFrame with a `domain` column (multi-million-entry UT1
+        dumps): exploded suffix candidates (bounded: label count per
+        host) hash-semi-join the broadcast list, then an exact-key
+        semi/anti join back — no row explosion survives the join.
+
+    `keep_blocked=True` inverts the gate (audit mode: what WOULD be
+    dropped). Hosts are extracted with the engine-wide _host_col
+    normalization (lowercase, :port stripped).
+    """
+    host = _host_col(F.col(url_col))
+    sfx = host_suffixes(host)
+    if not isinstance(blocked, DataFrame):
+        lst = sorted(set(blocked))
+        hit = F.arrays_overlap(sfx, F.array(*[F.lit(d) for d in lst]))
+        return pages.where(hit if keep_blocked else ~hit)
+    cand = pages.select(F.col(url_col), F.explode(sfx).alias("domain"))
+    hits = (
+        cand.join(F.broadcast(blocked.select("domain")), "domain", "left_semi")
+        .select(url_col)
+        .distinct()
+    )
+    how = "left_semi" if keep_blocked else "left_anti"
+    return pages.join(hits, url_col, how)
