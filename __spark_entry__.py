@@ -799,6 +799,17 @@ def q_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context training-window chunker (32-token windows, 8
+    overlap, runt tails under 5 tokens dropped unless they're the
+    doc's only chunk) — zero shuffle, one scan-fused narrow chain.
+    Oracle generated by the operator's own chunk_docs_oracle_sql
+    (generate_series stride + 1-based inclusive list_slice)."""
+    from easyner_spark.operators.sampling import chunk_docs
+
+    return chunk_docs(_docs(spark, sf_dir), max_tokens=32, overlap=8, min_tail=5)
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style domain blocklist over the skewed synthetic urls:
     blocking 'example.org' must also block 'blog.example.org' (parent-
@@ -1725,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "paragraph_dedup": q_paragraph_dedup,
         "crawl_priority": q_crawl_priority,
+        "chunk_docs": q_chunk_docs,
         "url_blocklist": q_url_blocklist,
         "mixture_sample": q_mixture_sample,
         "deterministic_sample": q_deterministic_sample,
@@ -2514,6 +2526,7 @@ SELECT node, min(lbl) AS component FROM reach GROUP BY node
 
 def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.ranking import bm25_oracle_sql
+    from easyner_spark.operators.sampling import chunk_docs_oracle_sql
     from easyner_spark.operators.scoring import (
         hashed_linear_oracle_sql,
         unigram_lm_oracle_sql,
@@ -3333,6 +3346,7 @@ FROM freq f LEFT JOIN pr ON f.host = pr.node
         ),
         # Deterministic md5-gated sample (threshold string shared with
         # sampling.sample_threshold)
+        "chunk_docs": chunk_docs_oracle_sql(max_tokens=32, overlap=8, min_tail=5),
         # INDEPENDENT membership formulation (exact host or dot-suffix
         # LIKE) — does not mirror the suffix-array construction
         "url_blocklist": _URL_PAGES_CTE

@@ -308,3 +308,81 @@ def mixture_sample(
         return df.limit(0)
     rate = rate.otherwise(F.lit(0))
     return df.where(h32 * F.lit(_PPM) < rate * F.lit(_2_32))
+
+
+def chunk_docs(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    min_tail: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_idx, n_chunk_tokens, chunk) — split every document
+    into fixed-context training windows of `max_tokens` words with
+    `overlap` words carried between consecutive chunks (stride =
+    max_tokens - overlap). The last chunk may be short; trailing
+    chunks shorter than `min_tail` are dropped UNLESS they are the
+    document's only chunk (a sub-min_tail document still yields its
+    chunk_idx=0 row — curation cuts belong to the quality gates, not
+    the chunker). Empty documents produce no rows.
+
+    Words are the engine-wide words_array contract; chunks re-join
+    with single spaces (tokenize -> chunk -> join is deterministic
+    and oracle-shared; byte-faithful slicing of the ORIGINAL text is
+    the splitter/offset modules' job). ZERO shuffle: tokenize +
+    sequence + posexplode + slice, one scan-fused narrow chain — at
+    100 TB the chunker adds no boundary beyond the scan it rides on.
+    (chunk_idx is dense per doc BEFORE the min_tail drop, so ids stay
+    stable when the tail rule changes.)
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive: {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"overlap must be in [0, max_tokens): {overlap}")
+    from easyner_spark.operators.textstats import words_array
+
+    stride = max_tokens - overlap
+    toks = docs.select(F.col(id_col).alias("id"), words_array(text_col).alias("_w"))
+    n = F.size("_w")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ex = toks.where(n > 0).select(
+        "id", "_w", F.posexplode(starts).alias("chunk_idx", "_s")
+    )
+    n_chunk = F.least(F.lit(max_tokens), F.size("_w") - F.col("_s"))
+    out = ex.select(
+        "id",
+        "chunk_idx",
+        n_chunk.cast("int").alias("n_chunk_tokens"),
+        F.array_join(F.slice("_w", F.col("_s") + 1, max_tokens), " ").alias("chunk"),
+    )
+    return out.where(
+        (F.col("n_chunk_tokens") >= F.lit(min_tail)) | (F.col("chunk_idx") == 0)
+    )
+
+
+def chunk_docs_oracle_sql(
+    max_tokens: int = 512,
+    overlap: int = 0,
+    min_tail: int = 1,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`chunk_docs` (generate_series stride +
+    1-based inclusive list_slice mirror Spark's sequence + slice
+    exactly — both truncate past the list end)."""
+    mt, st, tl = int(max_tokens), int(max_tokens) - int(overlap), int(min_tail)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS w FROM {source}
+),
+ex AS (
+  SELECT id, w, unnest(generate_series(0, len(w) - 1, {st})) AS s,
+         unnest(generate_series(0, CAST(floor((len(w) - 1) / {st}) AS BIGINT))) AS chunk_idx
+  FROM toks WHERE len(w) > 0
+)
+SELECT id, chunk_idx::INT AS chunk_idx,
+       least({mt}, len(w) - s)::INT AS n_chunk_tokens,
+       array_to_string(list_slice(w, s + 1, s + {mt}), ' ') AS chunk
+FROM ex
+WHERE least({mt}, len(w) - s) >= {tl} OR chunk_idx = 0
+"""

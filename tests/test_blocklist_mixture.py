@@ -133,3 +133,54 @@ class TestMixture:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestChunkDocs:
+    DOCS = [
+        (1, "a b c d e f g h i j"),   # 10 words
+        (2, "x y"),                   # single short chunk
+        (3, ""),                      # empty: no rows
+    ]
+
+    def _run(self, spark, **kw):
+        from easyner_spark.operators.sampling import chunk_docs
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        return chunk_docs(df, **kw).collect()
+
+    def test_stride_overlap_and_tail(self, spark):
+        rows = {(r["id"], r["chunk_idx"]): r for r in self._run(
+            spark, max_tokens=4, overlap=1, min_tail=1)}
+        # stride 3: starts 0,3,6,9 -> 4 chunks for doc 1
+        assert rows[(1, 0)]["chunk"] == "a b c d"
+        assert rows[(1, 1)]["chunk"] == "d e f g"   # overlap carries 'd'
+        assert rows[(1, 3)]["chunk"] == "j"
+        assert rows[(1, 3)]["n_chunk_tokens"] == 1
+        assert rows[(2, 0)]["chunk"] == "x y"
+        assert not any(i == 3 for (i, _) in rows)   # empty doc absent
+
+    def test_min_tail_drops_runts_but_keeps_only_chunk(self, spark):
+        rows = self._run(spark, max_tokens=4, overlap=1, min_tail=2)
+        keys = {(r["id"], r["chunk_idx"]) for r in rows}
+        assert (1, 3) not in keys      # 1-token runt dropped
+        assert (2, 0) in keys          # sub-min doc keeps its only chunk
+
+    def test_zero_shuffle_plan(self, spark):
+        from easyner_spark.operators.sampling import chunk_docs
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        plan = (
+            chunk_docs(df, max_tokens=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_param_validation(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            self._run(spark, max_tokens=0)
+        with _pt.raises(ValueError):
+            self._run(spark, max_tokens=4, overlap=4)
