@@ -799,6 +799,18 @@ def q_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-substring flagging (Lee et al. 2022
+    semantics, relational formulation) over the perturbed corpus —
+    the first-word-dropped twins guarantee long shared token runs, so
+    every document yields merged duplicate spans. k=8 token windows,
+    count>=2 anywhere in the corpus; oracle generated by the
+    operator's own repeated_spans_oracle_sql."""
+    from easyner_spark.operators.dedup import repeated_spans
+
+    return repeated_spans(_docs_perturbed(spark, sf_dir), k=8, min_count=2)
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-context training-window chunker (32-token windows, 8
     overlap, runt tails under 5 tokens dropped unless they're the
@@ -1736,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "paragraph_dedup": q_paragraph_dedup,
         "crawl_priority": q_crawl_priority,
+        "repeated_spans": q_repeated_spans,
         "chunk_docs": q_chunk_docs,
         "url_blocklist": q_url_blocklist,
         "mixture_sample": q_mixture_sample,
@@ -2526,6 +2539,7 @@ SELECT node, min(lbl) AS component FROM reach GROUP BY node
 
 def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.ranking import bm25_oracle_sql
+    from easyner_spark.operators.dedup import repeated_spans_oracle_sql
     from easyner_spark.operators.sampling import chunk_docs_oracle_sql
     from easyner_spark.operators.scoring import (
         hashed_linear_oracle_sql,
@@ -3346,6 +3360,15 @@ FROM freq f LEFT JOIN pr ON f.host = pr.node
         ),
         # Deterministic md5-gated sample (threshold string shared with
         # sampling.sample_threshold)
+        "repeated_spans": repeated_spans_oracle_sql(
+            k=8,
+            min_count=2,
+            source=(
+                "(SELECT doc_id, text FROM documents UNION ALL "
+                "SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1) "
+                "FROM documents)"
+            ),
+        ),
         "chunk_docs": chunk_docs_oracle_sql(max_tokens=32, overlap=8, min_tail=5),
         # INDEPENDENT membership formulation (exact host or dot-suffix
         # LIKE) — does not mirror the suffix-array construction

@@ -685,3 +685,157 @@ def decontaminate(
         frac.alias("overlap_frac"),
         (frac >= threshold).alias("contaminated"),
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, span_start, span_end, n_grams) — corpus-wide repeated
+    SUBSTRING detection (the deduplicate-text-datasets / Lee et al.
+    2022 semantics, re-expressed relationally): every k-token window
+    that occurs >= `min_count` times ANYWHERE in the corpus (across
+    documents or within one) is flagged, and per document the flagged
+    windows are merged into maximal token-index spans
+    [span_start, span_end) (end exclusive; touching windows merge).
+    Documents shorter than k tokens contribute no windows.
+
+    The suffix-array formulation this replaces needs a machine that
+    holds the corpus; this one is three linear passes any cluster
+    sizes through:
+
+      1. rolling k-gram fingerprints — a narrow posexplode projection,
+         O(total_tokens) rows of (id, pos, 16-hex gram hash);
+      2. ONE count aggregate on the gram hash (uniform key — partial
+         aggs absorb hot boilerplate grams map-side) + the semi-join
+         of windows against over-threshold grams (AQE-decided; the
+         duplicated-gram side is usually the small one);
+      3. gaps-and-islands span merge per document: a lag window
+         PARTITIONED BY doc (each doc sorts only its own hits, never
+         a global sort) + one partial-agg min/max rollup.
+
+    Every value is md5-derived or an exact integer — the DuckDB
+    oracle reproduces spans bit-for-bit. Downstream,
+    `strip_repeated_spans` rebuilds cleaned text, keeping each
+    duplicated region's FIRST corpus occurrence is intentionally NOT
+    attempted here — global first-occurrence ordering of overlapping
+    spans is a sequential contract; the standard batch treatment
+    (drop every flagged region everywhere) is what ships.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    toks = docs.select(F.col(id_col).alias("id"), words_array(text_col).alias("_w"))
+    n = F.size("_w")
+    starts = F.sequence(F.lit(0), n - k, F.lit(1))
+    grams = toks.where(n >= k).select(
+        "id",
+        F.posexplode(starts).alias("_i", "pos"),
+        F.col("_w"),
+    )
+    # 16-hex md5 prefix of the joined window: 64 bits — collision-safe
+    # at corpus scale for a DETECTOR (a false merge needs 2^32 grams
+    # by birthday; acceptable for span flagging, shared with oracle)
+    g = F.substring(
+        F.md5(F.array_join(F.slice("_w", F.col("pos") + 1, k), "\x01")), 1, 16
+    )
+    grams = grams.select("id", "pos", g.alias("g"))
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") >= F.lit(min_count)
+    )
+    hits = grams.join(dup.select("g"), "g", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = (
+        F.when(F.lag("pos").over(w).isNull(), F.lit(1))
+        .when(F.col("pos") > F.lag("pos").over(w) + F.lit(k), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    isl = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    spans = hits.select("id", "pos", isl.alias("_isl"))
+    return spans.groupBy("id", "_isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).select("id", "span_start", "span_end", "n_grams")
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, text) with every flagged token range removed (tokens
+    re-joined with single spaces — the words_array contract). Spans
+    collapse to one array per doc (bounded: merged spans are disjoint,
+    so there are at most n_tokens/k of them), broadcast-or-AQE join
+    back, then a zero-copy index filter HOF — the two-parameter
+    lambda is the documented array-INDEX binding, used deliberately."""
+    agg = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
+    )
+    joined = docs.select(
+        F.col(id_col).alias("id"), words_array(text_col).alias("_w")
+    ).join(agg, "id", "left")
+    kept = F.filter(
+        F.col("_w"),
+        lambda tok, i: ~F.exists(
+            F.col("_sp"),
+            lambda sp: (i >= sp["span_start"]) & (i < sp["span_end"]),
+        ),
+    )
+    cleaned = F.when(F.col("_sp").isNull(), F.col("_w")).otherwise(kept)
+    return joined.select("id", F.array_join(cleaned, " ").alias("text"))
+
+
+def repeated_spans_oracle_sql(
+    k: int = 50,
+    min_count: int = 2,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`repeated_spans` (kept beside the operator
+    so the gram fingerprint, threshold, and island arithmetic stay in
+    lockstep). `source` may be any table/CTE-free subquery exposing
+    (doc_id, text)."""
+    ki, mc = int(k), int(min_count)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS w
+  FROM {source}
+),
+grams AS (
+  SELECT id,
+         unnest(generate_series(0, len(w) - {ki}, 1)) AS pos,
+         w
+  FROM toks WHERE len(w) >= {ki}
+),
+gh AS (
+  SELECT id, pos,
+         substr(md5(array_to_string(list_slice(w, pos + 1, pos + {ki}), chr(1))), 1, 16) AS g
+  FROM grams
+),
+dup AS (
+  SELECT g FROM gh GROUP BY g HAVING count(*) >= {mc}
+),
+hits AS (
+  SELECT id, pos FROM gh SEMI JOIN dup USING (g)
+),
+brks AS (
+  SELECT id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL THEN 1
+              WHEN pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + {ki} THEN 1
+              ELSE 0 END AS brk
+  FROM hits
+),
+isl AS (
+  SELECT id, pos,
+         SUM(brk) OVER (PARTITION BY id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS i
+  FROM brks
+)
+SELECT id, min(pos)::INT AS span_start, (max(pos) + {ki})::INT AS span_end,
+       count(*)::BIGINT AS n_grams
+FROM isl GROUP BY id, i
+"""
