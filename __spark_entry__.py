@@ -799,6 +799,15 @@ def q_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-argmax topic bucketing (lang_id contract applied to
+    subject matter; zero shuffle). Oracle generated from the SAME
+    lexicon dict by topic_oracle_sql, so marker sets cannot drift."""
+    from easyner_spark.operators.textstats import topic_id
+
+    return topic_id(_docs(spark, sf_dir))
+
+
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide repeated-substring flagging (Lee et al. 2022
     semantics, relational formulation) over the perturbed corpus —
@@ -1748,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "paragraph_dedup": q_paragraph_dedup,
         "crawl_priority": q_crawl_priority,
+        "topic_id": q_topic_id,
         "repeated_spans": q_repeated_spans,
         "chunk_docs": q_chunk_docs,
         "url_blocklist": q_url_blocklist,
@@ -2549,6 +2559,7 @@ def oracle_sql() -> dict[str, str]:
         PII_EMAIL_RE,
         PII_IPV4_RE,
         PII_PHONE_RE,
+        topic_oracle_sql,
     )
 
     stats_sql, langid_sql = _textstats_oracle()
@@ -3360,6 +3371,7 @@ FROM freq f LEFT JOIN pr ON f.host = pr.node
         ),
         # Deterministic md5-gated sample (threshold string shared with
         # sampling.sample_threshold)
+        "topic_id": topic_oracle_sql(),
         "repeated_spans": repeated_spans_oracle_sql(
             k=8,
             min_count=2,

@@ -499,3 +499,86 @@ def pii_redact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.col("n_phones").cast("long").alias("n_phones"),
         ((F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0).alias("has_pii"),
     )
+
+
+# Default topic lexicons for topic_id. Like LANG_MARKERS these are
+# demonstration lexicons (they partition the synthetic corpus vocab);
+# production callers pass their own curated keyword sets — the
+# operator and oracle generator are lexicon-agnostic.
+TOPIC_MARKERS: dict[str, tuple[str, ...]] = {
+    "storage": ("table", "row", "column", "part", "line"),
+    "compute": ("scan", "hash", "sort", "merge", "agg", "join", "filter", "group"),
+    "runtime": ("spark", "stream", "batch", "window", "query"),
+}
+
+
+def topic_id(
+    docs: DataFrame,
+    topics: dict[str, tuple[str, ...]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, hits_<topic>..., topic_pred) — lexicon-argmax topic
+    bucketing, the lang_id contract applied to subject matter: highest
+    marker-hit count wins, ties break by topic name ascending,
+    all-zero -> 'other'. ZERO shuffle (one marker-count projection +
+    a codegen argmax chain). Composes with sampling.mixture_sample to
+    rebalance a corpus by topic (bucket -> mixture_rates -> exact
+    hash gate) — the WebOrganizer-style curation loop with lexicons
+    standing in for a trained classifier."""
+    topics = TOPIC_MARKERS if topics is None else topics
+    if not topics:
+        raise ValueError("topic_id needs at least one topic lexicon")
+    names = sorted(topics)
+    base = _with_words(docs, text_col, id_col)
+    hit_cols = {f"hits_{t}": _marker_hits(F.col("_w"), tuple(topics[t])) for t in names}
+    per = base.select(F.col(id_col), *[c.alias(n) for n, c in hit_cols.items()])
+    hits = {t: F.col(f"hits_{t}") for t in names}
+    best = hits[names[0]] if len(names) == 1 else F.greatest(*hits.values())
+    pred = F.lit("other")
+    for t in sorted(names, reverse=True):
+        pred = F.when((hits[t] > 0) & (hits[t] == best), F.lit(t)).otherwise(pred)
+    return per.select(id_col, *[f"hits_{t}" for t in names], pred.alias("topic_pred"))
+
+
+def topic_oracle_sql(
+    topics: dict[str, tuple[str, ...]] | None = None,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`topic_id` (generated from the same
+    lexicon dict so marker sets cannot drift). Lexicon entries must be
+    lowercase word tokens — interpolated as SQL string literals."""
+    import re as _re
+
+    topics = TOPIC_MARKERS if topics is None else topics
+    names = sorted(topics)
+    for t in names:
+        bad = [m for m in topics[t] if not _re.match(r"[a-z0-9_]+\Z", m)]
+        if bad or not _re.match(r"[a-z0-9_]+\Z", t):
+            raise ValueError(f"topic markers must be lowercase word tokens: {t}={bad}")
+    hit_exprs = ",\n  ".join(
+        "len(list_filter(w, x -> x IN ({}))) AS hits_{}".format(
+            ", ".join(f"'{m}'" for m in topics[t]), t
+        )
+        for t in names
+    )
+    best = "greatest({})".format(", ".join(f"hits_{t}" for t in names))
+    case = "CASE "
+    for t in names:
+        case += f"WHEN hits_{t} > 0 AND hits_{t} = best THEN '{t}' "
+    case += "ELSE 'other' END"
+    cols = ", ".join(f"hits_{t}" for t in names)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w FROM {source}
+),
+per AS (
+  SELECT doc_id,
+  {hit_exprs}
+  FROM toks
+),
+b AS (
+  SELECT *, {best} AS best FROM per
+)
+SELECT doc_id, {cols}, {case} AS topic_pred FROM b
+"""
