@@ -326,3 +326,85 @@ class TestStreamingSessions:
         # sessions, the first with 3 events
         u1 = [t for t in got if t[0] == 1]
         assert len(u1) == 2 and u1[0][3] == 3
+
+
+class TestCurationOpsOnStreams:
+    """The zero-shuffle curation operators are stateless projections/
+    filters, so the SAME functions must run verbatim on streaming
+    DataFrames (batch/stream reuse is an engine contract, not luck).
+    Each op streams a small parquet directory through a memory sink
+    and must equal its batch output row-for-row."""
+
+    DOCS = [
+        (1, "https://blog.example.org/a", "en", "table row scan merge table row"),
+        (2, "https://ok.example.com/b", "de", "scan hash merge batch query"),
+        (3, "https://ads.net/c", "en", "spark stream window query batch"),
+        (4, "https://fine.example.com/d", "fr", "a b c d e f g h i j"),
+    ]
+    SCHEMA = "doc_id long, url string, lang string, text string"
+
+    @pytest.fixture(scope="class")
+    def docs_dir(self, tmp_path_factory, spark):
+        d = str(tmp_path_factory.mktemp("curation") / "docs")
+        spark.createDataFrame(self.DOCS, self.SCHEMA).write.parquet(d)
+        return d
+
+    def _stream_collect(self, spark, docs_dir, op, name):
+        src = spark.readStream.schema(self.SCHEMA).parquet(docs_dir)
+        q = (
+            op(src)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    def _assert_stream_eq_batch(self, spark, docs_dir, op, name, key):
+        got = sorted(self._stream_collect(spark, docs_dir, op, name), key=key)
+        want = sorted(op(spark.read.parquet(docs_dir)).collect(), key=key)
+        assert got == want
+        assert len(got) > 0
+
+    def test_mixture_sample_streams(self, spark, docs_dir):
+        from easyner_spark.operators.sampling import mixture_sample
+
+        self._assert_stream_eq_batch(
+            spark, docs_dir,
+            lambda df: mixture_sample(df, {"en": 1_000_000, "de": 1_000_000}, "lang"),
+            "m_mix", lambda r: r["doc_id"],
+        )
+
+    def test_blocklist_streams(self, spark, docs_dir):
+        from easyner_spark.operators.webtext import url_blocklist_filter
+
+        self._assert_stream_eq_batch(
+            spark, docs_dir,
+            lambda df: url_blocklist_filter(df, ("example.org", "ads.net")),
+            "m_block", lambda r: r["doc_id"],
+        )
+
+    def test_topic_id_streams(self, spark, docs_dir):
+        from easyner_spark.operators.textstats import topic_id
+
+        self._assert_stream_eq_batch(
+            spark, docs_dir, topic_id, "m_topic", lambda r: r["doc_id"],
+        )
+
+    def test_chunk_docs_streams(self, spark, docs_dir):
+        from easyner_spark.operators.sampling import chunk_docs
+
+        self._assert_stream_eq_batch(
+            spark, docs_dir,
+            lambda df: chunk_docs(df, max_tokens=4, overlap=1),
+            "m_chunk", lambda r: (r["id"], r["chunk_idx"]),
+        )
+
+    def test_hashed_linear_streams(self, spark, docs_dir):
+        from easyner_spark.operators.scoring import hashed_linear_score
+
+        self._assert_stream_eq_batch(
+            spark, docs_dir, hashed_linear_score, "m_qual", lambda r: r["id"],
+        )
