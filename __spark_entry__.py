@@ -1174,6 +1174,16 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_score(_docs(spark, sf_dir), min_count=2)
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM conditional cross-entropy (the KenLM/
+    CCNet shape one order down): bounded bigram+unigram count tables,
+    per-transition µ-unit quantization before the exact per-doc sum.
+    Oracle generated by the operator's own bigram_lm_oracle_sql."""
+    from easyner_spark.operators.scoring import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir), min_count=2)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick linear quality classifier (fastText shape):
     token -> md5 bucket -> deterministic integer weight, doc margin =
@@ -1776,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": q_event_rollup,
         "bm25_rank": q_bm25_rank,
         "unigram_lm": q_unigram_lm,
+        "bigram_lm": q_bigram_lm,
         "quality_classifier": q_quality_classifier,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
@@ -2552,6 +2563,7 @@ def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.dedup import repeated_spans_oracle_sql
     from easyner_spark.operators.sampling import chunk_docs_oracle_sql
     from easyner_spark.operators.scoring import (
+        bigram_lm_oracle_sql,
         hashed_linear_oracle_sql,
         unigram_lm_oracle_sql,
     )
@@ -2663,6 +2675,7 @@ FROM per_doc
         "event_rollup": rollup_sql,
         "bm25_rank": bm25_oracle_sql(BM25_TERMS),
         "unigram_lm": unigram_lm_oracle_sql(min_count=2),
+        "bigram_lm": bigram_lm_oracle_sql(min_count=2),
         "quality_classifier": hashed_linear_oracle_sql(),
         "media_meta": _MEDIA_META_SQL,
         "media_meta_headers": """

@@ -251,3 +251,175 @@ SELECT id, n_words, margin_q,
        round(1.0 / (1.0 + exp(-({g!r}) * (margin_q / 1000000.0 / (n_words + 1.0)))), 6) AS prob
 FROM per
 """
+
+
+BIGRAM_LAMBDA = 0.7  # interpolation weight on the bigram term
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    min_count: int = 2,
+    lam: float = BIGRAM_LAMBDA,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_transitions, score_q, cross_entropy, ppl) — per-document
+    conditional cross-entropy under an interpolated bigram LM trained
+    on this corpus (the KenLM/CCNet shape one order down):
+
+        p(cur | prev) = lam * c(prev,cur)/c(prev)
+                        + (1-lam) * c(cur)/(N+1)        [kept bigrams]
+        backoff        = (1-lam) * c(cur)/(N+1)          [unseen pair]
+        OOV            = (1-lam) * 1/(N+1)               [unseen cur]
+
+    Scoring walks each document's n-1 (prev, cur) transitions (docs
+    with < 2 tokens produce no rows); per-TRANSITION log-probs are
+    quantized to BIGINT µ-units before the per-doc sum (the module's
+    exact-integer determinism contract), floats only in per-row
+    finals, rounded to 6.
+
+    Scale shape: transitions are a narrow posexplode projection (no
+    token self-join); the bigram/unigram tables are bounded count
+    aggregates (min_count cutoff; Zipf caps distinct bigrams far
+    below token count); scoring is two AQE-decided lookup joins + one
+    partial-agg doc rollup. Training scans the corpus once per table;
+    production freezes both tables and scores new crawls against them
+    (same persisted-vocab hook as unigram_lm_score).
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1): {lam}")
+    toks = docs.select(F.col(id_col).alias("id"), words_array(text_col).alias("_w"))
+    n = F.size("_w")
+    pairs = toks.where(n >= 2).select(
+        "id",
+        F.explode(F.sequence(F.lit(2), n)).alias("_i"),
+        F.col("_w"),
+    ).select(
+        "id",
+        F.element_at("_w", F.col("_i") - 1).alias("prev"),
+        F.element_at("_w", F.col("_i")).alias("cur"),
+    )
+
+    # unigram counts (full, pre-cutoff) drive N, the backoff term and
+    # the c(prev) denominator; both tables are bounded + checkpointed
+    tok = toks.select(F.explode("_w").alias("word"))
+    uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    uni = uni.localCheckpoint(eager=True)
+    stats = uni.agg(F.sum("cnt").alias("n"))
+    lam_l, oml = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    uni_t = uni.crossJoin(F.broadcast(stats)).select(
+        F.col("word"),
+        F.col("cnt"),
+        F.floor(
+            F.log(oml * (F.col("cnt") / (F.col("n") + F.lit(1.0)))) * F.lit(float(Q))
+        ).cast("long").alias("lp_back_q"),
+        F.floor(
+            F.log(oml * (F.lit(1.0) / (F.col("n") + F.lit(1.0)))) * F.lit(float(Q))
+        ).cast("long").alias("lp_oov_q"),
+    )
+
+    bi = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bi"))
+    bi = bi.where(F.col("c_bi") >= F.lit(min_count))
+    bi_t = (
+        bi.join(uni_t.select(F.col("word").alias("prev"), F.col("cnt").alias("c_prev")), "prev")
+        .join(
+            uni_t.select(
+                F.col("word").alias("cur"),
+                F.col("cnt").alias("c_cur"),
+            ).crossJoin(F.broadcast(stats)),
+            "cur",
+        )
+        .select(
+            "prev",
+            "cur",
+            F.floor(
+                F.log(
+                    lam_l * (F.col("c_bi") / F.col("c_prev"))
+                    + oml * (F.col("c_cur") / (F.col("n") + F.lit(1.0)))
+                )
+                * F.lit(float(Q))
+            ).cast("long").alias("lp_bi_q"),
+        )
+    )
+
+    scored = (
+        pairs.join(bi_t, ["prev", "cur"], "left")
+        .join(uni_t.select(F.col("word").alias("cur"), "lp_back_q", "lp_oov_q"), "cur", "left")
+        .crossJoin(F.broadcast(uni_t.agg(F.min("lp_oov_q").alias("lp_oov_c"))))
+    )
+    q = F.coalesce(F.col("lp_bi_q"), F.col("lp_back_q"), F.col("lp_oov_c"))
+    per = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(q).alias("score_q"),
+    )
+    ce = (-F.col("score_q") / F.lit(float(Q))) / F.col("n_transitions")
+    return per.select(
+        "id",
+        "n_transitions",
+        "score_q",
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("ppl"),
+    )
+
+
+def bigram_lm_oracle_sql(
+    min_count: int = 2,
+    lam: float = BIGRAM_LAMBDA,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bigram_lm_score` (one generator, both
+    float expression trees — the module contract)."""
+    mc, lm = int(min_count), float(lam)
+    om = 1.0 - lm
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS w FROM {source}
+),
+pairs AS (
+  SELECT id, w[i - 1] AS prev, w[i] AS cur
+  FROM (SELECT id, w, unnest(generate_series(2, len(w))) AS i
+        FROM toks WHERE len(w) >= 2)
+),
+uni AS (
+  SELECT word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(w) AS word FROM toks) GROUP BY word
+),
+stats AS (SELECT sum(cnt)::BIGINT AS n FROM uni),
+uni_t AS (
+  SELECT word, cnt,
+         CAST(floor(ln({om!r} * (cnt / (n + 1.0))) * 1000000.0) AS BIGINT) AS lp_back_q,
+         CAST(floor(ln({om!r} * (1.0 / (n + 1.0))) * 1000000.0) AS BIGINT) AS lp_oov_q
+  FROM uni, stats
+),
+bi AS (
+  SELECT prev, cur, count(*)::BIGINT AS c_bi FROM pairs GROUP BY prev, cur
+  HAVING count(*) >= {mc}
+),
+bi_t AS (
+  SELECT b.prev, b.cur,
+         CAST(floor(ln({lm!r} * (b.c_bi / up.cnt)
+                       + {om!r} * (uc.cnt / (s.n + 1.0))) * 1000000.0) AS BIGINT)
+           AS lp_bi_q
+  FROM bi b
+  JOIN uni_t up ON up.word = b.prev
+  JOIN uni_t uc ON uc.word = b.cur
+  CROSS JOIN stats s
+),
+oov AS (SELECT min(lp_oov_q) AS lp_oov_c FROM uni_t),
+scored AS (
+  SELECT p.id,
+         coalesce(bt.lp_bi_q, ut.lp_back_q, o.lp_oov_c) AS q
+  FROM pairs p
+  LEFT JOIN bi_t bt ON bt.prev = p.prev AND bt.cur = p.cur
+  LEFT JOIN uni_t ut ON ut.word = p.cur
+  CROSS JOIN oov o
+),
+per AS (
+  SELECT id, count(*)::BIGINT AS n_transitions, sum(q)::BIGINT AS score_q
+  FROM scored GROUP BY id
+)
+SELECT id, n_transitions, score_q,
+       round((-score_q / 1000000.0) / n_transitions, 6) AS cross_entropy,
+       round(exp((-score_q / 1000000.0) / n_transitions), 6) AS ppl
+FROM per
+"""

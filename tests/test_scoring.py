@@ -155,3 +155,42 @@ class TestTopicId:
         df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
         plan = topic_id(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestBigramLm:
+    # doc 1/2 share the 'the cat'/'cat sat' transition structure; doc 6
+    # uses the same WORDS in scrambled order (bigram-broken) — the
+    # bigram LM must separate it from doc 1 where the unigram LM can't
+    BIGRAM_CORPUS = [
+        (1, "the cat sat on the mat the cat sat"),
+        (2, "the cat sat on the mat"),
+        (6, "cat the sat cat on mat the the sat"),
+        (7, "single"),                               # <2 tokens: absent
+    ]
+
+    def _scores(self, spark, **kw):
+        from easyner_spark.operators.scoring import bigram_lm_score
+
+        df = spark.createDataFrame(self.BIGRAM_CORPUS, "doc_id long, text string")
+        return {r["id"]: r for r in bigram_lm_score(df, **kw).collect()}
+
+    def test_broken_word_order_scores_worse(self, spark):
+        got = self._scores(spark, min_count=2)
+        assert set(got) == {1, 2, 6}
+        assert got[6]["cross_entropy"] > got[1]["cross_entropy"]
+        assert got[6]["cross_entropy"] > got[2]["cross_entropy"]
+
+    def test_transition_count_and_exactness(self, spark):
+        import math
+
+        got = self._scores(spark, min_count=2)
+        assert got[1]["n_transitions"] == 8
+        assert got[2]["n_transitions"] == 5
+        for r in got.values():
+            assert r["ppl"] == pytest.approx(math.exp(r["cross_entropy"]), rel=1e-4)
+
+    def test_lam_validation(self, spark):
+        with pytest.raises(ValueError):
+            self._scores(spark, lam=1.0)
+        with pytest.raises(ValueError):
+            self._scores(spark, lam=0.0)
