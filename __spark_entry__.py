@@ -799,6 +799,25 @@ def q_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-name canonicalization edges: EXACT char-3-gram
+    Jaccard >= 0.5 between corpus surface forms and their pluralized
+    variants (inverted-index join, never all-pairs) — the record-
+    linkage feeder operators/components merges into canonical nodes.
+    Oracle generated by nel.name_similarity_oracle_sql."""
+    from easyner_spark.operators.nel import name_similarity_edges
+
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(r"regexp_extract_all(lower(text), '\\w+', 0)")).alias("name"))
+        .distinct()
+    )
+    names = words.unionByName(
+        words.select(F.concat(F.col("name"), F.lit("s")).alias("name"))
+    ).distinct()
+    return name_similarity_edges(names, k=3, threshold=0.5)
+
+
 def q_topic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-argmax topic bucketing (lang_id contract applied to
     subject matter; zero shuffle). Oracle generated from the SAME
@@ -1767,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "paragraph_dedup": q_paragraph_dedup,
         "crawl_priority": q_crawl_priority,
+        "name_match": q_name_match,
         "topic_id": q_topic_id,
         "repeated_spans": q_repeated_spans,
         "chunk_docs": q_chunk_docs,
@@ -2561,6 +2581,7 @@ SELECT node, min(lbl) AS component FROM reach GROUP BY node
 def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.ranking import bm25_oracle_sql
     from easyner_spark.operators.dedup import repeated_spans_oracle_sql
+    from easyner_spark.operators.nel import name_similarity_oracle_sql
     from easyner_spark.operators.sampling import chunk_docs_oracle_sql
     from easyner_spark.operators.scoring import (
         bigram_lm_oracle_sql,
@@ -3384,6 +3405,19 @@ FROM freq f LEFT JOIN pr ON f.host = pr.node
         ),
         # Deterministic md5-gated sample (threshold string shared with
         # sampling.sample_threshold)
+        "name_match": name_similarity_oracle_sql(
+            k=3,
+            threshold=0.5,
+            source=(
+                "(SELECT word AS name FROM "
+                "  (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '\\w+')) AS word"
+                "   FROM documents) "
+                " UNION "
+                " SELECT word || 's' FROM "
+                "  (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '\\w+')) AS word"
+                "   FROM documents))"
+            ),
+        ),
         "topic_id": topic_oracle_sql(),
         "repeated_spans": repeated_spans_oracle_sql(
             k=8,

@@ -86,3 +86,119 @@ def canonicalize_mentions(mentions: DataFrame, alias: DataFrame) -> DataFrame:
             F.col("entity_id")
         ),
     )
+
+
+def char_grams(name, k: int = 3):
+    """Distinct sorted character k-grams of a (lowercased, trimmed)
+    name; names shorter than k contribute themselves as one gram.
+    Shared expression contract with the DuckDB oracle
+    (list_distinct(list_transform(range(...), i -> name[i:i+k-1])))."""
+    s = F.trim(F.lower(F.col(name) if isinstance(name, str) else name))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(s) - (k - 1)),
+        lambda i: F.substring(s, i, k),
+    )
+    grams = F.when(F.length(s) >= k, grams).otherwise(F.array(s))
+    return F.array_sort(F.array_distinct(grams))
+
+
+def name_similarity_edges(
+    names: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    name_col: str = "name",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(a, b, inter, na, nb, jaccard) — EXACT character-k-gram Jaccard
+    edges between name pairs (a < b), the fuzzy feeder for
+    cross-document entity canonicalization: surface forms the alias
+    dictionary misses ('rapamycin' / 'rapamycins') edge to each other
+    here, then operators/components merges them into one canonical
+    node — the classic record-linkage step the reference's exact-match
+    NEL (scripts/entity_linking (NEL).py, see link_entities above)
+    cannot perform.
+
+    Relational shape (the inverted-index / "prefix filtering" family,
+    NOT all-pairs): explode distinct grams (bounded: O(len) per name),
+    self equi-join on the gram key, count shared grams per pair, then
+    jaccard = inter / (na + nb - inter) from per-name gram counts that
+    ride through the join — exact set similarity without materializing
+    any name pair that shares no gram. `max_df` drops grams carried by
+    more than max_df names from CANDIDATE GENERATION ONLY — the classic
+    stopgram cut for hot n-grams ('ion', 'the'); with it set, reported
+    jaccard is a LOWER BOUND for pairs that only shared hot grams
+    (document accordingly; None = fully exact). One shuffle on the
+    gram key + one partial-agg pair rollup at any corpus size.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    g = names.select(
+        F.col(name_col).alias("n"), F.explode(char_grams(name_col, k)).alias("g")
+    )
+    sizes = g.groupBy("n").agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        keep = g.groupBy("g").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") <= F.lit(max_df)
+        )
+        g = g.join(keep.select("g"), "g", "left_semi")
+    a, b = g.alias("ga"), g.alias("gb")
+    inter = (
+        a.join(b, (F.col("ga.g") == F.col("gb.g")) & (F.col("ga.n") < F.col("gb.n")))
+        .groupBy(F.col("ga.n").alias("a"), F.col("gb.n").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("n").alias("a"), F.col("sz").alias("na")), "a")
+        .join(sizes.select(F.col("n").alias("b"), F.col("sz").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            "inter",
+            "na",
+            "nb",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= F.lit(float(threshold)))
+
+
+def name_similarity_oracle_sql(
+    k: int = 3,
+    threshold: float = 0.5,
+    source: str = "(SELECT DISTINCT 'x' AS name)",
+) -> str:
+    """DuckDB twin of :func:`name_similarity_edges` (no max_df — the
+    oracle checks the exact path). `source` must expose a `name`
+    column."""
+    ki, th = int(k), float(threshold)
+    return f"""
+WITH names AS (
+  SELECT name FROM {source}
+),
+grams AS (
+  SELECT name AS n,
+         unnest(list_distinct(
+           CASE WHEN length(trim(lower(name))) >= {ki}
+                THEN list_transform(
+                       range(1, length(trim(lower(name))) - {ki} + 2),
+                       i -> substring(trim(lower(name)), i, {ki}))
+                ELSE [trim(lower(name))] END)) AS g
+  FROM names
+),
+sizes AS (
+  SELECT n, count(*)::BIGINT AS sz FROM grams GROUP BY n
+),
+inter AS (
+  SELECT ga.n AS a, gb.n AS b, count(*)::BIGINT AS inter
+  FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.n < gb.n
+  GROUP BY ga.n, gb.n
+)
+SELECT a, b, inter, sa.sz AS na, sb.sz AS nb,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.n = a
+JOIN sizes sb ON sb.n = b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {th!r}
+"""

@@ -174,3 +174,76 @@ def test_mentions_eval_against_gold_is_perfect(spark, fx, mentions_df):
     ).toPandas()
     assert (counts["fp"] == 0).all() and (counts["fn"] == 0).all()
     assert (counts["precision"] == 1.0).all() and (counts["recall"] == 1.0).all()
+
+
+class TestNameSimilarityEdges:
+    NAMES = [
+        ("rapamycin",), ("rapamycins",), ("rapamycin b",),
+        ("aspirin",), ("the",), ("thx",),
+    ]
+
+    def _edges(self, spark, **kw):
+        from easyner_spark.operators.nel import name_similarity_edges
+
+        df = spark.createDataFrame(self.NAMES, "name string")
+        return {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in name_similarity_edges(df, **kw).collect()
+        }
+
+    def test_variant_edges_found_exactly(self, spark):
+        got = self._edges(spark, k=3, threshold=0.5)
+        # 'rapamycin' (7 grams) vs 'rapamycins' (8): inter 7 -> 7/8
+        assert got[("rapamycin", "rapamycins")] == pytest.approx(0.875)
+        # 'rapamycin' vs 'rapamycin b': trailing ' b' adds 2 grams
+        assert ("rapamycin", "rapamycin b") in got
+        # unrelated names never pair; sub-threshold pairs dropped
+        assert not any("aspirin" in p for p in got)
+        assert ("the", "thx") not in got  # zero shared grams
+
+    def test_short_name_whole_gram(self, spark):
+        from easyner_spark.operators.nel import name_similarity_edges
+
+        df = spark.createDataFrame([("ab",), ("ab",), ("abc",)], "name string")
+        # 'ab' (gram {'ab'}) vs 'abc' (gram {'abc'}): no shared gram
+        got = name_similarity_edges(df.distinct(), k=3, threshold=0.1).collect()
+        assert got == []
+
+    def test_max_df_prunes_hot_grams(self, spark):
+        # every name shares the hot gram 'ion'; with max_df=2 that gram
+        # stops generating candidates and only the true variant pair
+        # (extra shared grams) survives
+        df_rows = [("action",), ("fusion",), ("mention",), ("mentions",)]
+        from easyner_spark.operators.nel import name_similarity_edges
+
+        df = spark.createDataFrame(df_rows, "name string")
+        full = {
+            (r["a"], r["b"])
+            for r in name_similarity_edges(df, k=3, threshold=0.1).collect()
+        }
+        pruned = {
+            (r["a"], r["b"])
+            for r in name_similarity_edges(df, k=3, threshold=0.1, max_df=2).collect()
+        }
+        assert ("mention", "mentions") in pruned
+        assert pruned < full
+
+    def test_edges_feed_components(self, spark):
+        from easyner_spark.operators.components import connected_components
+        from easyner_spark.operators.nel import name_similarity_edges
+
+        df = spark.createDataFrame(self.NAMES, "name string")
+        e = name_similarity_edges(df, k=3, threshold=0.5).select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        )
+        comp = connected_components(e).collect()
+        groups = {}
+        for r in comp:
+            groups.setdefault(r["component"], set()).add(r["node"])
+        assert {"rapamycin", "rapamycins", "rapamycin b"} in list(groups.values())
+
+    def test_threshold_gate(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            self._edges(spark, threshold=0.0)
