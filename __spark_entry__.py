@@ -799,6 +799,25 @@ def q_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy NEL second pass (nel.fuzzy_link_surfaces): surface forms
+    the exact alias join misses — pluralized and head-clipped variants
+    of every alias term — map to the char-gram-closest alias entity
+    (bipartite inverted-index join, per-surface argmax window:
+    jq desc, ID asc, term asc). The oracle rebuilds the whole chain
+    including the tie on 'rapamycin' carrying two KB ids (min ID must
+    win deterministically)."""
+    from easyner_spark.operators.nel import fuzzy_link_surfaces
+
+    t = _alias_df(spark).select(F.lower("term").alias("term"))
+    surfaces = (
+        t.select(F.concat("term", F.lit("s")).alias("name"))
+        .unionByName(t.select(F.substring("term", 2, 1000).alias("name")))
+        .distinct()
+    )
+    return fuzzy_link_surfaces(surfaces, _alias_df(spark), k=3, threshold=0.4)
+
+
 def q_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity-name canonicalization edges: EXACT char-3-gram
     Jaccard >= 0.5 between corpus surface forms and their pluralized
@@ -1787,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "crawl_priority": q_crawl_priority,
         "name_match": q_name_match,
+        "fuzzy_link": q_fuzzy_link,
         "topic_id": q_topic_id,
         "repeated_spans": q_repeated_spans,
         "chunk_docs": q_chunk_docs,
@@ -3405,6 +3425,57 @@ FROM freq f LEFT JOIN pr ON f.host = pr.node
         ),
         # Deterministic md5-gated sample (threshold string shared with
         # sampling.sample_threshold)
+        # full fuzzy-NEL chain: variant surfaces -> bipartite char-gram
+        # join vs DISTINCT alias terms -> exact jq rank -> per-surface
+        # argmax window (jq DESC, ID ASC, term ASC)
+        "fuzzy_link": """
+WITH alias(term, id) AS (VALUES __ALIAS__),
+terms AS (SELECT DISTINCT lower(term) AS term FROM alias),
+surfaces AS (
+  SELECT term || 's' AS name FROM terms
+  UNION
+  SELECT substring(term, 2) FROM terms
+),
+gl AS (
+  SELECT name AS l,
+         unnest(list_distinct(
+           CASE WHEN length(trim(lower(name))) >= 3
+                THEN list_transform(range(1, length(trim(lower(name))) - 1),
+                                    i -> substring(trim(lower(name)), i, 3))
+                ELSE [trim(lower(name))] END)) AS g
+  FROM surfaces
+),
+gr AS (
+  SELECT term AS r,
+         unnest(list_distinct(
+           CASE WHEN length(trim(lower(term))) >= 3
+                THEN list_transform(range(1, length(trim(lower(term))) - 1),
+                                    i -> substring(trim(lower(term)), i, 3))
+                ELSE [trim(lower(term))] END)) AS g
+  FROM terms
+),
+szl AS (SELECT l, count(*)::BIGINT AS nl FROM gl GROUP BY l),
+szr AS (SELECT r, count(*)::BIGINT AS nr FROM gr GROUP BY r),
+inter AS (
+  SELECT gl.l, gr.r, count(*)::BIGINT AS inter
+  FROM gl JOIN gr USING (g) GROUP BY gl.l, gr.r
+),
+m AS (
+  SELECT l, r, inter,
+         round(inter / (szl.nl + szr.nr - inter), 6) AS jaccard,
+         CAST(floor(inter * 1000000 / (szl.nl + szr.nr - inter)) AS BIGINT) AS jq
+  FROM inter JOIN szl USING (l) JOIN szr USING (r)
+  WHERE round(inter / (szl.nl + szr.nr - inter), 6) >= 0.4
+),
+cand AS (
+  SELECT m.l AS name, a.id AS entity_id, a.term, m.jq,
+         row_number() OVER (PARTITION BY m.l
+                            ORDER BY m.jq DESC, a.id ASC, a.term ASC) AS rn
+  FROM m JOIN (SELECT DISTINCT lower(term) AS term, id FROM alias) a
+    ON a.term = m.r
+)
+SELECT name, entity_id, jq FROM cand WHERE rn = 1
+""".replace("__ALIAS__", _ALIAS_VALUES),
         "name_match": name_similarity_oracle_sql(
             k=3,
             threshold=0.5,

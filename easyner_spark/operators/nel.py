@@ -202,3 +202,104 @@ JOIN sizes sa ON sa.n = a
 JOIN sizes sb ON sb.n = b
 WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {th!r}
 """
+
+
+def name_match_bipartite(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    left_col: str = "name",
+    right_col: str = "name",
+) -> DataFrame:
+    """(l, r, inter, nl, nr, jaccard, jq) — exact char-k-gram Jaccard
+    between every LEFT name and every RIGHT name that share at least
+    one gram (the bipartite twin of :func:`name_similarity_edges`;
+    same inverted-index shape, no a<b constraint since the sides are
+    distinct row sets). `jq` = floor(inter * 1e6 / union) is the
+    EXACT integer rank key downstream argmaxes sort on (double
+    division of < 2^53 integers is correctly rounded in every engine,
+    so the floor is bit-stable)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    gl = left.select(F.col(left_col).alias("l"), F.explode(char_grams(left_col, k)).alias("g"))
+    gr = right.select(F.col(right_col).alias("r"), F.explode(char_grams(right_col, k)).alias("g"))
+    szl = gl.groupBy("l").agg(F.count(F.lit(1)).alias("nl"))
+    szr = gr.groupBy("r").agg(F.count(F.lit(1)).alias("nr"))
+    inter = gl.join(gr, "g").groupBy("l", "r").agg(F.count(F.lit(1)).alias("inter"))
+    uni = F.col("nl") + F.col("nr") - F.col("inter")
+    out = (
+        inter.join(szl, "l")
+        .join(szr, "r")
+        .select(
+            "l",
+            "r",
+            "inter",
+            "nl",
+            "nr",
+            F.round(F.col("inter") / uni, 6).alias("jaccard"),
+            F.floor(F.col("inter") * F.lit(1_000_000) / uni).cast("long").alias("jq"),
+        )
+    )
+    return out.where(F.col("jaccard") >= F.lit(float(threshold)))
+
+
+def fuzzy_link_surfaces(
+    surfaces: DataFrame,
+    alias: DataFrame,
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """(name, entity_id, jq) — best alias entity per surface form by
+    exact char-gram similarity: for each LEFT surface name, the alias
+    term with the highest jq (ties: lexicographically smallest ID
+    then term). Surfaces with no candidate >= threshold are absent —
+    callers keep their fallback id. The per-surface argmax window
+    partitions on the surface name (candidate lists are bounded by
+    gram sharing, never corpus-sized)."""
+    from pyspark.sql.window import Window
+
+    targets = alias.select(F.lower("term").alias("term"), "ID").distinct()
+    # match on DISTINCT terms (a term carrying several IDs must not
+    # double its gram rows), fan back out to IDs after
+    m = name_match_bipartite(
+        surfaces, targets.select("term").distinct(), k=k, threshold=threshold,
+        right_col="term",
+    )
+    m = m.join(targets, m["r"] == targets["term"]).select(
+        F.col("l").alias("name"), F.col("ID"), F.col("term"), "jq"
+    )
+    w = Window.partitionBy("name").orderBy(
+        F.col("jq").desc(), F.col("ID").asc(), F.col("term").asc()
+    )
+    return (
+        m.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("name", F.col("ID").alias("entity_id"), "jq")
+    )
+
+
+def fuzzy_canonicalize_mentions(
+    mentions: DataFrame,
+    alias: DataFrame,
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """canonicalize_mentions + a fuzzy second pass: mentions the exact
+    alias join missed ('rapamycins') remap from their surface fallback
+    id to the char-gram-closest alias entity (>= threshold), so
+    morphological variants stop fragmenting KG nodes. The fuzzy map is
+    built over DISTINCT unmatched surface forms (bounded, not
+    mention-count-sized) and broadcast back."""
+    linked = canonicalize_mentions(mentions, alias)
+    surfaces = (
+        linked.where(F.col("entity_id").startswith("surface:"))
+        .select(F.col("mention_lc").alias("name"))
+        .distinct()
+    )
+    fuzzy = fuzzy_link_surfaces(surfaces, alias, k=k, threshold=threshold)
+    remap = F.broadcast(fuzzy.select("name", F.col("entity_id").alias("_fuzzy_id")))
+    out = linked.join(remap, linked["mention_lc"] == remap["name"], "left")
+    return out.withColumn(
+        "entity_id", F.coalesce(F.col("_fuzzy_id"), F.col("entity_id"))
+    ).drop("name", "_fuzzy_id")

@@ -247,3 +247,65 @@ class TestNameSimilarityEdges:
 
         with _pt.raises(ValueError):
             self._edges(spark, threshold=0.0)
+
+
+class TestFuzzyLink:
+    ALIAS = [
+        ("rapamycin", "KB:0104"),
+        ("rapamycin", "KB:0004"),   # same term, two ids: min must win
+        ("chloroquine", "KB:0005"),
+    ]
+
+    def _alias(self, spark):
+        return spark.createDataFrame(self.ALIAS, "term string, ID string")
+
+    def test_best_match_and_id_tiebreak(self, spark):
+        from easyner_spark.operators.nel import fuzzy_link_surfaces
+
+        surf = spark.createDataFrame(
+            [("rapamycins",), ("chloroquin",), ("aspirin",)], "name string"
+        )
+        got = {
+            r["name"]: r["entity_id"]
+            for r in fuzzy_link_surfaces(surf, self._alias(spark), threshold=0.4).collect()
+        }
+        assert got["rapamycins"] == "KB:0004"   # jq tie across ids -> min ID
+        assert got["chloroquin"] == "KB:0005"
+        assert "aspirin" not in got             # no candidate over threshold
+
+    def test_bipartite_no_double_count_on_duplicate_terms(self, spark):
+        from easyner_spark.operators.nel import fuzzy_link_surfaces
+
+        surf = spark.createDataFrame([("rapamycins",)], "name string")
+        rows = fuzzy_link_surfaces(surf, self._alias(spark), threshold=0.4).collect()
+        # 'rapamycin' 7 grams, 'rapamycins' 8, inter 7 -> jq 875000
+        assert len(rows) == 1
+        assert rows[0]["jq"] == 875_000
+
+    def test_fuzzy_canonicalize_merges_variants(self, spark):
+        from easyner_spark.operators.nel import (
+            canonicalize_mentions,
+            fuzzy_canonicalize_mentions,
+        )
+
+        mentions = spark.createDataFrame(
+            [
+                ("u1", 0, "rapamycin"),
+                ("u2", 0, "rapamycins"),    # variant: exact join misses
+                ("u3", 0, "zzz"),           # truly unknown: keeps surface id
+            ],
+            "url string, sent_idx int, mention_lc string",
+        )
+        exact = {
+            r["mention_lc"]: r["entity_id"]
+            for r in canonicalize_mentions(mentions, self._alias(spark)).collect()
+        }
+        assert exact["rapamycins"] == "surface:rapamycins"  # fragmented node
+        fuzzy = {
+            r["mention_lc"]: r["entity_id"]
+            for r in fuzzy_canonicalize_mentions(
+                mentions, self._alias(spark), threshold=0.5
+            ).collect()
+        }
+        assert fuzzy["rapamycin"] == fuzzy["rapamycins"] == "KB:0004"
+        assert fuzzy["zzz"] == "surface:zzz"
