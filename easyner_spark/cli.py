@@ -174,10 +174,24 @@ def run_pipeline(spark: SparkSession, cfg: dict) -> dict[str, int]:
 
     linked = None
     if modules["nel"] and ments is not None:
-        alias = primary_alias(_load_alias(spark, cfg.get("alias_path")))
-        linked = materialize(
-            "linked", lambda: link_entities(ments, alias, keep_unmatched=False)
-        )
+        raw_alias = _load_alias(spark, cfg.get("alias_path"))
+        alias = primary_alias(raw_alias)
+        if cfg.get("fuzzy_nel"):
+            # second-pass canonicalization: surface forms the exact
+            # alias join misses remap to the char-gram-closest alias
+            # entity (>= fuzzy_threshold), so morphological variants
+            # stop fragmenting KG nodes
+            from easyner_spark.operators.nel import fuzzy_canonicalize_mentions
+
+            thr = float(cfg.get("fuzzy_threshold", 0.6))
+            linked = materialize(
+                "linked",
+                lambda: fuzzy_canonicalize_mentions(ments, raw_alias, threshold=thr),
+            )
+        else:
+            linked = materialize(
+                "linked", lambda: link_entities(ments, alias, keep_unmatched=False)
+            )
         counts["linked"] = linked.count()
 
     edges = None

@@ -394,3 +394,23 @@ class TestCorpusShards:
         df = spark.createDataFrame([("u", "t")], "url string, text string")
         with _pytest.raises(ValueError):
             write_corpus_shards(df, str(tmp_path / "x"), fmt="csv")
+
+
+class TestCliFuzzyNel:
+    def test_fuzzy_nel_keeps_variants_in_graph(self, spark, pages_df, tmp_path):
+        from easyner_spark.cli import run_pipeline
+
+        pages_path = str(tmp_path / "pages.parquet")
+        pages_df.write.parquet(pages_path)
+        base = {"input": {"pages_path": pages_path}}
+        exact = run_pipeline(
+            spark, {**base, "output_dir": str(tmp_path / "o_exact")}
+        )
+        fuzzy = run_pipeline(
+            spark,
+            {**base, "output_dir": str(tmp_path / "o_fuzzy"), "fuzzy_nel": True},
+        )
+        # fuzzy keeps every mention (unmatched get surface/fuzzy ids)
+        # instead of dropping them, so the linked table can only grow
+        assert fuzzy["linked"] >= exact["linked"]
+        assert fuzzy["nodes"] > 0 and fuzzy["edges"] > 0
