@@ -653,6 +653,20 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=3).select("node", "rank")
 
 
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the extracted host link graph —
+    the hub/authority split PageRank can't make (an index page links
+    out everywhere = hub; a hot target = authority). Fixed-iteration,
+    L-inf normalized, round(·,9) state contract; oracle = unrolled
+    CTE chain (_hits_oracle_body, the pagerank recipe)."""
+    from easyner_spark.operators.graph import hits
+    from easyner_spark.operators.webtext import host_graph
+
+    hg = host_graph(_synth_html_pages(spark, sf_dir))
+    edges = hg.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    return hits(edges, iters=3)
+
+
 def _synth_anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """_synth_url_pages + html whose links carry MULTI-WORD anchor
     text (the signal anchor_terms aggregates): an absolute cross-host
@@ -1801,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
+        "host_hits": q_host_hits,
         "anchor_terms": q_anchor_terms,
         "crawl_delta": q_crawl_delta,
         "paragraph_dedup": q_paragraph_dedup,
@@ -2533,6 +2548,52 @@ SELECT doc_id,
    AND n_stop >= 2 AND dup <= 0.3) AS gopher_keep
 FROM r
 """
+
+
+def _hits_oracle_body(
+    iters: int = 3,
+    e_sql: str = "SELECT DISTINCT src_host AS src, dst_host AS dst FROM hg",
+) -> str:
+    """Unrolled HITS CTE chain mirroring operators/graph.hits' op
+    order exactly: per iteration, authority = round(sum of PREVIOUS
+    hubs over in-edges / max, 9) for every node (missing -> 0), then
+    hub = round(sum of NEW authorities over out-edges / max, 9);
+    output rounds to 6."""
+    parts = [
+        f"""
+, e AS ({e_sql}),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+a{t}_raw AS (
+  SELECT e.dst AS node, sum(h.hub) AS v
+  FROM e JOIN h{t - 1} h ON e.src = h.node GROUP BY e.dst
+),
+a{t} AS (
+  SELECT nodes.node,
+         round(coalesce(r.v, 0.0) / (SELECT max(v) FROM a{t}_raw), 9) AS auth
+  FROM nodes LEFT JOIN a{t}_raw r ON nodes.node = r.node
+),
+h{t}_raw AS (
+  SELECT e.src AS node, sum(a.auth) AS v
+  FROM e JOIN a{t} a ON e.dst = a.node GROUP BY e.src
+),
+h{t} AS (
+  SELECT nodes.node,
+         round(coalesce(r.v, 0.0) / (SELECT max(v) FROM h{t}_raw), 9) AS hub
+  FROM nodes LEFT JOIN h{t}_raw r ON nodes.node = r.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a.node, round(a.auth, 6) AS authority, round(h.hub, 6) AS hub
+FROM a{iters} a JOIN h{iters} h ON a.node = h.node
+"""
+    )
+    return "".join(parts)
 
 
 def _pagerank_oracle_body(
@@ -3287,6 +3348,7 @@ SELECT src_host, dst_host, n_links::BIGINT AS n_links FROM hg
         + _pagerank_oracle_body(
             e_sql="SELECT DISTINCT src_host AS src, dst_host AS dst FROM hg"
         ),
+        "host_hits": _HOSTLINKS_CTE + _hits_oracle_body(iters=3),
         # Anchor-text term profile: element extraction + href/text
         # pulls + target classifier mirrored from webtext
         # (extract_anchors / anchor_terms), synthesis from

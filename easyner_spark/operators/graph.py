@@ -372,3 +372,89 @@ def k_hop(
         frontier = nxt.join(best, ["source", "node"], "left_anti").distinct()
         best = best.unionByName(frontier)
     return best
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    state_round: int = 9,
+) -> DataFrame:
+    """(node, authority, hub) — fixed-iteration HITS over a directed
+    edge list (Kleinberg): good HUBS link to many good authorities,
+    good AUTHORITIES are linked from many good hubs — the webtext
+    signal pair PageRank alone doesn't give (a link-farm index page is
+    a hub, never an authority).
+
+    Contract (mirrored verbatim by the DuckDB oracle, the
+    operators/graph.pagerank recipe):
+      * edges are DISTINCT (src, dst); nodes = src UNION dst;
+      * h_0 = 1.0 for every node;
+      * a_t(n) = round(sum_{m->n} h_{t-1}(m) / max_n(...), state_round)
+        — L-infinity normalization (divide by the max), the documented
+        variant that avoids cross-engine sqrt while keeping the same
+        fixpoint direction as the L2 classic;
+      * h_t(n) = round(sum_{n->m} a_t(m) / max, state_round) using the
+        NEW authorities;
+      * per-iteration rounding snaps both engines to identical state
+        before float drift can compound; output rounds to 6.
+
+    Scale: each iteration is two keyed aggregates (groupBy dst, then
+    groupBy src — both partial-agg absorbed) plus two 1-row max
+    aggregates broadcast back; localCheckpoint per iteration caps
+    lineage growth exactly as pagerank/components do.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("v"))
+        )
+        a_max = a_raw.agg(F.max("v").alias("m"))
+        auth = (
+            nodes.crossJoin(F.broadcast(a_max))
+            .join(a_raw, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("v"), F.lit(0.0)) / F.col("m"), state_round
+                ).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("v"))
+        )
+        h_max = h_raw.agg(F.max("v").alias("m"))
+        hub = (
+            nodes.crossJoin(F.broadcast(h_max))
+            .join(h_raw, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("v"), F.lit(0.0)) / F.col("m"), state_round
+                ).alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        auth.join(hub, "node")
+        .select(
+            "node",
+            F.round("auth", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
+        )
+    )
