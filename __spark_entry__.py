@@ -1246,6 +1246,24 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(_docs(spark, sf_dir))
 
 
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cardinality sketch (linear counting over md5
+    buckets): O(m) aggregate state, bit-identical estimate on every
+    engine/run — the cross-engine-checkable alternative to HLL++ for
+    corpus monitoring. Oracle from the operator's own generator."""
+    from easyner_spark.operators.sketches import linear_count_distinct
+
+    return linear_count_distinct(_docs(spark, sf_dir), "text")
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document-length histogram (100-char bins, tail bin
+    absorbs): one partial-agg aggregate over at most 20 keys."""
+    from easyner_spark.operators.sketches import histogram_fixed_bins
+
+    return histogram_fixed_bins(_docs(spark, sf_dir), F.length("text"), 100, 20)
+
+
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health report over the text_stats chain —
     integer-only aggregates (counts and sums of exact ints; float
@@ -1836,6 +1854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "pii_redact": q_pii_redact,
         "corpus_summary": q_corpus_summary,
+        "distinct_count": q_distinct_count,
+        "length_histogram": q_length_histogram,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "event_rollup": q_event_rollup,
@@ -2664,6 +2684,10 @@ def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.dedup import repeated_spans_oracle_sql
     from easyner_spark.operators.nel import name_similarity_oracle_sql
     from easyner_spark.operators.sampling import chunk_docs_oracle_sql
+    from easyner_spark.operators.sketches import (
+        histogram_oracle_sql,
+        linear_count_oracle_sql,
+    )
     from easyner_spark.operators.scoring import (
         bigram_lm_oracle_sql,
         hashed_linear_oracle_sql,
@@ -2760,6 +2784,8 @@ FROM events GROUP BY event_type
         "text_stats": stats_sql,
         "lang_id": langid_sql,
         "pii_redact": pii_sql,
+        "distinct_count": linear_count_oracle_sql("text"),
+        "length_histogram": histogram_oracle_sql("length(text)", 100, 20),
         "corpus_summary": f"""
 WITH per_doc AS ({stats_sql})
 SELECT count(*) AS n_docs,

@@ -1,0 +1,60 @@
+"""Corpus-monitoring sketches (operators/sketches.py): linear-counting
+cardinality + fixed-bin histograms. Value parity vs DuckDB is pinned
+by the distinct_count / length_histogram oracle queries."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestLinearCount:
+    def _est(self, spark, values, m=4096):
+        from easyner_spark.operators.sketches import linear_count_distinct
+
+        df = spark.createDataFrame([(v,) for v in values], "k string")
+        return linear_count_distinct(df, "k", m=m).collect()[0]
+
+    def test_estimate_tracks_cardinality(self, spark):
+        r = self._est(spark, [f"v{i}" for i in range(500)] * 3)  # 500 distinct
+        assert r["hit_buckets"] <= 500
+        assert abs(r["estimate"] - 500) / 500 < 0.05
+
+    def test_duplicates_do_not_inflate(self, spark):
+        a = self._est(spark, ["x", "y", "z"])
+        b = self._est(spark, ["x", "y", "z"] * 100)
+        assert a["estimate"] == b["estimate"]
+        assert a["hit_buckets"] == 3
+
+    def test_saturation_reports_null(self, spark):
+        r = self._est(spark, [f"v{i}" for i in range(64)], m=2)
+        assert r["hit_buckets"] == 2
+        assert r["estimate"] is None
+
+    def test_m_gate(self, spark):
+        with pytest.raises(ValueError):
+            self._est(spark, ["x"], m=1)
+
+
+class TestHistogram:
+    def _hist(self, spark, values, **kw):
+        from easyner_spark.operators.sketches import histogram_fixed_bins
+
+        df = spark.createDataFrame([(v,) for v in values], "x int")
+        rows = histogram_fixed_bins(df, "x", **kw).collect()
+        return {r["bin"]: (r["lo"], r["hi"], r["n"]) for r in rows}
+
+    def test_binning_and_tail_absorb(self, spark):
+        got = self._hist(spark, [0, 5, 9, 10, 25, 999], bin_width=10, n_bins=3)
+        assert got[0] == (0, 10, 3)
+        assert got[1] == (10, 20, 1)
+        # 25 and the 999 outlier both land in the last bin
+        assert got[2] == (20, 30, 2)
+
+    def test_negative_clamps_to_zero_bin(self, spark):
+        got = self._hist(spark, [-5, 3], bin_width=10, n_bins=2)
+        assert got[0][2] == 2
+
+    def test_empty_bins_absent_and_gates(self, spark):
+        got = self._hist(spark, [95], bin_width=10, n_bins=10)
+        assert list(got) == [9]
+        with pytest.raises(ValueError):
+            self._hist(spark, [1], bin_width=0, n_bins=3)
