@@ -180,7 +180,11 @@ def run_pipeline(spark: SparkSession, cfg: dict) -> dict[str, int]:
             # second-pass canonicalization: surface forms the exact
             # alias join misses remap to the char-gram-closest alias
             # entity (>= fuzzy_threshold), so morphological variants
-            # stop fragmenting KG nodes
+            # stop fragmenting KG nodes. NOTE the structural contrast
+            # with the exact path: exact drops unmatched mentions
+            # (keep_unmatched=False); fuzzy keeps EVERY mention —
+            # below-threshold ones enter the graph under stable
+            # surface:<mention> ids (documented in README)
             from easyner_spark.operators.nel import fuzzy_canonicalize_mentions
 
             thr = float(cfg.get("fuzzy_threshold", 0.6))

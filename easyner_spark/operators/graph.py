@@ -405,6 +405,8 @@ def hits(
     aggregates broadcast back; localCheckpoint per iteration caps
     lineage growth exactly as pagerank/components do.
     """
+    if iters < 1:
+        raise ValueError(f"hits needs iters >= 1: {iters}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.localCheckpoint(eager=True)
     nodes = (

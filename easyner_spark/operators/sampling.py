@@ -248,6 +248,21 @@ _PPM = 1_000_000
 _2_32 = 1 << 32
 
 
+def md5_long32(col: Column | str, seed: str = "") -> Column:
+    """THE engine-wide 32-bit integer hash: first 8 hex nibbles of
+    md5(seed || cast(col as string)) as a BIGINT — DuckDB twin:
+    ('0x' || substr(md5(x), 1, 8))::BIGINT. Shared by mixture_sample's
+    rate gate, scoring's weight buckets, and sketches' linear-counting
+    buckets; edit here only (the sample_hash rationale: md5 is
+    bit-identical across engines, xxhash64 is Spark-private)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), c.cast("string"))), 1, MIX_HASH_NIBBLES),
+        16,
+        10,
+    ).cast("long")
+
+
 def mixture_rates(counts: dict, targets: dict) -> dict:
     """Per-group keep-rates (integer ppm) that reshape `counts`
     (group -> row count) to the `targets` mixture (group -> weight,
@@ -289,11 +304,7 @@ def mixture_sample(
     `mixture_rates` over a tiny group-count aggregate to hit a target
     domain/language mixture (DoReMi-style corpus reweighting) at any
     corpus size."""
-    h32 = F.conv(
-        F.substring(F.md5(F.concat(F.lit(seed), F.col(key))), 1, MIX_HASH_NIBBLES),
-        16,
-        10,
-    ).cast("long")
+    h32 = md5_long32(key, seed)
     rate = None
     for g, ppm in sorted(rates_ppm.items()):
         if not 0 <= int(ppm) <= _PPM:
@@ -322,10 +333,13 @@ def chunk_docs(
     into fixed-context training windows of `max_tokens` words with
     `overlap` words carried between consecutive chunks (stride =
     max_tokens - overlap). The last chunk may be short; trailing
-    chunks shorter than `min_tail` are dropped UNLESS they are the
-    document's only chunk (a sub-min_tail document still yields its
-    chunk_idx=0 row — curation cuts belong to the quality gates, not
-    the chunker). Empty documents produce no rows.
+    chunks shorter than `min_tail` — or containing no NEW tokens at
+    all (length <= overlap means the window is wholly inside the
+    previous chunk; emitting it would duplicate training text) — are
+    dropped UNLESS they are the document's only chunk (a sub-min_tail
+    document still yields its chunk_idx=0 row — curation cuts belong
+    to the quality gates, not the chunker). Empty documents produce
+    no rows.
 
     Words are the engine-wide words_array contract; chunks re-join
     with single spaces (tokenize -> chunk -> join is deterministic
@@ -356,8 +370,15 @@ def chunk_docs(
         n_chunk.cast("int").alias("n_chunk_tokens"),
         F.array_join(F.slice("_w", F.col("_s") + 1, max_tokens), " ").alias("chunk"),
     )
+    # a trailing window of <= overlap tokens is wholly contained in the
+    # previous chunk (its "new token" count is n_chunk - overlap <= 0):
+    # emitting it would inject pure duplicate text into the corpus
     return out.where(
-        (F.col("n_chunk_tokens") >= F.lit(min_tail)) | (F.col("chunk_idx") == 0)
+        (
+            (F.col("n_chunk_tokens") >= F.lit(min_tail))
+            & (F.col("n_chunk_tokens") > F.lit(overlap))
+        )
+        | (F.col("chunk_idx") == 0)
     )
 
 
@@ -371,6 +392,7 @@ def chunk_docs_oracle_sql(
     1-based inclusive list_slice mirror Spark's sequence + slice
     exactly — both truncate past the list end)."""
     mt, st, tl = int(max_tokens), int(max_tokens) - int(overlap), int(min_tail)
+    ov = int(overlap)
     return f"""
 WITH toks AS (
   SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS w FROM {source}
@@ -384,5 +406,6 @@ SELECT id, chunk_idx::INT AS chunk_idx,
        least({mt}, len(w) - s)::INT AS n_chunk_tokens,
        array_to_string(list_slice(w, s + 1, s + {mt}), ' ') AS chunk
 FROM ex
-WHERE least({mt}, len(w) - s) >= {tl} OR chunk_idx = 0
+WHERE (least({mt}, len(w) - s) >= {tl} AND least({mt}, len(w) - s) > {ov})
+   OR chunk_idx = 0
 """

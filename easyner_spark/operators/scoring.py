@@ -83,16 +83,26 @@ def unigram_lm_score(
     -score_q / 1e6 / n_tokens, ppl = exp(cross_entropy), both rounded
     to 6. Documents with zero tokens have no rows in the token stream
     and are absent from the output (same as the SQL GROUP BY).
+
+    When self-training (vocab=None) the OOV mass comes from the token
+    STATS, not the cutoff table, so a corpus where every word falls
+    below min_count (empty kept vocab) still scores — all tokens at
+    lp_oov, matching the oracle. A caller-supplied frozen `vocab` must
+    be non-empty (its lp_oov column is the only carrier of N).
     """
     toks = docs.select(F.col(id_col).alias("id"), words_array(text_col).alias("_w"))
     tok = toks.select("id", F.explode("_w").alias("word"))
     if vocab is None:
-        vocab = unigram_vocab(docs, min_count=min_count, text_col=text_col)
+        counts = _unigram_counts(docs, text_col)
+        stats = counts.agg(F.sum("cnt").alias("n"))
+        vocab = _vocab_from_counts(counts, stats, min_count)
+        oov = stats.select(_lp_oov_col().alias("lp_oov_c"))
+    else:
+        # lp_oov is constant over the (non-empty) frozen-vocab frame;
+        # min() lifts it through the left-join nulls.
+        oov = vocab.agg(F.min("lp_oov").alias("lp_oov_c"))
     v = F.broadcast(vocab) if broadcast_vocab else vocab
     scored = tok.join(v, "word", "left")
-    # lp_oov is constant over the vocab frame; min() lifts it through
-    # the left-join nulls without a second stats pass.
-    oov = vocab.agg(F.min("lp_oov").alias("lp_oov_c"))
     scored = scored.crossJoin(F.broadcast(oov))
     per = scored.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -121,19 +131,35 @@ def unigram_vocab(
     so the N aggregate and the cutoff projection share one token scan
     (same bounded-materialization class as ranking.bm25_rank's `per`).
     """
+    counts = _unigram_counts(docs, text_col)
+    stats = counts.agg(F.sum("cnt").alias("n"))
+    return _vocab_from_counts(counts, stats, min_count)
+
+
+def _unigram_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) over ALL tokens, localCheckpointed (bounded by the
+    Zipf word-key space; consumed by both the stats aggregate and the
+    cutoff projection — one token scan)."""
     tok = docs.select(words_array(text_col).alias("_w")).select(
         F.explode("_w").alias("word")
     )
     counts = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    counts = counts.localCheckpoint(eager=True)
-    stats = counts.agg(F.sum("cnt").alias("n"))
+    return counts.localCheckpoint(eager=True)
+
+
+def _lp_oov_col():
+    return F.floor(
+        F.log(F.lit(1.0) / (F.col("n") + F.lit(1.0))) * F.lit(float(Q))
+    ).cast("long")
+
+
+def _vocab_from_counts(counts: DataFrame, stats: DataFrame, min_count: int) -> DataFrame:
     kept = counts.where(F.col("cnt") >= F.lit(min_count)).crossJoin(F.broadcast(stats))
     lp = F.floor(F.log(F.col("cnt") / (F.col("n") + F.lit(1.0))) * F.lit(float(Q)))
-    lp_oov = F.floor(F.log(F.lit(1.0) / (F.col("n") + F.lit(1.0))) * F.lit(float(Q)))
     return kept.select(
         "word",
         lp.cast("long").alias("lp_q"),
-        lp_oov.cast("long").alias("lp_oov"),
+        _lp_oov_col().alias("lp_oov"),
     )
 
 
@@ -179,10 +205,9 @@ FROM per
 
 
 def _bucket(word: Column, n_buckets: int) -> Column:
-    return (
-        F.conv(F.substring(F.md5(word), 1, HASH_NIBBLES), 16, 10).cast("long")
-        % F.lit(n_buckets)
-    )
+    from easyner_spark.operators.sampling import md5_long32
+
+    return md5_long32(word) % F.lit(n_buckets)
 
 
 def _weight_q(word: Column, n_buckets: int) -> Column:

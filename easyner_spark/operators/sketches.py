@@ -22,13 +22,11 @@ LC_BUCKETS = 1 << 16  # default m: <1% error up to ~m*ln(m) distincts
 
 
 def _bucket32(col: Column, m: int) -> Column:
-    """md5-derived bucket in [0, m): the engine-wide cross-engine hash
-    (see sampling.sample_hash rationale — md5 is bit-identical
-    everywhere; xxhash64 is Spark-private)."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
-        % F.lit(m)
-    )
+    """md5-derived bucket in [0, m) via the engine-wide shared 32-bit
+    hash (sampling.md5_long32)."""
+    from easyner_spark.operators.sampling import md5_long32
+
+    return md5_long32(col) % F.lit(m)
 
 
 def linear_count_distinct(
@@ -93,10 +91,14 @@ def histogram_fixed_bins(
     tail; negative values clamp to bin 0). ONE partial-agg-absorbed
     aggregate over at most n_bins keys — the distribution monitor for
     quality/length/token columns at any corpus size. Empty bins are
-    absent (same as the SQL GROUP BY)."""
+    absent (same as the SQL GROUP BY). NULL metrics are EXCLUDED
+    explicitly — Spark's least/greatest skip NULL operands, which
+    would otherwise silently count NULL rows in the tail bin (and
+    DuckDB's NULL-propagating least/greatest would disagree)."""
     if bin_width <= 0 or n_bins <= 0:
         raise ValueError(f"bin_width and n_bins must be positive: {bin_width}, {n_bins}")
     x = F.col(expr) if isinstance(expr, str) else expr
+    df = df.where(x.isNotNull())
     b = F.greatest(
         F.lit(0),
         F.least(F.floor(x / F.lit(bin_width)), F.lit(n_bins - 1)),
@@ -126,7 +128,7 @@ def histogram_oracle_sql(
     return f"""
 WITH b AS (
   SELECT greatest(0, least(CAST(floor(({expr}) / {w}) AS BIGINT), {nb - 1}))::INT AS bin
-  FROM {source}
+  FROM {source} WHERE ({expr}) IS NOT NULL
 )
 SELECT bin, (bin * {w})::BIGINT AS lo, ((bin + 1) * {w})::BIGINT AS hi,
        count(*)::BIGINT AS n

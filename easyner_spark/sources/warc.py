@@ -14,7 +14,10 @@ Spark shape: identical to the PubMed bulk loader — a `binaryFile`
 scan (one task per segment file, never split; cluster parallelism =
 segment count, Common Crawl ships ~64k segments per crawl) feeding an
 Arrow `mapInPandas` parser. Nothing shuffles; ingest runs at scan
-speed and the parser holds ONE record in memory at a time.
+speed. Task memory = the compressed blob (the binaryFile contract;
+production swaps in an object-store range reader) + O(one record) of
+decompression buffer — the gzip stream is consumed incrementally,
+never materialized whole.
 
 Parsing contract (WARC/1.0, ISO 28500):
   - records are delimited by their `Content-Length` header, NEVER by
@@ -59,27 +62,52 @@ def _parse_warc_headers(block: bytes) -> dict[str, str]:
 
 def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
     """Yield (headers, payload) per WARC record. Record boundaries are
-    computed from Content-Length — O(1) state, payload-content-proof."""
+    computed from Content-Length — payload-content-proof — and the
+    gzip stream is decompressed INCREMENTALLY (GzipFile reads
+    multi-member streams transparently), so task memory is the
+    compressed blob (the binaryFile row the caller already holds)
+    plus O(one record) of buffer — never the whole decompressed
+    segment (a ~1 GB .warc.gz expands ~5x; materializing it per task
+    would dominate executor memory at segment scale)."""
+    import io
+
     if data[:2] == _GZ_MAGIC:
-        data = gzip.decompress(data)  # multi-member streams included
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # tolerate the inter-record \r\n\r\n (and any stray padding)
-        start = data.find(b"WARC/", pos)
-        if start < 0:
-            return
-        head_end = data.find(b"\r\n\r\n", start)
-        if head_end < 0:
-            return
-        headers = _parse_warc_headers(data[start:head_end])
+        stream: io.BufferedIOBase = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        stream = io.BytesIO(data)
+    chunk_size = 1 << 16
+    buf = b""
+    while True:
+        # locate the next record header (tolerating inter-record
+        # \r\n\r\n and stray padding); only pre-marker junk is dropped
+        start = buf.find(b"WARC/")
+        while start < 0:
+            chunk = stream.read(chunk_size)
+            if not chunk:
+                return
+            buf = buf[-8:] + chunk  # keep a tail to catch split markers
+            start = buf.find(b"WARC/")
+        buf = buf[start:]
+        head_end = buf.find(b"\r\n\r\n")
+        while head_end < 0:
+            chunk = stream.read(chunk_size)
+            if not chunk:
+                return  # truncated header
+            buf += chunk
+            head_end = buf.find(b"\r\n\r\n")
+        headers = _parse_warc_headers(buf[:head_end])
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
             return  # malformed record: stop rather than guess a boundary
-        body_start = head_end + 4
-        yield headers, data[body_start : body_start + length]
-        pos = body_start + length
+        need = head_end + 4 + length
+        while len(buf) < need:
+            chunk = stream.read(need - len(buf))
+            if not chunk:
+                return  # truncated body
+            buf += chunk
+        yield headers, buf[head_end + 4 : need]
+        buf = buf[need:]
 
 
 def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:

@@ -151,13 +151,26 @@ class TestChunkDocs:
     def test_stride_overlap_and_tail(self, spark):
         rows = {(r["id"], r["chunk_idx"]): r for r in self._run(
             spark, max_tokens=4, overlap=1, min_tail=1)}
-        # stride 3: starts 0,3,6,9 -> 4 chunks for doc 1
+        # stride 3: starts 0,3,6,9 for doc 1
         assert rows[(1, 0)]["chunk"] == "a b c d"
         assert rows[(1, 1)]["chunk"] == "d e f g"   # overlap carries 'd'
-        assert rows[(1, 3)]["chunk"] == "j"
-        assert rows[(1, 3)]["n_chunk_tokens"] == 1
+        assert rows[(1, 2)]["chunk"] == "g h i j"
+        # the start-9 window is just 'j' — 1 token <= overlap, wholly
+        # contained in chunk 2: dropped (pure duplicate text)
+        assert (1, 3) not in rows
         assert rows[(2, 0)]["chunk"] == "x y"
         assert not any(i == 3 for (i, _) in rows)   # empty doc absent
+
+    def test_tail_kept_when_it_carries_new_tokens(self, spark):
+        from easyner_spark.operators.sampling import chunk_docs
+
+        # 9 tokens, max 4, overlap 1 (stride 3): starts 0,3,6 -> last
+        # chunk 'g h i' has 2 new tokens -> kept
+        df = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+        rows = chunk_docs(df, max_tokens=4, overlap=1).collect()
+        assert [r["chunk"] for r in sorted(rows, key=lambda r: r["chunk_idx"])] == [
+            "a b c d", "d e f g", "g h i",
+        ]
 
     def test_min_tail_drops_runts_but_keeps_only_chunk(self, spark):
         rows = self._run(spark, max_tokens=4, overlap=1, min_tail=2)

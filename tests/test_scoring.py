@@ -194,3 +194,26 @@ class TestBigramLm:
             self._scores(spark, lam=1.0)
         with pytest.raises(ValueError):
             self._scores(spark, lam=0.0)
+
+
+class TestReviewFixes:
+    def test_all_oov_corpus_still_scores(self, spark):
+        # every word unique -> cutoff empties the vocab entirely; the
+        # OOV mass must come from token stats, not the kept table
+        from easyner_spark.operators.scoring import unigram_lm_score
+
+        df = spark.createDataFrame(
+            [(1, "aaa bbb ccc"), (2, "ddd eee")], "doc_id long, text string"
+        )
+        got = {r["id"]: r for r in unigram_lm_score(df, min_count=2).collect()}
+        assert set(got) == {1, 2}
+        for r in got.values():
+            assert r["score_q"] is not None
+            assert r["cross_entropy"] is not None and r["cross_entropy"] > 0
+
+    def test_hits_iters_gate(self, spark):
+        from easyner_spark.operators.graph import hits
+
+        e = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(ValueError):
+            hits(e, iters=0)

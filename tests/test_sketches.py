@@ -58,3 +58,17 @@ class TestHistogram:
         assert list(got) == [9]
         with pytest.raises(ValueError):
             self._hist(spark, [1], bin_width=0, n_bins=3)
+
+
+class TestReviewFixes:
+    def test_null_metric_rows_excluded(self, spark):
+        from easyner_spark.operators.sketches import histogram_fixed_bins
+
+        df = spark.createDataFrame(
+            [(5,), (None,), (995,)], "x int"
+        )
+        got = {r["bin"]: r["n"] for r in
+               histogram_fixed_bins(df, "x", bin_width=10, n_bins=3).collect()}
+        # NULL must NOT inflate the tail bin (Spark least/greatest
+        # skip NULL operands — the silent-tail-count bug class)
+        assert got == {0: 1, 2: 1}
