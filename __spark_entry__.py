@@ -1264,6 +1264,16 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_fixed_bins(_docs(spark, sf_dir), F.length("text"), 100, 20)
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index (term, doc, tf, df, idf) with a
+    min_df=2 hapax cut — the unknown-query-terms counterpart of
+    bm25_rank; ONE posting shuffle + a bounded df table joined back
+    AQE-decided. Oracle from the operator's own generator."""
+    from easyner_spark.operators.ranking import inverted_postings
+
+    return inverted_postings(_docs(spark, sf_dir), min_df=2)
+
+
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health report over the text_stats chain —
     integer-only aggregates (counts and sums of exact ints; float
@@ -1854,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "pii_redact": q_pii_redact,
         "corpus_summary": q_corpus_summary,
+        "inverted_index": q_inverted_index,
         "distinct_count": q_distinct_count,
         "length_histogram": q_length_histogram,
         "sessionize": q_sessionize,
@@ -2680,7 +2691,10 @@ SELECT node, min(lbl) AS component FROM reach GROUP BY node
 
 
 def oracle_sql() -> dict[str, str]:
-    from easyner_spark.operators.ranking import bm25_oracle_sql
+    from easyner_spark.operators.ranking import (
+        bm25_oracle_sql,
+        inverted_postings_oracle_sql,
+    )
     from easyner_spark.operators.dedup import repeated_spans_oracle_sql
     from easyner_spark.operators.nel import name_similarity_oracle_sql
     from easyner_spark.operators.sampling import chunk_docs_oracle_sql
@@ -2784,6 +2798,7 @@ FROM events GROUP BY event_type
         "text_stats": stats_sql,
         "lang_id": langid_sql,
         "pii_redact": pii_sql,
+        "inverted_index": inverted_postings_oracle_sql(min_df=2),
         "distinct_count": linear_count_oracle_sql("text"),
         "length_histogram": histogram_oracle_sql("length(text)", 100, 20),
         "corpus_summary": f"""

@@ -164,3 +164,71 @@ stats AS (
 SELECT id, dl, round({parts}, 6) AS score
 FROM per, stats
 """
+
+
+def inverted_postings(
+    docs: DataFrame,
+    min_df: int = 1,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term, id, tf, df, idf) — the inverted index as a relation:
+    one row per (term, document) posting with term frequency, document
+    frequency, and idf = round(ln((N + 1.0) / (df + 1.0)), 6) (the
+    +1-smoothed variant; per-row float from exact integers, the module
+    determinism contract). `min_df`/`max_df` trim hapaxes and
+    stopword-grade terms (the df cut is the standard index-size lever:
+    a Zipf corpus puts ~half of all distinct terms at df=1).
+
+    Scale shape: ONE shuffle builds the postings — groupBy
+    (term, id) with map-side partial aggregation — and the bounded
+    per-term df table (O(vocab) rows) comes from a second partial agg
+    over the postings and joins back AQE-decided (broadcast at any
+    realistic vocab size). N is a broadcast 1-row aggregate. Write the
+    result through sinks/bucketed.py bucketed by term and query-time
+    term lookups prune to one bucket.
+
+    This is the materialized-index counterpart of bm25_rank (which
+    never builds a vocab table because its query terms are known at
+    plan time); build this when the term set is NOT known up front —
+    an interactive search UI over the corpus.
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1: {min_df}")
+    toks = docs.select(F.col(id_col).alias("id"), words_array(text_col).alias("_w"))
+    tok = toks.select("id", F.explode("_w").alias("term"))
+    post = tok.groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = dfreq.where(F.col("df") >= F.lit(min_df))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= F.lit(max_df))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    out = post.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+    idf = F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    return out.select("term", "id", "tf", "df", F.round(idf, 6).alias("idf"))
+
+
+def inverted_postings_oracle_sql(
+    min_df: int = 1,
+    max_df: int | None = None,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`inverted_postings`."""
+    mdf = int(min_df)
+    cap = f"AND df <= {int(max_df)}" if max_df is not None else ""
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS w FROM {source}
+),
+tok AS (SELECT id, unnest(w) AS term FROM toks),
+post AS (SELECT term, id, count(*)::BIGINT AS tf FROM tok GROUP BY term, id),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term
+  HAVING count(*) >= {mdf} {cap}
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM {source})
+SELECT p.term, p.id, p.tf, d.df,
+       round(ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS idf
+FROM post p JOIN dfreq d USING (term), n
+"""

@@ -61,3 +61,38 @@ class TestBm25:
         )
         assert "Exchange hashpartitioning" not in plan
         assert plan.count("BroadcastExchange") == 1
+
+
+class TestInvertedPostings:
+    DOCS = [
+        (1, "spark join spark"),
+        (2, "spark filter"),
+        (3, "rare"),
+    ]
+
+    def _run(self, spark, **kw):
+        from easyner_spark.operators.ranking import inverted_postings
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        return {(r["term"], r["id"]): r for r in inverted_postings(df, **kw).collect()}
+
+    def test_tf_df_idf(self, spark):
+        import math
+
+        got = self._run(spark)
+        assert got[("spark", 1)]["tf"] == 2
+        assert got[("spark", 1)]["df"] == 2
+        assert got[("rare", 3)]["df"] == 1
+        # idf per-row from exact ints: ln((N+1)/(df+1))
+        assert got[("spark", 2)]["idf"] == round(math.log(4 / 3), 6)
+        assert got[("rare", 3)]["idf"] == round(math.log(4 / 2), 6)
+
+    def test_df_cuts(self, spark):
+        got = self._run(spark, min_df=2)
+        assert ("rare", 3) not in got and ("spark", 1) in got
+        capped = self._run(spark, max_df=1)
+        assert ("spark", 1) not in capped and ("rare", 3) in capped
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            self._run(spark, min_df=0)
