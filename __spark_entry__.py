@@ -1264,6 +1264,15 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_fixed_bins(_docs(spark, sf_dir), F.length("text"), 100, 20)
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes): µ-unit
+    quantization before the one (label, dim) group sum keeps the
+    cross-row aggregation exact-integer; O(labels*dim) output."""
+    from easyner_spark.operators.similarity import label_centroids
+
+    return label_centroids(_emb(spark, sf_dir))
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized inverted index (term, doc, tf, df, idf) with a
     min_df=2 hapax cut — the unknown-query-terms counterpart of
@@ -1865,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "corpus_summary": q_corpus_summary,
         "inverted_index": q_inverted_index,
+        "label_centroids": q_label_centroids,
         "distinct_count": q_distinct_count,
         "length_histogram": q_length_histogram,
         "sessionize": q_sessionize,
@@ -2698,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.dedup import repeated_spans_oracle_sql
     from easyner_spark.operators.nel import name_similarity_oracle_sql
     from easyner_spark.operators.sampling import chunk_docs_oracle_sql
+    from easyner_spark.operators.similarity import label_centroids_oracle_sql
     from easyner_spark.operators.sketches import (
         histogram_oracle_sql,
         linear_count_oracle_sql,
@@ -2799,6 +2810,7 @@ FROM events GROUP BY event_type
         "lang_id": langid_sql,
         "pii_redact": pii_sql,
         "inverted_index": inverted_postings_oracle_sql(min_df=2),
+        "label_centroids": label_centroids_oracle_sql(),
         "distinct_count": linear_count_oracle_sql("text"),
         "length_histogram": histogram_oracle_sql("length(text)", 100, 20),
         "corpus_summary": f"""

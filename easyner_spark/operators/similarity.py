@@ -616,3 +616,71 @@ def _ivf_score_cogroup(probes: DataFrame, corpus: DataFrame, id_type) -> DataFra
         .cogroup(corpus.groupBy("cell"))
         .applyInPandas(score, out_schema)
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, dim, n, mean) — per-label centroid components of an
+    embedding column: the class-prototype table SemDeDup-style
+    semantic grouping, IVF seeding, and per-domain drift monitors all
+    start from.
+
+    Exactness contract: each component is quantized to BIGINT µ-units
+    (floor(x * 1e6), after exact float32->double widening) BEFORE the
+    cross-row sum, so the group sums are order-independent integers,
+    and the mean stays in exact integer space: mean_q = floor(sq / n)
+    µ-units, mean = mean_q / 1e6. No round() anywhere — rational
+    means land on decimal-representation ties where Spark (HALF_UP on
+    the shortest decimal) and C-library rounding (on the binary
+    double) disagree; floor of an exact integer quotient cannot.
+    Quantization bias is < 1e-6 per component, documented. ONE
+    shuffle: groupBy
+    (label, dim) with map-side partial aggregation over exactly
+    n_vectors * dim narrow rows; output is O(labels * dim).
+
+    Emitted long-form (one row per (label, dim)) rather than as an
+    array column: long-form is what downstream joins (nearest-centroid
+    assignment via dim-wise dot products) consume without re-exploding,
+    and it value-checks row-by-row.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    xq = F.floor(F.col("x").cast("double") * F.lit(1_000_000.0)).cast("long")
+    g = ex.select("label", "dim", xq.alias("xq")).groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xq").alias("sq")
+    )
+    mean_q = F.floor(F.col("sq") / F.col("n")).cast("long")
+    return g.select(
+        "label",
+        "dim",
+        "n",
+        mean_q.alias("mean_q"),
+        (mean_q / F.lit(1_000_000.0)).alias("mean"),
+    )
+
+
+def label_centroids_oracle_sql(source: str = "embeddings") -> str:
+    """DuckDB twin of :func:`label_centroids` (zipped unnest = Spark
+    posexplode; identical float32 widening and µ-unit quantization)."""
+    return f"""
+WITH ex AS (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS dim,
+         unnest(embedding) AS x
+  FROM {source}
+),
+g AS (
+  SELECT label, dim, count(*)::BIGINT AS n,
+         sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS sq
+  FROM ex GROUP BY label, dim
+)
+SELECT label, dim::INT AS dim, n,
+       CAST(floor(sq / n) AS BIGINT) AS mean_q,
+       CAST(floor(sq / n) AS BIGINT) / 1000000.0 AS mean
+FROM g
+"""

@@ -859,3 +859,31 @@ class TestPiiRedact:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         plan = pii_redact(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestLabelCentroids:
+    def test_centroid_math_and_shape(self, spark):
+        from easyner_spark.operators.similarity import label_centroids
+
+        rows = [
+            (1, [1.0, -2.0], 0),
+            (2, [3.0, 4.0], 0),
+            (3, [10.0, 0.5], 1),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        got = {(r["label"], r["dim"]): r for r in label_centroids(df).collect()}
+        assert got[(0, 0)]["mean"] == 2.0 and got[(0, 0)]["n"] == 2
+        assert got[(0, 1)]["mean"] == 1.0
+        assert got[(1, 0)]["mean"] == 10.0 and got[(1, 1)]["mean"] == 0.5
+        assert got[(0, 0)]["mean_q"] == 2_000_000
+
+    def test_single_shuffle_plan(self, spark):
+        from easyner_spark.operators.similarity import label_centroids
+
+        df = spark.createDataFrame(
+            [(1, [1.0], 0)], "vec_id long, embedding array<float>, label int"
+        )
+        plan = label_centroids(df)._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
