@@ -129,6 +129,13 @@ def name_similarity_edges(
     jaccard is a LOWER BOUND for pairs that only shared hot grams
     (document accordingly; None = fully exact). One shuffle on the
     gram key + one partial-agg pair rollup at any corpus size.
+
+    Scale guidance (measured, BASELINE.md hot-gram tier): a gram
+    shared by d names emits d^2 candidate pairs, so a boilerplate
+    affix on 30% of a corpus makes the exact path quadratic in corpus
+    size — 1.7x slower already at 10k names. At crawl-scale alias
+    dictionaries set max_df (the pairs it drops are exactly those
+    whose similarity is dominated by the boilerplate affix).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")

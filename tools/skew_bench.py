@@ -377,6 +377,49 @@ def main() -> None:
                 }
             )
         )
+    if os.environ.get("SKEW_TIER", "all") in ("all", "gram"):
+        # hot-gram name matching: 30% of entity names share one
+        # 7-char suffix ('station'), so ~5 char-3-grams are carried by
+        # thousands of names — the inverted-index self-join's bucket
+        # for each hot gram grows QUADRATICALLY (the stopword-gram
+        # worst case name_similarity_edges' max_df cut exists for).
+        # Contenders: exact (max_df=None) vs stopgram-capped.
+        from easyner_spark.operators.nel import name_similarity_edges
+
+        n_names = int(os.environ.get("SKEW_NAMES", "10000"))
+        hot = F.pmod(F.col("id"), F.lit(10)) < 3
+        names = spark.range(n_names).select(
+            F.concat(
+                F.lit("n"),
+                F.substring(F.md5(F.col("id").cast("string")), 1, 6),
+                F.when(hot, F.lit("station")).otherwise(
+                    F.substring(F.md5(F.col("id").cast("string")), 7, 7)
+                ),
+            ).alias("name")
+        ).localCheckpoint(eager=True)
+
+        gram_results = timed_all(
+            {
+                "gram_exact": lambda: name_similarity_edges(
+                    names, k=3, threshold=0.5
+                ),
+                "gram_capped": lambda: name_similarity_edges(
+                    names, k=3, threshold=0.5, max_df=100
+                ),
+            }
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "skew_stress_gram",
+                    "names": n_names,
+                    "hot_share": 0.3,
+                    "cpus": cpus,
+                    "repeat": repeat,
+                    "sec": gram_results,
+                }
+            )
+        )
     spark.stop()
 
 
