@@ -517,6 +517,20 @@ def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(und, iters=3).select("node", "label")
 
 
+def q_kg_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Adamic-Adar link prediction over the entity
+    co-occurrence graph — the KG-completion layer above components
+    (reachability) and kg_communities (density): pairs that SHARE
+    neighbors but never co-occur are the candidate missing edges.
+    Adamic-Adar weights are micro-unit-quantized per wedge center
+    before the cross-row sum (graph.link_prediction docstring)."""
+    from easyner_spark.operators.graph import link_prediction, sentence_pairs
+
+    pairs = sentence_pairs(_mentions(spark, sf_dir))
+    und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return link_prediction(und, min_common=2)
+
+
 # ---------------------------------------------------------------------------
 # Webtext URL/host operators over the documents table with
 # deterministically synthesized urls (input_hint: pages keyed by url).
@@ -1414,6 +1428,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: symmetric integer-dot ranking over int8-
+    style affine codes — the bandwidth leg of the ANN suite (8x fewer
+    bytes than float64, integer math, zero floats emitted). The oracle
+    rebuilds the identical quantizer in SQL (similarity.sq_topk)."""
+    from easyner_spark.operators.similarity import sq_topk
+
+    return sq_topk(_emb(spark, sf_dir), k=10)
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Default near-dup path is now sign-LSH bucketed (VERDICT r1 fix
     #4): one equi-join shuffle on the 4-bit bucket key; the oracle
@@ -1846,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
         "kg_communities": q_kg_communities,
+        "kg_link_predict": q_kg_link_predict,
         "host_stats": q_host_stats,
         "host_skew": q_host_skew,
         "url_dedup": q_url_dedup,
@@ -1892,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "decontaminate": q_decontaminate,
         "ann_topk": q_ann_topk,
+        "ann_sq_topk": q_ann_sq_topk,
         "ann_topk_blocked": q_ann_topk_blocked,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2328,7 +2354,27 @@ SELECT a, b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.3
         "ann_ivf_topk": ivf,
         "emb_neardup": neardup,
         "emb_neardup_exact": neardup_exact,
+        "ann_sq_topk": _sq_oracle(),
     }
+
+
+def _sq_oracle() -> str:
+    from easyner_spark.operators.similarity import sq_topk_oracle_sql
+
+    return sq_topk_oracle_sql(source="embeddings", k=10, levels=256)
+
+
+def _link_predict_oracle() -> str:
+    from easyner_spark.operators.graph import link_prediction_oracle_sql
+
+    pairs_cte = _PRELUDE + """
+, occ AS (SELECT DISTINCT doc_id, sent_idx, mention_lc AS term FROM mentions),
+pr AS (
+  SELECT DISTINCT x.term AS a, y.term AS b
+  FROM occ x JOIN occ y
+    ON x.doc_id = y.doc_id AND x.sent_idx = y.sent_idx AND x.term < y.term
+)"""
+    return link_prediction_oracle_sql(pairs_cte, min_common=2)
 
 
 def _predicate_triples_oracle() -> str:
@@ -3323,6 +3369,10 @@ FROM alln LEFT JOIN corners ON alln.node = corners.node
         # CTE mirrors operators/graph.label_propagation's determinism
         # contract (ties -> smallest label)
         "kg_communities": _PRELUDE + _lpa_oracle_body(),
+        # Wedge/quantize/anti-join body generated NEXT TO the operator
+        # (graph.link_prediction_oracle_sql); pr = the same canonical
+        # co-occurrence pair CTE kg_triangles uses
+        "kg_link_predict": _link_predict_oracle(),
         # Per-host rollup over deterministically skewed synthetic urls;
         # host parse = the same ASCII regex as webtext.url_parts
         "host_stats": _URL_PAGES_CTE

@@ -460,3 +460,117 @@ def hits(
             F.round("hub", 6).alias("hub"),
         )
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """(a, b, common, aa_q6, adamic_adar) — common-neighbor /
+    Adamic-Adar link prediction over an undirected simple graph: for
+    every node pair that is NOT an edge but shares >= min_common
+    neighbors, score how strongly the neighborhood overlap predicts a
+    missing edge. The KG-completion step after extraction: entities
+    that co-occur with the same partners but never with each other are
+    the candidate edges a curation pass reviews (Liben-Nowell & 
+    Kleinberg 2003).
+
+        common      = |N(a) ∩ N(b)|                    (BIGINT)
+        aa_q6       = sum_z floor(1e6 / ln(deg(z)))    (BIGINT, exact)
+        adamic_adar = aa_q6 / 1e6                      (per-row float)
+
+    Oracle-parity recipe 2 (quantize-before-summing): the classic
+    Adamic-Adar sum of 1/ln(deg) floats is quantized to integer
+    micro-units PER WEDGE CENTER before the cross-row sum, so the
+    reduction is exact in any order; ln acts on an integer degree —
+    identical IEEE operand and parenthesization in both engines. A
+    wedge center z has >= 2 distinct neighbors by construction, so
+    ln(deg) >= ln 2 and the quotient is finite — no guard needed.
+
+    Relational shape: canonicalize + distinct the edge list, build the
+    directed adjacency view (2|E| rows), attach the per-node integer
+    weight to the NEIGHBOR side before the wedge self-join (the join
+    then carries one BIGINT instead of re-joining degrees after the
+    blowup), wedge-join on the shared-neighbor key, rollup by (a, b),
+    anti-join the known edges. Two keyed shuffles (degree rollup +
+    pair rollup) plus the wedge join on the neighbor key.
+
+    Scale: the wedge join emits deg(z)^2 candidate rows per node z —
+    the SAME quadratic hot-key shape as name_similarity_edges'
+    stopword grams (BASELINE.md hot-gram tier, 1.7x at 10k rows and
+    growing with n). `max_degree` is the measured answer: drop
+    super-hub wedge CENTERS from candidate generation (a node adjacent
+    to a third of the graph predicts nothing — its 1/ln(deg) weight is
+    ~0 anyway, so the cut loses the least-informative evidence first).
+    At crawl scale set it; None = exact.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = canon.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        canon.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy(F.col("node").alias("z")).agg(F.count(F.lit(1)).alias("deg"))
+    if max_degree is not None:
+        deg = deg.where(F.col("deg") <= F.lit(max_degree))
+    wz = deg.select(
+        "z",
+        F.floor(F.lit(1_000_000.0) / F.log(F.col("deg").cast("double")))
+        .cast("long")
+        .alias("wq"),
+    )
+    hop = adj.select(F.col("nbr").alias("z"), F.col("node")).join(wz, "z")
+    l, r = hop.alias("l"), hop.alias("r")
+    wedges = l.join(
+        r, (F.col("l.z") == F.col("r.z")) & (F.col("l.node") < F.col("r.node"))
+    ).select(
+        F.col("l.node").alias("a"),
+        F.col("r.node").alias("b"),
+        F.col("l.wq").alias("wq"),
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common"), F.sum("wq").alias("aa_q6")
+    )
+    return (
+        scored.join(canon, ["a", "b"], "left_anti")
+        .where(F.col("common") >= F.lit(min_common))
+        .select(
+            "a",
+            "b",
+            "common",
+            "aa_q6",
+            (F.col("aa_q6") / F.lit(1_000_000.0)).alias("adamic_adar"),
+        )
+    )
+
+
+def link_prediction_oracle_sql(pairs_cte: str, min_common: int = 1) -> str:
+    """DuckDB twin of :func:`link_prediction` (max_degree=None).
+    `pairs_cte` must expose a relation `pr(a, b)` of canonical
+    distinct undirected edges (a < b); the body mirrors the operator's
+    wedge/quantize/anti-join shape with the identical ln operand."""
+    return f"""{pairs_cte},
+adj AS (SELECT a AS node, b AS nbr FROM pr UNION ALL SELECT b, a FROM pr),
+deg AS (SELECT node AS z, count(*)::BIGINT AS deg FROM adj GROUP BY node),
+wz AS (SELECT z, CAST(floor(1000000.0 / ln(deg::DOUBLE)) AS BIGINT) AS wq FROM deg),
+hop AS (SELECT adj.nbr AS z, adj.node, wz.wq FROM adj JOIN wz ON adj.nbr = wz.z),
+wedges AS (
+  SELECT l.node AS a, r.node AS b, l.wq
+  FROM hop l JOIN hop r ON l.z = r.z AND l.node < r.node
+),
+scored AS (
+  SELECT a, b, count(*)::BIGINT AS common, sum(wq)::BIGINT AS aa_q6
+  FROM wedges GROUP BY a, b
+)
+SELECT s.a, s.b, s.common, s.aa_q6, s.aa_q6 / 1000000.0 AS adamic_adar
+FROM scored s ANTI JOIN pr ON s.a = pr.a AND s.b = pr.b
+WHERE s.common >= {min_common}
+"""

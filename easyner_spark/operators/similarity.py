@@ -664,6 +664,143 @@ def label_centroids(
     )
 
 
+def _sq_codes(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int, levels: int
+) -> DataFrame:
+    """(id, code: array<long>) — per-dimension affine scalar
+    quantization to [0, levels-1] against the corpus-global per-dim
+    min/max. Bounds come from ONE scan with 2*dim aggregate
+    expressions (partial aggs collapse map-side; the result is a
+    single O(dim) row, broadcast by construction); the code chain is
+    a zero-shuffle column transform."""
+    hi_code = levels - 1
+    slim = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    aggs = [F.min(F.col("v")[i]).alias(f"_lo{i}") for i in range(dim)] + [
+        F.max(F.col("v")[i]).alias(f"_hi{i}") for i in range(dim)
+    ]
+    bounds = slim.agg(*aggs)
+    lo = F.array(*[F.col(f"_lo{i}") for i in range(dim)])
+    hi = F.array(*[F.col(f"_hi{i}") for i in range(dim)])
+    with_b = slim.join(F.broadcast(bounds))
+    # two-param transform lambda: Spark binds the 2nd param to the
+    # array index (0-based); element_at is 1-based.
+    code = F.transform(
+        F.col("v"),
+        lambda x, i: F.when(
+            F.element_at(hi, i + F.lit(1)) > F.element_at(lo, i + F.lit(1)),
+            F.least(
+                F.lit(hi_code).cast("long"),
+                F.floor(
+                    (x - F.element_at(lo, i + F.lit(1)))
+                    / (
+                        F.element_at(hi, i + F.lit(1))
+                        - F.element_at(lo, i + F.lit(1))
+                    )
+                    * F.lit(float(hi_code))
+                ),
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return with_b.select("id", code.alias("code"))
+
+
+def sq_topk(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+    levels: int = 256,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Scalar-quantized (int8-style) top-k: (query_id, neighbor_id,
+    rank, score) ranked by the SYMMETRIC integer dot product of
+    per-dimension affine codes (both sides quantized with the same
+    corpus-global bounds). No analog in the reference; this is the
+    memory/bandwidth leg of the ANN suite: 8-bit codes cut the bytes
+    a scan or shuffle moves 8x vs float64 and the integer dot
+    vectorizes, which is what makes exhaustive re-rank affordable at
+    crawl scale. The candidate-pair stage is still quadratic — at
+    100 TB you compose this with ivf_topk (quantize within cells, scan
+    only probed cells) or lsh buckets; SQ replaces the FLOAT math and
+    bytes, not the candidate structure.
+
+    Hash-parity by construction: every emitted column is an exact
+    integer — codes are floor() of identical-operand double affine
+    maps (both engines widen float32->double first), the score is an
+    integer fold (associative, order-free), and rank orders by
+    (score DESC, neighbor_id) with no float anywhere. max score is
+    (levels-1)^2 * dim (~4.2e6 for 256/64) — no overflow territory.
+    """
+    corpus = _sq_codes(emb, id_col, vec_col, dim, levels)
+    qs = (
+        _sq_codes(queries, id_col, vec_col, dim, levels)
+        if queries is not None
+        else corpus
+    )
+    a, b = qs.alias("a"), corpus.alias("b")
+    score = F.aggregate(
+        F.zip_with(F.col("a.code"), F.col("b.code"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(b, F.col("a.id") != F.col("b.id")).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        score.alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score")
+    )
+
+
+def sq_topk_oracle_sql(
+    source: str = "embeddings", k: int = 10, levels: int = 256
+) -> str:
+    """DuckDB twin of :func:`sq_topk` (zipped unnest = Spark's array
+    view; identical double affine map, integer dot as SUM over the
+    dimension join — integer addition is order-free so the fold/SUM
+    split cannot drift)."""
+    hi_code = levels - 1
+    return f"""
+WITH ex AS (
+  SELECT vec_id AS id,
+         unnest(range(0, len(embedding))) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM {source}
+),
+dims AS (SELECT d, min(x) AS lo, max(x) AS hi FROM ex GROUP BY d),
+c AS (
+  SELECT ex.id, ex.d,
+         CASE WHEN dims.hi > dims.lo
+              THEN least({hi_code}, CAST(floor((ex.x - dims.lo) / (dims.hi - dims.lo) * {hi_code}.0) AS BIGINT))
+              ELSE 0 END AS code
+  FROM ex JOIN dims USING (d)
+),
+p AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id,
+         sum(a.code * b.code)::BIGINT AS score
+  FROM c a JOIN c b ON a.d = b.d AND a.id <> b.id
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, score
+FROM r WHERE rank <= {k}
+"""
+
+
 def label_centroids_oracle_sql(source: str = "embeddings") -> str:
     """DuckDB twin of :func:`label_centroids` (zipped unnest = Spark
     posexplode; identical float32 widening and µ-unit quantization)."""

@@ -887,3 +887,62 @@ class TestLabelCentroids:
         import re
 
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+class TestSQTopk:
+    @pytest.fixture(scope="class")
+    def emb_df(self, spark):
+        vecs = [
+            (0, [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.01, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0]),
+            (4, [0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]),
+        ]
+        return spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    def test_integer_ranking_hand_computed(self, spark, emb_df):
+        """Per-dim bounds on this fixture give q0 codes
+        [255,0,0,0,255,0,0,0]; hand-folded integer dots rank
+        n1 (130050) > n4 (97410) > n2 (64770) > n3 (0)."""
+        from easyner_spark.operators.similarity import sq_topk
+
+        out = sq_topk(emb_df, k=4, dim=8)
+        rows = {r.rank: r for r in out.collect() if r.query_id == 0}
+        assert [rows[i].neighbor_id for i in (1, 2, 3, 4)] == [1, 4, 2, 3]
+        assert rows[1].score == 130050 and rows[4].score == 0
+        # everything emitted is integral: schema has no float column
+        assert all(f.dataType.simpleString() == "bigint" for f in out.schema.fields)
+
+    def test_codes_bounded_and_deterministic(self, spark, emb_df):
+        from easyner_spark.operators.similarity import _sq_codes
+
+        codes = _sq_codes(emb_df, "vec_id", "embedding", dim=8, levels=256)
+        vals = [c for r in codes.collect() for c in r.code]
+        assert all(0 <= c <= 255 for c in vals)
+        # min/max-attaining dims hit the rail codes exactly
+        by_id = {r.id: r.code for r in codes.collect()}
+        assert by_id[0][0] == 255 and by_id[3][0] == 0
+
+    def test_duckdb_oracle_parity_on_fixture(self, spark, emb_df, tmp_path):
+        """The module-local oracle generator reproduces the operator
+        value-for-value on an adversarial small corpus (rail values,
+        negative dims, a constant-ish dim) — the same generator the
+        driver runs at sf0.01."""
+        import duckdb
+
+        from easyner_spark.operators.similarity import sq_topk, sq_topk_oracle_sql
+
+        pq = str(tmp_path / "emb.parquet")
+        emb_df.write.mode("overwrite").parquet(pq)
+        got = sorted(
+            tuple(r) for r in sq_topk(emb_df, k=3, dim=8).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(sq_topk_oracle_sql(k=3)).fetchall()
+        )
+        assert got == want

@@ -181,3 +181,60 @@ class TestHits:
         for r in got.values():
             assert 0.0 <= r["authority"] <= 1.0
             assert 0.0 <= r["hub"] <= 1.0
+
+
+class TestLinkPrediction:
+    EDGES = [(1, 2), (1, 3), (2, 3), (2, 4)]
+
+    def _und(self, spark):
+        return spark.createDataFrame(self.EDGES, "src long, dst long")
+
+    def test_hand_computed_wedges(self, spark):
+        """Degrees 1:2 2:3 3:2 4:1. Non-edge pairs with a common
+        neighbor: (1,4) and (3,4), both via node 2 only, so
+        common=1 and aa_q6 = floor(1e6/ln 3) = 910239 for each."""
+        from easyner_spark.operators.graph import link_prediction
+
+        got = {
+            (r.a, r.b): (r.common, r.aa_q6)
+            for r in link_prediction(self._und(spark)).collect()
+        }
+        assert got == {(1, 4): (1, 910239), (3, 4): (1, 910239)}
+
+    def test_max_degree_drops_hub_centers(self, spark):
+        """max_degree=2 removes node 2 (deg 3) as a wedge center; the
+        surviving centers only generate wedges over existing edges, so
+        nothing is predicted."""
+        from easyner_spark.operators.graph import link_prediction
+
+        assert link_prediction(self._und(spark), max_degree=2).count() == 0
+
+    def test_direction_and_duplicate_insensitive(self, spark):
+        """Reversed/duplicated input rows canonicalize away: identical
+        predictions."""
+        from easyner_spark.operators.graph import link_prediction
+
+        noisy = spark.createDataFrame(
+            self.EDGES + [(b, a) for a, b in self.EDGES] + self.EDGES,
+            "src long, dst long",
+        )
+        base = sorted(map(tuple, link_prediction(self._und(spark)).collect()))
+        got = sorted(map(tuple, link_prediction(noisy).collect()))
+        assert got == base
+
+    def test_duckdb_oracle_parity(self, spark):
+        """Module-local oracle generator reproduces the operator on a
+        literal pair CTE — same generator the driver consumes."""
+        import duckdb
+
+        from easyner_spark.operators.graph import (
+            link_prediction,
+            link_prediction_oracle_sql,
+        )
+
+        got = sorted(map(tuple, link_prediction(self._und(spark)).collect()))
+        sql = link_prediction_oracle_sql(
+            "WITH pr AS (SELECT * FROM (VALUES (1, 2), (1, 3), (2, 3), (2, 4)) t(a, b))"
+        )
+        want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+        assert got == want
