@@ -490,22 +490,30 @@ def link_prediction(
     wedge center z has >= 2 distinct neighbors by construction, so
     ln(deg) >= ln 2 and the quotient is finite — no guard needed.
 
-    Relational shape: canonicalize + distinct the edge list, build the
-    directed adjacency view (2|E| rows), attach the per-node integer
-    weight to the NEIGHBOR side before the wedge self-join (the join
-    then carries one BIGINT instead of re-joining degrees after the
-    blowup), wedge-join on the shared-neighbor key, rollup by (a, b),
-    anti-join the known edges. Two keyed shuffles (degree rollup +
-    pair rollup) plus the wedge join on the neighbor key.
+    Relational shape (zero wedge JOIN — the _pairs_from_sets trick):
+    canonicalize + distinct the edge list (localCheckpoint'ed: it
+    feeds both candidate generation and the final anti-join, and an
+    eager checkpoint stops Spark recomputing its whole upstream
+    twice), collect each wedge center's sorted distinct neighbor
+    array in ONE keyed shuffle — the degree is then just
+    size(array), so the classic degree-rollup-plus-join disappears —
+    and slice-explode the a < b pairs with the center's quantized
+    weight riding along as a plain column. One more keyed shuffle for
+    the (a, b) rollup, then an AQE-decided anti-join against the
+    checkpointed edges. Measured against the self-join formulation:
+    12 exchanges -> 4 (plan audit, BASELINE.md).
 
-    Scale: the wedge join emits deg(z)^2 candidate rows per node z —
-    the SAME quadratic hot-key shape as name_similarity_edges'
-    stopword grams (BASELINE.md hot-gram tier, 1.7x at 10k rows and
-    growing with n). `max_degree` is the measured answer: drop
-    super-hub wedge CENTERS from candidate generation (a node adjacent
-    to a third of the graph predicts nothing — its 1/ln(deg) weight is
-    ~0 anyway, so the cut loses the least-informative evidence first).
-    At crawl scale set it; None = exact.
+    Scale: a wedge center z explodes deg(z)^2 candidate rows inside
+    one task — the SAME quadratic hot-key shape as
+    name_similarity_edges' stopword grams (BASELINE.md hot-gram tier,
+    1.7x at 10k rows and growing with n), and identical for the
+    self-join formulation (an equi-join colocates z's rows in one
+    partition too). `max_degree` is the measured answer: drop
+    super-hub wedge CENTERS from candidate generation (a node
+    adjacent to a third of the graph predicts nothing — its
+    1/ln(deg) weight is ~0 anyway, so the cut loses the
+    least-informative evidence first). At crawl scale set it;
+    None = exact.
     """
     canon = (
         edges.select(
@@ -514,27 +522,28 @@ def link_prediction(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     adj = canon.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
         canon.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     )
-    deg = adj.groupBy(F.col("node").alias("z")).agg(F.count(F.lit(1)).alias("deg"))
+    centers = adj.groupBy(F.col("node").alias("z")).agg(
+        F.sort_array(F.collect_set("nbr")).alias("nbrs")
+    )
     if max_degree is not None:
-        deg = deg.where(F.col("deg") <= F.lit(max_degree))
-    wz = deg.select(
-        "z",
-        F.floor(F.lit(1_000_000.0) / F.log(F.col("deg").cast("double")))
+        centers = centers.where(F.size("nbrs") <= F.lit(max_degree))
+    centers = centers.where(F.size("nbrs") >= 2).select(
+        "nbrs",
+        F.floor(F.lit(1_000_000.0) / F.log(F.size("nbrs").cast("double")))
         .cast("long")
         .alias("wq"),
     )
-    hop = adj.select(F.col("nbr").alias("z"), F.col("node")).join(wz, "z")
-    l, r = hop.alias("l"), hop.alias("r")
-    wedges = l.join(
-        r, (F.col("l.z") == F.col("r.z")) & (F.col("l.node") < F.col("r.node"))
+    wedges = centers.select(
+        F.posexplode("nbrs").alias("i", "a"), "nbrs", "wq"
     ).select(
-        F.col("l.node").alias("a"),
-        F.col("r.node").alias("b"),
-        F.col("l.wq").alias("wq"),
+        "a",
+        F.explode(F.slice("nbrs", F.col("i") + F.lit(2), F.size("nbrs"))).alias("b"),
+        "wq",
     )
     scored = wedges.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("common"), F.sum("wq").alias("aa_q6")
