@@ -517,6 +517,19 @@ def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(und, iters=3).select("node", "label")
 
 
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the entity co-occurrence graph: extraction-noise
+    periphery peels away, the dense evidence core survives with its
+    within-core degree. Capped-round contract — both engines run at
+    most 8 peeling rounds; convergence within the cap is asserted by
+    pytest at this scale (graph.k_core docstring)."""
+    from easyner_spark.operators.graph import k_core, sentence_pairs
+
+    pairs = sentence_pairs(_mentions(spark, sf_dir))
+    und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return k_core(und, k=2, max_rounds=8)
+
+
 def q_kg_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor / Adamic-Adar link prediction over the entity
     co-occurrence graph — the KG-completion layer above components
@@ -1871,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "kg_communities": q_kg_communities,
         "kg_link_predict": q_kg_link_predict,
+        "kg_kcore": q_kg_kcore,
         "host_stats": q_host_stats,
         "host_skew": q_host_skew,
         "url_dedup": q_url_dedup,
@@ -2364,17 +2378,29 @@ def _sq_oracle() -> str:
     return sq_topk_oracle_sql(source="embeddings", k=10, levels=256)
 
 
-def _link_predict_oracle() -> str:
-    from easyner_spark.operators.graph import link_prediction_oracle_sql
-
-    pairs_cte = _PRELUDE + """
+def _cooc_pairs_cte() -> str:
+    """_PRELUDE extended with pr(a, b): the canonical distinct entity
+    co-occurrence pairs — shared by the kg_triangles /
+    kg_link_predict / kg_kcore oracles."""
+    return _PRELUDE + """
 , occ AS (SELECT DISTINCT doc_id, sent_idx, mention_lc AS term FROM mentions),
 pr AS (
   SELECT DISTINCT x.term AS a, y.term AS b
   FROM occ x JOIN occ y
     ON x.doc_id = y.doc_id AND x.sent_idx = y.sent_idx AND x.term < y.term
 )"""
-    return link_prediction_oracle_sql(pairs_cte, min_common=2)
+
+
+def _link_predict_oracle() -> str:
+    from easyner_spark.operators.graph import link_prediction_oracle_sql
+
+    return link_prediction_oracle_sql(_cooc_pairs_cte(), min_common=2)
+
+
+def _kcore_oracle() -> str:
+    from easyner_spark.operators.graph import k_core_oracle_sql
+
+    return k_core_oracle_sql(_cooc_pairs_cte(), k=2, max_rounds=8)
 
 
 def _predicate_triples_oracle() -> str:
@@ -3373,6 +3399,9 @@ FROM alln LEFT JOIN corners ON alln.node = corners.node
         # (graph.link_prediction_oracle_sql); pr = the same canonical
         # co-occurrence pair CTE kg_triangles uses
         "kg_link_predict": _link_predict_oracle(),
+        # 8 unrolled peeling rounds (graph.k_core_oracle_sql), same
+        # pr CTE; capped-round contract matches the engine bit-for-bit
+        "kg_kcore": _kcore_oracle(),
         # Per-host rollup over deterministically skewed synthetic urls;
         # host parse = the same ASCII regex as webtext.url_parts
         "host_stats": _URL_PAGES_CTE

@@ -583,3 +583,108 @@ SELECT s.a, s.b, s.common, s.aa_q6, s.aa_q6 / 1000000.0 AS adamic_adar
 FROM scored s ANTI JOIN pr ON s.a = pr.a AND s.b = pr.b
 WHERE s.common >= {min_common}
 """
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """(node, deg) — the k-core of an undirected simple graph:
+    iteratively peel nodes of degree < k until none remain, emit the
+    survivors with their within-core degree. The standard KG pruning
+    pass before expensive downstream graph work (LPA, triangles,
+    link prediction): the periphery of one-off extraction-noise
+    entities peels away, the dense evidence core stays.
+
+    Contract (mirrored by the unrolled DuckDB CTE oracle,
+    :func:`k_core_oracle_sql`): BOTH engines run at most `max_rounds`
+    peeling rounds — a round recomputes degrees on the surviving edge
+    set and keeps both-endpoint-surviving edges. Peeling is a
+    monotone fixpoint, so once a round removes nothing every further
+    round is a no-op; the engine early-stops on a convergence
+    checksum while the oracle always unrolls `max_rounds` — identical
+    output whenever convergence happens within the cap, and the
+    engine CAPS at max_rounds too, so even a non-converged graph
+    matches. Tests assert convergence-within-cap at driver scale.
+
+    Scale: each round is one degree rollup (partial-agg absorbed; no
+    hot-key risk — count per node, map-side combined) + two
+    semi-joins of the edge list against the bounded survivor set,
+    localCheckpoint-bounded lineage per round exactly as
+    components/pagerank. Rounds needed = peeling depth, typically
+    O(log n) on web-ish graphs; pathological chains cost rounds, not
+    hot partitions (the components large-star argument).
+    """
+    if k < 1:
+        raise ValueError(f"k_core needs k >= 1: {k}")
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionByName(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= F.lit(k)).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            break
+        cur, n_edges = nxt, n_nxt
+    return (
+        cur.select(F.col("a").alias("node"))
+        .unionByName(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") >= F.lit(k))
+    )
+
+
+def k_core_oracle_sql(pairs_cte: str, k: int = 2, max_rounds: int = 8) -> str:
+    """DuckDB twin of :func:`k_core`: `max_rounds` peeling rounds
+    unrolled as CTE pairs (the pagerank/LPA oracle recipe).
+    `pairs_cte` must expose pr(a, b) canonical distinct undirected
+    edges. The final WHERE deg >= k mirrors the engine's cap-without-
+    convergence behavior bit-for-bit."""
+    # every e{i} is referenced 3x by round i+1 — without MATERIALIZED
+    # DuckDB inlines the expansion EXPONENTIALLY (3^rounds copies of
+    # the base scan; observed as "Too many open files" at 8 rounds)
+    parts = [pairs_cte, ",\ne0 AS MATERIALIZED (SELECT a, b FROM pr)"]
+    for i in range(1, max_rounds + 1):
+        parts.append(f""",
+d{i} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1})
+  GROUP BY node
+),
+k{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN k{i} ka ON e.a = ka.node
+  JOIN k{i} kb ON e.b = kb.node
+)""")
+    parts.append(f"""
+SELECT node, count(*)::BIGINT AS deg FROM (
+  SELECT a AS node FROM e{max_rounds} UNION ALL SELECT b FROM e{max_rounds})
+GROUP BY node HAVING count(*) >= {k}
+""")
+    return "".join(parts)

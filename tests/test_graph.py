@@ -238,3 +238,62 @@ class TestLinkPrediction:
         )
         want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
         assert got == want
+
+
+class TestKCore:
+    def test_triangle_with_tail(self, spark):
+        """Triangle 1-2-3 plus pendant 3-4: round 1 peels node 4, the
+        triangle is the stable 2-core with within-core degree 2."""
+        from easyner_spark.operators.graph import k_core
+
+        df = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+        )
+        got = {r.node: r.deg for r in k_core(df, k=2).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_path_graph_peels_to_empty(self, spark):
+        """A 5-node path has no 2-core: endpoints peel each round
+        until nothing is left (needs 3 rounds — exercises iteration)."""
+        from easyner_spark.operators.graph import k_core
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+        assert k_core(df, k=2).count() == 0
+
+    def test_cap_contract_matches_unrolled_oracle(self, spark):
+        """Capped-round contract: with max_rounds too small to
+        converge, the engine and the unrolled CTE stop at the SAME
+        intermediate state (path of 7, k=2, 1 round: the round keeps
+        nodes 2..6, then the shared final deg >= k filter drops the
+        new degree-1 endpoints 2 and 6 — 3 survivors both sides)."""
+        import duckdb
+
+        from easyner_spark.operators.graph import k_core, k_core_oracle_sql
+
+        edges = [(i, i + 1) for i in range(1, 7)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = sorted(map(tuple, k_core(df, k=2, max_rounds=1).collect()))
+        vals = ", ".join(f"({a}, {b})" for a, b in edges)
+        sql = k_core_oracle_sql(
+            f"WITH pr AS (SELECT * FROM (VALUES {vals}) t(a, b))", k=2, max_rounds=1
+        )
+        want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+        assert got == want and len(got) == 3
+
+    def test_driver_scale_converges_within_cap(self, spark):
+        """The kg_kcore contract caps both engines at 8 rounds; assert
+        the co-occurrence graph at driver scale actually converges
+        within the cap (8-round result == 9-round result)."""
+        import __spark_entry__ as e
+        from easyner_spark.operators.graph import k_core, sentence_pairs
+        from pyspark.sql import functions as F
+
+        und = (
+            sentence_pairs(e._mentions(spark, "/root/testdata/sf0.001"))
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        r8 = sorted(map(tuple, k_core(und, k=2, max_rounds=8).collect()))
+        r9 = sorted(map(tuple, k_core(und, k=2, max_rounds=9).collect()))
+        assert r8 == r9 and len(r8) > 0
