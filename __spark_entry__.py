@@ -517,6 +517,25 @@ def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(und, iters=3).select("node", "label")
 
 
+CMS_CANDIDATES = ["join", "hash", "row", "batch", "scan", "zzznope"]
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates for a candidate term list over the
+    document token stream — O(d*w) sketch state instead of a full
+    GROUP BY over the key space; the absent candidate ('zzznope')
+    exercises collision-floor behavior. Deterministic md5-seeded
+    rows; the oracle rebuilds the identical sketch
+    (sketches.cms_oracle_sql)."""
+    from easyner_spark.operators.sketches import cms_estimate, cms_sketch
+    from easyner_spark.operators.textstats import words_array
+
+    tok = _docs(spark, sf_dir).select(F.explode(words_array("text")).alias("x"))
+    sk = cms_sketch(tok, "x")
+    cand = spark.createDataFrame([(t,) for t in CMS_CANDIDATES], "term string")
+    return cms_estimate(sk, cand)
+
+
 def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the entity co-occurrence graph: extraction-noise
     periphery peels away, the dense evidence core survives with its
@@ -1885,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_link_predict": q_kg_link_predict,
         "kg_kcore": q_kg_kcore,
+        "heavy_hitters": q_heavy_hitters,
         "host_stats": q_host_stats,
         "host_skew": q_host_skew,
         "url_dedup": q_url_dedup,
@@ -2401,6 +2421,19 @@ def _kcore_oracle() -> str:
     from easyner_spark.operators.graph import k_core_oracle_sql
 
     return k_core_oracle_sql(_cooc_pairs_cte(), k=2, max_rounds=8)
+
+
+def _cms_oracle() -> str:
+    from easyner_spark.operators.sketches import cms_oracle_sql
+
+    stream = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS x FROM documents
+)"""
+    cand = " UNION ALL ".join(
+        f"SELECT '{t}' AS term" for t in CMS_CANDIDATES
+    )
+    return cms_oracle_sql(stream, cand)
 
 
 def _predicate_triples_oracle() -> str:
@@ -3402,6 +3435,7 @@ FROM alln LEFT JOIN corners ON alln.node = corners.node
         # 8 unrolled peeling rounds (graph.k_core_oracle_sql), same
         # pr CTE; capped-round contract matches the engine bit-for-bit
         "kg_kcore": _kcore_oracle(),
+        "heavy_hitters": _cms_oracle(),
         # Per-host rollup over deterministically skewed synthetic urls;
         # host parse = the same ASCII regex as webtext.url_parts
         "host_stats": _URL_PAGES_CTE

@@ -134,3 +134,121 @@ SELECT bin, (bin * {w})::BIGINT AS lo, ((bin + 1) * {w})::BIGINT AS hi,
        count(*)::BIGINT AS n
 FROM b GROUP BY bin
 """
+
+
+CMS_W = 1024
+CMS_D = 4
+
+
+def _cms_bucket(col: Column, r: int, w: int) -> Column:
+    """Row-r CMS bucket: the engine-wide md5 hash seeded with 'r:'."""
+    from easyner_spark.operators.sampling import md5_long32
+
+    return md5_long32(col, seed=f"{r}:") % F.lit(w)
+
+
+def cms_sketch(
+    df: DataFrame, col: str, w: int = CMS_W, d: int = CMS_D
+) -> DataFrame:
+    """(r, b, cnt) — a count-min sketch (Cormode & Muthukrishnan 2005)
+    of `col`: d independent md5-seeded hash rows of width w. Each
+    input row explodes into d (row, bucket) cells, but the groupBy
+    collapses map-side to at most d*w cells per partition — so the
+    sketch costs one scan and O(d*w) state at ANY corpus size, the
+    whole point: frequency monitoring over 10^12 tokens without
+    shuffling the key space (COUNT/GROUP BY term moves every distinct
+    key; this moves d*w integers).
+
+    Deterministic md5 seeding (sampling.md5_long32, seed 'r:') keeps
+    the cell layout bit-identical across engines — a DuckDB oracle can
+    rebuild the exact sketch, which engine-private hashes (xxhash64,
+    HLL++) cannot promise."""
+    if w < 2 or d < 1:
+        raise ValueError(f"need w >= 2, d >= 1: {w}, {d}")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"), _cms_bucket(F.col(col), r, w).alias("b")
+                )
+                for r in range(d)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(cells)
+        .select("cell.r", "cell.b")
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    term_col: str = "term",
+    w: int = CMS_W,
+    d: int = CMS_D,
+) -> DataFrame:
+    """(term, est) — the count-min point estimate for each candidate:
+    min over the d rows of the candidate's cell count (an ABSENT cell
+    counts 0). est >= true frequency always (counters only over-count
+    on collisions — the one-sided CMS guarantee, pytest-pinned).
+
+    Scale shape: the sketch is O(d*w) rows — broadcast it; estimating
+    any number of candidates is then a zero-shuffle map-side join plus
+    one bounded (term, min) rollup. Integer-exact end to end."""
+    probes = candidates.select(
+        F.col(term_col).alias("term"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(F.col(term_col), r, w).alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select("term", "cell.r", "cell.b")
+    return (
+        probes.join(F.broadcast(sketch), ["r", "b"], "left")
+        .select("term", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def cms_oracle_sql(
+    stream_cte: str,
+    candidates_sql: str,
+    w: int = CMS_W,
+    d: int = CMS_D,
+) -> str:
+    """DuckDB twin of cms_sketch + cms_estimate. `stream_cte` must
+    expose tok(x) — one row per stream element; `candidates_sql` a
+    relation with column term. The UNION ALL over d hash rows mirrors
+    the engine's struct-array explode cell for cell."""
+    wi, di = int(w), int(d)
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {r} AS r, ('0x' || substr(md5('{r}:' || x), 1, 8))::BIGINT % {wi} AS b FROM tok"
+        for r in range(di)
+    )
+    probe_rows = "\n    UNION ALL ".join(
+        f"SELECT term, {r} AS r, ('0x' || substr(md5('{r}:' || term), 1, 8))::BIGINT % {wi} AS b FROM cand"
+        for r in range(di)
+    )
+    return f"""{stream_cte},
+cells AS (
+    {rows}
+),
+sk AS (SELECT r, b, count(*)::BIGINT AS cnt FROM cells GROUP BY r, b),
+cand AS ({candidates_sql}),
+probes AS (
+    {probe_rows}
+)
+SELECT p.term, min(coalesce(sk.cnt, 0))::BIGINT AS est
+FROM probes p LEFT JOIN sk ON p.r = sk.r AND p.b = sk.b
+GROUP BY p.term
+"""

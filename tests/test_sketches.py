@@ -72,3 +72,63 @@ class TestReviewFixes:
         # NULL must NOT inflate the tail bin (Spark least/greatest
         # skip NULL operands — the silent-tail-count bug class)
         assert got == {0: 1, 2: 1}
+
+
+class TestCountMin:
+    WORDS = ["join"] * 7 + ["hash"] * 3 + ["scan"] * 2 + ["row"]
+
+    @pytest.fixture(scope="class")
+    def stream(self, spark):
+        return spark.createDataFrame([(w,) for w in self.WORDS], "x string")
+
+    @staticmethod
+    def _py_cms(words, w, d):
+        """Independent pure-Python replica of the md5-seeded sketch."""
+        import hashlib
+
+        cells = {}
+        for x in words:
+            for r in range(d):
+                h = int(hashlib.md5(f"{r}:{x}".encode()).hexdigest()[:8], 16) % w
+                cells[(r, h)] = cells.get((r, h), 0) + 1
+        return cells
+
+    def test_sketch_matches_python_replica(self, spark, stream):
+        from easyner_spark.operators.sketches import cms_sketch
+
+        got = {(r.r, r.b): r.cnt for r in cms_sketch(stream, "x", w=64, d=3).collect()}
+        assert got == self._py_cms(self.WORDS, 64, 3)
+
+    def test_estimates_one_sided_and_exact_here(self, spark, stream):
+        """CMS guarantee: est >= true always; with this tiny stream the
+        python replica gives the exact expected min per term, absent
+        term included (its cells may collide — whatever the replica
+        says is what the engine must say)."""
+        import hashlib
+
+        from easyner_spark.operators.sketches import cms_estimate, cms_sketch
+
+        w, d = 64, 3
+        cand = ["join", "hash", "scan", "row", "absent"]
+        cells = self._py_cms(self.WORDS, w, d)
+        want = {
+            t: min(
+                cells.get(
+                    (r, int(hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:8], 16) % w),
+                    0,
+                )
+                for r in range(d)
+            )
+            for t in cand
+        }
+        sk = cms_sketch(stream, "x", w=w, d=d)
+        cdf = spark.createDataFrame([(t,) for t in cand], "term string")
+        got = {r.term: r.est for r in cms_estimate(sk, cdf, w=w, d=d).collect()}
+        assert got == want
+        true = {"join": 7, "hash": 3, "scan": 2, "row": 1, "absent": 0}
+        assert all(got[t] >= true[t] for t in cand)
+
+    def test_state_bounded(self, spark, stream):
+        from easyner_spark.operators.sketches import cms_sketch
+
+        assert cms_sketch(stream, "x", w=8, d=2).count() <= 16
