@@ -517,6 +517,18 @@ def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(und, iters=3).select("node", "label")
 
 
+def q_kg_wl_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round Weisfeiler-Lehman structural labels over the entity
+    co-occurrence graph: string-hash color refinement, no floats —
+    entities sharing a label are structurally indistinguishable to
+    depth 2 (graph.wl_labels docstring)."""
+    from easyner_spark.operators.graph import sentence_pairs, wl_labels
+
+    pairs = sentence_pairs(_mentions(spark, sf_dir))
+    und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return wl_labels(und, iters=2)
+
+
 CMS_CANDIDATES = ["join", "hash", "row", "batch", "scan", "zzznope"]
 
 
@@ -1905,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_predict": q_kg_link_predict,
         "kg_kcore": q_kg_kcore,
         "heavy_hitters": q_heavy_hitters,
+        "kg_wl_labels": q_kg_wl_labels,
         "host_stats": q_host_stats,
         "host_skew": q_host_skew,
         "url_dedup": q_url_dedup,
@@ -2421,6 +2434,12 @@ def _kcore_oracle() -> str:
     from easyner_spark.operators.graph import k_core_oracle_sql
 
     return k_core_oracle_sql(_cooc_pairs_cte(), k=2, max_rounds=8)
+
+
+def _wl_oracle() -> str:
+    from easyner_spark.operators.graph import wl_labels_oracle_sql
+
+    return wl_labels_oracle_sql(_cooc_pairs_cte(), iters=2)
 
 
 def _cms_oracle() -> str:
@@ -3436,6 +3455,8 @@ FROM alln LEFT JOIN corners ON alln.node = corners.node
         # pr CTE; capped-round contract matches the engine bit-for-bit
         "kg_kcore": _kcore_oracle(),
         "heavy_hitters": _cms_oracle(),
+        # Unrolled WL rounds over the shared pr CTE (graph.wl_labels_oracle_sql)
+        "kg_wl_labels": _wl_oracle(),
         # Per-host rollup over deterministically skewed synthetic urls;
         # host parse = the same ASCII regex as webtext.url_parts
         "host_stats": _URL_PAGES_CTE

@@ -688,3 +688,103 @@ SELECT node, count(*)::BIGINT AS deg FROM (
 GROUP BY node HAVING count(*) >= {k}
 """)
     return "".join(parts)
+
+
+def wl_labels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """(node, wl_label) — fixed-iteration Weisfeiler-Lehman node
+    relabeling over an undirected simple graph: label_0 = degree,
+    label_{t+1} = md5(own || '|' || sorted multiset of neighbor
+    labels) truncated to 8 hex chars. Nodes sharing a label after t
+    rounds are structurally indistinguishable to depth t — the
+    classic cheap structural-role feature (1-WL / color refinement;
+    Shervashidze et al. 2011): in a KG it separates hub entities,
+    bridge entities and leaf noise without any embedding model, and
+    the labels are JOIN keys (group structurally-equivalent entities)
+    rather than floats.
+
+    Exact by construction: labels are STRINGS built from integer
+    degrees by md5 — no float anywhere, so the DuckDB oracle
+    (:func:`wl_labels_oracle_sql`) matches bit-for-bit; sort order on
+    hex strings is plain byte order in both engines.
+
+    Scale: per iteration ONE keyed shuffle (neighbor-label rollup;
+    collect_list is bounded by the max degree — the same hot-center
+    bound as link_prediction, and the same `max_degree`-style upstream
+    cut applies if a graph has super-hubs) plus an AQE-decided join of
+    the bounded label table onto the adjacency; localCheckpoint per
+    round caps lineage exactly as pagerank/components.
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0: {iters}")
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = canon.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        canon.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    lab = (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select("node", F.col("deg").cast("string").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        nbr_lbl = adj.join(
+            lab.select(F.col("node").alias("nbr"), F.col("lbl").alias("nlbl")), "nbr"
+        )
+        rolled = nbr_lbl.groupBy("node").agg(
+            F.array_join(F.sort_array(F.collect_list("nlbl")), ",").alias("ns")
+        )
+        lab = (
+            lab.join(rolled, "node")
+            .select(
+                "node",
+                F.substring(
+                    F.md5(F.concat(F.col("lbl"), F.lit("|"), F.col("ns"))), 1, 8
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lab.select("node", F.col("lbl").alias("wl_label"))
+
+
+def wl_labels_oracle_sql(pairs_cte: str, iters: int = 2) -> str:
+    """DuckDB twin of :func:`wl_labels` (unrolled rounds, MATERIALIZED
+    against exponential CTE inlining — the k_core_oracle_sql lesson).
+    `pairs_cte` must expose pr(a, b) canonical distinct undirected
+    edges. string_agg(.. ORDER BY) = Spark's sort_array+array_join on
+    ASCII labels (both byte-order)."""
+    parts = [
+        pairs_cte,
+        """,
+adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM pr UNION ALL SELECT b, a FROM pr),
+l0 AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS VARCHAR) AS lbl FROM adj GROUP BY node
+)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+r{i} AS (
+  SELECT adj.node, string_agg(p.lbl, ',' ORDER BY p.lbl) AS ns
+  FROM adj JOIN l{i - 1} p ON adj.nbr = p.node
+  GROUP BY adj.node
+),
+l{i} AS MATERIALIZED (
+  SELECT l.node, substr(md5(l.lbl || '|' || r{i}.ns), 1, 8) AS lbl
+  FROM l{i - 1} l JOIN r{i} ON l.node = r{i}.node
+)""")
+    parts.append(f"""
+SELECT node, lbl AS wl_label FROM l{iters}
+""")
+    return "".join(parts)

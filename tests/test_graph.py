@@ -297,3 +297,42 @@ class TestKCore:
         r8 = sorted(map(tuple, k_core(und, k=2, max_rounds=8).collect()))
         r9 = sorted(map(tuple, k_core(und, k=2, max_rounds=9).collect()))
         assert r8 == r9 and len(r8) > 0
+
+
+class TestWLLabels:
+    def _lbl(self, spark, edges, iters=2):
+        from easyner_spark.operators.graph import wl_labels
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {r.node: r.wl_label for r in wl_labels(df, iters=iters).collect()}
+
+    def test_path_equivalence_classes(self, spark):
+        """Path a-b-c-d-e: color refinement separates {a,e} (ends),
+        {b,d} (inner), {c} (center) — mirror-symmetric nodes share a
+        label, distinct roles never do."""
+        got = self._lbl(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+        assert got["a"] == got["e"] and got["b"] == got["d"]
+        assert len({got["a"], got["b"], got["c"]}) == 3
+
+    def test_vertex_transitive_graph_single_color(self, spark):
+        got = self._lbl(spark, [("x", "y"), ("y", "z"), ("x", "z")])
+        assert len(set(got.values())) == 1
+
+    def test_iters_zero_is_degree(self, spark):
+        got = self._lbl(spark, [("a", "b"), ("b", "c")], iters=0)
+        assert got == {"a": "1", "b": "2", "c": "1"}
+
+    def test_duckdb_oracle_parity(self, spark):
+        import duckdb
+
+        from easyner_spark.operators.graph import wl_labels, wl_labels_oracle_sql
+
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = sorted(map(tuple, wl_labels(df, iters=2).collect()))
+        vals = ", ".join(f"({a}, {b})" for a, b in edges)
+        sql = wl_labels_oracle_sql(
+            f"WITH pr AS (SELECT * FROM (VALUES {vals}) t(a, b))", iters=2
+        )
+        want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+        assert got == want
