@@ -517,6 +517,20 @@ def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(und, iters=3).select("node", "label")
 
 
+def q_kg_edge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge temporal lifecycle (first/last epoch, epoch count,
+    new/stale/active status vs the latest crawl epoch) -- the diff
+    view an incremental KG maintains per ingestion round. Epoch is
+    synthesized as doc_id % 5 (same recipe as latest_crawl's
+    synthetic recrawls); exact integers + string CASE only."""
+    from easyner_spark.operators.triples import edge_history
+
+    t = q_triples(spark, sf_dir).withColumn(
+        "epoch", (F.col("doc_id") % 5).cast("long")
+    )
+    return edge_history(t)
+
+
 def q_kg_wl_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-round Weisfeiler-Lehman structural labels over the entity
     co-occurrence graph: string-hash color refinement, no floats —
@@ -1918,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "heavy_hitters": q_heavy_hitters,
         "kg_wl_labels": q_kg_wl_labels,
+        "kg_edge_history": q_kg_edge_history,
         "host_stats": q_host_stats,
         "host_skew": q_host_skew,
         "url_dedup": q_url_dedup,
@@ -3457,6 +3472,23 @@ FROM alln LEFT JOIN corners ON alln.node = corners.node
         "heavy_hitters": _cms_oracle(),
         # Unrolled WL rounds over the shared pr CTE (graph.wl_labels_oracle_sql)
         "kg_wl_labels": _wl_oracle(),
+        "kg_edge_history": _PRELUDE
+        + """
+, ep AS (SELECT subj_id, pred, obj_id, doc_id % 5 AS epoch FROM triples),
+g AS (
+  SELECT subj_id, pred, obj_id,
+         min(epoch)::BIGINT AS first_epoch, max(epoch)::BIGINT AS last_epoch,
+         count(DISTINCT epoch)::BIGINT AS n_epochs, count(*)::BIGINT AS support
+  FROM ep GROUP BY 1, 2, 3
+),
+mx AS (SELECT max(last_epoch) AS m FROM g)
+SELECT g.subj_id, g.pred, g.obj_id, g.first_epoch, g.last_epoch,
+       g.n_epochs, g.support,
+       CASE WHEN g.first_epoch = mx.m THEN 'new'
+            WHEN g.last_epoch < mx.m THEN 'stale'
+            ELSE 'active' END AS status
+FROM g CROSS JOIN mx
+""",
         # Per-host rollup over deterministically skewed synthetic urls;
         # host parse = the same ASCII regex as webtext.url_parts
         "host_stats": _URL_PAGES_CTE

@@ -239,3 +239,58 @@ def extract_predicate_triples(
         F.coalesce(canon, F.lit(fallback)).alias("pred"),
         F.col("p.obj_id").alias("obj_id"),
     )
+
+
+def edge_history(triples: DataFrame, epoch_col: str = "epoch") -> DataFrame:
+    """(subj_id, pred, obj_id, first_epoch, last_epoch, n_epochs,
+    support, status) — per-edge temporal lifecycle over an epoch-
+    stamped triple stream: the maintenance view an INCREMENTAL KG
+    (north_star: resumable per-epoch crawl ingestion) diffs each
+    round. status relative to the corpus-wide latest epoch:
+
+        new    first seen in the latest epoch
+        stale  not seen in the latest epoch (re-crawl candidate)
+        active seen in the latest epoch and before
+
+    Exactness: epochs are integers; min/max/count are exact; status
+    is a CASE on integers — no float anywhere. n_epochs uses
+    size(collect_set(epoch)) rather than countDistinct: epochs are
+    bounded (crawl rounds), so the set state is tiny and the plan
+    avoids countDistinct's Expand rewrite, which would double the
+    triple stream map-side just to dedup a handful of values.
+
+    Scale: ONE keyed shuffle (the edge rollup, partial-agg absorbed);
+    the rolled-up edge table is localCheckpoint'ed (it is the
+    north-star's materialized edges product anyway) so the 1-row
+    global-max epoch and the status projection read the
+    materialization instead of recomputing the rollup twice; the max
+    rides back as a broadcast 1-row cross join, never a collect and
+    never a partitionBy-less window (the Exchange SinglePartition
+    trap).
+    """
+    g = (
+        triples.groupBy("subj_id", "pred", "obj_id")
+        .agg(
+            F.min(epoch_col).cast("long").alias("first_epoch"),
+            F.max(epoch_col).cast("long").alias("last_epoch"),
+            F.size(F.collect_set(epoch_col)).cast("long").alias("n_epochs"),
+            F.count(F.lit(1)).alias("support"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mx = g.agg(F.max("last_epoch").alias("m"))
+    status = (
+        F.when(F.col("first_epoch") == F.col("m"), F.lit("new"))
+        .when(F.col("last_epoch") < F.col("m"), F.lit("stale"))
+        .otherwise(F.lit("active"))
+    )
+    return g.crossJoin(F.broadcast(mx)).select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        "first_epoch",
+        "last_epoch",
+        "n_epochs",
+        "support",
+        status.alias("status"),
+    )

@@ -309,3 +309,39 @@ class TestFuzzyLink:
         }
         assert fuzzy["rapamycin"] == fuzzy["rapamycins"] == "KB:0004"
         assert fuzzy["zzz"] == "surface:zzz"
+
+
+class TestEdgeHistory:
+    def test_lifecycle_statuses(self, spark):
+        """Edges: A seen in epochs {0,2} (latest=2 -> active),
+        B only epoch 0 (stale), C first+only epoch 2 (new)."""
+        from pyspark.sql import functions as F
+
+        from easyner_spark.operators.triples import edge_history
+
+        rows = [
+            ("a", "p", "x", 0), ("a", "p", "x", 2), ("a", "p", "x", 2),
+            ("b", "p", "y", 0),
+            ("c", "p", "z", 2),
+        ]
+        t = spark.createDataFrame(
+            rows, "subj_id string, pred string, obj_id string, epoch long"
+        )
+        got = {r.subj_id: r for r in edge_history(t).collect()}
+        assert (got["a"].status, got["a"].n_epochs, got["a"].support) == ("active", 2, 3)
+        assert (got["b"].status, got["b"].first_epoch, got["b"].last_epoch) == ("stale", 0, 0)
+        assert (got["c"].status, got["c"].n_epochs) == ("new", 1)
+
+    def test_no_expand_and_no_single_partition(self, spark):
+        """The collect_set formulation must not plan countDistinct's
+        Expand rewrite, and the global max must not plan an Exchange
+        SinglePartition window."""
+        from easyner_spark.operators.triples import edge_history
+
+        t = spark.createDataFrame(
+            [("a", "p", "x", 0)], "subj_id string, pred string, obj_id string, epoch long"
+        )
+        plan = edge_history(t)._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan
+        # the one allowed SinglePartition is the bounded 1-row max agg
+        assert plan.count("Exchange SinglePartition") <= 1
