@@ -517,6 +517,21 @@ def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(und, iters=3).select("node", "label")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-packing metadata: every document's landing
+    position (window id + offset) in the capacity-512 packed token
+    stream, computed by the distributed two-pass prefix sum (no
+    Exchange SinglePartition; the oracle uses the serial window the
+    engine refuses to plan). Exact integers only."""
+    from easyner_spark.operators.sampling import pack_sequences
+    from easyner_spark.operators.textstats import words_array
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(words_array("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(d, capacity=512)
+
+
 def q_kg_edge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge temporal lifecycle (first/last epoch, epoch count,
     new/stale/active status vs the latest crawl epoch) -- the diff
@@ -1933,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "kg_wl_labels": q_kg_wl_labels,
         "kg_edge_history": q_kg_edge_history,
+        "pack_sequences": q_pack_sequences,
         "host_stats": q_host_stats,
         "host_skew": q_host_skew,
         "url_dedup": q_url_dedup,
@@ -2455,6 +2471,14 @@ def _wl_oracle() -> str:
     from easyner_spark.operators.graph import wl_labels_oracle_sql
 
     return wl_labels_oracle_sql(_cooc_pairs_cte(), iters=2)
+
+
+def _pack_oracle() -> str:
+    from easyner_spark.operators.sampling import pack_sequences_oracle_sql
+
+    return pack_sequences_oracle_sql(
+        512, tokens_expr="len(regexp_extract_all(lower(text), '\\w+'))"
+    )
 
 
 def _cms_oracle() -> str:
@@ -3472,6 +3496,7 @@ FROM alln LEFT JOIN corners ON alln.node = corners.node
         "heavy_hitters": _cms_oracle(),
         # Unrolled WL rounds over the shared pr CTE (graph.wl_labels_oracle_sql)
         "kg_wl_labels": _wl_oracle(),
+        "pack_sequences": _pack_oracle(),
         "kg_edge_history": _PRELUDE
         + """
 , ep AS (SELECT subj_id, pred, obj_id, doc_id % 5 AS epoch FROM triples),

@@ -409,3 +409,120 @@ FROM ex
 WHERE (least({mt}, len(w) - s) >= {tl} AND least({mt}, len(w) - s) > {ov})
    OR chunk_idx = 0
 """
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    strategy: str = "distributed",
+) -> DataFrame:
+    """(id, n_tokens, start_tok, seq_id, seq_off) — GPT-style concat
+    packing metadata: documents in deterministic (`id_col` ASC) order
+    form one contiguous token stream, sliced into fixed `capacity`
+    context windows. Each document learns WHERE it lands:
+
+        start_tok = tokens before it in the stream   (exact BIGINT)
+        seq_id    = start_tok div capacity           (its window)
+        seq_off   = start_tok mod capacity           (offset inside)
+
+    This is the assembly step between token counting and batch
+    writing in a pretraining pipeline — the downstream writer groups
+    by seq_id and emits fixed-length sequences. Documents longer than
+    `capacity` simply span windows (concat packing never truncates;
+    chunk first via chunk_docs if per-window atomicity is needed).
+
+    Integer division uses SQL `div` / DuckDB `//` — NOT
+    floor(x / y) on doubles, which can return k-1 when x is an exact
+    multiple of y and the double quotient rounds below k.
+
+    Strategy mirrors :func:`token_budget_select` (same module
+    lesson): 'window' is the serial-reducer parity twin
+    (Exchange SinglePartition); the default 'distributed' is the
+    two-pass prefix sum — one range exchange (PERSISTED: range bounds
+    resample per execution), O(partitions) driver offsets, then a
+    narrow Arrow cumsum per partition. Call
+    release_token_budget_caches() between materialized calls.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1: {capacity}")
+    narrow = docs.select(id_col, tokens_col)
+    order = [F.col(id_col).asc()]
+
+    def finish(with_start: DataFrame) -> DataFrame:
+        return with_start.select(
+            id_col,
+            tokens_col,
+            "start_tok",
+            F.expr(f"start_tok div {int(capacity)}").alias("seq_id"),
+            F.pmod(F.col("start_tok"), F.lit(int(capacity))).cast("long").alias("seq_off"),
+        )
+
+    if strategy == "window":
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = F.sum(F.col(tokens_col)).over(w)
+        return finish(
+            narrow.withColumn(
+                "start_tok", (cum - F.col(tokens_col)).cast("long")
+            )
+        )
+
+    spark = docs.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = narrow.repartitionByRange(n, *order).persist()
+    _RANGED_CACHES.append(ranged)
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.sum(tokens_col).alias("_t"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for p in range(n):
+        offsets.append(acc)
+        acc += totals.get(p, 0) or 0
+    out_schema = ranged.schema.add("start_tok", "long")
+
+    def cumsum_part(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running = offsets[pid] if pid < len(offsets) else 0
+        for pdf in batches:
+            cum = pdf[tokens_col].cumsum() + running
+            running = int(cum.iloc[-1]) if len(cum) else running
+            yield pdf.assign(start_tok=cum - pdf[tokens_col])
+
+    return finish(
+        ranged.sortWithinPartitions(*order).mapInPandas(cumsum_part, out_schema)
+    )
+
+
+def pack_sequences_oracle_sql(
+    capacity: int,
+    tokens_expr: str = "n_chars",
+    id_col: str = "doc_id",
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` (serial window cumsum —
+    the oracle can afford the single reducer; `//` = Spark `div`)."""
+    cap = int(capacity)
+    return f"""
+WITH t AS (
+  SELECT {id_col}, ({tokens_expr})::BIGINT AS n_tokens FROM {source}
+),
+c AS (
+  SELECT {id_col}, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+  FROM t
+)
+SELECT {id_col}, n_tokens, start_tok,
+       (start_tok // {cap})::BIGINT AS seq_id,
+       (start_tok % {cap})::BIGINT AS seq_off
+FROM c
+"""

@@ -133,3 +133,60 @@ class TestTokenBudget:
                 break
             want[i] = acc
         assert got == want
+
+
+class TestPackSequences:
+    ROWS = [(1, 300), (2, 300), (3, 100), (4, 512), (5, 1)]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "doc_id long, n_tokens long")
+
+    def test_hand_computed_packing(self, spark):
+        """Stream positions: 0, 300, 600, 700, 1212 at capacity 512 ->
+        windows 0,0,1,1,2; doc 4 (512 tokens at offset 188) spans
+        windows 1-2 but is ASSIGNED to its start window (concat
+        packing never truncates)."""
+        from easyner_spark.operators.sampling import pack_sequences
+
+        got = {
+            r.doc_id: (r.start_tok, r.seq_id, r.seq_off)
+            for r in pack_sequences(self._df(spark), capacity=512).collect()
+        }
+        assert got == {
+            1: (0, 0, 0),
+            2: (300, 0, 300),
+            3: (600, 1, 88),
+            4: (700, 1, 188),
+            5: (1212, 2, 188),
+        }
+
+    def test_window_twin_parity_and_exact_multiple(self, spark):
+        """Distributed two-pass == serial window twin, including a
+        start_tok that is an EXACT multiple of capacity (the
+        floor-on-doubles trap `div` exists to avoid)."""
+        from easyner_spark.operators.sampling import (
+            pack_sequences,
+            release_token_budget_caches,
+        )
+
+        rows = [(i, 256) for i in range(1, 9)]  # starts 0,256,512,...
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        dist = sorted(map(tuple, pack_sequences(df, capacity=512).collect()))
+        win = sorted(
+            map(tuple, pack_sequences(df, capacity=512, strategy="window").collect())
+        )
+        assert dist == win
+        assert [t[3] for t in dist] == [0, 0, 1, 1, 2, 2, 3, 3]
+        release_token_budget_caches()
+
+    def test_distributed_plan_has_no_single_partition(self, spark):
+        from easyner_spark.operators.sampling import (
+            pack_sequences,
+            release_token_budget_caches,
+        )
+
+        out = pack_sequences(self._df(spark), capacity=512)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+        assert "rangepartitioning" in plan
+        release_token_budget_caches()
