@@ -532,6 +532,28 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, capacity=512)
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles of document length: ONE value-keyed
+    aggregate collapses the corpus to its distinct lengths, then the
+    running-sum window + rank pick run on that bounded table. q rides
+    as integer micro-units, rank via integer ceil-division — every
+    cell integer-exact (sketches.exact_quantiles)."""
+    from easyner_spark.operators.sketches import exact_quantiles
+
+    return exact_quantiles(_docs(spark, sf_dir), F.length("text"))
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first 6 merge rules: one corpus scan
+    collapses to the word-frequency table, then each round is a
+    bounded pair aggregate + 1-row argmax + broadcast rewrite — the
+    canonical corpus-scale BPE formulation (operators/tokenizer.py);
+    the oracle unrolls all 6 data-dependent rounds in SQL."""
+    from easyner_spark.operators.tokenizer import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir), n_merges=6)
+
+
 def q_kg_edge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge temporal lifecycle (first/last epoch, epoch count,
     new/stale/active status vs the latest crawl epoch) -- the diff
@@ -1949,6 +1971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wl_labels": q_kg_wl_labels,
         "kg_edge_history": q_kg_edge_history,
         "pack_sequences": q_pack_sequences,
+        "length_quantiles": q_length_quantiles,
+        "bpe_merges": q_bpe_merges,
         "host_stats": q_host_stats,
         "host_skew": q_host_skew,
         "url_dedup": q_url_dedup,
@@ -2873,9 +2897,11 @@ def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.sampling import chunk_docs_oracle_sql
     from easyner_spark.operators.similarity import label_centroids_oracle_sql
     from easyner_spark.operators.sketches import (
+        exact_quantiles_oracle_sql,
         histogram_oracle_sql,
         linear_count_oracle_sql,
     )
+    from easyner_spark.operators.tokenizer import bpe_merges_oracle_sql
     from easyner_spark.operators.scoring import (
         bigram_lm_oracle_sql,
         hashed_linear_oracle_sql,
@@ -2976,6 +3002,8 @@ FROM events GROUP BY event_type
         "label_centroids": label_centroids_oracle_sql(),
         "distinct_count": linear_count_oracle_sql("text"),
         "length_histogram": histogram_oracle_sql("length(text)", 100, 20),
+        "length_quantiles": exact_quantiles_oracle_sql("length(text)"),
+        "bpe_merges": bpe_merges_oracle_sql(n_merges=6),
         "corpus_summary": f"""
 WITH per_doc AS ({stats_sql})
 SELECT count(*) AS n_docs,

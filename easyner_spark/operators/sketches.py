@@ -136,6 +136,112 @@ FROM b GROUP BY bin
 """
 
 
+QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+_Q_UNIT = 1_000_000  # quantile fractions carried as exact micro-units
+
+
+def _q_micro(qs: tuple[float, ...]) -> list[int]:
+    out = []
+    for q in qs:
+        u = int(round(q * _Q_UNIT))
+        if not 0 < u <= _Q_UNIT:
+            raise ValueError(f"quantile out of (0, 1]: {q}")
+        out.append(u)
+    if len(set(out)) != len(out):
+        raise ValueError(f"duplicate quantiles after micro rounding: {qs}")
+    return out
+
+
+def exact_quantiles(
+    df: DataFrame,
+    expr: Column | str,
+    qs: tuple[float, ...] = QUANTILES,
+) -> DataFrame:
+    """(q_micro, n, rank, value) — EXACT discrete quantiles of an
+    integer metric: value = min v whose cumulative count reaches
+    rank = max(1, ceil(q * n)) (type-1 / lower-value convention; NULL
+    metrics excluded). q rides as integer micro-units and rank uses
+    integer ceil-division, so every output cell is integer-exact and
+    cross-engine hashable — no float percentile semantics to disagree
+    over (Spark's percentile_approx and DuckDB's quantile_cont both
+    interpolate, each its own way).
+
+    Scale shape: ONE value-keyed aggregate collapses the corpus to its
+    distinct metric values with full map-side combine; the running-sum
+    window then runs over that BOUNDED table (single partition — by
+    design: use this on discrete, low-cardinality metrics such as
+    lengths, token counts, scores; for unbounded metrics pre-bin with
+    histogram_fixed_bins and take quantiles of bins). The |V| x |qs|
+    explode feeding the final argmin is bounded the same way. rank
+    arithmetic stays in BIGINT: q_micro * n <= 1e6 * n, safe to
+    n ~ 9e12 rows."""
+    from pyspark.sql import Window
+
+    q_us = _q_micro(qs)
+    x = F.col(expr) if isinstance(expr, str) else expr
+    g = (
+        df.where(x.isNotNull())
+        .select(x.cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "v",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    exploded = cum.select(
+        F.explode(F.array(*[F.lit(u) for u in q_us])).alias("q_micro"),
+        "v",
+        "cum",
+        "n",
+    ).withColumn(
+        "rank",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(q_micro * n + {_Q_UNIT - 1}) div {_Q_UNIT}"),
+        ),
+    )
+    return exploded.groupBy("q_micro").agg(
+        F.max("n").alias("n"),
+        F.max("rank").alias("rank"),
+        F.min(F.when(F.col("cum") >= F.col("rank"), F.col("v"))).alias("value"),
+    )
+
+
+def exact_quantiles_oracle_sql(
+    expr: str,
+    qs: tuple[float, ...] = QUANTILES,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`exact_quantiles`; `expr` is a SQL
+    expression producing the integer metric."""
+    q_us = _q_micro(qs)
+    q_rows = ", ".join(f"({u})" for u in q_us)
+    return f"""
+WITH g AS (
+  SELECT CAST({expr} AS BIGINT) AS v, count(*)::BIGINT AS cnt
+  FROM {source} WHERE ({expr}) IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT v,
+         sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(cnt) OVER ()::BIGINT AS n
+  FROM g
+),
+q(q_micro) AS (VALUES {q_rows}),
+e AS (
+  SELECT q.q_micro::INT AS q_micro, c.v, c.cum, c.n,
+         greatest(1, (q.q_micro * c.n + {_Q_UNIT - 1}) // {_Q_UNIT})::BIGINT AS rank
+  FROM q CROSS JOIN c
+)
+SELECT q_micro, max(n)::BIGINT AS n, max(rank)::BIGINT AS rank,
+       min(CASE WHEN cum >= rank THEN v END)::BIGINT AS value
+FROM e GROUP BY q_micro
+"""
+
+
 CMS_W = 1024
 CMS_D = 4
 

@@ -34,6 +34,45 @@ class TestLinearCount:
             self._est(spark, ["x"], m=1)
 
 
+class TestExactQuantiles:
+    def _q(self, spark, values, qs):
+        from easyner_spark.operators.sketches import exact_quantiles
+
+        df = spark.createDataFrame([(v,) for v in values], "x int")
+        rows = exact_quantiles(df, "x", qs=qs).collect()
+        return {r["q_micro"]: (r["n"], r["rank"], r["value"]) for r in rows}
+
+    def test_hand_computed_ranks(self, spark):
+        # n=10, rank = ceil(q*10): 0.25 -> 3, 0.5 -> 5, 1.0 -> 10
+        out = self._q(spark, list(range(1, 11)), (0.25, 0.5, 1.0))
+        assert out[250_000] == (10, 3, 3)
+        assert out[500_000] == (10, 5, 5)
+        assert out[1_000_000] == (10, 10, 10)
+
+    def test_duplicates_and_min_rank_clamp(self, spark):
+        # [1,1,1,9]: median rank 2 lands inside the run of 1s; a
+        # microscopic q clamps to rank 1 = min
+        out = self._q(spark, [1, 1, 1, 9], (0.000001, 0.5))
+        assert out[500_000] == (4, 2, 1)
+        assert out[1] == (4, 1, 1)
+
+    def test_nulls_excluded_and_empty_input(self, spark):
+        from easyner_spark.operators.sketches import exact_quantiles
+
+        df = spark.createDataFrame([(None,), (7,)], "x int")
+        rows = exact_quantiles(df, "x", qs=(0.5,)).collect()
+        assert [(r["n"], r["value"]) for r in rows] == [(1, 7)]
+        assert exact_quantiles(df.where("x < 0"), "x", qs=(0.5,)).count() == 0
+
+    def test_q_gates(self, spark):
+        with pytest.raises(ValueError):
+            self._q(spark, [1], (0.0,))
+        with pytest.raises(ValueError):
+            self._q(spark, [1], (1.5,))
+        with pytest.raises(ValueError):  # collide after micro rounding
+            self._q(spark, [1], (0.5, 0.5000000001))
+
+
 class TestHistogram:
     def _hist(self, spark, values, **kw):
         from easyner_spark.operators.sketches import histogram_fixed_bins
