@@ -554,6 +554,15 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_docs(spark, sf_dir), n_merges=6)
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies after applying the 6 learned BPE
+    rules — the trained tokenizer's actual output distribution; the
+    oracle re-derives all 6 merges AND the final rewrite in SQL."""
+    from easyner_spark.operators.tokenizer import bpe_token_counts
+
+    return bpe_token_counts(_docs(spark, sf_dir), n_merges=6)
+
+
 def q_kg_edge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge temporal lifecycle (first/last epoch, epoch count,
     new/stale/active status vs the latest crawl epoch) -- the diff
@@ -1973,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "length_quantiles": q_length_quantiles,
         "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "host_stats": q_host_stats,
         "host_skew": q_host_skew,
         "url_dedup": q_url_dedup,
@@ -2901,7 +2911,10 @@ def oracle_sql() -> dict[str, str]:
         histogram_oracle_sql,
         linear_count_oracle_sql,
     )
-    from easyner_spark.operators.tokenizer import bpe_merges_oracle_sql
+    from easyner_spark.operators.tokenizer import (
+        bpe_merges_oracle_sql,
+        bpe_token_counts_oracle_sql,
+    )
     from easyner_spark.operators.scoring import (
         bigram_lm_oracle_sql,
         hashed_linear_oracle_sql,
@@ -3004,6 +3017,7 @@ FROM events GROUP BY event_type
         "length_histogram": histogram_oracle_sql("length(text)", 100, 20),
         "length_quantiles": exact_quantiles_oracle_sql("length(text)"),
         "bpe_merges": bpe_merges_oracle_sql(n_merges=6),
+        "bpe_token_counts": bpe_token_counts_oracle_sql(n_merges=6),
         "corpus_summary": f"""
 WITH per_doc AS ({stats_sql})
 SELECT count(*) AS n_docs,

@@ -88,6 +88,56 @@ def _argmax_pair(pair_counts: DataFrame) -> DataFrame:
     ).limit(1)
 
 
+def _initial_vocab(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    return (
+        bpe_word_freqs(docs, text_col=text_col, id_col=id_col)
+        .select(F.regexp_replace("word", "(.)", "{$1}").alias("repr"), "freq")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _rewrite(vocab: DataFrame, m: DataFrame) -> DataFrame:
+    """Apply one merge rule (a 1-row broadcast left-join-on-true, so
+    an empty rule table leaves the vocab untouched)."""
+    return (
+        vocab.join(F.broadcast(m), F.lit(True), "left")
+        .select(
+            F.when(F.col("left").isNull(), F.col("repr"))
+            .otherwise(
+                F.replace(
+                    F.col("repr"),
+                    F.concat(F.lit("{"), "left", F.lit("}{"), "right", F.lit("}")),
+                    F.concat(F.lit("{"), "left", F.col("right"), F.lit("}")),
+                )
+            )
+            .alias("repr"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _train(
+    vocab: DataFrame, n_merges: int, rewrite_last: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Run the merge loop; returns (merges, final_vocab). The last
+    round's rewrite is skipped unless the caller reads the vocab."""
+    merges: DataFrame | None = None
+    for rank in range(1, n_merges + 1):
+        m = _argmax_pair(_pair_counts(vocab)).select(
+            F.lit(rank).alias("merge_rank"),
+            F.col("l").alias("left"),
+            F.col("r").alias("right"),
+            F.col("cnt").alias("pair_count"),
+        )
+        merges = m if merges is None else merges.unionByName(m)
+        if rank < n_merges or rewrite_last:
+            vocab = _rewrite(vocab, m)
+    return merges, vocab
+
+
 def bpe_merges(
     docs: DataFrame,
     n_merges: int = 6,
@@ -109,41 +159,32 @@ def bpe_merges(
     checkpointed state instead of re-deriving r rounds per branch."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1: {n_merges}")
-    vocab = (
-        bpe_word_freqs(docs, text_col=text_col, id_col=id_col)
-        .select(F.regexp_replace("word", "(.)", "{$1}").alias("repr"), "freq")
-        .localCheckpoint(eager=True)
-    )
-    merges: DataFrame | None = None
-    for rank in range(1, n_merges + 1):
-        m = _argmax_pair(_pair_counts(vocab)).select(
-            F.lit(rank).alias("merge_rank"),
-            F.col("l").alias("left"),
-            F.col("r").alias("right"),
-            F.col("cnt").alias("pair_count"),
-        )
-        merges = m if merges is None else merges.unionByName(m)
-        if rank == n_merges:
-            break  # last round's rewrite would never be read
-        vocab = (
-            vocab.join(F.broadcast(m), F.lit(True), "left")
-            .select(
-                F.when(F.col("left").isNull(), F.col("repr"))
-                .otherwise(
-                    F.replace(
-                        F.col("repr"),
-                        F.concat(
-                            F.lit("{"), "left", F.lit("}{"), "right", F.lit("}")
-                        ),
-                        F.concat(F.lit("{"), "left", F.col("right"), F.lit("}")),
-                    )
-                )
-                .alias("repr"),
-                "freq",
-            )
-            .localCheckpoint(eager=True)
-        )
+    vocab = _initial_vocab(docs, text_col, id_col)
+    merges, _ = _train(vocab, n_merges, rewrite_last=False)
     return merges
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(token, freq) — the corpus token-frequency table AFTER applying
+    the learned `n_merges` BPE rules: what the trained tokenizer
+    actually emits, the vocabulary-coverage / compression readout
+    every tokenizer-training run ends with. Same scale shape as
+    bpe_merges (one corpus scan, then bounded-vocab rounds) plus one
+    final bounded explode-aggregate over the rewritten reprs."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    vocab = _initial_vocab(docs, text_col, id_col)
+    _, final = _train(vocab, n_merges, rewrite_last=True)
+    return (
+        final.select(F.explode(_syms()).alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("freq"))
+    )
 
 
 def bpe_merges_oracle_sql(
@@ -155,6 +196,22 @@ def bpe_merges_oracle_sql(
     collapse, then `n_merges` unrolled CTE rounds (pair explode via
     list_transform over generate_series, ORDER BY cnt DESC, l, r
     LIMIT 1 argmax, the identical brace replace rewrite)."""
+    return _bpe_oracle_sql(n_merges, text_col, source, final_tokens=False)
+
+
+def bpe_token_counts_oracle_sql(
+    n_merges: int = 6,
+    text_col: str = "text",
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bpe_token_counts`: the merge rounds plus
+    the final rewrite, then unnest + sum over the rewritten reprs."""
+    return _bpe_oracle_sql(n_merges, text_col, source, final_tokens=True)
+
+
+def _bpe_oracle_sql(
+    n_merges: int, text_col: str, source: str, final_tokens: bool
+) -> str:
     k = int(n_merges)
     if k < 1:
         raise ValueError(f"n_merges must be >= 1: {n_merges}")
@@ -185,7 +242,7 @@ p{r} AS (
 ),
 m{r} AS (SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
         )
-        if r < k:
+        if r < k or final_tokens:
             parts.append(
                 f""",
 v{r} AS (
@@ -196,9 +253,19 @@ v{r} AS (
   FROM v{r - 1} v LEFT JOIN m{r} m ON TRUE
 )"""
             )
-    selects = "\nUNION ALL\n".join(
-        f"SELECT {r}::INT AS merge_rank, l AS left, r AS right, cnt AS pair_count FROM m{r}"
-        for r in range(1, k + 1)
-    )
-    parts.append("\n" + selects)
+    if final_tokens:
+        parts.append(
+            f"""
+SELECT token, sum(freq)::BIGINT AS freq FROM (
+  SELECT unnest(string_split(substr(repr, 2, length(repr) - 2), '}}{{')) AS token,
+         freq
+  FROM v{k}
+) GROUP BY token"""
+        )
+    else:
+        selects = "\nUNION ALL\n".join(
+            f"SELECT {r}::INT AS merge_rank, l AS left, r AS right, cnt AS pair_count FROM m{r}"
+            for r in range(1, k + 1)
+        )
+        parts.append("\n" + selects)
     return "".join(parts)

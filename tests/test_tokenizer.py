@@ -84,6 +84,52 @@ class TestBpeMerges:
         with pytest.raises(ValueError):
             _merges(spark, ["ab"], 0)
 
+    def test_token_counts_match_python_replica(self, spark):
+        from easyner_spark.operators.tokenizer import bpe_token_counts
+
+        texts = ["the cat sat on the mat", "low lower lowest the the"]
+        words: dict[str, int] = {}
+        for t in texts:
+            for w in t.lower().split():
+                words[w] = words.get(w, 0) + 1
+        # replica: replay merges, then count final symbols
+        vocab = {tuple(w): f for w, f in words.items()}
+        for a, b, _ in _py_bpe(words, 3):
+            new_vocab: dict[tuple[str, ...], int] = {}
+            for syms, f in vocab.items():
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                t = tuple(out)
+                new_vocab[t] = new_vocab.get(t, 0) + f
+            vocab = new_vocab
+        expected: dict[str, int] = {}
+        for syms, f in vocab.items():
+            for s in syms:
+                expected[s] = expected.get(s, 0) + f
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["token"]: r["freq"]
+            for r in bpe_token_counts(df, n_merges=3).collect()
+        }
+        assert got == expected
+
+    def test_token_counts_hand_case(self, spark):
+        # 'abab' x1: merge1 (a,b,2) -> {ab}{ab}; merge2 (ab,ab,1) -> {abab}
+        from easyner_spark.operators.tokenizer import bpe_token_counts
+
+        df = spark.createDataFrame([(0, "abab")], "doc_id long, text string")
+        got = {r["token"]: r["freq"] for r in bpe_token_counts(df, n_merges=2).collect()}
+        assert got == {"abab": 1}
+
     def test_word_freqs_lowercases_and_counts(self, spark):
         from easyner_spark.operators.tokenizer import bpe_word_freqs
 
