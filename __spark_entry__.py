@@ -716,6 +716,31 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(pages).select("doc_id", "url", "canon_url", "is_dup")
 
 
+def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling: a synthetic
+    functional redirect graph over documents (r = doc_id % 10):
+    r 1-4 step down one id (chains of 1..4 hops onto the r=0
+    terminal), r 7<->8 form a 2-cycle, r 9 self-loops; r 0/5/6 have
+    no redirect (terminals). Chains resolve with exact hop counts;
+    the cycles exhaust max_steps=8 and come back 'unresolved'."""
+    from easyner_spark.operators.webtext import resolve_redirects
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    r = did % 10
+    target_id = (
+        F.when(r.between(1, 4), did - 1)
+        .when(r == 7, did + 1)
+        .when(r == 8, did - 1)
+        .when(r == 9, did)
+    )
+    redirects = d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        F.concat(F.lit("u"), target_id.cast("string")).alias("target"),
+    ).where(target_id.isNotNull())
+    return resolve_redirects(redirects, max_steps=8)
+
+
 def _synth_html_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """_synth_url_pages + a deterministic html column (binary, as the
     input_hint specifies) carrying 2-4 outlinks per page: one absolute
@@ -1986,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "host_skew": q_host_skew,
         "url_dedup": q_url_dedup,
+        "resolve_redirects": q_resolve_redirects,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2656,6 +2682,24 @@ h AS (
   FROM p
 )
 """
+
+
+def _redirects_oracle() -> str:
+    """q_resolve_redirects oracle: the synthetic functional redirect
+    graph (same doc_id % 10 rule) fed to the operator's module-local
+    recursive-CTE twin."""
+    from easyner_spark.operators.webtext import resolve_redirects_oracle_sql
+
+    cte = """r AS (
+  SELECT 'u' || doc_id AS url,
+         'u' || (CASE WHEN doc_id % 10 BETWEEN 1 AND 4 THEN doc_id - 1
+                      WHEN doc_id % 10 = 7 THEN doc_id + 1
+                      WHEN doc_id % 10 = 8 THEN doc_id - 1
+                      WHEN doc_id % 10 = 9 THEN doc_id END) AS target
+  FROM documents
+  WHERE doc_id % 10 IN (1, 2, 3, 4, 7, 8, 9)
+)"""
+    return resolve_redirects_oracle_sql(cte, max_steps=8)
 
 
 # Host link-graph CTE: url/html synthesis mirrored verbatim from
@@ -3623,6 +3667,10 @@ SELECT doc_id::BIGINT AS doc_id, url, canon_url,
        (url != min(url) OVER (PARTITION BY canon_url)) AS is_dup
 FROM c
 """,
+        # Redirect-chain resolution: depth-capped recursive CTE walks
+        # the same min(chain, 8) steps as the pointer-doubling
+        # operator (webtext.resolve_redirects_oracle_sql)
+        "resolve_redirects": _redirects_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

@@ -594,3 +594,111 @@ def url_blocklist_filter(
     )
     how = "left_semi" if keep_blocked else "left_anti"
     return pages.join(hits, url_col, how)
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_steps: int = 8,
+    url_col: str = "url",
+    target_col: str = "target",
+) -> DataFrame:
+    """Resolve HTTP redirect chains to their final landing url by
+    pointer doubling: (url, final_url, hops, status) where `status` is
+    'resolved' when a terminal url (one with no outgoing redirect) is
+    reached within `max_steps` redirect hops, else 'unresolved'
+    (redirect cycle or over-long chain — the case a crawler's
+    --max-redirs cap abandons). `hops` = exact redirect steps taken to
+    the terminal for resolved rows, and exactly `max_steps` for
+    unresolved rows (both engines walk exactly min(chain, max_steps)
+    steps, so values hash-match the oracle).
+
+    `redirects` is the functional edge table (url -> target, one row
+    per redirecting url — a url never has two Location headers in one
+    crawl snapshot; if a recrawl produced duplicates, last-wins them
+    upstream with `latest_crawl`). Non-redirecting pages are simply
+    absent: any target with no row of its own is terminal.
+
+    Scale shape: log2(max_steps) self-join rounds instead of max_steps
+    sequential lookups — J_k maps every url to the node it reaches
+    after exactly min(2^k, chain) steps, and one equi-join of J_k with
+    itself composes to J_{k+1}. Each round is ONE shuffle keyed on the
+    jump target; finished rows bypass the join entirely (union back,
+    no dead weight on the probe side). localCheckpoint per round
+    bounds lineage the way components/bpe_merges do. At 10^12 urls a
+    redirect table is a few percent of the corpus and chains are
+    policy-capped (curl defaults --max-redirs 50 → 6 rounds); the
+    frontier only shrinks. max_steps must be a power of two so the
+    unresolved-row hop count is exact.
+    """
+    if max_steps < 1 or (max_steps & (max_steps - 1)) != 0:
+        raise ValueError("max_steps must be a power of two >= 1")
+    r = redirects.select(
+        F.col(url_col).alias("url"), F.col(target_col).alias("cur")
+    )
+    keys = r.select(F.col("url").alias("k"))
+    # J_0: one step taken; done iff the landing url has no outgoing row
+    j = (
+        r.join(keys, r["cur"] == keys["k"], "left")
+        .select(
+            "url",
+            "cur",
+            F.lit(1).cast("long").alias("hops"),
+            F.col("k").isNull().alias("done"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rounds = max_steps.bit_length() - 1  # log2(max_steps)
+    for _ in range(rounds):
+        fin = j.where(F.col("done"))
+        act = j.where(~F.col("done"))
+        right = j.select(
+            F.col("url").alias("r_url"),
+            F.col("cur").alias("r_cur"),
+            F.col("hops").alias("r_hops"),
+            F.col("done").alias("r_done"),
+        )
+        # an active row's cur ALWAYS has an outgoing row (that is what
+        # done=false means), so the composing join is inner
+        jumped = act.join(right, act["cur"] == right["r_url"]).select(
+            "url",
+            F.col("r_cur").alias("cur"),
+            (F.col("hops") + F.col("r_hops")).alias("hops"),
+            F.col("r_done").alias("done"),
+        )
+        j = fin.unionByName(jumped).localCheckpoint(eager=False)
+    return j.select(
+        "url",
+        F.col("cur").alias("final_url"),
+        "hops",
+        F.when(F.col("done"), F.lit("resolved"))
+        .otherwise(F.lit("unresolved"))
+        .alias("status"),
+    )
+
+
+def resolve_redirects_oracle_sql(redirects_cte: str, max_steps: int = 8) -> str:
+    """DuckDB twin of resolve_redirects: a depth-capped recursive CTE
+    walks the same min(chain, max_steps) single steps; the max-hops row
+    per url is the final state (hops strictly increases, so it is
+    unique). `redirects_cte` must define relation r(url, target)."""
+    return f"""
+WITH RECURSIVE {redirects_cte},
+walk(url, cur, hops, done) AS (
+  SELECT r.url, r.target, 1, t.url IS NULL
+  FROM r LEFT JOIN r t ON r.target = t.url
+  UNION ALL
+  SELECT w.url, n.target, w.hops + 1, t2.url IS NULL
+  FROM walk w
+  JOIN r n ON w.cur = n.url
+  LEFT JOIN r t2 ON n.target = t2.url
+  WHERE NOT w.done AND w.hops < {max_steps}
+),
+last AS (
+  SELECT url, cur, hops,
+         CASE WHEN done THEN 'resolved' ELSE 'unresolved' END AS status,
+         row_number() OVER (PARTITION BY url ORDER BY hops DESC) AS rn
+  FROM walk
+)
+SELECT url, cur AS final_url, hops::BIGINT AS hops, status
+FROM last WHERE rn = 1
+"""
