@@ -1041,6 +1041,38 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_RULES = [
+    # longest-match demo on the hot host: /p/1* disallowed EXCEPT the
+    # longer /p/11* allow carve-out; /p/13 is an exact-length tie
+    # (allow must win per RFC 9309)
+    ("hub.example.com", "disallow", "/p/1"),
+    ("hub.example.com", "allow", "/p/11"),
+    ("hub.example.com", "disallow", "/p/2"),
+    ("hub.example.com", "allow", "/p/13"),
+    ("hub.example.com", "disallow", "/p/13"),
+    # whole-host block via the empty prefix
+    ("blog.example.org", "disallow", ""),
+    # explicit allow-everything host
+    ("site3.example.net", "allow", "/"),
+    # rule that matches nothing on its host
+    ("site5.example.net", "disallow", "/q"),
+]
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REP politeness verdicts over the skewed synthetic urls:
+    longest-match, allow-on-tie, empty-prefix host block, rule-less
+    hosts allowed. Host-keyed join is AQE-decided (skew hazard
+    documented in webtext.robots_verdict); winner is a min-of-struct
+    partial agg on the url key."""
+    from easyner_spark.operators.webtext import robots_verdict
+
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, directive string, path_prefix string"
+    )
+    return robots_verdict(_synth_url_pages(spark, sf_dir), rules)
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style mixture resampling to fixed per-language keep
     rates (ppm): exact 32-bit md5 gate h32 * 1e6 < ppm * 2^32, pure
@@ -2012,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_skew": q_host_skew,
         "url_dedup": q_url_dedup,
         "resolve_redirects": q_resolve_redirects,
+        "robots_rules": q_robots_rules,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2700,6 +2733,26 @@ def _redirects_oracle() -> str:
   WHERE doc_id % 10 IN (1, 2, 3, 4, 7, 8, 9)
 )"""
     return resolve_redirects_oracle_sql(cte, max_steps=8)
+
+
+def _robots_oracle() -> str:
+    """q_robots_rules oracle: skewed-url synthesis + the _ROBOTS_RULES
+    literals fed to the operator's module-local SQL twin."""
+    from easyner_spark.operators.webtext import robots_verdict_oracle_sql
+
+    pages_sql = f"""SELECT (CASE WHEN doc_id % 13 = 0 THEN 'http' ELSE 'https' END)
+    || '://' || {_URL_HOST_CASE}
+    || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+    || '/p/' || doc_id AS url FROM documents"""
+    vals = ",\n    ".join(
+        f"('{h}', '{d}', '{p}')" for h, d, p in _ROBOTS_RULES
+    )
+    rules_sql = (
+        "SELECT * FROM (VALUES\n    "
+        + vals
+        + "\n  ) AS t(host, directive, path_prefix)"
+    )
+    return robots_verdict_oracle_sql(pages_sql, rules_sql)
 
 
 # Host link-graph CTE: url/html synthesis mirrored verbatim from
@@ -3671,6 +3724,9 @@ FROM c
         # the same min(chain, 8) steps as the pointer-doubling
         # operator (webtext.resolve_redirects_oracle_sql)
         "resolve_redirects": _redirects_oracle(),
+        # REP politeness verdicts: integer-encoded (neg_len, rank)
+        # winner tuple (webtext.robots_verdict_oracle_sql)
+        "robots_rules": _robots_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

@@ -702,3 +702,127 @@ last AS (
 SELECT url, cur AS final_url, hops::BIGINT AS hops, status
 FROM last WHERE rn = 1
 """
+
+
+def robots_verdict(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """REP (robots.txt) politeness audit: per url, the verdict the
+    Robots Exclusion Protocol longest-match rule produces. `rules` is
+    (host, directive 'allow'|'disallow', path_prefix) — one row per
+    robots.txt line for the crawler's user-agent, prefix-matched
+    against the url path ('' prefix matches everything, like a bare
+    `Disallow:` line inverted). Winner per url = the matching rule
+    with the LONGEST path_prefix; on a length tie, allow wins — the
+    google/REP RFC 9309 tiebreak. Urls whose host has no rules, or no
+    matching prefix, are allowed.
+
+    Output: (url, n_matched, win_len, verdict) with win_len = -1 when
+    nothing matched. Use `robots_filter` for the actual gate.
+
+    Scale shape: the pages->rules join keys on HOST — the canonical
+    skew key (see module docstring); the join is AQE-decided, never a
+    forced broadcast (a full-crawl robots corpus is millions of hosts
+    — small per host, not small in total), and hot hosts fan out by
+    at most rules-per-host (tens) before the url-keyed winner
+    aggregate absorbs them map-side (min-of-struct partial agg, the
+    paragraph_dedup pattern). Path extraction is the module's shared
+    scan-fused ASCII regex.
+    """
+    host = _host_col(F.col(url_col))
+    path = F.coalesce(
+        F.nullif(F.regexp_extract(F.col(url_col), PATH_RE, 1), F.lit("")),
+        F.lit("/"),
+    )
+    p = pages.select(
+        F.col(url_col).alias("url"), host.alias("_host"), path.alias("_path")
+    )
+    r = rules.select(
+        F.col("host").alias("_host"),
+        F.col("directive"),
+        F.col("path_prefix"),
+    )
+    j = p.join(r, "_host", "left")
+    matched = F.col("path_prefix").isNotNull() & F.col("_path").startswith(
+        F.col("path_prefix")
+    )
+    rank = F.when(F.col("directive") == "disallow", F.lit(1)).otherwise(F.lit(0))
+    key = F.when(
+        matched,
+        F.struct(
+            (-F.length("path_prefix")).cast("long").alias("neg_len"),
+            rank.cast("long").alias("rank"),
+        ),
+    )
+    won = j.groupBy("url").agg(
+        F.sum(F.when(matched, 1).otherwise(0)).cast("long").alias("n_matched"),
+        F.min(key).alias("_win"),  # min skips NULLs: unmatched rows drop out
+    )
+    return won.select(
+        "url",
+        "n_matched",
+        F.coalesce(-F.col("_win.neg_len"), F.lit(-1)).cast("long").alias("win_len"),
+        F.when(F.col("_win.rank") == 1, F.lit("disallowed"))
+        .otherwise(F.lit("allowed"))
+        .alias("verdict"),
+    )
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    keep_disallowed: bool = False,
+) -> DataFrame:
+    """Drop pages robots_verdict disallows (keep_disallowed=True
+    inverts — audit mode), preserving the input schema."""
+    bad = (
+        robots_verdict(pages, rules, url_col=url_col)
+        .where(F.col("verdict") == "disallowed")
+        .select(F.col("url").alias(url_col))
+    )
+    how = "left_semi" if keep_disallowed else "left_anti"
+    return pages.join(bad, url_col, how)
+
+
+def robots_verdict_oracle_sql(pages_sql: str, rules_sql: str) -> str:
+    """DuckDB twin of robots_verdict. `pages_sql` must yield (url),
+    `rules_sql` (host, directive, path_prefix). Same longest-match /
+    allow-on-tie winner via a min over the identical (neg_len, rank)
+    tuple, encoded as a BIGINT (len < 2^20 assumed) so both engines
+    order identically."""
+    return f"""
+WITH pg AS ({pages_sql}),
+ru AS ({rules_sql}),
+px AS (
+  SELECT url,
+    regexp_replace(lower(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':\\d+$', '') AS host,
+    coalesce(nullif(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/') AS path
+  FROM pg
+),
+j AS (
+  SELECT px.url,
+    CASE WHEN ru.path_prefix IS NOT NULL
+              AND starts_with(px.path, ru.path_prefix)
+         THEN 1 ELSE 0 END AS m,
+    CASE WHEN ru.path_prefix IS NOT NULL
+              AND starts_with(px.path, ru.path_prefix)
+         THEN -length(ru.path_prefix) * 2
+              + (CASE WHEN ru.directive = 'disallow' THEN 1 ELSE 0 END)
+         END AS key
+  FROM px LEFT JOIN ru ON px.host = ru.host
+),
+w AS (
+  SELECT url, sum(m)::BIGINT AS n_matched, min(key) AS wk
+  FROM j GROUP BY url
+)
+SELECT url, n_matched,
+       coalesce((-(wk - (((wk % 2) + 2) % 2))) / 2, -1)::BIGINT AS win_len,
+       CASE WHEN ((wk % 2) + 2) % 2 = 1 THEN 'disallowed'
+            ELSE 'allowed' END AS verdict
+FROM w
+"""
