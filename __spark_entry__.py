@@ -1073,6 +1073,48 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_verdict(_synth_url_pages(spark, sf_dir), rules)
 
 
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction: every 4th page titleless, every 5th
+    uses uppercase TITLE tags (case-insensitivity via lower()), every
+    2nd carries a meta description, every 3rd declares a rel=canonical
+    onto the hub mirror (so effective_url folds recrawl variants)."""
+    from easyner_spark.operators.webtext import extract_meta
+
+    base = _synth_url_pages(spark, sf_dir)
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(did % 4 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.when(did % 5 == 0, F.lit("<TITLE> ")).otherwise(F.lit("<title> ")),
+                F.lit("Doc "),
+                (did % 211).cast("string"),
+                F.when(did % 5 == 0, F.lit(" </TITLE>")).otherwise(
+                    F.lit(" </title>")
+                ),
+            )
+        ),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<meta name="description" content="summary '),
+                (did % 50).cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://hub.example.com/c/'),
+                (did % 97).cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    ).cast("binary")
+    return extract_meta(base.withColumn("html", html))
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style mixture resampling to fixed per-language keep
     rates (ppm): exact 32-bit md5 gate h32 * 1e6 < ppm * 2^32, pure
@@ -2045,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "resolve_redirects": q_resolve_redirects,
         "robots_rules": q_robots_rules,
+        "html_meta": q_html_meta,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2753,6 +2796,32 @@ def _robots_oracle() -> str:
         + "\n  ) AS t(host, directive, path_prefix)"
     )
     return robots_verdict_oracle_sql(pages_sql, rules_sql)
+
+
+def _html_meta_oracle() -> str:
+    """q_html_meta oracle: head-tag synthesis mirrored verbatim, fed
+    to the operator's module-local SQL twin."""
+    from easyner_spark.operators.webtext import extract_meta_oracle_sql
+
+    pages_sql = f"""SELECT (CASE WHEN doc_id % 13 = 0 THEN 'http' ELSE 'https' END)
+    || '://' || {_URL_HOST_CASE}
+    || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+    || '/p/' || doc_id AS url,
+  '<html><head>'
+  || (CASE WHEN doc_id % 4 = 0 THEN '' ELSE
+      (CASE WHEN doc_id % 5 = 0 THEN '<TITLE> ' ELSE '<title> ' END)
+      || 'Doc ' || (doc_id % 211)
+      || (CASE WHEN doc_id % 5 = 0 THEN ' </TITLE>' ELSE ' </title>' END) END)
+  || (CASE WHEN doc_id % 2 = 0
+      THEN '<meta name="description" content="summary ' || (doc_id % 50) || '">'
+      ELSE '' END)
+  || (CASE WHEN doc_id % 3 = 0
+      THEN '<link rel="canonical" href="https://hub.example.com/c/'
+           || (doc_id % 97) || '">'
+      ELSE '' END)
+  || '</head><body>x</body></html>' AS html
+FROM documents"""
+    return extract_meta_oracle_sql(pages_sql)
 
 
 # Host link-graph CTE: url/html synthesis mirrored verbatim from
@@ -3727,6 +3796,8 @@ FROM c
         # REP politeness verdicts: integer-encoded (neg_len, rank)
         # winner tuple (webtext.robots_verdict_oracle_sql)
         "robots_rules": _robots_oracle(),
+        # Head-metadata extraction (webtext.extract_meta_oracle_sql)
+        "html_meta": _html_meta_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

@@ -826,3 +826,65 @@ SELECT url, n_matched,
             ELSE 'allowed' END AS verdict
 FROM w
 """
+
+
+# Head-metadata patterns: same crawl-grade simplification as HREF_RE
+# (double-quoted attributes, fixed attribute order) so the DuckDB
+# oracle runs byte-identical regexes. Case-insensitivity is handled by
+# matching on lower(html) — Java and RE2 flag syntax differs, lower()
+# does not.
+TITLE_RE = r"<title[^>]*>([^<]*)</title>"
+META_DESC_RE = r'<meta name="description" content="([^"]*)"'
+CANONICAL_RE = r'<link rel="canonical" href="([^"]*)"'
+
+
+def extract_meta(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Head-metadata extraction per page: (url, title, meta_desc,
+    canonical_href, effective_url). Missing elements are NULL;
+    `effective_url` = canonical_href when the page declares a
+    rel=canonical (the dedup key a crawl pipeline actually groups on —
+    CMS mirrors and tracking-param variants all declare the same
+    canonical), else the fetched url. Title is whitespace-trimmed;
+    all matching is on lower(html) so tag/attribute case never
+    matters, and values come from the ORIGINAL bytes via position
+    arithmetic-free re-extraction on the lowered text (titles are
+    lowercased — the canonicalized comparison form, same contract as
+    mention_lc in the NER layer).
+
+    Scale shape: pure per-row codegen regexp chain over the decoded
+    html — fuses into the scan, zero shuffle, prunes to (url, html).
+    """
+    h = F.lower(F.col(html_col).cast("string"))
+    title = F.nullif(F.trim(F.regexp_extract(h, TITLE_RE, 1)), F.lit(""))
+    desc = F.nullif(F.regexp_extract(h, META_DESC_RE, 1), F.lit(""))
+    canon = F.nullif(F.regexp_extract(h, CANONICAL_RE, 1), F.lit(""))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        title.alias("title"),
+        desc.alias("meta_desc"),
+        canon.alias("canonical_href"),
+        F.coalesce(canon, F.col(url_col)).alias("effective_url"),
+    )
+
+
+def extract_meta_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of extract_meta; `pages_sql` must yield
+    (url, html) with html TEXT (the synthesis side casts)."""
+    return f"""
+WITH pg AS ({pages_sql}),
+h AS (SELECT url, lower(html) AS lh FROM pg)
+SELECT url,
+  nullif(trim(regexp_extract(lh, '<title[^>]*>([^<]*)</title>', 1)), '') AS title,
+  nullif(regexp_extract(lh, '<meta name="description" content="([^"]*)"', 1), '')
+    AS meta_desc,
+  nullif(regexp_extract(lh, '<link rel="canonical" href="([^"]*)"', 1), '')
+    AS canonical_href,
+  coalesce(
+    nullif(regexp_extract(lh, '<link rel="canonical" href="([^"]*)"', 1), ''),
+    url) AS effective_url
+FROM h
+"""

@@ -1,0 +1,42 @@
+"""extract_meta: head-metadata extraction semantics on closed HTML."""
+
+from easyner_spark.operators.webtext import extract_meta
+
+
+def test_extract_meta(spark):
+    rows = [
+        # full head, mixed-case tags, padded title
+        (
+            "https://a.com/1",
+            '<html><head><TITLE>  My Page  </TITLE>'
+            '<META NAME="description" CONTENT="hello world">'
+            '<LINK REL="canonical" HREF="https://a.com/canon"></head></html>',
+        ),
+        # no head metadata at all
+        ("https://a.com/2", "<html><body>plain</body></html>"),
+        # empty title element -> NULL (not '')
+        ("https://a.com/3", "<html><head><title>   </title></head></html>"),
+        # canonical only
+        (
+            "https://a.com/4",
+            '<html><head><link rel="canonical" href="https://a.com/4c"></head>',
+        ),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    pages = pages.withColumn("html", pages["html"].cast("binary"))
+    got = {r["url"]: r for r in extract_meta(pages).collect()}
+
+    r1 = got["https://a.com/1"]
+    assert r1["title"] == "my page"  # lowered + trimmed
+    assert r1["meta_desc"] == "hello world"
+    assert r1["canonical_href"] == "https://a.com/canon"
+    assert r1["effective_url"] == "https://a.com/canon"
+
+    r2 = got["https://a.com/2"]
+    assert r2["title"] is None
+    assert r2["meta_desc"] is None
+    assert r2["canonical_href"] is None
+    assert r2["effective_url"] == "https://a.com/2"  # falls back to url
+
+    assert got["https://a.com/3"]["title"] is None  # whitespace-only -> NULL
+    assert got["https://a.com/4"]["effective_url"] == "https://a.com/4c"
