@@ -1073,6 +1073,19 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_verdict(_synth_url_pages(spark, sf_dir), rules)
 
 
+def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal burst detection over the NER mentions with epoch =
+    doc_id % 5 (five synthetic crawl windows): is_burst is the pure-
+    BIGINT cross-multiplied gate max*E > 2*total, burst_epoch the
+    count-argmax epoch (smallest on ties)."""
+    from easyner_spark.operators.analysis import entity_bursts
+
+    m = _mentions(spark, sf_dir).select(
+        "mention_lc", (F.col("url").cast("long") % 5).alias("epoch")
+    )
+    return entity_bursts(m, entity_col="mention_lc", epoch_col="epoch")
+
+
 def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head-metadata extraction: every 4th page titleless, every 5th
     uses uppercase TITLE tags (case-insensitivity via lower()), every
@@ -2088,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": q_resolve_redirects,
         "robots_rules": q_robots_rules,
         "html_meta": q_html_meta,
+        "entity_bursts": q_entity_bursts,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2796,6 +2810,20 @@ def _robots_oracle() -> str:
         + "\n  ) AS t(host, directive, path_prefix)"
     )
     return robots_verdict_oracle_sql(pages_sql, rules_sql)
+
+
+def _entity_bursts_oracle() -> str:
+    """q_entity_bursts oracle: the shared mentions prelude extended
+    with m(entity, epoch), fed to the operator's module-local twin."""
+    from easyner_spark.operators.analysis import entity_bursts_oracle_sql
+
+    prefix = (
+        _PRELUDE
+        + """, m AS (
+  SELECT mention_lc AS entity, (doc_id % 5)::BIGINT AS epoch FROM mentions
+)"""
+    )
+    return entity_bursts_oracle_sql(prefix)
 
 
 def _html_meta_oracle() -> str:
@@ -3798,6 +3826,9 @@ FROM c
         "robots_rules": _robots_oracle(),
         # Head-metadata extraction (webtext.extract_meta_oracle_sql)
         "html_meta": _html_meta_oracle(),
+        # Per-entity epoch burst detection
+        # (analysis.entity_bursts_oracle_sql over the mentions prelude)
+        "entity_bursts": _entity_bursts_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

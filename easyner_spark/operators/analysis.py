@@ -219,3 +219,92 @@ def term_frequency_per_doc(mentions: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("url", F.desc("cnt"), "mention")
     )
+
+
+def entity_bursts(
+    mentions: DataFrame,
+    entity_col: str = "mention",
+    epoch_col: str = "epoch",
+    burst_num: int = 2,
+    burst_den: int = 1,
+) -> DataFrame:
+    """Temporal burst detection per entity over crawl epochs — the
+    node-level companion to triples.edge_history: which entities spike
+    in one crawl window vs their own average ("trending" detection an
+    incremental KG uses to prioritize re-linking). Output per entity:
+
+      total_count   mentions across all epochs
+      n_epochs      epochs the entity appears in
+      max_count     its hottest epoch's count
+      burst_epoch   that epoch (smallest epoch on count ties)
+      is_burst      max_count * E * burst_den > burst_num * total_count
+                    (E = DISTINCT epochs in the whole table), i.e.
+                    "hottest epoch exceeds burst_num/burst_den x the
+                    entity's per-epoch mean" — cross-multiplied so the
+                    gate is pure BIGINT (no float mean, no rounding
+                    ties; see the engine's exact-integer oracle rule)
+
+    Scale shape: one (entity, epoch) pre-agg shuffle, then a per-entity
+    rollup that reuses the same hash partitioning (key prefix), argmax
+    via min(struct(-cnt, epoch)) — no window, partial aggs absorb hot
+    entities. The global epoch count E is a 1-row aggregate broadcast
+    back (a scalar, not a table).
+    """
+    g0 = (
+        mentions.select(
+            F.col(entity_col).alias("entity"), F.col(epoch_col).alias("epoch")
+        )
+        .repartition("entity")
+        .groupBy("entity", "epoch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_entity = g0.groupBy("entity").agg(
+        F.sum("cnt").cast("long").alias("total_count"),
+        F.count(F.lit(1)).cast("long").alias("n_epochs"),
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("epoch"))).alias("_w"),
+    )
+    n_ep = mentions.select(
+        F.countDistinct(F.col(epoch_col)).cast("long").alias("_E")
+    )
+    return (
+        per_entity.crossJoin(F.broadcast(n_ep))
+        .select(
+            "entity",
+            "total_count",
+            "n_epochs",
+            (-F.col("_w.neg")).cast("long").alias("max_count"),
+            F.col("_w.epoch").cast("long").alias("burst_epoch"),
+            (
+                (-F.col("_w.neg")) * F.col("_E") * F.lit(burst_den)
+                > F.lit(burst_num) * F.col("total_count")
+            ).alias("is_burst"),
+        )
+    )
+
+
+def entity_bursts_oracle_sql(
+    with_prefix: str, burst_num: int = 2, burst_den: int = 1
+) -> str:
+    """DuckDB twin of entity_bursts; `with_prefix` is a complete WITH
+    clause chain whose LAST relation is m(entity, epoch) — lets the
+    caller feed the shared mentions prelude without nesting WITHs."""
+    return f"""{with_prefix},
+g0 AS (SELECT entity, epoch, count(*) AS cnt FROM m GROUP BY entity, epoch),
+e AS (SELECT count(DISTINCT epoch) AS ne FROM m),
+w AS (
+  SELECT entity, cnt, epoch,
+         row_number() OVER (PARTITION BY entity
+                            ORDER BY cnt DESC, epoch ASC) AS rn,
+         sum(cnt) OVER (PARTITION BY entity) AS total,
+         count(*) OVER (PARTITION BY entity) AS neps
+  FROM g0
+)
+SELECT entity,
+       total::BIGINT AS total_count,
+       neps::BIGINT AS n_epochs,
+       cnt::BIGINT AS max_count,
+       epoch::BIGINT AS burst_epoch,
+       (cnt * ne * {burst_den} > {burst_num} * total) AS is_burst
+FROM w CROSS JOIN e
+WHERE rn = 1
+"""
