@@ -1073,6 +1073,30 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_verdict(_synth_url_pages(spark, sf_dir), rules)
 
 
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-LCWA negative sampling over a closed deterministic
+    triple set (23-entity vocab, 3 predicates): per true triple k=3
+    md5-indexed object corruptions, self-corruptions and accidental
+    positives dropped — bit-reproducible, no RNG."""
+    from easyner_spark.operators.graph import kg_negatives
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    t = (
+        d.select(
+            F.concat(F.lit("e"), (did % 23).cast("string")).alias("subj"),
+            F.when(did % 3 == 0, F.lit("inhibits"))
+            .when(did % 3 == 1, F.lit("binds"))
+            .otherwise(F.lit("activates"))
+            .alias("pred"),
+            F.concat(F.lit("e"), ((did * 7 + 3) % 23).cast("string")).alias("obj"),
+        )
+        .where((did % 23) != ((did * 7 + 3) % 23))
+        .distinct()
+    )
+    return kg_negatives(t, k=3)
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal burst detection over the NER mentions with epoch =
     doc_id % 5 (five synthetic crawl windows): is_burst is the pure-
@@ -2102,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": q_robots_rules,
         "html_meta": q_html_meta,
         "entity_bursts": q_entity_bursts,
+        "kg_negatives": q_kg_negatives,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2810,6 +2835,21 @@ def _robots_oracle() -> str:
         + "\n  ) AS t(host, directive, path_prefix)"
     )
     return robots_verdict_oracle_sql(pages_sql, rules_sql)
+
+
+def _kg_negatives_oracle() -> str:
+    """q_kg_negatives oracle: the closed triple synthesis fed to the
+    operator's module-local SQL twin."""
+    from easyner_spark.operators.graph import kg_negatives_oracle_sql
+
+    triples_sql = """SELECT DISTINCT 'e' || (doc_id % 23) AS subj,
+    CASE WHEN doc_id % 3 = 0 THEN 'inhibits'
+         WHEN doc_id % 3 = 1 THEN 'binds'
+         ELSE 'activates' END AS pred,
+    'e' || ((doc_id * 7 + 3) % 23) AS obj
+  FROM documents
+  WHERE (doc_id % 23) != ((doc_id * 7 + 3) % 23)"""
+    return kg_negatives_oracle_sql(triples_sql, k=3)
 
 
 def _entity_bursts_oracle() -> str:
@@ -3829,6 +3869,8 @@ FROM c
         # Per-entity epoch burst detection
         # (analysis.entity_bursts_oracle_sql over the mentions prelude)
         "entity_bursts": _entity_bursts_oracle(),
+        # Filtered-LCWA negative sampling (graph.kg_negatives_oracle_sql)
+        "kg_negatives": _kg_negatives_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

@@ -788,3 +788,119 @@ l{i} AS MATERIALIZED (
 SELECT node, lbl AS wl_label FROM l{iters}
 """)
     return "".join(parts)
+
+
+def kg_negatives(
+    triples: DataFrame,
+    k: int = 2,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training
+    (TransE/DistMult-style): per true triple, k object-corrupted
+    candidates (subj, pred, obj_neg, slot), with accidental positives
+    and self-corruptions FILTERED out (the standard filtered-LCWA
+    contract — downstream loss code must not assume exactly k rows per
+    triple). The replacement object is picked by a 32-bit md5 index
+    into the rank-ordered object vocabulary, so sampling is
+    bit-reproducible across engines, reruns, and resumes — no RNG
+    state, no seed plumbing (the engine's deterministic-sample rule).
+
+    Scale shape: the object vocabulary is one distinct shuffle; its
+    rank assignment is a global sort window over the BOUNDED node
+    vocab (entities, not mentions — millions, not trillions; same
+    documented bounded-SinglePartition contract as length_quantiles).
+    Candidate generation is a zero-shuffle posexplode fan-out of k;
+    the idx->entity lookup joins on the rank key (AQE decides
+    broadcast — the vocab is small next to k*|triples|); the filter
+    anti-joins the true triple set on its natural key.
+    """
+    from pyspark.sql import Window
+
+    t = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    )
+    vocab = (
+        t.select(F.col("obj").alias("entity"))
+        .distinct()
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("entity")).cast("long") - 1,
+        )
+    )
+    n = vocab.select(F.count(F.lit(1)).cast("long").alias("_n"))
+    cand = (
+        t.crossJoin(F.broadcast(n))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "_n",
+            F.posexplode(F.array_repeat(F.lit(1), k)).alias("slot", "_one"),
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("slot").cast("long").alias("slot"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", "subj", "pred", "obj", F.col("slot").cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("_n")
+            ).alias("rank"),
+        )
+    )
+    joined = cand.join(vocab, "rank").select(
+        "subj", "pred", F.col("entity").alias("obj_neg"), "slot", "obj"
+    )
+    true_keys = t.select("subj", "pred", F.col("obj").alias("obj_neg")).distinct()
+    return (
+        joined.where(F.col("obj_neg") != F.col("obj"))
+        .join(true_keys, ["subj", "pred", "obj_neg"], "left_anti")
+        .select("subj", "pred", "obj_neg", "slot")
+    )
+
+
+def kg_negatives_oracle_sql(triples_sql: str, k: int = 2) -> str:
+    """DuckDB twin of kg_negatives; `triples_sql` must yield
+    (subj, pred, obj). Same md5-32 index, same rank-ordered vocab,
+    same filtered-LCWA drops."""
+    slots = ", ".join(str(i) for i in range(k))
+    return f"""
+WITH t AS ({triples_sql}),
+vocab AS (
+  SELECT entity, row_number() OVER (ORDER BY entity) - 1 AS rank
+  FROM (SELECT DISTINCT obj AS entity FROM t)
+),
+n AS (SELECT count(*) AS nn FROM vocab),
+cand AS (
+  SELECT subj, pred, obj, slot,
+         ('0x' || substr(md5(subj || '|' || pred || '|' || obj || '|' || slot),
+                         1, 8))::BIGINT % nn AS rank
+  FROM t CROSS JOIN n CROSS JOIN (SELECT unnest([{slots}]) AS slot)
+),
+joined AS (
+  SELECT c.subj, c.pred, v.entity AS obj_neg, c.slot::BIGINT AS slot, c.obj
+  FROM cand c JOIN vocab v USING (rank)
+)
+SELECT subj, pred, obj_neg, slot
+FROM joined j
+WHERE j.obj_neg != j.obj
+  AND NOT EXISTS (SELECT 1 FROM t
+                  WHERE t.subj = j.subj AND t.pred = j.pred
+                    AND t.obj = j.obj_neg)
+"""
