@@ -1097,6 +1097,21 @@ def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg_negatives(t, k=3)
 
 
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus over the closed 23-entity triple
+    graph (subj->obj edges): 2 walks x 3 steps per start node,
+    md5-indexed neighbor choice, dangling nodes end walks early."""
+    from easyner_spark.operators.graph import kg_random_walks
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    edges = d.select(
+        F.concat(F.lit("e"), (did % 23).cast("string")).alias("src"),
+        F.concat(F.lit("e"), ((did * 7 + 3) % 23).cast("string")).alias("dst"),
+    ).where((did % 23) != ((did * 7 + 3) % 23))
+    return kg_random_walks(edges, walk_len=3, walks_per_node=2)
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal burst detection over the NER mentions with epoch =
     doc_id % 5 (five synthetic crawl windows): is_burst is the pure-
@@ -2127,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": q_html_meta,
         "entity_bursts": q_entity_bursts,
         "kg_negatives": q_kg_negatives,
+        "kg_random_walks": q_kg_random_walks,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2835,6 +2851,18 @@ def _robots_oracle() -> str:
         + "\n  ) AS t(host, directive, path_prefix)"
     )
     return robots_verdict_oracle_sql(pages_sql, rules_sql)
+
+
+def _kg_random_walks_oracle() -> str:
+    """q_kg_random_walks oracle: the closed edge synthesis fed to the
+    operator's module-local unrolled SQL twin."""
+    from easyner_spark.operators.graph import kg_random_walks_oracle_sql
+
+    edges_sql = """SELECT 'e' || (doc_id % 23) AS a,
+    'e' || ((doc_id * 7 + 3) % 23) AS b
+  FROM documents
+  WHERE (doc_id % 23) != ((doc_id * 7 + 3) % 23)"""
+    return kg_random_walks_oracle_sql(edges_sql, walk_len=3, walks_per_node=2)
 
 
 def _kg_negatives_oracle() -> str:
@@ -3871,6 +3899,8 @@ FROM c
         "entity_bursts": _entity_bursts_oracle(),
         # Filtered-LCWA negative sampling (graph.kg_negatives_oracle_sql)
         "kg_negatives": _kg_negatives_oracle(),
+        # Deterministic DeepWalk corpus (graph.kg_random_walks_oracle_sql)
+        "kg_random_walks": _kg_random_walks_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

@@ -904,3 +904,139 @@ WHERE j.obj_neg != j.obj
                   WHERE t.subj = j.subj AND t.pred = j.pred
                     AND t.obj = j.obj_neg)
 """
+
+
+def kg_random_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DeepWalk-style random-walk corpus over the directed edge set —
+    the skip-gram training input for node embeddings, in long format:
+    (start, walk, step, node) with step 0..walk_len (step 0 = start).
+    Walks are DETERMINISTIC: at step t the neighbor index is
+    h32(md5(start|walk|t|cur)) % outdegree(cur) into the rank-ordered
+    adjacency — bit-reproducible across engines/reruns (the engine's
+    no-RNG sampling rule), decorrelated across walks and steps by the
+    hash input. Dangling nodes (no outgoing edge) end the walk early:
+    later steps are simply absent.
+
+    Scale shape: walk_len is a plan-time constant — walk_len unrolled
+    step joins, each TWO bounded equi-joins (state->degree to compute
+    the index, then (node, idx)->adjacency to land on exactly one
+    neighbor; never a fan-out join over a hub's whole neighbor list).
+    Adjacency ranking is a row_number window PARTITIONED by the source
+    node — distributed, hot hubs bounded by their own degree. The walk
+    frontier is |starts| * walks_per_node rows at every step — it
+    never grows.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    ranked = e.withColumn(
+        "idx",
+        F.row_number().over(Window.partitionBy("a").orderBy("b")).cast("long") - 1,
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    starts = (
+        e.select("a")
+        .distinct()
+        .select(
+            F.col("a").alias("start"),
+            F.posexplode(F.array_repeat(F.lit(1), walks_per_node)).alias(
+                "walk", "_one"
+            ),
+        )
+        .select("start", F.col("walk").cast("long").alias("walk"))
+    )
+    state = starts.withColumn("cur", F.col("start"))
+    parts = [
+        state.select(
+            "start", "walk", F.lit(0).cast("long").alias("step"),
+            F.col("cur").alias("node"),
+        )
+    ]
+    for t in range(1, walk_len + 1):
+        hx = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("start"),
+                        F.col("walk").cast("string"),
+                        F.lit(str(t)),
+                        F.col("cur"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        picked = (
+            state.join(deg, state["cur"] == deg["a"])
+            .select("start", "walk", "cur", (hx % F.col("dg")).alias("idx"))
+        )
+        state = (
+            picked.join(
+                ranked,
+                (picked["cur"] == ranked["a"]) & (picked["idx"] == ranked["idx"]),
+            )
+            .select("start", "walk", F.col("b").alias("cur"))
+        )
+        parts.append(
+            state.select(
+                "start", "walk", F.lit(t).cast("long").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def kg_random_walks_oracle_sql(
+    edges_sql: str, walk_len: int = 3, walks_per_node: int = 2
+) -> str:
+    """DuckDB twin of kg_random_walks; `edges_sql` must yield (a, b).
+    Same rank-ordered adjacency, same md5-32 neighbor index, unrolled
+    to walk_len steps."""
+    walks = ", ".join(str(i) for i in range(walks_per_node))
+    steps_sql = []
+    prev = "s0"
+    for t in range(1, walk_len + 1):
+        steps_sql.append(f"""
+s{t} AS (
+  SELECT p.start, p.walk, r.b AS cur
+  FROM (
+    SELECT s.start, s.walk, s.cur,
+           ('0x' || substr(md5(s.start || '|' || s.walk || '|{t}|' || s.cur),
+                           1, 8))::BIGINT % d.dg AS idx
+    FROM {prev} s JOIN deg d ON s.cur = d.a
+  ) p
+  JOIN ranked r ON r.a = p.cur AND r.idx = p.idx
+)""")
+        prev = f"s{t}"
+    selects = ["SELECT start, walk, 0 AS step, cur AS node FROM s0"] + [
+        f"SELECT start, walk, {t} AS step, cur AS node FROM s{t}"
+        for t in range(1, walk_len + 1)
+    ]
+    return f"""
+WITH e AS (SELECT DISTINCT a, b FROM ({edges_sql})),
+ranked AS (
+  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS idx
+  FROM e
+),
+deg AS (SELECT a, count(*) AS dg FROM e GROUP BY a),
+s0 AS (
+  SELECT a AS start, walk, a AS cur
+  FROM (SELECT DISTINCT a FROM e)
+  CROSS JOIN (SELECT unnest([{walks}]) AS walk)
+),{",".join(steps_sql)}
+SELECT start, walk::BIGINT AS walk, step::BIGINT AS step, node
+FROM ({" UNION ALL ".join(selects)})
+"""
