@@ -1112,6 +1112,15 @@ def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg_random_walks(edges, walk_len=3, walks_per_node=2)
 
 
+def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram pair counts (window 2) over the deterministic walk
+    corpus — the DeepWalk chain composed end-to-end: edges -> walks ->
+    training pairs."""
+    from easyner_spark.operators.graph import walk_skipgrams
+
+    return walk_skipgrams(q_kg_random_walks(spark, sf_dir), window=2)
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal burst detection over the NER mentions with epoch =
     doc_id % 5 (five synthetic crawl windows): is_burst is the pure-
@@ -2143,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_bursts": q_entity_bursts,
         "kg_negatives": q_kg_negatives,
         "kg_random_walks": q_kg_random_walks,
+        "walk_skipgrams": q_walk_skipgrams,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2863,6 +2873,14 @@ def _kg_random_walks_oracle() -> str:
   FROM documents
   WHERE (doc_id % 23) != ((doc_id * 7 + 3) % 23)"""
     return kg_random_walks_oracle_sql(edges_sql, walk_len=3, walks_per_node=2)
+
+
+def _walk_skipgrams_oracle() -> str:
+    """q_walk_skipgrams oracle: the walks oracle as a MATERIALIZED
+    subquery under the operator's module-local twin."""
+    from easyner_spark.operators.graph import walk_skipgrams_oracle_sql
+
+    return walk_skipgrams_oracle_sql(_kg_random_walks_oracle(), window=2)
 
 
 def _kg_negatives_oracle() -> str:
@@ -3901,6 +3919,9 @@ FROM c
         "kg_negatives": _kg_negatives_oracle(),
         # Deterministic DeepWalk corpus (graph.kg_random_walks_oracle_sql)
         "kg_random_walks": _kg_random_walks_oracle(),
+        # Skip-gram pairs over the walk corpus
+        # (graph.walk_skipgrams_oracle_sql wrapping the walks oracle)
+        "walk_skipgrams": _walk_skipgrams_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

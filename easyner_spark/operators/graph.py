@@ -1040,3 +1040,58 @@ s0 AS (
 SELECT start, walk::BIGINT AS walk, step::BIGINT AS step, node
 FROM ({" UNION ALL ".join(selects)})
 """
+
+
+def walk_skipgrams(
+    walks: DataFrame,
+    window: int = 2,
+) -> DataFrame:
+    """Skip-gram pair counts from a random-walk corpus (the word2vec
+    training input DeepWalk feeds to its embedding stage):
+    (center, context, offset, cnt) for every ordered position pair
+    within `window` steps inside the same (start, walk) sequence,
+    offset = context_step - center_step (non-zero, |offset| <= window).
+
+    Scale shape: ONE equi-join on the (start, walk) sequence key with
+    an |i-j| band post-filter — fan-out bounded by walk_len^2 per
+    walk, never by graph degree — then one partial-agg count shuffle
+    on the (center, context, offset) key. Hot nodes appear in many
+    walks but the join key is the WALK, so no key is hotter than one
+    walk's length."""
+    left = walks.select(
+        F.col("start").alias("s"),
+        F.col("walk").alias("w"),
+        F.col("step").alias("i"),
+        F.col("node").alias("center"),
+    )
+    right = walks.select(
+        F.col("start").alias("s"),
+        F.col("walk").alias("w"),
+        F.col("step").alias("j"),
+        F.col("node").alias("context"),
+    )
+    pairs = left.join(right, ["s", "w"]).where(
+        (F.col("i") != F.col("j"))
+        & (F.abs(F.col("i") - F.col("j")) <= window)
+    )
+    return (
+        pairs.groupBy(
+            "center", "context", (F.col("j") - F.col("i")).alias("offset")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def walk_skipgrams_oracle_sql(walks_sql: str, window: int = 2) -> str:
+    """DuckDB twin of walk_skipgrams; `walks_sql` is a complete query
+    (its own WITH allowed) yielding (start, walk, step, node)."""
+    return f"""
+WITH walks AS MATERIALIZED ({walks_sql})
+SELECT l.node AS center, r.node AS context,
+       (r.step - l.step)::BIGINT AS offset,
+       count(*)::BIGINT AS cnt
+FROM walks l
+JOIN walks r ON l.start = r.start AND l.walk = r.walk
+WHERE l.step != r.step AND abs(l.step - r.step) <= {window}
+GROUP BY 1, 2, 3
+"""

@@ -50,3 +50,38 @@ def test_matches_pure_python_replica(spark):
         by_walk.setdefault((s, w), set()).add(st)
     for steps in by_walk.values():
         assert steps == set(range(max(steps) + 1))
+
+
+def test_skipgrams_from_walks(spark):
+    from easyner_spark.operators.graph import walk_skipgrams
+
+    # one hand walk: a b c d (steps 0..3), window 2
+    walks = spark.createDataFrame(
+        [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"), ("a", 0, 3, "d")],
+        "start string, walk long, step long, node string",
+    )
+    got = {
+        (r["center"], r["context"], r["offset"]): r["cnt"]
+        for r in walk_skipgrams(walks, window=2).collect()
+    }
+    want = set()
+    seq = ["a", "b", "c", "d"]
+    for i in range(4):
+        for j in range(4):
+            if i != j and abs(i - j) <= 2:
+                want.add((seq[i], seq[j], j - i))
+    assert set(got) == want
+    assert all(c == 1 for c in got.values())
+    # two walks sharing a transition double-count it
+    walks2 = walks.unionByName(
+        spark.createDataFrame(
+            [("a", 1, 0, "a"), ("a", 1, 1, "b")],
+            "start string, walk long, step long, node string",
+        )
+    )
+    got2 = {
+        (r["center"], r["context"], r["offset"]): r["cnt"]
+        for r in walk_skipgrams(walks2, window=2).collect()
+    }
+    assert got2[("a", "b", 1)] == 2
+    assert got2[("b", "a", -1)] == 2
