@@ -1121,6 +1121,32 @@ def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_skipgrams(q_kg_random_walks(spark, sf_dir), window=2)
 
 
+def q_kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG health monitoring: exact quantiles of the node total-degree
+    distribution over the closed 23-entity graph — the degree table is
+    bounded (|nodes|), exactly the discrete-metric contract
+    sketches.exact_quantiles documents."""
+    from easyner_spark.operators.sketches import exact_quantiles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    edges = (
+        d.select(
+            F.concat(F.lit("e"), (did % 23).cast("string")).alias("src"),
+            F.concat(F.lit("e"), ((did * 7 + 3) % 23).cast("string")).alias("dst"),
+        )
+        .where((did % 23) != ((did * 7 + 3) % 23))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return exact_quantiles(deg, "deg")
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal burst detection over the NER mentions with epoch =
     doc_id % 5 (five synthetic crawl windows): is_burst is the pure-
@@ -2153,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": q_kg_negatives,
         "kg_random_walks": q_kg_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
+        "kg_degree_stats": q_kg_degree_stats,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2873,6 +2900,31 @@ def _kg_random_walks_oracle() -> str:
   FROM documents
   WHERE (doc_id % 23) != ((doc_id * 7 + 3) % 23)"""
     return kg_random_walks_oracle_sql(edges_sql, walk_len=3, walks_per_node=2)
+
+
+def _kg_degree_stats_oracle() -> str:
+    """q_kg_degree_stats oracle: total-degree table of the closed
+    graph as the quantile source."""
+    from easyner_spark.operators.sketches import exact_quantiles_oracle_sql
+
+    source = """(
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node, b FROM (
+      SELECT DISTINCT 'e' || (doc_id % 23) AS a,
+             'e' || ((doc_id * 7 + 3) % 23) AS b
+      FROM documents
+      WHERE (doc_id % 23) != ((doc_id * 7 + 3) % 23)
+    )
+    UNION ALL
+    SELECT b AS node, a FROM (
+      SELECT DISTINCT 'e' || (doc_id % 23) AS a,
+             'e' || ((doc_id * 7 + 3) % 23) AS b
+      FROM documents
+      WHERE (doc_id % 23) != ((doc_id * 7 + 3) % 23)
+    )
+  ) GROUP BY node
+) AS degsrc"""
+    return exact_quantiles_oracle_sql("deg", source=source)
 
 
 def _walk_skipgrams_oracle() -> str:
@@ -3922,6 +3974,9 @@ FROM c
         # Skip-gram pairs over the walk corpus
         # (graph.walk_skipgrams_oracle_sql wrapping the walks oracle)
         "walk_skipgrams": _walk_skipgrams_oracle(),
+        # Degree-distribution quantiles of the closed KG
+        # (sketches.exact_quantiles_oracle_sql over the degree table)
+        "kg_degree_stats": _kg_degree_stats_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """
