@@ -1147,6 +1147,30 @@ def q_kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(deg, "deg")
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning over a synthetic ledger: mostly
+    1-10 KB files with every 19th ~120 KB (oversized vs the 100 KB
+    target — lands whole in one group, groups stay contiguous in path
+    order). Reuses pack_sequences' distributed prefix sum."""
+    from easyner_spark.operators.sampling import release_token_budget_caches
+    from easyner_spark.sinks.checkpoint import compaction_plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    files = d.select(
+        F.concat(F.lit("part-"), did.cast("string"), F.lit(".parquet")).alias(
+            "path"
+        ),
+        F.when(did % 19 == 0, F.lit(120_000))
+        .otherwise(1000 + (did * 37) % 9000)
+        .cast("long")
+        .alias("size_bytes"),
+    )
+    out = compaction_plan(files, target_bytes=100_000)
+    release_token_budget_caches()
+    return out
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal burst detection over the NER mentions with epoch =
     doc_id % 5 (five synthetic crawl windows): is_burst is the pure-
@@ -2180,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": q_kg_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "kg_degree_stats": q_kg_degree_stats,
+        "compaction_plan": q_compaction_plan,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2900,6 +2925,18 @@ def _kg_random_walks_oracle() -> str:
   FROM documents
   WHERE (doc_id % 23) != ((doc_id * 7 + 3) % 23)"""
     return kg_random_walks_oracle_sql(edges_sql, walk_len=3, walks_per_node=2)
+
+
+def _compaction_plan_oracle() -> str:
+    """q_compaction_plan oracle: the synthetic ledger fed to the
+    sink's module-local window-cumsum twin."""
+    from easyner_spark.sinks.checkpoint import compaction_plan_oracle_sql
+
+    files_sql = """SELECT 'part-' || doc_id || '.parquet' AS path,
+    (CASE WHEN doc_id % 19 = 0 THEN 120000
+          ELSE 1000 + (doc_id * 37) % 9000 END)::BIGINT AS size_bytes
+  FROM documents"""
+    return compaction_plan_oracle_sql(files_sql, target_bytes=100_000)
 
 
 def _kg_degree_stats_oracle() -> str:
@@ -3977,6 +4014,8 @@ FROM c
         # Degree-distribution quantiles of the closed KG
         # (sketches.exact_quantiles_oracle_sql over the degree table)
         "kg_degree_stats": _kg_degree_stats_oracle(),
+        # Compaction planning (checkpoint.compaction_plan_oracle_sql)
+        "compaction_plan": _compaction_plan_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

@@ -268,3 +268,66 @@ def resumable_run(
             )
         ran.append(b)
     return ran
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    path_col: str = "path",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Iceberg rewrite-data-files-style compaction planning over a
+    file ledger (path, size_bytes): assign each file to a merge group
+    such that groups are contiguous in path order and each group's
+    input is ~target_bytes — group_id = (bytes before this file, in
+    path order) div target_bytes. This is EXACTLY the running-sum
+    bucketing of sampling.pack_sequences (reused, not reimplemented —
+    same distributed two-pass prefix sum, same SinglePartition-free
+    plan); a file larger than target_bytes lands in the group its
+    start falls in (planning never splits a file — the rewriter
+    copies whole files), so a group containing one can exceed
+    target_bytes, like Iceberg's bin-packing with oversized inputs.
+
+    Output: (path, size_bytes, group_id, n_files, group_bytes) — the
+    per-group stats ride along so the scheduler can skip singleton
+    groups that are already compact (n_files = 1 and group_bytes
+    within target). The group-stat join keys on group_id, a BOUNDED
+    key set (total_bytes / target_bytes groups).
+    """
+    from easyner_spark.operators.sampling import pack_sequences
+
+    packed = pack_sequences(
+        files.select(path_col, size_col),
+        capacity=target_bytes,
+        tokens_col=size_col,
+        id_col=path_col,
+    )
+    g = packed.select(
+        path_col, size_col, F.col("seq_id").cast("long").alias("group_id")
+    )
+    stats = g.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(size_col).cast("long").alias("group_bytes"),
+    )
+    return g.join(stats, "group_id").select(
+        path_col, size_col, "group_id", "n_files", "group_bytes"
+    )
+
+
+def compaction_plan_oracle_sql(files_sql: str, target_bytes: int) -> str:
+    """DuckDB twin of compaction_plan; `files_sql` must yield
+    (path, size_bytes)."""
+    return f"""
+WITH f AS ({files_sql}),
+c AS (
+  SELECT path, size_bytes,
+         (sum(size_bytes) OVER (ORDER BY path ROWS UNBOUNDED PRECEDING)
+          - size_bytes) AS before
+  FROM f
+),
+g AS (SELECT path, size_bytes, before // {target_bytes} AS group_id FROM c)
+SELECT path, size_bytes::BIGINT AS size_bytes, group_id::BIGINT AS group_id,
+       (count(*) OVER (PARTITION BY group_id))::BIGINT AS n_files,
+       (sum(size_bytes) OVER (PARTITION BY group_id))::BIGINT AS group_bytes
+FROM g
+"""
