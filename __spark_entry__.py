@@ -1171,6 +1171,16 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length quantiles — the distributed
+    (partitioned-window) grouped variant of length_quantiles; feeds
+    the adaptive per-stratum quality gate (grouped_quantile_filter)."""
+    from easyner_spark.operators.sketches import grouped_quantiles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return grouped_quantiles(d, "lang", F.length("text"))
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal burst detection over the NER mentions with epoch =
     doc_id % 5 (five synthetic crawl windows): is_burst is the pure-
@@ -2205,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_skipgrams": q_walk_skipgrams,
         "kg_degree_stats": q_kg_degree_stats,
         "compaction_plan": q_compaction_plan,
+        "lang_quantiles": q_lang_quantiles,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2925,6 +2936,12 @@ def _kg_random_walks_oracle() -> str:
   FROM documents
   WHERE (doc_id % 23) != ((doc_id * 7 + 3) % 23)"""
     return kg_random_walks_oracle_sql(edges_sql, walk_len=3, walks_per_node=2)
+
+
+def _lang_quantiles_oracle() -> str:
+    from easyner_spark.operators.sketches import grouped_quantiles_oracle_sql
+
+    return grouped_quantiles_oracle_sql("length(text)", "lang")
 
 
 def _compaction_plan_oracle() -> str:
@@ -4016,6 +4033,9 @@ FROM c
         "kg_degree_stats": _kg_degree_stats_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
+        # Per-language exact quantiles
+        # (sketches.grouped_quantiles_oracle_sql)
+        "lang_quantiles": _lang_quantiles_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

@@ -358,3 +358,115 @@ SELECT p.term, min(coalesce(sk.cnt, 0))::BIGINT AS est
 FROM probes p LEFT JOIN sk ON p.r = sk.r AND p.b = sk.b
 GROUP BY p.term
 """
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    expr: Column | str,
+    qs: tuple[float, ...] = QUANTILES,
+) -> DataFrame:
+    """(grp, q_micro, n, rank, value) — exact_quantiles PER GROUP,
+    same type-1 integer-exact convention. Unlike the global variant
+    (whose running-sum window is SinglePartition over the bounded
+    distinct-value table), every window here is PARTITIONED by the
+    group key, so the plan is fully distributed: hot groups are
+    bounded by their own distinct METRIC values (after the
+    map-combined (grp, v) pre-agg), not their row counts. This is the
+    per-stratum shape adaptive curation gates want — "keep docs above
+    their own language's q-quantile" — see grouped_quantile_filter.
+    """
+    from pyspark.sql import Window
+
+    q_us = _q_micro(qs)
+    x = F.col(expr) if isinstance(expr, str) else expr
+    g = (
+        df.where(x.isNotNull())
+        .select(F.col(group_col).alias("grp"), x.cast("long").alias("v"))
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.select(
+        "grp",
+        "v",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("grp")).alias("n"),
+    )
+    exploded = cum.select(
+        "grp",
+        F.explode(F.array(*[F.lit(u) for u in q_us])).alias("q_micro"),
+        "v",
+        "cum",
+        "n",
+    ).withColumn(
+        "rank",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(q_micro * n + {_Q_UNIT - 1}) div {_Q_UNIT}"),
+        ),
+    )
+    return exploded.groupBy("grp", "q_micro").agg(
+        F.max("n").alias("n"),
+        F.max("rank").alias("rank"),
+        F.min(F.when(F.col("cum") >= F.col("rank"), F.col("v"))).alias("value"),
+    )
+
+
+def grouped_quantile_filter(
+    df: DataFrame,
+    group_col: str,
+    expr: Column | str,
+    q: float = 0.5,
+) -> DataFrame:
+    """Adaptive per-stratum gate: keep rows whose metric is >= their
+    own group's q-quantile (e.g. "top half by length, per language" —
+    a fixed global threshold would gut low-resource strata). The
+    quantile table is one row per group: the join back is AQE-decided
+    (broadcast for any realistic group count). Input schema preserved.
+    """
+    x = F.col(expr) if isinstance(expr, str) else expr
+    cut = grouped_quantiles(df, group_col, expr, qs=(q,)).select(
+        F.col("grp"), F.col("value").alias("_cut")
+    )
+    return (
+        df.join(cut, df[group_col] == cut["grp"])
+        .where(x.cast("long") >= F.col("_cut"))
+        .drop("grp", "_cut")
+    )
+
+
+def grouped_quantiles_oracle_sql(
+    expr: str,
+    group_expr: str,
+    qs: tuple[float, ...] = QUANTILES,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`grouped_quantiles`."""
+    q_us = _q_micro(qs)
+    q_rows = ", ".join(f"({u})" for u in q_us)
+    return f"""
+WITH g AS (
+  SELECT {group_expr} AS grp, CAST({expr} AS BIGINT) AS v,
+         count(*)::BIGINT AS cnt
+  FROM {source} WHERE ({expr}) IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+  SELECT grp, v,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY v
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY grp)::BIGINT AS n
+  FROM g
+),
+q(q_micro) AS (VALUES {q_rows}),
+e AS (
+  SELECT c.grp, q.q_micro::INT AS q_micro, c.v, c.cum, c.n,
+         greatest(1, (q.q_micro * c.n + {_Q_UNIT - 1}) // {_Q_UNIT})::BIGINT AS rank
+  FROM q CROSS JOIN c
+)
+SELECT grp, q_micro, max(n)::BIGINT AS n, max(rank)::BIGINT AS rank,
+       min(CASE WHEN cum >= rank THEN v END)::BIGINT AS value
+FROM e GROUP BY grp, q_micro
+"""
