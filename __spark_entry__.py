@@ -1181,6 +1181,15 @@ def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_quantiles(d, "lang", F.length("text"))
 
 
+def q_alias_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-phrase alias mining over the multi-word anchor corpus:
+    hub aliases ('the hub portal') earn multi-host confidence, self-
+    link phrases stay single-host and fail the gate."""
+    from easyner_spark.operators.webtext import alias_candidates
+
+    return alias_candidates(_synth_anchor_pages(spark, sf_dir))
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal burst detection over the NER mentions with epoch =
     doc_id % 5 (five synthetic crawl windows): is_burst is the pure-
@@ -2216,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_stats": q_kg_degree_stats,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
+        "alias_candidates": q_alias_candidates,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -3042,6 +3052,60 @@ def _html_meta_oracle() -> str:
   || '</head><body>x</body></html>' AS html
 FROM documents"""
     return extract_meta_oracle_sql(pages_sql)
+
+
+# Anchor extraction WITH-chain shared by the anchor_terms and
+# alias_candidates oracles: url/html synthesis mirrored verbatim from
+# _synth_anchor_pages, element/href/text pulls + target classifier
+# mirrored from webtext.extract_anchors. Last relation:
+# t(src_host, anchor, dst_host).
+_ANCHORS_PREFIX = f"""
+WITH d AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_extract(
+      (CASE WHEN doc_id % 13 = 0 THEN 'http' ELSE 'https' END) || '://'
+      || {_URL_HOST_CASE}
+      || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+      || '/p/' || doc_id,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':\\d+$', '') AS src_host,
+    '<html><body><a href="https://site' || ((doc_id * 7) % 37)
+    || '.example.net/p/1">Read Page ' || (doc_id % 211) || '</a>'
+    || '<a href="/local/' || (doc_id % 5) || '">'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'Home & Garden' ELSE 'next-page 2' END)
+    || '</a>'
+    || (CASE WHEN doc_id % 4 = 0
+        THEN '<a href="//hub.example.com/z">The HUB portal</a>' ELSE '' END)
+    || '</body></html>' AS html
+  FROM documents
+),
+els AS (SELECT src_host,
+               unnest(regexp_extract_all(html,
+                 '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) AS el
+        FROM d),
+pa AS (SELECT src_host,
+              regexp_extract(el, 'href="([^"]*)"', 1) AS href,
+              regexp_extract(el, '>([^<]*)</a>', 1) AS anchor
+       FROM els),
+t AS (
+  SELECT src_host, anchor,
+    CASE WHEN regexp_matches(href, '^[hH][tT][tT][pP][sS]?://')
+         THEN regexp_replace(lower(regexp_extract(href,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':\\d+$', '')
+         WHEN href LIKE '//%'
+         THEN regexp_replace(lower(regexp_extract(href,
+                '^//([^/?#]+)', 1)), ':\\d+$', '')
+         WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
+         ELSE src_host END AS dst_host
+  FROM pa
+)"""
+
+
+def _alias_candidates_oracle() -> str:
+    """q_alias_candidates oracle: the shared anchors prefix fed to the
+    operator's module-local twin."""
+    from easyner_spark.operators.webtext import alias_candidates_oracle_sql
+
+    return alias_candidates_oracle_sql(_ANCHORS_PREFIX)
 
 
 # Host link-graph CTE: url/html synthesis mirrored verbatim from
@@ -4052,51 +4116,17 @@ SELECT src_host, dst_host, n_links::BIGINT AS n_links FROM hg
         # pulls + target classifier mirrored from webtext
         # (extract_anchors / anchor_terms), synthesis from
         # _synth_anchor_pages
-        "anchor_terms": f"""
-WITH d AS (
-  SELECT doc_id,
-    regexp_replace(lower(regexp_extract(
-      (CASE WHEN doc_id % 13 = 0 THEN 'http' ELSE 'https' END) || '://'
-      || {_URL_HOST_CASE}
-      || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
-      || '/p/' || doc_id,
-      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':\\d+$', '') AS src_host,
-    '<html><body><a href="https://site' || ((doc_id * 7) % 37)
-    || '.example.net/p/1">Read Page ' || (doc_id % 211) || '</a>'
-    || '<a href="/local/' || (doc_id % 5) || '">'
-    || (CASE WHEN doc_id % 3 = 0 THEN 'Home & Garden' ELSE 'next-page 2' END)
-    || '</a>'
-    || (CASE WHEN doc_id % 4 = 0
-        THEN '<a href="//hub.example.com/z">The HUB portal</a>' ELSE '' END)
-    || '</body></html>' AS html
-  FROM documents
-),
-els AS (SELECT src_host,
-               unnest(regexp_extract_all(html,
-                 '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) AS el
-        FROM d),
-pa AS (SELECT src_host,
-              regexp_extract(el, 'href="([^"]*)"', 1) AS href,
-              regexp_extract(el, '>([^<]*)</a>', 1) AS anchor
-       FROM els),
-t AS (
-  SELECT anchor,
-    CASE WHEN regexp_matches(href, '^[hH][tT][tT][pP][sS]?://')
-         THEN regexp_replace(lower(regexp_extract(href,
-                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':\\d+$', '')
-         WHEN href LIKE '//%'
-         THEN regexp_replace(lower(regexp_extract(href,
-                '^//([^/?#]+)', 1)), ':\\d+$', '')
-         WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
-         ELSE src_host END AS dst_host
-  FROM pa
-),
+        "anchor_terms": _ANCHORS_PREFIX
+        + """,
 tok AS (SELECT dst_host,
                unnest(regexp_extract_all(lower(anchor), '[a-z0-9]+')) AS term
         FROM t WHERE dst_host IS NOT NULL AND dst_host != '')
 SELECT dst_host, term, count(*)::BIGINT AS n
 FROM tok GROUP BY dst_host, term
 """,
+        # Anchor-phrase alias dictionary mining
+        # (webtext.alias_candidates_oracle_sql over the same prefix)
+        "alias_candidates": _alias_candidates_oracle(),
         # Recrawl change tracking: lag over (url, warc_ts) — ts unique
         # per fetch by construction, so ordering is total
         "crawl_delta": """

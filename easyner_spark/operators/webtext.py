@@ -888,3 +888,80 @@ SELECT url,
     url) AS effective_url
 FROM h
 """
+
+
+# ASCII whitespace class shared with the oracle (Java '\s' and RE2
+# '\s' agree on ASCII; the explicit class removes any doubt).
+ALIAS_WS_RE = r"[ \t\r\n]+"
+
+
+def alias_candidates(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    min_support: int = 2,
+    min_hosts: int = 2,
+) -> DataFrame:
+    """Entity-alias dictionary mining from anchor text — the web-scale
+    replacement for the reference's curated alias lists (its NEL
+    dictionary, /root/reference/data/dictionaries): the full
+    NORMALIZED anchor phrase (lowercased, whitespace-collapsed) is an
+    alias CANDIDATE for the host it points at. Output per
+    (entity_host, alias): support (total inlinks using that phrase),
+    n_src_hosts (distinct linking hosts), and is_confident = support
+    >= min_support AND n_src_hosts >= min_hosts — the multi-host
+    evidence gate that stops a single spam site from minting aliases.
+
+    Scale shape: phrase normalization fuses into the anchor scan; the
+    distinct-host count is a composite pre-agg (entity, alias,
+    src_host) followed by a rollup whose key is a PREFIX of the
+    pre-agg key, so Catalyst reuses the first shuffle's partitioning
+    (the entity_frequency one-shuffle pattern) — and no countDistinct
+    Expand. Hot targets (everyone links the hub) are absorbed
+    map-side by both aggregates.
+    """
+    a = extract_anchors(pages, html_col=html_col, url_col=url_col)
+    alias = F.lower(F.trim(F.regexp_replace(F.col("anchor"), ALIAS_WS_RE, " ")))
+    base = a.select(
+        F.col("target_host").alias("entity_host"),
+        alias.alias("alias"),
+        F.col("src_host"),
+    ).where(F.col("alias") != "")
+    g0 = (
+        base.repartition("entity_host", "alias")
+        .groupBy("entity_host", "alias", "src_host")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return g0.groupBy("entity_host", "alias").agg(
+        F.sum("cnt").cast("long").alias("support"),
+        F.count(F.lit(1)).cast("long").alias("n_src_hosts"),
+    ).withColumn(
+        "is_confident",
+        (F.col("support") >= min_support) & (F.col("n_src_hosts") >= min_hosts),
+    )
+
+
+def alias_candidates_oracle_sql(
+    anchors_prefix: str, min_support: int = 2, min_hosts: int = 2
+) -> str:
+    """DuckDB twin of alias_candidates; `anchors_prefix` is a complete
+    WITH chain whose last relation is t(src_host, anchor, dst_host)
+    (nullable/empty dst_host rows are filtered here)."""
+    return f"""{anchors_prefix},
+base AS (
+  SELECT dst_host AS entity_host,
+         lower(trim(regexp_replace(anchor, '[ \t\r\n]+', ' ', 'g'))) AS alias,
+         src_host
+  FROM t WHERE dst_host IS NOT NULL AND dst_host != ''
+),
+g0 AS (
+  SELECT entity_host, alias, src_host, count(*) AS cnt
+  FROM base WHERE alias != ''
+  GROUP BY entity_host, alias, src_host
+)
+SELECT entity_host, alias,
+       sum(cnt)::BIGINT AS support,
+       count(*)::BIGINT AS n_src_hosts,
+       (sum(cnt) >= {min_support} AND count(*) >= {min_hosts}) AS is_confident
+FROM g0 GROUP BY entity_host, alias
+"""
