@@ -1073,16 +1073,40 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_verdict(_synth_url_pages(spark, sf_dir), rules)
 
 
-def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered-LCWA negative sampling over a closed deterministic
-    triple set (23-entity vocab, 3 predicates): per true triple k=3
-    md5-indexed object corruptions, self-corruptions and accidental
-    positives dropped — bit-reproducible, no RNG."""
-    from easyner_spark.operators.graph import kg_negatives
+# Closed 23-entity synthetic KG shared by the kg_negatives /
+# kg_random_walks / kg_degree_stats queries AND their oracles — one
+# definition per side so the Spark/SQL pairs cannot drift (the
+# _ANCHORS_PREFIX pattern).
+_KG_EDGES_SQL = """SELECT 'e' || (doc_id % 23) AS a,
+    'e' || ((doc_id * 7 + 3) % 23) AS b
+  FROM documents
+  WHERE (doc_id % 23) != ((doc_id * 7 + 3) % 23)"""
 
+_KG_TRIPLES_SQL = """SELECT DISTINCT 'e' || (doc_id % 23) AS subj,
+    CASE WHEN doc_id % 3 = 0 THEN 'inhibits'
+         WHEN doc_id % 3 = 1 THEN 'binds'
+         ELSE 'activates' END AS pred,
+    'e' || ((doc_id * 7 + 3) % 23) AS obj
+  FROM documents
+  WHERE (doc_id % 23) != ((doc_id * 7 + 3) % 23)"""
+
+
+def _kg_synth_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) twin of _KG_EDGES_SQL (non-distinct; callers dedup
+    as their operator requires)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     did = F.col("doc_id")
-    t = (
+    return d.select(
+        F.concat(F.lit("e"), (did % 23).cast("string")).alias("src"),
+        F.concat(F.lit("e"), ((did * 7 + 3) % 23).cast("string")).alias("dst"),
+    ).where((did % 23) != ((did * 7 + 3) % 23))
+
+
+def _kg_synth_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(subj, pred, obj) twin of _KG_TRIPLES_SQL (distinct)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    return (
         d.select(
             F.concat(F.lit("e"), (did % 23).cast("string")).alias("subj"),
             F.when(did % 3 == 0, F.lit("inhibits"))
@@ -1094,7 +1118,16 @@ def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((did % 23) != ((did * 7 + 3) % 23))
         .distinct()
     )
-    return kg_negatives(t, k=3)
+
+
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-LCWA negative sampling over the closed deterministic
+    triple set (23-entity vocab, 3 predicates): per true triple k=3
+    md5-indexed object corruptions, self-corruptions and accidental
+    positives dropped — bit-reproducible, no RNG."""
+    from easyner_spark.operators.graph import kg_negatives
+
+    return kg_negatives(_kg_synth_triples(spark, sf_dir), k=3)
 
 
 def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,13 +1136,9 @@ def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-indexed neighbor choice, dangling nodes end walks early."""
     from easyner_spark.operators.graph import kg_random_walks
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    did = F.col("doc_id")
-    edges = d.select(
-        F.concat(F.lit("e"), (did % 23).cast("string")).alias("src"),
-        F.concat(F.lit("e"), ((did * 7 + 3) % 23).cast("string")).alias("dst"),
-    ).where((did % 23) != ((did * 7 + 3) % 23))
-    return kg_random_walks(edges, walk_len=3, walks_per_node=2)
+    return kg_random_walks(
+        _kg_synth_edges(spark, sf_dir), walk_len=3, walks_per_node=2
+    )
 
 
 def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1128,16 +1157,7 @@ def q_kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches.exact_quantiles documents."""
     from easyner_spark.operators.sketches import exact_quantiles
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    did = F.col("doc_id")
-    edges = (
-        d.select(
-            F.concat(F.lit("e"), (did % 23).cast("string")).alias("src"),
-            F.concat(F.lit("e"), ((did * 7 + 3) % 23).cast("string")).alias("dst"),
-        )
-        .where((did % 23) != ((did * 7 + 3) % 23))
-        .distinct()
-    )
+    edges = _kg_synth_edges(spark, sf_dir).distinct()
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -1152,7 +1172,6 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-10 KB files with every 19th ~120 KB (oversized vs the 100 KB
     target — lands whole in one group, groups stay contiguous in path
     order). Reuses pack_sequences' distributed prefix sum."""
-    from easyner_spark.operators.sampling import release_token_budget_caches
     from easyner_spark.sinks.checkpoint import compaction_plan
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1166,9 +1185,11 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("size_bytes"),
     )
-    out = compaction_plan(files, target_bytes=100_000)
-    release_token_budget_caches()
-    return out
+    # NB: the prefix-sum range cache stays pinned until the driver
+    # materializes the result (releasing it here would re-sample range
+    # bounds on recompute — sampling.py docstring); q_pack_sequences
+    # pins its cache for the session the same way.
+    return compaction_plan(files, target_bytes=100_000)
 
 
 def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2937,15 +2958,13 @@ def _robots_oracle() -> str:
 
 
 def _kg_random_walks_oracle() -> str:
-    """q_kg_random_walks oracle: the closed edge synthesis fed to the
-    operator's module-local unrolled SQL twin."""
+    """q_kg_random_walks oracle: the shared closed edge synthesis fed
+    to the operator's module-local unrolled SQL twin."""
     from easyner_spark.operators.graph import kg_random_walks_oracle_sql
 
-    edges_sql = """SELECT 'e' || (doc_id % 23) AS a,
-    'e' || ((doc_id * 7 + 3) % 23) AS b
-  FROM documents
-  WHERE (doc_id % 23) != ((doc_id * 7 + 3) % 23)"""
-    return kg_random_walks_oracle_sql(edges_sql, walk_len=3, walks_per_node=2)
+    return kg_random_walks_oracle_sql(
+        _KG_EDGES_SQL, walk_len=3, walks_per_node=2
+    )
 
 
 def _lang_quantiles_oracle() -> str:
@@ -2971,21 +2990,10 @@ def _kg_degree_stats_oracle() -> str:
     graph as the quantile source."""
     from easyner_spark.operators.sketches import exact_quantiles_oracle_sql
 
-    source = """(
+    source = f"""(
+  WITH e AS (SELECT DISTINCT a, b FROM ({_KG_EDGES_SQL}))
   SELECT node, count(*) AS deg FROM (
-    SELECT a AS node, b FROM (
-      SELECT DISTINCT 'e' || (doc_id % 23) AS a,
-             'e' || ((doc_id * 7 + 3) % 23) AS b
-      FROM documents
-      WHERE (doc_id % 23) != ((doc_id * 7 + 3) % 23)
-    )
-    UNION ALL
-    SELECT b AS node, a FROM (
-      SELECT DISTINCT 'e' || (doc_id % 23) AS a,
-             'e' || ((doc_id * 7 + 3) % 23) AS b
-      FROM documents
-      WHERE (doc_id % 23) != ((doc_id * 7 + 3) % 23)
-    )
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
   ) GROUP BY node
 ) AS degsrc"""
     return exact_quantiles_oracle_sql("deg", source=source)
@@ -3004,14 +3012,7 @@ def _kg_negatives_oracle() -> str:
     operator's module-local SQL twin."""
     from easyner_spark.operators.graph import kg_negatives_oracle_sql
 
-    triples_sql = """SELECT DISTINCT 'e' || (doc_id % 23) AS subj,
-    CASE WHEN doc_id % 3 = 0 THEN 'inhibits'
-         WHEN doc_id % 3 = 1 THEN 'binds'
-         ELSE 'activates' END AS pred,
-    'e' || ((doc_id * 7 + 3) % 23) AS obj
-  FROM documents
-  WHERE (doc_id % 23) != ((doc_id * 7 + 3) % 23)"""
-    return kg_negatives_oracle_sql(triples_sql, k=3)
+    return kg_negatives_oracle_sql(_KG_TRIPLES_SQL, k=3)
 
 
 def _entity_bursts_oracle() -> str:

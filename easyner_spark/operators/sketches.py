@@ -424,16 +424,20 @@ def grouped_quantile_filter(
     """Adaptive per-stratum gate: keep rows whose metric is >= their
     own group's q-quantile (e.g. "top half by length, per language" —
     a fixed global threshold would gut low-resource strata). The
-    quantile table is one row per group: the join back is AQE-decided
-    (broadcast for any realistic group count). Input schema preserved.
+    quantile table is one row per group: the join back is a LEFT join
+    (AQE-decided, broadcast for any realistic group count), so rows
+    whose group has NO cut row — a NULL group key, or a stratum whose
+    metric is entirely NULL — pass through ungated rather than being
+    silently deleted; only rows with a NULL METRIC in a gated group
+    are dropped (nothing to compare). Input schema preserved.
     """
     x = F.col(expr) if isinstance(expr, str) else expr
     cut = grouped_quantiles(df, group_col, expr, qs=(q,)).select(
         F.col("grp"), F.col("value").alias("_cut")
     )
     return (
-        df.join(cut, df[group_col] == cut["grp"])
-        .where(x.cast("long") >= F.col("_cut"))
+        df.join(cut, df[group_col] == cut["grp"], "left")
+        .where(F.col("_cut").isNull() | (x.cast("long") >= F.col("_cut")))
         .drop("grp", "_cut")
     )
 

@@ -45,3 +45,15 @@ def test_no_single_partition_exchange(spark):
     )
     final = plan.split("== Initial Plan ==")[0]
     assert "SinglePartition" not in final
+
+
+def test_filter_null_group_passthrough(spark):
+    # NULL-group rows have no cut row: pass through ungated; NULL
+    # metric inside a gated group drops (nothing to compare)
+    rows = [("en", 1), ("en", 10), (None, 3), ("en", None)]
+    df = spark.createDataFrame(rows, "lang string, x long")
+    kept = {
+        (r["lang"], r["x"])
+        for r in grouped_quantile_filter(df, "lang", "x", q=0.5).collect()
+    }
+    assert kept == {("en", 1), ("en", 10), (None, 3)}
