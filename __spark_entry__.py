@@ -1211,6 +1211,19 @@ def q_alias_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alias_candidates(_synth_anchor_pages(spark, sf_dir))
 
 
+def q_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from topic seeds {e1, e5} over the closed
+    KG — teleport mass restricted to the seeds, 3 iterations, the
+    per-iteration round(·, 9) state contract that makes the iterative
+    float algorithm value-oracle-able."""
+    from easyner_spark.operators.graph import personalized_pagerank
+
+    seeds = spark.createDataFrame([("e1",), ("e5",)], "node string")
+    return personalized_pagerank(
+        _kg_synth_edges(spark, sf_dir), seeds, iters=3
+    )
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal burst detection over the NER mentions with epoch =
     doc_id % 5 (five synthetic crawl windows): is_burst is the pure-
@@ -2247,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
+        "seed_expansion": q_seed_expansion,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2964,6 +2978,18 @@ def _kg_random_walks_oracle() -> str:
 
     return kg_random_walks_oracle_sql(
         _KG_EDGES_SQL, walk_len=3, walks_per_node=2
+    )
+
+
+def _seed_expansion_oracle() -> str:
+    """q_seed_expansion oracle: shared closed-KG edges + literal seed
+    rows fed to the operator's module-local twin."""
+    from easyner_spark.operators.graph import personalized_pagerank_oracle_sql
+
+    return personalized_pagerank_oracle_sql(
+        f"SELECT DISTINCT a AS src, b AS dst FROM ({_KG_EDGES_SQL})",
+        "SELECT * FROM (VALUES ('e1'), ('e5')) AS t(node)",
+        iters=3,
     )
 
 
@@ -4101,6 +4127,9 @@ FROM c
         # Per-language exact quantiles
         # (sketches.grouped_quantiles_oracle_sql)
         "lang_quantiles": _lang_quantiles_oracle(),
+        # Personalized PageRank seed expansion
+        # (graph.personalized_pagerank_oracle_sql)
+        "seed_expansion": _seed_expansion_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

@@ -1095,3 +1095,130 @@ JOIN walks r ON l.start = r.start AND l.walk = r.walk
 WHERE l.step != r.step AND abs(l.step - r.step) <= {window}
 GROUP BY 1, 2, 3
 """
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = DAMPING,
+    state_round: int = 9,
+) -> DataFrame:
+    """Personalized PageRank: topic-seed expansion over the KG ("which
+    entities matter relative to THESE seeds") — teleport mass lands
+    only on the seed set instead of uniformly:
+
+      * S = seeds ∩ graph nodes (a seed outside the graph is inert);
+      * tele(n) = 1/|S| for n in S else 0;
+      * r_0(n) = round(tele(n), state_round);
+      * r_{t+1}(n) = round((1-d)*tele(n) + d * sum_{m->n} r_t(m)/deg(m),
+        state_round) — same dangling-mass-drop and per-iteration
+        rounding contract as :func:`pagerank` (that rounding is what
+        keeps an iterative float algorithm value-oracle-able; the
+        expression trees here mirror the oracle's term for term).
+
+    Scale shape identical to pagerank (one shuffle per iteration on
+    the dst rollup, rank join keyed on the src-partitioned edges,
+    localCheckpoint-capped lineage); the seed table is broadcast-small
+    by definition (a query's topic seeds), joined once to build tele.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.repartition("src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    ns = s.count()
+    if ns == 0:
+        raise ValueError("personalized_pagerank: no seed is a graph node")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    tele = nodes.join(
+        F.broadcast(s.withColumn("_is_seed", F.lit(True))), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("_is_seed"), F.lit(1.0 / float(ns)))
+        .otherwise(F.lit(0.0))
+        .alias("tele"),
+    ).localCheckpoint(eager=True)
+    ranks = tele.select(
+        "node", F.round(F.col("tele"), state_round).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg").cast("double")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            tele.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    (F.lit(1.0) - F.lit(damping)) * F.col("tele")
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    state_round,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def personalized_pagerank_oracle_sql(
+    e_sql: str,
+    seeds_sql: str,
+    iters: int = 3,
+) -> str:
+    """DuckDB twin of personalized_pagerank; `e_sql` must yield
+    DISTINCT (src, dst), `seeds_sql` one column (node). Expression
+    trees mirror the operator term for term (same parenthesization,
+    same coalesce/rounding order)."""
+    parts = [
+        f"""
+WITH e AS ({e_sql}),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+s AS (SELECT DISTINCT node FROM ({seeds_sql})
+      WHERE node IN (SELECT node FROM nodes)),
+nsn AS (SELECT count(*)::DOUBLE AS ns FROM s),
+deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+tele AS (
+  SELECT nodes.node,
+         CASE WHEN s.node IS NOT NULL THEN 1.0 / nsn.ns ELSE 0.0 END AS tele
+  FROM nodes CROSS JOIN nsn LEFT JOIN s ON nodes.node = s.node
+),
+it0 AS (SELECT node, round(tele, 9) AS rank FROM tele)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+it{t} AS (
+  SELECT tele.node,
+         round((1.0 - 0.85) * tele.tele
+               + 0.85 * coalesce(x.inflow, 0.0), 9) AS rank
+  FROM tele
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / deg.deg) AS inflow
+    FROM e
+    JOIN deg ON e.src = deg.src
+    JOIN it{t - 1} r ON e.src = r.node
+    GROUP BY e.dst
+  ) x ON tele.node = x.node
+)"""
+        )
+    parts.append(f"\nSELECT node, round(rank, 6) AS rank FROM it{iters}\n")
+    return "".join(parts)
