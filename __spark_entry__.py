@@ -1224,6 +1224,25 @@ def q_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ner_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant-supervision NER training examples: 3-token context
+    windows around every dictionary mention, from the same token
+    stream dict_ner matched on."""
+    from easyner_spark.operators.ner_dict import ner_examples
+
+    out = ner_examples(_mentions(spark, sf_dir), _sentences(spark, sf_dir))
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("begin_tok").cast("long").alias("begin_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        "label",
+        "left_ctx",
+        "mention_txt",
+        "right_ctx",
+    )
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal burst detection over the NER mentions with epoch =
     doc_id % 5 (five synthetic crawl windows): is_burst is the pure-
@@ -2261,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
         "seed_expansion": q_seed_expansion,
+        "ner_examples": q_ner_examples,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2979,6 +2999,14 @@ def _kg_random_walks_oracle() -> str:
     return kg_random_walks_oracle_sql(
         _KG_EDGES_SQL, walk_len=3, walks_per_node=2
     )
+
+
+def _ner_examples_oracle() -> str:
+    """q_ner_examples oracle: the shared mentions prelude fed to the
+    operator's module-local twin."""
+    from easyner_spark.operators.ner_dict import ner_examples_oracle_sql
+
+    return ner_examples_oracle_sql(_PRELUDE, window=3)
 
 
 def _seed_expansion_oracle() -> str:
@@ -4130,6 +4158,9 @@ FROM c
         # Personalized PageRank seed expansion
         # (graph.personalized_pagerank_oracle_sql)
         "seed_expansion": _seed_expansion_oracle(),
+        # Distant-supervision NER examples over the mentions prelude
+        # (ner_dict.ner_examples_oracle_sql)
+        "ner_examples": _ner_examples_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

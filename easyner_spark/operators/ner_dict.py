@@ -219,3 +219,90 @@ def dict_ner_join(
     ).select(
         "url", "sent_idx", "mention", "mention_lc", "begin_tok", "end_tok", "class"
     )
+
+
+def ner_examples(
+    mentions: DataFrame,
+    sentences: DataFrame,
+    window: int = 3,
+    doc_col: str = "url",
+    text_col: str = "sentence",
+) -> DataFrame:
+    """Distant-supervision NER training examples from dictionary
+    mentions: per mention, the tokenized context window a BERT-style
+    fine-tune consumes — (doc, sent_idx, begin_tok, end_tok, label,
+    left_ctx, mention_txt, right_ctx), contexts space-joined from the
+    SAME token stream dict_ner matched on (TOKEN_RE contract), '' /
+    absent context emitted as NULL on both engines (nullif-normalized
+    so empty slices hash identically to the oracle's out-of-range
+    list_slice).
+
+    This is the training-data product of the NER layer: the reference
+    fine-tunes on hand-built corpora
+    (/root/reference/supplementary/experiment_scripts, CRAFT/Flair
+    converters); at crawl scale the bootstrap set is mined from the
+    corpus itself exactly like this.
+
+    Scale shape: ONE equi-join (doc, sent_idx) mentions->sentences
+    (AQE-decided), then pure per-row array slicing fused into the
+    projection — no explode, no window, no second shuffle. Fan-out is
+    zero (one output row per mention)."""
+    toks = sentences.select(
+        F.col(doc_col),
+        F.col("sent_idx"),
+        F.expr(f"regexp_extract_all({text_col}, r'{TOKEN_RE_JAVA}', 0)").alias(
+            "_toks"
+        ),
+    )
+    j = mentions.join(toks, [doc_col, "sent_idx"])
+    b = F.col("begin_tok").cast("int")
+    e = F.col("end_tok").cast("int")
+    lstart = F.greatest(F.lit(1), b - F.lit(window) + 1)
+    return j.select(
+        F.col(doc_col),
+        F.col("sent_idx"),
+        F.col("begin_tok"),
+        F.col("end_tok"),
+        F.col("class").alias("label"),
+        F.nullif(
+            F.array_join(F.slice(F.col("_toks"), lstart, b - lstart + 1), " "),
+            F.lit(""),
+        ).alias("left_ctx"),
+        F.array_join(F.slice(F.col("_toks"), b + 1, e - b), " ").alias(
+            "mention_txt"
+        ),
+        F.nullif(
+            F.array_join(F.slice(F.col("_toks"), e + 1, F.lit(window)), " "),
+            F.lit(""),
+        ).alias("right_ctx"),
+    )
+
+
+def ner_examples_oracle_sql(with_prefix: str, window: int = 3) -> str:
+    """DuckDB twin of ner_examples; `with_prefix` is a complete WITH
+    chain providing sentences(doc_id, sent_idx, sentence) and
+    mentions(doc_id, sent_idx, begin_tok, end_tok, class) — the
+    engine's shared mentions prelude. list_slice is 1-based inclusive
+    and clips out-of-range, matching Spark slice(start, len) edge
+    semantics (verified: empty and clipped slices agree)."""
+    return f"""{with_prefix},
+sent_toks AS (
+  SELECT doc_id, sent_idx,
+         regexp_extract_all(sentence, '\\w+|[^\\w\\s]') AS toks
+  FROM sentences
+),
+ex AS (
+  SELECT m.doc_id, m.sent_idx, m.begin_tok, m.end_tok, m.class AS label,
+         nullif(array_to_string(
+           list_slice(t.toks, greatest(1, m.begin_tok - {window} + 1),
+                      m.begin_tok), ' '), '') AS left_ctx,
+         array_to_string(
+           list_slice(t.toks, m.begin_tok + 1, m.end_tok), ' ') AS mention_txt,
+         nullif(array_to_string(
+           list_slice(t.toks, m.end_tok + 1, m.end_tok + {window}), ' '),
+           '') AS right_ctx
+  FROM mentions m JOIN sent_toks t
+    ON m.doc_id = t.doc_id AND m.sent_idx = t.sent_idx
+)
+SELECT * FROM ex
+"""
