@@ -1243,6 +1243,46 @@ def q_ner_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level link graph with href RESOLUTION value-checked on
+    every branch (keep_external=True): absolute link to the next doc's
+    exact url, root-relative '/p/<did%100>' (in-corpus only when the
+    target doc shares the host), relative 'sub/page<k>' (resolves
+    against the /p/ base dir, always external), protocol-relative
+    (inherits the base scheme), mailto dropped."""
+    from easyner_spark.operators.webtext import doc_link_graph
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"),
+        (did % 37).cast("string"),
+        F.lit(".example.net/p/"),
+        did.cast("string"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://site'),
+        ((did + 1) % 37).cast("string"),
+        F.lit(".example.net/p/"),
+        (did + 1).cast("string"),
+        F.lit('">a</a><a href="/p/'),
+        (did % 100).cast("string"),
+        F.lit('">b</a><a href="sub/page'),
+        (did % 7).cast("string"),
+        F.lit('">c</a><a href="//site'),
+        (did % 37).cast("string"),
+        F.lit(".example.net/p/"),
+        (did + 2).cast("string"),
+        F.lit('">d</a>'),
+        F.when(did % 5 == 0, F.lit('<a href="mailto:x@y.z">m</a>')).otherwise(
+            F.lit("")
+        ),
+        F.lit("</body></html>"),
+    ).cast("binary")
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return doc_link_graph(pages, keep_external=True)
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal burst detection over the NER mentions with epoch =
     doc_id % 5 (five synthetic crawl windows): is_burst is the pure-
@@ -2281,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_candidates": q_alias_candidates,
         "seed_expansion": q_seed_expansion,
         "ner_examples": q_ner_examples,
+        "doc_links": q_doc_links,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2998,6 +3039,44 @@ def _kg_random_walks_oracle() -> str:
 
     return kg_random_walks_oracle_sql(
         _KG_EDGES_SQL, walk_len=3, walks_per_node=2
+    )
+
+
+_DOCLINKS_PREFIX = """
+WITH d AS (
+  SELECT doc_id,
+    'https://site' || (doc_id % 37) || '.example.net/p/' || doc_id AS src_url,
+    '<html><body><a href="https://site' || ((doc_id + 1) % 37)
+    || '.example.net/p/' || (doc_id + 1)
+    || '">a</a><a href="/p/' || (doc_id % 100)
+    || '">b</a><a href="sub/page' || (doc_id % 7)
+    || '">c</a><a href="//site' || (doc_id % 37)
+    || '.example.net/p/' || (doc_id + 2) || '">d</a>'
+    || (CASE WHEN doc_id % 5 = 0
+        THEN '<a href="mailto:x@y.z">m</a>' ELSE '' END)
+    || '</body></html>' AS html
+  FROM documents
+),
+els AS (SELECT src_url,
+               unnest(regexp_extract_all(html,
+                 '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) AS el
+        FROM d),
+pa AS (SELECT src_url,
+              regexp_extract(el, 'href="([^"]*)"', 1) AS href
+       FROM els)"""
+
+
+def _doc_links_oracle() -> str:
+    """q_doc_links oracle: the link synthesis prefix + corpus urls fed
+    to the operator's module-local twin."""
+    from easyner_spark.operators.webtext import doc_link_graph_oracle_sql
+
+    pages_sql = (
+        "SELECT 'https://site' || (doc_id % 37) || '.example.net/p/'"
+        " || doc_id AS url FROM documents"
+    )
+    return doc_link_graph_oracle_sql(
+        _DOCLINKS_PREFIX, pages_sql, keep_external=True
     )
 
 
@@ -4161,6 +4240,9 @@ FROM c
         # Distant-supervision NER examples over the mentions prelude
         # (ner_dict.ner_examples_oracle_sql)
         "ner_examples": _ner_examples_oracle(),
+        # Page-level link graph with href resolution
+        # (webtext.doc_link_graph_oracle_sql)
+        "doc_links": _doc_links_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

@@ -965,3 +965,122 @@ SELECT entity_host, alias,
        (sum(cnt) >= {min_support} AND count(*) >= {min_hosts}) AS is_confident
 FROM g0 GROUP BY entity_host, alias
 """
+
+
+# Origin = scheme://authority (host incl. any port), shared with the
+# DuckDB twin verbatim.
+ORIGIN_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """Resolve an href against its page url (the RFC 3986 cases a
+    crawler meets in practice):
+
+      * absolute http(s)  -> itself;
+      * protocol-relative -> base's scheme + ':' + href;
+      * root-relative /x  -> base origin (scheme://host[:port]) + href;
+      * other scheme-ful  -> NULL (mailto:, javascript:, data:, ftp:);
+      * relative          -> base DIRECTORY (path up to the last '/',
+                             '/' when the path is empty) + href.
+
+    Dot segments ('../', './') are kept verbatim — normalize the
+    output with canonical_url if the consumer needs it; the in-corpus
+    join in doc_link_graph is exact-string either way. Pure codegen
+    when-chain over the module's shared ASCII regexes — zero shuffle.
+    """
+    scheme = F.regexp_extract(F.lower(base), SCHEME_RE, 1)
+    origin = F.regexp_extract(base, ORIGIN_RE, 1)
+    path = F.regexp_extract(base, PATH_RE, 1)
+    base_dir = F.concat(
+        origin,
+        F.when(path == "", F.lit("/")).otherwise(
+            F.regexp_replace(path, r"[^/]*$", "")
+        ),
+    )
+    return (
+        F.when(href.rlike("^[hH][tT][tT][pP][sS]?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), F.lit(None))
+        .otherwise(F.concat(base_dir, href))
+    )
+
+
+def doc_link_graph(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    keep_external: bool = False,
+) -> DataFrame:
+    """Page-level link graph — the Common-Crawl "page graph" product
+    (host_graph is its host-level rollup): (src_url, dst_url,
+    in_corpus, n_links) with dst_url the RESOLVED absolute target and
+    in_corpus = dst_url exists as a page url in this corpus. With
+    keep_external=False only in-corpus edges survive (the input to a
+    doc-level PageRank); keep_external=True keeps the full frontier —
+    exactly the crawl-discovery table a scheduler feeds from.
+
+    Scale shape: href extraction + resolution fuse into the scan; the
+    in-corpus membership is ONE url-keyed join against the distinct
+    page-url table (uniform sha-like key — urls don't skew the way
+    hosts do), then one (src,dst) rollup. No host-keyed shuffle at
+    all."""
+    a = extract_anchors(pages, html_col=html_col, url_col=url_col)
+    resolved = a.select(
+        F.col(url_col).alias("src_url"),
+        resolve_href(F.col(url_col), F.col("href")).alias("dst_url"),
+    ).where(F.col("dst_url").isNotNull())
+    corpus = pages.select(F.col(url_col).alias("dst_url")).distinct()
+    flagged = resolved.join(
+        corpus.withColumn("_in", F.lit(True)), "dst_url", "left"
+    ).select(
+        "src_url", "dst_url", F.coalesce(F.col("_in"), F.lit(False)).alias("in_corpus")
+    )
+    if not keep_external:
+        flagged = flagged.where(F.col("in_corpus"))
+    return flagged.groupBy("src_url", "dst_url", "in_corpus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links")
+    )
+
+
+def doc_link_graph_oracle_sql(
+    anchors_prefix: str, pages_sql: str, keep_external: bool = False
+) -> str:
+    """DuckDB twin of doc_link_graph; `anchors_prefix` is a WITH chain
+    whose last relation is pa(src_url, href, ...) carrying the page
+    url and raw href; `pages_sql` yields the corpus urls (url)."""
+    gate = "" if keep_external else "WHERE in_corpus"
+    return f"""{anchors_prefix},
+res AS (
+  SELECT src_url,
+    CASE
+      WHEN regexp_matches(href, '^[hH][tT][tT][pP][sS]?://') THEN href
+      WHEN href LIKE '//%' THEN
+        regexp_extract(lower(src_url), '^([a-z][a-z0-9+.-]*)://', 1)
+        || ':' || href
+      WHEN href LIKE '/%' THEN
+        regexp_extract(src_url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+        || href
+      WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
+      ELSE
+        regexp_extract(src_url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+        || (CASE WHEN regexp_extract(src_url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+            THEN '/'
+            ELSE regexp_replace(regexp_extract(src_url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                 '[^/]*$', '') END)
+        || href
+    END AS dst_url
+  FROM pa
+),
+corpus AS (SELECT DISTINCT url AS dst_url FROM ({pages_sql})),
+flagged AS (
+  SELECT r.src_url, r.dst_url, c.dst_url IS NOT NULL AS in_corpus
+  FROM res r LEFT JOIN corpus c USING (dst_url)
+  WHERE r.dst_url IS NOT NULL
+)
+SELECT src_url, dst_url, in_corpus, count(*)::BIGINT AS n_links
+FROM flagged {gate}
+GROUP BY src_url, dst_url, in_corpus
+"""
