@@ -1283,6 +1283,16 @@ def q_doc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_link_graph(pages, keep_external=True)
 
 
+def q_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT index keys over the skewed synthetic urls (CDX ordering:
+    reversed host labels + path) — hub.example.com and its would-be
+    subdomains all sort under 'com,example,hub)'."""
+    from easyner_spark.operators.webtext import surt_key
+
+    p = _synth_url_pages(spark, sf_dir)
+    return p.select("doc_id", "url", surt_key("url").alias("surt"))
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal burst detection over the NER mentions with epoch =
     doc_id % 5 (five synthetic crawl windows): is_burst is the pure-
@@ -2322,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_expansion": q_seed_expansion,
         "ner_examples": q_ner_examples,
         "doc_links": q_doc_links,
+        "surt_index": q_surt_index,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -3064,6 +3075,17 @@ els AS (SELECT src_url,
 pa AS (SELECT src_url,
               regexp_extract(el, 'href="([^"]*)"', 1) AS href
        FROM els)"""
+
+
+def _surt_index_oracle() -> str:
+    """q_surt_index oracle: the skewed url synthesis + the operator's
+    scalar SQL twin."""
+    from easyner_spark.operators.webtext import surt_key_oracle_sql
+
+    return f"""{_URL_PAGES_CTE}
+SELECT doc_id::BIGINT AS doc_id, url, {surt_key_oracle_sql("url")} AS surt
+FROM p
+"""
 
 
 def _doc_links_oracle() -> str:
@@ -4243,6 +4265,8 @@ FROM c
         # Page-level link graph with href resolution
         # (webtext.doc_link_graph_oracle_sql)
         "doc_links": _doc_links_oracle(),
+        # SURT CDX index keys (webtext.surt_key_oracle_sql)
+        "surt_index": _surt_index_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

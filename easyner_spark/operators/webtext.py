@@ -1084,3 +1084,43 @@ SELECT src_url, dst_url, in_corpus, count(*)::BIGINT AS n_links
 FROM flagged {gate}
 GROUP BY src_url, dst_url, in_corpus
 """
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the CDX
+    index ordering Common Crawl's URL index uses: host labels reversed
+    and comma-joined, then ')' and the path ('/' when empty), e.g.
+    https://blog.example.org:8080/p/1 -> 'org,example,blog)/p/1'.
+    Range-partitioning or sorting by this key lays every page of a
+    registered domain (and all its subdomains) adjacently — the
+    locality that makes per-site sweeps and index lookups range scans
+    instead of full scans. Contract simplifications vs the full SURT
+    spec, documented: scheme and port dropped (the engine-wide
+    _host_col normalization), query strings dropped (canonical_url
+    handles tracking-param noise before this); both engines share the
+    exact string pipeline.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    host = _host_col(u)
+    path = F.coalesce(
+        F.nullif(F.regexp_extract(u, PATH_RE, 1), F.lit("")), F.lit("/")
+    )
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(rev, F.lit(")"), path)
+
+
+def surt_key_oracle_sql(url_expr: str) -> str:
+    """DuckDB twin of surt_key as a scalar SQL expression over
+    `url_expr`."""
+    host = (
+        f"regexp_replace(lower(regexp_extract({url_expr}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':\\d+$', '')"
+    )
+    path = (
+        f"coalesce(nullif(regexp_extract({url_expr}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/')"
+    )
+    return (
+        f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+        f" || ')' || {path}"
+    )

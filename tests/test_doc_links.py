@@ -56,3 +56,28 @@ def test_doc_link_graph_membership(spark):
     }
     assert ext["https://b.org/out"] is False
     assert ext["https://a.com/p/2"] is True
+
+
+def test_surt_key(spark):
+    from easyner_spark.operators.webtext import surt_key
+
+    rows = [
+        ("https://blog.example.org:8080/p/1", "org,example,blog)/p/1"),
+        ("http://EXAMPLE.com", "com,example)/"),
+        ("https://a.b.c.example.net/x/y?q=1#f", "net,example,c,b,a)/x/y"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [r["s"] for r in df.select(surt_key("url").alias("s")).collect()]
+    assert got == [want for _, want in rows]
+    # domain locality: every subdomain of example.org sorts together
+    urls = [
+        "https://z.other.com/1",
+        "https://blog.example.org/1",
+        "https://example.org/2",
+        "https://www.example.org/3",
+    ]
+    d2 = spark.createDataFrame([(u,) for u in urls], "url string")
+    surts = sorted(r["s"] for r in d2.select(surt_key("url").alias("s")).collect())
+    org_block = [s for s in surts if s.startswith("org,example")]
+    i = surts.index(org_block[0])
+    assert surts[i : i + len(org_block)] == org_block  # contiguous
