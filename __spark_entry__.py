@@ -563,6 +563,16 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(_docs(spark, sf_dir), n_merges=6)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus encoded by its own trained tokenizer (train 6 rules,
+    apply to every document's word stream): (doc_id, word_idx,
+    tok_idx, token). Encoding chains the 6 learned rules over the
+    DISTINCT-word dictionary, never per-document."""
+    from easyner_spark.operators.tokenizer import bpe_encode
+
+    return bpe_encode(_docs(spark, sf_dir), n_merges=6)
+
+
 def q_kg_edge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge temporal lifecycle (first/last epoch, epoch count,
     new/stale/active status vs the latest crawl epoch) -- the diff
@@ -2315,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "bpe_encode": q_bpe_encode,
         "host_stats": q_host_stats,
         "host_skew": q_host_skew,
         "url_dedup": q_url_dedup,
@@ -3518,6 +3529,7 @@ def oracle_sql() -> dict[str, str]:
         linear_count_oracle_sql,
     )
     from easyner_spark.operators.tokenizer import (
+        bpe_encode_oracle_sql,
         bpe_merges_oracle_sql,
         bpe_token_counts_oracle_sql,
     )
@@ -3624,6 +3636,9 @@ FROM events GROUP BY event_type
         "length_quantiles": exact_quantiles_oracle_sql("length(text)"),
         "bpe_merges": bpe_merges_oracle_sql(n_merges=6),
         "bpe_token_counts": bpe_token_counts_oracle_sql(n_merges=6),
+        # Corpus encoded by its own trained tokenizer
+        # (tokenizer.bpe_encode_oracle_sql — shared training rounds)
+        "bpe_encode": bpe_encode_oracle_sql(n_merges=6),
         "corpus_summary": f"""
 WITH per_doc AS ({stats_sql})
 SELECT count(*) AS n_docs,

@@ -101,6 +101,7 @@ def _initial_vocab(
 def _rewrite(vocab: DataFrame, m: DataFrame) -> DataFrame:
     """Apply one merge rule (a 1-row broadcast left-join-on-true, so
     an empty rule table leaves the vocab untouched)."""
+    carry = [c for c in vocab.columns if c != "repr"]
     return (
         vocab.join(F.broadcast(m), F.lit(True), "left")
         .select(
@@ -113,7 +114,7 @@ def _rewrite(vocab: DataFrame, m: DataFrame) -> DataFrame:
                 )
             )
             .alias("repr"),
-            "freq",
+            *carry,
         )
         .localCheckpoint(eager=True)
     )
@@ -121,10 +122,12 @@ def _rewrite(vocab: DataFrame, m: DataFrame) -> DataFrame:
 
 def _train(
     vocab: DataFrame, n_merges: int, rewrite_last: bool
-) -> tuple[DataFrame, DataFrame]:
-    """Run the merge loop; returns (merges, final_vocab). The last
-    round's rewrite is skipped unless the caller reads the vocab."""
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """Run the merge loop; returns (merges, final_vocab, per-round
+    1-row merge frames). The last round's rewrite is skipped unless
+    the caller reads the vocab."""
     merges: DataFrame | None = None
+    rounds: list[DataFrame] = []
     for rank in range(1, n_merges + 1):
         m = _argmax_pair(_pair_counts(vocab)).select(
             F.lit(rank).alias("merge_rank"),
@@ -132,10 +135,11 @@ def _train(
             F.col("r").alias("right"),
             F.col("cnt").alias("pair_count"),
         )
+        rounds.append(m)
         merges = m if merges is None else merges.unionByName(m)
         if rank < n_merges or rewrite_last:
             vocab = _rewrite(vocab, m)
-    return merges, vocab
+    return merges, vocab, rounds
 
 
 def bpe_merges(
@@ -160,7 +164,7 @@ def bpe_merges(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1: {n_merges}")
     vocab = _initial_vocab(docs, text_col, id_col)
-    merges, _ = _train(vocab, n_merges, rewrite_last=False)
+    merges, _, _rounds = _train(vocab, n_merges, rewrite_last=False)
     return merges
 
 
@@ -179,7 +183,7 @@ def bpe_token_counts(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1: {n_merges}")
     vocab = _initial_vocab(docs, text_col, id_col)
-    _, final = _train(vocab, n_merges, rewrite_last=True)
+    _, final, _rounds = _train(vocab, n_merges, rewrite_last=True)
     return (
         final.select(F.explode(_syms()).alias("token"), "freq")
         .groupBy("token")
@@ -209,12 +213,12 @@ def bpe_token_counts_oracle_sql(
     return _bpe_oracle_sql(n_merges, text_col, source, final_tokens=True)
 
 
-def _bpe_oracle_sql(
-    n_merges: int, text_col: str, source: str, final_tokens: bool
-) -> str:
-    k = int(n_merges)
-    if k < 1:
-        raise ValueError(f"n_merges must be >= 1: {n_merges}")
+def _bpe_rounds_parts(
+    k: int, text_col: str, source: str, rewrite_last: bool
+) -> list[str]:
+    """WITH-chain fragments for the k training rounds (w, v0,
+    p{r}/m{r} per round, v{r} rewrites except optionally the last) —
+    shared by every BPE oracle so the round logic cannot drift."""
     parts = [
         f"""
 WITH w AS (
@@ -242,7 +246,7 @@ p{r} AS (
 ),
 m{r} AS (SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
         )
-        if r < k or final_tokens:
+        if r < k or rewrite_last:
             parts.append(
                 f""",
 v{r} AS (
@@ -253,6 +257,16 @@ v{r} AS (
   FROM v{r - 1} v LEFT JOIN m{r} m ON TRUE
 )"""
             )
+    return parts
+
+
+def _bpe_oracle_sql(
+    n_merges: int, text_col: str, source: str, final_tokens: bool
+) -> str:
+    k = int(n_merges)
+    if k < 1:
+        raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    parts = _bpe_rounds_parts(k, text_col, source, rewrite_last=final_tokens)
     if final_tokens:
         parts.append(
             f"""
@@ -268,4 +282,110 @@ SELECT token, sum(freq)::BIGINT AS freq FROM (
             for r in range(1, k + 1)
         )
         parts.append("\n" + selects)
+    return "".join(parts)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, word_idx, tok_idx, token) — the corpus ENCODED by the
+    tokenizer trained on it: train the `n_merges` rules (same rounds
+    as bpe_merges), then apply them to every document's word stream.
+    word_idx is the word's index in the raw whitespace split (indices
+    of dropped out-of-alphabet words leave gaps — a deterministic,
+    resume-stable position key); tok_idx numbers the word's subword
+    tokens.
+
+    Scale shape: training as in bpe_merges (corpus scanned once into
+    the checkpointed word-freq table); ENCODING never rescans words
+    per rule — the k learned rules chain k 1-row broadcast rewrites
+    over the DISTINCT-WORD table (bounded, same rewrite primitive
+    training uses), and the corpus joins that encoded dictionary ONCE
+    on the uniform word key. Explode fan-out is bounded by word
+    length."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    vocab = _initial_vocab(docs, text_col, id_col)
+    _, _, rounds = _train(vocab, n_merges, rewrite_last=False)
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "word_idx", "word"
+        ),
+    ).where(F.col("word").rlike(WORD_RE))
+    enc = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word", F.regexp_replace("word", "(.)", "{$1}").alias("repr")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for m in rounds:
+        enc = _rewrite(enc, m)
+    enc = enc.select("word", _syms().alias("syms"))
+    return words.join(enc, "word").select(
+        F.col(id_col),
+        F.col("word_idx").cast("long").alias("word_idx"),
+        F.posexplode("syms").alias("tok_idx", "token"),
+    ).select(
+        id_col,
+        "word_idx",
+        F.col("tok_idx").cast("long").alias("tok_idx"),
+        "token",
+    )
+
+
+def bpe_encode_oracle_sql(
+    n_merges: int = 6,
+    text_col: str = "text",
+    source: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bpe_encode`: the shared training rounds
+    (_bpe_rounds_parts), then the same k chained rewrites over the
+    distinct-word dictionary and one word join."""
+    k = int(n_merges)
+    if k < 1:
+        raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    parts = _bpe_rounds_parts(k, text_col, source, rewrite_last=False)
+    parts.append(
+        f""",
+wi AS (
+  SELECT {id_col},
+         generate_subscripts(string_split_regex(lower({text_col}), '\\s+'), 1)
+           - 1 AS word_idx,
+         unnest(string_split_regex(lower({text_col}), '\\s+')) AS word
+  FROM {source}
+),
+wf AS (SELECT {id_col}, word_idx, word FROM wi
+       WHERE regexp_full_match(word, '[!-z]+')),
+r0 AS (SELECT word, regexp_replace(word, '(.)', '{{\\1}}', 'g') AS repr
+       FROM (SELECT DISTINCT word FROM wf))"""
+    )
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+r{r} AS (
+  SELECT word,
+         CASE WHEN m.l IS NULL THEN v.repr
+              ELSE replace(v.repr, '{{' || m.l || '}}{{' || m.r || '}}',
+                                   '{{' || m.l || m.r || '}}') END AS repr
+  FROM r{r - 1} v LEFT JOIN m{r} m ON TRUE
+)"""
+        )
+    parts.append(
+        f""",
+enc AS (SELECT word,
+               string_split(substr(repr, 2, length(repr) - 2), '}}{{') AS syms
+        FROM r{k})
+SELECT wf.{id_col}, wf.word_idx::BIGINT AS word_idx,
+       generate_subscripts(e.syms, 1) - 1 AS tok_idx,
+       unnest(e.syms) AS token
+FROM wf JOIN enc e USING (word)
+"""
+    )
     return "".join(parts)
