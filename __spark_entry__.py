@@ -573,6 +573,32 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(_docs(spark, sf_dir), n_merges=6)
 
 
+def q_tokenized_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining assembly chain composed end-to-end: train
+    the BPE tokenizer on the corpus, encode every document, count each
+    document's REAL subword tokens, and concat-pack into capacity-128
+    context windows. Documents with zero in-alphabet words are absent
+    (nothing to pack). Uses pack_sequences' window twin — the packing
+    input is the bounded per-doc count table, not the corpus."""
+    from easyner_spark.operators.sampling import pack_sequences
+    from easyner_spark.operators.tokenizer import bpe_encode
+
+    enc = bpe_encode(_docs(spark, sf_dir), n_merges=6)
+    counts = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        counts, capacity=128, tokens_col="n_tokens", id_col="doc_id",
+        strategy="window",
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("seq_off").cast("long").alias("seq_off"),
+    )
+
+
 def q_kg_edge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge temporal lifecycle (first/last epoch, epoch count,
     new/stale/active status vs the latest crawl epoch) -- the diff
@@ -2326,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "bpe_encode": q_bpe_encode,
+        "tokenized_pack": q_tokenized_pack,
         "host_stats": q_host_stats,
         "host_skew": q_host_skew,
         "url_dedup": q_url_dedup,
@@ -3639,6 +3666,22 @@ FROM events GROUP BY event_type
         # Corpus encoded by its own trained tokenizer
         # (tokenizer.bpe_encode_oracle_sql — shared training rounds)
         "bpe_encode": bpe_encode_oracle_sql(n_merges=6),
+        # Full assembly chain: encode -> count -> concat-pack
+        "tokenized_pack": f"""
+WITH enc AS ({bpe_encode_oracle_sql(n_merges=6)}),
+counts AS (SELECT doc_id, count(*)::BIGINT AS n_tokens
+           FROM enc GROUP BY doc_id),
+c AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - n_tokens)::BIGINT AS start_tok
+  FROM counts
+)
+SELECT doc_id, n_tokens, start_tok,
+       (start_tok // 128)::BIGINT AS seq_id,
+       (start_tok % 128)::BIGINT AS seq_off
+FROM c
+""",
         "corpus_summary": f"""
 WITH per_doc AS ({stats_sql})
 SELECT count(*) AS n_docs,
