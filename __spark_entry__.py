@@ -1279,15 +1279,9 @@ def q_ner_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_doc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Page-level link graph with href RESOLUTION value-checked on
-    every branch (keep_external=True): absolute link to the next doc's
-    exact url, root-relative '/p/<did%100>' (in-corpus only when the
-    target doc shares the host), relative 'sub/page<k>' (resolves
-    against the /p/ base dir, always external), protocol-relative
-    (inherits the base scheme), mailto dropped."""
-    from easyner_spark.operators.webtext import doc_link_graph
-
+def _doclinks_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages synthesis for the page-graph queries (doc_links,
+    page_rank) — SQL twin: _DOCLINKS_PREFIX."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     did = F.col("doc_id")
     url = F.concat(
@@ -1315,8 +1309,19 @@ def q_doc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit("</body></html>"),
     ).cast("binary")
-    pages = d.select(url.alias("url"), html.alias("html"))
-    return doc_link_graph(pages, keep_external=True)
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def q_doc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level link graph with href RESOLUTION value-checked on
+    every branch (keep_external=True): absolute link to the next doc's
+    exact url, root-relative '/p/<did%100>' (in-corpus only when the
+    target doc shares the host), relative 'sub/page<k>' (resolves
+    against the /p/ base dir, always external), protocol-relative
+    (inherits the base scheme), mailto dropped."""
+    from easyner_spark.operators.webtext import doc_link_graph
+
+    return doc_link_graph(_doclinks_pages(spark, sf_dir), keep_external=True)
 
 
 def q_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1327,6 +1332,21 @@ def q_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _synth_url_pages(spark, sf_dir)
     return p.select("doc_id", "url", surt_key("url").alias("surt"))
+
+
+def q_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level PageRank over the in-corpus page graph (the
+    Common-Crawl page-rank product): href resolution -> membership
+    join -> fixed-iteration PageRank, composed from the same
+    operators the host-level host_rank uses."""
+    from easyner_spark.operators.graph import pagerank
+    from easyner_spark.operators.webtext import doc_link_graph
+
+    pages = _doclinks_pages(spark, sf_dir)
+    edges = doc_link_graph(pages).select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    )
+    return pagerank(edges, iters=3)
 
 
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2371,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_examples": q_ner_examples,
         "doc_links": q_doc_links,
         "surt_index": q_surt_index,
+        "page_rank": q_page_rank,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -3113,6 +3134,25 @@ els AS (SELECT src_url,
 pa AS (SELECT src_url,
               regexp_extract(el, 'href="([^"]*)"', 1) AS href
        FROM els)"""
+
+
+def _page_rank_oracle() -> str:
+    """q_page_rank oracle: the doc-link CTE chain continued by the
+    shared unrolled PageRank body over in-corpus edges."""
+    from easyner_spark.operators.webtext import doc_link_graph_oracle_sql
+
+    pages_sql = (
+        "SELECT 'https://site' || (doc_id % 37) || '.example.net/p/'"
+        " || doc_id AS url FROM documents"
+    )
+    return doc_link_graph_oracle_sql(
+        _DOCLINKS_PREFIX,
+        pages_sql,
+        final_sql=_pagerank_oracle_body(
+            e_sql="SELECT DISTINCT src_url AS src, dst_url AS dst"
+            " FROM flagged WHERE in_corpus"
+        ),
+    )
 
 
 def _surt_index_oracle() -> str:
@@ -4325,6 +4365,9 @@ FROM c
         "doc_links": _doc_links_oracle(),
         # SURT CDX index keys (webtext.surt_key_oracle_sql)
         "surt_index": _surt_index_oracle(),
+        # Doc-level PageRank over the in-corpus page graph
+        # (doc_link_graph oracle composing _pagerank_oracle_body)
+        "page_rank": _page_rank_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

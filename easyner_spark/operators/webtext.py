@@ -1044,11 +1044,18 @@ def doc_link_graph(
 
 
 def doc_link_graph_oracle_sql(
-    anchors_prefix: str, pages_sql: str, keep_external: bool = False
+    anchors_prefix: str,
+    pages_sql: str,
+    keep_external: bool = False,
+    final_sql: str | None = None,
 ) -> str:
     """DuckDB twin of doc_link_graph; `anchors_prefix` is a WITH chain
     whose last relation is pa(src_url, href, ...) carrying the page
-    url and raw href; `pages_sql` yields the corpus urls (url)."""
+    url and raw href; `pages_sql` yields the corpus urls (url).
+    `final_sql` replaces the default terminal SELECT so consumers can
+    keep composing CTEs over `flagged` (the page-PageRank oracle does;
+    it must start with ', ' or a SELECT — the _pagerank_oracle_body
+    composition contract)."""
     gate = "" if keep_external else "WHERE in_corpus"
     return f"""{anchors_prefix},
 res AS (
@@ -1080,10 +1087,10 @@ flagged AS (
   FROM res r LEFT JOIN corpus c USING (dst_url)
   WHERE r.dst_url IS NOT NULL
 )
-SELECT src_url, dst_url, in_corpus, count(*)::BIGINT AS n_links
+{final_sql if final_sql is not None else f'''SELECT src_url, dst_url, in_corpus, count(*)::BIGINT AS n_links
 FROM flagged {gate}
 GROUP BY src_url, dst_url, in_corpus
-"""
+'''}"""
 
 
 def surt_key(url: Column | str) -> Column:
