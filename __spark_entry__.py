@@ -1349,6 +1349,24 @@ def q_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=3)
 
 
+def q_crawl_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-epoch fetch-budget apportionment across hosts by page
+    count (Hamilton largest-remainder, exact integers): quotas sum to
+    the 10000-fetch budget exactly; the skewed hub host draws its
+    proportional share."""
+    from easyner_spark.operators.sampling import apportion_budget
+
+    p = _synth_url_pages(spark, sf_dir)
+    from easyner_spark.operators.webtext import _host_col
+
+    wts = (
+        p.select(_host_col(F.col("url")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    return apportion_budget(wts, budget=10_000)
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal burst detection over the NER mentions with epoch =
     doc_id % 5 (five synthetic crawl windows): is_burst is the pure-
@@ -2392,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_links": q_doc_links,
         "surt_index": q_surt_index,
         "page_rank": q_page_rank,
+        "crawl_quota": q_crawl_quota,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -3134,6 +3153,18 @@ els AS (SELECT src_url,
 pa AS (SELECT src_url,
               regexp_extract(el, 'href="([^"]*)"', 1) AS href
        FROM els)"""
+
+
+def _crawl_quota_oracle() -> str:
+    """q_crawl_quota oracle: per-host page counts from the skewed url
+    synthesis fed to the operator's module-local twin."""
+    from easyner_spark.operators.sampling import apportion_budget_oracle_sql
+
+    weights_sql = (
+        _URL_PAGES_CTE
+        + "SELECT host AS key, count(*)::BIGINT AS w FROM h GROUP BY host"
+    )
+    return apportion_budget_oracle_sql(weights_sql, budget=10_000)
 
 
 def _page_rank_oracle() -> str:
@@ -4368,6 +4399,9 @@ FROM c
         # Doc-level PageRank over the in-corpus page graph
         # (doc_link_graph oracle composing _pagerank_oracle_body)
         "page_rank": _page_rank_oracle(),
+        # Hamilton fetch-budget apportionment
+        # (sampling.apportion_budget_oracle_sql)
+        "crawl_quota": _crawl_quota_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

@@ -526,3 +526,113 @@ SELECT {id_col}, n_tokens, start_tok,
        (start_tok % {cap})::BIGINT AS seq_off
 FROM c
 """
+
+
+def apportion_budget(
+    weights: DataFrame,
+    budget: int,
+    key_col: str = "host",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split an integer
+    `budget` across groups proportionally to integer weights so the
+    quotas are integers and SUM EXACTLY to the budget — the primitive
+    behind per-host crawl-fetch allocation and per-language mixture
+    quotas ("give the next epoch's 10M fetches to hosts by priority").
+
+      floor_h = budget * w_h div W        (exact BIGINT, W = sum w)
+      leftover = budget - sum(floor_h)
+      quota_h = floor_h + 1 for the `leftover` largest remainders
+                (budget * w_h mod W), ties to the smaller key
+
+    Zero-weight groups get quota 0 (their remainder is 0 and ties
+    rank behind any positive remainder of the same value class only
+    among themselves — documented: they can still receive a +1 only
+    if every remainder is 0 and leftover > 0, which cannot happen
+    since leftover < groups_with_remainder... leftover == 0 when all
+    remainders are 0). Rows with NULL weight are treated as 0.
+
+    Scale shape: one global weight-sum (1 row, broadcast back), one
+    per-row floor/remainder projection, and the remainder rank — a
+    row_number over the GROUP table (hosts/languages: bounded,
+    millions not trillions — the documented bounded-SinglePartition
+    contract of length_quantiles; budgets are allocated over group
+    rollups, never raw pages). Everything BIGINT: budget * w must
+    stay under 2^63 — budgets and weights up to ~3e9 each are safe.
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    w = weights.select(
+        F.col(key_col).alias("key"),
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("w"),
+    )
+    tot = w.select(F.sum("w").alias("_W"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "w",
+        F.when(F.col("_W") > 0, F.expr(f"{int(budget)} * w div _W"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("floor_q"),
+        F.when(F.col("_W") > 0, F.pmod(F.lit(int(budget)) * F.col("w"), F.col("_W")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rem"),
+    )
+    ranked = base.withColumn(
+        "rr",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("key").asc())
+        ).cast("long"),
+    )
+    leftover = base.select(
+        (F.lit(int(budget)) - F.coalesce(F.sum("floor_q"), F.lit(0)))
+        .cast("long")
+        .alias("_left")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            F.col("key").alias(key_col),
+            F.col("w").alias(weight_col),
+            (
+                F.col("floor_q")
+                + F.when(
+                    (F.col("rr") <= F.col("_left")) & (F.col("rem") > 0),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+
+
+def apportion_budget_oracle_sql(
+    weights_sql: str, budget: int, key_col: str = "host"
+) -> str:
+    """DuckDB twin of apportion_budget; `weights_sql` must yield
+    (key, w) with w BIGINT (NULLs pre-coalesced or raw — coalesced
+    here too)."""
+    b = int(budget)
+    return f"""
+WITH wt AS (SELECT key, coalesce(w, 0)::BIGINT AS w FROM ({weights_sql})),
+tot AS (SELECT sum(w)::BIGINT AS tw FROM wt),
+base AS (
+  SELECT key, w,
+         CASE WHEN tw > 0 THEN {b} * w // tw ELSE 0 END::BIGINT AS floor_q,
+         CASE WHEN tw > 0 THEN ({b} * w) % tw ELSE 0 END::BIGINT AS rem
+  FROM wt CROSS JOIN tot
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, key ASC)::BIGINT AS rr
+  FROM base
+),
+lo AS (SELECT ({b} - coalesce(sum(floor_q), 0))::BIGINT AS leftover FROM base)
+SELECT key AS {key_col}, w AS weight,
+       (floor_q + CASE WHEN rr <= leftover AND rem > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS quota
+FROM ranked CROSS JOIN lo
+"""

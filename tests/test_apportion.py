@@ -1,0 +1,46 @@
+"""apportion_budget: Hamilton largest-remainder invariants."""
+
+import pytest
+
+from easyner_spark.operators.sampling import apportion_budget
+
+
+def _quotas(spark, rows, budget):
+    w = spark.createDataFrame(rows, "host string, weight long")
+    return {
+        r["host"]: r["quota"]
+        for r in apportion_budget(w, budget=budget).collect()
+    }
+
+
+def test_sums_exactly_and_largest_remainder(spark):
+    # weights 5,3,2 over budget 7: exact shares 3.5/2.1/1.4 ->
+    # floors 3/2/1 (sum 6), one leftover goes to the largest
+    # remainder (.5 -> a)
+    q = _quotas(spark, [("a", 5), ("b", 3), ("c", 2)], 7)
+    assert q == {"a": 4, "b": 2, "c": 1}
+    assert sum(q.values()) == 7
+
+
+def test_tie_break_and_zero_weight(spark):
+    # equal weights, budget not divisible: ties to the smaller key
+    q = _quotas(spark, [("b", 1), ("a", 1), ("c", 1)], 4)
+    assert sum(q.values()) == 4
+    assert q["a"] == 2 and q["b"] == 1 and q["c"] == 1
+    # zero-weight host gets exactly 0, never a leftover +1
+    q2 = _quotas(spark, [("a", 1), ("z", 0)], 3)
+    assert q2 == {"a": 3, "z": 0}
+
+
+def test_property_sums(spark):
+    rows = [(f"h{i}", (i * 7) % 13) for i in range(20)]
+    for budget in (0, 1, 17, 100, 9999):
+        q = _quotas(spark, rows, budget)
+        assert sum(q.values()) == budget
+        assert all(v >= 0 for v in q.values())
+
+
+def test_negative_budget_raises(spark):
+    w = spark.createDataFrame([("a", 1)], "host string, weight long")
+    with pytest.raises(ValueError):
+        apportion_budget(w, budget=-1)
