@@ -1337,16 +1337,13 @@ def q_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-level PageRank over the in-corpus page graph (the
     Common-Crawl page-rank product): href resolution -> membership
-    join -> fixed-iteration PageRank, composed from the same
-    operators the host-level host_rank uses."""
+    join -> fixed-iteration PageRank. Uses doc_link_edges (the
+    count-free edge path) so no n_links rollup shuffle is paid just
+    to be dropped."""
     from easyner_spark.operators.graph import pagerank
-    from easyner_spark.operators.webtext import doc_link_graph
+    from easyner_spark.operators.webtext import doc_link_edges
 
-    pages = _doclinks_pages(spark, sf_dir)
-    edges = doc_link_graph(pages).select(
-        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
-    )
-    return pagerank(edges, iters=3)
+    return pagerank(doc_link_edges(_doclinks_pages(spark, sf_dir)), iters=3)
 
 
 def q_crawl_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3626,6 +3623,7 @@ def oracle_sql() -> dict[str, str]:
         histogram_oracle_sql,
         linear_count_oracle_sql,
     )
+    from easyner_spark.operators.sampling import pack_sequences_oracle_sql
     from easyner_spark.operators.tokenizer import (
         bpe_encode_oracle_sql,
         bpe_merges_oracle_sql,
@@ -3737,22 +3735,17 @@ FROM events GROUP BY event_type
         # Corpus encoded by its own trained tokenizer
         # (tokenizer.bpe_encode_oracle_sql — shared training rounds)
         "bpe_encode": bpe_encode_oracle_sql(n_merges=6),
-        # Full assembly chain: encode -> count -> concat-pack
-        "tokenized_pack": f"""
-WITH enc AS ({bpe_encode_oracle_sql(n_merges=6)}),
-counts AS (SELECT doc_id, count(*)::BIGINT AS n_tokens
-           FROM enc GROUP BY doc_id),
-c AS (
-  SELECT doc_id, n_tokens,
-         (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-          - n_tokens)::BIGINT AS start_tok
-  FROM counts
-)
-SELECT doc_id, n_tokens, start_tok,
-       (start_tok // 128)::BIGINT AS seq_id,
-       (start_tok % 128)::BIGINT AS seq_off
-FROM c
-""",
+        # Full assembly chain: encode -> count -> concat-pack. The
+        # packing SQL is single-sourced from pack_sequences_oracle_sql
+        # (the encode counts ride in as its `source` subquery).
+        "tokenized_pack": pack_sequences_oracle_sql(
+            128,
+            tokens_expr="n_tokens",
+            source=f"""(
+  WITH enc AS ({bpe_encode_oracle_sql(n_merges=6)})
+  SELECT doc_id, count(*)::BIGINT AS n_tokens FROM enc GROUP BY doc_id
+) AS psrc""",
+        ),
         "corpus_summary": f"""
 WITH per_doc AS ({stats_sql})
 SELECT count(*) AS n_docs,

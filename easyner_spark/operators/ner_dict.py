@@ -235,7 +235,11 @@ def ner_examples(
     SAME token stream dict_ner matched on (TOKEN_RE contract), '' /
     absent context emitted as NULL on both engines (nullif-normalized
     so empty slices hash identically to the oracle's out-of-range
-    list_slice).
+    list_slice). Cross-engine caveat (inherited from the whole
+    dict-NER oracle family): Java's (?U)\\w is Unicode, RE2's \\w is
+    ASCII — the oracle contract holds on ASCII text; non-ASCII words
+    tokenize differently per engine (Spark behavior is the correct
+    one for a production corpus).
 
     This is the training-data product of the NER layer: the reference
     fine-tunes on hand-built corpora

@@ -545,12 +545,14 @@ def apportion_budget(
       quota_h = floor_h + 1 for the `leftover` largest remainders
                 (budget * w_h mod W), ties to the smaller key
 
-    Zero-weight groups get quota 0 (their remainder is 0 and ties
-    rank behind any positive remainder of the same value class only
-    among themselves — documented: they can still receive a +1 only
-    if every remainder is 0 and leftover > 0, which cannot happen
-    since leftover < groups_with_remainder... leftover == 0 when all
-    remainders are 0). Rows with NULL weight are treated as 0.
+    Zero-weight groups get quota 0, never a leftover +1 (leftover <
+    count(rem > 0) because sum(rem) = leftover * W, so the +1s always
+    land on positive remainders). NULL and NEGATIVE weights are both
+    clamped to 0 — negative priorities have no proportional meaning,
+    and Spark's pmod vs DuckDB's sign-of-dividend % would otherwise
+    rank them differently. The sums-exactly invariant holds whenever
+    W > 0; with all weights 0 there is nothing to apportion
+    proportionally and every quota is 0.
 
     Scale shape: one global weight-sum (1 row, broadcast back), one
     per-row floor/remainder projection, and the remainder rank — a
@@ -566,7 +568,9 @@ def apportion_budget(
         raise ValueError(f"budget must be >= 0: {budget}")
     w = weights.select(
         F.col(key_col).alias("key"),
-        F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("w"),
+        F.greatest(
+            F.lit(0), F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+        ).alias("w"),
     )
     tot = w.select(F.sum("w").alias("_W"))
     base = w.crossJoin(F.broadcast(tot)).select(
@@ -618,7 +622,8 @@ def apportion_budget_oracle_sql(
     here too)."""
     b = int(budget)
     return f"""
-WITH wt AS (SELECT key, coalesce(w, 0)::BIGINT AS w FROM ({weights_sql})),
+WITH wt AS (SELECT key, greatest(0, coalesce(w, 0))::BIGINT AS w
+            FROM ({weights_sql})),
 tot AS (SELECT sum(w)::BIGINT AS tw FROM wt),
 base AS (
   SELECT key, w,

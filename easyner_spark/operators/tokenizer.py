@@ -135,6 +135,11 @@ def _train(
             F.col("r").alias("right"),
             F.col("cnt").alias("pair_count"),
         )
+        # eager-checkpoint the 1-row rule: every consumer (the merges
+        # union, this loop's rewrite, bpe_encode's second rewrite
+        # chain) would otherwise recompute the round's vocab-wide
+        # pair aggregate
+        m = m.localCheckpoint(eager=True)
         rounds.append(m)
         merges = m if merges is None else merges.unionByName(m)
         if rank < n_merges or rewrite_last:

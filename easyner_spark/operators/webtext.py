@@ -1024,22 +1024,67 @@ def doc_link_graph(
     in-corpus membership is ONE url-keyed join against the distinct
     page-url table (uniform sha-like key — urls don't skew the way
     hosts do), then one (src,dst) rollup. No host-keyed shuffle at
-    all."""
-    a = extract_anchors(pages, html_col=html_col, url_col=url_col)
-    resolved = a.select(
-        F.col(url_col).alias("src_url"),
-        resolve_href(F.col(url_col), F.col("href")).alias("dst_url"),
-    ).where(F.col("dst_url").isNotNull())
-    corpus = pages.select(F.col(url_col).alias("dst_url")).distinct()
-    flagged = resolved.join(
-        corpus.withColumn("_in", F.lit(True)), "dst_url", "left"
-    ).select(
-        "src_url", "dst_url", F.coalesce(F.col("_in"), F.lit(False)).alias("in_corpus")
-    )
+    all.
+
+    NB: hrefs come from a raw element scan (ANCHOR_EL_RE), NOT from
+    extract_anchors — that operator's target-host filter would
+    silently drop relative links on pages whose url fails host
+    extraction, diverging from resolve_href (and from the oracle,
+    which classifies nothing by host). resolve_href itself NULLs the
+    scheme-ful junk (mailto:, javascript:)."""
+    flagged = _doc_link_flagged(pages, html_col, url_col)
     if not keep_external:
         flagged = flagged.where(F.col("in_corpus"))
     return flagged.groupBy("src_url", "dst_url", "in_corpus").agg(
         F.count(F.lit(1)).cast("long").alias("n_links")
+    )
+
+
+def _doc_link_flagged(
+    pages: DataFrame, html_col: str, url_col: str
+) -> DataFrame:
+    """(src_url, dst_url, in_corpus) pre-rollup edge stream shared by
+    doc_link_graph and doc_link_edges."""
+    els = pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(cast({html_col} as string),"
+                f" '{ANCHOR_EL_RE}', 0)"
+            )
+        ).alias("_el"),
+    )
+    hrefs = els.select(
+        "src_url",
+        F.regexp_extract(F.col("_el"), ANCHOR_HREF_RE, 1).alias("href"),
+    )
+    resolved = hrefs.select(
+        "src_url",
+        resolve_href(F.col("src_url"), F.col("href")).alias("dst_url"),
+    ).where(F.col("dst_url").isNotNull())
+    corpus = pages.select(F.col(url_col).alias("dst_url")).distinct()
+    return resolved.join(
+        corpus.withColumn("_in", F.lit(True)), "dst_url", "left"
+    ).select(
+        "src_url",
+        "dst_url",
+        F.coalesce(F.col("_in"), F.lit(False)).alias("in_corpus"),
+    )
+
+
+def doc_link_edges(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Distinct in-corpus (src, dst) page edges WITHOUT the link-count
+    rollup — the PageRank input path: skips doc_link_graph's counting
+    shuffle whose n_links a rank consumer would immediately drop."""
+    return (
+        _doc_link_flagged(pages, html_col, url_col)
+        .where(F.col("in_corpus"))
+        .select(F.col("src_url").alias("src"), F.col("dst_url").alias("dst"))
+        .distinct()
     )
 
 

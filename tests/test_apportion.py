@@ -27,9 +27,16 @@ def test_tie_break_and_zero_weight(spark):
     q = _quotas(spark, [("b", 1), ("a", 1), ("c", 1)], 4)
     assert sum(q.values()) == 4
     assert q["a"] == 2 and q["b"] == 1 and q["c"] == 1
-    # zero-weight host gets exactly 0, never a leftover +1
+    # zero-weight host gets exactly 0, never a leftover +1; negative
+    # and NULL weights clamp to 0 (documented contract)
     q2 = _quotas(spark, [("a", 1), ("z", 0)], 3)
     assert q2 == {"a": 3, "z": 0}
+    q3 = _quotas(spark, [("a", 6), ("b", 6), ("c", -5)], 3)
+    assert q3 == {"a": 2, "b": 1, "c": 0}
+    assert sum(q3.values()) == 3
+    # all-zero weights: nothing to apportion proportionally
+    q4 = _quotas(spark, [("a", 0), ("b", 0)], 10)
+    assert q4 == {"a": 0, "b": 0}
 
 
 def test_property_sums(spark):
