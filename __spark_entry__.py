@@ -1364,6 +1364,20 @@ def q_crawl_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apportion_budget(wts, budget=10_000)
 
 
+def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified eval-set selection: exactly 200 documents,
+    apportioned across languages proportionally (Hamilton quotas),
+    each stratum's rows chosen by smallest md5(doc_id) rank —
+    deterministic, seed-free, sums exactly (mixture_sample's ppm gate
+    is only right in expectation)."""
+    from easyner_spark.operators.sampling import stratified_sample_exact
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    return stratified_sample_exact(d, group_col="lang", total=200)
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal burst detection over the NER mentions with epoch =
     doc_id % 5 (five synthetic crawl windows): is_burst is the pure-
@@ -2408,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_index": q_surt_index,
         "page_rank": q_page_rank,
         "crawl_quota": q_crawl_quota,
+        "eval_split": q_eval_split,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -3150,6 +3165,16 @@ els AS (SELECT src_url,
 pa AS (SELECT src_url,
               regexp_extract(el, 'href="([^"]*)"', 1) AS href
        FROM els)"""
+
+
+def _eval_split_oracle() -> str:
+    """q_eval_split oracle: narrow documents projection fed to the
+    operator's module-local twin."""
+    from easyner_spark.operators.sampling import stratified_sample_oracle_sql
+
+    return stratified_sample_oracle_sql(
+        "SELECT doc_id, lang FROM documents", total=200
+    )
 
 
 def _crawl_quota_oracle() -> str:
@@ -4395,6 +4420,9 @@ FROM c
         # Hamilton fetch-budget apportionment
         # (sampling.apportion_budget_oracle_sql)
         "crawl_quota": _crawl_quota_oracle(),
+        # Exact stratified eval split
+        # (sampling.stratified_sample_oracle_sql)
+        "eval_split": _eval_split_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

@@ -641,3 +641,92 @@ SELECT key AS {key_col}, w AS weight,
          AS quota
 FROM ranked CROSS JOIN lo
 """
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    group_col: str,
+    total: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT stratified sampling: select exactly `total` rows (when
+    total <= N), apportioned across strata proportionally to their
+    sizes — the eval-set builder mixture_sample cannot be (its ppm
+    hash gate is probabilistic, right in expectation only). Per
+    stratum the quota comes from apportion_budget (Hamilton), and the
+    quota's rows are the stratum's smallest md5(key) ranks — a
+    deterministic, seed-free shuffle order, bit-stable across
+    engines/reruns/resumes like every sampler here. With total > N
+    every row is kept (quotas cap at stratum size by construction
+    when total <= N; document your budget).
+
+    Scale shape: one stratum-count rollup (bounded output), the
+    quota table broadcast back, and ONE row_number window PARTITIONED
+    by stratum — distributed, no SinglePartition (a stratum's rows
+    sort only among themselves). Output schema = input schema.
+    """
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    quotas = apportion_budget(
+        counts, budget=total, key_col="_g", weight_col="_n"
+    ).select(F.col("_g"), F.col("quota").alias("_q"))
+    from pyspark.sql import Window
+
+    ranked = df.withColumn(
+        "_rank",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                F.md5(F.col(key_col).cast("string")).asc(),
+                F.col(key_col).asc(),
+            )
+        ),
+    )
+    return (
+        ranked.join(
+            F.broadcast(quotas), ranked[group_col] == quotas["_g"], "left"
+        )
+        .where(F.col("_rank") <= F.coalesce(F.col("_q"), F.lit(0)))
+        .drop("_g", "_q", "_rank")
+    )
+
+
+def stratified_sample_oracle_sql(
+    rows_sql: str, total: int, group_col: str = "lang", key_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of stratified_sample_exact; `rows_sql` yields the
+    input rows (must include group_col and key_col)."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+counts AS (SELECT {group_col} AS key, count(*)::BIGINT AS w
+           FROM rows_in GROUP BY {group_col}),
+tot AS (SELECT sum(w)::BIGINT AS tw FROM counts),
+base AS (
+  SELECT key, w,
+         CASE WHEN tw > 0 THEN {int(total)} * w // tw ELSE 0 END::BIGINT AS floor_q,
+         CASE WHEN tw > 0 THEN ({int(total)} * w) % tw ELSE 0 END::BIGINT AS rem
+  FROM counts CROSS JOIN tot
+),
+rankedq AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, key ASC)::BIGINT AS rr
+  FROM base
+),
+lo AS (SELECT ({int(total)} - coalesce(sum(floor_q), 0))::BIGINT AS leftover
+       FROM base),
+quotas AS (
+  SELECT key AS g,
+         (floor_q + CASE WHEN rr <= leftover AND rem > 0 THEN 1 ELSE 0 END)
+           ::BIGINT AS q
+  FROM rankedq CROSS JOIN lo
+),
+rr AS (
+  SELECT rows_in.*,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY md5({key_col}::VARCHAR) ASC,
+                                     {key_col} ASC) AS rnk
+  FROM rows_in
+)
+SELECT rr.* EXCLUDE (rnk)
+FROM rr JOIN quotas ON rr.{group_col} = quotas.g
+WHERE rr.rnk <= quotas.q
+"""

@@ -51,3 +51,23 @@ def test_negative_budget_raises(spark):
     w = spark.createDataFrame([("a", 1)], "host string, weight long")
     with pytest.raises(ValueError):
         apportion_budget(w, budget=-1)
+
+
+def test_stratified_sample_exact(spark):
+    from easyner_spark.operators.sampling import stratified_sample_exact
+
+    rows = [(i, "en" if i < 80 else ("sv" if i < 95 else "de"))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample_exact(df, group_col="lang", total=20).collect()
+    assert len(out) == 20  # exact, not in-expectation
+    by_lang = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    # proportional quotas: 80/15/5 of 100 -> 16/3/1
+    assert by_lang == {"en": 16, "sv": 3, "de": 1}
+    # determinism: same rows on a second run
+    out2 = stratified_sample_exact(df, group_col="lang", total=20).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # total > N keeps everything
+    assert stratified_sample_exact(df, group_col="lang", total=500).count() == 100
