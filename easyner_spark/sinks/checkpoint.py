@@ -139,6 +139,16 @@ class SnapshotTable:
             return None
         return spark.read.parquet(self._snap_dir(snap))
 
+    def read_snapshot(self, spark: SparkSession, snap: int) -> DataFrame:
+        """Time-travel read: any retained snapshot by id, WITHOUT
+        moving the pointer (Iceberg's VERSION AS OF) — the debugging /
+        diff read rollback() is too destructive for ("what did the
+        edges table look like before epoch 7 merged?"). Compose with
+        history() to diff consecutive snapshots."""
+        if snap not in self.history():
+            raise ValueError(f"unknown snapshot {snap}; have {self.history()}")
+        return spark.read.parquet(self._snap_dir(snap))
+
     def merge(self, df: DataFrame) -> int:
         """Last-wins upsert of df into the table; returns the new
         snapshot id. New rows beat current rows on key_cols."""

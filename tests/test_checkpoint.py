@@ -239,3 +239,18 @@ class TestRollbackRestoresEpoch:
         t.rollback(s1)
         assert t.current_epoch() is None
         assert t.current_snapshot() == s1
+
+    def test_time_travel_read(self, spark, tmp_table):
+        import pytest
+
+        t = tmp_table("tt", ["k"])
+        s1 = t.merge(spark.createDataFrame([("a", 1)], "k string, v int"))
+        s2 = t.merge(spark.createDataFrame([("a", 2)], "k string, v int"))
+        # historical snapshot readable without moving the pointer
+        assert {r.k: r.v for r in t.read_snapshot(spark, s1).collect()} == {
+            "a": 1
+        }
+        assert t.current_snapshot() == s2
+        assert {r.k: r.v for r in t.read(spark).collect()} == {"a": 2}
+        with pytest.raises(ValueError):
+            t.read_snapshot(spark, 999)
