@@ -1364,6 +1364,28 @@ def q_crawl_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apportion_budget(wts, budget=10_000)
 
 
+def q_polite_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-capped fetch allocation over the skewed hosts: the
+    hub host (30% of pages) declares Crawl-delay 2s, so its Hamilton
+    share clips to 1800 fetches/hour and the surplus shows up in
+    `clipped` (next epoch's carry); every 7th tail host declares 30s."""
+    from easyner_spark.operators.sampling import polite_quota
+    from easyner_spark.operators.webtext import _host_col
+
+    p = _synth_url_pages(spark, sf_dir)
+    wts = (
+        p.select(_host_col(F.col("url")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    delays = spark.createDataFrame(
+        [("hub.example.com", 2)]
+        + [(f"site{i}.example.net", 30) for i in range(0, 37, 7)],
+        "host string, crawl_delay_s long",
+    )
+    return polite_quota(wts, delays, budget=10_000, epoch_seconds=3600)
+
+
 def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact stratified eval-set selection: exactly 200 documents,
     apportioned across languages proportionally (Hamilton quotas),
@@ -2423,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_rank": q_page_rank,
         "crawl_quota": q_crawl_quota,
         "eval_split": q_eval_split,
+        "polite_quota": q_polite_quota,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -3165,6 +3188,27 @@ els AS (SELECT src_url,
 pa AS (SELECT src_url,
               regexp_extract(el, 'href="([^"]*)"', 1) AS href
        FROM els)"""
+
+
+def _polite_quota_oracle() -> str:
+    """q_polite_quota oracle: host page counts + literal delay rows
+    fed to the operator's module-local twin."""
+    from easyner_spark.operators.sampling import polite_quota_oracle_sql
+
+    weights_sql = (
+        _URL_PAGES_CTE
+        + "SELECT host AS key, count(*)::BIGINT AS w FROM h GROUP BY host"
+    )
+    vals = ", ".join(
+        ["('hub.example.com', 2)"]
+        + [f"('site{i}.example.net', 30)" for i in range(0, 37, 7)]
+    )
+    delays_sql = (
+        f"SELECT * FROM (VALUES {vals}) AS t(key, delay_s)"
+    )
+    return polite_quota_oracle_sql(
+        weights_sql, delays_sql, budget=10_000, epoch_seconds=3600
+    )
 
 
 def _eval_split_oracle() -> str:
@@ -4423,6 +4467,8 @@ FROM c
         # Exact stratified eval split
         # (sampling.stratified_sample_oracle_sql)
         "eval_split": _eval_split_oracle(),
+        # Crawl-delay-capped quotas (sampling.polite_quota_oracle_sql)
+        "polite_quota": _polite_quota_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

@@ -730,3 +730,80 @@ SELECT rr.* EXCLUDE (rnk)
 FROM rr JOIN quotas ON rr.{group_col} = quotas.g
 WHERE rr.rnk <= quotas.q
 """
+
+
+def polite_quota(
+    weights: DataFrame,
+    delays: DataFrame,
+    budget: int,
+    epoch_seconds: int = 3600,
+    key_col: str = "host",
+    weight_col: str = "weight",
+    delay_col: str = "crawl_delay_s",
+) -> DataFrame:
+    """Politeness-capped fetch allocation: the Hamilton share
+    (apportion_budget) clipped per host to what its robots.txt
+    Crawl-delay permits inside one epoch — quota_polite =
+    least(quota, epoch_seconds div crawl_delay_s). Hosts without a
+    delay row are uncapped (delay 0 = no politeness ceiling). The
+    clipped surplus is NOT redistributed (a second Hamilton pass over
+    uncapped hosts would oscillate with caps; crawl schedulers roll
+    surplus into the next epoch instead — documented contract, the
+    emitted `clipped` column is next epoch's carry signal).
+
+    All BIGINT (integer div). One broadcast-small delay join on top of
+    apportion_budget's shape.
+    """
+    if epoch_seconds < 1:
+        raise ValueError(f"epoch_seconds must be >= 1: {epoch_seconds}")
+    q = apportion_budget(
+        weights, budget=budget, key_col=key_col, weight_col=weight_col
+    )
+    d = delays.select(
+        F.col(key_col).alias("_dk"),
+        F.greatest(
+            F.lit(0), F.coalesce(F.col(delay_col).cast("long"), F.lit(0))
+        ).alias("_delay"),
+    )
+    j = q.join(F.broadcast(d), q[key_col] == d["_dk"], "left")
+    ceiling = F.when(
+        F.coalesce(F.col("_delay"), F.lit(0)) > 0,
+        F.expr(f"{int(epoch_seconds)} div _delay"),
+    ).otherwise(F.lit(None)).cast("long")
+    polite = F.least(F.col("quota"), F.coalesce(ceiling, F.col("quota")))
+    return j.select(
+        F.col(key_col),
+        F.col(weight_col),
+        F.col("quota"),
+        F.coalesce(ceiling, F.lit(-1)).cast("long").alias("max_fetches"),
+        polite.cast("long").alias("quota_polite"),
+        (F.col("quota") - polite).cast("long").alias("clipped"),
+    )
+
+
+def polite_quota_oracle_sql(
+    weights_sql: str,
+    delays_sql: str,
+    budget: int,
+    epoch_seconds: int = 3600,
+    key_col: str = "host",
+) -> str:
+    """DuckDB twin of polite_quota; `weights_sql` yields (key, w),
+    `delays_sql` yields (key, delay_s)."""
+    inner = apportion_budget_oracle_sql(weights_sql, budget, key_col=key_col)
+    return f"""
+WITH q AS ({inner}),
+d AS (SELECT key AS dk, greatest(0, coalesce(delay_s, 0))::BIGINT AS delay
+      FROM ({delays_sql})),
+j AS (
+  SELECT q.*,
+         CASE WHEN coalesce(d.delay, 0) > 0
+              THEN {int(epoch_seconds)} // d.delay END AS ceiling
+  FROM q LEFT JOIN d ON q.{key_col} = d.dk
+)
+SELECT {key_col}, weight, quota,
+       coalesce(ceiling, -1)::BIGINT AS max_fetches,
+       least(quota, coalesce(ceiling, quota))::BIGINT AS quota_polite,
+       (quota - least(quota, coalesce(ceiling, quota)))::BIGINT AS clipped
+FROM j
+"""

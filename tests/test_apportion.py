@@ -71,3 +71,30 @@ def test_stratified_sample_exact(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
     # total > N keeps everything
     assert stratified_sample_exact(df, group_col="lang", total=500).count() == 100
+
+
+def test_polite_quota_caps_and_carry(spark):
+    from easyner_spark.operators.sampling import polite_quota
+
+    w = spark.createDataFrame(
+        [("big.com", 90), ("mid.org", 9), ("tail.net", 1)],
+        "host string, weight long",
+    )
+    d = spark.createDataFrame(
+        [("big.com", 2), ("tail.net", 0)],  # 0 = no ceiling
+        "host string, crawl_delay_s long",
+    )
+    got = {
+        r["host"]: r
+        for r in polite_quota(w, d, budget=10_000, epoch_seconds=3600).collect()
+    }
+    big = got["big.com"]
+    assert big["quota"] == 9000
+    assert big["max_fetches"] == 1800  # 3600 // 2
+    assert big["quota_polite"] == 1800
+    assert big["clipped"] == 7200  # surplus carries, not redistributed
+    mid = got["mid.org"]
+    assert mid["max_fetches"] == -1 and mid["quota_polite"] == mid["quota"]
+    tail = got["tail.net"]
+    assert tail["max_fetches"] == -1  # delay 0 = uncapped
+    assert tail["clipped"] == 0
