@@ -1386,6 +1386,38 @@ def q_polite_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polite_quota(wts, delays, budget=10_000, epoch_seconds=3600)
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing over 13 synthetic hosts: named-agent blocks
+    dropped, '*' block kept, comments stripped (incl. trailing),
+    case-insensitive directive names, empty Disallow no-op dropped,
+    Crawl-delay captured — the raw-bytes front of the politeness
+    chain (parse -> robots_verdict -> polite_quota)."""
+    from easyner_spark.operators.webtext import parse_robots
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    h = (did % 13).cast("string")
+    body = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# robots for host "), h),
+        F.lit("User-agent: Googlebot"),
+        F.lit("Disallow: /private"),
+        F.lit("User-agent: *"),
+        F.concat(F.lit("Disallow: /tmp"), h),
+        F.concat(F.lit("Allow: /tmp"), h, F.lit("/ok   # carve-out")),
+        F.concat(F.lit("Crawl-delay: "), ((did % 13) + 1).cast("string")),
+        F.lit("Disallow:"),
+        F.concat(F.lit("DISALLOW: /x"), ((did % 13) % 3).cast("string")),
+    )
+    robots = d.where(did < 13).select(
+        F.concat(F.lit("https://r"), h, F.lit(".example.org/robots.txt")).alias(
+            "url"
+        ),
+        body.alias("robots_txt"),
+    )
+    return parse_robots(robots)
+
+
 def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact stratified eval-set selection: exactly 200 documents,
     apportioned across languages proportionally (Hamilton quotas),
@@ -2446,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_quota": q_crawl_quota,
         "eval_split": q_eval_split,
         "polite_quota": q_polite_quota,
+        "robots_parse": q_robots_parse,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -3188,6 +3221,26 @@ els AS (SELECT src_url,
 pa AS (SELECT src_url,
               regexp_extract(el, 'href="([^"]*)"', 1) AS href
        FROM els)"""
+
+
+def _robots_parse_oracle() -> str:
+    """q_robots_parse oracle: the synthetic robots.txt bodies fed to
+    the operator's module-local twin."""
+    from easyner_spark.operators.webtext import parse_robots_oracle_sql
+
+    robots_sql = """SELECT
+    'https://r' || (doc_id % 13) || '.example.org/robots.txt' AS url,
+    '# robots for host ' || (doc_id % 13)
+    || chr(10) || 'User-agent: Googlebot'
+    || chr(10) || 'Disallow: /private'
+    || chr(10) || 'User-agent: *'
+    || chr(10) || 'Disallow: /tmp' || (doc_id % 13)
+    || chr(10) || 'Allow: /tmp' || (doc_id % 13) || '/ok   # carve-out'
+    || chr(10) || 'Crawl-delay: ' || ((doc_id % 13) + 1)
+    || chr(10) || 'Disallow:'
+    || chr(10) || 'DISALLOW: /x' || ((doc_id % 13) % 3) AS robots_txt
+  FROM documents WHERE doc_id < 13"""
+    return parse_robots_oracle_sql(robots_sql)
 
 
 def _polite_quota_oracle() -> str:
@@ -4469,6 +4522,8 @@ FROM c
         "eval_split": _eval_split_oracle(),
         # Crawl-delay-capped quotas (sampling.polite_quota_oracle_sql)
         "polite_quota": _polite_quota_oracle(),
+        # robots.txt parsing (webtext.parse_robots_oracle_sql)
+        "robots_parse": _robots_parse_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

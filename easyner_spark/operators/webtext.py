@@ -1176,3 +1176,118 @@ def surt_key_oracle_sql(url_expr: str) -> str:
         f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
         f" || ')' || {path}"
     )
+
+
+def parse_robots(
+    robots: DataFrame,
+    url_col: str = "url",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """robots.txt parser: raw fetched text -> the rules table
+    robots_verdict / polite_quota consume — (host, directive, value,
+    line_no) with directive in {'allow', 'disallow', 'crawl_delay'}.
+    Closes the politeness ring end-to-end: parse -> verdict -> quota.
+
+    Contract (documented simplifications vs RFC 9309 grouping):
+      * a rule line is governed by the MOST RECENT User-agent line
+        above it; only '*' groups are kept (a generic crawler — named
+        agents out of scope). NB: in a multi-UA group header
+        ('User-agent: *' then 'User-agent: x' then rules) RFC shares
+        the rules with BOTH agents; here the nearest UA wins, so such
+        rules attach to 'x' and are dropped.
+      * '#' comments stripped, lines trimmed, directive names
+        lowercased ('Crawl-delay' -> 'crawl_delay');
+      * empty-value Allow/Disallow lines are RFC no-ops ('Disallow:'
+        = allow everything) and are dropped — absence of a rule IS
+        allowed-by-default downstream;
+      * crawl_delay keeps its raw value string (caller casts; a
+        malformed delay should be a visible cast failure, not a
+        silent drop).
+
+    Scale shape: line explode is scan-fused; the governing-UA
+    resolution is ONE window partitioned by host ordered by line
+    number (a robots.txt is a few KB — a host's lines always fit one
+    reducer), then a pure filter. No other shuffle.
+    """
+    from pyspark.sql import Window
+
+    host = _host_col(F.col(url_col))
+    lines = robots.select(
+        host.alias("host"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("line_no", "_raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("_raw"), r"#.*$", ""))
+    parsed = lines.select(
+        "host",
+        F.col("line_no").cast("long").alias("line_no"),
+        F.lower(
+            F.trim(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1))
+        ).alias("_name"),
+        F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "_value"
+        ),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    governed = parsed.withColumn(
+        "_ua",
+        F.last(
+            F.when(F.col("_name") == "user-agent", F.col("_value")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        governed.where(
+            (F.col("_ua") == "*")
+            & F.col("_name").isin("allow", "disallow", "crawl-delay")
+            & (F.col("_value") != "")
+        )
+        .select(
+            "host",
+            F.replace(F.col("_name"), F.lit("-"), F.lit("_")).alias(
+                "directive"
+            ),
+            F.col("_value").alias("value"),
+            "line_no",
+        )
+    )
+
+
+def parse_robots_oracle_sql(robots_sql: str) -> str:
+    """DuckDB twin of parse_robots; `robots_sql` yields
+    (url, robots_txt)."""
+    return f"""
+WITH src AS ({robots_sql}),
+lines AS (
+  SELECT regexp_replace(lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':\\d+$', '') AS host,
+         generate_subscripts(string_split(robots_txt, chr(10)), 1) - 1
+           AS line_no,
+         unnest(string_split(robots_txt, chr(10))) AS raw
+  FROM src
+),
+parsed AS (
+  SELECT host, line_no::BIGINT AS line_no,
+         lower(trim(regexp_extract(
+           trim(regexp_replace(raw, '#.*$', '')), '^([A-Za-z-]+)\\s*:', 1)))
+           AS name,
+         trim(regexp_extract(
+           trim(regexp_replace(raw, '#.*$', '')),
+           '^[A-Za-z-]+\\s*:(.*)$', 1)) AS value
+  FROM lines
+),
+governed AS (
+  SELECT *,
+         last_value(CASE WHEN name = 'user-agent' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY host ORDER BY line_no
+                 ROWS UNBOUNDED PRECEDING) AS ua
+  FROM parsed
+)
+SELECT host, replace(name, '-', '_') AS directive, value, line_no
+FROM governed
+WHERE ua = '*' AND name IN ('allow', 'disallow', 'crawl-delay')
+  AND value != ''
+"""

@@ -1,6 +1,8 @@
 """robots_verdict / robots_filter: RFC 9309 longest-match semantics
 pinned on a closed rule set."""
 
+from pyspark.sql import functions as F
+
 from easyner_spark.operators.webtext import robots_filter, robots_verdict
 
 RULES = [
@@ -57,3 +59,63 @@ def test_filter_gate(spark):
         r["url"] for r in robots_filter(pages, rules, keep_disallowed=True).collect()
     }
     assert dropped == {u for u, v in PAGES if v == "disallowed"}
+
+
+def test_parse_robots(spark):
+    from easyner_spark.operators.webtext import parse_robots
+
+    body = "\n".join(
+        [
+            "# top comment",
+            "User-agent: Googlebot",
+            "Disallow: /g-only",
+            "User-agent: *",
+            "disallow: /a   # trailing comment",
+            "ALLOW: /a/ok",
+            "Crawl-delay: 5",
+            "Disallow:",            # empty -> RFC no-op, dropped
+            "not a directive line",
+            "User-agent: OtherBot",
+            "Disallow: /other",     # governed by OtherBot -> dropped
+        ]
+    )
+    df = spark.createDataFrame(
+        [("https://A.com:8080/robots.txt", body)],
+        "url string, robots_txt string",
+    )
+    got = {
+        (r["directive"], r["value"]) for r in parse_robots(df).collect()
+    }
+    assert got == {
+        ("disallow", "/a"),
+        ("allow", "/a/ok"),
+        ("crawl_delay", "5"),
+    }
+    hosts = {r["host"] for r in parse_robots(df).collect()}
+    assert hosts == {"a.com"}  # lowered, port-stripped
+
+
+def test_parse_feeds_verdict(spark):
+    """End-to-end politeness chain: raw text -> rules -> verdict."""
+    from easyner_spark.operators.webtext import parse_robots, robots_verdict
+
+    df = spark.createDataFrame(
+        [
+            (
+                "https://a.com/robots.txt",
+                "User-agent: *\nDisallow: /p\nAllow: /p/open",
+            )
+        ],
+        "url string, robots_txt string",
+    )
+    rules = parse_robots(df).select(
+        "host", "directive", F.col("value").alias("path_prefix")
+    ).where(F.col("directive").isin("allow", "disallow"))
+    pages = spark.createDataFrame(
+        [("https://a.com/p/x",), ("https://a.com/p/open/y",)], "url string"
+    )
+    got = {r["url"]: r["verdict"] for r in robots_verdict(pages, rules).collect()}
+    assert got == {
+        "https://a.com/p/x": "disallowed",
+        "https://a.com/p/open/y": "allowed",
+    }
