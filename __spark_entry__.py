@@ -1418,6 +1418,37 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_robots(robots)
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing over multi-line XML bodies: one entry with
+    lastmod, one without, one spec-invalid (no <loc>, dropped) —
+    block-wise matching so lastmod never leaks across entries."""
+    from easyner_spark.operators.webtext import sitemap_parse
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    h = (did % 11).cast("string")
+    xml = F.concat(
+        F.lit("<urlset>\n<url>\n  <loc>https://s"),
+        h,
+        F.lit(".example.org/p/"),
+        did.cast("string"),
+        F.lit("</loc>\n  <lastmod>2026-0"),
+        ((did % 9) + 1).cast("string"),
+        F.lit("-01</lastmod>\n</url>\n<url><loc>https://s"),
+        h,
+        F.lit(".example.org/q/"),
+        (did * 3).cast("string"),
+        F.lit("</loc></url>\n<url><lastmod>2026-01-01</lastmod></url>\n</urlset>"),
+    )
+    sitemaps = d.select(
+        F.concat(F.lit("https://s"), h, F.lit(".example.org/sitemap.xml")).alias(
+            "url"
+        ),
+        xml.alias("sitemap_xml"),
+    )
+    return sitemap_parse(sitemaps)
+
+
 def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact stratified eval-set selection: exactly 200 documents,
     apportioned across languages proportionally (Hamilton quotas),
@@ -2479,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_split": q_eval_split,
         "polite_quota": q_polite_quota,
         "robots_parse": q_robots_parse,
+        "sitemap_urls": q_sitemap_urls,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -3221,6 +3253,26 @@ els AS (SELECT src_url,
 pa AS (SELECT src_url,
               regexp_extract(el, 'href="([^"]*)"', 1) AS href
        FROM els)"""
+
+
+def _sitemap_urls_oracle() -> str:
+    """q_sitemap_urls oracle: the synthetic multi-line sitemap bodies
+    fed to the operator's module-local twin."""
+    from easyner_spark.operators.webtext import sitemap_parse_oracle_sql
+
+    sitemaps_sql = """SELECT
+    'https://s' || (doc_id % 11) || '.example.org/sitemap.xml' AS url,
+    '<urlset>' || chr(10) || '<url>' || chr(10)
+    || '  <loc>https://s' || (doc_id % 11) || '.example.org/p/' || doc_id
+    || '</loc>' || chr(10)
+    || '  <lastmod>2026-0' || ((doc_id % 9) + 1) || '-01</lastmod>'
+    || chr(10) || '</url>' || chr(10)
+    || '<url><loc>https://s' || (doc_id % 11) || '.example.org/q/'
+    || (doc_id * 3) || '</loc></url>' || chr(10)
+    || '<url><lastmod>2026-01-01</lastmod></url>' || chr(10)
+    || '</urlset>' AS sitemap_xml
+  FROM documents"""
+    return sitemap_parse_oracle_sql(sitemaps_sql)
 
 
 def _robots_parse_oracle() -> str:
@@ -4524,6 +4576,8 @@ FROM c
         "polite_quota": _polite_quota_oracle(),
         # robots.txt parsing (webtext.parse_robots_oracle_sql)
         "robots_parse": _robots_parse_oracle(),
+        # Sitemap parsing (webtext.sitemap_parse_oracle_sql)
+        "sitemap_urls": _sitemap_urls_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

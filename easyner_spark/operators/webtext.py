@@ -1291,3 +1291,89 @@ FROM governed
 WHERE ua = '*' AND name IN ('allow', 'disallow', 'crawl-delay')
   AND value != ''
 """
+
+
+# Sitemap element patterns (crawl-grade: standard sitemap.xml emits
+# one <loc>/<lastmod> per <url> block; shared with the oracle).
+SITEMAP_URL_RE = r"<url>[\s\S]*?</url>"  # [\s\S] crosses newlines in Java AND RE2
+SITEMAP_LOC_RE = r"<loc>([^<]*)</loc>"
+SITEMAP_LASTMOD_RE = r"<lastmod>([^<]*)</lastmod>"
+
+
+def sitemap_parse(
+    sitemaps: DataFrame,
+    url_col: str = "url",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Sitemap parser — the crawl-discovery source next to link
+    extraction: (sitemap_url, loc, lastmod) per <url> entry, lastmod
+    NULL when absent. <url> blocks are matched whole then loc/lastmod
+    pulled per block, so a lastmod can never attach to a neighboring
+    entry (the same element-then-attribute pattern extract_anchors
+    uses). Entries without a <loc> are dropped (spec-invalid).
+
+    Feed `sitemap_frontier` to get the urls a crawler hasn't fetched
+    yet; join lastmod against the corpus's warc_ts for recrawl
+    scheduling (the crawl_delta change signal, announced instead of
+    measured).
+
+    Scale shape: one regexp_extract_all + posexplode per sitemap —
+    scan-fused, fan-out bounded by entries-per-sitemap (spec caps at
+    50k); zero shuffle."""
+    blocks = sitemaps.select(
+        F.col(url_col).alias("sitemap_url"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(cast({xml_col} as string),"
+                f" r'{SITEMAP_URL_RE}', 0)"  # r'': keep \s\S literal
+            )
+        ).alias("_b"),
+    )
+    return blocks.select(
+        "sitemap_url",
+        F.nullif(
+            F.regexp_extract(F.col("_b"), SITEMAP_LOC_RE, 1), F.lit("")
+        ).alias("loc"),
+        F.nullif(
+            F.regexp_extract(F.col("_b"), SITEMAP_LASTMOD_RE, 1), F.lit("")
+        ).alias("lastmod"),
+    ).where(F.col("loc").isNotNull())
+
+
+def sitemap_frontier(
+    sitemaps: DataFrame,
+    pages: DataFrame,
+    url_col: str = "url",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Announced-but-unfetched urls: sitemap locs anti-joined against
+    the corpus — the discovery feed a crawl scheduler merges with the
+    link-graph frontier (doc_link_graph keep_external). One uniform
+    url-keyed anti-join; locs dedup first so a url announced by many
+    sitemaps enqueues once (smallest announcing sitemap_url wins,
+    deterministic)."""
+    locs = (
+        sitemap_parse(sitemaps, url_col=url_col, xml_col=xml_col)
+        .groupBy("loc")
+        .agg(F.min("sitemap_url").alias("sitemap_url"))
+    )
+    corpus = pages.select(F.col(url_col).alias("loc")).distinct()
+    return locs.join(corpus, "loc", "left_anti").select("sitemap_url", "loc")
+
+
+def sitemap_parse_oracle_sql(sitemaps_sql: str) -> str:
+    """DuckDB twin of sitemap_parse; `sitemaps_sql` yields
+    (url, sitemap_xml)."""
+    return f"""
+WITH src AS ({sitemaps_sql}),
+blocks AS (
+  SELECT url AS sitemap_url,
+         unnest(regexp_extract_all(sitemap_xml, '<url>[\\s\\S]*?</url>', 0)) AS b
+  FROM src
+)
+SELECT sitemap_url,
+       nullif(regexp_extract(b, '<loc>([^<]*)</loc>', 1), '') AS loc,
+       nullif(regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
+FROM blocks
+WHERE nullif(regexp_extract(b, '<loc>([^<]*)</loc>', 1), '') IS NOT NULL
+"""

@@ -1,0 +1,45 @@
+"""sitemap_parse / sitemap_frontier: block-wise extraction and the
+announced-but-unfetched anti-join."""
+
+from easyner_spark.operators.webtext import sitemap_frontier, sitemap_parse
+
+XML = """<?xml version="1.0"?>
+<urlset>
+  <url>
+    <loc>https://a.com/p/1</loc>
+    <lastmod>2026-01-05</lastmod>
+  </url>
+  <url><loc>https://a.com/p/2</loc></url>
+  <url><lastmod>2026-02-02</lastmod></url>
+</urlset>"""
+
+
+def test_parse_blocks(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/sitemap.xml", XML)], "url string, sitemap_xml string"
+    )
+    got = {
+        r["loc"]: r["lastmod"] for r in sitemap_parse(df).collect()
+    }
+    # lastmod attaches only to ITS block; loc-less entry dropped
+    assert got == {"https://a.com/p/1": "2026-01-05", "https://a.com/p/2": None}
+
+
+def test_frontier_anti_join(spark):
+    sm = spark.createDataFrame(
+        [
+            ("https://a.com/sitemap.xml", XML),
+            # second sitemap announces p/2 as well: dedup to one row
+            (
+                "https://a.com/sitemap2.xml",
+                "<urlset><url><loc>https://a.com/p/2</loc></url></urlset>",
+            ),
+        ],
+        "url string, sitemap_xml string",
+    )
+    pages = spark.createDataFrame([("https://a.com/p/1",)], "url string")
+    got = {
+        r["loc"]: r["sitemap_url"] for r in sitemap_frontier(sm, pages).collect()
+    }
+    # p/1 already fetched; p/2 announced twice -> once, min sitemap wins
+    assert got == {"https://a.com/p/2": "https://a.com/sitemap.xml"}
