@@ -1449,6 +1449,36 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_parse(sitemaps)
 
 
+def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots directives over five content variants:
+    absent tag, 'noindex', mixed-case 'NOINDEX, nofollow', 'none'
+    (= both), and an explicit 'index, follow'."""
+    from easyner_spark.operators.webtext import meta_robots
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    content = (
+        F.when(did % 5 == 1, F.lit('<meta name="robots" content="noindex">'))
+        .when(
+            did % 5 == 2,
+            F.lit('<meta name="robots" content="NOINDEX, nofollow">'),
+        )
+        .when(did % 5 == 3, F.lit('<meta name="robots" content="none">'))
+        .when(
+            did % 5 == 4,
+            F.lit('<meta name="robots" content="index, follow">'),
+        )
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        F.concat(F.lit("<html><head>"), content, F.lit("</head></html>"))
+        .cast("binary")
+        .alias("html"),
+    )
+    return meta_robots(pages)
+
+
 def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact stratified eval-set selection: exactly 200 documents,
     apportioned across languages proportionally (Hamilton quotas),
@@ -2511,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polite_quota": q_polite_quota,
         "robots_parse": q_robots_parse,
         "sitemap_urls": q_sitemap_urls,
+        "meta_robots": q_meta_robots,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -3253,6 +3284,27 @@ els AS (SELECT src_url,
 pa AS (SELECT src_url,
               regexp_extract(el, 'href="([^"]*)"', 1) AS href
        FROM els)"""
+
+
+def _meta_robots_oracle() -> str:
+    """q_meta_robots oracle: the five-variant synthesis fed to the
+    operator's module-local twin."""
+    from easyner_spark.operators.webtext import meta_robots_oracle_sql
+
+    pages_sql = """SELECT 'u' || doc_id AS url,
+    '<html><head>'
+    || (CASE WHEN doc_id % 5 = 1
+             THEN '<meta name="robots" content="noindex">'
+             WHEN doc_id % 5 = 2
+             THEN '<meta name="robots" content="NOINDEX, nofollow">'
+             WHEN doc_id % 5 = 3
+             THEN '<meta name="robots" content="none">'
+             WHEN doc_id % 5 = 4
+             THEN '<meta name="robots" content="index, follow">'
+             ELSE '' END)
+    || '</head></html>' AS html
+  FROM documents"""
+    return meta_robots_oracle_sql(pages_sql)
 
 
 def _sitemap_urls_oracle() -> str:
@@ -4578,6 +4630,8 @@ FROM c
         "robots_parse": _robots_parse_oracle(),
         # Sitemap parsing (webtext.sitemap_parse_oracle_sql)
         "sitemap_urls": _sitemap_urls_oracle(),
+        # Page-level robots directives (webtext.meta_robots_oracle_sql)
+        "meta_robots": _meta_robots_oracle(),
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

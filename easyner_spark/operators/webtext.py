@@ -1377,3 +1377,58 @@ SELECT sitemap_url,
 FROM blocks
 WHERE nullif(regexp_extract(b, '<loc>([^<]*)</loc>', 1), '') IS NOT NULL
 """
+
+
+META_ROBOTS_RE = r'<meta name="robots" content="([^"]*)"'
+
+
+def meta_robots(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Page-level robots meta directives — the third politeness
+    surface after robots.txt and rel=canonical: (url, noindex,
+    nofollow). A crawler may FETCH a noindex page but must drop it
+    from the corpus/index, and must not expand a nofollow page's
+    outlinks into the frontier (gate doc_link_graph's input with
+    this). Tokens are matched on the comma-split, trimmed, lowered
+    content list, so 'NOINDEX, nofollow' and 'none' (= both, per the
+    de-facto standard) all register. Absent tag = all false.
+    Zero shuffle — matching on lower(html) like extract_meta."""
+    h = F.lower(F.col(html_col).cast("string"))
+    content = F.regexp_extract(h, META_ROBOTS_RE, 1)
+    toks = F.transform(
+        F.split(content, ","), lambda t: F.trim(t)
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        (
+            F.array_contains(toks, "noindex") | F.array_contains(toks, "none")
+        ).alias("noindex"),
+        (
+            F.array_contains(toks, "nofollow") | F.array_contains(toks, "none")
+        ).alias("nofollow"),
+    )
+
+
+def meta_robots_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of meta_robots; `pages_sql` yields (url, html)
+    with html TEXT."""
+    return f"""
+WITH pg AS ({pages_sql}),
+c AS (
+  SELECT url,
+         list_transform(
+           string_split(regexp_extract(lower(html),
+             '<meta name="robots" content="([^"]*)"', 1), ','),
+           t -> trim(t)) AS toks
+  FROM pg
+)
+SELECT url,
+       (list_contains(toks, 'noindex') OR list_contains(toks, 'none'))
+         AS noindex,
+       (list_contains(toks, 'nofollow') OR list_contains(toks, 'none'))
+         AS nofollow
+FROM c
+"""

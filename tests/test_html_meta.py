@@ -40,3 +40,24 @@ def test_extract_meta(spark):
 
     assert got["https://a.com/3"]["title"] is None  # whitespace-only -> NULL
     assert got["https://a.com/4"]["effective_url"] == "https://a.com/4c"
+
+
+def test_meta_robots(spark):
+    from easyner_spark.operators.webtext import meta_robots
+
+    rows = [
+        ("u1", '<head><META NAME="robots" CONTENT="NOINDEX , nofollow"></head>'),
+        ("u2", '<head><meta name="robots" content="none"></head>'),
+        ("u3", '<head><meta name="robots" content="index, follow"></head>'),
+        ("u4", "<head></head>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    pages = pages.withColumn("html", pages["html"].cast("binary"))
+    got = {
+        r["url"]: (r["noindex"], r["nofollow"])
+        for r in meta_robots(pages).collect()
+    }
+    assert got["u1"] == (True, True)   # case + spacing tolerant
+    assert got["u2"] == (True, True)   # 'none' implies both
+    assert got["u3"] == (False, False)
+    assert got["u4"] == (False, False)  # absent tag
