@@ -1479,6 +1479,45 @@ def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_robots(pages)
 
 
+def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translation clusters over declared hreflang alternates: groups
+    of 4 pages star onto their head, every 8th head chains to the
+    next group's head (one-sided + chained declarations both merge —
+    the components closure handles what naive pairwise grouping
+    can't)."""
+    from easyner_spark.operators.webtext import hreflang_clusters
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    lang = (
+        F.when(did % 4 == 0, F.lit("en"))
+        .when(did % 4 == 1, F.lit("sv"))
+        .when(did % 4 == 2, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    html = F.concat(
+        F.lit('<html><head><link rel="alternate" hreflang="'),
+        lang,
+        F.lit('" href="u'),
+        (did - did % 4).cast("string"),
+        F.lit('">'),
+        F.when(
+            did % 8 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="x-default" href="u'),
+                (did + 4).cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head></html>"),
+    ).cast("binary")
+    pages = d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return hreflang_clusters(pages)
+
+
 def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact stratified eval-set selection: exactly 200 documents,
     apportioned across languages proportionally (Hamilton quotas),
@@ -2542,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "sitemap_urls": q_sitemap_urls,
         "meta_robots": q_meta_robots,
+        "hreflang_clusters": q_hreflang_clusters,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -3284,6 +3324,43 @@ els AS (SELECT src_url,
 pa AS (SELECT src_url,
               regexp_extract(el, 'href="([^"]*)"', 1) AS href
        FROM els)"""
+
+
+# q_hreflang_clusters oracle: same extraction regexes over the same
+# synthesized heads, then the min-label reachability closure
+# (_COMPONENTS_ORACLE's pattern on a new edge type).
+_HREFLANG_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT 'u' || doc_id AS url,
+    '<html><head><link rel="alternate" hreflang="'
+    || (CASE WHEN doc_id % 4 = 0 THEN 'en'
+             WHEN doc_id % 4 = 1 THEN 'sv'
+             WHEN doc_id % 4 = 2 THEN 'de' ELSE 'fr' END)
+    || '" href="u' || (doc_id - doc_id % 4) || '">'
+    || (CASE WHEN doc_id % 8 = 0
+        THEN '<link rel="alternate" hreflang="x-default" href="u'
+             || (doc_id + 4) || '">'
+        ELSE '' END)
+    || '</head></html>' AS html
+  FROM documents
+),
+els AS (SELECT url,
+               unnest(regexp_extract_all(lower(html),
+                 '<link rel="alternate" hreflang="[^"]*" href="[^"]*"', 0)) AS el
+        FROM d),
+hl_edges AS (
+  SELECT DISTINCT url AS a, regexp_extract(el, 'href="([^"]*)"', 1) AS b
+  FROM els WHERE regexp_extract(el, 'href="([^"]*)"', 1) != ''
+),
+hl_sym AS (SELECT a, b FROM hl_edges UNION SELECT b, a FROM hl_edges),
+hl_nodes AS (SELECT DISTINCT a AS node FROM hl_sym),
+reach(node, lbl) AS (
+  SELECT node, node FROM hl_nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN hl_sym e ON r.node = e.a
+)
+SELECT node, min(lbl) AS cluster FROM reach GROUP BY node
+"""
 
 
 def _meta_robots_oracle() -> str:
@@ -4632,6 +4709,8 @@ FROM c
         "sitemap_urls": _sitemap_urls_oracle(),
         # Page-level robots directives (webtext.meta_robots_oracle_sql)
         "meta_robots": _meta_robots_oracle(),
+        # Translation clusters: hreflang edges + reachability closure
+        "hreflang_clusters": _HREFLANG_ORACLE,
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """

@@ -1432,3 +1432,58 @@ SELECT url,
          AS nofollow
 FROM c
 """
+
+
+HREFLANG_EL_RE = r'<link rel="alternate" hreflang="[^"]*" href="[^"]*"'
+HREFLANG_LANG_RE = r'hreflang="([^"]*)"'
+HREFLANG_HREF_RE = r'href="([^"]*)"'
+
+
+def extract_hreflang(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """hreflang alternate links: (url, hreflang, href) per
+    <link rel="alternate" hreflang=..> element — how a multilingual
+    site declares its translation variants. Same crawl-grade
+    double-quoted fixed-attribute-order contract as the other head
+    extractors; zero shuffle."""
+    els = pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower(cast({html_col} as string)),"
+                f" '{HREFLANG_EL_RE}', 0)"
+            )
+        ).alias("_el"),
+    )
+    return els.select(
+        "url",
+        F.regexp_extract(F.col("_el"), HREFLANG_LANG_RE, 1).alias("hreflang"),
+        F.regexp_extract(F.col("_el"), HREFLANG_HREF_RE, 1).alias("href"),
+    ).where(F.col("href") != "")
+
+
+def hreflang_clusters(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Translation clusters: (node, cluster) where cluster = min url
+    reachable over declared hreflang alternates — pages are grouped
+    with every translation variant even when declarations are
+    one-sided or chained (page A lists B, B lists C). This is the
+    multilingual-corpus grouping key: dedup one variant per cluster,
+    or mine the cluster as parallel data. Built as
+    connected_components over the (url, href) edge set — the same
+    alternating-star engine the KG's entity merging uses (new edge
+    type, zero new iteration code)."""
+    from easyner_spark.operators.components import connected_components
+
+    edges = extract_hreflang(pages, html_col=html_col, url_col=url_col).select(
+        F.col("url").alias("src"), F.col("href").alias("dst")
+    )
+    return connected_components(edges).select(
+        "node", F.col("component").alias("cluster")
+    )

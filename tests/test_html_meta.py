@@ -61,3 +61,34 @@ def test_meta_robots(spark):
     assert got["u2"] == (True, True)   # 'none' implies both
     assert got["u3"] == (False, False)
     assert got["u4"] == (False, False)  # absent tag
+
+
+def test_hreflang_clusters(spark):
+    from easyner_spark.operators.webtext import (
+        extract_hreflang,
+        hreflang_clusters,
+    )
+
+    rows = [
+        # a <-> b mutual, c one-sided into a, d chains off c: ONE cluster
+        ("a", '<link rel="alternate" hreflang="en" href="b">'),
+        ("b", '<link rel="alternate" hreflang="sv" href="a">'),
+        ("c", '<link rel="alternate" hreflang="de" href="a">'),
+        ("d", '<link rel="alternate" hreflang="fr" href="c">'),
+        # isolated pair
+        ("x", '<link rel="alternate" hreflang="en" href="y">'),
+        # page with no alternates: absent from output
+        ("z", "<p>nothing</p>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    pages = pages.withColumn("html", pages["html"].cast("binary"))
+    ex = extract_hreflang(pages)
+    assert {(r["url"], r["hreflang"], r["href"]) for r in ex.collect()} == {
+        ("a", "en", "b"),
+        ("b", "sv", "a"),
+        ("c", "de", "a"),
+        ("d", "fr", "c"),
+        ("x", "en", "y"),
+    }
+    got = {r["node"]: r["cluster"] for r in hreflang_clusters(pages).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
