@@ -1518,6 +1518,66 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_clusters(pages)
 
 
+def q_kg_node_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized KG node table (north rule: 'deduplicated
+    node/edge tables'): per canonical entity — its cross-document
+    component, mention/doc support, crawl-epoch span (doc_id % 5),
+    and co-occurrence degree. Mention stats pre-agg on (entity, doc)
+    so the doc count is Expand-free; degree over distinct symmetric
+    pairs; components = the same distributed fixpoint q_components
+    pins. Entities never co-occurring keep degree 0 and component =
+    their own id."""
+    from easyner_spark.operators.components import connected_components
+    from easyner_spark.operators.nel import link_entities, primary_alias
+
+    linked = link_entities(
+        _mentions(spark, sf_dir), primary_alias(_alias_df(spark)),
+        keep_unmatched=False,
+    )
+    m = linked.select(
+        "entity_id", F.col("url").cast("long").alias("doc_id")
+    )
+    gd = (
+        m.repartition("entity_id")
+        .groupBy("entity_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pe = gd.groupBy("entity_id").agg(
+        F.sum("c").cast("long").alias("n_mentions"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min(F.col("doc_id") % 5).cast("long").alias("first_epoch"),
+        F.max(F.col("doc_id") % 5).cast("long").alias("last_epoch"),
+    )
+    t = q_triples(spark, sf_dir)
+    nb = (
+        t.select(F.col("subj_id").alias("e"), F.col("obj_id").alias("n"))
+        .unionByName(
+            t.select(F.col("obj_id").alias("e"), F.col("subj_id").alias("n"))
+        )
+        .distinct()
+    )
+    dg = nb.groupBy("e").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    comp = connected_components(
+        t.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")),
+        local_finish_edges=0,
+    )
+    return (
+        pe.join(comp, pe["entity_id"] == comp["node"], "left")
+        .join(dg, pe["entity_id"] == dg["e"], "left")
+        .select(
+            "entity_id",
+            F.coalesce(F.col("component"), F.col("entity_id")).alias(
+                "component"
+            ),
+            "n_mentions",
+            "n_docs",
+            "first_epoch",
+            "last_epoch",
+            F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
+        )
+    )
+
+
 def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact stratified eval-set selection: exactly 200 documents,
     apportioned across languages proportionally (Hamilton quotas),
@@ -2582,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "meta_robots": q_meta_robots,
         "hreflang_clusters": q_hreflang_clusters,
+        "kg_node_profile": q_kg_node_profile,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -4711,6 +4772,44 @@ FROM c
         "meta_robots": _meta_robots_oracle(),
         # Translation clusters: hreflang edges + reachability closure
         "hreflang_clusters": _HREFLANG_ORACLE,
+        # Materialized KG node table: mention/doc rollups + degree +
+        # the min-label closure, all over the shared prelude
+        "kg_node_profile": _PRELUDE.replace("WITH sent0", "WITH RECURSIVE sent0", 1)
+        + """
+, gd AS (SELECT entity_id, doc_id, count(*) AS c
+         FROM linked GROUP BY entity_id, doc_id),
+pe AS (SELECT entity_id,
+              sum(c)::BIGINT AS n_mentions,
+              count(*)::BIGINT AS n_docs,
+              min(doc_id % 5)::BIGINT AS first_epoch,
+              max(doc_id % 5)::BIGINT AS last_epoch
+       FROM gd GROUP BY entity_id),
+np_nb AS (
+  -- NB: under WITH RECURSIVE, DuckDB 1.0 compiles UNION as UNION ALL
+  -- for every CTE in the list — dedup must be an explicit DISTINCT
+  SELECT DISTINCT e, n FROM (
+    SELECT subj_id AS e, obj_id AS n FROM triples
+    UNION ALL SELECT obj_id, subj_id FROM triples
+  )
+),
+np_dg AS (SELECT e, count(*)::BIGINT AS degree FROM np_nb GROUP BY e),
+np_edges AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM triples),
+np_sym AS (SELECT a, b FROM np_edges UNION SELECT b, a FROM np_edges),
+np_nodes AS (SELECT DISTINCT a AS node FROM np_sym),
+np_reach(node, lbl) AS (
+  SELECT node, node FROM np_nodes
+  UNION
+  SELECT e.b, r.lbl FROM np_reach r JOIN np_sym e ON r.node = e.a
+),
+np_comp AS (SELECT node, min(lbl) AS component FROM np_reach GROUP BY node)
+SELECT pe.entity_id,
+       coalesce(np_comp.component, pe.entity_id) AS component,
+       pe.n_mentions, pe.n_docs, pe.first_epoch, pe.last_epoch,
+       coalesce(np_dg.degree, 0)::BIGINT AS degree
+FROM pe
+LEFT JOIN np_comp ON pe.entity_id = np_comp.node
+LEFT JOIN np_dg ON pe.entity_id = np_dg.e
+""",
         # Host-level link graph from regex href extraction
         "host_graph": _HOSTLINKS_CTE
         + """
