@@ -1578,6 +1578,31 @@ def q_kg_node_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stale_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Announced-newer-than-fetched recrawl targets: the sitemap
+    lastmod (month did%9+1) vs the corpus fetch date (month did%7+1),
+    compared as ISO strings — same month sorts fresh (day 01 < 15).
+    The /q/ announcements never joined (never fetched: frontier's
+    job); closes the incremental-recrawl triad with sitemap_frontier
+    and crawl_delta."""
+    from easyner_spark.operators.webtext import stale_announcements
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    meta = d.select(
+        F.concat(
+            F.lit("https://s"),
+            (did % 11).cast("string"),
+            F.lit(".example.org/p/"),
+            did.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("2026-0"), ((did % 7) + 1).cast("string"), F.lit("-15")
+        ).alias("fetch_date"),
+    )
+    return stale_announcements(q_sitemap_urls(spark, sf_dir), meta)
+
+
 def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact stratified eval-set selection: exactly 200 documents,
     apportioned across languages proportionally (Hamilton quotas),
@@ -2643,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots": q_meta_robots,
         "hreflang_clusters": q_hreflang_clusters,
         "kg_node_profile": q_kg_node_profile,
+        "stale_pages": q_stale_pages,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -3422,6 +3448,19 @@ reach(node, lbl) AS (
 )
 SELECT node, min(lbl) AS cluster FROM reach GROUP BY node
 """
+
+
+def _stale_pages_oracle() -> str:
+    """q_stale_pages oracle: the sitemap-parse oracle as the entries
+    subquery + the fetch-date synthesis, through the operator's
+    module-local twin."""
+    from easyner_spark.operators.webtext import stale_announcements_oracle_sql
+
+    corpus_sql = """SELECT
+    'https://s' || (doc_id % 11) || '.example.org/p/' || doc_id AS url,
+    '2026-0' || ((doc_id % 7) + 1) || '-15' AS fetch_date
+  FROM documents"""
+    return stale_announcements_oracle_sql(_sitemap_urls_oracle(), corpus_sql)
 
 
 def _meta_robots_oracle() -> str:
@@ -4772,6 +4811,9 @@ FROM c
         "meta_robots": _meta_robots_oracle(),
         # Translation clusters: hreflang edges + reachability closure
         "hreflang_clusters": _HREFLANG_ORACLE,
+        # Announced-newer-than-fetched recrawl targets
+        # (webtext.stale_announcements_oracle_sql)
+        "stale_pages": _stale_pages_oracle(),
         # Materialized KG node table: mention/doc rollups + degree +
         # the min-label closure, all over the shared prelude
         "kg_node_profile": _PRELUDE.replace("WITH sent0", "WITH RECURSIVE sent0", 1)

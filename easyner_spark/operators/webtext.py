@@ -1487,3 +1487,60 @@ def hreflang_clusters(
     return connected_components(edges).select(
         "node", F.col("component").alias("cluster")
     )
+
+
+def stale_announcements(
+    sitemap_entries: DataFrame,
+    corpus_meta: DataFrame,
+    url_col: str = "url",
+    fetched_col: str = "fetch_date",
+) -> DataFrame:
+    """Announced-newer-than-fetched detection: sitemap (loc, lastmod)
+    joined against the corpus's per-url last fetch date; a page is
+    STALE when its announced lastmod sorts after the fetch date (ISO
+    dates compare correctly as strings — no date parsing, which the
+    two engines handle differently around timezones). Output one row
+    per announced, already-fetched url: (url, lastmod, fetch_date,
+    status 'stale'|'fresh'); never-fetched urls belong to
+    sitemap_frontier, not here. NULL lastmod = 'fresh' (no evidence
+    of change — recrawl cadence falls back to crawl_delta).
+
+    Together with sitemap_frontier and crawl_delta this closes the
+    incremental-recrawl loop: announced-new (here), never-fetched
+    (frontier), and measured-changed (delta). One uniform url-keyed
+    join, no other shuffle."""
+    ann = sitemap_entries.select(
+        F.col("loc").alias("url"), F.col("lastmod")
+    ).where(F.col("url").isNotNull())
+    meta = corpus_meta.select(
+        F.col(url_col).alias("url"), F.col(fetched_col).alias("fetch_date")
+    )
+    j = ann.join(meta, "url")
+    return j.select(
+        "url",
+        "lastmod",
+        "fetch_date",
+        F.when(
+            F.col("lastmod").isNotNull()
+            & (F.col("lastmod") > F.col("fetch_date")),
+            F.lit("stale"),
+        )
+        .otherwise(F.lit("fresh"))
+        .alias("status"),
+    )
+
+
+def stale_announcements_oracle_sql(
+    entries_sql: str, corpus_sql: str
+) -> str:
+    """DuckDB twin of stale_announcements; `entries_sql` yields
+    (loc, lastmod), `corpus_sql` yields (url, fetch_date)."""
+    return f"""
+WITH ann AS (SELECT loc AS url, lastmod FROM ({entries_sql})
+             WHERE loc IS NOT NULL),
+meta AS (SELECT url, fetch_date FROM ({corpus_sql}))
+SELECT ann.url, ann.lastmod, meta.fetch_date,
+       CASE WHEN ann.lastmod IS NOT NULL AND ann.lastmod > meta.fetch_date
+            THEN 'stale' ELSE 'fresh' END AS status
+FROM ann JOIN meta USING (url)
+"""

@@ -43,3 +43,34 @@ def test_frontier_anti_join(spark):
     }
     # p/1 already fetched; p/2 announced twice -> once, min sitemap wins
     assert got == {"https://a.com/p/2": "https://a.com/sitemap.xml"}
+
+
+def test_stale_announcements(spark):
+    from easyner_spark.operators.webtext import stale_announcements
+
+    entries = spark.createDataFrame(
+        [
+            ("https://a.com/p/1", "2026-03-01"),  # fetched 2026-02-15 -> stale
+            ("https://a.com/p/2", "2026-01-01"),  # fetched later -> fresh
+            ("https://a.com/p/3", None),          # no lastmod -> fresh
+            ("https://a.com/p/9", "2026-03-01"),  # never fetched -> absent
+        ],
+        "loc string, lastmod string",
+    )
+    meta = spark.createDataFrame(
+        [
+            ("https://a.com/p/1", "2026-02-15"),
+            ("https://a.com/p/2", "2026-02-15"),
+            ("https://a.com/p/3", "2026-02-15"),
+        ],
+        "url string, fetch_date string",
+    )
+    got = {
+        r["url"]: r["status"]
+        for r in stale_announcements(entries, meta).collect()
+    }
+    assert got == {
+        "https://a.com/p/1": "stale",
+        "https://a.com/p/2": "fresh",
+        "https://a.com/p/3": "fresh",
+    }
