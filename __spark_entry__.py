@@ -190,6 +190,86 @@ def q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_predicate_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema induction over the KG edge table: per-predicate
+    functional-property profile (1:1 / 1:N / N:1 / N:M). Input edges =
+    the real co-occurrence triples (N:M by construction) UNION three
+    synthetic predicates engineered to land in each other cardinality
+    class (capital_of 1:1, has_part 1:N, in_country N:1) — the synth
+    axis exists because the extraction pipeline emits a single
+    predicate and the classifier's CASE arms all need coverage."""
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.triples import (
+        extract_triples,
+        predicate_cardinality,
+    )
+
+    linked = link_entities(
+        _mentions(spark, sf_dir), primary_alias(_alias_df(spark)), keep_unmatched=False
+    )
+    real = extract_triples(linked).select("subj_id", "pred", "obj_id")
+    d = F.col("doc_id").cast("string")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    synth = (
+        docs.select(
+            F.concat(F.lit("s"), d).alias("subj_id"),
+            F.lit("capital_of").alias("pred"),
+            F.concat(F.lit("o"), d).alias("obj_id"),
+        )
+        .unionByName(
+            docs.select(
+                F.concat(F.lit("s"), (F.col("doc_id") % 10).cast("string")).alias(
+                    "subj_id"
+                ),
+                F.lit("has_part").alias("pred"),
+                F.concat(F.lit("o"), d).alias("obj_id"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                F.concat(F.lit("s"), d).alias("subj_id"),
+                F.lit("in_country").alias("pred"),
+                F.concat(F.lit("o"), (F.col("doc_id") % 10).cast("string")).alias(
+                    "obj_id"
+                ),
+            )
+        )
+    )
+    return predicate_cardinality(real.unionByName(synth).distinct())
+
+
+def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document topical-entity ranking by position-weighted
+    mention counts (lead sentence x3, first 3 sentences x2, body x1)
+    — the doc->entity edge weight for KG node construction."""
+    from easyner_spark.operators.analysis import entity_salience
+    from easyner_spark.operators.nel import link_entities, primary_alias
+
+    linked = link_entities(
+        _mentions(spark, sf_dir), primary_alias(_alias_df(spark)), keep_unmatched=False
+    )
+    out = entity_salience(linked)
+    return out.select(
+        F.col("url").cast("long").alias("url"),
+        "entity_id",
+        "n_mentions",
+        "first_sent",
+        "salience",
+        F.col("rank").alias("sal_rank"),
+    )
+
+
+def q_host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation relatedness over the extracted host graph with the
+    per-source fanout cap biting (max_out=3 < several sources' real
+    out-degree) so the deterministic truncation rule is value-checked,
+    not just the happy path."""
+    from easyner_spark.operators.webtext import host_cocitation, host_graph
+
+    hg = host_graph(_synth_html_pages(spark, sf_dir))
+    return host_cocitation(hg, max_out=3)
+
+
 SEARCH_TERMS = ["hash", "sort table"]
 
 
@@ -2614,6 +2694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples": q_triples,
         "predicate_triples": q_predicate_triples,
         "edges": q_edges,
+        "predicate_cardinality": q_predicate_cardinality,
+        "entity_salience": q_entity_salience,
+        "host_cocitation": q_host_cocitation,
         "search_sentences": q_search_sentences,
         "search_mentions": q_search_mentions,
         "doc_offsets": q_doc_offsets,
@@ -4017,8 +4100,11 @@ def oracle_sql() -> dict[str, str]:
         bm25_oracle_sql,
         inverted_postings_oracle_sql,
     )
+    from easyner_spark.operators.analysis import entity_salience_oracle_sql
     from easyner_spark.operators.dedup import repeated_spans_oracle_sql
     from easyner_spark.operators.nel import name_similarity_oracle_sql
+    from easyner_spark.operators.triples import predicate_cardinality_oracle_sql
+    from easyner_spark.operators.webtext import host_cocitation_oracle_sql
     from easyner_spark.operators.sampling import chunk_docs_oracle_sql
     from easyner_spark.operators.similarity import label_centroids_oracle_sql
     from easyner_spark.operators.sketches import (
@@ -4307,6 +4393,27 @@ SELECT subj_id, pred, obj_id, count(*)::BIGINT AS support,
 FROM triples
 GROUP BY subj_id, pred, obj_id
 """,
+        # Per-predicate cardinality profile: real co-occurrence edges
+        # UNION (dedup) the three synthetic single-class predicates —
+        # mirrors q_predicate_cardinality's .distinct() on the union
+        "predicate_cardinality": predicate_cardinality_oracle_sql(
+            _PRELUDE
+            + """,
+e AS (
+  SELECT DISTINCT subj_id, pred, obj_id FROM triples
+  UNION
+  SELECT 's' || doc_id, 'capital_of', 'o' || doc_id FROM documents
+  UNION
+  SELECT 's' || (doc_id % 10), 'has_part', 'o' || doc_id FROM documents
+  UNION
+  SELECT 's' || doc_id, 'in_country', 'o' || (doc_id % 10) FROM documents
+)"""
+        ),
+        "entity_salience": entity_salience_oracle_sql(
+            _PRELUDE
+            + """,
+lm AS (SELECT doc_id AS url, sent_idx, entity_id FROM linked)"""
+        ),
         "search_sentences": _PRELUDE
         + f"""
 SELECT s.doc_id, s.sent_idx::BIGINT AS sent_idx, s.sentence
@@ -4857,6 +4964,8 @@ LEFT JOIN np_dg ON pe.entity_id = np_dg.e
         + """
 SELECT src_host, dst_host, n_links::BIGINT AS n_links FROM hg
 """,
+        # Co-citation over the same link graph, fanout cap biting
+        "host_cocitation": host_cocitation_oracle_sql(_HOSTLINKS_CTE, max_out=3),
         # PageRank over the extracted host link graph (same unrolled
         # body as kg_pagerank, edges from the link-graph CTE)
         "host_rank": _HOSTLINKS_CTE

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def entity_frequency(
@@ -280,6 +281,92 @@ def entity_bursts(
             ).alias("is_burst"),
         )
     )
+
+
+def entity_salience(
+    linked_mentions: DataFrame,
+    lead_weight: int = 3,
+    early_weight: int = 2,
+    body_weight: int = 1,
+    early_sents: int = 3,
+) -> DataFrame:
+    """Per-document entity salience by mention position — which
+    canonical entities a page is ABOUT, not merely which it mentions.
+    The classic lead-bias heuristic (news/wiki prose front-loads its
+    topic; cf. Dunietz & Gillick, EACL 2014 features): a mention in
+    sentence 0 weighs `lead_weight`, sentences [1, early_sents)
+    `early_weight`, the body `body_weight`. Output per (url,
+    entity_id): n_mentions, first_sent, salience (the weighted sum)
+    and rank within the document (1 = most salient; salience desc,
+    entity_id asc ties). The KG-construction consumer: doc-level
+    entity nodes keep only rank <= k as "topical" edges, and salience
+    is the support weight for cross-document canonicalization votes.
+
+    Exactness: weights are integer CASE arms summed per group — pure
+    BIGINT, no floats anywhere (repo oracle rule).
+
+    Scale: ONE shuffle. The explicit repartition("url") feeds the
+    (url, entity_id) groupBy (hash on a key prefix co-locates every
+    group) AND the per-url row_number window — EnsureRequirements
+    inserts no further exchange. Documents have bounded entity
+    vocabularies, so per-url window state is tiny; no global sort, no
+    Exchange SinglePartition (the window is partitioned).
+    """
+    w = (
+        F.when(F.col("sent_idx") == 0, F.lit(lead_weight))
+        .when(F.col("sent_idx") < early_sents, F.lit(early_weight))
+        .otherwise(F.lit(body_weight))
+    )
+    per_entity = (
+        linked_mentions.where(F.col("entity_id") != "")
+        .repartition("url")
+        .groupBy("url", "entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.min("sent_idx").cast("long").alias("first_sent"),
+            F.sum(w).cast("long").alias("salience"),
+        )
+    )
+    rank_w = Window.partitionBy("url").orderBy(
+        F.col("salience").desc(), F.col("entity_id").asc()
+    )
+    return per_entity.select(
+        "url",
+        "entity_id",
+        "n_mentions",
+        "first_sent",
+        "salience",
+        F.row_number().over(rank_w).cast("long").alias("rank"),
+    )
+
+
+def entity_salience_oracle_sql(
+    with_prefix: str,
+    lead_weight: int = 3,
+    early_weight: int = 2,
+    body_weight: int = 1,
+    early_sents: int = 3,
+    rank_alias: str = "sal_rank",
+) -> str:
+    """DuckDB twin of entity_salience; `with_prefix` is a complete
+    WITH chain whose LAST relation is lm(url, sent_idx, entity_id)
+    mention rows (empty entity_id filtered here). Kept beside the
+    operator per repo oracle policy."""
+    return f"""{with_prefix},
+g AS (
+  SELECT url, entity_id,
+         count(*)::BIGINT AS n_mentions,
+         min(sent_idx)::BIGINT AS first_sent,
+         sum(CASE WHEN sent_idx = 0 THEN {lead_weight}
+                  WHEN sent_idx < {early_sents} THEN {early_weight}
+                  ELSE {body_weight} END)::BIGINT AS salience
+  FROM lm WHERE entity_id <> '' GROUP BY url, entity_id
+)
+SELECT url, entity_id, n_mentions, first_sent, salience,
+       row_number() OVER (PARTITION BY url
+                          ORDER BY salience DESC, entity_id ASC)::BIGINT AS {rank_alias}
+FROM g
+"""
 
 
 def entity_bursts_oracle_sql(

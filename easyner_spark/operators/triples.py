@@ -241,6 +241,116 @@ def extract_predicate_triples(
     )
 
 
+def predicate_cardinality(edges: DataFrame) -> DataFrame:
+    """Per-predicate functional-property profile over the DISTINCT
+    edge table: (pred, n_edges, n_subj, n_obj, max_fanout, max_fanin,
+    card_class) where card_class classifies the relation as
+    '1:1' / '1:N' / 'N:1' / 'N:M' from the max objects-per-subject
+    (fanout) and max subjects-per-object (fanin).
+
+    This is the schema-induction step of KG construction (north_star:
+    "materializing deduplicated node/edge tables"): functional
+    predicates ('1:N' fanin==1, e.g. capital_of) become UNIQUE
+    constraints / conflict-resolution keys downstream, and the profile
+    is the standard input to cardinality-aware link-prediction
+    sampling (Bordes et al. 2013's bern heuristic).
+
+    Exactness: the input is deduplicated per (subj, pred, obj) — pass
+    `aggregate_edges` output or dedup first — so every count is an
+    exact integer; card_class is a CASE on integers. No floats.
+
+    Scale: the edge table is localCheckpoint'ed (it is the
+    materialized KG product anyway) so the fanout and fanin branches
+    scan it once each instead of recomputing the full extraction
+    lineage twice. Each branch is two keyed shuffles: the heavy one on
+    the UNIFORM composite key ((pred, subj_id) / (pred, obj_id)) with
+    map-side partial agg, then a second shuffle of the already-
+    collapsed per-(pred, key) rollup onto pred. The alternative single
+    shuffle — repartition("pred") serves both aggs via the key-prefix
+    rule — is deliberately rejected: the predicate vocabulary is tiny
+    and Zipf-skewed (co_occurs_with alone carries most of a real KG),
+    so hashing the raw edge stream by pred alone sends ~all rows to
+    one task. Composite-key first, collapse, THEN the skewed-but-tiny
+    key. The per-pred rollups are vocabulary-sized, so the final join
+    on pred is AQE-broadcast. Plan-audited: 4 exchanges (2 per
+    branch) + 1 broadcast, none carrying the raw stream on a skewed
+    key.
+    """
+    e = edges.select("subj_id", "pred", "obj_id").localCheckpoint(eager=True)
+    fanout = (
+        e.groupBy("pred", "subj_id")
+        .agg(F.count(F.lit(1)).alias("n_obj_per_subj"))
+        .groupBy("pred")
+        .agg(
+            F.sum("n_obj_per_subj").cast("long").alias("n_edges"),
+            F.count(F.lit(1)).cast("long").alias("n_subj"),
+            F.max("n_obj_per_subj").cast("long").alias("max_fanout"),
+        )
+    )
+    fanin = (
+        e.groupBy("pred", "obj_id")
+        .agg(F.count(F.lit(1)).alias("n_subj_per_obj"))
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obj"),
+            F.max("n_subj_per_obj").cast("long").alias("max_fanin"),
+        )
+    )
+    card = (
+        F.when((F.col("max_fanout") == 1) & (F.col("max_fanin") == 1), "1:1")
+        .when(F.col("max_fanin") == 1, "1:N")
+        .when(F.col("max_fanout") == 1, "N:1")
+        .otherwise("N:M")
+    )
+    return fanout.join(fanin, "pred").select(
+        "pred",
+        "n_edges",
+        "n_subj",
+        "n_obj",
+        "max_fanout",
+        "max_fanin",
+        card.alias("card_class"),
+    )
+
+
+def predicate_cardinality_oracle_sql(with_prefix: str) -> str:
+    """DuckDB mirror of predicate_cardinality; `with_prefix` is a
+    complete WITH chain whose LAST relation is e(subj_id, pred,
+    obj_id), already DISTINCT — lets callers feed shared preludes
+    without nesting WITHs (the entity_bursts pattern). Kept beside the
+    operator so the expression trees cannot drift (repo oracle
+    policy)."""
+    return f"""{with_prefix},
+fanout AS (
+  SELECT pred, subj_id, count(*) AS n_obj_per_subj
+  FROM e GROUP BY pred, subj_id
+),
+fo AS (
+  SELECT pred,
+         sum(n_obj_per_subj)::BIGINT AS n_edges,
+         count(*)::BIGINT AS n_subj,
+         max(n_obj_per_subj)::BIGINT AS max_fanout
+  FROM fanout GROUP BY pred
+),
+fanin AS (
+  SELECT pred, obj_id, count(*) AS n_subj_per_obj
+  FROM e GROUP BY pred, obj_id
+),
+fi AS (
+  SELECT pred,
+         count(*)::BIGINT AS n_obj,
+         max(n_subj_per_obj)::BIGINT AS max_fanin
+  FROM fanin GROUP BY pred
+)
+SELECT fo.pred, fo.n_edges, fo.n_subj, fi.n_obj, fo.max_fanout, fi.max_fanin,
+       CASE WHEN fo.max_fanout = 1 AND fi.max_fanin = 1 THEN '1:1'
+            WHEN fi.max_fanin = 1 THEN '1:N'
+            WHEN fo.max_fanout = 1 THEN 'N:1'
+            ELSE 'N:M' END AS card_class
+FROM fo JOIN fi ON fo.pred = fi.pred
+"""
+
+
 def edge_history(triples: DataFrame, epoch_col: str = "epoch") -> DataFrame:
     """(subj_id, pred, obj_id, first_epoch, last_epoch, n_epochs,
     support, status) — per-edge temporal lifecycle over an epoch-

@@ -292,6 +292,86 @@ def host_graph(
     )
 
 
+def host_cocitation(
+    hg: DataFrame,
+    max_out: int = 32,
+) -> DataFrame:
+    """Co-citation strength over the host graph: (host_a, host_b,
+    n_sources) = how many distinct source hosts link to BOTH — the
+    classic relatedness signal (Small 1973) used to cluster mirror /
+    affiliate hosts and to propose same-as candidates for KG node
+    merging that share no lexical alias.
+
+    Input: host_graph output (src_host, dst_host, n_links).
+
+    The quadratic hazard and its cap: a directory hub linking to 10^5
+    hosts would alone emit ~10^10/2 pairs. Per source host we keep
+    only the top `max_out` destinations by (n_links DESC, dst_host
+    ASC) — a DETERMINISTIC truncation (documented, not silent: hubs
+    beyond the cap contribute only their strongest endorsements, which
+    is also the signal argument — a 10^5-outlink directory's co-links
+    are near-noise). Pair fan-out is then bounded by
+    max_out*(max_out-1)/2 per source.
+
+    Plan shape: ONE repartition("src_host") feeds the rank window AND
+    the per-source array collect (same prefix clustering — no second
+    exchange); pairs come from the in-array i<j transform (bounded by
+    the cap, sorted so host_a < host_b), one explode, then the
+    pair-key rollup shuffle with map-side partial agg. Two shuffles
+    total; no self-join of the raw edge list.
+    """
+    w = Window.partitionBy("src_host").orderBy(
+        F.col("n_links").desc(), F.col("dst_host").asc()
+    )
+    kept = (
+        hg.repartition("src_host")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_out)
+    )
+    per_src = kept.groupBy("src_host").agg(
+        F.array_sort(F.collect_list("dst_host")).alias("dsts")
+    )
+    n = F.size("dsts")
+    pairs = F.flatten(
+        F.transform(
+            F.col("dsts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("dsts"), i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("host_a"), y.alias("host_b")),
+            ),
+        )
+    )
+    return (
+        per_src.where(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.host_a").alias("host_a"), F.col("p.host_b").alias("host_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
+    )
+
+
+def host_cocitation_oracle_sql(with_prefix: str, max_out: int = 32) -> str:
+    """DuckDB twin of host_cocitation; `with_prefix` is a complete
+    WITH chain whose LAST relation is hg(src_host, dst_host, n_links)
+    — composes directly with the entry's _HOSTLINKS_CTE. The
+    relational formulation (rank window + self-join on source) — fine
+    at oracle scale, exactly the shape the distributed operator
+    avoids."""
+    return f"""{with_prefix},
+kept AS (
+  SELECT src_host, dst_host,
+         row_number() OVER (PARTITION BY src_host
+                            ORDER BY n_links DESC, dst_host ASC) AS rn
+  FROM hg
+)
+SELECT a.dst_host AS host_a, b.dst_host AS host_b,
+       count(*)::BIGINT AS n_sources
+FROM kept a
+JOIN kept b ON a.src_host = b.src_host AND a.dst_host < b.dst_host
+WHERE a.rn <= {max_out} AND b.rn <= {max_out}
+GROUP BY a.dst_host, b.dst_host
+"""
+
+
 def latest_crawl(
     pages: DataFrame,
     url_col: str = "url",
