@@ -270,6 +270,53 @@ def q_host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_cocitation(hg, max_out=3)
 
 
+# Predicate-signature typing rules shared verbatim by the Spark query
+# and the DuckDB oracle VALUES list (entity_types_oracle_sql inlines
+# this same object).
+TYPE_RULES = [
+    ("inhibits", "subj", "chemical", 2),
+    ("inhibits", "obj", "protein", 2),
+    ("co_occurs_with", "subj", "concept", 1),
+    ("co_occurs_with", "obj", "concept", 1),
+]
+
+
+def q_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology-lite type induction: the predicate-pattern pipeline's
+    edges (inhibits + co_occurs_with fallback) vote types onto their
+    endpoints; argmax with type-asc ties. Composes the whole chain
+    extract -> link -> predicate triples -> typed nodes."""
+    from easyner_spark.operators.triples import entity_types
+
+    edges = (
+        q_predicate_triples(spark, sf_dir)
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    return entity_types(edges, TYPE_RULES)
+
+
+def q_isa_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy transitive closure by min-plus doubling over a
+    deterministic synthetic subclass forest: n_k is-a n_(k DIV 2)
+    (depth ~9 at 500 docs — deeper than one doubling round, so the
+    squaring recurrence is genuinely exercised) plus a second parent
+    n_(k DIV 3) on every 5th node to make it a DAG (multi-parent
+    min-depth paths value-checked, not just the chain)."""
+    from easyner_spark.operators.graph import isa_closure
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tree = docs.where(F.col("doc_id") >= 1).select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("child"),
+        F.concat(F.lit("n"), F.expr("doc_id DIV 2").cast("string")).alias("parent"),
+    )
+    dag = docs.where((F.col("doc_id") % 5 == 0) & (F.col("doc_id") >= 3)).select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("child"),
+        F.concat(F.lit("n"), F.expr("doc_id DIV 3").cast("string")).alias("parent"),
+    )
+    return isa_closure(tree.unionByName(dag), max_depth=16)
+
+
 SEARCH_TERMS = ["hash", "sort table"]
 
 
@@ -2697,6 +2744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_cardinality": q_predicate_cardinality,
         "entity_salience": q_entity_salience,
         "host_cocitation": q_host_cocitation,
+        "entity_types": q_entity_types,
+        "isa_closure": q_isa_closure,
         "search_sentences": q_search_sentences,
         "search_mentions": q_search_mentions,
         "doc_offsets": q_doc_offsets,
@@ -3294,14 +3343,17 @@ WITH tok AS (
     return cms_oracle_sql(stream, cand)
 
 
-def _predicate_triples_oracle() -> str:
+def _predicate_triples_oracle(as_prefix: bool = False) -> str:
     """Oracle for the char-gap pattern rule, expressed on TOKEN indices:
     the engine's mentions are token-aligned and the lexicon is
     letters-only, so "first lexicon token in the char gap
     (subj.end, obj.begin)" == "first lexicon token with tok_idx in
     [subj.end_tok, obj.begin_tok)" — same hit, same order. The prelude
     is rewritten with the same ' b ' -> ' inhibits ' verb injection the
-    Spark query applies (before senticizing, same replace order)."""
+    Spark query applies (before senticizing, same replace order).
+    `as_prefix=True` returns the chain WITHOUT a final SELECT, ending
+    in e(subj_id, pred, obj_id) DISTINCT — for composition into
+    downstream oracles (entity_types)."""
     from easyner_spark.operators.triples import PRED_LEXICON
 
     lex_values = ", ".join(
@@ -3339,11 +3391,20 @@ hit AS (
     ON h.doc_id = p.doc_id AND h.sent_idx = p.sent_idx
    AND h.tok_idx >= p.gb AND h.tok_idx < p.ge
   GROUP BY p.doc_id, p.sent_idx, p.subj_id, p.obj_id
-)
+)"""
+        + (
+            """,
+e AS (
+  SELECT DISTINCT subj_id, coalesce(canon, 'co_occurs_with') AS pred, obj_id
+  FROM hit
+)"""
+            if as_prefix
+            else """
 SELECT doc_id, sent_idx::BIGINT AS sent_idx, subj_id,
        coalesce(canon, 'co_occurs_with') AS pred, obj_id
 FROM hit
 """
+        )
     )
 
 
@@ -4103,7 +4164,11 @@ def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.analysis import entity_salience_oracle_sql
     from easyner_spark.operators.dedup import repeated_spans_oracle_sql
     from easyner_spark.operators.nel import name_similarity_oracle_sql
-    from easyner_spark.operators.triples import predicate_cardinality_oracle_sql
+    from easyner_spark.operators.graph import isa_closure_oracle_sql
+    from easyner_spark.operators.triples import (
+        entity_types_oracle_sql,
+        predicate_cardinality_oracle_sql,
+    )
     from easyner_spark.operators.webtext import host_cocitation_oracle_sql
     from easyner_spark.operators.sampling import chunk_docs_oracle_sql
     from easyner_spark.operators.similarity import label_centroids_oracle_sql
@@ -4332,6 +4397,19 @@ SELECT d.seq::BIGINT AS seq_id,
 FROM d CROSS JOIN t
 """,
         "predicate_triples": _predicate_triples_oracle(),
+        "entity_types": entity_types_oracle_sql(
+            _predicate_triples_oracle(as_prefix=True), TYPE_RULES
+        ),
+        "isa_closure": isa_closure_oracle_sql(
+            """WITH RECURSIVE e AS (
+  SELECT 'n' || doc_id AS child, 'n' || (doc_id // 2) AS parent
+  FROM documents WHERE doc_id >= 1
+  UNION ALL
+  SELECT 'n' || doc_id, 'n' || (doc_id // 3)
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id >= 3
+)""",
+            max_depth=16,
+        ),
         **_dedup_oracles(),
         **_similarity_oracles(),
     }

@@ -374,6 +374,97 @@ def k_hop(
     return best
 
 
+def isa_closure(
+    edges: DataFrame,
+    src: str = "child",
+    dst: str = "parent",
+    max_depth: int = 16,
+) -> DataFrame:
+    """Transitive closure of a DIRECTED is-a / subclass-of edge set:
+    (node, anc, depth) for every ancestor reachable in 1..max_depth
+    steps, depth = the MINIMUM path length. The taxonomy primitive KG
+    consumers query constantly ("all diseases this is a kind of") and
+    the type-propagation substrate for entity_types.
+
+    Contrast with k_hop (sequential rounds, undirected, per-source):
+    this is min-plus matrix SQUARING — each round joins the path table
+    with ITSELF, so paths of length <= 2^r exist after r rounds and a
+    depth-16 taxonomy closes in 4 joins instead of 16 frontier
+    expansions. Correctness of the recurrence: any minimal path of
+    length L <= 2^(r+1) splits at floor(L/2) into halves of length
+    <= 2^r, both present (inductively) with their own minimal depths;
+    the min() dedup per (node, anc) keeps exactly the shortest.
+    Minimal paths are simple, so dropping node==anc rows (cycle
+    round-trips, a data bug in a taxonomy) each round loses nothing
+    and caps blowup on cyclic garbage.
+
+    Scale: per round ONE self-equi-join keyed on the join column (anc
+    = node — uniform unless one class parents everything, in which
+    case AQE skew-split handles the build side) + ONE min() groupBy
+    dedup whose partial aggs absorb fan-in; the path table is
+    localCheckpoint'ed each round so lineage stays O(1) across the
+    log2(max_depth) rounds (the resolve_redirects policy). The closure
+    table itself is the output product — its size, not the algorithm,
+    is the 100-TB budget item, and `max_depth` is the explicit knob.
+
+    Exactness: depth is an integer min over integer sums — no floats.
+    """
+    if max_depth < 1:
+        raise ValueError("isa_closure needs max_depth >= 1")
+    base = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("anc"))
+        .where(F.col("node") != F.col("anc"))
+        .distinct()
+        .withColumn("depth", F.lit(1).cast("long"))
+    )
+    paths = base.localCheckpoint(eager=True)
+    rounds = max(1, (max_depth - 1).bit_length())  # ceil(log2(max_depth))
+    for _ in range(rounds):
+        a, b = paths.alias("a"), paths.alias("b")
+        ext = (
+            a.join(b, F.col("a.anc") == F.col("b.node"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.anc").alias("anc"),
+                (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+            )
+            .where((F.col("depth") <= max_depth) & (F.col("node") != F.col("anc")))
+        )
+        paths = (
+            paths.unionByName(ext)
+            .groupBy("node", "anc")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+    return paths
+
+
+def isa_closure_oracle_sql(with_prefix: str, max_depth: int = 16) -> str:
+    """DuckDB twin of isa_closure; `with_prefix` is a complete WITH
+    chain whose LAST relation is e(child, parent) and which MUST begin
+    `WITH RECURSIVE` (the keyword attaches to the WITH list head, not
+    to individual CTEs — and per the repo's pinned DuckDB quirk every
+    UNION under it compiles as UNION ALL, so dedup is explicit here).
+    Depth-capped recursive walk with the min() taken OUTSIDE the
+    recursion; min walks are simple, so the value matches the doubling
+    recurrence exactly."""
+    assert with_prefix.lstrip().upper().startswith("WITH RECURSIVE"), (
+        "isa_closure_oracle_sql prefix must start WITH RECURSIVE"
+    )
+    return f"""{with_prefix},
+walk(node, anc, depth) AS (
+  SELECT child, parent, 1 FROM e WHERE child <> parent
+  UNION ALL
+  SELECT w.node, e.parent, w.depth + 1
+  FROM walk w JOIN e ON w.anc = e.child
+  WHERE w.depth < {max_depth}
+)
+SELECT node, anc, min(depth)::BIGINT AS depth
+FROM walk WHERE node <> anc
+GROUP BY node, anc
+"""
+
+
 def hits(
     edges: DataFrame,
     src: str = "src",

@@ -351,6 +351,105 @@ FROM fo JOIN fi ON fo.pred = fi.pred
 """
 
 
+def entity_types(
+    edges: DataFrame,
+    type_rules: list[tuple[str, str, str, int]],
+) -> DataFrame:
+    """Entity-type inference by predicate-signature voting: each rule
+    (pred, role, type, weight) says "the `role` ('subj'|'obj') of
+    `pred` is evidence `weight` for `type`" — e.g. the subject of
+    'inhibits' votes chemical, the object of 'treats' votes disease.
+    Every edge casts its rule-matched votes; per entity the winning
+    type is argmax(total weight), ties broken by type ascending.
+    Output: (entity_id, ent_type, votes, total_votes, n_types).
+
+    This is the untyped-web answer to the reference's per-model NER
+    class column (scripts/ner_inference.py labels come from the
+    model): once triples are canonicalized, the KG's own predicate
+    usage types its nodes (ontology-lite schema induction).
+
+    Exactness: weights are integers, votes are SUMs of integers, the
+    argmax is a min(struct(-votes, type)) — all BIGINT/string, no
+    floats (repo oracle rule).
+
+    Scale: the rule table is O(|preds| x roles x types) — broadcast by
+    construction. Vote emission is two broadcast equi-joins (subj
+    role, obj role) unioned — zero shuffle. Then the
+    predicate_cardinality shuffle shape, same reasoning: groupBy
+    (entity, type) WITHOUT a pre-repartition so map-side partial agg
+    absorbs hot entities (a hub node's votes collapse to <= n_types
+    rows per map task), then the per-entity rollup reshuffles the
+    already-collapsed (entity, type) table. Two shuffles, the heavy
+    one combine-absorbed, never the raw edge stream on a hot entity
+    key.
+    """
+    spark = edges.sparkSession
+    rules = spark.createDataFrame(
+        type_rules, "pred string, role string, ent_type string, weight long"
+    )
+    subj_votes = edges.join(
+        F.broadcast(rules.where(F.col("role") == "subj")), "pred"
+    ).select(F.col("subj_id").alias("entity_id"), "ent_type", "weight")
+    obj_votes = edges.join(
+        F.broadcast(rules.where(F.col("role") == "obj")), "pred"
+    ).select(F.col("obj_id").alias("entity_id"), "ent_type", "weight")
+    per_type = (
+        subj_votes.unionByName(obj_votes)
+        .groupBy("entity_id", "ent_type")
+        .agg(F.sum("weight").alias("votes"))
+    )
+    rolled = per_type.groupBy("entity_id").agg(
+        F.min(F.struct((-F.col("votes")).alias("neg"), F.col("ent_type"))).alias("_w"),
+        F.sum("votes").cast("long").alias("total_votes"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    return rolled.select(
+        "entity_id",
+        F.col("_w.ent_type").alias("ent_type"),
+        (-F.col("_w.neg")).cast("long").alias("votes"),
+        "total_votes",
+        "n_types",
+    )
+
+
+def entity_types_oracle_sql(
+    with_prefix: str,
+    type_rules: list[tuple[str, str, str, int]],
+) -> str:
+    """DuckDB twin of entity_types; `with_prefix` is a complete WITH
+    chain whose LAST relation is e(subj_id, pred, obj_id). The rule
+    table is inlined as VALUES from the SAME python list the Spark
+    side consumes — the two vote tables cannot drift."""
+    vals = ", ".join(
+        f"('{p}', '{r}', '{t}', {w})" for p, r, t, w in type_rules
+    )
+    return f"""{with_prefix},
+ty_rules(pred, role, ent_type, weight) AS (VALUES {vals}),
+ty_votes AS (
+  SELECT e.subj_id AS entity_id, r.ent_type, r.weight
+  FROM e JOIN ty_rules r ON e.pred = r.pred AND r.role = 'subj'
+  UNION ALL
+  SELECT e.obj_id, r.ent_type, r.weight
+  FROM e JOIN ty_rules r ON e.pred = r.pred AND r.role = 'obj'
+),
+ty_per_type AS (
+  SELECT entity_id, ent_type, sum(weight) AS votes
+  FROM ty_votes GROUP BY entity_id, ent_type
+),
+ty_ranked AS (
+  SELECT entity_id, ent_type, votes,
+         row_number() OVER (PARTITION BY entity_id
+                            ORDER BY votes DESC, ent_type ASC) AS rn,
+         sum(votes) OVER (PARTITION BY entity_id) AS total_votes,
+         count(*) OVER (PARTITION BY entity_id) AS n_types
+  FROM ty_per_type
+)
+SELECT entity_id, ent_type, votes::BIGINT AS votes,
+       total_votes::BIGINT AS total_votes, n_types::BIGINT AS n_types
+FROM ty_ranked WHERE rn = 1
+"""
+
+
 def edge_history(triples: DataFrame, epoch_col: str = "epoch") -> DataFrame:
     """(subj_id, pred, obj_id, first_epoch, last_epoch, n_epochs,
     support, status) — per-edge temporal lifecycle over an epoch-

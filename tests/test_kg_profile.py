@@ -136,3 +136,73 @@ def test_host_cocitation_cap_bites(spark):
     # top-3 dsts (d0,d1,d2) -> C(3,2)=3 pairs, none involving d3..d5
     assert len(got) == 3
     assert all("d3" not in (r["host_a"], r["host_b"]) for r in got)
+
+
+def test_entity_types_votes_and_ties(spark):
+    from easyner_spark.operators.triples import entity_types
+
+    edges = spark.createDataFrame(
+        [
+            ("drugA", "inhibits", "geneX"),
+            ("drugA", "inhibits", "geneY"),
+            ("drugA", "co_occurs_with", "thing"),
+            ("geneX", "treats", "disZ"),   # no rule for 'treats' -> no vote
+            ("both", "binds", "both2"),
+        ],
+        "subj_id string, pred string, obj_id string",
+    )
+    rules = [
+        ("inhibits", "subj", "chemical", 2),
+        ("inhibits", "obj", "protein", 2),
+        ("co_occurs_with", "subj", "concept", 1),
+        ("co_occurs_with", "obj", "concept", 1),
+        # 'both' gets equal-weight votes for two types -> tie -> asc
+        ("binds", "subj", "aaa_type", 1),
+        ("binds", "subj", "bbb_type", 1),
+    ]
+    got = {r["entity_id"]: r.asDict() for r in entity_types(edges, rules).collect()}
+    # drugA: chemical 2+2=4, concept 1 -> chemical wins
+    assert got["drugA"]["ent_type"] == "chemical"
+    assert got["drugA"]["votes"] == 4
+    assert got["drugA"]["total_votes"] == 5
+    assert got["drugA"]["n_types"] == 2
+    # geneX: protein 2 (obj of inhibits); its 'treats' subj role unvoted
+    assert got["geneX"]["ent_type"] == "protein"
+    assert got["geneX"]["votes"] == 2
+    # tie 1-1 -> type asc
+    assert got["both"]["ent_type"] == "aaa_type"
+    # disZ: no matching rule at all -> absent
+    assert "disZ" not in got
+
+
+def test_isa_closure_chain_and_dag(spark):
+    from easyner_spark.operators.graph import isa_closure
+
+    edges = spark.createDataFrame(
+        # chain a->b->c->d plus shortcut a->c (min depth must win)
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+        "child string, parent string",
+    )
+    got = {(r["node"], r["anc"]): r["depth"] for r in isa_closure(edges, max_depth=8).collect()}
+    assert got[("a", "b")] == 1
+    assert got[("a", "c")] == 1  # shortcut beats a->b->c
+    assert got[("a", "d")] == 2  # via the shortcut, not 3 via b
+    assert got[("b", "d")] == 2
+    assert got[("c", "d")] == 1
+    assert ("d", "a") not in got  # directed
+
+
+def test_isa_closure_depth_cap_and_cycle(spark):
+    from easyner_spark.operators.graph import isa_closure
+
+    chain = [(f"v{i}", f"v{i+1}") for i in range(6)]  # v0..v6 depth up to 6
+    edges = spark.createDataFrame(
+        chain + [("x", "y"), ("y", "x")],  # 2-cycle garbage
+        "child string, parent string",
+    )
+    got = {(r["node"], r["anc"]): r["depth"] for r in isa_closure(edges, max_depth=3).collect()}
+    assert got[("v0", "v3")] == 3
+    assert ("v0", "v4") not in got  # beyond cap
+    # cycle: each sees the other at depth 1, never itself
+    assert got[("x", "y")] == 1 and got[("y", "x")] == 1
+    assert ("x", "x") not in got and ("y", "y") not in got
