@@ -1330,6 +1330,34 @@ def q_kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(deg, "deg")
 
 
+# BGP query shared by q_kg_pattern and its oracle (one definition per
+# side): ?x inhibits ?y, ?y binds ?z, ?x activates ?y — a chain join
+# plus a second predicate constraint on an already-bound pair.
+_KG_PATTERNS = [
+    ("?x", "inhibits", "?y"),
+    ("?y", "binds", "?z"),
+    ("?x", "activates", "?y"),
+]
+
+
+def q_kg_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive triple-pattern (SPARQL-BGP-lite) query over the
+    closed 23-entity KG: two entity-keyed equi-joins planned greedy
+    most-bound-first by triples.match_patterns; the oracle verifies
+    with the naive cross-product formulation (conjunctive queries are
+    join-order independent under bag semantics, so the oracle checks
+    the RESULT without replicating the plan)."""
+    from easyner_spark.operators.triples import match_patterns
+
+    return match_patterns(
+        _kg_synth_triples(spark, sf_dir),
+        _KG_PATTERNS,
+        subj="subj",
+        pred="pred",
+        obj="obj",
+    )
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning over a synthetic ledger: mostly
     1-10 KB files with every 19th ~120 KB (oversized vs the 100 KB
@@ -2784,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": q_kg_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "kg_degree_stats": q_kg_degree_stats,
+        "kg_pattern": q_kg_pattern,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -3521,6 +3550,16 @@ def _robots_oracle() -> str:
         + "\n  ) AS t(host, directive, path_prefix)"
     )
     return robots_verdict_oracle_sql(pages_sql, rules_sql)
+
+
+def _kg_pattern_oracle() -> str:
+    """q_kg_pattern oracle: the naive conjunctive SQL generated from
+    the SAME pattern list the Spark side plans greedily."""
+    from easyner_spark.operators.triples import match_patterns_oracle_sql
+
+    return match_patterns_oracle_sql(
+        _KG_TRIPLES_SQL, _KG_PATTERNS, subj="subj", pred="pred", obj="obj"
+    )
 
 
 def _kg_random_walks_oracle() -> str:
@@ -4961,6 +5000,9 @@ FROM c
         # Degree-distribution quantiles of the closed KG
         # (sketches.exact_quantiles_oracle_sql over the degree table)
         "kg_degree_stats": _kg_degree_stats_oracle(),
+        # BGP triple-pattern query: naive conjunctive formulation over
+        # the same pattern list (triples.match_patterns_oracle_sql)
+        "kg_pattern": _kg_pattern_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

@@ -503,3 +503,178 @@ def edge_history(triples: DataFrame, epoch_col: str = "epoch") -> DataFrame:
         "support",
         status.alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive triple-pattern queries (SPARQL-BGP-lite over the KG product)
+# ---------------------------------------------------------------------------
+
+def _pattern_vars(patterns: list[tuple[str, str, str]]) -> list[str]:
+    """Variable names ('?x' -> 'x') in first-appearance order."""
+    seen: list[str] = []
+    for pat in patterns:
+        for term in pat:
+            if term.startswith("?") and term[1:] not in seen:
+                seen.append(term[1:])
+    return seen
+
+
+def _validate_patterns(patterns: list[tuple[str, str, str]]) -> None:
+    if not patterns:
+        raise ValueError("at least one triple pattern required")
+    for pat in patterns:
+        if len(pat) != 3:
+            raise ValueError(f"pattern must be (s, p, o): {pat!r}")
+        if not any(t.startswith("?") for t in pat):
+            raise ValueError(f"pattern binds no variable: {pat!r}")
+        for t in pat:
+            if t.startswith("?") and not t[1:].isidentifier():
+                raise ValueError(f"bad variable name: {t!r}")
+    # Reject disconnected pattern sets: a pattern sharing no variable
+    # with the rest would plan a cross join — never what a KG query
+    # means, and a scale trap (|result| = product of the parts).
+    joined = {t[1:] for t in patterns[0] if t.startswith("?")}
+    pending = list(range(1, len(patterns)))
+    while pending:
+        for i in list(pending):
+            pv = {t[1:] for t in patterns[i] if t.startswith("?")}
+            if pv & joined:
+                joined |= pv
+                pending.remove(i)
+                break
+        else:
+            raise ValueError(
+                "disconnected pattern set (would require a cross join): "
+                f"{[patterns[i] for i in pending]!r} share no variable "
+                "with the rest"
+            )
+
+
+def _join_order(patterns: list[tuple[str, str, str]]) -> list[int]:
+    """Greedy selectivity order: start at the most-literal-bound
+    pattern, then repeatedly add the connected pattern with the most
+    already-bound variables (ties: more literals, then input order).
+    Catalyst cannot reorder inner joins across the var-renaming
+    projections we build, so the logical order we emit matters; AQE
+    still picks the physical strategy (broadcast vs shuffle) per join.
+    """
+    def lits(i: int) -> int:
+        return sum(0 if t.startswith("?") else 1 for t in patterns[i])
+
+    def pvars(i: int) -> set:
+        return {t[1:] for t in patterns[i] if t.startswith("?")}
+
+    order = [max(range(len(patterns)), key=lambda i: (lits(i), -i))]
+    bound = pvars(order[0])
+    while len(order) < len(patterns):
+        rest = [i for i in range(len(patterns)) if i not in order]
+        nxt = max(
+            rest,
+            key=lambda i: (len(pvars(i) & bound), lits(i), -i),
+        )
+        if not pvars(nxt) & bound:  # pragma: no cover - _validate guards
+            raise ValueError("disconnected pattern set")
+        order.append(nxt)
+        bound |= pvars(nxt)
+    return order
+
+
+def match_patterns(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    subj: str = "subj_id",
+    pred: str = "pred",
+    obj: str = "obj_id",
+    distinct: bool = False,
+) -> DataFrame:
+    """Conjunctive triple-pattern matching (the SPARQL basic-graph-
+    pattern core) over the materialized KG edge table: each pattern is
+    (s, p, o) where a term is either a literal string or a '?var';
+    the result has one column per variable (first-appearance order)
+    and one row per satisfying binding (bag semantics; `distinct=True`
+    for set semantics). This is the KG QUERY surface the north-star's
+    node/edge tables exist to serve — "which ?x inhibits something
+    that binds ?z" becomes two joins instead of bespoke code.
+
+    Spark shape: each pattern scans the edge table with its literal
+    positions pushed down as scan predicates (Catalyst folds them into
+    PushedFilters on a parquet-backed KG) and its variable positions
+    renamed to the variable; patterns then equi-join on shared
+    variables in greedy most-bound-first order. Conjunctive queries
+    are join-order independent in bag semantics, so the DuckDB oracle
+    can verify with a naive formulation while this side plans
+    selectively. Joins on entity-id keys are uniform unless the KG has
+    hub entities; AQE skew-split handles those (the same contract as
+    every entity-keyed join in this engine).
+
+    A variable repeated WITHIN one pattern (e.g. ('?x', 'knows',
+    '?x')) becomes an intra-pattern equality filter, also pushed to
+    the scan.
+    """
+    _validate_patterns(patterns)
+    cols = {"s": subj, "p": pred, "o": obj}
+    frames = []
+    for pat in patterns:
+        df = edges
+        rename: dict[str, str] = {}  # var -> source col (first position)
+        for pos, term in zip(("s", "p", "o"), pat):
+            c = cols[pos]
+            if not term.startswith("?"):
+                df = df.where(F.col(c) == term)
+            else:
+                v = term[1:]
+                if v in rename:  # repeated var inside one pattern
+                    df = df.where(F.col(c) == F.col(rename[v]))
+                else:
+                    rename[v] = c
+        frames.append(
+            df.select(*[F.col(c).alias(v) for v, c in rename.items()])
+        )
+    order = _join_order(patterns)
+    out = frames[order[0]]
+    for i in order[1:]:
+        shared = [c for c in frames[i].columns if c in out.columns]
+        out = out.join(frames[i], shared)
+    out = out.select(*_pattern_vars(patterns))
+    return out.distinct() if distinct else out
+
+
+def match_patterns_oracle_sql(
+    triples_sql: str,
+    patterns: list[tuple[str, str, str]],
+    subj: str = "subj_id",
+    pred: str = "pred",
+    obj: str = "obj_id",
+    distinct: bool = False,
+) -> str:
+    """DuckDB twin of match_patterns, generated from the SAME pattern
+    list (repo oracle policy: one definition per side). Emits the
+    naive conjunctive formulation — cross product + WHERE — which is
+    bag-equivalent to any join order, so it checks the Spark side's
+    greedy plan without replicating it. `triples_sql` yields
+    (subj, pred, obj)-shaped rows under the given column names."""
+    _validate_patterns(patterns)
+    cols = {"s": subj, "p": pred, "o": obj}
+    conds: list[str] = []
+    first_occ: dict[str, str] = {}
+    for i, pat in enumerate(patterns):
+        for pos, term in zip(("s", "p", "o"), pat):
+            ref = f"p{i}.{cols[pos]}"
+            if not term.startswith("?"):
+                lit = term.replace("'", "''")
+                conds.append(f"{ref} = '{lit}'")
+            elif term[1:] in first_occ:
+                conds.append(f"{ref} = {first_occ[term[1:]]}")
+            else:
+                first_occ[term[1:]] = ref
+    sel = ", ".join(
+        f"{first_occ[v]} AS {v}" for v in _pattern_vars(patterns)
+    )
+    froms = ", ".join(f"t p{i}" for i in range(len(patterns)))
+    kw = "DISTINCT " if distinct else ""
+    return f"""
+WITH t AS MATERIALIZED ({triples_sql})
+SELECT {kw}{sel}
+FROM {froms}
+WHERE {" AND ".join(conds)}
+"""

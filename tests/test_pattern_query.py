@@ -1,0 +1,120 @@
+"""Conjunctive triple-pattern (BGP) matching over the KG edge table."""
+
+import duckdb
+import pytest
+
+from easyner_spark.operators.triples import (
+    _join_order,
+    match_patterns,
+    match_patterns_oracle_sql,
+)
+
+TRIPLES = [
+    # (subj_id, pred, obj_id); includes a duplicate row (bag semantics)
+    # and a self-loop for the repeated-var-within-pattern case.
+    ("a", "inhibits", "b"),
+    ("a", "inhibits", "b"),
+    ("b", "binds", "c"),
+    ("b", "binds", "d"),
+    ("d", "activates", "a"),
+    ("x", "knows", "x"),
+    ("a", "binds", "c"),
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(
+        TRIPLES, "subj_id string, pred string, obj_id string"
+    )
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_chain_bag_semantics(spark, edges):
+    # ?x inhibits ?y, ?y binds ?z — the duplicate (a,inhibits,b) row
+    # must double each (a, b, *) binding.
+    out = match_patterns(
+        edges, [("?x", "inhibits", "?y"), ("?y", "binds", "?z")]
+    )
+    assert out.columns == ["x", "y", "z"]
+    assert rows(out) == sorted(
+        [("a", "b", "c")] * 2 + [("a", "b", "d")] * 2
+    )
+
+
+def test_distinct_and_literal_anchor(spark, edges):
+    out = match_patterns(
+        edges,
+        [("?x", "inhibits", "?y"), ("?y", "binds", "?z")],
+        distinct=True,
+    )
+    assert rows(out) == [("a", "b", "c"), ("a", "b", "d")]
+    lit = match_patterns(edges, [("?s", "binds", "c")])
+    assert rows(lit) == [("a",), ("b",)]
+
+
+def test_cycle_pattern(spark, edges):
+    out = match_patterns(
+        edges,
+        [
+            ("?x", "inhibits", "?y"),
+            ("?y", "binds", "?z"),
+            ("?z", "activates", "?x"),
+        ],
+    )
+    assert rows(out) == sorted([("a", "b", "d")] * 2)
+
+
+def test_repeated_var_within_pattern(spark, edges):
+    out = match_patterns(edges, [("?n", "knows", "?n")])
+    assert rows(out) == [("x",)]
+
+
+def test_join_order_most_bound_first():
+    pats = [
+        ("?x", "inhibits", "?y"),
+        ("?y", "binds", "?z"),
+        ("?z", "activates", "a"),
+    ]
+    order = _join_order(pats)
+    # pattern 2 has the literal anchor -> joined first; then the
+    # variable-connected chain z -> y -> x.
+    assert order == [2, 1, 0]
+
+
+def test_validation_errors(spark, edges):
+    with pytest.raises(ValueError, match="at least one"):
+        match_patterns(edges, [])
+    with pytest.raises(ValueError, match="binds no variable"):
+        match_patterns(edges, [("a", "inhibits", "b")])
+    with pytest.raises(ValueError, match="disconnected"):
+        match_patterns(
+            edges, [("?x", "inhibits", "?y"), ("?p", "binds", "?q")]
+        )
+    with pytest.raises(ValueError, match="bad variable"):
+        match_patterns(edges, [("?x-1", "inhibits", "?y")])
+
+
+def test_oracle_twin_matches_spark(spark, edges):
+    pats = [
+        ("?x", "inhibits", "?y"),
+        ("?y", "binds", "?z"),
+        ("?z", "activates", "?x"),
+    ]
+    got = rows(match_patterns(edges, pats))
+    vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in TRIPLES)
+    sql = match_patterns_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(subj_id, pred, obj_id)", pats
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+def test_oracle_literal_escaping():
+    sql = match_patterns_oracle_sql(
+        "SELECT 1", [("?x", "o'brien", "?y")]
+    )
+    assert "'o''brien'" in sql
