@@ -1330,6 +1330,41 @@ def q_kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(deg, "deg")
 
 
+# Constraint-bearing synthetic KG for q_kg_violations: objects cycle
+# mod 11 while subjects cycle mod 23, so 'capital_of' subjects
+# accumulate multiple objects (functional violations) and 'located_in'
+# objects accumulate multiple subjects (inverse-functional violations).
+_KG_FUNC_SQL = """SELECT DISTINCT 'e' || (doc_id % 23) AS subj_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'capital_of' ELSE 'located_in' END AS pred,
+    'c' || (doc_id % 11) AS obj_id
+  FROM documents"""
+
+_KG_CONSTRAINTS = [
+    ("capital_of", "functional"),
+    ("located_in", "inverse_functional"),
+]
+
+
+def q_kg_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-constraint contradiction table (OWL functional /
+    inverse-functional property QA) over the engineered synthetic KG —
+    the review gate between extracted edges and the canonical store.
+    One composite-key shuffle per kind, no collect_set (conflicting
+    sets can be hub-sized)."""
+    from easyner_spark.operators.triples import functional_violations
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    edges = d.select(
+        F.concat(F.lit("e"), (did % 23).cast("string")).alias("subj_id"),
+        F.when(did % 2 == 0, F.lit("capital_of"))
+        .otherwise(F.lit("located_in"))
+        .alias("pred"),
+        F.concat(F.lit("c"), (did % 11).cast("string")).alias("obj_id"),
+    ).distinct()
+    return functional_violations(edges, _KG_CONSTRAINTS)
+
+
 # BGP query shared by q_kg_pattern and its oracle (one definition per
 # side): ?x inhibits ?y, ?y binds ?z, ?x activates ?y — a chain join
 # plus a second predicate constraint on an already-bound pair.
@@ -2813,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_skipgrams": q_walk_skipgrams,
         "kg_degree_stats": q_kg_degree_stats,
         "kg_pattern": q_kg_pattern,
+        "kg_violations": q_kg_violations,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -3550,6 +3586,18 @@ def _robots_oracle() -> str:
         + "\n  ) AS t(host, directive, path_prefix)"
     )
     return robots_verdict_oracle_sql(pages_sql, rules_sql)
+
+
+def _kg_violations_oracle() -> str:
+    """q_kg_violations oracle: same constraints list over the shared
+    engineered edge synthesis."""
+    from easyner_spark.operators.triples import (
+        functional_violations_oracle_sql,
+    )
+
+    return functional_violations_oracle_sql(
+        f"WITH e AS ({_KG_FUNC_SQL})", _KG_CONSTRAINTS
+    )
 
 
 def _kg_pattern_oracle() -> str:
@@ -5003,6 +5051,9 @@ FROM c
         # BGP triple-pattern query: naive conjunctive formulation over
         # the same pattern list (triples.match_patterns_oracle_sql)
         "kg_pattern": _kg_pattern_oracle(),
+        # Declared-constraint contradiction table
+        # (triples.functional_violations_oracle_sql over _KG_FUNC_SQL)
+        "kg_violations": _kg_violations_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

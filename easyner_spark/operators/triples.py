@@ -678,3 +678,97 @@ SELECT {kw}{sel}
 FROM {froms}
 WHERE {" AND ".join(conds)}
 """
+
+
+def functional_violations(
+    edges: DataFrame,
+    constraints: list[tuple[str, str]],
+) -> DataFrame:
+    """KG consistency QA: rows that break declared OWL-style property
+    constraints. `constraints` is [(pred, kind)] with kind
+    'functional' (a subject may have at most ONE object — capital_of)
+    or 'inverse_functional' (an object may have at most one subject).
+    Output: (pred, kind, entity, n_values, first_value, last_value) —
+    one row per violating entity with its exact conflicting-value
+    count and the lexicographic min/max values as repair anchors.
+    This is the contradiction table a KG-construction pipeline reviews
+    before promoting extracted edges to the canonical store (the
+    downstream consumer of predicate_cardinality's induced classes:
+    induce there, DECLARE here, enforce on ingest).
+
+    Exactness: input must be DISTINCT per (subj_id, pred, obj_id) —
+    pass aggregate_edges output — so count(*) per key IS the distinct-
+    value count; all integers, CASE on strings, no floats.
+
+    Scale: the constrained-predicate filter is a tiny isin pushed to
+    the scan (only declared predicates survive); each kind is ONE
+    composite-key shuffle ((pred, entity) — uniform unless one entity
+    violates massively, which partial aggs absorb since min/max/count
+    are algebraic). The two kinds union without a further shuffle.
+    No collect_set: conflicting-value sets can be hub-sized, so state
+    stays O(1) per key.
+    """
+    kinds = {k for _, k in constraints}
+    bad = kinds - {"functional", "inverse_functional"}
+    if bad:
+        raise ValueError(f"unknown constraint kind(s): {sorted(bad)!r}")
+
+    def _side(kind: str, key: str, val: str) -> DataFrame:
+        preds = sorted(p for p, k in constraints if k == kind)
+        return (
+            edges.where(F.col("pred").isin(preds))
+            .groupBy("pred", F.col(key).alias("entity"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_values"),
+                F.min(val).alias("first_value"),
+                F.max(val).alias("last_value"),
+            )
+            .where(F.col("n_values") > 1)
+            .select(
+                "pred",
+                F.lit(kind).alias("kind"),
+                "entity",
+                "n_values",
+                "first_value",
+                "last_value",
+            )
+        )
+
+    parts = []
+    if any(k == "functional" for _, k in constraints):
+        parts.append(_side("functional", "subj_id", "obj_id"))
+    if any(k == "inverse_functional" for _, k in constraints):
+        parts.append(_side("inverse_functional", "obj_id", "subj_id"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def functional_violations_oracle_sql(
+    with_prefix: str,
+    constraints: list[tuple[str, str]],
+) -> str:
+    """DuckDB twin of functional_violations; `with_prefix` is a WITH
+    chain whose last relation is e(subj_id, pred, obj_id), DISTINCT.
+    Generated from the SAME constraints list (repo oracle policy)."""
+    def _in(kind: str) -> str:
+        preds = sorted(p for p, k in constraints if k == kind)
+        return ", ".join("'" + p.replace("'", "''") + "'" for p in preds)
+
+    selects = []
+    if any(k == "functional" for _, k in constraints):
+        selects.append(f"""
+SELECT pred, 'functional' AS kind, subj_id AS entity,
+       count(*)::BIGINT AS n_values,
+       min(obj_id) AS first_value, max(obj_id) AS last_value
+FROM e WHERE pred IN ({_in("functional")})
+GROUP BY pred, subj_id HAVING count(*) > 1""")
+    if any(k == "inverse_functional" for _, k in constraints):
+        selects.append(f"""
+SELECT pred, 'inverse_functional' AS kind, obj_id AS entity,
+       count(*)::BIGINT AS n_values,
+       min(subj_id) AS first_value, max(subj_id) AS last_value
+FROM e WHERE pred IN ({_in("inverse_functional")})
+GROUP BY pred, obj_id HAVING count(*) > 1""")
+    return f"{with_prefix}\n" + "\nUNION ALL\n".join(selects)
