@@ -1392,6 +1392,59 @@ def q_kg_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         obj="obj",
     )
 
+_TEMPLATE_PAGES_SQL = """SELECT 'https://site' || (doc_id % 7)
+      || '.example.net/p/' || doc_id AS url,
+    regexp_replace(text, ' a ', chr(10), 'g')
+      || chr(10) || 'copyright site ' || (doc_id % 7)
+      || (CASE WHEN doc_id % 2 = 0
+          THEN chr(10) || 'subscribe now' ELSE '' END) AS text
+  FROM documents"""
+
+
+def _template_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> 7-host pages with an engineered 100% per-host
+    footer ('copyright site K') and a ~50% promo line on top of the
+    senticized unique body paragraphs (twin of _TEMPLATE_PAGES_SQL)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    hid = (did % 7).cast("string")
+    url = F.concat(
+        F.lit("https://site"), hid, F.lit(".example.net/p/"), did.cast("string")
+    )
+    text = F.concat(
+        F.regexp_replace("text", " a ", "\n"),
+        F.lit("\ncopyright site "),
+        hid,
+        F.when(did % 2 == 0, F.lit("\nsubscribe now")).otherwise(F.lit("")),
+    )
+    return d.select(url.alias("url"), text.alias("text"))
+
+
+def q_host_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host template mining (webtext.host_templates): paragraphs
+    on >= 40% of a host's pages — the engineered footer (100%) and
+    promo (~50%) lines surface; unique body paragraphs do not.
+    Integer cross-multiply gate, min(struct) collapse, no floats."""
+    from easyner_spark.operators.webtext import host_templates
+
+    return host_templates(
+        _template_pages(spark, sf_dir), min_host_pages=3, min_frac_pct=40
+    )
+
+
+def q_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect -> strip composed end-to-end: every host's template
+    paragraphs anti-joined out of every page of that host (digests
+    cross the exchange, not text), texts rebuilt in paragraph order."""
+    from easyner_spark.operators.webtext import (
+        host_templates,
+        strip_host_templates,
+    )
+
+    pages = _template_pages(spark, sf_dir)
+    tmpl = host_templates(pages, min_host_pages=3, min_frac_pct=40)
+    return strip_host_templates(pages, tmpl)
+
 
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning over a synthetic ledger: mostly
@@ -2849,6 +2902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_stats": q_kg_degree_stats,
         "kg_pattern": q_kg_pattern,
         "kg_violations": q_kg_violations,
+        "host_templates": q_host_templates,
+        "template_strip": q_template_strip,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -3597,6 +3652,24 @@ def _kg_violations_oracle() -> str:
 
     return functional_violations_oracle_sql(
         f"WITH e AS ({_KG_FUNC_SQL})", _KG_CONSTRAINTS
+    )
+
+
+def _host_templates_oracle() -> str:
+    from easyner_spark.operators.webtext import host_templates_oracle_sql
+
+    return host_templates_oracle_sql(
+        _TEMPLATE_PAGES_SQL, min_host_pages=3, min_frac_pct=40
+    )
+
+
+def _template_strip_oracle() -> str:
+    from easyner_spark.operators.webtext import (
+        strip_host_templates_oracle_sql,
+    )
+
+    return strip_host_templates_oracle_sql(
+        _TEMPLATE_PAGES_SQL, min_host_pages=3, min_frac_pct=40
     )
 
 
@@ -5054,6 +5127,11 @@ FROM c
         # Declared-constraint contradiction table
         # (triples.functional_violations_oracle_sql over _KG_FUNC_SQL)
         "kg_violations": _kg_violations_oracle(),
+        # Per-host template mining / stripping
+        # (webtext.host_templates_oracle_sql twins over the shared
+        # engineered 7-host pages synthesis)
+        "host_templates": _host_templates_oracle(),
+        "template_strip": _template_strip_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

@@ -1624,3 +1624,195 @@ SELECT ann.url, ann.lastmod, meta.fetch_date,
             THEN 'stale' ELSE 'fresh' END AS status
 FROM ann JOIN meta USING (url)
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-host template (site-boilerplate) detection
+# ---------------------------------------------------------------------------
+
+def host_templates(
+    pages: DataFrame,
+    min_host_pages: int = 3,
+    min_frac_pct: int = 50,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Site-template mining: newline paragraphs that appear on at
+    least `min_frac_pct`% of a host's pages (and on >= 2 pages of a
+    host with >= `min_host_pages` pages) are that site's template —
+    nav bars, cookie banners, footers that trafilatura-style
+    extraction missed. Output: (host, para, n_pages, host_pages), one
+    row per (host, template paragraph). This is the PER-SITE
+    complement of dedup.paragraph_dedup's corpus-wide first-occurrence
+    rule: a host's template should be dropped from EVERY page of that
+    host (strip_host_templates), not kept once on the crawl-order
+    first page.
+
+    Input contract: one row per url (run latest_crawl first) —
+    host_pages counts rows.
+
+    Exactness: the fraction gate is an integer cross-multiply
+    (n_pages * 100 >= min_frac_pct * host_pages); no floats anywhere.
+
+    Scale (3 shuffles, all skew-safe): (1) per-(host, digest, url)
+    collapse — a paragraph repeated WITHIN one page counts once; key
+    includes url, so uniform however hot the host or the paragraph;
+    (2) per-(host, digest) count over the already-collapsed rows —
+    count/min are algebraic, partial aggs absorb a template shared by
+    every page of a 10^8-page host; (3) the per-host page-total
+    rollup, joined back on host (AQE-decided: the totals side is
+    |hosts| rows). Paragraph text crosses an exchange only inside the
+    min(struct) buffer, once.
+    """
+    host = _host_col(F.col(url_col))
+    paras = pages.select(
+        F.col(url_col).alias("_url"),
+        host.alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_para"),
+    )
+    per_page = paras.groupBy(
+        "host", F.sha2(F.col("_para"), 256).alias("_d"), "_url"
+    ).agg(F.min("_para").alias("_para"))
+    counts = per_page.groupBy("host", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.min("_para").alias("para"),
+    )
+    totals = (
+        pages.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("host_pages"))
+    )
+    return (
+        counts.join(totals, "host")
+        .where(
+            (F.col("host_pages") >= min_host_pages)
+            & (F.col("n_pages") >= 2)
+            & (F.col("n_pages") * 100 >= min_frac_pct * F.col("host_pages"))
+        )
+        .select("host", "para", "n_pages", "host_pages")
+    )
+
+
+def strip_host_templates(
+    pages: DataFrame,
+    templates: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove a host's template paragraphs from every page of that
+    host: (url, text_stripped, n_paras, n_kept); text_stripped = ''
+    when the page was pure template. Join is a LEFT ANTI on (host,
+    paragraph digest) — the templates side is bounded (per-host
+    template sets are small), so AQE broadcasts it; paragraph text
+    never crosses the anti-join exchange, only digests do."""
+    host = _host_col(F.col(url_col))
+    paras = pages.select(
+        F.col(url_col).alias(url_col),
+        host.alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pidx", "_para"),
+    )
+    tmpl = templates.select(
+        "host", F.sha2(F.col("para"), 256).alias("_d")
+    ).distinct()
+    kept = paras.withColumn("_d", F.sha2(F.col("_para"), 256)).join(
+        tmpl, ["host", "_d"], "left_anti"
+    )
+    rebuilt = kept.groupBy(url_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_pidx").alias("p"), F.col("_para").alias("t")
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            "\n",
+        ).alias("text_stripped"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = pages.select(
+        F.col(url_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_paras"),
+    )
+    return totals.join(rebuilt, url_col, "left").select(
+        F.col(url_col),
+        F.coalesce(F.col("text_stripped"), F.lit("")).alias("text_stripped"),
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
+
+
+def host_templates_oracle_sql(
+    pages_sql: str,
+    min_host_pages: int = 3,
+    min_frac_pct: int = 50,
+) -> str:
+    """DuckDB twin of host_templates; `pages_sql` yields (url, text).
+    Host extraction is the same HOST_RE regex (shared verbatim)."""
+    return f"""
+WITH pg AS ({pages_sql}),
+h AS (
+  SELECT url, text, regexp_replace(
+           lower(regexp_extract(url, '{HOST_RE}', 1)),
+           ':\\d+$', '') AS host
+  FROM pg
+),
+paras AS (
+  SELECT host, url, unnest(string_split(text, chr(10))) AS para FROM h
+),
+pp AS (SELECT host, url, para FROM paras GROUP BY host, url, para),
+cnt AS (
+  SELECT host, para, count(*)::BIGINT AS n_pages
+  FROM pp GROUP BY host, para
+),
+tot AS (SELECT host, count(*)::BIGINT AS host_pages FROM h GROUP BY host)
+SELECT c.host, c.para, c.n_pages, t.host_pages
+FROM cnt c JOIN tot t ON c.host = t.host
+WHERE t.host_pages >= {min_host_pages}
+  AND c.n_pages >= 2
+  AND c.n_pages * 100 >= {min_frac_pct} * t.host_pages
+"""
+
+
+def strip_host_templates_oracle_sql(
+    pages_sql: str,
+    min_host_pages: int = 3,
+    min_frac_pct: int = 50,
+) -> str:
+    """DuckDB twin of the detect->strip composition: host_templates
+    over `pages_sql`, then every template paragraph anti-joined out of
+    its host's pages and the texts rebuilt in paragraph order."""
+    tmpl = host_templates_oracle_sql(pages_sql, min_host_pages, min_frac_pct)
+    return f"""
+WITH tm AS MATERIALIZED ({tmpl}),
+pg AS ({pages_sql}),
+h AS (
+  SELECT url, text, regexp_replace(
+           lower(regexp_extract(url, '{HOST_RE}', 1)),
+           ':\\d+$', '') AS host
+  FROM pg
+),
+paras AS (
+  SELECT url, host,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pidx,
+         unnest(string_split(text, chr(10))) AS para
+  FROM h
+),
+kept AS (
+  SELECT p.url, p.pidx, p.para
+  FROM paras p LEFT JOIN tm ON tm.host = p.host AND tm.para = p.para
+  WHERE tm.para IS NULL
+),
+reb AS (
+  SELECT url, string_agg(para, chr(10) ORDER BY pidx) AS text_stripped,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY url
+),
+tot AS (SELECT url, len(string_split(text, chr(10)))::BIGINT AS n_paras FROM h)
+SELECT t.url, coalesce(r.text_stripped, '') AS text_stripped,
+       t.n_paras, coalesce(r.n_kept, 0)::BIGINT AS n_kept
+FROM tot t LEFT JOIN reb r ON t.url = r.url
+"""
