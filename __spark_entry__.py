@@ -1446,6 +1446,57 @@ def q_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_host_templates(pages, tmpl)
 
 
+def _kg_rank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold triples + deterministic filtered negatives (kg_negatives
+    k=3, slot-deduped), every candidate scored by the md5-32 micro-unit
+    rule — the bit-reproducible stand-in for a trained KG-embedding
+    scorer, shared with the SQL twin."""
+    from easyner_spark.operators.graph import kg_negatives
+
+    t = _kg_synth_triples(spark, sf_dir)
+    negs = (
+        kg_negatives(t, k=3)
+        .select("subj", "pred", F.col("obj_neg").alias("obj"))
+        .distinct()
+        .withColumn("is_gold", F.lit(0))
+    )
+    gold = t.select("subj", "pred", "obj").withColumn("is_gold", F.lit(1))
+    cand = gold.unionByName(negs)
+    score = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "subj", "pred", "obj", F.lit("sc"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    return cand.withColumn("score_micro", score)
+
+
+def q_kg_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered link-prediction ranking (Bordes-style protocol): per
+    gold triple, rank among its query's scored candidates — one
+    bounded (subj, pred) equi-join + one partial-agg count, ties
+    broken deterministically by smaller object id, other golds never
+    count as competitors."""
+    from easyner_spark.operators.graph import ranking_eval
+
+    return ranking_eval(_kg_rank_candidates(spark, sf_dir))
+
+
+def q_kg_rank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup of the ranking eval: n_gold, Hits@1/3/10 counts,
+    reciprocal-rank sums in micro-units (integer div — exact across
+    engines) and the integer-mean mrr_micro."""
+    from easyner_spark.operators.graph import ranking_eval, ranking_summary
+
+    return ranking_summary(ranking_eval(_kg_rank_candidates(spark, sf_dir)))
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning over a synthetic ledger: mostly
     1-10 KB files with every 19th ~120 KB (oversized vs the 100 KB
@@ -2904,6 +2955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_violations": q_kg_violations,
         "host_templates": q_host_templates,
         "template_strip": q_template_strip,
+        "kg_rank_eval": q_kg_rank_eval,
+        "kg_rank_summary": q_kg_rank_summary,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -3671,6 +3724,35 @@ def _template_strip_oracle() -> str:
     return strip_host_templates_oracle_sql(
         _TEMPLATE_PAGES_SQL, min_host_pages=3, min_frac_pct=40
     )
+
+
+def _kg_rank_oracle(summary: bool) -> str:
+    """q_kg_rank_eval / q_kg_rank_summary oracles: the same gold +
+    filtered-negative candidate synthesis (kg_negatives SQL twin,
+    slot-deduped) scored by the shared md5-32 micro-unit rule."""
+    from easyner_spark.operators.graph import (
+        kg_negatives_oracle_sql,
+        ranking_eval_oracle_sql,
+        ranking_summary_oracle_sql,
+    )
+
+    negs = kg_negatives_oracle_sql(_KG_TRIPLES_SQL, k=3)
+    cands = f"""
+WITH negs AS MATERIALIZED ({negs}),
+golds AS ({_KG_TRIPLES_SQL}),
+cand AS (
+  SELECT subj, pred, obj, 1 AS is_gold FROM golds
+  UNION ALL
+  SELECT DISTINCT subj, pred, obj_neg AS obj, 0 AS is_gold FROM negs
+)
+SELECT subj, pred, obj,
+       ('0x' || substr(md5(subj || '|' || pred || '|' || obj || '|sc'),
+                       1, 8))::BIGINT % 1000000 AS score_micro,
+       is_gold
+FROM cand"""
+    if summary:
+        return ranking_summary_oracle_sql(cands)
+    return ranking_eval_oracle_sql(cands)
 
 
 def _kg_pattern_oracle() -> str:
@@ -5132,6 +5214,11 @@ FROM c
         # engineered 7-host pages synthesis)
         "host_templates": _host_templates_oracle(),
         "template_strip": _template_strip_oracle(),
+        # Filtered KG link-prediction ranking + rollup
+        # (graph.ranking_eval_oracle_sql over gold + kg_negatives
+        # candidates, md5-32 micro-unit scores)
+        "kg_rank_eval": _kg_rank_oracle(summary=False),
+        "kg_rank_summary": _kg_rank_oracle(summary=True),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

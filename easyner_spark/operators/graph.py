@@ -1313,3 +1313,123 @@ it{t} AS (
         )
     parts.append(f"\nSELECT node, round(rank, 6) AS rank FROM it{iters}\n")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# KG-embedding evaluation: filtered ranking metrics (MRR / Hits@k)
+# ---------------------------------------------------------------------------
+
+def ranking_eval(
+    candidates: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    score_col: str = "score_micro",
+    gold_col: str = "is_gold",
+) -> DataFrame:
+    """Filtered link-prediction ranking (the standard KG-embedding
+    eval protocol, Bordes et al. 2013): `candidates` holds, per
+    (subj, pred) query, the gold object(s) plus corrupted candidates
+    (kg_negatives output is already 'filtered' — accidental positives
+    removed), each with an INTEGER score (micro-units — the engine's
+    no-floats-across-engines rule). Output: one row per gold triple
+    with its rank among the query's candidates:
+      rank = 1 + |better| where better = higher score, ties broken by
+      lexicographically smaller object id (deterministic across
+      engines; the 'realistic' tie protocol needs randomness, the
+      optimistic/pessimistic ones hide score collisions).
+
+    Scale: ONE equi-join on the (subj, pred) query key — fan-out per
+    key is the candidate-set size (k+1-ish, bounded by construction,
+    never by graph degree) — then one partial-agg count on the gold
+    triple key. No windows, no collects.
+    """
+    g = candidates.where(F.col(gold_col).cast("int") == 1).select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+        F.col(score_col).cast("long").alias("score_micro"),
+    )
+    c = candidates.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("_c_obj"),
+        F.col(score_col).cast("long").alias("_c_score"),
+        F.col(gold_col).cast("int").alias("_c_gold"),
+    )
+    # 'filtered' protocol: OTHER gold objects of the same query never
+    # count as competitors (only corruptions can outrank the gold).
+    beats = (F.col("_c_gold") == 0) & (
+        (F.col("_c_score") > F.col("score_micro"))
+        | (
+            (F.col("_c_score") == F.col("score_micro"))
+            & (F.col("_c_obj") < F.col("obj"))
+        )
+    )
+    return (
+        g.join(c, ["subj", "pred"])
+        .groupBy("subj", "pred", "obj", "score_micro")
+        .agg(
+            (1 + F.sum(beats.cast("long"))).cast("long").alias("rank")
+        )
+    )
+
+
+def ranking_summary(
+    ranks: DataFrame,
+    ks: tuple[int, ...] = (1, 3, 10),
+) -> DataFrame:
+    """One-row corpus rollup of ranking_eval: n_gold, hits@k counts,
+    sum of reciprocal ranks in micro-units (1000000 div rank — exact
+    integer division, identical across engines) and their integer-mean
+    mrr_micro. All BIGINT; divide by n_gold downstream for floats."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_gold")]
+    for k in ks:
+        aggs.append(
+            F.sum((F.col("rank") <= k).cast("long"))
+            .cast("long")
+            .alias(f"hits{k}")
+        )
+    aggs.append(
+        F.sum(F.expr("1000000 div rank")).cast("long").alias("sum_rr_micro")
+    )
+    out = ranks.agg(*aggs)
+    return out.withColumn(
+        "mrr_micro", F.expr("sum_rr_micro div n_gold").cast("long")
+    )
+
+
+def ranking_eval_oracle_sql(candidates_sql: str) -> str:
+    """DuckDB twin of ranking_eval; `candidates_sql` yields
+    (subj, pred, obj, score_micro, is_gold)."""
+    return f"""
+WITH cand AS MATERIALIZED ({candidates_sql})
+SELECT g.subj, g.pred, g.obj, g.score_micro::BIGINT AS score_micro,
+       (1 + count(*) FILTER (
+          WHERE c.is_gold = 0
+            AND (c.score_micro > g.score_micro
+                 OR (c.score_micro = g.score_micro AND c.obj < g.obj))
+        ))::BIGINT AS rank
+FROM (SELECT * FROM cand WHERE is_gold = 1) g
+JOIN cand c ON c.subj = g.subj AND c.pred = g.pred
+GROUP BY g.subj, g.pred, g.obj, g.score_micro
+"""
+
+
+def ranking_summary_oracle_sql(
+    candidates_sql: str,
+    ks: tuple[int, ...] = (1, 3, 10),
+) -> str:
+    """DuckDB twin of ranking_eval |> ranking_summary."""
+    hit_cols = ",\n       ".join(
+        f"sum(CASE WHEN rank <= {k} THEN 1 ELSE 0 END)::BIGINT AS hits{k}"
+        for k in ks
+    )
+    return f"""
+WITH ranks AS MATERIALIZED ({ranking_eval_oracle_sql(candidates_sql)})
+SELECT count(*)::BIGINT AS n_gold,
+       {hit_cols},
+       sum(1000000 // rank)::BIGINT AS sum_rr_micro,
+       (sum(1000000 // rank) // count(*))::BIGINT AS mrr_micro
+FROM ranks
+"""
