@@ -1497,6 +1497,37 @@ def q_kg_rank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_summary(ranking_eval(_kg_rank_candidates(spark, sf_dir)))
 
 
+def q_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional bitext mining over deterministic 3-page translation
+    clusters (doc_id div 3; langs en/de/fr by doc_id mod 3): sentences
+    of cross-language page pairs aligned by index under the 50%
+    sentence-count gate — the parallel-data product hreflang_clusters
+    exists to feed."""
+    from easyner_spark.operators.webtext import bitext_candidates
+
+    sents = _sentences(spark, sf_dir)
+    did = F.col("url").cast("long")
+    lang = (
+        F.when(did % 3 == 0, F.lit("en"))
+        .when(did % 3 == 1, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    s = sents.select(
+        "url",
+        lang.alias("lang"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "sentence",
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = d.select(
+        F.col("doc_id").cast("string").alias("node"),
+        F.concat(F.lit("g"), F.expr("doc_id div 3").cast("string")).alias(
+            "cluster"
+        ),
+    )
+    return bitext_candidates(s, clusters, max_count_diff_pct=50)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning over a synthetic ledger: mostly
     1-10 KB files with every 19th ~120 KB (oversized vs the 100 KB
@@ -2957,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_strip": q_template_strip,
         "kg_rank_eval": q_kg_rank_eval,
         "kg_rank_summary": q_kg_rank_summary,
+        "bitext": q_bitext,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -3753,6 +3785,28 @@ FROM cand"""
     if summary:
         return ranking_summary_oracle_sql(cands)
     return ranking_eval_oracle_sql(cands)
+
+
+def _bitext_oracle() -> str:
+    """q_bitext oracle: the sentence prelude relabeled (url, lang) +
+    the deterministic doc_id div 3 cluster table, through the
+    operator's module-local SQL twin."""
+    from easyner_spark.operators.webtext import bitext_candidates_oracle_sql
+
+    sentences_sql = _PRELUDE + """
+SELECT doc_id::VARCHAR AS url,
+       CASE (doc_id % 3) WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+            ELSE 'fr' END AS lang,
+       sent_idx::BIGINT AS sent_idx, sentence
+FROM sentences
+"""
+    clusters_sql = (
+        "SELECT doc_id::VARCHAR AS node, "
+        "'g' || (doc_id // 3)::VARCHAR AS cluster FROM documents"
+    )
+    return bitext_candidates_oracle_sql(
+        sentences_sql, clusters_sql, max_count_diff_pct=50
+    )
 
 
 def _kg_pattern_oracle() -> str:
@@ -5219,6 +5273,10 @@ FROM c
         # candidates, md5-32 micro-unit scores)
         "kg_rank_eval": _kg_rank_oracle(summary=False),
         "kg_rank_summary": _kg_rank_oracle(summary=True),
+        # Positional bitext mining over deterministic clusters
+        # (webtext.bitext_candidates_oracle_sql over the shared
+        # sentence prelude)
+        "bitext": _bitext_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

@@ -1816,3 +1816,134 @@ SELECT t.url, coalesce(r.text_stripped, '') AS text_stripped,
        t.n_paras, coalesce(r.n_kept, 0)::BIGINT AS n_kept
 FROM tot t LEFT JOIN reb r ON t.url = r.url
 """
+
+
+# ---------------------------------------------------------------------------
+# Parallel-corpus (bitext) candidate mining over translation clusters
+# ---------------------------------------------------------------------------
+
+def bitext_candidates(
+    sentences: DataFrame,
+    clusters: DataFrame,
+    max_count_diff_pct: int = 50,
+    url_col: str = "url",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Positional bitext mining: align sentences of translation-variant
+    page pairs by sentence INDEX — the classic cheap baseline for
+    parallel-data extraction from multilingual sites (pages translated
+    sentence-by-sentence line up positionally; an embedding-margin
+    reranker slots in downstream on these candidates). Inputs:
+    `sentences` (url, lang, sent_idx, sentence) and `clusters`
+    (node, cluster) — hreflang_clusters output. Output one row per
+    aligned sentence pair: (cluster, url_a, lang_a, url_b, lang_b,
+    sent_idx, sent_a, sent_b), pairs canonicalized lang_a < lang_b
+    (same-language variants are dedup targets, not bitext — excluded).
+
+    A WikiMatrix-style length gate drops page pairs whose sentence
+    counts diverge: |n_a - n_b| * 100 <= max_count_diff_pct *
+    greatest(n_a, n_b) — integer cross-multiply, no floats.
+
+    Scale: membership join on the url key (uniform); per-page counts
+    one partial-agg shuffle; the page-pair self-join keys on CLUSTER —
+    cluster sizes are bounded by a site's language count (dozens, not
+    degrees), so the fan-out is structural, never hub-sized; sentence
+    attachment is two (url [, sent_idx]) equi-joins. Sentence text
+    crosses each exchange once.
+    """
+    s = (
+        sentences.select(
+            F.col(url_col).alias("url"),
+            F.col(lang_col).alias("lang"),
+            F.col("sent_idx").cast("long").alias("sent_idx"),
+            "sentence",
+        )
+        .join(clusters, F.col("url") == F.col("node"))
+        .select("cluster", "url", "lang", "sent_idx", "sentence")
+    )
+    counts = s.groupBy("cluster", "url", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sents")
+    )
+    a = counts.select(
+        "cluster",
+        F.col("url").alias("url_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_sents").alias("n_a"),
+    )
+    b = counts.select(
+        "cluster",
+        F.col("url").alias("url_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_sents").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(
+            (F.col("lang_a") < F.col("lang_b"))
+            & (
+                F.abs(F.col("n_a") - F.col("n_b")) * 100
+                <= max_count_diff_pct * F.greatest("n_a", "n_b")
+            )
+        )
+        .select("cluster", "url_a", "lang_a", "url_b", "lang_b")
+    )
+    sa = s.select(
+        F.col("url").alias("url_a"),
+        F.col("sent_idx"),
+        F.col("sentence").alias("sent_a"),
+    )
+    sb = s.select(
+        F.col("url").alias("url_b"),
+        F.col("sent_idx"),
+        F.col("sentence").alias("sent_b"),
+    )
+    return (
+        pairs.join(sa, "url_a")
+        .join(sb, ["url_b", "sent_idx"])
+        .select(
+            "cluster",
+            "url_a",
+            "lang_a",
+            "url_b",
+            "lang_b",
+            "sent_idx",
+            "sent_a",
+            "sent_b",
+        )
+    )
+
+
+def bitext_candidates_oracle_sql(
+    sentences_sql: str,
+    clusters_sql: str,
+    max_count_diff_pct: int = 50,
+) -> str:
+    """DuckDB twin of bitext_candidates; `sentences_sql` yields
+    (url, lang, sent_idx, sentence), `clusters_sql` yields
+    (node, cluster)."""
+    return f"""
+WITH sents AS MATERIALIZED ({sentences_sql}),
+cl AS ({clusters_sql}),
+s AS (
+  SELECT cl.cluster, sents.url, sents.lang,
+         sents.sent_idx::BIGINT AS sent_idx, sents.sentence
+  FROM sents JOIN cl ON sents.url = cl.node
+),
+counts AS (
+  SELECT cluster, url, lang, count(*)::BIGINT AS n_sents
+  FROM s GROUP BY cluster, url, lang
+),
+pairs AS (
+  SELECT a.cluster, a.url AS url_a, a.lang AS lang_a,
+         b.url AS url_b, b.lang AS lang_b
+  FROM counts a JOIN counts b ON a.cluster = b.cluster
+  WHERE a.lang < b.lang
+    AND abs(a.n_sents - b.n_sents) * 100
+        <= {max_count_diff_pct} * greatest(a.n_sents, b.n_sents)
+)
+SELECT p.cluster, p.url_a, p.lang_a, p.url_b, p.lang_b,
+       sa.sent_idx, sa.sentence AS sent_a, sb.sentence AS sent_b
+FROM pairs p
+JOIN s sa ON sa.url = p.url_a
+JOIN s sb ON sb.url = p.url_b AND sb.sent_idx = sa.sent_idx
+"""
