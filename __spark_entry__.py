@@ -1528,6 +1528,34 @@ def q_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_candidates(s, clusters, max_count_diff_pct=50)
 
 
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host mirror detection over deterministic 40-host pages
+    (doc_id % 40) where mirror-h<K> re-serves host h<K>'s even-doc_id
+    pages verbatim: every (h<K>, mirror-h<K>) pair flags at 100%
+    containment of the mirror's distinct content set; digest-count cap
+    and integer cross-multiply gate, no floats."""
+    from easyner_spark.operators.webtext import mirror_hosts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    hid = (did % 40).cast("string")
+    base = d.select(
+        F.concat(
+            F.lit("http://h"), hid, F.lit(".example.org/p/"),
+            did.cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    mirr = d.where(did % 2 == 0).select(
+        F.concat(
+            F.lit("http://mirror-h"), hid, F.lit(".example.org/p/"),
+            did.cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return mirror_hosts(base.unionByName(mirr))
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning over a synthetic ledger: mostly
     1-10 KB files with every 19th ~120 KB (oversized vs the 100 KB
@@ -2989,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rank_eval": q_kg_rank_eval,
         "kg_rank_summary": q_kg_rank_summary,
         "bitext": q_bitext,
+        "mirror_hosts": q_mirror_hosts,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -3807,6 +3836,24 @@ FROM sentences
     return bitext_candidates_oracle_sql(
         sentences_sql, clusters_sql, max_count_diff_pct=50
     )
+
+
+def _mirror_hosts_oracle() -> str:
+    """q_mirror_hosts oracle: the deterministic base+mirror page
+    synthesis through the operator's module-local SQL twin (oracle
+    groups on raw text where Spark groups on its sha2 digest)."""
+    from easyner_spark.operators.webtext import mirror_hosts_oracle_sql
+
+    pages_sql = """
+SELECT 'http://h' || (doc_id % 40)::VARCHAR || '.example.org/p/'
+         || doc_id::VARCHAR AS url, text
+FROM documents
+UNION ALL
+SELECT 'http://mirror-h' || (doc_id % 40)::VARCHAR || '.example.org/p/'
+         || doc_id::VARCHAR AS url, text
+FROM documents WHERE doc_id % 2 = 0
+"""
+    return mirror_hosts_oracle_sql(pages_sql)
 
 
 def _kg_pattern_oracle() -> str:
@@ -5277,6 +5324,7 @@ FROM c
         # (webtext.bitext_candidates_oracle_sql over the shared
         # sentence prelude)
         "bitext": _bitext_oracle(),
+        "mirror_hosts": _mirror_hosts_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

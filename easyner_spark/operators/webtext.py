@@ -1947,3 +1947,154 @@ FROM pairs p
 JOIN s sa ON sa.url = p.url_a
 JOIN s sb ON sb.url = p.url_b AND sb.sent_idx = sa.sent_idx
 """
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    min_shared: int = 2,
+    min_overlap_pct: int = 50,
+    max_hosts_per_digest: int = 32,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-host mirror detection: host pairs whose distinct
+    page-content sets overlap by >= `min_overlap_pct`% of the SMALLER
+    host's set (containment, not Jaccard — a partial mirror of a big
+    site should still flag) and share >= `min_shared` distinct page
+    texts. Output: (host_a, host_b, shared, n_a, n_b) with
+    host_a < host_b; n_* are distinct content digests per host. The
+    cross-HOST complement of host_templates' within-host rule and
+    paragraph_dedup's corpus-wide rule: mirrors.example.org serving
+    the same pages as example.org should collapse to ONE host's worth
+    of crawl budget / training text, and this table is what the
+    curation step joins against to do it.
+
+    Input contract: one row per url (run latest_crawl first).
+
+    Exactness: the overlap gate is an integer cross-multiply
+    (shared * 100 >= min_overlap_pct * least(n_a, n_b)); no floats.
+
+    Scale (3 data shuffles, all bounded): (1) per-(host, digest)
+    distinct — uniform composite key, however hot the host; (2) a
+    per-digest host COUNT (algebraic partial aggs absorb a digest
+    served by millions of hosts — think empty pages or parked-domain
+    boilerplate) gates digests to 2..max_hosts_per_digest BEFORE any
+    array is collected, so the subsequent per-digest
+    sort_array(collect_set(host)) group is <= cap rows by
+    construction and the in-array i<j pair fan-out is
+    <= cap*(cap-1)/2 per digest — the quadratic is bounded by a knob,
+    never by the data; digests above the cap are corpus-wide
+    boilerplate, not mirror evidence, and dropping them is the
+    documented semantics, not a silent truncation; (3) the
+    (host_a, host_b) shared-count agg — algebraic. Per-host totals
+    ride the already-shuffled (host, digest) frame; the two totals
+    joins are AQE-decided (|hosts| rows). Digest hex crosses
+    exchanges, never page text.
+    """
+    host = _host_col(F.col(url_col))
+    hd = (
+        pages.select(
+            host.alias("host"), F.sha2(F.col(text_col), 256).alias("_d")
+        )
+        .groupBy("host", "_d")
+        .agg(F.count(F.lit(1)).alias("_drop"))
+        .drop("_drop")
+    )
+    eligible = (
+        hd.groupBy("_d")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nh"))
+        .where(
+            (F.col("_nh") >= 2) & (F.col("_nh") <= max_hosts_per_digest)
+        )
+        .select("_d")
+    )
+    grouped = (
+        hd.join(eligible, "_d")
+        .groupBy("_d")
+        .agg(F.sort_array(F.collect_set("host")).alias("_hs"))
+    )
+    n = F.size(F.col("_hs"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("_hs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_hs"), i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x.alias("host_a"), y.alias("host_b")
+                ),
+            ),
+        )
+    )
+    shared = (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.host_a", "p.host_b")
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    totals = hd.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_digests")
+    )
+    return (
+        shared.join(
+            totals.select(
+                F.col("host").alias("host_a"), F.col("n_digests").alias("n_a")
+            ),
+            "host_a",
+        )
+        .join(
+            totals.select(
+                F.col("host").alias("host_b"), F.col("n_digests").alias("n_b")
+            ),
+            "host_b",
+        )
+        .where(
+            (F.col("shared") >= min_shared)
+            & (
+                F.col("shared") * 100
+                >= min_overlap_pct * F.least(F.col("n_a"), F.col("n_b"))
+            )
+        )
+        .select("host_a", "host_b", "shared", "n_a", "n_b")
+    )
+
+
+def mirror_hosts_oracle_sql(
+    pages_sql: str,
+    min_shared: int = 2,
+    min_overlap_pct: int = 50,
+    max_hosts_per_digest: int = 32,
+) -> str:
+    """DuckDB twin of mirror_hosts; `pages_sql` yields (url, text).
+    Groups on raw text where the operator groups on its sha2 digest —
+    identical results (collision-free digest), and the host regex is
+    shared verbatim (HOST_RE)."""
+    return f"""
+WITH pg AS ({pages_sql}),
+hd AS (
+  SELECT DISTINCT
+         regexp_replace(
+           lower(regexp_extract(url, '{HOST_RE}', 1)),
+           ':\\d+$', '') AS host,
+         text
+  FROM pg
+),
+eligible AS (
+  SELECT text FROM hd GROUP BY text
+  HAVING count(*) >= 2 AND count(*) <= {max_hosts_per_digest}
+),
+shared AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS shared
+  FROM hd a
+  JOIN hd b ON a.text = b.text AND a.host < b.host
+  JOIN eligible e ON a.text = e.text
+  GROUP BY a.host, b.host
+),
+tot AS (SELECT host, count(*)::BIGINT AS n_digests FROM hd GROUP BY host)
+SELECT s.host_a, s.host_b, s.shared,
+       ta.n_digests AS n_a, tb.n_digests AS n_b
+FROM shared s
+JOIN tot ta ON s.host_a = ta.host
+JOIN tot tb ON s.host_b = tb.host
+WHERE s.shared >= {min_shared}
+  AND s.shared * 100 >= {min_overlap_pct} * least(ta.n_digests, tb.n_digests)
+"""
