@@ -1556,6 +1556,51 @@ def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mirror_hosts(base.unionByName(mirr))
 
 
+def q_url_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL equivalence classes over deterministic alias
+    evidence: per-doc url variants (utm param / www. / trailing slash
+    by doc_id % 3) that fold onto one base by normalization, every
+    5th page declaring a rel=canonical to one of 7 shared hubs
+    (bridging ~14 base classes each), every 11th url reached by a
+    redirect hop — all closed through the shared components engine."""
+    from easyner_spark.operators.webtext import url_equivalence
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    hid = (did % 13).cast("string")
+    pid = (did % 97).cast("string")
+    base = F.concat(F.lit("https://h"), hid, F.lit(".example.org/a/"), pid)
+    url = (
+        F.when(did % 3 == 0, F.concat(base, F.lit("?utm_source=mail")))
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("https://www.h"), hid, F.lit(".example.org/a/"), pid
+            ),
+        )
+        .otherwise(F.concat(base, F.lit("/")))
+    )
+    html = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(
+                '<html><head><link rel="canonical"'
+                ' href="https://hub.example.org/c/'
+            ),
+            (did % 7).cast("string"),
+            F.lit('"></head></html>'),
+        ),
+    ).otherwise(F.lit("<html><head></head></html>"))
+    pages = d.select(url.alias("url"), html.alias("html"))
+    redirects = d.where(did % 11 == 0).select(
+        F.concat(
+            F.lit("https://old.example.org/r/"), did.cast("string")
+        ).alias("src"),
+        base.alias("dst"),
+    )
+    return url_equivalence(pages, redirects)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning over a synthetic ledger: mostly
     1-10 KB files with every 19th ~120 KB (oversized vs the 100 KB
@@ -3018,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rank_summary": q_kg_rank_summary,
         "bitext": q_bitext,
         "mirror_hosts": q_mirror_hosts,
+        "url_equivalence": q_url_equivalence,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -3854,6 +3900,34 @@ SELECT 'http://mirror-h' || (doc_id % 40)::VARCHAR || '.example.org/p/'
 FROM documents WHERE doc_id % 2 = 0
 """
     return mirror_hosts_oracle_sql(pages_sql)
+
+
+def _url_equivalence_oracle() -> str:
+    """q_url_equivalence oracle: the deterministic variant/canonical/
+    redirect synthesis through the operator's module-local twin (same
+    CANONICAL_RE, same canonical_url chain, min-label closure)."""
+    from easyner_spark.operators.webtext import url_equivalence_oracle_sql
+
+    pages_sql = """
+SELECT CASE WHEN doc_id % 3 = 0
+            THEN 'https://h' || (doc_id % 13) || '.example.org/a/'
+                 || (doc_id % 97) || '?utm_source=mail'
+            WHEN doc_id % 3 = 1
+            THEN 'https://www.h' || (doc_id % 13) || '.example.org/a/'
+                 || (doc_id % 97)
+            ELSE 'https://h' || (doc_id % 13) || '.example.org/a/'
+                 || (doc_id % 97) || '/' END AS url,
+       CASE WHEN doc_id % 5 = 0
+            THEN '<html><head><link rel="canonical" href="https://hub.example.org/c/'
+                 || (doc_id % 7) || '"></head></html>'
+            ELSE '<html><head></head></html>' END AS html
+FROM documents
+"""
+    redirects_sql = """SELECT
+    'https://old.example.org/r/' || doc_id AS src,
+    'https://h' || (doc_id % 13) || '.example.org/a/' || (doc_id % 97) AS dst
+  FROM documents WHERE doc_id % 11 = 0"""
+    return url_equivalence_oracle_sql(pages_sql, redirects_sql)
 
 
 def _kg_pattern_oracle() -> str:
@@ -5325,6 +5399,7 @@ FROM c
         # sentence prelude)
         "bitext": _bitext_oracle(),
         "mirror_hosts": _mirror_hosts_oracle(),
+        "url_equivalence": _url_equivalence_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

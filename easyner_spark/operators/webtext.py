@@ -2098,3 +2098,129 @@ JOIN tot tb ON s.host_b = tb.host
 WHERE s.shared >= {min_shared}
   AND s.shared * 100 >= {min_overlap_pct} * least(ta.n_digests, tb.n_digests)
 """
+
+
+def url_equivalence(
+    pages: DataFrame,
+    redirects: DataFrame | None = None,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Canonical-URL equivalence classes: every url grouped with every
+    alias the crawl evidences, closed transitively — (node, canonical)
+    where canonical = min url reachable. Three edge types feed ONE
+    components run: (1) rel=canonical declarations from the page head
+    (extract_meta — CMS mirrors and tracking-param variants all
+    declare the same canonical), (2) redirect hops from an optional
+    (src, dst) frame (resolve_redirects' input shape; its OUTPUT also
+    works — src->final is just a shortcut edge of the same class),
+    (3) the canonical_url normalization fold (www./tracking-param/
+    fragment/trailing-slash) applied to every crawled url AND every
+    declared canonical target, so `https://www.x.com/a` declared as
+    canonical and `https://x.com/a` fetched directly still merge.
+    Redirect endpoints are not re-normalized here (a redirect src is
+    by definition a fetched url — feed it through `pages` if it was
+    crawled). This is the URL analog of the KG's entity merging:
+    same alternating-star components engine, new edge types, zero new
+    iteration code; the class table is what crawl-budget, dedup, and
+    link-graph layers join on to collapse aliases to ONE url.
+
+    Scale shape: edge construction is pure per-row codegen (extract
+    regexes + the canonical_url regexp chain, scan-fused, zero
+    shuffle); the closure cost is connected_components' — alternating
+    large/small-star rounds on the uniform url key, hot-alias fans
+    bounded the same way the KG's common-alias worst case is
+    (tools/components_stress.py tier).
+    """
+    from easyner_spark.operators.components import connected_components
+
+    meta = extract_meta(pages, html_col=html_col, url_col=url_col)
+    declared = meta.where(
+        F.col("canonical_href").isNotNull()
+        & (F.col("canonical_href") != F.col("url"))
+    ).select(F.col("url").alias("src"), F.col("canonical_href").alias("dst"))
+    crawled_norm = (
+        pages.select(F.col(url_col).alias("src"))
+        .withColumn("dst", canonical_url("src"))
+        .where(F.col("dst") != F.col("src"))
+    )
+    target_norm = (
+        meta.where(F.col("canonical_href").isNotNull())
+        .select(F.col("canonical_href").alias("src"))
+        .withColumn("dst", canonical_url("src"))
+        .where(F.col("dst") != F.col("src"))
+    )
+    edges = declared.unionByName(crawled_norm).unionByName(target_norm)
+    if redirects is not None:
+        edges = edges.unionByName(
+            redirects.select(
+                F.col("src").cast("string").alias("src"),
+                F.col("dst").cast("string").alias("dst"),
+            )
+        )
+    return connected_components(edges).select(
+        "node", F.col("component").alias("canonical")
+    )
+
+
+# DuckDB twin of the canonical_url regexp chain (same patterns, same
+# order; DuckDB needs the explicit 'g' flag where Spark's
+# regexp_replace is global by default). Shared by every oracle that
+# normalizes urls.
+def canon_url_sql(expr: str) -> str:
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace("
+        f"lower(regexp_extract(regexp_replace({expr}, '#.*$', ''),"
+        " '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))"
+        f" || regexp_replace(regexp_replace({expr}, '#.*$', ''),"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),"
+        " '://www\\.', '://'),"
+        " '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),"
+        " '\\?&', '?'),"
+        " '^([^?&]*)&', '\\1?'),"
+        " '[?&]$', ''),"
+        " '/$', '')"
+    )
+
+
+def url_equivalence_oracle_sql(
+    pages_sql: str, redirects_sql: str | None = None
+) -> str:
+    """DuckDB twin of url_equivalence; `pages_sql` yields (url, html)
+    with html TEXT, optional `redirects_sql` yields (src, dst). Same
+    CANONICAL_RE extraction and canonical_url chain, then the
+    min-label reachability closure (_COMPONENTS_ORACLE's pattern)."""
+    redirect_edges = (
+        f"UNION ALL SELECT src AS a, dst AS b FROM ({redirects_sql})"
+        if redirects_sql is not None
+        else ""
+    )
+    return f"""
+WITH RECURSIVE pg AS ({pages_sql}),
+meta AS (
+  SELECT url,
+    nullif(regexp_extract(lower(html),
+      '<link rel="canonical" href="([^"]*)"', 1), '') AS canon_href
+  FROM pg
+),
+raw_edges AS (
+  SELECT url AS a, canon_href AS b FROM meta
+  WHERE canon_href IS NOT NULL AND canon_href != url
+  UNION ALL
+  SELECT url AS a, {canon_url_sql('url')} AS b FROM pg
+  UNION ALL
+  SELECT canon_href AS a, {canon_url_sql('canon_href')} AS b
+  FROM meta WHERE canon_href IS NOT NULL
+  {redirect_edges}
+),
+edges AS (SELECT DISTINCT a, b FROM raw_edges WHERE a != b),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN sym e ON r.node = e.a
+)
+SELECT node, min(lbl) AS canonical FROM reach GROUP BY node
+"""
