@@ -1601,6 +1601,28 @@ def q_url_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_equivalence(pages, redirects)
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (syndication) detection: every 7th doc
+    re-served inside a portal wrapper (id + 500000, chrome words
+    around the full text) — the (portal, article) direction flags at
+    100% containment of the article's shingles; Jaccard would score
+    the pair low. df-capped shingles, integer cross-multiply gate."""
+    from easyner_spark.operators.dedup import containment_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    portals = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.lit("portal syndication wrapper intro "),
+            F.col("text"),
+            F.lit(" portal footer navigation links"),
+        ).alias("text"),
+    )
+    return containment_pairs(d.unionByName(portals), k=5)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning over a synthetic ledger: mostly
     1-10 KB files with every 19th ~120 KB (oversized vs the 100 KB
@@ -3064,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext": q_bitext,
         "mirror_hosts": q_mirror_hosts,
         "url_equivalence": q_url_equivalence,
+        "containment": q_containment,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -3928,6 +3951,23 @@ FROM documents
     'https://h' || (doc_id % 13) || '.example.org/a/' || (doc_id % 97) AS dst
   FROM documents WHERE doc_id % 11 = 0"""
     return url_equivalence_oracle_sql(pages_sql, redirects_sql)
+
+
+def _containment_oracle() -> str:
+    """q_containment oracle: the base + portal-wrapper synthesis
+    through the operator's module-local twin (same \\w+ tokenizer,
+    5-shingles, df gate, cross-multiply containment gate)."""
+    from easyner_spark.operators.dedup import containment_pairs_oracle_sql
+
+    docs_sql = """
+SELECT doc_id AS id, text FROM documents
+UNION ALL
+SELECT doc_id + 500000 AS id,
+       'portal syndication wrapper intro ' || text
+         || ' portal footer navigation links' AS text
+FROM documents WHERE doc_id % 7 = 0
+"""
+    return containment_pairs_oracle_sql(docs_sql, k=5)
 
 
 def _kg_pattern_oracle() -> str:
@@ -5400,6 +5440,7 @@ FROM c
         "bitext": _bitext_oracle(),
         "mirror_hosts": _mirror_hosts_oracle(),
         "url_equivalence": _url_equivalence_oracle(),
+        "containment": _containment_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

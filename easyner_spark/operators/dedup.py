@@ -839,3 +839,157 @@ SELECT id, min(pos)::INT AS span_start, (max(pos) + {ki})::INT AS span_end,
        count(*)::BIGINT AS n_grams
 FROM isl GROUP BY id, i
 """
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (syndication / quotation detection)
+# ---------------------------------------------------------------------------
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_containment_pct: int = 80,
+    min_shared: int = 3,
+    max_df: int = 64,
+) -> DataFrame:
+    """Asymmetric containment detection — syndication, quotation,
+    wrapper pages: ordered pairs (container, contained) where
+    >= `min_containment_pct`% of the CONTAINED doc's distinct
+    k-shingles appear in the container. Jaccard near-dup structurally
+    misses these: a short article syndicated inside a long portal
+    page has tiny Jaccard (union is dominated by the portal) but
+    ~100% containment of the article side. Output: (container,
+    contained, shared, n_container, n_contained); mutual containment
+    (true near-dups) emits both directions.
+
+    Exactness: integer cross-multiply gate
+    (shared * 100 >= pct * n_contained); no floats.
+
+    Scale (same bounded shape as webtext.mirror_hosts): shingles are
+    df-gated to 2..max_df docs by an algebraic COUNT BEFORE any array
+    collect — a shingle in more docs is corpus boilerplate
+    (paragraph_dedup / host_templates territory) and its exclusion is
+    documented semantics, not silent truncation; the per-shingle
+    sorted id array is <= max_df by construction, so the in-array i<j
+    pair fan-out is <= max_df^2/2 per shingle; the (a, b) shared
+    count is algebraic; per-doc totals ride the narrow (id, n)
+    projection and the two joins are AQE-decided. Shingle text
+    crosses one exchange (the df gate), ids only after that.
+    """
+    sh = shingle_df(docs, text_col, id_col, k)
+    tot = sh.select("id", F.size("sh").cast("long").alias("n"))
+    ex = sh.select("id", F.explode("sh").alias("_s"))
+    elig = (
+        ex.groupBy("_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("_s")
+    )
+    grouped = (
+        ex.join(elig, "_s")
+        .groupBy("_s")
+        .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
+    )
+    n_ids = F.size(F.col("_ids"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_ids"), i + 2, F.greatest(n_ids - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    shared = (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    both = shared.join(
+        tot.select(F.col("id").alias("a"), F.col("n").alias("n_a")), "a"
+    ).join(tot.select(F.col("id").alias("b"), F.col("n").alias("n_b")), "b")
+    dirs = F.array(
+        F.struct(
+            F.col("a").alias("container"),
+            F.col("b").alias("contained"),
+            F.col("n_a").alias("n_container"),
+            F.col("n_b").alias("n_contained"),
+        ),
+        F.struct(
+            F.col("b").alias("container"),
+            F.col("a").alias("contained"),
+            F.col("n_b").alias("n_container"),
+            F.col("n_a").alias("n_contained"),
+        ),
+    )
+    return (
+        both.select("shared", F.explode(dirs).alias("d"))
+        .select(
+            "d.container", "d.contained", "shared",
+            "d.n_container", "d.n_contained",
+        )
+        .where(
+            (F.col("shared") >= min_shared)
+            & (
+                F.col("shared") * 100
+                >= min_containment_pct * F.col("n_contained")
+            )
+        )
+    )
+
+
+def containment_pairs_oracle_sql(
+    docs_sql: str,
+    k: int = 5,
+    min_containment_pct: int = 80,
+    min_shared: int = 3,
+    max_df: int = 64,
+) -> str:
+    """DuckDB twin of containment_pairs; `docs_sql` yields (id, text).
+    Same \\w+ tokenizer, k-shingle construction (short docs contribute
+    their whole word sequence as one shingle), df gate, and integer
+    cross-multiply containment gate."""
+    gram = " || ' ' || ".join(
+        f"toks[(i + {j + 1})::INT]" for j in range(k)
+    )
+    return f"""
+WITH docs2 AS ({docs_sql}),
+toks AS (SELECT id, regexp_extract_all(lower(text), '\\w+') AS toks FROM docs2),
+sh AS (
+  SELECT id, list_sort(list_distinct(
+    CASE WHEN len(toks) >= {k}
+      THEN list_transform(range(0, len(toks) - {k - 1}), i -> {gram})
+      ELSE [array_to_string(toks, ' ')] END)) AS sh
+  FROM toks
+),
+tot AS (SELECT id, len(sh)::BIGINT AS n FROM sh),
+ex AS (SELECT id, unnest(sh) AS s FROM sh),
+elig AS (
+  SELECT s FROM ex GROUP BY s
+  HAVING count(*) >= 2 AND count(*) <= {max_df}
+),
+pairs AS (
+  SELECT a.id AS a, b.id AS b, count(*)::BIGINT AS shared
+  FROM ex a
+  JOIN ex b ON a.s = b.s AND a.id < b.id
+  JOIN elig e ON a.s = e.s
+  GROUP BY a.id, b.id
+),
+dirs AS (
+  SELECT a AS container, b AS contained, shared FROM pairs
+  UNION ALL
+  SELECT b AS container, a AS contained, shared FROM pairs
+)
+SELECT d.container, d.contained, d.shared,
+       ta.n AS n_container, tb.n AS n_contained
+FROM dirs d
+JOIN tot ta ON d.container = ta.id
+JOIN tot tb ON d.contained = tb.id
+WHERE d.shared >= {min_shared}
+  AND d.shared * 100 >= {min_containment_pct} * tb.n
+"""
