@@ -1623,6 +1623,67 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(d.unionByName(portals), k=5)
 
 
+def _table_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages whose html carries a 2-row infobox table
+    (type/host facts from doc_id residues) plus, on every 4th page, a
+    3-column layout table the infobox arity gate must skip (twin of
+    _TABLE_PAGES_SQL)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><table class="infobox"><tr><th>type</th><td>t'),
+        (did % 6).cast("string"),
+        F.lit("</td></tr><tr><th>host</th><td>h"),
+        (did % 13).cast("string"),
+        F.lit("</td></tr></table>"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("<table><tr><td>x"),
+                (did % 3).cast("string"),
+                F.lit("</td><td>y</td><td>z</td></tr></table>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+    return d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+
+
+_TABLE_PAGES_SQL = """
+SELECT 'u' || doc_id AS url,
+  '<html><table class="infobox"><tr><th>type</th><td>t' || (doc_id % 6)
+  || '</td></tr><tr><th>host</th><td>h' || (doc_id % 13)
+  || '</td></tr></table>'
+  || (CASE WHEN doc_id % 4 = 0
+      THEN '<table><tr><td>x' || (doc_id % 3)
+           || '</td><td>y</td><td>z</td></tr></table>'
+      ELSE '' END)
+  || '</html>' AS html
+FROM documents
+"""
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell HTML table extraction (webtext.extract_tables): three
+    stacked posexplodes over scan-fused regexp_extract_all, zero
+    shuffle; indices 0-based document order."""
+    from easyner_spark.operators.webtext import extract_tables
+
+    return extract_tables(_table_pages(spark, sf_dir))
+
+
+def q_infobox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Infobox key-value extraction (webtext.infobox_pairs): the
+    arity-2 gate keeps the 2-cell fact rows and skips every 4th
+    page's 3-column layout table."""
+    from easyner_spark.operators.webtext import infobox_pairs
+
+    return infobox_pairs(_table_pages(spark, sf_dir))
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning over a synthetic ledger: mostly
     1-10 KB files with every 19th ~120 KB (oversized vs the 100 KB
@@ -3087,6 +3148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "url_equivalence": q_url_equivalence,
         "containment": q_containment,
+        "html_tables": q_html_tables,
+        "infobox": q_infobox,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -3968,6 +4031,21 @@ SELECT doc_id + 500000 AS id,
 FROM documents WHERE doc_id % 7 = 0
 """
     return containment_pairs_oracle_sql(docs_sql, k=5)
+
+
+def _html_tables_oracle() -> str:
+    """q_html_tables oracle: the shared table-page synthesis through
+    the operator's module-local twin (same three regexes)."""
+    from easyner_spark.operators.webtext import extract_tables_oracle_sql
+
+    return extract_tables_oracle_sql(_TABLE_PAGES_SQL)
+
+
+def _infobox_oracle() -> str:
+    """q_infobox oracle: same synthesis through the arity-2 twin."""
+    from easyner_spark.operators.webtext import infobox_pairs_oracle_sql
+
+    return infobox_pairs_oracle_sql(_TABLE_PAGES_SQL)
 
 
 def _kg_pattern_oracle() -> str:
@@ -5441,6 +5519,8 @@ FROM c
         "mirror_hosts": _mirror_hosts_oracle(),
         "url_equivalence": _url_equivalence_oracle(),
         "containment": _containment_oracle(),
+        "html_tables": _html_tables_oracle(),
+        "infobox": _infobox_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

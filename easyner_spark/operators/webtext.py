@@ -2224,3 +2224,131 @@ reach(node, lbl) AS (
 )
 SELECT node, min(lbl) AS canonical FROM reach GROUP BY node
 """
+
+
+# crawl-grade fixed-format table contract, shared verbatim with the
+# oracles ((?s) dotall + lazy body so adjacent tables/rows never merge;
+# cell text is the [^<]* run — nested markup ends the cell, same
+# tolerance class as the other head/anchor extractors)
+TABLE_RE = r"(?s)<table[^>]*>.*?</table>"
+TABLE_TR_RE = r"(?s)<tr[^>]*>.*?</tr>"
+TABLE_TD_RE = r"<t[dh][^>]*>([^<]*)</t[dh]>"
+
+
+def _table_rows(
+    pages: DataFrame, html_col: str, url_col: str
+) -> DataFrame:
+    """(url, table_idx, row_idx, _cs: array<string>) — one row per
+    <tr>, cells as an array. Shared by extract_tables/infobox_pairs."""
+    tb = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all(lower(cast({html_col} as string)),"
+                f" '{TABLE_RE}', 0)"
+            )
+        ).alias("table_idx", "_tbl"),
+    )
+    rows = tb.select(
+        "url",
+        "table_idx",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(_tbl, '{TABLE_TR_RE}', 0)")
+        ).alias("row_idx", "_tr"),
+    )
+    return rows.select(
+        "url",
+        "table_idx",
+        "row_idx",
+        F.expr(f"regexp_extract_all(_tr, '{TABLE_TD_RE}', 1)").alias("_cs"),
+    )
+
+
+def extract_tables(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """HTML table extraction: one row per cell — (url, table_idx,
+    row_idx, col_idx, cell), all indices 0-based document order, cell
+    text lowercased (the engine-wide canonicalized comparison form).
+    <th> and <td> both count as cells (header position is recoverable
+    as row_idx/col_idx 0). Pages without tables emit nothing.
+
+    Scale shape: three stacked posexplodes over scan-fused
+    regexp_extract_all — pure per-row codegen, ZERO shuffle; output
+    fan-out is the corpus's total cell count, partition-local.
+    """
+    return _table_rows(pages, html_col, url_col).select(
+        "url",
+        "table_idx",
+        "row_idx",
+        F.posexplode("_cs").alias("col_idx", "cell"),
+    )
+
+
+def infobox_pairs(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Infobox-style key-value extraction: rows of EXACTLY two cells
+    read as (url, table_idx, row_idx, key, value) — the classic
+    semi-structured KG-construction source (Wikipedia-style infoboxes,
+    spec sheets, fact boxes). Feed the output to extract_triples-style
+    canonicalization with url as the subject surface: (page entity,
+    key, value). Rows with any other arity (layout tables, colspan
+    headers) are skipped by the arity gate, not guessed at.
+
+    Same zero-shuffle scan-fused shape as extract_tables.
+    """
+    rows = _table_rows(pages, html_col, url_col)
+    return rows.where(F.size("_cs") == 2).select(
+        "url",
+        "table_idx",
+        "row_idx",
+        F.col("_cs")[0].alias("key"),
+        F.col("_cs")[1].alias("value"),
+    )
+
+
+def _table_rows_sql(pages_sql: str) -> str:
+    """DuckDB CTE chain producing (url, table_idx, row_idx, cs) —
+    the oracle's twin of _table_rows (same three regexes)."""
+    return f"""
+WITH pg AS ({pages_sql}),
+h AS (SELECT url, lower(html) AS lh FROM pg),
+t AS (SELECT url,
+        regexp_extract_all(lh, '(?s)<table[^>]*>.*?</table>', 0) AS tbls
+      FROM h),
+tb AS (SELECT url, u.i AS table_idx, u.v AS tbl
+       FROM (SELECT url, unnest(list_transform(range(0, len(tbls)),
+               i -> {{'i': i, 'v': tbls[(i+1)::INT]}})) AS u FROM t)),
+tr AS (SELECT url, table_idx, u.i AS row_idx, u.v AS trow
+       FROM (SELECT url, table_idx,
+               unnest(list_transform(range(0, len(rws)),
+                 i -> {{'i': i, 'v': rws[(i+1)::INT]}})) AS u
+             FROM (SELECT url, table_idx,
+                     regexp_extract_all(tbl, '(?s)<tr[^>]*>.*?</tr>', 0)
+                       AS rws FROM tb))),
+rc AS (SELECT url, table_idx, row_idx,
+         regexp_extract_all(trow, '<t[dh][^>]*>([^<]*)</t[dh]>', 1) AS cs
+       FROM tr)"""
+
+
+def extract_tables_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of extract_tables; `pages_sql` yields (url, html)
+    with html TEXT."""
+    return f"""{_table_rows_sql(pages_sql)}
+SELECT url, table_idx::INT AS table_idx, row_idx::INT AS row_idx,
+       u.i::INT AS col_idx, u.v AS cell
+FROM (SELECT url, table_idx, row_idx,
+        unnest(list_transform(range(0, len(cs)),
+          i -> {{'i': i, 'v': cs[(i+1)::INT]}})) AS u FROM rc)
+"""
+
+
+def infobox_pairs_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of infobox_pairs (the arity-2 gate over the same
+    row parse)."""
+    return f"""{_table_rows_sql(pages_sql)}
+SELECT url, table_idx::INT AS table_idx, row_idx::INT AS row_idx,
+       cs[1] AS key, cs[2] AS value
+FROM rc WHERE len(cs) = 2
+"""
