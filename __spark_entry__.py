@@ -959,6 +959,16 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=3).select("node", "rank")
 
 
+def q_host_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm signals over the extracted host graph: outlink
+    volume, fanout, hottest-target share, and reciprocity per source
+    host — exact BIGINT floor-division percentages, the graph-QA
+    layer crawl prioritization consults before trusting host_rank."""
+    from easyner_spark.operators.webtext import host_graph, host_spam_signals
+
+    return host_spam_signals(host_graph(_synth_html_pages(spark, sf_dir)))
+
+
 def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the extracted host link graph —
     the hub/authority split PageRank can't make (an index page links
@@ -3150,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "html_tables": q_html_tables,
         "infobox": q_infobox,
+        "host_spam": q_host_spam,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4046,6 +4057,14 @@ def _infobox_oracle() -> str:
     from easyner_spark.operators.webtext import infobox_pairs_oracle_sql
 
     return infobox_pairs_oracle_sql(_TABLE_PAGES_SQL)
+
+
+def _host_spam_oracle() -> str:
+    """q_host_spam oracle: the shared host-edge CTE chain through the
+    operator's module-local twin (BIGINT floor-division percentages)."""
+    from easyner_spark.operators.webtext import host_spam_signals_oracle_sql
+
+    return host_spam_signals_oracle_sql(_HOSTLINKS_CTE.rstrip().rstrip(","))
 
 
 def _kg_pattern_oracle() -> str:
@@ -5521,6 +5540,7 @@ FROM c
         "containment": _containment_oracle(),
         "html_tables": _html_tables_oracle(),
         "infobox": _infobox_oracle(),
+        "host_spam": _host_spam_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

@@ -2352,3 +2352,86 @@ SELECT url, table_idx::INT AS table_idx, row_idx::INT AS row_idx,
        cs[1] AS key, cs[2] AS value
 FROM rc WHERE len(cs) = 2
 """
+
+
+def host_spam_signals(
+    edges: DataFrame, drop_self: bool = True
+) -> DataFrame:
+    """Link-farm / spam-host signals per source host over the host
+    graph (host_graph's (src_host, dst_host, n_links) edge table):
+    (host, n_out, fanout, top_share_pct, reciprocity_pct) where n_out
+    = total outlinks, fanout = distinct target hosts, top_share_pct =
+    the single hottest target's share of all outlinks (a host pushing
+    most links at one target is promoting it), reciprocity_pct = % of
+    targets that link back (link-exchange rings reciprocate;
+    organic linking mostly doesn't). Self-loops are dropped by
+    default — a site linking to itself is navigation, not spam
+    evidence. Percentages are exact BIGINT floor divisions (x * 100
+    div y); no floats.
+
+    Scale (2 shuffles + 1 bounded self-join): the per-src rollup is
+    algebraic (sum/count/max partial aggs absorb a hub host's
+    millions of edge rows map-side); reciprocity is a left-semi
+    self-join on the COMPOSITE (src_host, dst_host) key — uniform
+    however hot either host, because host_graph already collapsed
+    multiplicity into n_links — followed by the same algebraic
+    rollup; the final signals join is per-host rows, AQE-decided.
+    """
+    e = edges.select("src_host", "dst_host", "n_links")
+    if drop_self:
+        e = e.where(F.col("src_host") != F.col("dst_host"))
+    base = e.groupBy("src_host").agg(
+        F.sum("n_links").cast("long").alias("n_out"),
+        F.count(F.lit(1)).cast("long").alias("fanout"),
+        F.max("n_links").cast("long").alias("_mx"),
+    )
+    rev = e.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+    )
+    recip = (
+        e.join(rev, ["src_host", "dst_host"], "left_semi")
+        .groupBy("src_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nr"))
+    )
+    return (
+        base.join(recip, "src_host", "left")
+        .select(
+            F.col("src_host").alias("host"),
+            "n_out",
+            "fanout",
+            F.expr("_mx * 100 div n_out").alias("top_share_pct"),
+            F.expr("coalesce(_nr, 0) * 100 div fanout").alias(
+                "reciprocity_pct"
+            ),
+        )
+    )
+
+
+def host_spam_signals_oracle_sql(
+    with_prefix: str, drop_self: bool = True
+) -> str:
+    """DuckDB twin of host_spam_signals; `with_prefix` is a WITH
+    chain ending in a CTE `hg` that yields (src_host, dst_host,
+    n_links) — host_graph's output shape."""
+    self_pred = "WHERE src_host != dst_host" if drop_self else ""
+    return f"""{with_prefix},
+e AS (SELECT src_host, dst_host, n_links FROM hg {self_pred}),
+base AS (
+  SELECT src_host, sum(n_links)::BIGINT AS n_out,
+         count(*)::BIGINT AS fanout, max(n_links)::BIGINT AS mx
+  FROM e GROUP BY src_host
+),
+recip AS (
+  SELECT a.src_host, count(*)::BIGINT AS nr
+  FROM e a JOIN e b
+    ON a.src_host = b.dst_host AND a.dst_host = b.src_host
+  GROUP BY a.src_host
+),
+j AS (SELECT b.*, coalesce(r.nr, 0) AS nr
+      FROM base b LEFT JOIN recip r ON b.src_host = r.src_host)
+SELECT src_host AS host, n_out, fanout,
+       mx * 100 // n_out AS top_share_pct,
+       nr * 100 // fanout AS reciprocity_pct
+FROM j
+"""
