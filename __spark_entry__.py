@@ -1694,6 +1694,47 @@ def q_infobox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infobox_pairs(_table_pages(spark, sf_dir))
 
 
+def q_opengraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open Graph extraction over deterministic head synthesis: every
+    page carries og:title/og:type (4 rotating types), every 3rd page
+    an og:image gallery of 2 — repeated props emit one row each,
+    document order pinned by prop_idx."""
+    from easyner_spark.operators.webtext import extract_opengraph
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head><meta property="og:title" content="doc '),
+        did.cast("string"),
+        F.lit('"><meta property="og:type" content="'),
+        F.element_at(
+            F.array(
+                F.lit("article"), F.lit("profile"),
+                F.lit("video"), F.lit("website"),
+            ),
+            (did % 4 + 1).cast("int"),
+        ),
+        F.lit('">'),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<meta property="og:image" content="https://img.example/'),
+                did.cast("string"),
+                F.lit('a.png"><meta property="og:image"'),
+                F.lit(' content="https://img.example/'),
+                did.cast("string"),
+                F.lit('b.png">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return extract_opengraph(pages)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning over a synthetic ledger: mostly
     1-10 KB files with every 19th ~120 KB (oversized vs the 100 KB
@@ -3161,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": q_html_tables,
         "infobox": q_infobox,
         "host_spam": q_host_spam,
+        "opengraph": q_opengraph,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4065,6 +4107,29 @@ def _host_spam_oracle() -> str:
     from easyner_spark.operators.webtext import host_spam_signals_oracle_sql
 
     return host_spam_signals_oracle_sql(_HOSTLINKS_CTE.rstrip().rstrip(","))
+
+
+def _opengraph_oracle() -> str:
+    """q_opengraph oracle: the same og head synthesis through the
+    operator's module-local twin."""
+    from easyner_spark.operators.webtext import extract_opengraph_oracle_sql
+
+    pages_sql = """
+SELECT 'u' || doc_id AS url,
+  '<html><head><meta property="og:title" content="doc ' || doc_id
+  || '"><meta property="og:type" content="'
+  || (CASE (doc_id % 4) WHEN 0 THEN 'article' WHEN 1 THEN 'profile'
+           WHEN 2 THEN 'video' ELSE 'website' END)
+  || '">'
+  || (CASE WHEN doc_id % 3 = 0
+      THEN '<meta property="og:image" content="https://img.example/'
+           || doc_id || 'a.png"><meta property="og:image"'
+           || ' content="https://img.example/' || doc_id || 'b.png">'
+      ELSE '' END)
+  || '</head></html>' AS html
+FROM documents
+"""
+    return extract_opengraph_oracle_sql(pages_sql)
 
 
 def _kg_pattern_oracle() -> str:
@@ -5541,6 +5606,7 @@ FROM c
         "html_tables": _html_tables_oracle(),
         "infobox": _infobox_oracle(),
         "host_spam": _host_spam_oracle(),
+        "opengraph": _opengraph_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

@@ -2435,3 +2435,61 @@ SELECT src_host AS host, n_out, fanout,
        nr * 100 // fanout AS reciprocity_pct
 FROM j
 """
+
+
+# Open Graph / social-card contract (same crawl-grade double-quoted
+# fixed-attribute-order class as the other head extractors)
+OG_EL_RE = r'<meta property="og:[a-z_:]+" content="[^"]*"'
+OG_PROP_RE = r'property="og:([a-z_:]+)"'
+OG_CONTENT_RE = r'content="([^"]*)"'
+
+
+def extract_opengraph(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Open Graph metadata per page: (url, prop, content) for every
+    og:* meta element — the social/entity-card layer (og:title,
+    og:type, og:image, og:url, ...) that complements extract_meta's
+    title/description/canonical. og:type is the poor man's entity
+    typing for KG node profiles (article vs profile vs video), and
+    og:url is a FOURTH url-equivalence evidence source (feed
+    (url, content) rows where prop = 'url' to url_equivalence as
+    redirect-shaped edges). Repeated properties (og:image galleries)
+    emit one row each, document order preserved by prop_idx.
+
+    Zero shuffle: regexp_extract_all over lower(html) + one
+    posexplode, all scan-fused codegen.
+    """
+    els = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all(lower(cast({html_col} as string)),"
+                f" '{OG_EL_RE}', 0)"
+            )
+        ).alias("prop_idx", "_el"),
+    )
+    return els.select(
+        "url",
+        "prop_idx",
+        F.regexp_extract(F.col("_el"), OG_PROP_RE, 1).alias("prop"),
+        F.regexp_extract(F.col("_el"), OG_CONTENT_RE, 1).alias("content"),
+    )
+
+
+def extract_opengraph_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of extract_opengraph; `pages_sql` yields
+    (url, html) with html TEXT."""
+    return f"""
+WITH pg AS ({pages_sql}),
+h AS (SELECT url, lower(html) AS lh FROM pg),
+e AS (SELECT url,
+        regexp_extract_all(lh,
+          '<meta property="og:[a-z_:]+" content="[^"]*"', 0) AS els
+      FROM h)
+SELECT url, u.i::INT AS prop_idx,
+       regexp_extract(u.v, 'property="og:([a-z_:]+)"', 1) AS prop,
+       regexp_extract(u.v, 'content="([^"]*)"', 1) AS content
+FROM (SELECT url, unnest(list_transform(range(0, len(els)),
+        i -> {{'i': i, 'v': els[(i+1)::INT]}})) AS u FROM e)
+"""
