@@ -1735,6 +1735,48 @@ def q_opengraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_opengraph(pages)
 
 
+def q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing over deterministic feed synthesis: even
+    doc_ids serve RSS (2 items, every 5th missing pubDate), odd serve
+    Atom (2 entries) — case-insensitive tags, case-preserving
+    content, linkless items dropped."""
+    from easyner_spark.operators.webtext import feed_parse
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    rss = F.concat(
+        F.lit("<rss><channel><title>chan</title><item><title>Post A"),
+        s,
+        F.lit("</title><link>https://f.example/"),
+        s,
+        F.lit("/a</link>"),
+        F.when(
+            did % 5 != 0,
+            F.concat(F.lit("<pubDate>2026-01-0"), (did % 9 + 1).cast("string"), F.lit("</pubDate>")),
+        ).otherwise(F.lit("")),
+        F.lit("</item><item><link>https://f.example/"),
+        s,
+        F.lit("/b</link></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed><title>f</title><entry><title>Entry A'),
+        s,
+        F.lit('</title><link href="https://f.example/'),
+        s,
+        F.lit('/a"/><updated>2026-02-0'),
+        (did % 9 + 1).cast("string"),
+        F.lit('</updated></entry><entry><link href="https://f.example/'),
+        s,
+        F.lit('/b"/></entry></feed>'),
+    )
+    feeds = d.select(
+        F.concat(F.lit("https://f.example/feed/"), s).alias("url"),
+        F.when(did % 2 == 0, rss).otherwise(atom).alias("feed_xml"),
+    )
+    return feed_parse(feeds)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning over a synthetic ledger: mostly
     1-10 KB files with every 19th ~120 KB (oversized vs the 100 KB
@@ -3203,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infobox": q_infobox,
         "host_spam": q_host_spam,
         "opengraph": q_opengraph,
+        "feed_items": q_feed_items,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4130,6 +4173,33 @@ SELECT 'u' || doc_id AS url,
 FROM documents
 """
     return extract_opengraph_oracle_sql(pages_sql)
+
+
+def _feed_items_oracle() -> str:
+    """q_feed_items oracle: the even-RSS / odd-Atom synthesis through
+    the operator's module-local twin."""
+    from easyner_spark.operators.webtext import feed_parse_oracle_sql
+
+    feeds_sql = """
+SELECT 'https://f.example/feed/' || doc_id AS url,
+  CASE WHEN doc_id % 2 = 0 THEN
+    '<rss><channel><title>chan</title><item><title>Post A' || doc_id
+    || '</title><link>https://f.example/' || doc_id || '/a</link>'
+    || (CASE WHEN doc_id % 5 != 0
+        THEN '<pubDate>2026-01-0' || (doc_id % 9 + 1) || '</pubDate>'
+        ELSE '' END)
+    || '</item><item><link>https://f.example/' || doc_id
+    || '/b</link></item></channel></rss>'
+  ELSE
+    '<feed><title>f</title><entry><title>Entry A' || doc_id
+    || '</title><link href="https://f.example/' || doc_id
+    || '/a"/><updated>2026-02-0' || (doc_id % 9 + 1)
+    || '</updated></entry><entry><link href="https://f.example/' || doc_id
+    || '/b"/></entry></feed>'
+  END AS feed_xml
+FROM documents
+"""
+    return feed_parse_oracle_sql(feeds_sql)
 
 
 def _kg_pattern_oracle() -> str:
@@ -5607,6 +5677,7 @@ FROM c
         "infobox": _infobox_oracle(),
         "host_spam": _host_spam_oracle(),
         "opengraph": _opengraph_oracle(),
+        "feed_items": _feed_items_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

@@ -2493,3 +2493,105 @@ SELECT url, u.i::INT AS prop_idx,
 FROM (SELECT url, unnest(list_transform(range(0, len(els)),
         i -> {{'i': i, 'v': els[(i+1)::INT]}})) AS u FROM e)
 """
+
+
+# Feed contract: tag names matched case-insensitively ((?i) — real
+# feeds write <pubDate>), content captured in original case (urls and
+# titles are case-significant). [\s\S] crosses newlines in Java AND
+# RE2; no backreferences (RE2 lacks them), so RSS items and Atom
+# entries are two separate passes unioned.
+FEED_RSS_ITEM_RE = r"(?i)<item>[\s\S]*?</item>"
+FEED_ATOM_ENTRY_RE = r"(?i)<entry>[\s\S]*?</entry>"
+FEED_RSS_LINK_RE = r"(?i)<link>([^<]*)</link>"
+FEED_ATOM_LINK_RE = r'(?i)<link href="([^"]*)"'
+FEED_TITLE_RE = r"(?i)<title>([^<]*)</title>"
+FEED_RSS_DATE_RE = r"(?i)<pubdate>([^<]*)</pubdate>"
+FEED_ATOM_DATE_RE = r"(?i)<updated>([^<]*)</updated>"
+
+
+def feed_parse(
+    feeds: DataFrame, url_col: str = "url", xml_col: str = "feed_xml"
+) -> DataFrame:
+    """RSS 2.0 / Atom feed parser — the third crawl-discovery source
+    next to link extraction and sitemaps, and the one that carries
+    editorial recency: (feed_url, kind, item_idx, link, title,
+    published) per <item> (rss) or <entry> (atom). `published` is
+    pubDate / updated, NULL when absent; items without a link are
+    dropped (nothing to fetch). item_idx is document order within the
+    feed per kind — feeds are newest-first by convention, so idx 0 is
+    the freshest item. Blocks are matched whole then fields pulled
+    per block (the sitemap_parse element-then-attribute pattern), so
+    a date can never attach to a neighboring item.
+
+    Compose like sitemaps: anti-join `link` against the corpus for
+    frontier discovery; join `published` against warc_ts for recrawl
+    scheduling (stale_announcements' shape).
+
+    Scale: one regexp_extract_all + posexplode per kind, unioned —
+    scan-fused, zero shuffle."""
+
+    def _pass(kind: str, item_re: str, link_re: str, date_re: str):
+        blocks = feeds.select(
+            F.col(url_col).alias("feed_url"),
+            F.posexplode(
+                F.expr(
+                    f"regexp_extract_all(cast({xml_col} as string),"
+                    f" r'{item_re}', 0)"
+                )
+            ).alias("item_idx", "_b"),
+        )
+        return blocks.select(
+            "feed_url",
+            F.lit(kind).alias("kind"),
+            "item_idx",
+            F.nullif(
+                F.regexp_extract(F.col("_b"), link_re, 1), F.lit("")
+            ).alias("link"),
+            F.nullif(
+                F.regexp_extract(F.col("_b"), FEED_TITLE_RE, 1), F.lit("")
+            ).alias("title"),
+            F.nullif(
+                F.regexp_extract(F.col("_b"), date_re, 1), F.lit("")
+            ).alias("published"),
+        ).where(F.col("link").isNotNull())
+
+    rss = _pass("rss", FEED_RSS_ITEM_RE, FEED_RSS_LINK_RE, FEED_RSS_DATE_RE)
+    atom = _pass(
+        "atom", FEED_ATOM_ENTRY_RE, FEED_ATOM_LINK_RE, FEED_ATOM_DATE_RE
+    )
+    return rss.unionByName(atom)
+
+
+def feed_parse_oracle_sql(feeds_sql: str) -> str:
+    """DuckDB twin of feed_parse; `feeds_sql` yields (url, feed_xml)."""
+
+    def _pass(kind: str, item_re: str, link_re: str, date_re: str) -> str:
+        return f"""
+SELECT url AS feed_url, '{kind}' AS kind, u.i::INT AS item_idx,
+       nullif(regexp_extract(u.v, '{link_re}', 1), '') AS link,
+       nullif(regexp_extract(u.v, '(?i)<title>([^<]*)</title>', 1), '')
+         AS title,
+       nullif(regexp_extract(u.v, '{date_re}', 1), '') AS published
+FROM (SELECT url, unnest(list_transform(range(0, len(bs)),
+        i -> {{'i': i, 'v': bs[(i+1)::INT]}})) AS u
+      FROM (SELECT url, regexp_extract_all(feed_xml, '{item_re}', 0) AS bs
+            FROM fd))
+"""
+
+    rss = _pass(
+        "rss",
+        r"(?i)<item>[\s\S]*?</item>",
+        r"(?i)<link>([^<]*)</link>",
+        r"(?i)<pubdate>([^<]*)</pubdate>",
+    )
+    atom = _pass(
+        "atom",
+        r"(?i)<entry>[\s\S]*?</entry>",
+        r'(?i)<link href="([^"]*)"',
+        r"(?i)<updated>([^<]*)</updated>",
+    )
+    return f"""
+WITH fd AS ({feeds_sql}),
+allrows AS ({rss} UNION ALL {atom})
+SELECT * FROM allrows WHERE link IS NOT NULL
+"""
