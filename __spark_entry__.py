@@ -1898,6 +1898,56 @@ def q_doc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_link_graph(_doclinks_pages(spark, sf_dir), keep_external=True)
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified discovery frontier over the doc-link pages + a sitemap
+    announcing each page's protocol-relative link target (engineered
+    link+sitemap corroboration) + an RSS feed announcing the absolute
+    link target on every 3rd doc (link+feed) or a feed-only item —
+    parsed by the REAL sitemap_parse/feed_parse, merged with full
+    href resolution, anti-joined against the corpus, provenance
+    rolled up."""
+    from easyner_spark.operators.webtext import (
+        crawl_frontier,
+        feed_parse,
+        sitemap_parse,
+    )
+
+    pages = _doclinks_pages(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    sm_xml = F.concat(
+        F.lit("<urlset><url><loc>https://site"),
+        (did % 37).cast("string"),
+        F.lit(".example.net/p/"),
+        (did + 2).cast("string"),
+        F.lit("</loc></url></urlset>"),
+    )
+    sitemaps = d.select(
+        F.concat(F.lit("https://site"), (did % 37).cast("string"),
+                 F.lit(".example.net/sitemap.xml")).alias("url"),
+        sm_xml.alias("sitemap_xml"),
+    )
+    fd_target = F.when(
+        did % 3 == 0,
+        F.concat(F.lit("https://site"), ((did + 1) % 37).cast("string"),
+                 F.lit(".example.net/p/"), (did + 1).cast("string")),
+    ).otherwise(F.concat(F.lit("https://feeds.example.org/item/"), s))
+    feeds = d.select(
+        F.concat(F.lit("https://feeds.example.org/f/"), s).alias("url"),
+        F.concat(
+            F.lit("<rss><channel><item><link>"),
+            fd_target,
+            F.lit("</link></item></channel></rss>"),
+        ).alias("feed_xml"),
+    )
+    extra = [
+        (sitemap_parse(sitemaps).select(F.col("loc").alias("url")), "sitemap"),
+        (feed_parse(feeds).select(F.col("link").alias("url")), "feed"),
+    ]
+    return crawl_frontier(pages, extra)
+
+
 def q_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURT index keys over the skewed synthetic urls (CDX ordering:
     reversed host labels + path) — hub.example.com and its would-be
@@ -3246,6 +3296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_spam": q_host_spam,
         "opengraph": q_opengraph,
         "feed_items": q_feed_items,
+        "crawl_frontier": q_crawl_frontier,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4200,6 +4251,52 @@ SELECT 'https://f.example/feed/' || doc_id AS url,
 FROM documents
 """
     return feed_parse_oracle_sql(feeds_sql)
+
+
+def _crawl_frontier_oracle() -> str:
+    """q_crawl_frontier oracle: the doc-link prefix + sitemap/feed
+    parser twins as extra-source subqueries, through the operator's
+    module-local twin."""
+    from easyner_spark.operators.webtext import (
+        crawl_frontier_oracle_sql,
+        feed_parse_oracle_sql,
+        sitemap_parse_oracle_sql,
+    )
+
+    pages_sql = (
+        "SELECT 'https://site' || (doc_id % 37) || '.example.net/p/'"
+        " || doc_id AS url FROM documents"
+    )
+    sm_sql = """
+SELECT 'https://site' || (doc_id % 37) || '.example.net/sitemap.xml' AS url,
+  '<urlset><url><loc>https://site' || (doc_id % 37) || '.example.net/p/'
+  || (doc_id + 2) || '</loc></url></urlset>' AS sitemap_xml
+FROM documents
+"""
+    fd_sql = """
+SELECT 'https://feeds.example.org/f/' || doc_id AS url,
+  '<rss><channel><item><link>'
+  || (CASE WHEN doc_id % 3 = 0
+      THEN 'https://site' || ((doc_id + 1) % 37) || '.example.net/p/'
+           || (doc_id + 1)
+      ELSE 'https://feeds.example.org/item/' || doc_id END)
+  || '</link></item></channel></rss>' AS feed_xml
+FROM documents
+"""
+    return crawl_frontier_oracle_sql(
+        _DOCLINKS_PREFIX,
+        pages_sql,
+        [
+            (
+                f"SELECT loc AS url FROM ({sitemap_parse_oracle_sql(sm_sql)})",
+                "sitemap",
+            ),
+            (
+                f"SELECT link AS url FROM ({feed_parse_oracle_sql(fd_sql)})",
+                "feed",
+            ),
+        ],
+    )
 
 
 def _kg_pattern_oracle() -> str:
@@ -5678,6 +5775,7 @@ FROM c
         "host_spam": _host_spam_oracle(),
         "opengraph": _opengraph_oracle(),
         "feed_items": _feed_items_oracle(),
+        "crawl_frontier": _crawl_frontier_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

@@ -2595,3 +2595,96 @@ WITH fd AS ({feeds_sql}),
 allrows AS ({rss} UNION ALL {atom})
 SELECT * FROM allrows WHERE link IS NOT NULL
 """
+
+
+def crawl_frontier(
+    pages: DataFrame,
+    extra_sources: list[tuple[DataFrame, str]] = (),
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Unified discovery frontier: every url any source announces that
+    the corpus has NOT fetched, with provenance — (url, sources,
+    n_sources) where sources is the sorted comma-joined source-name
+    set. Link targets (anchor extraction + full RFC 3986 resolve_href)
+    are always a source, named 'link'; `extra_sources` adds
+    (frame-with-a-url-column, name) pairs — sitemap_parse locs,
+    feed_parse links, future discovery surfaces. A url announced by
+    multiple sources enqueues ONCE; n_sources is the scheduler's
+    corroboration signal (a url three surfaces announce outranks a
+    stray href).
+
+    Scale (3 shuffles, all on the uniform url key, same-key so AQE
+    coalesces the pipeline): candidate distinct, corpus left-anti
+    join, and the provenance rollup — collect_set is bounded by the
+    number of SOURCES (a handful), never by data.
+    """
+    links = (
+        pages.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(cast({html_col} as string),"
+                    f" '{ANCHOR_EL_RE}', 0)"
+                )
+            ).alias("_el"),
+        )
+        .select(
+            "src_url",
+            F.regexp_extract(F.col("_el"), ANCHOR_HREF_RE, 1).alias("href"),
+        )
+        .select(
+            resolve_href(F.col("src_url"), F.col("href")).alias("url"),
+            F.lit("link").alias("source"),
+        )
+        .where(F.col("url").isNotNull())
+    )
+    cand = links
+    for frame, name in extra_sources:
+        cand = cand.unionByName(
+            frame.select(
+                F.col("url").cast("string").alias("url"),
+                F.lit(name).alias("source"),
+            )
+        )
+    cand = cand.distinct()
+    corpus = pages.select(F.col(url_col).alias("url")).distinct()
+    fresh = cand.join(corpus, "url", "left_anti")
+    return fresh.groupBy("url").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias(
+            "sources"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+
+
+def crawl_frontier_oracle_sql(
+    anchors_prefix: str,
+    pages_sql: str,
+    extra_sources: list[tuple[str, str]] = (),
+) -> str:
+    """DuckDB twin of crawl_frontier; same contract as
+    doc_link_graph_oracle_sql for `anchors_prefix`/`pages_sql`;
+    `extra_sources` is (sql-yielding-a-url-column, name) pairs
+    (subquery WITHs are fine — DuckDB accepts them)."""
+    from easyner_spark.operators.webtext import doc_link_graph_oracle_sql
+
+    extras = "".join(
+        f"\n    UNION ALL SELECT url, '{name}' AS source FROM ({sql})"
+        for sql, name in extra_sources
+    )
+    final = f""",
+cand AS (
+  SELECT DISTINCT url, source FROM (
+    SELECT dst_url AS url, 'link' AS source FROM flagged{extras}
+  ) WHERE url IS NOT NULL
+),
+fresh AS (
+  SELECT c.url, c.source FROM cand c
+  LEFT JOIN corpus k ON c.url = k.dst_url WHERE k.dst_url IS NULL
+)
+SELECT url, array_to_string(list_sort(list(source)), ',') AS sources,
+       count(*)::BIGINT AS n_sources
+FROM fresh GROUP BY url
+"""
+    return doc_link_graph_oracle_sql(anchors_prefix, pages_sql, final_sql=final)
