@@ -1694,6 +1694,35 @@ def q_infobox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infobox_pairs(_table_pages(spark, sf_dir))
 
 
+def q_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD extraction over deterministic ld+json synthesis: every
+    page declares an Article block (name = 'doc <id>'); every 4th
+    page adds a Person block missing its name — case-preserving
+    types, plain <script> ignored by the typed-wrapper contract."""
+    from easyner_spark.operators.webtext import extract_jsonld
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    html = F.concat(
+        F.lit('<html><script type="application/ld+json">'
+              '{"@context": "https://schema.org", "@type": "Article",'
+              ' "name": "doc '),
+        s,
+        F.lit('"}</script><script>var x = 1;</script>'),
+        F.when(
+            did % 4 == 0,
+            F.lit('<script type="application/ld+json">'
+                  '{"@type": "Person"}</script>'),
+        ).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("u"), s).alias("url"), html.alias("html")
+    )
+    return extract_jsonld(pages)
+
+
 def q_opengraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open Graph extraction over deterministic head synthesis: every
     page carries og:title/og:type (4 rotating types), every 3rd page
@@ -3297,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opengraph": q_opengraph,
         "feed_items": q_feed_items,
         "crawl_frontier": q_crawl_frontier,
+        "jsonld": q_jsonld,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4297,6 +4327,24 @@ FROM documents
             ),
         ],
     )
+
+
+def _jsonld_oracle() -> str:
+    """q_jsonld oracle: the Article/every-4th-Person synthesis through
+    the operator's module-local twin."""
+    from easyner_spark.operators.webtext import extract_jsonld_oracle_sql
+
+    pages_sql = """
+SELECT 'u' || doc_id AS url,
+  '<html><script type="application/ld+json">{"@context": "https://schema.org", "@type": "Article", "name": "doc '
+  || doc_id || '"}</script><script>var x = 1;</script>'
+  || (CASE WHEN doc_id % 4 = 0
+      THEN '<script type="application/ld+json">{"@type": "Person"}</script>'
+      ELSE '' END)
+  || '</html>' AS html
+FROM documents
+"""
+    return extract_jsonld_oracle_sql(pages_sql)
 
 
 def _kg_pattern_oracle() -> str:
@@ -5776,6 +5824,7 @@ FROM c
         "opengraph": _opengraph_oracle(),
         "feed_items": _feed_items_oracle(),
         "crawl_frontier": _crawl_frontier_oracle(),
+        "jsonld": _jsonld_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

@@ -2688,3 +2688,71 @@ SELECT url, array_to_string(list_sort(list(source)), ',') AS sources,
 FROM fresh GROUP BY url
 """
     return doc_link_graph_oracle_sql(anchors_prefix, pages_sql, final_sql=final)
+
+
+# JSON-LD contract: the <script type="application/ld+json"> wrapper is
+# matched literally (real CMSes emit it lowercase); payload text keeps
+# ORIGINAL case — schema.org @type values are case-significant
+# ("Person" != "person"). Field pulls are the crawl-grade regex class:
+# top-level-ish string values only, nested markup/json tolerated as
+# opaque text.
+JSONLD_BLOCK_RE = r'(?s)<script type="application/ld\+json">(.*?)</script>'
+JSONLD_TYPE_RE = r'"@type"\s*:\s*"([^"]*)"'
+JSONLD_NAME_RE = r'"name"\s*:\s*"([^"]*)"'
+
+
+def extract_jsonld(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """schema.org JSON-LD extraction: (url, block_idx, type, name,
+    payload) per embedded ld+json script block — the highest-precision
+    KG-construction source a page offers (publishers declare their own
+    entities: Article, Person, Product, Organization...). `type`/
+    `name` are the first "@type"/"name" string values in the block
+    (regex pulls, NULL when absent); `payload` is the raw JSON text
+    for downstream from_json consumers with a declared schema. Pair
+    with extract_opengraph/infobox_pairs: JSON-LD where publishers
+    provide it, og:type/infobox heuristics where they don't.
+
+    Zero shuffle: one regexp_extract_all(group 1) + posexplode + two
+    scan-fused field pulls.
+    """
+    blocks = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all(cast({html_col} as string),"
+                f" r'{JSONLD_BLOCK_RE}', 1)"  # r'': keep \+ literal
+            )
+        ).alias("block_idx", "payload"),
+    )
+    return blocks.select(
+        "url",
+        "block_idx",
+        F.nullif(
+            F.regexp_extract(F.col("payload"), JSONLD_TYPE_RE, 1), F.lit("")
+        ).alias("type"),
+        F.nullif(
+            F.regexp_extract(F.col("payload"), JSONLD_NAME_RE, 1), F.lit("")
+        ).alias("name"),
+        "payload",
+    )
+
+
+def extract_jsonld_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of extract_jsonld; `pages_sql` yields (url, html)."""
+    return f"""
+WITH pg AS ({pages_sql}),
+b AS (SELECT url,
+        regexp_extract_all(html,
+          '(?s)<script type="application/ld\\+json">(.*?)</script>', 1) AS bs
+      FROM pg)
+SELECT url, u.i::INT AS block_idx,
+       nullif(regexp_extract(u.v, '"@type"\\s*:\\s*"([^"]*)"', 1), '')
+         AS type,
+       nullif(regexp_extract(u.v, '"name"\\s*:\\s*"([^"]*)"', 1), '')
+         AS name,
+       u.v AS payload
+FROM (SELECT url, unnest(list_transform(range(0, len(bs)),
+        i -> {{'i': i, 'v': bs[(i+1)::INT]}})) AS u FROM b)
+"""
