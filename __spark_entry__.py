@@ -1694,6 +1694,57 @@ def q_infobox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infobox_pairs(_table_pages(spark, sf_dir))
 
 
+def q_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta-refresh redirect extraction over four page variants:
+    absolute target (hard 0s move), root-relative, relative (resolved
+    against the declaring page's directory), and no refresh at all —
+    delays value-checked as BIGINT seconds."""
+    from easyner_spark.operators.webtext import extract_refresh
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    url = F.concat(
+        F.lit("https://h"), (did % 13).cast("string"),
+        F.lit(".example.org/d/"), s,
+    )
+    el = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="0;'
+                      'url=https://h'),
+                (did % 13).cast("string"),
+                F.lit('.example.org/canonical">'),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="'),
+                (did % 9).cast("string"),
+                F.lit(';url=/home">'),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="'),
+                (did % 9).cast("string"),
+                F.lit("; url=next"),
+                (did % 5).cast("string"),
+                F.lit('.html">'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        url.alias("url"),
+        F.concat(F.lit("<html>"), el, F.lit("</html>")).alias("html"),
+    )
+    return extract_refresh(pages)
+
+
 def q_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-LD extraction over deterministic ld+json synthesis: every
     page declares an Article block (name = 'doc <id>'); every 4th
@@ -3327,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_items": q_feed_items,
         "crawl_frontier": q_crawl_frontier,
         "jsonld": q_jsonld,
+        "meta_refresh": q_meta_refresh,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4327,6 +4379,30 @@ FROM documents
             ),
         ],
     )
+
+
+def _meta_refresh_oracle() -> str:
+    """q_meta_refresh oracle: the four-variant synthesis through the
+    operator's module-local twin (same element regex + href branches)."""
+    from easyner_spark.operators.webtext import extract_refresh_oracle_sql
+
+    pages_sql = """
+SELECT 'https://h' || (doc_id % 13) || '.example.org/d/' || doc_id AS url,
+  '<html>'
+  || (CASE WHEN doc_id % 4 = 0
+      THEN '<meta http-equiv="refresh" content="0;url=https://h'
+           || (doc_id % 13) || '.example.org/canonical">'
+      WHEN doc_id % 4 = 1
+      THEN '<meta http-equiv="refresh" content="' || (doc_id % 9)
+           || ';url=/home">'
+      WHEN doc_id % 4 = 2
+      THEN '<meta http-equiv="refresh" content="' || (doc_id % 9)
+           || '; url=next' || (doc_id % 5) || '.html">'
+      ELSE '' END)
+  || '</html>' AS html
+FROM documents
+"""
+    return extract_refresh_oracle_sql(pages_sql)
 
 
 def _jsonld_oracle() -> str:
@@ -5825,6 +5901,7 @@ FROM c
         "feed_items": _feed_items_oracle(),
         "crawl_frontier": _crawl_frontier_oracle(),
         "jsonld": _jsonld_oracle(),
+        "meta_refresh": _meta_refresh_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

@@ -2756,3 +2756,87 @@ SELECT url, u.i::INT AS block_idx,
 FROM (SELECT url, unnest(list_transform(range(0, len(bs)),
         i -> {{'i': i, 'v': bs[(i+1)::INT]}})) AS u FROM b)
 """
+
+
+# meta-refresh contract (the third redirect surface after HTTP hops
+# and rel=canonical): double-quoted fixed-format, delay;url=target.
+# Tag/attr names + the url= keyword matched on lower(html); the target
+# is re-captured in one pass, case preserved only as far as lowering
+# the whole document allows — same tolerance class as extract_meta
+# (documented: crawlers compare refresh targets canonicalized anyway).
+REFRESH_EL_RE = r'<meta http-equiv="refresh" content="[0-9]+;\s*url=[^"]*"'
+REFRESH_DELAY_RE = r'content="([0-9]+);'
+REFRESH_URL_RE = r"url=([^\"]*)\""
+
+
+def extract_refresh(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """meta http-equiv=refresh redirects: (src, delay_sec, dst) per
+    declaration — the in-PAGE redirect surface (parked domains, moved
+    content, interstitials) that HTTP-level redirect logs never see.
+    Feed (src, dst) rows to resolve_redirects for chain collapse or
+    to url_equivalence as redirect evidence; delay_sec 0 is a hard
+    move, larger delays are interstitial hints. Relative targets are
+    resolved against the declaring page (resolve_href).
+
+    Zero shuffle: scan-fused element extraction + field pulls.
+    """
+    els = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower(cast({html_col} as string)),"
+                f" r'{REFRESH_EL_RE}', 0)"  # r'': keep \s literal
+            )
+        ).alias("_el"),
+    )
+    return els.select(
+        "src",
+        F.regexp_extract(F.col("_el"), REFRESH_DELAY_RE, 1)
+        .cast("long")
+        .alias("delay_sec"),
+        resolve_href(
+            F.col("src"), F.regexp_extract(F.col("_el"), REFRESH_URL_RE, 1)
+        ).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+
+
+def extract_refresh_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of extract_refresh; `pages_sql` yields (url, html).
+    Href resolution covers the same absolute / protocol-relative /
+    root-relative / relative / non-http branches as
+    doc_link_graph_oracle_sql's res CTE."""
+    return f"""
+WITH pg AS ({pages_sql}),
+e AS (SELECT url AS src,
+        unnest(regexp_extract_all(lower(html),
+          '<meta http-equiv="refresh" content="[0-9]+;\\s*url=[^"]*"', 0))
+          AS el
+      FROM pg),
+f AS (SELECT src,
+        regexp_extract(el, 'content="([0-9]+);', 1)::BIGINT AS delay_sec,
+        regexp_extract(el, 'url=([^"]*)"', 1) AS href
+      FROM e)
+SELECT src, delay_sec, dst FROM (
+SELECT src, delay_sec,
+  CASE
+    WHEN regexp_matches(href, '^[hH][tT][tT][pP][sS]?://') THEN href
+    WHEN href LIKE '//%' THEN
+      regexp_extract(lower(src), '^([a-z][a-z0-9+.-]*)://', 1) || ':' || href
+    WHEN href LIKE '/%' THEN
+      regexp_extract(src, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) || href
+    WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
+    ELSE
+      regexp_extract(src, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+      || (CASE WHEN regexp_extract(src,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+          THEN '/'
+          ELSE regexp_replace(regexp_extract(src,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+               '[^/]*$', '') END)
+      || href
+  END AS dst
+FROM f
+) WHERE dst IS NOT NULL
+"""
