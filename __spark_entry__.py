@@ -1694,6 +1694,46 @@ def q_infobox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infobox_pairs(_table_pages(spark, sf_dir))
 
 
+def q_page_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declared-entity layer over mixed-surface synthesis: every
+    page has a <title>, every 2nd an og card (title+type), every 3rd
+    a JSON-LD Person — all surfaces kept with provenance so
+    cross-source disagreement stays visible."""
+    from easyner_spark.operators.webtext import page_entities
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        s,
+        F.lit("</title>"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="doc '),
+                s,
+                F.lit(' card"><meta property="og:type" content="article">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<script type="application/ld+json">'
+                      '{"@type": "Person", "name": "Entity '),
+                s,
+                F.lit('"}</script>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("u"), s).alias("url"), html.alias("html")
+    )
+    return page_entities(pages)
+
+
 def q_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """meta-refresh redirect extraction over four page variants:
     absolute target (hard 0s move), root-relative, relative (resolved
@@ -3379,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "jsonld": q_jsonld,
         "meta_refresh": q_meta_refresh,
+        "page_entities": q_page_entities,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4379,6 +4420,30 @@ FROM documents
             ),
         ],
     )
+
+
+def _page_entities_oracle() -> str:
+    """q_page_entities oracle: the mixed-surface synthesis through the
+    operator's module-local twin (which itself embeds the jsonld
+    twin)."""
+    from easyner_spark.operators.webtext import page_entities_oracle_sql
+
+    pages_sql = """
+SELECT 'u' || doc_id AS url,
+  '<html><head><title>Doc ' || doc_id || '</title>'
+  || (CASE WHEN doc_id % 2 = 0
+      THEN '<meta property="og:title" content="doc ' || doc_id
+           || ' card"><meta property="og:type" content="article">'
+      ELSE '' END)
+  || '</head>'
+  || (CASE WHEN doc_id % 3 = 0
+      THEN '<script type="application/ld+json">{"@type": "Person", "name": "Entity '
+           || doc_id || '"}</script>'
+      ELSE '' END)
+  || '</html>' AS html
+FROM documents
+"""
+    return page_entities_oracle_sql(pages_sql)
 
 
 def _meta_refresh_oracle() -> str:
@@ -5902,6 +5967,7 @@ FROM c
         "crawl_frontier": _crawl_frontier_oracle(),
         "jsonld": _jsonld_oracle(),
         "meta_refresh": _meta_refresh_oracle(),
+        "page_entities": _page_entities_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

@@ -2840,3 +2840,82 @@ SELECT src, delay_sec,
 FROM f
 ) WHERE dst IS NOT NULL
 """
+
+
+def page_entities(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """The page's declared-entity layer, all surfaces unioned with
+    provenance: (url, source, type, name) from (1) JSON-LD blocks
+    (source='jsonld' — publisher-declared, highest precision, name
+    required), (2) the Open Graph card (source='og' — og:title as
+    name, og:type as type when present), (3) the <title> element
+    (source='title' — name only, the fallback every page has). The
+    KG node-profile layer joins this by url and takes the
+    highest-precedence source present; keeping every row (not
+    coalescing here) preserves cross-source disagreement as a QA
+    signal (a page whose og:title contradicts its JSON-LD name is
+    worth flagging).
+
+    Zero shuffle: a pure union of three scan-fused projections —
+    whole-stage codegen end to end.
+    """
+    h = F.lower(F.col(html_col).cast("string"))
+    jl = (
+        extract_jsonld(pages, html_col=html_col, url_col=url_col)
+        .where(F.col("name").isNotNull())
+        .select(
+            "url", F.lit("jsonld").alias("source"), "type", "name"
+        )
+    )
+    og_title = F.nullif(
+        F.regexp_extract(h, '<meta property="og:title" content="([^"]*)"', 1),
+        F.lit(""),
+    )
+    og_type = F.nullif(
+        F.regexp_extract(h, '<meta property="og:type" content="([^"]*)"', 1),
+        F.lit(""),
+    )
+    og = pages.select(
+        F.col(url_col).alias("url"),
+        F.lit("og").alias("source"),
+        og_type.alias("type"),
+        og_title.alias("name"),
+    ).where(F.col("name").isNotNull())
+    ti = pages.select(
+        F.col(url_col).alias("url"),
+        F.lit("title").alias("source"),
+        F.lit(None).cast("string").alias("type"),
+        F.nullif(
+            F.trim(F.regexp_extract(h, TITLE_RE, 1)), F.lit("")
+        ).alias("name"),
+    ).where(F.col("name").isNotNull())
+    return jl.unionByName(og).unionByName(ti)
+
+
+def page_entities_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of page_entities; `pages_sql` yields (url, html)."""
+    jsonld = extract_jsonld_oracle_sql(pages_sql)
+    return f"""
+WITH pg AS ({pages_sql}),
+lh AS (SELECT url, lower(html) AS h FROM pg),
+jl AS (SELECT url, 'jsonld' AS source, type, name
+       FROM ({jsonld}) WHERE name IS NOT NULL),
+og AS (
+  SELECT url, 'og' AS source,
+    nullif(regexp_extract(h,
+      '<meta property="og:type" content="([^"]*)"', 1), '') AS type,
+    nullif(regexp_extract(h,
+      '<meta property="og:title" content="([^"]*)"', 1), '') AS name
+  FROM lh
+),
+ti AS (
+  SELECT url, 'title' AS source, NULL::VARCHAR AS type,
+    nullif(trim(regexp_extract(h, '<title[^>]*>([^<]*)</title>', 1)), '')
+      AS name
+  FROM lh
+)
+SELECT * FROM jl
+UNION ALL SELECT * FROM og WHERE name IS NOT NULL
+UNION ALL SELECT * FROM ti WHERE name IS NOT NULL
+"""
