@@ -1694,6 +1694,50 @@ def q_infobox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infobox_pairs(_table_pages(spark, sf_dir))
 
 
+def q_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sameAs alignment edges over deterministic JSON-LD synthesis:
+    every 2nd page declares a 2-target array (wiki + wikidata keyed by
+    doc_id div 5, so 5-page groups share authorities), every 5th a
+    single-string form — both forms value-checked."""
+    from easyner_spark.operators.webtext import extract_sameas
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    g = F.expr("doc_id div 5").cast("string")
+    block = (
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<script type="application/ld+json">'
+                      '{"@type": "Person", "name": "Entity '),
+                g,
+                F.lit('", "sameAs": ["https://wiki.example/E'),
+                g,
+                F.lit('", "https://data.example/Q'),
+                g,
+                F.lit('"]}</script>'),
+            ),
+        )
+        .when(
+            did % 5 == 0,
+            F.concat(
+                F.lit('<script type="application/ld+json">'
+                      '{"@type": "Organization",'
+                      ' "sameAs": "https://data.example/Q'),
+                g,
+                F.lit('"}</script>'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        F.concat(F.lit("u"), s).alias("url"),
+        F.concat(F.lit("<html>"), block, F.lit("</html>")).alias("html"),
+    )
+    return extract_sameas(pages)
+
+
 def q_page_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declared-entity layer over mixed-surface synthesis: every
     page has a <title>, every 2nd an og card (title+type), every 3rd
@@ -3420,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld": q_jsonld,
         "meta_refresh": q_meta_refresh,
         "page_entities": q_page_entities,
+        "sameas": q_sameas,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4420,6 +4465,29 @@ FROM documents
             ),
         ],
     )
+
+
+def _sameas_oracle() -> str:
+    """q_sameas oracle: the array/single-form synthesis through the
+    operator's module-local twin."""
+    from easyner_spark.operators.webtext import extract_sameas_oracle_sql
+
+    pages_sql = """
+SELECT 'u' || doc_id AS url,
+  '<html>'
+  || (CASE WHEN doc_id % 2 = 0
+      THEN '<script type="application/ld+json">{"@type": "Person", "name": "Entity '
+           || (doc_id // 5) || '", "sameAs": ["https://wiki.example/E'
+           || (doc_id // 5) || '", "https://data.example/Q'
+           || (doc_id // 5) || '"]}</script>'
+      WHEN doc_id % 5 = 0
+      THEN '<script type="application/ld+json">{"@type": "Organization", "sameAs": "https://data.example/Q'
+           || (doc_id // 5) || '"}</script>'
+      ELSE '' END)
+  || '</html>' AS html
+FROM documents
+"""
+    return extract_sameas_oracle_sql(pages_sql)
 
 
 def _page_entities_oracle() -> str:
@@ -5968,6 +6036,7 @@ FROM c
         "jsonld": _jsonld_oracle(),
         "meta_refresh": _meta_refresh_oracle(),
         "page_entities": _page_entities_oracle(),
+        "sameas": _sameas_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

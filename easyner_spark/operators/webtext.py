@@ -2919,3 +2919,90 @@ SELECT * FROM jl
 UNION ALL SELECT * FROM og WHERE name IS NOT NULL
 UNION ALL SELECT * FROM ti WHERE name IS NOT NULL
 """
+
+
+# sameAs contract: array form "sameAs": ["u1", "u2"] and single-string
+# form "sameAs": "u" both supported; the forms are disjoint by the
+# character after the colon, so no double counting.
+SAMEAS_ARR_RE = r'(?s)"sameAs"\s*:\s*\[(.*?)\]'
+SAMEAS_ONE_RE = r'"sameAs"\s*:\s*"([^"]*)"'
+SAMEAS_URL_RE = r'"([^"]*)"'
+
+
+def extract_sameas(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """schema.org sameAs alignment edges from JSON-LD blocks: (url,
+    name, sameas) — the page's declared entity aligned to external
+    authorities (Wikipedia, Wikidata, social profiles). This is GOLD
+    entity-canonicalization evidence: two pages whose entities declare
+    the same sameAs target are the same entity, no fuzzy matching
+    needed — feed (url, sameas) pairs to the components engine next
+    to name_similarity_edges, or rank authorities per entity. `name`
+    is the block's declared name (NULL when absent). Array and
+    single-string sameAs forms both parse; one row per target,
+    document order within the block preserved.
+
+    Zero shuffle: rides extract_jsonld's scan-fused block extraction
+    + one more posexplode over the array body.
+    """
+    jl = extract_jsonld(pages, html_col=html_col, url_col=url_col)
+    arr = (
+        jl.select(
+            "url",
+            "block_idx",
+            "name",
+            F.expr(
+                f"regexp_extract_all("
+                f"regexp_extract(payload, r'{SAMEAS_ARR_RE}', 1),"
+                f" r'{SAMEAS_URL_RE}', 1)"
+            ).alias("_us"),
+        )
+        .select(
+            "url", "block_idx", "name",
+            F.posexplode("_us").alias("sameas_idx", "sameas"),
+        )
+    )
+    one = (
+        jl.select(
+            "url",
+            "block_idx",
+            "name",
+            F.lit(0).alias("sameas_idx"),
+            F.nullif(
+                F.regexp_extract(F.col("payload"), SAMEAS_ONE_RE, 1),
+                F.lit(""),
+            ).alias("sameas"),
+        )
+        .where(F.col("sameas").isNotNull())
+    )
+    return arr.unionByName(one)
+
+
+def extract_sameas_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of extract_sameas; `pages_sql` yields (url, html)."""
+    jsonld = extract_jsonld_oracle_sql(pages_sql)
+    return f"""
+WITH jl AS ({jsonld}),
+arr AS (
+  SELECT url, block_idx, name,
+    regexp_extract_all(
+      regexp_extract(payload, '(?s)"sameAs"\\s*:\\s*\\[(.*?)\\]', 1),
+      '"([^"]*)"', 1) AS us
+  FROM jl
+),
+arr_x AS (
+  SELECT url, block_idx, name, u.i::INT AS sameas_idx, u.v AS sameas
+  FROM (SELECT url, block_idx, name,
+          unnest(list_transform(range(0, len(us)),
+            i -> {{'i': i, 'v': us[(i+1)::INT]}})) AS u FROM arr)
+),
+one AS (
+  SELECT url, block_idx, name, 0 AS sameas_idx,
+    nullif(regexp_extract(payload, '"sameAs"\\s*:\\s*"([^"]*)"', 1), '')
+      AS sameas
+  FROM jl
+)
+SELECT * FROM arr_x
+UNION ALL SELECT * FROM one WHERE sameas IS NOT NULL
+"""
