@@ -1694,13 +1694,11 @@ def q_infobox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infobox_pairs(_table_pages(spark, sf_dir))
 
 
-def q_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sameAs alignment edges over deterministic JSON-LD synthesis:
-    every 2nd page declares a 2-target array (wiki + wikidata keyed by
-    doc_id div 5, so 5-page groups share authorities), every 5th a
-    single-string form — both forms value-checked."""
-    from easyner_spark.operators.webtext import extract_sameas
-
+def _sameas_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared sameAs synthesis (twin: _SAMEAS_PAGES_SQL): every 2nd
+    page a 2-target array (wiki + wikidata keyed by doc_id div 5, so
+    5-page groups share authorities), every 5th the single-string
+    form."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     did = F.col("doc_id")
     s = did.cast("string")
@@ -1731,11 +1729,28 @@ def q_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(""))
     )
-    pages = d.select(
+    return d.select(
         F.concat(F.lit("u"), s).alias("url"),
         F.concat(F.lit("<html>"), block, F.lit("</html>")).alias("html"),
     )
-    return extract_sameas(pages)
+
+
+def q_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sameAs alignment edges over the shared synthesis — both
+    declaration forms value-checked."""
+    from easyner_spark.operators.webtext import extract_sameas
+
+    return extract_sameas(_sameas_pages(spark, sf_dir))
+
+
+def q_sameas_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-NLP entity merging over the shared sameAs synthesis: the
+    5-page authority groups collapse into one entity class each
+    (pages + their wiki/wikidata authorities, min-url canonical)
+    through the shared components engine."""
+    from easyner_spark.operators.webtext import sameas_clusters
+
+    return sameas_clusters(_sameas_pages(spark, sf_dir))
 
 
 def q_page_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3465,6 +3480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_refresh": q_meta_refresh,
         "page_entities": q_page_entities,
         "sameas": q_sameas,
+        "sameas_entities": q_sameas_entities,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4467,12 +4483,7 @@ FROM documents
     )
 
 
-def _sameas_oracle() -> str:
-    """q_sameas oracle: the array/single-form synthesis through the
-    operator's module-local twin."""
-    from easyner_spark.operators.webtext import extract_sameas_oracle_sql
-
-    pages_sql = """
+_SAMEAS_PAGES_SQL = """
 SELECT 'u' || doc_id AS url,
   '<html>'
   || (CASE WHEN doc_id % 2 = 0
@@ -4487,7 +4498,22 @@ SELECT 'u' || doc_id AS url,
   || '</html>' AS html
 FROM documents
 """
-    return extract_sameas_oracle_sql(pages_sql)
+
+
+def _sameas_oracle() -> str:
+    """q_sameas oracle: the shared synthesis through the operator's
+    module-local twin."""
+    from easyner_spark.operators.webtext import extract_sameas_oracle_sql
+
+    return extract_sameas_oracle_sql(_SAMEAS_PAGES_SQL)
+
+
+def _sameas_entities_oracle() -> str:
+    """q_sameas_entities oracle: the same synthesis through the
+    flat-CTE min-label closure twin."""
+    from easyner_spark.operators.webtext import sameas_clusters_oracle_sql
+
+    return sameas_clusters_oracle_sql(_SAMEAS_PAGES_SQL)
 
 
 def _page_entities_oracle() -> str:
@@ -6037,6 +6063,7 @@ FROM c
         "meta_refresh": _meta_refresh_oracle(),
         "page_entities": _page_entities_oracle(),
         "sameas": _sameas_oracle(),
+        "sameas_entities": _sameas_entities_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

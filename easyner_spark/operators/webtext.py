@@ -2739,22 +2739,32 @@ def extract_jsonld(
     )
 
 
-def extract_jsonld_oracle_sql(pages_sql: str) -> str:
-    """DuckDB twin of extract_jsonld; `pages_sql` yields (url, html)."""
-    return f"""
-WITH pg AS ({pages_sql}),
-b AS (SELECT url,
+def _jsonld_cte_sql(pages_sql: str) -> str:
+    """Flat CTE chain ending in jl(url, block_idx, type, name,
+    payload) — flat so it composes under WITH RECURSIVE (DuckDB
+    mishandles NESTED WITHs inside a recursive chain's CTE bodies)."""
+    return f"""jpg AS ({pages_sql}),
+jb AS (SELECT url,
         regexp_extract_all(html,
           '(?s)<script type="application/ld\\+json">(.*?)</script>', 1) AS bs
-      FROM pg)
-SELECT url, u.i::INT AS block_idx,
+      FROM jpg),
+jl AS (
+  SELECT url, u.i::INT AS block_idx,
        nullif(regexp_extract(u.v, '"@type"\\s*:\\s*"([^"]*)"', 1), '')
          AS type,
        nullif(regexp_extract(u.v, '"name"\\s*:\\s*"([^"]*)"', 1), '')
          AS name,
        u.v AS payload
-FROM (SELECT url, unnest(list_transform(range(0, len(bs)),
-        i -> {{'i': i, 'v': bs[(i+1)::INT]}})) AS u FROM b)
+  FROM (SELECT url, unnest(list_transform(range(0, len(bs)),
+          i -> {{'i': i, 'v': bs[(i+1)::INT]}})) AS u FROM jb)
+)"""
+
+
+def extract_jsonld_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of extract_jsonld; `pages_sql` yields (url, html)."""
+    return f"""
+WITH {_jsonld_cte_sql(pages_sql)}
+SELECT * FROM jl
 """
 
 
@@ -2979,11 +2989,12 @@ def extract_sameas(
     return arr.unionByName(one)
 
 
-def extract_sameas_oracle_sql(pages_sql: str) -> str:
-    """DuckDB twin of extract_sameas; `pages_sql` yields (url, html)."""
-    jsonld = extract_jsonld_oracle_sql(pages_sql)
-    return f"""
-WITH jl AS ({jsonld}),
+def _sameas_cte_sql(pages_sql: str) -> str:
+    """Flat CTE chain ending in sa(url, block_idx, name, sameas_idx,
+    sameas) — shared by the sameas and sameas_clusters twins, flat so
+    it also composes under WITH RECURSIVE (DuckDB mishandles NESTED
+    WITHs inside a recursive chain's CTE bodies)."""
+    return f"""{_jsonld_cte_sql(pages_sql)},
 arr AS (
   SELECT url, block_idx, name,
     regexp_extract_all(
@@ -3002,7 +3013,57 @@ one AS (
     nullif(regexp_extract(payload, '"sameAs"\\s*:\\s*"([^"]*)"', 1), '')
       AS sameas
   FROM jl
+),
+sa AS (
+  SELECT * FROM arr_x
+  UNION ALL SELECT * FROM one WHERE sameas IS NOT NULL
+)"""
+
+
+def extract_sameas_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of extract_sameas; `pages_sql` yields (url, html)."""
+    return f"""
+WITH {_sameas_cte_sql(pages_sql)}
+SELECT * FROM sa
+"""
+
+
+def sameas_clusters(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Cross-document entity merging from sameAs evidence alone:
+    (node, entity) where node is a page url or an authority url and
+    entity = min url reachable over (page, sameAs-target) edges —
+    pages whose JSON-LD entities share ANY authority (directly or
+    through a chain: A and B both cite Wikipedia, B and C both cite
+    Wikidata => A,B,C merge) land in one entity class. This is the
+    zero-NLP canonicalization tier that runs BEFORE name similarity:
+    exact declared evidence first, fuzzy matching only for what's
+    left. Same components engine as the KG/url layers; edge
+    construction zero shuffle.
+    """
+    from easyner_spark.operators.components import connected_components
+
+    edges = extract_sameas(
+        pages, html_col=html_col, url_col=url_col
+    ).select(F.col("url").alias("src"), F.col("sameas").alias("dst"))
+    return connected_components(edges).select(
+        "node", F.col("component").alias("entity")
+    )
+
+
+def sameas_clusters_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin: the sameas twin's (url, sameas) edges through the
+    min-label reachability closure."""
+    return f"""
+WITH RECURSIVE {_sameas_cte_sql(pages_sql)},
+edges AS (SELECT DISTINCT url AS a, sameas AS b FROM sa),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN sym e ON r.node = e.a
 )
-SELECT * FROM arr_x
-UNION ALL SELECT * FROM one WHERE sameas IS NOT NULL
+SELECT node, min(lbl) AS entity FROM reach GROUP BY node
 """
