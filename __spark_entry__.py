@@ -1753,6 +1753,38 @@ def q_sameas_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sameas_clusters(_sameas_pages(spark, sf_dir))
 
 
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination-series reconstruction over 4-page article series
+    (doc_id div 4): interior pages declare both rel=prev and rel=next
+    (redundant evidence, min-collapsed), heads only next, tails only
+    prev — every page lands in its series at its exact page_ord via
+    the pointer-doubling walk."""
+    from easyner_spark.operators.webtext import pagination_series
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    g = F.expr("doc_id div 4").cast("string")
+    k = did % 4
+    base = F.concat(F.lit("https://p.example/s"), g, F.lit("/p"))
+    url = F.concat(base, k.cast("string"))
+    prev_el = F.when(
+        k > 0,
+        F.concat(F.lit('<link rel="prev" href="'), base,
+                 (k - 1).cast("string"), F.lit('">')),
+    ).otherwise(F.lit(""))
+    next_el = F.when(
+        k < 3,
+        F.concat(F.lit('<link rel="next" href="'), base,
+                 (k + 1).cast("string"), F.lit('">')),
+    ).otherwise(F.lit(""))
+    pages = d.select(
+        url.alias("url"),
+        F.concat(F.lit("<html><head>"), prev_el, next_el,
+                 F.lit("</head></html>")).alias("html"),
+    )
+    return pagination_series(pages, max_pages=4)
+
+
 def q_page_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declared-entity layer over mixed-surface synthesis: every
     page has a <title>, every 2nd an og card (title+type), every 3rd
@@ -3481,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_entities": q_page_entities,
         "sameas": q_sameas,
         "sameas_entities": q_sameas_entities,
+        "pagination": q_pagination,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4481,6 +4514,29 @@ FROM documents
             ),
         ],
     )
+
+
+def _pagination_oracle() -> str:
+    """q_pagination oracle: the 4-page-series synthesis through the
+    operator's module-local twin (extraction + inverse edges +
+    pointer-doubling walk via the redirect twin's final_sql hook)."""
+    from easyner_spark.operators.webtext import pagination_series_oracle_sql
+
+    pages_sql = """
+SELECT 'https://p.example/s' || (doc_id // 4) || '/p' || (doc_id % 4) AS url,
+  '<html><head>'
+  || (CASE WHEN doc_id % 4 > 0
+      THEN '<link rel="prev" href="https://p.example/s' || (doc_id // 4)
+           || '/p' || (doc_id % 4 - 1) || '">'
+      ELSE '' END)
+  || (CASE WHEN doc_id % 4 < 3
+      THEN '<link rel="next" href="https://p.example/s' || (doc_id // 4)
+           || '/p' || (doc_id % 4 + 1) || '">'
+      ELSE '' END)
+  || '</head></html>' AS html
+FROM documents
+"""
+    return pagination_series_oracle_sql(pages_sql, max_pages=4)
 
 
 _SAMEAS_PAGES_SQL = """
@@ -6064,6 +6120,7 @@ FROM c
         "page_entities": _page_entities_oracle(),
         "sameas": _sameas_oracle(),
         "sameas_entities": _sameas_entities_oracle(),
+        "pagination": _pagination_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

@@ -756,11 +756,16 @@ def resolve_redirects(
     )
 
 
-def resolve_redirects_oracle_sql(redirects_cte: str, max_steps: int = 8) -> str:
+def resolve_redirects_oracle_sql(
+    redirects_cte: str, max_steps: int = 8, final_sql: str | None = None
+) -> str:
     """DuckDB twin of resolve_redirects: a depth-capped recursive CTE
     walks the same min(chain, max_steps) single steps; the max-hops row
     per url is the final state (hops strictly increases, so it is
-    unique). `redirects_cte` must define relation r(url, target)."""
+    unique). `redirects_cte` must define relation r(url, target).
+    `final_sql` replaces the terminal SELECT so consumers can keep
+    composing CTEs over `last` (pagination_series does; it must start
+    with ', ' or a SELECT — the doc_link_graph_oracle_sql contract)."""
     return f"""
 WITH RECURSIVE {redirects_cte},
 walk(url, cur, hops, done) AS (
@@ -779,9 +784,9 @@ last AS (
          row_number() OVER (PARTITION BY url ORDER BY hops DESC) AS rn
   FROM walk
 )
-SELECT url, cur AS final_url, hops::BIGINT AS hops, status
+{final_sql if final_sql is not None else '''SELECT url, cur AS final_url, hops::BIGINT AS hops, status
 FROM last WHERE rn = 1
-"""
+'''}"""
 
 
 def robots_verdict(
@@ -3067,3 +3072,153 @@ reach(node, lbl) AS (
 )
 SELECT node, min(lbl) AS entity FROM reach GROUP BY node
 """
+
+
+def href_resolve_case_sql(src_expr: str, href_expr: str) -> str:
+    """The DuckDB CASE twin of resolve_href (absolute /
+    protocol-relative / root-relative / non-http-scheme NULL /
+    relative branches) — shared by every oracle that resolves hrefs;
+    same branches as doc_link_graph_oracle_sql's res CTE."""
+    return f"""CASE
+    WHEN regexp_matches({href_expr}, '^[hH][tT][tT][pP][sS]?://')
+      THEN {href_expr}
+    WHEN {href_expr} LIKE '//%' THEN
+      regexp_extract(lower({src_expr}), '^([a-z][a-z0-9+.-]*)://', 1)
+      || ':' || {href_expr}
+    WHEN {href_expr} LIKE '/%' THEN
+      regexp_extract({src_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+      || {href_expr}
+    WHEN regexp_matches({href_expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
+    ELSE
+      regexp_extract({src_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+      || (CASE WHEN regexp_extract({src_expr},
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+          THEN '/'
+          ELSE regexp_replace(regexp_extract({src_expr},
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+               '[^/]*$', '') END)
+      || {href_expr}
+  END"""
+
+
+# pagination contract: same double-quoted fixed-order class as the
+# other <link> extractors
+PAG_EL_RE = r'<link rel="(?:next|prev)" href="[^"]*"'
+PAG_REL_RE = r'rel="([^"]*)"'
+PAG_HREF_RE = r'href="([^"]*)"'
+
+
+def extract_rel_pagination(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """rel=next/prev pagination declarations: (url, rel, target) with
+    full href resolution — the multi-page-article surface (page 2 of
+    a listicle is a CONTINUATION, not a duplicate or a distinct doc).
+    Zero shuffle."""
+    els = pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower(cast({html_col} as string)),"
+                f" '{PAG_EL_RE}', 0)"
+            )
+        ).alias("_el"),
+    )
+    return els.select(
+        "url",
+        F.regexp_extract(F.col("_el"), PAG_REL_RE, 1).alias("rel"),
+        resolve_href(
+            F.col("url"), F.regexp_extract(F.col("_el"), PAG_HREF_RE, 1)
+        ).alias("target"),
+    ).where(F.col("target").isNotNull())
+
+
+def pagination_series(
+    pages: DataFrame,
+    max_pages: int = 16,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Multi-page article reconstruction from rel=next/prev: (url,
+    series, page_ord, status) where series = the head page (the one
+    nothing points back from) and page_ord = exact distance from the
+    head. prev-pointers come from BOTH declarations (a page's own
+    rel=prev, and the inverse of its predecessor's rel=next — either
+    alone suffices; conflicting duplicates collapse min-wins,
+    deterministic). The chain walk is resolve_redirects' pointer
+    doubling on the prev-edge table — log2(max_pages) bounded-key
+    self-joins, no per-step sequential lookups; `max_pages` must be a
+    power of two (the doubling contract). Rows with status
+    'unresolved' are cycles or over-long chains (page_ord =
+    max_pages, the walk's documented cap value). Downstream: a
+    training-corpus builder concatenates a series in page_ord order
+    instead of treating continuation pages as near-dup noise.
+    """
+    rel = extract_rel_pagination(pages, html_col=html_col, url_col=url_col)
+    prev_edges = (
+        rel.where(F.col("rel") == "prev")
+        .select("url", F.col("target").alias("prev"))
+        .unionByName(
+            rel.where(F.col("rel") == "next").select(
+                F.col("target").alias("url"), F.col("url").alias("prev")
+            )
+        )
+        .groupBy("url")
+        .agg(F.min("prev").alias("target"))
+    )
+    res = resolve_redirects(prev_edges, max_steps=max_pages)
+    body = res.select(
+        "url",
+        F.col("final_url").alias("series"),
+        F.col("hops").alias("page_ord"),
+        "status",
+    )
+    heads = (
+        res.where(F.col("status") == "resolved")
+        .select(F.col("final_url").alias("url"))
+        .distinct()
+        .select(
+            "url",
+            F.col("url").alias("series"),
+            F.lit(0).cast("long").alias("page_ord"),
+            F.lit("resolved").alias("status"),
+        )
+    )
+    return body.unionByName(heads)
+
+
+def pagination_series_oracle_sql(pages_sql: str, max_pages: int = 16) -> str:
+    """DuckDB twin of pagination_series: same extraction + inverse
+    edges + min-collapse, composed through the redirect-walk twin's
+    final_sql hook."""
+    resolve = href_resolve_case_sql("url", "href")
+    redirects_cte = f"""ppg AS ({pages_sql}),
+pels AS (SELECT url,
+          unnest(regexp_extract_all(lower(html),
+            '<link rel="(?:next|prev)" href="[^"]*"', 0)) AS el
+        FROM ppg),
+prel0 AS (SELECT url, regexp_extract(el, 'rel="([^"]*)"', 1) AS rel,
+                regexp_extract(el, 'href="([^"]*)"', 1) AS href
+         FROM pels),
+prel AS (SELECT url, rel, {resolve} AS target FROM prel0),
+pe AS (
+  SELECT url, target AS prev FROM prel WHERE rel = 'prev' AND target IS NOT NULL
+  UNION ALL
+  SELECT target AS url, url AS prev FROM prel WHERE rel = 'next' AND target IS NOT NULL
+),
+r AS (SELECT url, min(prev) AS target FROM pe GROUP BY url)"""
+    final = """,
+body AS (
+  SELECT url, cur AS series, hops::BIGINT AS page_ord, status
+  FROM last WHERE rn = 1
+),
+heads AS (
+  SELECT DISTINCT series AS url, series, 0::BIGINT AS page_ord,
+         'resolved' AS status
+  FROM body WHERE status = 'resolved'
+)
+SELECT * FROM body UNION ALL SELECT * FROM heads
+"""
+    return resolve_redirects_oracle_sql(
+        redirects_cte, max_steps=max_pages, final_sql=final
+    )
