@@ -1753,14 +1753,11 @@ def q_sameas_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sameas_clusters(_sameas_pages(spark, sf_dir))
 
 
-def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pagination-series reconstruction over 4-page article series
-    (doc_id div 4): interior pages declare both rel=prev and rel=next
-    (redundant evidence, min-collapsed), heads only next, tails only
-    prev — every page lands in its series at its exact page_ord via
-    the pointer-doubling walk."""
-    from easyner_spark.operators.webtext import pagination_series
-
+def _pagination_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-page article series synthesis (doc_id div 4): interior pages
+    declare both rel=prev and rel=next, heads only next, tails only
+    prev; carries the document text for assembly (twin:
+    _pagination_oracle's pages_sql)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     did = F.col("doc_id")
     g = F.expr("doc_id div 4").cast("string")
@@ -1777,12 +1774,36 @@ def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit('<link rel="next" href="'), base,
                  (k + 1).cast("string"), F.lit('">')),
     ).otherwise(F.lit(""))
-    pages = d.select(
+    return d.select(
         url.alias("url"),
         F.concat(F.lit("<html><head>"), prev_el, next_el,
                  F.lit("</head></html>")).alias("html"),
+        "text",
     )
-    return pagination_series(pages, max_pages=4)
+
+
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination-series reconstruction over the shared 4-page series
+    synthesis — every page lands in its series at its exact page_ord
+    via the pointer-doubling walk."""
+    from easyner_spark.operators.webtext import pagination_series
+
+    return pagination_series(_pagination_pages(spark, sf_dir), max_pages=4)
+
+
+def q_series_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pagination capstone composed end-to-end: reconstruct the
+    4-page series, then concatenate each series' page texts in
+    page_ord order into one document (125-ish assembled articles at
+    sf0.01, n_pages = 4 each)."""
+    from easyner_spark.operators.webtext import (
+        assemble_series,
+        pagination_series,
+    )
+
+    pages = _pagination_pages(spark, sf_dir)
+    series = pagination_series(pages, max_pages=4)
+    return assemble_series(pages, series)
 
 
 def q_page_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3514,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sameas": q_sameas,
         "sameas_entities": q_sameas_entities,
         "pagination": q_pagination,
+        "series_text": q_series_text,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4516,13 +4538,7 @@ FROM documents
     )
 
 
-def _pagination_oracle() -> str:
-    """q_pagination oracle: the 4-page-series synthesis through the
-    operator's module-local twin (extraction + inverse edges +
-    pointer-doubling walk via the redirect twin's final_sql hook)."""
-    from easyner_spark.operators.webtext import pagination_series_oracle_sql
-
-    pages_sql = """
+_PAGINATION_PAGES_SQL = """
 SELECT 'https://p.example/s' || (doc_id // 4) || '/p' || (doc_id % 4) AS url,
   '<html><head>'
   || (CASE WHEN doc_id % 4 > 0
@@ -4533,10 +4549,33 @@ SELECT 'https://p.example/s' || (doc_id // 4) || '/p' || (doc_id % 4) AS url,
       THEN '<link rel="next" href="https://p.example/s' || (doc_id // 4)
            || '/p' || (doc_id % 4 + 1) || '">'
       ELSE '' END)
-  || '</head></html>' AS html
+  || '</head></html>' AS html,
+  text
 FROM documents
 """
-    return pagination_series_oracle_sql(pages_sql, max_pages=4)
+
+
+def _pagination_oracle() -> str:
+    """q_pagination oracle: the shared 4-page-series synthesis through
+    the operator's module-local twin (extraction + inverse edges +
+    pointer-doubling walk via the redirect twin's final_sql hook)."""
+    from easyner_spark.operators.webtext import pagination_series_oracle_sql
+
+    return pagination_series_oracle_sql(_PAGINATION_PAGES_SQL, max_pages=4)
+
+
+def _series_text_oracle() -> str:
+    """q_series_text oracle: the pagination twin nested as the series
+    subquery of the assembly twin over the same synthesis."""
+    from easyner_spark.operators.webtext import (
+        assemble_series_oracle_sql,
+        pagination_series_oracle_sql,
+    )
+
+    return assemble_series_oracle_sql(
+        f"SELECT url, text FROM ({_PAGINATION_PAGES_SQL})",
+        pagination_series_oracle_sql(_PAGINATION_PAGES_SQL, max_pages=4),
+    )
 
 
 _SAMEAS_PAGES_SQL = """
@@ -6121,6 +6160,7 @@ FROM c
         "sameas": _sameas_oracle(),
         "sameas_entities": _sameas_entities_oracle(),
         "pagination": _pagination_oracle(),
+        "series_text": _series_text_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

@@ -3222,3 +3222,67 @@ SELECT * FROM body UNION ALL SELECT * FROM heads
     return resolve_redirects_oracle_sql(
         redirects_cte, max_steps=max_pages, final_sql=final
     )
+
+
+def assemble_series(
+    pages: DataFrame,
+    series: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Series-aware corpus assembly: concatenate each pagination
+    series' page texts in page_ord order into ONE document — (series,
+    n_pages, text). Pages not in any series (single-page docs) pass
+    through as their own 1-page series. Unresolved series rows
+    (cycles / over-cap chains from pagination_series) are EXCLUDED —
+    garbage order would corrupt the text; they stay behind for the
+    dedup tier to handle as ordinary pages.
+
+    Scale (2 shuffles): one uniform url-keyed left join onto the
+    (bounded) series table, one groupBy(series) whose per-group size
+    is bounded by max_pages — the struct-array sort is per-series
+    local, never a global window.
+    """
+    s = series.where(F.col("status") == "resolved").select(
+        F.col("url").alias(url_col), "series", "page_ord"
+    )
+    joined = pages.select(url_col, text_col).join(s, url_col, "left")
+    normalized = joined.select(
+        F.coalesce(F.col("series"), F.col(url_col)).alias("series"),
+        F.coalesce(F.col("page_ord"), F.lit(0)).cast("long").alias("page_ord"),
+        F.col(text_col).alias("_t"),
+    )
+    return normalized.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("page_ord", F.col("_t").alias("t")))
+                ),
+                lambda x: x["t"],
+            ),
+            sep,
+        ).alias("text"),
+    )
+
+
+def assemble_series_oracle_sql(
+    pages_sql: str, series_sql: str, sep: str = r"\n"
+) -> str:
+    """DuckDB twin of assemble_series; `pages_sql` yields (url, text),
+    `series_sql` yields (url, series, page_ord, status). `sep` is a
+    DuckDB escape-string body (default newline)."""
+    return f"""
+WITH apg AS ({pages_sql}),
+asr AS (SELECT url, series, page_ord FROM ({series_sql})
+        WHERE status = 'resolved'),
+norm AS (
+  SELECT coalesce(s.series, p.url) AS series,
+         coalesce(s.page_ord, 0)::BIGINT AS page_ord, p.text
+  FROM apg p LEFT JOIN asr s ON p.url = s.url
+)
+SELECT series, count(*)::BIGINT AS n_pages,
+       string_agg(text, e'{sep}' ORDER BY page_ord, text) AS text
+FROM norm GROUP BY series
+"""
