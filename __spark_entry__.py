@@ -1806,6 +1806,40 @@ def q_series_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_series(pages, series)
 
 
+def q_surface_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host structured-data adoption over 7 hosts with engineered
+    rates: jsonld on even docs, og on every 3rd, a table on every 5th,
+    title on all but every 11th — exact floor-division percentages
+    per host, one algebraic rollup."""
+    from easyner_spark.operators.webtext import host_surface_profile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html>"),
+        F.when(did % 11 != 0, F.lit("<title>t</title>")).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.lit('<script type="application/ld+json">{"@type":"T"}'
+                  "</script>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.lit('<meta property="og:title" content="x">'),
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("<table></table>")).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://h"), (did % 7).cast("string"),
+            F.lit(".example.org/p/"), did.cast("string"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return host_surface_profile(pages)
+
+
 def q_page_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declared-entity layer over mixed-surface synthesis: every
     page has a <title>, every 2nd an og card (title+type), every 3rd
@@ -3536,6 +3570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sameas_entities": q_sameas_entities,
         "pagination": q_pagination,
         "series_text": q_series_text,
+        "surface_profile": q_surface_profile,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4536,6 +4571,29 @@ FROM documents
             ),
         ],
     )
+
+
+def _surface_profile_oracle() -> str:
+    """q_surface_profile oracle: the engineered-rates synthesis
+    through the operator's module-local twin."""
+    from easyner_spark.operators.webtext import (
+        host_surface_profile_oracle_sql,
+    )
+
+    pages_sql = """
+SELECT 'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url,
+  '<html>'
+  || (CASE WHEN doc_id % 11 != 0 THEN '<title>t</title>' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0
+      THEN '<script type="application/ld+json">{"@type":"T"}</script>'
+      ELSE '' END)
+  || (CASE WHEN doc_id % 3 = 0
+      THEN '<meta property="og:title" content="x">' ELSE '' END)
+  || (CASE WHEN doc_id % 5 = 0 THEN '<table></table>' ELSE '' END)
+  || '</html>' AS html
+FROM documents
+"""
+    return host_surface_profile_oracle_sql(pages_sql)
 
 
 _PAGINATION_PAGES_SQL = """
@@ -6161,6 +6219,7 @@ FROM c
         "sameas_entities": _sameas_entities_oracle(),
         "pagination": _pagination_oracle(),
         "series_text": _series_text_oracle(),
+        "surface_profile": _surface_profile_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

@@ -3286,3 +3286,71 @@ SELECT series, count(*)::BIGINT AS n_pages,
        string_agg(text, e'{sep}' ORDER BY page_ord, text) AS text
 FROM norm GROUP BY series
 """
+
+
+def host_surface_profile(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Per-host structured-data adoption: (host, n_pages, pct_jsonld,
+    pct_og, pct_table, pct_title) — what fraction of a host's pages
+    carry each extraction surface. This is the extraction PLANNER's
+    table: a host at 95% JSON-LD routes through the declared-entity
+    tier; a host at 0% structured data routes to the NER/boilerplate
+    tier — and a host whose adoption suddenly drops flags a template
+    change that broke extraction. Percentages are exact BIGINT floor
+    divisions.
+
+    Scale: per-page booleans are scan-fused regex probes (zero
+    shuffle), then ONE algebraic host rollup — sums absorb any host's
+    page count map-side.
+    """
+    h = F.lower(F.col(html_col).cast("string"))
+    raw = F.col(html_col).cast("string")
+    probes = pages.select(
+        _host_col(F.col(url_col)).alias("host"),
+        F.col(url_col).alias("_u"),
+        (raw.contains('<script type="application/ld+json">')).cast("long")
+        .alias("_jsonld"),
+        (h.contains('<meta property="og:')).cast("long").alias("_og"),
+        (h.contains("<table")).cast("long").alias("_table"),
+        (h.contains("<title")).cast("long").alias("_title"),
+    )
+    agg = probes.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum("_jsonld").alias("_sj"),
+        F.sum("_og").alias("_so"),
+        F.sum("_table").alias("_st"),
+        F.sum("_title").alias("_sti"),
+    )
+    return agg.select(
+        "host",
+        "n_pages",
+        F.expr("_sj * 100 div n_pages").alias("pct_jsonld"),
+        F.expr("_so * 100 div n_pages").alias("pct_og"),
+        F.expr("_st * 100 div n_pages").alias("pct_table"),
+        F.expr("_sti * 100 div n_pages").alias("pct_title"),
+    )
+
+
+def host_surface_profile_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of host_surface_profile; `pages_sql` yields
+    (url, html)."""
+    return f"""
+WITH pg AS ({pages_sql}),
+pr AS (
+  SELECT regexp_replace(lower(regexp_extract(url, '{HOST_RE}', 1)),
+           ':\\d+$', '') AS host,
+    (position('<script type="application/ld+json">' IN html) > 0)::BIGINT
+      AS j,
+    (position('<meta property="og:' IN lower(html)) > 0)::BIGINT AS o,
+    (position('<table' IN lower(html)) > 0)::BIGINT AS t,
+    (position('<title' IN lower(html)) > 0)::BIGINT AS ti
+  FROM pg
+)
+SELECT host, count(*)::BIGINT AS n_pages,
+       sum(j) * 100 // count(*) AS pct_jsonld,
+       sum(o) * 100 // count(*) AS pct_og,
+       sum(t) * 100 // count(*) AS pct_table,
+       sum(ti) * 100 // count(*) AS pct_title
+FROM pr GROUP BY host
+"""
