@@ -1979,12 +1979,15 @@ def mirror_hosts(
     Exactness: the overlap gate is an integer cross-multiply
     (shared * 100 >= min_overlap_pct * least(n_a, n_b)); no floats.
 
-    Scale (3 data shuffles, all bounded): (1) per-(host, digest)
-    distinct — uniform composite key, however hot the host; (2) a
-    per-digest host COUNT (algebraic partial aggs absorb a digest
-    served by millions of hosts — think empty pages or parked-domain
-    boilerplate) gates digests to 2..max_hosts_per_digest BEFORE any
-    array is collected, so the subsequent per-digest
+    Scale (audited at sf0.01: 7 planned exchanges, 2 reused, small
+    sides AQE-broadcast — every key uniform or cap-bounded): (1)
+    per-(host, digest) distinct — uniform composite key, however hot
+    the host; (2) a per-digest host COUNT (algebraic partial aggs
+    absorb a digest served by millions of hosts — think empty pages
+    or parked-domain boilerplate) gates digests to
+    2..max_hosts_per_digest BEFORE any array is collected (the gate
+    costs the count rollup plus the digest-key join alignment), so
+    the subsequent per-digest
     sort_array(collect_set(host)) group is <= cap rows by
     construction and the in-array i<j pair fan-out is
     <= cap*(cap-1)/2 per digest — the quadratic is bounded by a knob,
