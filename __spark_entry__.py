@@ -2276,6 +2276,39 @@ def q_polite_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polite_quota(wts, delays, budget=10_000, epoch_seconds=3600)
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap announcements from robots.txt (global directive — one
+    inside a named-agent group still counts): even docs announce two
+    sitemaps, odd docs one valid plus a spec-invalid relative value
+    (dropped); case-insensitive name, trailing comments stripped."""
+    from easyner_spark.operators.webtext import robots_sitemaps
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    body = F.concat_ws(
+        "\n",
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /tmp"),
+        F.concat(F.lit("Sitemap: https://r"), s,
+                 F.lit(".example.org/sitemap.xml")),
+        F.lit("User-agent: bot"),
+        F.lit("Disallow: /"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("sitemap: https://r"), s, F.lit(".example.org/news"),
+                     (did % 4).cast("string"), F.lit(".xml   # extra")),
+        ).otherwise(F.lit("Sitemap: /relative-dropped")),
+    )
+    robots = d.select(
+        F.concat(F.lit("https://r"), s, F.lit(".example.org/robots.txt")).alias(
+            "url"
+        ),
+        body.alias("robots_txt"),
+    )
+    return robots_sitemaps(robots)
+
+
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parsing over 13 synthetic hosts: named-agent blocks
     dropped, '*' block kept, comments stripped (incl. trailing),
@@ -3571,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination": q_pagination,
         "series_text": q_series_text,
         "surface_profile": q_surface_profile,
+        "robots_sitemaps": q_robots_sitemaps,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4571,6 +4605,27 @@ FROM documents
             ),
         ],
     )
+
+
+def _robots_sitemaps_oracle() -> str:
+    """q_robots_sitemaps oracle: the same announcement synthesis
+    through the operator's module-local twin."""
+    from easyner_spark.operators.webtext import robots_sitemaps_oracle_sql
+
+    robots_sql = """
+SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
+  'User-agent: *' || chr(10)
+  || 'Disallow: /tmp' || chr(10)
+  || 'Sitemap: https://r' || doc_id || '.example.org/sitemap.xml' || chr(10)
+  || 'User-agent: bot' || chr(10)
+  || 'Disallow: /' || chr(10)
+  || (CASE WHEN doc_id % 2 = 0
+      THEN 'sitemap: https://r' || doc_id || '.example.org/news'
+           || (doc_id % 4) || '.xml   # extra'
+      ELSE 'Sitemap: /relative-dropped' END) AS robots_txt
+FROM documents
+"""
+    return robots_sitemaps_oracle_sql(robots_sql)
 
 
 def _surface_profile_oracle() -> str:
@@ -6220,6 +6275,7 @@ FROM c
         "pagination": _pagination_oracle(),
         "series_text": _series_text_oracle(),
         "surface_profile": _surface_profile_oracle(),
+        "robots_sitemaps": _robots_sitemaps_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

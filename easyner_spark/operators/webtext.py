@@ -3357,3 +3357,71 @@ SELECT host, count(*)::BIGINT AS n_pages,
        sum(ti) * 100 // count(*) AS pct_title
 FROM pr GROUP BY host
 """
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    url_col: str = "url",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Sitemap announcements from robots.txt: (host, sitemap_url,
+    line_no) per `Sitemap:` line — the missing link between the
+    politeness chain and the discovery chain: robots.txt announces
+    the sitemaps, sitemap_parse reads them, sitemap_frontier/
+    crawl_frontier enqueue what they announce. Per RFC 9309 /
+    sitemaps.org the directive is GLOBAL (not scoped to a User-agent
+    group), so every Sitemap line counts wherever it appears —
+    deliberately different from parse_robots' group-scoped rules.
+    Directive name case-insensitive, value must be an absolute url
+    per the spec (non-http values dropped); '#' comments stripped.
+
+    Zero shuffle: line explode + scan-fused pulls.
+    """
+    host = _host_col(F.col(url_col))
+    lines = robots.select(
+        host.alias("host"),
+        F.posexplode(
+            F.split(F.col(text_col), r"\n")
+        ).alias("line_no", "_raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("_raw"), r"#.*$", ""))
+    name = F.lower(F.trim(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1)))
+    value = F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    return (
+        lines.select(
+            "host",
+            F.col("line_no").cast("long").alias("line_no"),
+            name.alias("_n"),
+            value.alias("sitemap_url"),
+        )
+        .where(
+            (F.col("_n") == "sitemap")
+            & F.col("sitemap_url").rlike("^[hH][tT][tT][pP][sS]?://")
+        )
+        .select("host", "sitemap_url", "line_no")
+    )
+
+
+def robots_sitemaps_oracle_sql(robots_sql: str) -> str:
+    """DuckDB twin of robots_sitemaps; `robots_sql` yields
+    (url, robots_txt)."""
+    return f"""
+WITH rb AS ({robots_sql}),
+ln AS (SELECT
+         regexp_replace(lower(regexp_extract(url, '{HOST_RE}', 1)),
+           ':\\d+$', '') AS host,
+         u.i::BIGINT AS line_no,
+         trim(regexp_replace(u.v, '#.*$', '')) AS clean
+       FROM (SELECT url, unnest(list_transform(range(0, len(ls)),
+               i -> {{'i': i, 'v': ls[(i+1)::INT]}})) AS u
+             FROM (SELECT url, string_split(robots_txt, chr(10)) AS ls
+                   FROM rb)))
+SELECT host,
+       trim(regexp_extract(clean, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1))
+         AS sitemap_url,
+       line_no
+FROM ln
+WHERE lower(trim(regexp_extract(clean, '^([A-Za-z-]+)\\s*:', 1))) = 'sitemap'
+  AND regexp_matches(trim(regexp_extract(clean, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)),
+        '^[hH][tT][tT][pP][sS]?://')
+"""
