@@ -1806,6 +1806,16 @@ def q_series_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_series(pages, series)
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer readability counts over the real documents table:
+    sentence / word / vowel-group-syllable counts and micro-unit
+    ratios — the Flesch-family inputs, zero shuffle, no floats."""
+    from easyner_spark.operators.textstats import readability_counts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return readability_counts(d)
+
+
 def q_surface_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host structured-data adoption over 7 hosts with engineered
     rates: jsonld on even docs, og on every 3rd, a table on every 5th,
@@ -3605,6 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_text": q_series_text,
         "surface_profile": q_surface_profile,
         "robots_sitemaps": q_robots_sitemaps,
+        "readability": q_readability,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4604,6 +4615,23 @@ FROM documents
                 "feed",
             ),
         ],
+    )
+
+
+def _readability_oracle() -> str:
+    """q_readability oracle: the real documents table through the
+    operator's module-local twin."""
+    from easyner_spark.operators.textstats import (
+        readability_counts_oracle_sql,
+    )
+
+    twin = readability_counts_oracle_sql(
+        "SELECT doc_id AS id, text FROM documents"
+    )
+    return (
+        "SELECT id AS doc_id, n_sents, n_words, n_syllables,"
+        " words_per_sent_micro, syll_per_word_micro"
+        f" FROM ({twin})"
     )
 
 
@@ -6276,6 +6304,7 @@ FROM c
         "series_text": _series_text_oracle(),
         "surface_profile": _surface_profile_oracle(),
         "robots_sitemaps": _robots_sitemaps_oracle(),
+        "readability": _readability_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

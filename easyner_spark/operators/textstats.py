@@ -582,3 +582,95 @@ b AS (
 )
 SELECT doc_id, {cols}, {case} AS topic_pred FROM b
 """
+
+
+# readability contract, shared verbatim with the oracle: sentences =
+# maximal runs split on [.!?]+ that contain at least one word;
+# syllables = vowel-group count per word ([aeiouy]+ runs), the
+# standard dictionary-free heuristic, floored at 1 per word.
+SENT_SPLIT_RE = r"[.!?]+"
+VOWEL_GROUP_RE = r"[aeiouy]+"
+
+
+def readability_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-integer readability counts per doc: (id, n_sents,
+    n_words, n_syllables, words_per_sent_micro, syll_per_word_micro)
+    — the inputs to any Flesch/FK-family score, kept as BIGINT counts
+    and micro-unit (1e6) ratios so values hash-match across engines
+    (the float grade formula is one multiply away for consumers, and
+    a curation gate compares thresholds in micro-units directly).
+    Sentences are [.!?]+ runs containing >= 1 word; syllables are
+    vowel-group counts floored at 1 per word (the dictionary-free
+    heuristic). Empty docs emit zero counts and zero ratios.
+
+    Zero shuffle: tokenization, the sentence filter, and the syllable
+    fold are all scan-fused array expressions.
+    """
+    words = words_array(text_col)
+    sents = F.filter(
+        F.split(F.lower(F.col(text_col)), SENT_SPLIT_RE),
+        lambda s: s.rlike(WORD_RE),
+    )
+    syll = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(
+                F.filter(
+                    F.split(w, r"[^aeiouy]+"),
+                    lambda p: p != F.lit(""),
+                )
+            ),
+            F.lit(1),
+        ).cast("long"),
+    )
+    n_words = F.size(words).cast("long")
+    n_sents = F.size(sents).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n_sents.alias("n_sents"),
+        n_words.alias("n_words"),
+        F.when(n_words > 0, syll).otherwise(F.lit(0)).cast("long").alias(
+            "n_syllables"
+        ),
+    ).select(
+        id_col,
+        "n_sents",
+        "n_words",
+        "n_syllables",
+        F.expr("CASE WHEN n_sents > 0 THEN n_words * 1000000 div n_sents"
+               " ELSE 0 END").alias("words_per_sent_micro"),
+        F.expr("CASE WHEN n_words > 0 THEN n_syllables * 1000000 div n_words"
+               " ELSE 0 END").alias("syll_per_word_micro"),
+    )
+
+
+def readability_counts_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of readability_counts; `docs_sql` yields
+    (id, text). Same tokenizer, sentence split, vowel-group syllable
+    heuristic, and micro-unit floor divisions."""
+    return f"""
+WITH d AS ({docs_sql}),
+w AS (SELECT id, regexp_extract_all(lower(text), '\\w+') AS ws,
+        len(list_filter(string_split_regex(lower(text), '[.!?]+'),
+            s -> regexp_matches(s, '\\w+')))::BIGINT AS n_sents
+      FROM d),
+c AS (
+  SELECT id, n_sents, len(ws)::BIGINT AS n_words,
+    CASE WHEN len(ws) > 0 THEN
+      list_sum(list_transform(ws, x -> greatest(
+        len(list_filter(string_split_regex(x, '[^aeiouy]+'),
+            p -> p != '')), 1)))::BIGINT
+    ELSE 0 END AS n_syllables
+  FROM w
+)
+SELECT id, n_sents, n_words, n_syllables,
+  CASE WHEN n_sents > 0 THEN n_words * 1000000 // n_sents ELSE 0 END
+    AS words_per_sent_micro,
+  CASE WHEN n_words > 0 THEN n_syllables * 1000000 // n_words ELSE 0 END
+    AS syll_per_word_micro
+FROM c
+"""
