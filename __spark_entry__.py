@@ -1806,6 +1806,31 @@ def q_series_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_series(pages, series)
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-template profile over 11 hosts x 3 engineered path
+    shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
+    12-hex segments to '/s/{H}', and a literal '/about' stays
+    itself — the crawler-trap / URL-space map."""
+    from easyner_spark.operators.webtext import url_templates
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    path = (
+        F.when(did % 3 == 0,
+               F.concat(F.lit("/post/"), did.cast("string"),
+                        F.lit("/comments")))
+        .when(did % 3 == 1,
+              F.concat(F.lit("/s/"),
+                       F.substring(F.md5(did.cast("string")), 1, 12)))
+        .otherwise(F.lit("/about"))
+    )
+    pages = d.select(
+        F.concat(F.lit("https://t"), (did % 11).cast("string"),
+                 F.lit(".example.org"), path).alias("url")
+    )
+    return url_templates(pages)
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer readability counts over the real documents table:
     sentence / word / vowel-group-syllable counts and micro-unit
@@ -3616,6 +3641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surface_profile": q_surface_profile,
         "robots_sitemaps": q_robots_sitemaps,
         "readability": q_readability,
+        "url_templates": q_url_templates,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4616,6 +4642,24 @@ FROM documents
             ),
         ],
     )
+
+
+def _url_templates_oracle() -> str:
+    """q_url_templates oracle: the same path-shape synthesis through
+    the operator's module-local twin (md5 hex agrees byte-for-byte
+    across engines)."""
+    from easyner_spark.operators.webtext import url_templates_oracle_sql
+
+    pages_sql = """
+SELECT 'https://t' || (doc_id % 11) || '.example.org'
+  || (CASE WHEN doc_id % 3 = 0
+      THEN '/post/' || doc_id || '/comments'
+      WHEN doc_id % 3 = 1
+      THEN '/s/' || substr(md5(doc_id::VARCHAR), 1, 12)
+      ELSE '/about' END) AS url
+FROM documents
+"""
+    return url_templates_oracle_sql(pages_sql)
 
 
 def _readability_oracle() -> str:
@@ -6305,6 +6349,7 @@ FROM c
         "surface_profile": _surface_profile_oracle(),
         "robots_sitemaps": _robots_sitemaps_oracle(),
         "readability": _readability_oracle(),
+        "url_templates": _url_templates_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

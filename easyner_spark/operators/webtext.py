@@ -3425,3 +3425,61 @@ WHERE lower(trim(regexp_extract(clean, '^([A-Za-z-]+)\\s*:', 1))) = 'sitemap'
   AND regexp_matches(trim(regexp_extract(clean, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)),
         '^[hH][tT][tT][pP][sS]?://')
 """
+
+
+def url_templates(
+    pages: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 2,
+) -> DataFrame:
+    """URL path-template profile: (host, template, n_urls) where
+    template is the path with digit runs folded to '{N}' and
+    long hex runs (8+) to '{H}' — '/post/8231/comments' and
+    '/post/977/comments' share '/post/{N}/comments'. The
+    crawler-trap / URL-space map: a template with millions of urls on
+    one host is a calendar trap, a session-id space, or a database
+    enumeration — exactly what a frontier scheduler caps BEFORE
+    fetching (compose with polite_quota / per_host_cap), and what
+    recrawl scheduling treats as one logical collection. Query
+    strings are dropped (tracking-dominated; canonical_url territory);
+    templates below `min_urls` are noise and omitted.
+
+    Scale: template derivation is a scan-fused regexp chain (zero
+    shuffle); ONE algebraic (host, template) rollup — the composite
+    key keeps a hot host's partitions uniform, and partial aggs
+    absorb a trap template's millions of rows map-side (the rollup's
+    output is the CURE for the very skew it would otherwise have).
+    """
+    host = _host_col(F.col(url_col))
+    path = F.regexp_replace(
+        F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+        r"^$", "/",
+    )
+    tmpl = F.regexp_replace(path, r"[0-9a-f]{8,}", "{H}")
+    tmpl = F.regexp_replace(tmpl, r"[0-9]+", "{N}")
+    return (
+        pages.select(host.alias("host"), tmpl.alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+        .where(F.col("n_urls") >= min_urls)
+    )
+
+
+def url_templates_oracle_sql(pages_sql: str, min_urls: int = 2) -> str:
+    """DuckDB twin of url_templates; `pages_sql` yields (url)."""
+    return f"""
+WITH pg AS ({pages_sql}),
+t AS (
+  SELECT regexp_replace(lower(regexp_extract(url, '{HOST_RE}', 1)),
+           ':\\d+$', '') AS host,
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      '^$', '/'),
+      '[0-9a-f]{{8,}}', '{{H}}', 'g'),
+      '[0-9]+', '{{N}}', 'g') AS template
+  FROM pg
+)
+SELECT host, template, count(*)::BIGINT AS n_urls
+FROM t GROUP BY host, template
+HAVING count(*) >= {min_urls}
+"""
