@@ -1831,6 +1831,31 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_templates(pages)
 
 
+def q_template_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trap-aware capping over the same path-shape synthesis as
+    url_templates: the numeric post template is capped at 5 urls per
+    host (md5-rank deterministic pick), the literal /about and
+    singleton hex pages pass through."""
+    from easyner_spark.operators.webtext import template_cap
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    path = (
+        F.when(did % 3 == 0,
+               F.concat(F.lit("/post/"), did.cast("string"),
+                        F.lit("/comments")))
+        .when(did % 3 == 1,
+              F.concat(F.lit("/s/"),
+                       F.substring(F.md5(did.cast("string")), 1, 12)))
+        .otherwise(F.lit("/about"))
+    )
+    pages = d.select(
+        F.concat(F.lit("https://t"), (did % 11).cast("string"),
+                 F.lit(".example.org"), path).alias("url")
+    )
+    return template_cap(pages, cap=5)
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer readability counts over the real documents table:
     sentence / word / vowel-group-syllable counts and micro-unit
@@ -3642,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "readability": q_readability,
         "url_templates": q_url_templates,
+        "template_cap": q_template_cap,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4644,13 +4670,7 @@ FROM documents
     )
 
 
-def _url_templates_oracle() -> str:
-    """q_url_templates oracle: the same path-shape synthesis through
-    the operator's module-local twin (md5 hex agrees byte-for-byte
-    across engines)."""
-    from easyner_spark.operators.webtext import url_templates_oracle_sql
-
-    pages_sql = """
+_TEMPLATE_PAGES_URL_SQL = """
 SELECT 'https://t' || (doc_id % 11) || '.example.org'
   || (CASE WHEN doc_id % 3 = 0
       THEN '/post/' || doc_id || '/comments'
@@ -4659,7 +4679,23 @@ SELECT 'https://t' || (doc_id % 11) || '.example.org'
       ELSE '/about' END) AS url
 FROM documents
 """
-    return url_templates_oracle_sql(pages_sql)
+
+
+def _url_templates_oracle() -> str:
+    """q_url_templates oracle: the shared path-shape synthesis through
+    the operator's module-local twin (md5 hex agrees byte-for-byte
+    across engines)."""
+    from easyner_spark.operators.webtext import url_templates_oracle_sql
+
+    return url_templates_oracle_sql(_TEMPLATE_PAGES_URL_SQL)
+
+
+def _template_cap_oracle() -> str:
+    """q_template_cap oracle: the same synthesis through the capping
+    twin (md5-rank pick agrees across engines)."""
+    from easyner_spark.operators.webtext import template_cap_oracle_sql
+
+    return template_cap_oracle_sql(_TEMPLATE_PAGES_URL_SQL, cap=5)
 
 
 def _readability_oracle() -> str:
@@ -6350,6 +6386,7 @@ FROM c
         "robots_sitemaps": _robots_sitemaps_oracle(),
         "readability": _readability_oracle(),
         "url_templates": _url_templates_oracle(),
+        "template_cap": _template_cap_oracle(),
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

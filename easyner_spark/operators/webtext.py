@@ -3483,3 +3483,72 @@ SELECT host, template, count(*)::BIGINT AS n_urls
 FROM t GROUP BY host, template
 HAVING count(*) >= {min_urls}
 """
+
+
+def template_cap(
+    pages: DataFrame,
+    cap: int = 100,
+    url_col: str = "url",
+) -> DataFrame:
+    """Trap-aware frontier capping: keep at most `cap` urls per
+    (host, path-template) — the operational consumer of
+    url_templates' map: the calendar trap contributes `cap` urls to
+    the fetch schedule instead of millions, while small templates
+    pass through untouched. Selection is a deterministic uniform pick
+    (md5(url) rank — a frontier has no quality column yet), so two
+    schedulers agree on the same survivors. Output: the surviving
+    (url, host, template) rows.
+
+    ONE window shuffle on the composite (host, template) key; the
+    trap template IS the hot key, which is exactly why it must be
+    capped — per the sampling module's hot-key contract this is the
+    single-shuffle formulation (measured against groupBy+join-back in
+    tools/skew_bench.py's url tier; the window wins when every row
+    needs its group's verdict).
+    """
+    host = _host_col(F.col(url_col))
+    path = F.regexp_replace(
+        F.regexp_extract(
+            F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+        ),
+        r"^$", "/",
+    )
+    tmpl = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{H}"), r"[0-9]+", "{N}"
+    )
+    base = pages.select(
+        F.col(url_col).alias("url"), host.alias("host"), tmpl.alias("template")
+    )
+    w = Window.partitionBy("host", "template").orderBy(
+        F.md5(F.col("url")), F.col("url")
+    )
+    return (
+        base.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= cap)
+        .drop("_r")
+    )
+
+
+def template_cap_oracle_sql(pages_sql: str, cap: int = 100) -> str:
+    """DuckDB twin of template_cap; `pages_sql` yields (url)."""
+    return f"""
+WITH pg AS ({pages_sql}),
+t AS (
+  SELECT url,
+    regexp_replace(lower(regexp_extract(url, '{HOST_RE}', 1)),
+      ':\\d+$', '') AS host,
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      '^$', '/'),
+      '[0-9a-f]{{8,}}', '{{H}}', 'g'),
+      '[0-9]+', '{{N}}', 'g') AS template
+  FROM pg
+),
+r AS (
+  SELECT url, host, template,
+    row_number() OVER (PARTITION BY host, template
+                       ORDER BY md5(url), url) AS rn
+  FROM t
+)
+SELECT url, host, template FROM r WHERE rn <= {cap}
+"""
