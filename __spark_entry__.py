@@ -1806,6 +1806,28 @@ def q_series_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_series(pages, series)
 
 
+def q_edge_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence sentences per KG edge over the real extraction chain
+    (split -> dict NER -> NEL -> triples): up to 3 deterministic
+    lexicographic-min (url, sent_idx) examples per edge, sentence text
+    joined in AFTER the k-filter on the uniform sentence key."""
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.triples import edge_evidence, extract_triples
+
+    linked = link_entities(
+        _mentions(spark, sf_dir), primary_alias(_alias_df(spark)),
+        keep_unmatched=False,
+    )
+    tri = extract_triples(linked)
+    out = edge_evidence(tri, _sentences(spark, sf_dir), k=3)
+    return out.select(
+        "subj_id", "pred", "obj_id", "evidence_rank",
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "sentence",
+    )
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -3668,6 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "url_templates": q_url_templates,
         "template_cap": q_template_cap,
+        "edge_evidence": q_edge_evidence,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -6387,6 +6410,25 @@ FROM c
         "readability": _readability_oracle(),
         "url_templates": _url_templates_oracle(),
         "template_cap": _template_cap_oracle(),
+        # Evidence sentences per edge: the shared prelude's triples +
+        # sentences CTEs through the edge_evidence twin's shape; the
+        # rank ORDER BY casts doc_id to VARCHAR because the Spark side
+        # orders by the string url ("10" < "2")
+        "edge_evidence": _PRELUDE
+        + """,
+eev AS (SELECT DISTINCT subj_id, pred, obj_id, doc_id, sent_idx FROM triples),
+erk AS (
+  SELECT subj_id, pred, obj_id, doc_id, sent_idx,
+    row_number() OVER (PARTITION BY subj_id, pred, obj_id
+                       ORDER BY doc_id::VARCHAR, sent_idx) AS evidence_rank
+  FROM eev
+)
+SELECT r.subj_id, r.pred, r.obj_id, r.evidence_rank::BIGINT AS evidence_rank,
+       r.doc_id, r.sent_idx::BIGINT AS sent_idx, s.sentence
+FROM erk r JOIN sentences s
+  ON r.doc_id = s.doc_id AND r.sent_idx = s.sent_idx
+WHERE r.evidence_rank <= 3
+""",
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),
         # Per-language exact quantiles

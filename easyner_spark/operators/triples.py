@@ -772,3 +772,72 @@ SELECT pred, 'inverse_functional' AS kind, obj_id AS entity,
 FROM e WHERE pred IN ({_in("inverse_functional")})
 GROUP BY pred, obj_id HAVING count(*) > 1""")
     return f"{with_prefix}\n" + "\nUNION ALL\n".join(selects)
+
+
+def edge_evidence(
+    triples: DataFrame,
+    sentences: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Evidence sentences per KG edge: (subj_id, pred, obj_id,
+    evidence_rank, url, sent_idx, sentence) — up to `k` deterministic
+    examples per edge, the human-verification / error-analysis surface
+    the node-profile and edge tables link out to (and the context a
+    distant-supervision relation trainer reads). Selection is the
+    lexicographic-min (url, sent_idx) per edge — stable across runs
+    and engines, no sampling.
+
+    `sentences` is the splitter output (url, sent_idx, sentence).
+
+    Scale (2 shuffles + the evidence join): (1) per-(edge, url,
+    sent_idx) collapse rides the triples' existing dedup semantics —
+    a triple emitted once per sentence pair keeps keys uniform; (2)
+    the top-k window on the edge key — a hot edge's partition is
+    bounded by its DISTINCT evidence sentences, and k rows survive;
+    per the url_dedup skew-tier measurement the single-shuffle window
+    beats groupBy-min+join-back when every surviving row needs the
+    group verdict. The sentence TEXT joins in AFTER the k-filter on
+    the uniform (url, sent_idx) key — text never crosses the edge-key
+    exchange and the join's left side is |edges| * k rows.
+    """
+    ev = triples.select(
+        "subj_id", "pred", "obj_id", "url", "sent_idx"
+    ).dropDuplicates(["subj_id", "pred", "obj_id", "url", "sent_idx"])
+    w = Window.partitionBy("subj_id", "pred", "obj_id").orderBy(
+        "url", "sent_idx"
+    )
+    top = (
+        ev.withColumn("evidence_rank", F.row_number().over(w))
+        .where(F.col("evidence_rank") <= k)
+    )
+    return top.join(
+        sentences.select("url", "sent_idx", "sentence"),
+        ["url", "sent_idx"],
+    ).select(
+        "subj_id", "pred", "obj_id",
+        F.col("evidence_rank").cast("long").alias("evidence_rank"),
+        "url", "sent_idx", "sentence",
+    )
+
+
+def edge_evidence_oracle_sql(
+    triples_sql: str, sentences_sql: str, k: int = 3
+) -> str:
+    """DuckDB twin of edge_evidence; `triples_sql` yields (subj_id,
+    pred, obj_id, url, sent_idx), `sentences_sql` yields (url,
+    sent_idx, sentence)."""
+    return f"""
+WITH tr AS ({triples_sql}),
+sn AS ({sentences_sql}),
+ev AS (SELECT DISTINCT subj_id, pred, obj_id, url, sent_idx FROM tr),
+rk AS (
+  SELECT subj_id, pred, obj_id, url, sent_idx,
+    row_number() OVER (PARTITION BY subj_id, pred, obj_id
+                       ORDER BY url, sent_idx) AS evidence_rank
+  FROM ev
+)
+SELECT r.subj_id, r.pred, r.obj_id, r.evidence_rank::BIGINT AS evidence_rank,
+       r.url, r.sent_idx, s.sentence
+FROM rk r JOIN sn s ON r.url = s.url AND r.sent_idx = s.sent_idx
+WHERE r.evidence_rank <= {k}
+"""
