@@ -1828,6 +1828,34 @@ def q_edge_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-text temporal qualifiers over the real extraction chain:
+    every 3rd sentence gets a deterministic ISO date appended, so
+    edges collect first/last event dates and a temporal-support
+    ratio; undated edges keep NULLs."""
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.triples import edge_temporal, extract_triples
+
+    linked = link_entities(
+        _mentions(spark, sf_dir), primary_alias(_alias_df(spark)),
+        keep_unmatched=False,
+    )
+    tri = extract_triples(linked)
+    sents = _sentences(spark, sf_dir).select(
+        "url",
+        "sent_idx",
+        F.when(
+            F.col("sent_idx") % 3 == 0,
+            F.concat(
+                F.col("sentence"),
+                F.lit(" dated 2020-01-"),
+                F.lpad(((F.col("sent_idx") % 28) + 1).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.col("sentence")).alias("sentence"),
+    )
+    return edge_temporal(tri, sents)
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -3691,6 +3719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "template_cap": q_template_cap,
         "edge_evidence": q_edge_evidence,
+        "edge_temporal": q_edge_temporal,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -6428,6 +6457,35 @@ SELECT r.subj_id, r.pred, r.obj_id, r.evidence_rank::BIGINT AS evidence_rank,
 FROM erk r JOIN sentences s
   ON r.doc_id = s.doc_id AND r.sent_idx = s.sent_idx
 WHERE r.evidence_rank <= 3
+""",
+        # In-text temporal qualifiers: same prelude, every 3rd
+        # sentence date-injected identically on both engines
+        "edge_temporal": _PRELUDE
+        + """,
+tsn AS (
+  SELECT doc_id, sent_idx,
+    CASE WHEN sent_idx % 3 = 0
+      THEN sentence || ' dated 2020-01-'
+           || lpad((sent_idx % 28 + 1)::VARCHAR, 2, '0')
+      ELSE sentence END AS sentence
+  FROM sentences
+),
+tev AS (SELECT DISTINCT subj_id, pred, obj_id, doc_id, sent_idx FROM triples),
+tdt AS (
+  SELECT doc_id, sent_idx,
+    coalesce(
+      nullif(regexp_extract(sentence,
+        '\\b(19|20)\\d{2}-\\d{2}-\\d{2}\\b', 0), ''),
+      nullif(regexp_extract(sentence, '\\b(19|20)\\d{2}\\b', 0), ''))
+      AS qdate
+  FROM tsn
+)
+SELECT e.subj_id, e.pred, e.obj_id,
+       min(d.qdate) AS first_date, max(d.qdate) AS last_date,
+       count(d.qdate)::BIGINT AS n_dated, count(*)::BIGINT AS n_evidence
+FROM tev e LEFT JOIN tdt d
+  ON e.doc_id = d.doc_id AND e.sent_idx = d.sent_idx
+GROUP BY e.subj_id, e.pred, e.obj_id
 """,
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)
         "compaction_plan": _compaction_plan_oracle(),

@@ -841,3 +841,82 @@ SELECT r.subj_id, r.pred, r.obj_id, r.evidence_rank::BIGINT AS evidence_rank,
 FROM rk r JOIN sn s ON r.url = s.url AND r.sent_idx = s.sent_idx
 WHERE r.evidence_rank <= {k}
 """
+
+
+# temporal-qualifier contract, shared with the oracle: ISO dates
+# yyyy-mm-dd first, else bare years 1900-2099 as yyyy; the FIRST match
+# in the sentence qualifies every edge the sentence evidences.
+DATE_ISO_RE = r"\b(19|20)\d{2}-\d{2}-\d{2}\b"
+DATE_YEAR_RE = r"\b(19|20)\d{2}\b"
+
+
+def edge_temporal(
+    triples: DataFrame,
+    sentences: DataFrame,
+) -> DataFrame:
+    """In-text temporal qualifiers per KG edge: (subj_id, pred,
+    obj_id, first_date, last_date, n_dated, n_evidence) — the EVENT
+    time axis (dates written in the evidence sentences), as opposed to
+    entity_bursts' crawl-time axis (warc_ts epochs). first/last_date
+    are the min/max qualifier over all dated evidence (ISO yyyy-mm-dd
+    preferred, bare year as 'yyyy' fallback — string-comparable
+    forms); n_dated counts dated evidence sentences, n_evidence all
+    distinct evidence, so n_dated/n_evidence is the edge's temporal
+    support ratio. Undated edges keep NULL first/last.
+
+    Scale (2 shuffles): per-(edge, sentence) dedup on the uniform
+    composite key, then ONE algebraic edge rollup (min/max/count
+    absorb hot edges map-side); the date pull is a scan-fused regex
+    on the sentence join (uniform sentence key, text dropped before
+    the edge exchange — only the extracted date string crosses).
+    """
+    ev = triples.select(
+        "subj_id", "pred", "obj_id", "url", "sent_idx"
+    ).dropDuplicates(["subj_id", "pred", "obj_id", "url", "sent_idx"])
+    dated = sentences.select(
+        "url",
+        "sent_idx",
+        F.nullif(
+            F.coalesce(
+                F.regexp_extract(F.col("sentence"), DATE_ISO_RE, 0),
+                F.lit(""),
+            ),
+            F.lit(""),
+        ).alias("_iso"),
+        F.nullif(
+            F.regexp_extract(F.col("sentence"), DATE_YEAR_RE, 0), F.lit("")
+        ).alias("_yr"),
+    ).select(
+        "url", "sent_idx", F.coalesce(F.col("_iso"), F.col("_yr")).alias("qdate")
+    )
+    joined = ev.join(dated, ["url", "sent_idx"], "left")
+    return joined.groupBy("subj_id", "pred", "obj_id").agg(
+        F.min("qdate").alias("first_date"),
+        F.max("qdate").alias("last_date"),
+        F.count("qdate").cast("long").alias("n_dated"),
+        F.count(F.lit(1)).cast("long").alias("n_evidence"),
+    )
+
+
+def edge_temporal_oracle_sql(triples_sql: str, sentences_sql: str) -> str:
+    """DuckDB twin of edge_temporal; same shapes as
+    edge_evidence_oracle_sql's inputs."""
+    return f"""
+WITH tr AS ({triples_sql}),
+sn AS ({sentences_sql}),
+ev AS (SELECT DISTINCT subj_id, pred, obj_id, url, sent_idx FROM tr),
+dt AS (
+  SELECT url, sent_idx,
+    coalesce(
+      nullif(regexp_extract(sentence, '\\b(19|20)\\d{{2}}-\\d{{2}}-\\d{{2}}\\b', 0), ''),
+      nullif(regexp_extract(sentence, '\\b(19|20)\\d{{2}}\\b', 0), ''))
+      AS qdate
+  FROM sn
+)
+SELECT e.subj_id, e.pred, e.obj_id,
+       min(d.qdate) AS first_date, max(d.qdate) AS last_date,
+       count(d.qdate)::BIGINT AS n_dated,
+       count(*)::BIGINT AS n_evidence
+FROM ev e LEFT JOIN dt d ON e.url = d.url AND e.sent_idx = d.sent_idx
+GROUP BY e.subj_id, e.pred, e.obj_id
+"""
