@@ -1856,6 +1856,29 @@ def q_edge_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_temporal(tri, sents)
 
 
+def q_edge_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation QA over the real extraction chain: every 4th sentence
+    gets a negation cue injected, so edges carry exact negated-vs-
+    total evidence counts for the confidence downgrade."""
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.triples import edge_negation, extract_triples
+
+    linked = link_entities(
+        _mentions(spark, sf_dir), primary_alias(_alias_df(spark)),
+        keep_unmatched=False,
+    )
+    tri = extract_triples(linked)
+    sents = _sentences(spark, sf_dir).select(
+        "url",
+        "sent_idx",
+        F.when(
+            F.col("sent_idx") % 4 == 0,
+            F.concat(F.col("sentence"), F.lit(" but not confirmed")),
+        ).otherwise(F.col("sentence")).alias("sentence"),
+    )
+    return edge_negation(tri, sents)
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -3720,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_cap": q_template_cap,
         "edge_evidence": q_edge_evidence,
         "edge_temporal": q_edge_temporal,
+        "edge_negation": q_edge_negation,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -6485,6 +6509,28 @@ SELECT e.subj_id, e.pred, e.obj_id,
        count(d.qdate)::BIGINT AS n_dated, count(*)::BIGINT AS n_evidence
 FROM tev e LEFT JOIN tdt d
   ON e.doc_id = d.doc_id AND e.sent_idx = d.sent_idx
+GROUP BY e.subj_id, e.pred, e.obj_id
+""",
+        # Negation QA: same prelude, every 4th sentence cue-injected
+        "edge_negation": _PRELUDE
+        + r""",
+nsn AS (
+  SELECT doc_id, sent_idx,
+    CASE WHEN sent_idx % 4 = 0
+      THEN sentence || ' but not confirmed' ELSE sentence END AS sentence
+  FROM sentences
+),
+nev AS (SELECT DISTINCT subj_id, pred, obj_id, doc_id, sent_idx FROM triples),
+npb AS (SELECT doc_id, sent_idx,
+          regexp_matches(lower(sentence),
+            '\b(not|no|never|none|neither|nor|without|cannot)\b')::BIGINT
+            AS neg
+        FROM nsn)
+SELECT e.subj_id, e.pred, e.obj_id,
+       sum(coalesce(p.neg, 0))::BIGINT AS n_negated,
+       count(*)::BIGINT AS n_evidence
+FROM nev e LEFT JOIN npb p
+  ON e.doc_id = p.doc_id AND e.sent_idx = p.sent_idx
 GROUP BY e.subj_id, e.pred, e.obj_id
 """,
         # Compaction planning (checkpoint.compaction_plan_oracle_sql)

@@ -920,3 +920,65 @@ SELECT e.subj_id, e.pred, e.obj_id,
 FROM ev e LEFT JOIN dt d ON e.url = d.url AND e.sent_idx = d.sent_idx
 GROUP BY e.subj_id, e.pred, e.obj_id
 """
+
+
+# negation-cue contract, shared with the oracle (lowercased word-
+# boundary alternation; "n't" rides the \w+ boundary as 't')
+NEG_CUE_RE = r"\b(not|no|never|none|neither|nor|without|cannot)\b"
+
+
+def edge_negation(
+    triples: DataFrame,
+    sentences: DataFrame,
+    cue_re: str = NEG_CUE_RE,
+) -> DataFrame:
+    """Negation QA per KG edge: (subj_id, pred, obj_id, n_negated,
+    n_evidence) — how many of an edge's evidence sentences carry a
+    negation cue. The classic IE false-positive class: "X does NOT
+    inhibit Y" co-occurs exactly like "X inhibits Y"; an edge whose
+    evidence is mostly negated should be downgraded or dropped before
+    the KG ships (filter n_negated * 2 >= n_evidence, or join the
+    counts into an edge-confidence formula). Cue matching is a
+    word-boundary regex over the lowercased sentence — a cheap,
+    documented heuristic (scope resolution needs a parser; this is
+    the zero-dependency tier).
+
+    Scale: identical shape to edge_temporal — per-(edge, sentence)
+    dedup, scan-fused cue probe on the uniform sentence join, ONE
+    algebraic edge rollup; only a boolean crosses the edge exchange.
+    """
+    ev = triples.select(
+        "subj_id", "pred", "obj_id", "url", "sent_idx"
+    ).dropDuplicates(["subj_id", "pred", "obj_id", "url", "sent_idx"])
+    probed = sentences.select(
+        "url",
+        "sent_idx",
+        F.lower(F.col("sentence")).rlike(cue_re).cast("long").alias("_neg"),
+    )
+    joined = ev.join(probed, ["url", "sent_idx"], "left")
+    return joined.groupBy("subj_id", "pred", "obj_id").agg(
+        F.sum(F.coalesce(F.col("_neg"), F.lit(0))).cast("long").alias(
+            "n_negated"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_evidence"),
+    )
+
+
+def edge_negation_oracle_sql(
+    triples_sql: str, sentences_sql: str, cue_re: str = NEG_CUE_RE
+) -> str:
+    """DuckDB twin of edge_negation; same input shapes as
+    edge_temporal_oracle_sql."""
+    return f"""
+WITH tr AS ({triples_sql}),
+sn AS ({sentences_sql}),
+ev AS (SELECT DISTINCT subj_id, pred, obj_id, url, sent_idx FROM tr),
+pb AS (SELECT url, sent_idx,
+         regexp_matches(lower(sentence), '{cue_re}')::BIGINT AS neg
+       FROM sn)
+SELECT e.subj_id, e.pred, e.obj_id,
+       sum(coalesce(p.neg, 0))::BIGINT AS n_negated,
+       count(*)::BIGINT AS n_evidence
+FROM ev e LEFT JOIN pb p ON e.url = p.url AND e.sent_idx = p.sent_idx
+GROUP BY e.subj_id, e.pred, e.obj_id
+"""
