@@ -1879,6 +1879,33 @@ def q_edge_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_negation(tri, sents)
 
 
+def q_edge_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed edge confidence over the real chain with the same
+    every-4th-sentence negation injection: non-negated share x
+    doc-diversity clamp in exact micro-units — the rankable edge
+    table the KG ships."""
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.triples import (
+        edge_confidence,
+        extract_triples,
+    )
+
+    linked = link_entities(
+        _mentions(spark, sf_dir), primary_alias(_alias_df(spark)),
+        keep_unmatched=False,
+    )
+    tri = extract_triples(linked)
+    sents = _sentences(spark, sf_dir).select(
+        "url",
+        "sent_idx",
+        F.when(
+            F.col("sent_idx") % 4 == 0,
+            F.concat(F.col("sentence"), F.lit(" but not confirmed")),
+        ).otherwise(F.col("sentence")).alias("sentence"),
+    )
+    return edge_confidence(tri, sents, doc_clamp=5)
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -3744,6 +3771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_evidence": q_edge_evidence,
         "edge_temporal": q_edge_temporal,
         "edge_negation": q_edge_negation,
+        "edge_confidence": q_edge_confidence,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -6510,6 +6538,42 @@ SELECT e.subj_id, e.pred, e.obj_id,
 FROM tev e LEFT JOIN tdt d
   ON e.doc_id = d.doc_id AND e.sent_idx = d.sent_idx
 GROUP BY e.subj_id, e.pred, e.obj_id
+""",
+        # Composed confidence: negation rollup (same injection) +
+        # support/doc-diversity rollup, micro-unit formula
+        "edge_confidence": _PRELUDE
+        + r""",
+csn AS (
+  SELECT doc_id, sent_idx,
+    CASE WHEN sent_idx % 4 = 0
+      THEN sentence || ' but not confirmed' ELSE sentence END AS sentence
+  FROM sentences
+),
+cev AS (SELECT DISTINCT subj_id, pred, obj_id, doc_id, sent_idx FROM triples),
+cpb AS (SELECT doc_id, sent_idx,
+          regexp_matches(lower(sentence),
+            '\b(not|no|never|none|neither|nor|without|cannot)\b')::BIGINT
+            AS neg
+        FROM csn),
+cng AS (
+  SELECT e.subj_id, e.pred, e.obj_id,
+         sum(coalesce(p.neg, 0))::BIGINT AS n_negated,
+         count(*)::BIGINT AS n_evidence
+  FROM cev e LEFT JOIN cpb p
+    ON e.doc_id = p.doc_id AND e.sent_idx = p.sent_idx
+  GROUP BY e.subj_id, e.pred, e.obj_id
+),
+cst AS (
+  SELECT subj_id, pred, obj_id, count(*)::BIGINT AS support,
+         count(DISTINCT doc_id)::BIGINT AS doc_count
+  FROM triples GROUP BY subj_id, pred, obj_id
+)
+SELECT s.subj_id, s.pred, s.obj_id, s.support, s.doc_count,
+       n.n_negated, n.n_evidence,
+       ((n.n_evidence - n.n_negated) * 1000000 // n.n_evidence)
+         * least(s.doc_count, 5) // 5 AS conf_micro
+FROM cst s JOIN cng n
+  ON s.subj_id = n.subj_id AND s.pred = n.pred AND s.obj_id = n.obj_id
 """,
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE

@@ -982,3 +982,70 @@ SELECT e.subj_id, e.pred, e.obj_id,
 FROM ev e LEFT JOIN pb p ON e.url = p.url AND e.sent_idx = p.sent_idx
 GROUP BY e.subj_id, e.pred, e.obj_id
 """
+
+
+def edge_confidence(
+    triples: DataFrame,
+    sentences: DataFrame,
+    doc_clamp: int = 5,
+) -> DataFrame:
+    """Composed edge confidence: (subj_id, pred, obj_id, support,
+    doc_count, n_negated, n_evidence, conf_micro) where conf_micro =
+    (non-negated evidence share) x (doc-diversity clamp), in exact
+    1e6 micro-units:
+
+        conf_micro = ((n_evidence - n_negated) * 1_000_000
+                      div n_evidence) * least(doc_count, doc_clamp)
+                      div doc_clamp
+
+    The two facts a KG consumer always asks of an edge — "is the
+    claim asserted, not denied?" and "do INDEPENDENT documents say
+    it?" — folded into one rankable integer (1e6 = unanimous positive
+    evidence across >= doc_clamp docs). All-BIGINT, so the table
+    value-matches across engines; the formula is deliberately simple
+    and documented rather than learned — swap in a trained scorer
+    behind the same output contract when one exists.
+
+    Scale: two algebraic rollups over the same uniform keys
+    (support/doc_count over raw triples; negation over deduped
+    evidence + the scan-fused cue probe), joined on the edge key
+    (AQE-decided, both sides already edge-keyed).
+    """
+    stats = triples.groupBy("subj_id", "pred", "obj_id").agg(
+        F.count(F.lit(1)).cast("long").alias("support"),
+        F.countDistinct("url").cast("long").alias("doc_count"),
+    )
+    neg = edge_negation(triples, sentences)
+    return (
+        stats.join(neg, ["subj_id", "pred", "obj_id"])
+        .select(
+            "subj_id", "pred", "obj_id", "support", "doc_count",
+            "n_negated", "n_evidence",
+            F.expr(
+                f"((n_evidence - n_negated) * 1000000 div n_evidence)"
+                f" * least(doc_count, {doc_clamp}) div {doc_clamp}"
+            ).alias("conf_micro"),
+        )
+    )
+
+
+def edge_confidence_oracle_sql(
+    triples_sql: str, sentences_sql: str, doc_clamp: int = 5,
+    cue_re: str = NEG_CUE_RE,
+) -> str:
+    """DuckDB twin of edge_confidence."""
+    neg = edge_negation_oracle_sql(triples_sql, sentences_sql, cue_re)
+    return f"""
+WITH st AS (
+  SELECT subj_id, pred, obj_id, count(*)::BIGINT AS support,
+         count(DISTINCT url)::BIGINT AS doc_count
+  FROM ({triples_sql}) GROUP BY subj_id, pred, obj_id
+),
+ng AS (SELECT * FROM ({neg}))
+SELECT s.subj_id, s.pred, s.obj_id, s.support, s.doc_count,
+       n.n_negated, n.n_evidence,
+       ((n.n_evidence - n.n_negated) * 1000000 // n.n_evidence)
+         * least(s.doc_count, {doc_clamp}) // {doc_clamp} AS conf_micro
+FROM st s JOIN ng n
+  ON s.subj_id = n.subj_id AND s.pred = n.pred AND s.obj_id = n.obj_id
+"""
