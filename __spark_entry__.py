@@ -1906,6 +1906,39 @@ def q_edge_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_confidence(tri, sents, doc_clamp=5)
 
 
+def q_acronyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acronym-definition mining over injected definitions: 12
+    deterministic 3-word org names with matching acronyms (initials
+    spell it, leading 'The' exercises the Schwartz-Hearst suffix
+    trim) plus a false parenthetical aside every 5th doc (initials
+    mismatch, rejected)."""
+    from easyner_spark.operators.nel import acronym_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    a = F.element_at(
+        F.array(F.lit("Global"), F.lit("United"), F.lit("Open"),
+                F.lit("Federal")),
+        (did % 4 + 1).cast("int"),
+    )
+    b = F.element_at(
+        F.array(F.lit("Web"), F.lit("Health"), F.lit("Data")),
+        (did % 3 + 1).cast("int"),
+    )
+    acr = F.upper(
+        F.concat(F.substring(a, 1, 1), F.substring(b, 1, 1), F.lit("C"))
+    )
+    text = F.concat(
+        F.col("text"),
+        F.lit(" The "),
+        a, F.lit(" "), b, F.lit(" Council ("), acr, F.lit(") met."),
+        F.when(
+            did % 5 == 0, F.lit(" We read the new Policy (ZZX) today."),
+        ).otherwise(F.lit("")),
+    )
+    return acronym_pairs(d.select("doc_id", text.alias("text")))
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -3772,6 +3805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_temporal": q_edge_temporal,
         "edge_negation": q_edge_negation,
         "edge_confidence": q_edge_confidence,
+        "acronyms": q_acronyms,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4838,6 +4872,34 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _acronyms_oracle() -> str:
+    """q_acronyms oracle: the same injected-definitions synthesis
+    through the operator's module-local twin."""
+    from easyner_spark.operators.nel import acronym_pairs_oracle_sql
+
+    docs_sql = """
+SELECT doc_id AS id,
+  text || ' The '
+  || (CASE (doc_id % 4) WHEN 0 THEN 'Global' WHEN 1 THEN 'United'
+       WHEN 2 THEN 'Open' ELSE 'Federal' END)
+  || ' '
+  || (CASE (doc_id % 3) WHEN 0 THEN 'Web' WHEN 1 THEN 'Health'
+       ELSE 'Data' END)
+  || ' Council ('
+  || upper(
+       (CASE (doc_id % 4) WHEN 0 THEN 'g' WHEN 1 THEN 'u'
+         WHEN 2 THEN 'o' ELSE 'f' END)
+       || (CASE (doc_id % 3) WHEN 0 THEN 'w' WHEN 1 THEN 'h'
+            ELSE 'd' END)
+       || 'c')
+  || ') met.'
+  || (CASE WHEN doc_id % 5 = 0
+      THEN ' We read the new Policy (ZZX) today.' ELSE '' END) AS text
+FROM documents
+"""
+    return acronym_pairs_oracle_sql(docs_sql)
 
 
 def _surface_profile_oracle() -> str:
@@ -6575,6 +6637,9 @@ SELECT s.subj_id, s.pred, s.obj_id, s.support, s.doc_count,
 FROM cst s JOIN cng n
   ON s.subj_id = n.subj_id AND s.pred = n.pred AND s.obj_id = n.obj_id
 """,
+        # Acronym mining: the injected-definitions synthesis through
+        # the operator's module-local twin
+        "acronyms": _acronyms_oracle(),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

@@ -310,3 +310,98 @@ def fuzzy_canonicalize_mentions(
     return out.withColumn(
         "entity_id", F.coalesce(F.col("_fuzzy_id"), F.col("entity_id"))
     ).drop("name", "_fuzzy_id")
+
+
+# acronym-mining contract, shared with the oracle: "Expansion Words
+# (ACR)" where ACR is 2-6 uppercase letters and the expansion is the
+# run of capitalized words just before the parenthesis; a pair is
+# kept only when the expansion words' INITIALS spell the acronym
+# (case-insensitive) — the Schwartz-Hearst-style validity check that
+# separates real definitions from parenthetical asides.
+ACRO_EL_RE = r"(?:[A-Z][A-Za-z]+ ){1,6}\([A-Z]{2,6}\)"
+ACRO_EXP_RE = r"^((?:[A-Z][A-Za-z]+ ){1,6})\("
+ACRO_ACR_RE = r"\(([A-Z]{2,6})\)"
+
+
+def acronym_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Acronym-definition mining: 'World Health Organization (WHO)'
+    -> (acronym, expansion, n_docs) — web-mined alias-dictionary
+    entries for the NEL layer (an acronym mention links to the same
+    entity as its expansion), validated by the initials check:
+    the first letters of the expansion words must spell the acronym,
+    so 'the new policy (WHO)' never mines a false alias. Output is
+    lowercased (the alias table's canonical comparison form) with
+    distinct-doc support for a confidence floor.
+
+    Scale (1 shuffle): extraction + initials check are scan-fused
+    array expressions; one algebraic (acronym, expansion) rollup with
+    per-doc dedup riding the same key.
+    """
+    els = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all({text_col}, r'{ACRO_EL_RE}', 0)"
+            )  # r'': keep \( literal through the SQL parser
+        ).alias("_el"),
+    )
+    exp = F.trim(F.regexp_extract(F.col("_el"), ACRO_EXP_RE, 1))
+    acr = F.regexp_extract(F.col("_el"), ACRO_ACR_RE, 1)
+    # Schwartz-Hearst trim: the capitalized run may start with words
+    # that aren't part of the definition ('The World Health
+    # Organization (WHO)') — keep the SUFFIX of len(acronym) words and
+    # require ITS initials to spell the acronym.
+    words = F.split(F.lower(exp), " ")
+    alen = F.length(acr)
+    suffix = F.slice(words, F.size(words) - alen + 1, alen)
+    cand = els.select(
+        "_id",
+        F.lower(acr).alias("acronym"),
+        F.array_join(suffix, " ").alias("expansion"),
+        F.when(
+            F.size(words) >= alen,
+            F.array_join(
+                F.transform(suffix, lambda w: F.substring(w, 1, 1)), ""
+            ),
+        ).alias("_initials"),
+    ).where(F.col("_initials") == F.col("acronym"))
+    return (
+        cand.select("_id", "acronym", "expansion")
+        .distinct()
+        .groupBy("acronym", "expansion")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def acronym_pairs_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of acronym_pairs; `docs_sql` yields (id, text)."""
+    return f"""
+WITH d AS ({docs_sql}),
+els AS (SELECT id,
+          unnest(regexp_extract_all(text,
+            '(?:[A-Z][A-Za-z]+ ){{1,6}}\\(([A-Z]{{2,6}})\\)', 0)) AS el
+        FROM d),
+cand0 AS (
+  SELECT id,
+    lower(regexp_extract(el, '\\(([A-Z]{{2,6}})\\)', 1)) AS acronym,
+    string_split(lower(trim(
+      regexp_extract(el, '^((?:[A-Z][A-Za-z]+ ){{1,6}})\\(', 1))), ' ') AS ws
+  FROM els
+),
+cand AS (
+  SELECT id, acronym,
+    ws[(len(ws) - length(acronym) + 1):len(ws)] AS sw
+  FROM cand0 WHERE len(ws) >= length(acronym)
+),
+ok AS (
+  SELECT DISTINCT id, acronym, array_to_string(sw, ' ') AS expansion
+  FROM cand
+  WHERE array_to_string(list_transform(sw, w -> w[1:1]), '') = acronym
+)
+SELECT acronym, expansion, count(*)::BIGINT AS n_docs
+FROM ok GROUP BY acronym, expansion
+"""
