@@ -1939,6 +1939,39 @@ def q_acronyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acronym_pairs(d.select("doc_id", text.alias("text")))
 
 
+def q_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote attribution over injected attributed quotes: every doc
+    one 'said' quote from a rotating 2-word speaker, every 3rd doc a
+    second 'says' quote — speakers lowercased, order pinned by
+    quote_idx, the trailing sentence never spliced into the name."""
+    from easyner_spark.operators.triples import quote_attributions
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    name = F.element_at(
+        F.array(F.lit("Ada Wong"), F.lit("Bo Chen"), F.lit("Cy Day"),
+                F.lit("Di Eko")),
+        (did % 4 + 1).cast("int"),
+    )
+    text = F.concat(
+        F.col("text"),
+        F.lit(' "Claim number '),
+        did.cast("string"),
+        F.lit(' holds in every test we ran," said '),
+        name,
+        F.lit(". More prose."),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(' "We will keep verifying the results" says '),
+                name,
+                F.lit("."),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return quote_attributions(d.select("doc_id", text.alias("text")))
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -3806,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_negation": q_edge_negation,
         "edge_confidence": q_edge_confidence,
         "acronyms": q_acronyms,
+        "quotes": q_quotes,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4872,6 +4906,29 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _quotes_oracle() -> str:
+    """q_quotes oracle: the injected-quotes synthesis through the
+    operator's module-local twin."""
+    from easyner_spark.operators.triples import quote_attributions_oracle_sql
+
+    docs_sql = """
+SELECT doc_id AS id,
+  text || ' "Claim number ' || doc_id
+  || ' holds in every test we ran," said '
+  || (CASE (doc_id % 4) WHEN 0 THEN 'Ada Wong' WHEN 1 THEN 'Bo Chen'
+       WHEN 2 THEN 'Cy Day' ELSE 'Di Eko' END)
+  || '. More prose.'
+  || (CASE WHEN doc_id % 3 = 0
+      THEN ' "We will keep verifying the results" says '
+           || (CASE (doc_id % 4) WHEN 0 THEN 'Ada Wong'
+                WHEN 1 THEN 'Bo Chen' WHEN 2 THEN 'Cy Day'
+                ELSE 'Di Eko' END) || '.'
+      ELSE '' END) AS text
+FROM documents
+"""
+    return quote_attributions_oracle_sql(docs_sql)
 
 
 def _acronyms_oracle() -> str:
@@ -6640,6 +6697,9 @@ FROM cst s JOIN cng n
         # Acronym mining: the injected-definitions synthesis through
         # the operator's module-local twin
         "acronyms": _acronyms_oracle(),
+        # Quote attribution: injected attributed quotes through the
+        # operator's module-local twin
+        "quotes": _quotes_oracle(),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

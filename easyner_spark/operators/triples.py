@@ -1049,3 +1049,69 @@ SELECT s.subj_id, s.pred, s.obj_id, s.support, s.doc_count,
 FROM st s JOIN ng n
   ON s.subj_id = n.subj_id AND s.pred = n.pred AND s.obj_id = n.obj_id
 """
+
+
+# quote-attribution contract, shared with the oracle: straight-quoted
+# span of 10-300 chars followed by an attribution verb and a 1-3-word
+# capitalized name — the fixed-format tier of claim extraction.
+QUOTE_EL_RE = (
+    r'"[^"]{10,300}",? (?:said|says|wrote|told|added|warned)'
+    r" (?:[A-Z][A-Za-z-]+ ?){1,3}"  # no '.' in name words: a sentence
+    # period must END the name run, not splice the next sentence in
+)
+QUOTE_TEXT_RE = r'^"([^"]+)"'
+QUOTE_VERB_RE = r'",? (said|says|wrote|told|added|warned) '
+QUOTE_SPEAKER_RE = r'",? (?:said|says|wrote|told|added|warned) (.+)$'
+
+
+def quote_attributions(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quote attribution — the claim-extraction surface: (id,
+    quote_idx, speaker, verb, quote) per '"...," said Name' pattern.
+    Each row is a provenance-grade (speaker, SAYS, claim) triple:
+    unlike co-occurrence edges, the predicate is explicit and the
+    object is the quoted assertion itself — the input to claim
+    verification and quote-level dedup (the same quote syndicated
+    across hosts collapses on sha2(quote)). speaker is the trailing
+    1-3-word capitalized name, lowercased to the engine's canonical
+    comparison form; document order pinned by quote_idx.
+
+    Zero shuffle: element extraction + three scan-fused field pulls.
+    """
+    els = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all({text_col}, '{QUOTE_EL_RE}', 0)")
+        ).alias("quote_idx", "_el"),
+    )
+    return els.select(
+        "id",
+        "quote_idx",
+        F.lower(
+            F.trim(F.regexp_extract(F.col("_el"), QUOTE_SPEAKER_RE, 1))
+        ).alias("speaker"),
+        F.regexp_extract(F.col("_el"), QUOTE_VERB_RE, 1).alias("verb"),
+        F.regexp_extract(F.col("_el"), QUOTE_TEXT_RE, 1).alias("quote"),
+    )
+
+
+def quote_attributions_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of quote_attributions; `docs_sql` yields (id, text)."""
+    return f"""
+WITH d AS ({docs_sql}),
+els AS (SELECT id, u.i::INT AS quote_idx, u.v AS el
+        FROM (SELECT id, unnest(list_transform(range(0, len(es)),
+                i -> {{'i': i, 'v': es[(i+1)::INT]}})) AS u
+              FROM (SELECT id, regexp_extract_all(text,
+                      '"[^"]{{10,300}}",? (?:said|says|wrote|told|added|warned) (?:[A-Z][A-Za-z-]+ ?){{1,3}}',
+                      0) AS es FROM d)))
+SELECT id, quote_idx,
+  lower(trim(regexp_extract(el,
+    '",? (?:said|says|wrote|told|added|warned) (.+)$', 1))) AS speaker,
+  regexp_extract(el, '",? (said|says|wrote|told|added|warned) ', 1) AS verb,
+  regexp_extract(el, '^"([^"]+)"', 1) AS quote
+FROM els
+"""
