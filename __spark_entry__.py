@@ -1972,6 +1972,35 @@ def q_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quote_attributions(d.select("doc_id", text.alias("text")))
 
 
+def q_numeric_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-fact extraction over injected measurements: every doc
+    one integer kg fact + one decimal percent; every 4th doc a
+    %-shorthand (normalized to 'percent') and a '5kgs' trap the unit
+    boundary must reject."""
+    from easyner_spark.operators.triples import numeric_facts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.lit(" The sample weighs "),
+        (did % 90 + 10).cast("string"),
+        F.lit(" kg at "),
+        (did % 80 + 10).cast("string"),
+        F.lit("."),
+        (did % 10).cast("string"),
+        F.lit(" percent purity."),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" Up "), (did % 30).cast("string"),
+                F.lit("% from 5kgs baseline."),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return numeric_facts(d.select("doc_id", text.alias("text")))
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -3840,6 +3869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_confidence": q_edge_confidence,
         "acronyms": q_acronyms,
         "quotes": q_quotes,
+        "numeric_facts": q_numeric_facts,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4906,6 +4936,23 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _numeric_facts_oracle() -> str:
+    """q_numeric_facts oracle: the injected-measurements synthesis
+    through the operator's module-local twin."""
+    from easyner_spark.operators.triples import numeric_facts_oracle_sql
+
+    docs_sql = """
+SELECT doc_id AS id,
+  text || ' The sample weighs ' || (doc_id % 90 + 10) || ' kg at '
+  || (doc_id % 80 + 10) || '.' || (doc_id % 10) || ' percent purity.'
+  || (CASE WHEN doc_id % 4 = 0
+      THEN ' Up ' || (doc_id % 30) || '% from 5kgs baseline.'
+      ELSE '' END) AS text
+FROM documents
+"""
+    return numeric_facts_oracle_sql(docs_sql)
 
 
 def _quotes_oracle() -> str:
@@ -6700,6 +6747,8 @@ FROM cst s JOIN cng n
         # Quote attribution: injected attributed quotes through the
         # operator's module-local twin
         "quotes": _quotes_oracle(),
+        # Numeric facts: injected measurements through the twin
+        "numeric_facts": _numeric_facts_oracle(),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

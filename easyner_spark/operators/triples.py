@@ -1115,3 +1115,69 @@ SELECT id, quote_idx,
   regexp_extract(el, '^"([^"]+)"', 1) AS quote
 FROM els
 """
+
+
+# numeric-fact contract, shared with the oracle. RE2 has no lookahead,
+# so the unit's right boundary is an explicit [space/punct/end] class
+# captured with the element (field pulls ignore it); '%' can't take a
+# \b (non-word char).
+NUMFACT_EL_RE = (
+    r"(\d+(?:\.\d+)?) ?"
+    r"(kg|km|mg|ml|gb|mb|usd|eur|percent|%)([ .,;)]|$)"
+)
+NUMFACT_VAL_RE = r"^(\d+(?:\.\d+)?)"
+NUMFACT_UNIT_RE = r"(kg|km|mg|ml|gb|mb|usd|eur|percent|%)"
+
+
+def numeric_facts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Numeric-fact extraction: (id, fact_idx, value, unit) per
+    quantity-with-unit occurrence ('75 kg', '99.9 percent', '40%') —
+    the measurable-fact surface a KG attaches to entities (dosage,
+    price, capacity) and a curation gate uses to find data-rich pages.
+    `value` stays the EXACT source string (no float parsing — '0.10'
+    and '0.1' are different claims); '%' normalizes to 'percent' so
+    consumers aggregate one unit key. RE2-safe (no lookahead): the
+    right boundary is an explicit punctuation/end class.
+
+    Zero shuffle: element extraction + two scan-fused field pulls.
+    """
+    els = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all({text_col}, r'{NUMFACT_EL_RE}', 0)"
+            )  # r'': keep \d literal through the SQL parser
+        ).alias("fact_idx", "_el"),
+    )
+    unit = F.regexp_extract(F.col("_el"), NUMFACT_UNIT_RE, 1)
+    return els.select(
+        "id",
+        "fact_idx",
+        F.regexp_extract(F.col("_el"), NUMFACT_VAL_RE, 1).alias("value"),
+        F.when(unit == "%", F.lit("percent")).otherwise(unit).alias("unit"),
+    )
+
+
+def numeric_facts_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of numeric_facts; `docs_sql` yields (id, text)."""
+    return f"""
+WITH d AS ({docs_sql}),
+els AS (SELECT id, u.i::INT AS fact_idx, u.v AS el
+        FROM (SELECT id, unnest(list_transform(range(0, len(es)),
+                i -> {{'i': i, 'v': es[(i+1)::INT]}})) AS u
+              FROM (SELECT id, regexp_extract_all(text,
+                      '(\\d+(?:\\.\\d+)?) ?(kg|km|mg|ml|gb|mb|usd|eur|percent|%)([ .,;)]|$)',
+                      0) AS es FROM d)))
+SELECT id, fact_idx,
+  regexp_extract(el, '^(\\d+(?:\\.\\d+)?)', 1) AS value,
+  CASE WHEN regexp_extract(el,
+         '(kg|km|mg|ml|gb|mb|usd|eur|percent|%)', 1) = '%'
+       THEN 'percent'
+       ELSE regexp_extract(el,
+         '(kg|km|mg|ml|gb|mb|usd|eur|percent|%)', 1) END AS unit
+FROM els
+"""
