@@ -2001,6 +2001,42 @@ def q_numeric_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_facts(d.select("doc_id", text.alias("text")))
 
 
+def q_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outline extraction over deterministic page structure: one h1
+    per page, (doc_id % 4) h2 sections each followed by an h3, and an
+    empty h4 the emptiness gate drops."""
+    from easyner_spark.operators.webtext import extract_headings
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so the
+    # zero-section case must be an explicit empty array
+    idxs = F.when(
+        did % 4 > 0, F.sequence(F.lit(1), (did % 4).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    sections = F.concat_ws(
+        "",
+        F.transform(
+            idxs,
+            lambda i: F.concat(
+                F.lit("<h2>section "), i.cast("string"),
+                F.lit("</h2><p>body</p><h3>notes "), i.cast("string"),
+                F.lit("</h3>"),
+            ),
+        ),
+    )
+    html = F.concat(
+        F.lit("<html><h1>doc "), s, F.lit("</h1>"),
+        sections,
+        F.lit("<h4>  </h4></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("u"), s).alias("url"), html.alias("html")
+    )
+    return extract_headings(pages)
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -3870,6 +3906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acronyms": q_acronyms,
         "quotes": q_quotes,
         "numeric_facts": q_numeric_facts,
+        "headings": q_headings,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4936,6 +4973,24 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _headings_oracle() -> str:
+    """q_headings oracle: the same deterministic outline synthesis
+    through the operator's module-local twin (range() is empty when
+    stop <= start, matching the Spark side's explicit empty array)."""
+    from easyner_spark.operators.webtext import extract_headings_oracle_sql
+
+    pages_sql = """
+SELECT 'u' || doc_id AS url,
+  '<html><h1>doc ' || doc_id || '</h1>'
+  || coalesce(array_to_string(list_transform(range(1, (doc_id % 4) + 1),
+       i -> '<h2>section ' || i || '</h2><p>body</p><h3>notes ' || i
+            || '</h3>'), ''), '')
+  || '<h4>  </h4></html>' AS html
+FROM documents
+"""
+    return extract_headings_oracle_sql(pages_sql)
 
 
 def _numeric_facts_oracle() -> str:
@@ -6749,6 +6804,8 @@ FROM cst s JOIN cng n
         "quotes": _quotes_oracle(),
         # Numeric facts: injected measurements through the twin
         "numeric_facts": _numeric_facts_oracle(),
+        # Outline extraction: deterministic h1/h2/h3 structure
+        "headings": _headings_oracle(),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

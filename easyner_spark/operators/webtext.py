@@ -3552,3 +3552,62 @@ r AS (
 )
 SELECT url, host, template FROM r WHERE rn <= {cap}
 """
+
+
+# heading contract: h1-h6, text is the [^<]* run (nested markup ends
+# the heading — same tolerance class as the table cells)
+HEADING_EL_RE = r"<h([1-6])[^>]*>([^<]*)</h[1-6]>"
+
+
+def extract_headings(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Document outline extraction: (url, heading_idx, level, text)
+    per h1-h6 element in document order — the structure layer for
+    section-aware chunking (split training documents at h2 boundaries
+    instead of blind fixed windows), TOC generation, and
+    heading-based topic signals (a page's h1 is a title-grade entity
+    surface next to page_entities' three sources). Text is
+    whitespace-trimmed and lowercased (the canonical comparison
+    form); empty headings dropped.
+
+    Zero shuffle: one regexp_extract_all + posexplode + scan-fused
+    pulls.
+    """
+    els = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all(lower(cast({html_col} as string)),"
+                f" '{HEADING_EL_RE}', 0)"
+            )
+        ).alias("heading_idx", "_el"),
+    )
+    return els.select(
+        "url",
+        "heading_idx",
+        F.regexp_extract(F.col("_el"), r"<h([1-6])", 1)
+        .cast("int")
+        .alias("level"),
+        F.trim(F.regexp_extract(F.col("_el"), HEADING_EL_RE, 2)).alias(
+            "text"
+        ),
+    ).where(F.col("text") != "")
+
+
+def extract_headings_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of extract_headings; `pages_sql` yields (url, html)."""
+    return f"""
+WITH pg AS ({pages_sql}),
+e AS (SELECT url,
+        regexp_extract_all(lower(html),
+          '<h([1-6])[^>]*>([^<]*)</h[1-6]>', 0) AS els
+      FROM pg),
+x AS (SELECT url, u.i::INT AS heading_idx,
+        regexp_extract(u.v, '<h([1-6])', 1)::INT AS level,
+        trim(regexp_extract(u.v, '<h([1-6])[^>]*>([^<]*)</h[1-6]>', 2))
+          AS text
+      FROM (SELECT url, unnest(list_transform(range(0, len(els)),
+              i -> {{'i': i, 'v': els[(i+1)::INT]}})) AS u FROM e))
+SELECT * FROM x WHERE text != ''
+"""
