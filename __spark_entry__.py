@@ -2037,6 +2037,44 @@ def q_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_headings(pages)
 
 
+def q_html_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List extraction over deterministic structure: a 3-item nav
+    <ul> on every page plus a (doc_id % 3)-item ranked <ol>, one item
+    empty on every 6th page (dropped, positions kept)."""
+    from easyner_spark.operators.webtext import extract_lists
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    idxs = F.when(
+        did % 3 > 0, F.sequence(F.lit(1), (did % 3).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    ol = F.concat_ws(
+        "",
+        F.transform(
+            idxs,
+            lambda i: F.concat(
+                F.lit("<li>rank "), i.cast("string"), F.lit(" item</li>")
+            ),
+        ),
+    )
+    html = F.concat(
+        F.lit('<html><ul class="nav"><li>Home</li><li>Docs '),
+        s,
+        F.lit("</li>"),
+        F.when(did % 6 == 0, F.lit("<li> </li>")).otherwise(
+            F.lit("<li>Contact</li>")
+        ),
+        F.lit("</ul><ol>"),
+        ol,
+        F.lit("</ol></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("u"), s).alias("url"), html.alias("html")
+    )
+    return extract_lists(pages)
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -3907,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quotes": q_quotes,
         "numeric_facts": q_numeric_facts,
         "headings": q_headings,
+        "html_lists": q_html_lists,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -4973,6 +5012,25 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _html_lists_oracle() -> str:
+    """q_html_lists oracle: the same nav/ranked-list synthesis through
+    the operator's module-local twin."""
+    from easyner_spark.operators.webtext import extract_lists_oracle_sql
+
+    pages_sql = """
+SELECT 'u' || doc_id AS url,
+  '<html><ul class="nav"><li>Home</li><li>Docs ' || doc_id || '</li>'
+  || (CASE WHEN doc_id % 6 = 0 THEN '<li> </li>'
+      ELSE '<li>Contact</li>' END)
+  || '</ul><ol>'
+  || coalesce(array_to_string(list_transform(range(1, (doc_id % 3) + 1),
+       i -> '<li>rank ' || i || ' item</li>'), ''), '')
+  || '</ol></html>' AS html
+FROM documents
+"""
+    return extract_lists_oracle_sql(pages_sql)
 
 
 def _headings_oracle() -> str:
@@ -6806,6 +6864,8 @@ FROM cst s JOIN cng n
         "numeric_facts": _numeric_facts_oracle(),
         # Outline extraction: deterministic h1/h2/h3 structure
         "headings": _headings_oracle(),
+        # List extraction: nav <ul> + ranked <ol> synthesis
+        "html_lists": _html_lists_oracle(),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

@@ -3611,3 +3611,69 @@ x AS (SELECT url, u.i::INT AS heading_idx,
               i -> {{'i': i, 'v': els[(i+1)::INT]}})) AS u FROM e))
 SELECT * FROM x WHERE text != ''
 """
+
+
+# list contract: <ul>/<ol> blocks matched whole ((?s) lazy), items as
+# [^<]* runs — same tolerance class as tables/headings
+LIST_EL_RE = r"(?s)<[uo]l[^>]*>.*?</[uo]l>"
+LIST_ITEM_RE = r"<li[^>]*>([^<]*)</li>"
+
+
+def extract_lists(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """HTML list extraction: (url, list_idx, item_idx, ordered, item)
+    per <li> — the third structured surface next to tables and
+    headings: navigation menus (boilerplate evidence), feature/spec
+    bullets (fact candidates), and ranked <ol> lists whose item order
+    IS data. `ordered` distinguishes <ol> from <ul>; items trimmed,
+    lowercased, empties dropped; block-first matching so items never
+    attach to a neighboring list.
+
+    Zero shuffle: two stacked posexplodes over scan-fused
+    regexp_extract_all.
+    """
+    blocks = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all(lower(cast({html_col} as string)),"
+                f" '{LIST_EL_RE}', 0)"
+            )
+        ).alias("list_idx", "_b"),
+    )
+    items = blocks.select(
+        "url",
+        "list_idx",
+        F.col("_b").startswith("<ol").alias("ordered"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(_b, '{LIST_ITEM_RE}', 1)")
+        ).alias("item_idx", "_item"),
+    )
+    return items.select(
+        "url", "list_idx", "item_idx", "ordered",
+        F.trim(F.col("_item")).alias("item"),
+    ).where(F.col("item") != "")
+
+
+def extract_lists_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of extract_lists; `pages_sql` yields (url, html)."""
+    return f"""
+WITH pg AS ({pages_sql}),
+b AS (SELECT url,
+        regexp_extract_all(lower(html), '(?s)<[uo]l[^>]*>.*?</[uo]l>', 0)
+          AS bs
+      FROM pg),
+bl AS (SELECT url, u.i::INT AS list_idx, u.v AS blk
+       FROM (SELECT url, unnest(list_transform(range(0, len(bs)),
+               i -> {{'i': i, 'v': bs[(i+1)::INT]}})) AS u FROM b)),
+it AS (SELECT url, list_idx, blk LIKE '<ol%' AS ordered,
+         u.i::INT AS item_idx, trim(u.v) AS item
+       FROM (SELECT url, list_idx, blk,
+               unnest(list_transform(range(0, len(xs)),
+                 i -> {{'i': i, 'v': xs[(i+1)::INT]}})) AS u
+             FROM (SELECT url, list_idx, blk,
+                     regexp_extract_all(blk, '<li[^>]*>([^<]*)</li>', 1)
+                       AS xs FROM bl)))
+SELECT url, list_idx, item_idx, ordered, item FROM it WHERE item != ''
+"""
