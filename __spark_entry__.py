@@ -2075,6 +2075,26 @@ def q_html_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_lists(pages)
 
 
+def q_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KG's interop export: the real extraction chain's distinct
+    edges serialized as W3C N-Triples lines (byte-wise percent-encoded
+    IRIs) — what a triple store loads."""
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.triples import extract_triples
+    from easyner_spark.sinks.export import to_ntriples
+
+    linked = link_entities(
+        _mentions(spark, sf_dir), primary_alias(_alias_df(spark)),
+        keep_unmatched=False,
+    )
+    edges = (
+        extract_triples(linked)
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    return to_ntriples(edges)
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -3946,6 +3966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_facts": q_numeric_facts,
         "headings": q_headings,
         "html_lists": q_html_lists,
+        "ntriples": q_ntriples,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -5012,6 +5033,20 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _ntriples_oracle() -> str:
+    """q_ntriples oracle: the prelude's distinct edge set through the
+    serializer's module-local twin (prelude nested as a FROM subquery
+    — the plain-WITH nesting DuckDB accepts)."""
+    from easyner_spark.sinks.export import to_ntriples_oracle_sql
+
+    edges_sql = (
+        "SELECT * FROM ("
+        + _PRELUDE
+        + " SELECT DISTINCT subj_id, pred, obj_id FROM triples)"
+    )
+    return to_ntriples_oracle_sql(edges_sql)
 
 
 def _html_lists_oracle() -> str:
@@ -6866,6 +6901,8 @@ FROM cst s JOIN cng n
         "headings": _headings_oracle(),
         # List extraction: nav <ul> + ranked <ol> synthesis
         "html_lists": _html_lists_oracle(),
+        # N-Triples export: prelude edges through the serializer twin
+        "ntriples": _ntriples_oracle(),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

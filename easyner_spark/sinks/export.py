@@ -75,3 +75,76 @@ def write_corpus_shards(
     )
     write_tsv(manifest, f"{path}/_manifest")
     return manifest
+
+
+def to_ntriples(
+    edges,
+    base_iri: str = "http://kg.example/",
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+):
+    """W3C N-Triples serialization of the KG edge table: one `line`
+    per edge — `<base/e/SUBJ> <base/p/PRED> <base/e/OBJ> .` — the
+    interop format every triple store loads. IRI-unsafe characters in
+    the ids (anything outside RFC 3986 unreserved + '/') are
+    percent-encoded byte-wise via a scan-fused transform over the
+    character array; deterministic, so the serialized lines
+    value-match across engines. Returns (subj_id, pred, obj_id, line);
+    write `line` with text writers or `write_corpus_shards`.
+
+    Zero shuffle: pure codegen string assembly.
+    """
+    from pyspark.sql import functions as F
+
+    def enc(col):
+        # percent-encode per character, byte-wise (a multi-byte UTF-8
+        # char becomes %XX%YY): unreserved set kept verbatim
+        return F.array_join(
+            F.transform(
+                F.split(col, ""),
+                lambda c: F.when(
+                    c.rlike("^[A-Za-z0-9._~-]$"), c
+                ).otherwise(
+                    F.regexp_replace(
+                        F.upper(F.hex(F.encode(c, "UTF-8"))),
+                        "(..)",
+                        r"%$1",
+                    )
+                ),
+            ),
+            "",
+        )
+
+    line = F.concat(
+        F.lit(f"<{base_iri}e/"), enc(F.col(subj_col)),
+        F.lit(f"> <{base_iri}p/"), enc(F.col(pred_col)),
+        F.lit(f"> <{base_iri}e/"), enc(F.col(obj_col)),
+        F.lit("> ."),
+    )
+    return edges.select(subj_col, pred_col, obj_col, line.alias("line"))
+
+
+def to_ntriples_oracle_sql(
+    edges_sql: str, base_iri: str = "http://kg.example/"
+) -> str:
+    """DuckDB twin of to_ntriples; `edges_sql` yields (subj_id, pred,
+    obj_id). Same per-character percent-encoding."""
+
+    def enc(col: str) -> str:
+        return (
+            "array_to_string(list_transform("
+            f"string_split({col}, ''), c -> CASE "
+            "WHEN regexp_matches(c, '^[A-Za-z0-9._~-]$') THEN c "
+            "ELSE regexp_replace(upper(to_hex(encode(c))),"
+            " '(..)', '%\\1', 'g') END), '')"
+        )
+
+    return f"""
+WITH e AS ({edges_sql})
+SELECT subj_id, pred, obj_id,
+  '<{base_iri}e/' || {enc('subj_id')}
+  || '> <{base_iri}p/' || {enc('pred')}
+  || '> <{base_iri}e/' || {enc('obj_id')} || '> .' AS line
+FROM e
+"""
