@@ -2095,6 +2095,36 @@ def q_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_ntriples(edges)
 
 
+def q_entity_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preferred labels over the real canonical-mention stream with a
+    deterministic md5-bucket component map (the co-occurrence closure
+    over the tiny synthetic dictionary merges EVERYTHING into one
+    component — value-matched but a 1-row check; the bucket map keeps
+    multiple multi-id entities so the join, argmax, tie-break, and
+    totals all carry signal)."""
+    from easyner_spark.operators.nel import (
+        entity_labels,
+        link_entities,
+        primary_alias,
+    )
+
+    linked = link_entities(
+        _mentions(spark, sf_dir), primary_alias(_alias_df(spark)),
+        keep_unmatched=False,
+    )
+    comp = (
+        linked.select(F.col("entity_id").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.concat(F.lit("g"), F.substring(F.md5("node"), 1, 1)).alias(
+                "component"
+            ),
+        )
+    )
+    return entity_labels(linked, comp)
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -3967,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "headings": q_headings,
         "html_lists": q_html_lists,
         "ntriples": q_ntriples,
+        "entity_labels": q_entity_labels,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -5946,6 +5977,35 @@ it{t} AS (
 # min-label reachability closure over the co-occurrence triple graph —
 # shared by the `components` oracle and (identically, by the
 # incremental contract) `incremental_components`.
+# Preferred labels: the canonical linked (entity, surface) stream +
+# the deterministic md5-bucket component map + the min(struct(-n, s))
+# argmax
+_ENTITY_LABELS_ORACLE = _PRELUDE + """
+, cmap AS (
+  SELECT node, 'g' || substr(md5(node), 1, 1) AS component
+  FROM (SELECT DISTINCT pa.id AS node
+        FROM mentions m
+        JOIN (SELECT term, min(id) AS id FROM alias GROUP BY term) pa
+          ON m.mention_lc = pa.term)
+),
+lm AS (SELECT pa.id AS node, m.mention_lc AS s
+       FROM mentions m
+       JOIN (SELECT term, min(id) AS id FROM alias GROUP BY term) pa
+         ON m.mention_lc = pa.term),
+mp AS (SELECT coalesce(c.component, l.node) AS entity, l.s
+       FROM lm l LEFT JOIN cmap c ON l.node = c.node),
+lcnt AS (SELECT entity, s, count(*)::BIGINT AS n FROM mp GROUP BY entity, s),
+lbest AS (
+  SELECT entity, min(struct_pack(neg := -n, s := s)) AS b,
+         count(*)::BIGINT AS n_surfaces, sum(n)::BIGINT AS n_mentions
+  FROM lcnt GROUP BY entity
+)
+SELECT entity, b.s AS label, (-b.neg)::BIGINT AS n_label,
+       n_surfaces, n_mentions
+FROM lbest
+"""
+
+
 _COMPONENTS_ORACLE = _PRELUDE.replace("WITH sent0", "WITH RECURSIVE sent0", 1) + """
 , cc_edges AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM triples),
 cc_sym AS (SELECT a, b FROM cc_edges UNION SELECT b, a FROM cc_edges),
@@ -6903,6 +6963,7 @@ FROM cst s JOIN cng n
         "html_lists": _html_lists_oracle(),
         # N-Triples export: prelude edges through the serializer twin
         "ntriples": _ntriples_oracle(),
+        "entity_labels": _ENTITY_LABELS_ORACLE,
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

@@ -405,3 +405,73 @@ ok AS (
 SELECT acronym, expansion, count(*)::BIGINT AS n_docs
 FROM ok GROUP BY acronym, expansion
 """
+
+
+def entity_labels(
+    linked_mentions: DataFrame,
+    components: DataFrame,
+    mention_col: str = "mention_lc",
+    id_col: str = "entity_id",
+) -> DataFrame:
+    """Preferred-label selection per canonical entity: (entity, label,
+    n_label, n_surfaces, n_mentions) — the display name a KG node
+    ships with: the most frequent surface form across every mention of
+    every id merged into the component, ties broken lexicographically
+    (deterministic). `components` is the (node, component) map from
+    connected_components; unmapped ids label themselves (an id with no
+    merge evidence is its own 1-node component).
+
+    Scale (2 shuffles): (component, surface) count — composite key
+    uniform however hot the entity, partial aggs absorb repeats —
+    then the per-component argmax via the min(struct(-n, label))
+    algebraic fold (no window, no hot-entity sort) riding the second
+    rollup together with the surface/mention totals.
+    """
+    m = linked_mentions.where(F.col(id_col) != "").select(
+        F.col(id_col).alias("node"), F.col(mention_col).alias("_s")
+    )
+    mapped = m.join(components, "node", "left").select(
+        F.coalesce(F.col("component"), F.col("node")).alias("entity"), "_s"
+    )
+    counts = mapped.groupBy("entity", "_s").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    return (
+        counts.groupBy("entity")
+        .agg(
+            F.min(
+                F.struct((-F.col("_n")).alias("neg"), F.col("_s").alias("s"))
+            ).alias("_best"),
+            F.count(F.lit(1)).cast("long").alias("n_surfaces"),
+            F.sum("_n").cast("long").alias("n_mentions"),
+        )
+        .select(
+            "entity",
+            F.col("_best.s").alias("label"),
+            (-F.col("_best.neg")).cast("long").alias("n_label"),
+            "n_surfaces",
+            "n_mentions",
+        )
+    )
+
+
+def entity_labels_oracle_sql(
+    mentions_sql: str, components_sql: str
+) -> str:
+    """DuckDB twin of entity_labels; `mentions_sql` yields (node,
+    surface), `components_sql` yields (node, component)."""
+    return f"""
+WITH m AS ({mentions_sql}),
+cm AS ({components_sql}),
+mp AS (SELECT coalesce(c.component, m.node) AS entity, m.surface AS s
+       FROM m LEFT JOIN cm c ON m.node = c.node),
+cnt AS (SELECT entity, s, count(*)::BIGINT AS n FROM mp GROUP BY entity, s),
+best AS (
+  SELECT entity, min(struct_pack(neg := -n, s := s)) AS b,
+         count(*)::BIGINT AS n_surfaces, sum(n)::BIGINT AS n_mentions
+  FROM cnt GROUP BY entity
+)
+SELECT entity, b.s AS label, (-b.neg)::BIGINT AS n_label,
+       n_surfaces, n_mentions
+FROM best
+"""
