@@ -2125,6 +2125,39 @@ def q_entity_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_labels(linked, comp)
 
 
+def q_social(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Social-profile extraction over deterministic outlinks: every
+    page a twitter (x.com on odd docs) + github profile keyed by
+    doc_id div 3 (identity evidence shared by 3-page groups), every
+    4th a youtube @handle, plus a non-social link ignored."""
+    from easyner_spark.operators.webtext import social_profiles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    g = F.expr("doc_id div 3").cast("string")
+    tw_host = F.when(did % 2 == 0, F.lit("twitter.com")).otherwise(
+        F.lit("x.com")
+    )
+    html = F.concat(
+        F.lit('<html><a href="https://'),
+        tw_host,
+        F.lit("/Org"), g, F.lit('">t</a>'),
+        F.lit('<a href="https://github.com/org-'), g, F.lit('">g</a>'),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit('<a href="https://youtube.com/@org'), g,
+                     F.lit('">y</a>')),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="https://example.org/x">n</a></html>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://h"), (did % 7).cast("string"),
+                 F.lit(".example.org/p/"), did.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return social_profiles(pages)
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -3998,6 +4031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_lists": q_html_lists,
         "ntriples": q_ntriples,
         "entity_labels": q_entity_labels,
+        "social": q_social,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -5064,6 +5098,27 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _social_oracle() -> str:
+    """q_social oracle: the deterministic profile-outlink synthesis
+    through the operator's module-local twin."""
+    from easyner_spark.operators.webtext import social_profiles_oracle_sql
+
+    pages_sql = """
+SELECT 'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url,
+  '<html><a href="https://'
+  || (CASE WHEN doc_id % 2 = 0 THEN 'twitter.com' ELSE 'x.com' END)
+  || '/Org' || (doc_id // 3) || '">t</a>'
+  || '<a href="https://github.com/org-' || (doc_id // 3) || '">g</a>'
+  || (CASE WHEN doc_id % 4 = 0
+      THEN '<a href="https://youtube.com/@org' || (doc_id // 3)
+           || '">y</a>'
+      ELSE '' END)
+  || '<a href="https://example.org/x">n</a></html>' AS html
+FROM documents
+"""
+    return social_profiles_oracle_sql(pages_sql)
 
 
 def _ntriples_oracle() -> str:
@@ -6964,6 +7019,7 @@ FROM cst s JOIN cng n
         # N-Triples export: prelude edges through the serializer twin
         "ntriples": _ntriples_oracle(),
         "entity_labels": _ENTITY_LABELS_ORACLE,
+        "social": _social_oracle(),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

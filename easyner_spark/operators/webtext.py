@@ -3677,3 +3677,90 @@ it AS (SELECT url, list_idx, blk LIKE '<ol%' AS ordered,
                        AS xs FROM bl)))
 SELECT url, list_idx, item_idx, ordered, item FROM it WHERE item != ''
 """
+
+
+# social-profile contract, shared with the oracle: platform host ->
+# handle extraction pattern over RESOLVED hrefs; handle charset is the
+# platforms' common [A-Za-z0-9_.-]; kept lowercase (comparison form)
+SOCIAL_PLATFORMS = (
+    ("twitter", r"^https?://(?:www\.)?(?:twitter|x)\.com/([a-z0-9_.-]+)"),
+    ("github", r"^https?://(?:www\.)?github\.com/([a-z0-9_.-]+)"),
+    ("linkedin", r"^https?://(?:www\.)?linkedin\.com/in/([a-z0-9_.-]+)"),
+    ("instagram", r"^https?://(?:www\.)?instagram\.com/([a-z0-9_.-]+)"),
+    ("youtube", r"^https?://(?:www\.)?youtube\.com/@([a-z0-9_.-]+)"),
+)
+
+
+def social_profiles(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Social-profile link extraction: (url, platform, handle) per
+    outlink into a known profile platform — KG node enrichment (a
+    page's declared official profiles are identity evidence of the
+    sameAs class: two pages linking the same github handle likely
+    describe the same entity — feed (url, platform || ':' || handle)
+    edges to the components engine). Hrefs are resolved then
+    lowercased; the handle is the first path segment under each
+    platform's profile scheme; one row per distinct (page, platform,
+    handle).
+
+    Scale: scan-fused anchor extraction + resolution + a platform
+    CASE chain (zero shuffle), then ONE distinct on the uniform
+    composite key.
+    """
+    hrefs = pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(cast({html_col} as string),"
+                f" '{ANCHOR_EL_RE}', 0)"
+            )
+        ).alias("_el"),
+    ).select(
+        "url",
+        F.lower(
+            resolve_href(
+                F.col("url"),
+                F.regexp_extract(F.col("_el"), ANCHOR_HREF_RE, 1),
+            )
+        ).alias("_t"),
+    ).where(F.col("_t").isNotNull())
+    platform = F.lit(None).cast("string")
+    handle = F.lit(None).cast("string")
+    for name, pat in reversed(SOCIAL_PLATFORMS):
+        hit = F.nullif(F.regexp_extract(F.col("_t"), pat, 1), F.lit(""))
+        platform = F.when(hit.isNotNull(), F.lit(name)).otherwise(platform)
+        handle = F.when(hit.isNotNull(), hit).otherwise(handle)
+    return (
+        hrefs.select("url", platform.alias("platform"), handle.alias("handle"))
+        .where(F.col("platform").isNotNull())
+        .distinct()
+    )
+
+
+def social_profiles_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of social_profiles; `pages_sql` yields (url, html)."""
+    resolve = href_resolve_case_sql("url", "href")
+    arms = "\n".join(
+        f"    WHEN regexp_extract(t, '{pat}', 1) != ''"
+        f" THEN struct_pack(p := '{name}',"
+        f" h := regexp_extract(t, '{pat}', 1))"
+        for name, pat in SOCIAL_PLATFORMS
+    )
+    return f"""
+WITH pg AS ({pages_sql}),
+a AS (SELECT url,
+        unnest(regexp_extract_all(html,
+          '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) AS el
+      FROM pg),
+h AS (SELECT url, regexp_extract(el, 'href="([^"]*)"', 1) AS href FROM a),
+r AS (SELECT url, lower({resolve}) AS t FROM h),
+m AS (
+  SELECT url, CASE
+{arms}
+    ELSE NULL END AS ph
+  FROM r WHERE t IS NOT NULL
+)
+SELECT DISTINCT url, ph.p AS platform, ph.h AS handle
+FROM m WHERE ph IS NOT NULL
+"""
