@@ -2158,6 +2158,30 @@ def q_social(spark: SparkSession, sf_dir: str) -> DataFrame:
     return social_profiles(pages)
 
 
+def q_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contact-fact extraction over injected imprint lines: one email
+    per doc (mixed case, lowercased) and a phone with rotating
+    grouping (normalized to digits-with-plus) on every 2nd doc."""
+    from easyner_spark.operators.textstats import contact_facts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    text = F.concat(
+        F.col("text"),
+        F.lit(" Contact Team"), s,
+        F.lit("@Example"), (did % 5).cast("string"), F.lit(".ORG now."),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" Call +46 8-"), ((did % 900) + 100).cast("string"),
+                F.lit(" 4"), (did % 10).cast("string"), F.lit("6 78."),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return contact_facts(d.select("doc_id", text.alias("text")))
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -4032,6 +4056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples": q_ntriples,
         "entity_labels": q_entity_labels,
         "social": q_social,
+        "contacts": q_contacts,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -5098,6 +5123,24 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _contacts_oracle() -> str:
+    """q_contacts oracle: the injected-imprint synthesis through the
+    operator's module-local twin."""
+    from easyner_spark.operators.textstats import contact_facts_oracle_sql
+
+    docs_sql = """
+SELECT doc_id AS id,
+  text || ' Contact Team' || doc_id || '@Example' || (doc_id % 5)
+  || '.ORG now.'
+  || (CASE WHEN doc_id % 2 = 0
+      THEN ' Call +46 8-' || (doc_id % 900 + 100) || ' 4'
+           || (doc_id % 10) || '6 78.'
+      ELSE '' END) AS text
+FROM documents
+"""
+    return contact_facts_oracle_sql(docs_sql)
 
 
 def _social_oracle() -> str:
@@ -7020,6 +7063,7 @@ FROM cst s JOIN cng n
         "ntriples": _ntriples_oracle(),
         "entity_labels": _ENTITY_LABELS_ORACLE,
         "social": _social_oracle(),
+        "contacts": _contacts_oracle(),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

@@ -674,3 +674,74 @@ SELECT id, n_sents, n_words, n_syllables,
     AS syll_per_word_micro
 FROM c
 """
+
+
+def contact_facts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Contact-fact extraction — the INVERSE consumer of the PII
+    regexes: (id, kind, contact_idx, value) for kind in
+    {'email', 'phone'} — what pii_redact scrubs from training text is
+    exactly what an ORG-entity KG wants as declared contact facts
+    (about/imprint pages). Same regex constants (PII_EMAIL_RE /
+    PII_PHONE_RE — one contract, two consumers); emails lowercased,
+    phones normalized to digits-with-leading-plus so formatting
+    variants collapse ('+46 8-123 456 78' == '+46812345678');
+    document order per kind pinned by contact_idx.
+
+    Zero shuffle: two scan-fused extraction passes unioned.
+    """
+
+    def _pass(kind: str, pat: str, norm):
+        els = docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.expr(
+                    f"regexp_extract_all({text_col}, r'{pat}', 0)"
+                )
+            ).alias("contact_idx", "_v"),
+        )
+        return els.select(
+            "id",
+            F.lit(kind).alias("kind"),
+            "contact_idx",
+            norm(F.col("_v")).alias("value"),
+        )
+
+    emails = _pass("email", PII_EMAIL_RE, F.lower)
+    phones = _pass(
+        "phone",
+        PII_PHONE_RE,
+        lambda v: F.regexp_replace(v, r"[^0-9+]", ""),
+    )
+    return emails.unionByName(phones)
+
+
+def contact_facts_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of contact_facts; `docs_sql` yields (id, text)."""
+
+    def _pass(kind: str, pat: str, norm: str) -> str:
+        return f"""
+SELECT id, '{kind}' AS kind, u.i::INT AS contact_idx, {norm} AS value
+FROM (SELECT id, unnest(list_transform(range(0, len(vs)),
+        i -> {{'i': i, 'v': vs[(i+1)::INT]}})) AS u
+      FROM (SELECT id, regexp_extract_all(text, '{pat}', 0) AS vs
+            FROM d))
+"""
+
+    emails = _pass(
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "lower(u.v)",
+    )
+    phones = _pass(
+        "phone",
+        r"\+?\d[\d\- ]{7,}\d",
+        "regexp_replace(u.v, '[^0-9+]', '', 'g')",
+    )
+    return f"""
+WITH d AS ({docs_sql})
+{emails}
+UNION ALL
+{phones}
+"""
