@@ -2182,6 +2182,35 @@ def q_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contact_facts(d.select("doc_id", text.alias("text")))
 
 
+def q_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate extraction over injected geo lines: a valid lat/lon
+    per doc (lat from doc_id % 170 - 85, lon from doc_id % 350 - 175)
+    plus an out-of-range version-number pair every 3rd doc that the
+    plausibility gate drops."""
+    from easyner_spark.operators.triples import geo_facts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    lat = (did % 170 - 85).cast("string")
+    lon = (did % 350 - 175).cast("string")
+    text = F.concat(
+        F.col("text"),
+        F.lit(" Located at "), lat, F.lit("."),
+        (did % 9000 + 1000).cast("string"),
+        F.lit(", "), lon, F.lit("."),
+        (did % 900 + 100).cast("string"),
+        F.lit(" on the map."),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" Release 99."), (did % 10).cast("string"),
+                F.lit(", 999."), (did % 10).cast("string"), F.lit(" shipped."),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return geo_facts(d.select("doc_id", text.alias("text")))
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -4057,6 +4086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_labels": q_entity_labels,
         "social": q_social,
         "contacts": q_contacts,
+        "geo": q_geo,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -5123,6 +5153,25 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _geo_oracle() -> str:
+    """q_geo oracle: the injected-coordinates synthesis through the
+    operator's module-local twin."""
+    from easyner_spark.operators.triples import geo_facts_oracle_sql
+
+    docs_sql = """
+SELECT doc_id AS id,
+  text || ' Located at ' || (doc_id % 170 - 85) || '.'
+  || (doc_id % 9000 + 1000) || ', ' || (doc_id % 350 - 175) || '.'
+  || (doc_id % 900 + 100) || ' on the map.'
+  || (CASE WHEN doc_id % 3 = 0
+      THEN ' Release 99.' || (doc_id % 10) || ', 999.' || (doc_id % 10)
+           || ' shipped.'
+      ELSE '' END) AS text
+FROM documents
+"""
+    return geo_facts_oracle_sql(docs_sql)
 
 
 def _contacts_oracle() -> str:
@@ -7064,6 +7113,7 @@ FROM cst s JOIN cng n
         "entity_labels": _ENTITY_LABELS_ORACLE,
         "social": _social_oracle(),
         "contacts": _contacts_oracle(),
+        "geo": _geo_oracle(),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

@@ -1181,3 +1181,60 @@ SELECT id, fact_idx,
          '(kg|km|mg|ml|gb|mb|usd|eur|percent|%)', 1) END AS unit
 FROM els
 """
+
+
+# geo contract, shared with the oracle: 'lat, lon' decimal pairs;
+# range-gated (|lat| <= 90, |lon| <= 180) via numeric casts used ONLY
+# for the boolean gate — output keeps the exact source strings.
+GEO_EL_RE = r"(-?\d{1,2}\.\d{1,6}), ?(-?\d{1,3}\.\d{1,6})"
+GEO_LAT_RE = r"^(-?\d{1,2}\.\d{1,6})"
+GEO_LON_RE = r"(-?\d{1,3}\.\d{1,6})$"
+
+
+def geo_facts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Coordinate extraction: (id, geo_idx, lat, lon) per decimal
+    'lat, lon' pair — the geo-fact surface a KG attaches to place
+    entities (venues, imprint addresses, geotagged articles).
+    Values stay exact source strings ('40.70' != '40.7' as claims);
+    the plausibility gate casts only for the range check (|lat| <= 90,
+    |lon| <= 180 — '99.5, 200.1' is a version number, not a place).
+
+    Zero shuffle: element extraction + scan-fused pulls + the gate.
+    """
+    els = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all({text_col}, r'{GEO_EL_RE}', 0)"
+            )
+        ).alias("geo_idx", "_el"),
+    )
+    lat = F.regexp_extract(F.col("_el"), GEO_LAT_RE, 1)
+    lon = F.regexp_extract(F.col("_el"), GEO_LON_RE, 1)
+    return els.select(
+        "id", "geo_idx", lat.alias("lat"), lon.alias("lon")
+    ).where(
+        (F.abs(F.col("lat").cast("double")) <= 90.0)
+        & (F.abs(F.col("lon").cast("double")) <= 180.0)
+    )
+
+
+def geo_facts_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of geo_facts; `docs_sql` yields (id, text)."""
+    return f"""
+WITH d AS ({docs_sql}),
+els AS (SELECT id, u.i::INT AS geo_idx, u.v AS el
+        FROM (SELECT id, unnest(list_transform(range(0, len(es)),
+                i -> {{'i': i, 'v': es[(i+1)::INT]}})) AS u
+              FROM (SELECT id, regexp_extract_all(text,
+                      '(-?\\d{{1,2}}\\.\\d{{1,6}}), ?(-?\\d{{1,3}}\\.\\d{{1,6}})',
+                      0) AS es FROM d))),
+x AS (SELECT id, geo_idx,
+        regexp_extract(el, '^(-?\\d{{1,2}}\\.\\d{{1,6}})', 1) AS lat,
+        regexp_extract(el, '(-?\\d{{1,3}}\\.\\d{{1,6}})$', 1) AS lon
+      FROM els)
+SELECT * FROM x
+WHERE abs(lat::DOUBLE) <= 90.0 AND abs(lon::DOUBLE) <= 180.0
+"""
