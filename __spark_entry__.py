@@ -2211,6 +2211,27 @@ def q_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_facts(d.select("doc_id", text.alias("text")))
 
 
+def q_copula_isa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copula is-a mining over injected hypernym sentences: 25 child
+    terms mapping onto 9 parents (doc_id residues), plus the real
+    document text riding along as noise the pattern never matches —
+    multi-doc support counts per (child, parent)."""
+    from easyner_spark.operators.triples import copula_isa
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    k = (did % 25).cast("string")
+    p = F.expr("(doc_id % 25) div 3").cast("string")
+    sents = d.select(
+        did.cast("string").alias("url"),
+        F.concat(
+            F.col("text"),
+            F.lit(" A kind"), k, F.lit(" is a type"), p, F.lit(" indeed."),
+        ).alias("sentence"),
+    )
+    return copula_isa(sents)
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -4087,6 +4108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social": q_social,
         "contacts": q_contacts,
         "geo": q_geo,
+        "copula_isa": q_copula_isa,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -5153,6 +5175,20 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _copula_isa_oracle() -> str:
+    """q_copula_isa oracle: the injected-hypernym synthesis through
+    the operator's module-local twin."""
+    from easyner_spark.operators.triples import copula_isa_oracle_sql
+
+    sentences_sql = """
+SELECT doc_id::VARCHAR AS url,
+  text || ' A kind' || (doc_id % 25) || ' is a type'
+  || ((doc_id % 25) // 3) || ' indeed.' AS sentence
+FROM documents
+"""
+    return copula_isa_oracle_sql(sentences_sql)
 
 
 def _geo_oracle() -> str:
@@ -7114,6 +7150,7 @@ FROM cst s JOIN cng n
         "social": _social_oracle(),
         "contacts": _contacts_oracle(),
         "geo": _geo_oracle(),
+        "copula_isa": _copula_isa_oracle(),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

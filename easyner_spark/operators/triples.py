@@ -1238,3 +1238,63 @@ x AS (SELECT id, geo_idx,
 SELECT * FROM x
 WHERE abs(lat::DOUBLE) <= 90.0 AND abs(lon::DOUBLE) <= 180.0
 """
+
+
+# copula contract, shared with the oracle: 'X is/are a/an/the Y' over
+# the lowercased sentence; terms are single hyphenatable words (the
+# zero-parser tier — multi-word NP support needs a chunker)
+ISA_EL_RE = r"\b[a-z][a-z0-9-]+ (?:is|are) (?:a|an|the) [a-z][a-z0-9-]+"
+ISA_SUBJ_RE = r"^([a-z0-9-]+) "
+ISA_OBJ_RE = r" ([a-z0-9-]+)$"
+
+
+def copula_isa(
+    sentences: DataFrame,
+    url_col: str = "url",
+    text_col: str = "sentence",
+) -> DataFrame:
+    """Copula is-a mining: 'a transformer is a model' -> (child,
+    parent, n_docs) hypernym candidates — the web-mined feeder for
+    graph.isa_closure's taxonomy (closure over MINED edges instead of
+    a curated ontology). Single hyphenatable alphanumeric terms ('covid-19') by documented contract
+    (multi-word NPs need a chunker; this is the zero-dependency tier);
+    per-doc dedup before the support rollup so a repeated template
+    sentence counts once per document.
+
+    Scale (1 shuffle): scan-fused extraction, per-doc distinct riding
+    the (child, parent) rollup's composite key.
+    """
+    els = sentences.select(
+        F.col(url_col).alias("_u"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), r'{ISA_EL_RE}', 0)"
+            )
+        ).alias("_el"),
+    )
+    pairs = els.select(
+        "_u",
+        F.regexp_extract(F.col("_el"), ISA_SUBJ_RE, 1).alias("child"),
+        F.regexp_extract(F.col("_el"), ISA_OBJ_RE, 1).alias("parent"),
+    ).distinct()
+    return pairs.groupBy("child", "parent").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def copula_isa_oracle_sql(sentences_sql: str) -> str:
+    """DuckDB twin of copula_isa; `sentences_sql` yields (url,
+    sentence)."""
+    return f"""
+WITH s AS ({sentences_sql}),
+els AS (SELECT url,
+          unnest(regexp_extract_all(lower(sentence),
+            '\\b[a-z][a-z0-9-]+ (?:is|are) (?:a|an|the) [a-z][a-z0-9-]+', 0)) AS el
+        FROM s),
+p AS (SELECT DISTINCT url,
+        regexp_extract(el, '^([a-z0-9-]+) ', 1) AS child,
+        regexp_extract(el, ' ([a-z0-9-]+)$', 1) AS parent
+      FROM els)
+SELECT child, parent, count(*)::BIGINT AS n_docs
+FROM p GROUP BY child, parent
+"""
