@@ -2232,6 +2232,33 @@ def q_copula_isa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copula_isa(sents)
 
 
+def q_mined_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mining->closure chain composed end-to-end: copula is-a
+    candidates over chained hypernym sentences ('kindK is a
+    kind(K div 3)'), support-floored, self-edges dropped, then the
+    min-plus doubling closure — ancestors at exact minimal depth
+    (chains reach depth 3: kind24 -> kind8 -> kind2 -> kind0)."""
+    from easyner_spark.operators.graph import isa_closure
+    from easyner_spark.operators.triples import copula_isa
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    k = (did % 25).cast("string")
+    p = F.expr("(doc_id % 25) div 3").cast("string")
+    sents = d.select(
+        did.cast("string").alias("url"),
+        F.concat(
+            F.col("text"),
+            F.lit(" A kind"), k, F.lit(" is a kind"), p, F.lit(" again."),
+        ).alias("sentence"),
+    )
+    cands = copula_isa(sents)
+    edges = cands.where(
+        (F.col("n_docs") >= 2) & (F.col("child") != F.col("parent"))
+    ).select("child", "parent")
+    return isa_closure(edges, max_depth=16)
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -4109,6 +4136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contacts": q_contacts,
         "geo": q_geo,
         "copula_isa": q_copula_isa,
+        "mined_taxonomy": q_mined_taxonomy,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -5175,6 +5203,33 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _mined_taxonomy_oracle() -> str:
+    """q_mined_taxonomy oracle: the chained-hypernym mining flattened
+    into the WITH RECURSIVE prefix the closure twin requires (flat
+    chain per the nested-WITH quirk; explicit self-edge drop)."""
+    from easyner_spark.operators.graph import isa_closure_oracle_sql
+
+    prefix = r"""WITH RECURSIVE csent AS (
+  SELECT doc_id::VARCHAR AS url,
+    text || ' A kind' || (doc_id % 25) || ' is a kind'
+    || ((doc_id % 25) // 3) || ' again.' AS sentence
+  FROM documents
+),
+cels AS (SELECT url,
+           unnest(regexp_extract_all(lower(sentence),
+             '\b[a-z][a-z0-9-]+ (?:is|are) (?:a|an|the) [a-z][a-z0-9-]+',
+             0)) AS el
+         FROM csent),
+cp AS (SELECT DISTINCT url,
+         regexp_extract(el, '^([a-z0-9-]+) ', 1) AS child,
+         regexp_extract(el, ' ([a-z0-9-]+)$', 1) AS parent
+       FROM cels),
+ced AS (SELECT child, parent, count(*)::BIGINT AS n
+        FROM cp GROUP BY child, parent),
+e AS (SELECT child, parent FROM ced WHERE n >= 2 AND child != parent)"""
+    return isa_closure_oracle_sql(prefix, max_depth=16)
 
 
 def _copula_isa_oracle() -> str:
@@ -7151,6 +7206,7 @@ FROM cst s JOIN cng n
         "contacts": _contacts_oracle(),
         "geo": _geo_oracle(),
         "copula_isa": _copula_isa_oracle(),
+        "mined_taxonomy": _mined_taxonomy_oracle(),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",
