@@ -2822,6 +2822,38 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_sitemaps(robots)
 
 
+def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-index parsing over multi-line shard announcements: two
+    children per index (one with lastmod), plus a spec-invalid
+    loc-less block dropped."""
+    from easyner_spark.operators.webtext import sitemap_index_parse
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    h = (did % 11).cast("string")
+    xml = F.concat(
+        F.lit("<sitemapindex>\n<sitemap>\n  <loc>https://s"),
+        h,
+        F.lit(".example.org/sm-"),
+        did.cast("string"),
+        F.lit("-a.xml</loc>\n  <lastmod>2026-0"),
+        ((did % 9) + 1).cast("string"),
+        F.lit("-05</lastmod>\n</sitemap>\n<sitemap><loc>https://s"),
+        h,
+        F.lit(".example.org/sm-"),
+        did.cast("string"),
+        F.lit("-b.xml</loc></sitemap>\n"
+              "<sitemap><lastmod>2026-01-01</lastmod></sitemap>\n"
+              "</sitemapindex>"),
+    )
+    indexes = d.select(
+        F.concat(F.lit("https://s"), h, F.lit(".example.org/smi-"),
+                 did.cast("string"), F.lit(".xml")).alias("url"),
+        xml.alias("sitemap_xml"),
+    )
+    return sitemap_index_parse(indexes)
+
+
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parsing over 13 synthetic hosts: named-agent blocks
     dropped, '*' block kept, comments stripped (incl. trailing),
@@ -4137,6 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo": q_geo,
         "copula_isa": q_copula_isa,
         "mined_taxonomy": q_mined_taxonomy,
+        "sitemap_index": q_sitemap_index,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -5203,6 +5236,27 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _sitemap_index_oracle() -> str:
+    """q_sitemap_index oracle: the shard-announcement synthesis
+    through the operator's module-local twin."""
+    from easyner_spark.operators.webtext import sitemap_index_parse_oracle_sql
+
+    indexes_sql = """
+SELECT 'https://s' || (doc_id % 11) || '.example.org/smi-' || doc_id
+         || '.xml' AS url,
+  '<sitemapindex>' || chr(10) || '<sitemap>' || chr(10)
+  || '  <loc>https://s' || (doc_id % 11) || '.example.org/sm-' || doc_id
+  || '-a.xml</loc>' || chr(10) || '  <lastmod>2026-0' || (doc_id % 9 + 1)
+  || '-05</lastmod>' || chr(10) || '</sitemap>' || chr(10)
+  || '<sitemap><loc>https://s' || (doc_id % 11) || '.example.org/sm-'
+  || doc_id || '-b.xml</loc></sitemap>' || chr(10)
+  || '<sitemap><lastmod>2026-01-01</lastmod></sitemap>' || chr(10)
+  || '</sitemapindex>' AS sitemap_xml
+FROM documents
+"""
+    return sitemap_index_parse_oracle_sql(indexes_sql)
 
 
 def _mined_taxonomy_oracle() -> str:
@@ -7207,6 +7261,7 @@ FROM cst s JOIN cng n
         "geo": _geo_oracle(),
         "copula_isa": _copula_isa_oracle(),
         "mined_taxonomy": _mined_taxonomy_oracle(),
+        "sitemap_index": _sitemap_index_oracle(),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

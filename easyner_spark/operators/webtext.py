@@ -3764,3 +3764,63 @@ m AS (
 SELECT DISTINCT url, ph.p AS platform, ph.h AS handle
 FROM m WHERE ph IS NOT NULL
 """
+
+
+# sitemap-index contract: <sitemap> blocks (the nesting level above
+# sitemap_parse's <url> blocks), same element-then-field pattern
+SITEMAP_IDX_RE = r"<sitemap>[\s\S]*?</sitemap>"
+
+
+def sitemap_index_parse(
+    indexes: DataFrame,
+    url_col: str = "url",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Sitemap INDEX parser — the nesting level sitemap_parse doesn't
+    cover: big sites shard their urls across child sitemaps and
+    announce them in a <sitemapindex> of <sitemap><loc> entries (the
+    spec caps each child at 50k urls, so any large site HAS an
+    index). Output: (index_url, child_sitemap, lastmod) — feed the
+    children back through fetch + sitemap_parse to complete the
+    discovery recursion; lastmod gates which shards need refetching
+    (the stale_announcements shape one level up). Entries without a
+    <loc> are dropped (spec-invalid).
+
+    Zero shuffle: one regexp_extract_all + explode per index."""
+    blocks = indexes.select(
+        F.col(url_col).alias("index_url"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(cast({xml_col} as string),"
+                f" r'{SITEMAP_IDX_RE}', 0)"  # r'': keep \s\S literal
+            )
+        ).alias("_b"),
+    )
+    return blocks.select(
+        "index_url",
+        F.nullif(
+            F.regexp_extract(F.col("_b"), SITEMAP_LOC_RE, 1), F.lit("")
+        ).alias("child_sitemap"),
+        F.nullif(
+            F.regexp_extract(F.col("_b"), SITEMAP_LASTMOD_RE, 1), F.lit("")
+        ).alias("lastmod"),
+    ).where(F.col("child_sitemap").isNotNull())
+
+
+def sitemap_index_parse_oracle_sql(indexes_sql: str) -> str:
+    """DuckDB twin of sitemap_index_parse; `indexes_sql` yields
+    (url, sitemap_xml)."""
+    return f"""
+WITH ix AS ({indexes_sql}),
+b AS (SELECT url AS index_url,
+        unnest(regexp_extract_all(sitemap_xml,
+          '<sitemap>[\\s\\S]*?</sitemap>', 0)) AS blk
+      FROM ix)
+SELECT index_url,
+  nullif(regexp_extract(blk, '<loc>([^<]*)</loc>', 1), '')
+    AS child_sitemap,
+  nullif(regexp_extract(blk, '<lastmod>([^<]*)</lastmod>', 1), '')
+    AS lastmod
+FROM b
+WHERE nullif(regexp_extract(blk, '<loc>([^<]*)</loc>', 1), '') IS NOT NULL
+"""
