@@ -2259,6 +2259,46 @@ def q_mined_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isa_closure(edges, max_depth=16)
 
 
+def q_declarations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-declared page metadata over 4 variants: full declarations
+    (rotating lang), lang-only, charset-only, and nothing — the
+    declared side of the declared-vs-detected language QA pair."""
+    from easyner_spark.operators.webtext import page_declarations
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("sv")),
+        (did % 4 + 1).cast("int"),
+    )
+    html = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<html lang="'), lang,
+                F.lit('"><head><meta charset="utf-8">'
+                      '<meta property="og:locale" content="'),
+                lang, F.lit('_x"></head></html>'),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(F.lit('<html lang="'), lang, F.lit('"><p>x</p></html>')),
+        )
+        .otherwise(
+            F.when(
+                did % 2 == 0,
+                F.lit('<html><meta charset="iso-8859-1"></html>'),
+            ).otherwise(F.lit("<html><p>none</p></html>"))
+        )
+    )
+    pages = d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return page_declarations(pages)
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template profile over 11 hosts x 3 engineered path
     shapes: numeric post ids fold to '/post/{N}/comments', md5-derived
@@ -4170,6 +4210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copula_isa": q_copula_isa,
         "mined_taxonomy": q_mined_taxonomy,
         "sitemap_index": q_sitemap_index,
+        "declarations": q_declarations,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -5236,6 +5277,34 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _declarations_oracle() -> str:
+    """q_declarations oracle: the four-variant synthesis through the
+    operator's module-local twin."""
+    from easyner_spark.operators.webtext import page_declarations_oracle_sql
+
+    pages_sql = """
+SELECT 'u' || doc_id AS url,
+  (CASE WHEN doc_id % 3 = 0
+    THEN '<html lang="'
+      || (CASE (doc_id % 4) WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+           WHEN 2 THEN 'fr' ELSE 'sv' END)
+      || '"><head><meta charset="utf-8"><meta property="og:locale" content="'
+      || (CASE (doc_id % 4) WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+           WHEN 2 THEN 'fr' ELSE 'sv' END)
+      || '_x"></head></html>'
+   WHEN doc_id % 3 = 1
+    THEN '<html lang="'
+      || (CASE (doc_id % 4) WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+           WHEN 2 THEN 'fr' ELSE 'sv' END)
+      || '"><p>x</p></html>'
+   WHEN doc_id % 2 = 0
+    THEN '<html><meta charset="iso-8859-1"></html>'
+   ELSE '<html><p>none</p></html>' END) AS html
+FROM documents
+"""
+    return page_declarations_oracle_sql(pages_sql)
 
 
 def _sitemap_index_oracle() -> str:
@@ -7262,6 +7331,7 @@ FROM cst s JOIN cng n
         "copula_isa": _copula_isa_oracle(),
         "mined_taxonomy": _mined_taxonomy_oracle(),
         "sitemap_index": _sitemap_index_oracle(),
+        "declarations": _declarations_oracle(),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

@@ -3824,3 +3824,55 @@ SELECT index_url,
 FROM b
 WHERE nullif(regexp_extract(blk, '<loc>([^<]*)</loc>', 1), '') IS NOT NULL
 """
+
+
+# page-declaration contract (same double-quoted fixed-format class)
+DECL_HTML_LANG_RE = r'<html[^>]* lang="([^"]*)"'
+DECL_OG_LOCALE_RE = r'<meta property="og:locale" content="([^"]*)"'
+DECL_CHARSET_RE = r'<meta charset="([^"]*)"'
+
+
+def page_declarations(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Self-declared page metadata: (url, html_lang, og_locale,
+    charset) from the <html lang> attribute, og:locale, and <meta
+    charset> — the DECLARED side of the declared-vs-detected QA pair:
+    join against textstats.lang_id and a page whose declaration
+    disagrees with its content flags mislabeled boilerplate,
+    scraped/machine-translated text, or a template bug (and
+    hreflang_clusters members whose html_lang contradicts their
+    declared variant are mislabeled translations). Values lowercased;
+    NULL when absent.
+
+    Zero shuffle: three scan-fused pulls over lower(html).
+    """
+    h = F.lower(F.col(html_col).cast("string"))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.nullif(
+            F.regexp_extract(h, DECL_HTML_LANG_RE, 1), F.lit("")
+        ).alias("html_lang"),
+        F.nullif(
+            F.regexp_extract(h, DECL_OG_LOCALE_RE, 1), F.lit("")
+        ).alias("og_locale"),
+        F.nullif(
+            F.regexp_extract(h, DECL_CHARSET_RE, 1), F.lit("")
+        ).alias("charset"),
+    )
+
+
+def page_declarations_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of page_declarations; `pages_sql` yields
+    (url, html)."""
+    return f"""
+WITH pg AS ({pages_sql}),
+h AS (SELECT url, lower(html) AS lh FROM pg)
+SELECT url,
+  nullif(regexp_extract(lh, '<html[^>]* lang="([^"]*)"', 1), '')
+    AS html_lang,
+  nullif(regexp_extract(lh, '<meta property="og:locale" content="([^"]*)"', 1), '')
+    AS og_locale,
+  nullif(regexp_extract(lh, '<meta charset="([^"]*)"', 1), '') AS charset
+FROM h
+"""
