@@ -2259,6 +2259,41 @@ def q_mined_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isa_closure(edges, max_depth=16)
 
 
+def q_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glossary extraction over deterministic <dl> synthesis: every
+    page defines (doc_id % 4 + 1) terms; every 5th page adds an
+    orphan <dt> (no following <dd>, contributes nothing)."""
+    from easyner_spark.operators.webtext import extract_definitions
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    idxs = F.sequence(F.lit(1), (did % 4 + 1).cast("int"))
+    defs = F.concat_ws(
+        "",
+        F.transform(
+            idxs,
+            lambda i: F.concat(
+                F.lit("<dt>Term "), i.cast("string"),
+                F.lit("-"), (did % 9).cast("string"),
+                F.lit("</dt> <dd>meaning "), i.cast("string"),
+                F.lit(" of group "), (did % 9).cast("string"),
+                F.lit("</dd>"),
+            ),
+        ),
+    )
+    html = F.concat(
+        F.lit("<html><dl>"),
+        defs,
+        F.when(did % 5 == 0, F.lit("<dt>orphan</dt>")).otherwise(F.lit("")),
+        F.lit("</dl></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return extract_definitions(pages)
+
+
 def q_declarations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-declared page metadata over 4 variants: full declarations
     (rotating lang), lang-only, charset-only, and nothing — the
@@ -4211,6 +4246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mined_taxonomy": q_mined_taxonomy,
         "sitemap_index": q_sitemap_index,
         "declarations": q_declarations,
+        "definitions": q_definitions,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -5277,6 +5313,27 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _definitions_oracle() -> str:
+    """q_definitions oracle: the same <dl> synthesis through the
+    operator's module-local twin."""
+    from easyner_spark.operators.webtext import (
+        extract_definitions_oracle_sql,
+    )
+
+    pages_sql = """
+SELECT 'u' || doc_id AS url,
+  '<html><dl>'
+  || array_to_string(list_transform(range(1, (doc_id % 4 + 1) + 1),
+       i -> '<dt>Term ' || i || '-' || (doc_id % 9)
+            || '</dt> <dd>meaning ' || i || ' of group '
+            || (doc_id % 9) || '</dd>'), '')
+  || (CASE WHEN doc_id % 5 = 0 THEN '<dt>orphan</dt>' ELSE '' END)
+  || '</dl></html>' AS html
+FROM documents
+"""
+    return extract_definitions_oracle_sql(pages_sql)
 
 
 def _declarations_oracle() -> str:
@@ -7332,6 +7389,7 @@ FROM cst s JOIN cng n
         "mined_taxonomy": _mined_taxonomy_oracle(),
         "sitemap_index": _sitemap_index_oracle(),
         "declarations": _declarations_oracle(),
+        "definitions": _definitions_oracle(),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

@@ -3876,3 +3876,87 @@ SELECT url,
   nullif(regexp_extract(lh, '<meta charset="([^"]*)"', 1), '') AS charset
 FROM h
 """
+
+
+# definition-list contract: <dl> blocks matched whole; inside, <dt>
+# terms pair with the <dd> that FOLLOWS them (the HTML glossary
+# semantic); [^<]* runs, same tolerance class as the other structures
+DL_EL_RE = r"(?s)<dl[^>]*>.*?</dl>"
+DT_DD_RE = r"<dt[^>]*>([^<]*)</dt>\s*<dd[^>]*>([^<]*)</dd>"
+
+
+def extract_definitions(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Glossary extraction: (url, dl_idx, def_idx, term, definition)
+    per <dt>/<dd> pair inside <dl> blocks — the fourth structured
+    surface (tables, headings, lists, definitions): glossaries, FAQ
+    schemas, and spec sheets define terms IN PLACE, giving the KG
+    definition-grade (term, MEANS, text) facts with none of the
+    copula pattern's ambiguity. Terms lowercased/trimmed (the
+    canonical comparison form), definitions kept verbatim-trimmed;
+    a <dt> without an adjacent following <dd> contributes nothing.
+
+    Zero shuffle: two stacked posexplodes over scan-fused
+    regexp_extract_all (block first, pair second — a pair never
+    crosses a <dl> boundary).
+    """
+    blocks = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all(cast({html_col} as string),"
+                f" '{DL_EL_RE}', 0)"
+            )
+        ).alias("dl_idx", "_b"),
+    )
+    pairs = blocks.select(
+        "url",
+        "dl_idx",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(_b, r'{DT_DD_RE}', 0)")
+        ).alias("def_idx", "_p"),
+    )
+    return pairs.select(
+        "url",
+        "dl_idx",
+        "def_idx",
+        F.lower(F.trim(F.regexp_extract(F.col("_p"), DT_DD_RE, 1))).alias(
+            "term"
+        ),
+        F.trim(F.regexp_extract(F.col("_p"), DT_DD_RE, 2)).alias(
+            "definition"
+        ),
+    ).where((F.col("term") != "") & (F.col("definition") != ""))
+
+
+def extract_definitions_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of extract_definitions; `pages_sql` yields
+    (url, html)."""
+    return f"""
+WITH pg AS ({pages_sql}),
+b AS (SELECT url,
+        regexp_extract_all(html, '(?s)<dl[^>]*>.*?</dl>', 0) AS bs
+      FROM pg),
+bl AS (SELECT url, u.i::INT AS dl_idx, u.v AS blk
+       FROM (SELECT url, unnest(list_transform(range(0, len(bs)),
+               i -> {{'i': i, 'v': bs[(i+1)::INT]}})) AS u FROM b)),
+pr AS (SELECT url, dl_idx, u.i::INT AS def_idx, u.v AS p
+       FROM (SELECT url, dl_idx,
+               unnest(list_transform(range(0, len(ps)),
+                 i -> {{'i': i, 'v': ps[(i+1)::INT]}})) AS u
+             FROM (SELECT url, dl_idx,
+                     regexp_extract_all(blk,
+                       '<dt[^>]*>([^<]*)</dt>\\s*<dd[^>]*>([^<]*)</dd>',
+                       0) AS ps FROM bl)))
+SELECT url, dl_idx, def_idx,
+  lower(trim(regexp_extract(p,
+    '<dt[^>]*>([^<]*)</dt>\\s*<dd[^>]*>([^<]*)</dd>', 1))) AS term,
+  trim(regexp_extract(p,
+    '<dt[^>]*>([^<]*)</dt>\\s*<dd[^>]*>([^<]*)</dd>', 2)) AS definition
+FROM pr
+WHERE lower(trim(regexp_extract(p,
+    '<dt[^>]*>([^<]*)</dt>\\s*<dd[^>]*>([^<]*)</dd>', 1))) != ''
+  AND trim(regexp_extract(p,
+    '<dt[^>]*>([^<]*)</dt>\\s*<dd[^>]*>([^<]*)</dd>', 2)) != ''
+"""
