@@ -2294,6 +2294,25 @@ def q_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_definitions(pages)
 
 
+def q_host_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host language mixture composing the REAL lang_id
+    predictions over the documents table with a deterministic 7-host
+    assignment — exact micro-unit shares per (host, lang)."""
+    from easyner_spark.operators.textstats import host_lang_mix, lang_id
+
+    d = _docs(spark, sf_dir)
+    lp = lang_id(d).select(
+        "doc_id", "lang_pred"
+    )
+    rows = lp.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+            "host"
+        ),
+        "lang_pred",
+    )
+    return host_lang_mix(rows)
+
+
 def q_declarations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-declared page metadata over 4 variants: full declarations
     (rotating lang), lang-only, charset-only, and nothing — the
@@ -4247,6 +4266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_index": q_sitemap_index,
         "declarations": q_declarations,
         "definitions": q_definitions,
+        "host_langs": q_host_langs,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -6443,6 +6463,7 @@ def oracle_sql() -> dict[str, str]:
         inverted_postings_oracle_sql,
     )
     from easyner_spark.operators.analysis import entity_salience_oracle_sql
+    from easyner_spark.operators.textstats import host_lang_mix_oracle_sql
     from easyner_spark.operators.dedup import repeated_spans_oracle_sql
     from easyner_spark.operators.nel import name_similarity_oracle_sql
     from easyner_spark.operators.graph import isa_closure_oracle_sql
@@ -7390,6 +7411,12 @@ FROM cst s JOIN cng n
         "sitemap_index": _sitemap_index_oracle(),
         "declarations": _declarations_oracle(),
         "definitions": _definitions_oracle(),
+        # Per-host language mixture: the REAL lang_id oracle body as
+        # the rows subquery (FROM-nesting, plain WITH)
+        "host_langs": host_lang_mix_oracle_sql(
+            "SELECT 'h' || (doc_id % 7) AS host, lang_pred AS lang"
+            f" FROM ({langid_sql})"
+        ),
         # Negation QA: same prelude, every 4th sentence cue-injected
         "edge_negation": _PRELUDE
         + r""",

@@ -745,3 +745,43 @@ WITH d AS ({docs_sql})
 UNION ALL
 {phones}
 """
+
+
+def host_lang_mix(
+    rows: DataFrame,
+    host_col: str = "host",
+    lang_col: str = "lang_pred",
+) -> DataFrame:
+    """Per-host language mixture: (host, lang, n_docs, pct_micro) —
+    the curation-planning table over lang_id's predictions: which
+    hosts are monolingual (route whole-host), which are multilingual
+    (route per-page), and which report a language their content
+    doesn't match (join page_declarations for the declared side).
+    pct_micro is the exact BIGINT micro-unit share of the host's docs.
+
+    Scale (1 data shuffle): the composite (host, lang) rollup; host
+    totals re-aggregate the ROLLUP's output (|hosts| x |langs| rows,
+    tiny) and join back AQE-decided — raw rows never shuffle twice.
+    """
+    cnt = rows.groupBy(
+        F.col(host_col).alias("host"), F.col(lang_col).alias("lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = cnt.groupBy("host").agg(F.sum("n_docs").alias("_t"))
+    return cnt.join(tot, "host").select(
+        "host",
+        "lang",
+        "n_docs",
+        F.expr("n_docs * 1000000 div _t").alias("pct_micro"),
+    )
+
+
+def host_lang_mix_oracle_sql(rows_sql: str) -> str:
+    """DuckDB twin of host_lang_mix; `rows_sql` yields (host, lang)."""
+    return f"""
+WITH r AS ({rows_sql}),
+cnt AS (SELECT host, lang, count(*)::BIGINT AS n_docs
+        FROM r GROUP BY host, lang),
+tot AS (SELECT host, sum(n_docs)::BIGINT AS t FROM cnt GROUP BY host)
+SELECT c.host, c.lang, c.n_docs, c.n_docs * 1000000 // t.t AS pct_micro
+FROM cnt c JOIN tot t ON c.host = t.host
+"""
