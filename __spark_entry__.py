@@ -2313,6 +2313,47 @@ def q_host_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_lang_mix(rows)
 
 
+def q_definition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The glossary-to-KG composition: extract_definitions over <dl>
+    terms rotating through the alias dictionary, linked by the same
+    broadcast primary-alias join the NEL layer uses — (url, term,
+    entity_id, definition) definition-grade facts; 'window' stays
+    unlinked ('' id, the NEL miss contract)."""
+    from easyner_spark.operators.nel import primary_alias
+    from easyner_spark.operators.webtext import extract_definitions
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    term = F.element_at(
+        F.array(F.lit("hash"), F.lit("merge"), F.lit("spark"),
+                F.lit("window"), F.lit("sort table")),
+        (did % 5 + 1).cast("int"),
+    )
+    html = F.concat(
+        F.lit("<html><dl><dt>"), term,
+        F.lit("</dt><dd>meaning of "), term,
+        F.lit(" in doc "), did.cast("string"),
+        F.lit("</dd></dl></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    defs = extract_definitions(pages)
+    pa = primary_alias(_alias_df(spark)).select(
+        F.col("term").alias("_t"), F.col("ID")
+    )
+    return (
+        defs.join(F.broadcast(pa), defs["term"] == pa["_t"], "left")
+        .select(
+            "url",
+            "term",
+            F.coalesce(F.col("ID"), F.lit("")).alias("entity_id"),
+            "definition",
+        )
+    )
+
+
 def q_declarations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-declared page metadata over 4 variants: full declarations
     (rotating lang), lang-only, charset-only, and nothing — the
@@ -4267,6 +4308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "declarations": q_declarations,
         "definitions": q_definitions,
         "host_langs": q_host_langs,
+        "definition_edges": q_definition_edges,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -5333,6 +5375,36 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _definition_edges_oracle() -> str:
+    """q_definition_edges oracle: the rotating-term <dl> synthesis
+    through the extraction twin, left-joined to the SAME ALIAS list
+    (primary-alias min(ID) fold) inlined as VALUES."""
+    from easyner_spark.operators.webtext import (
+        extract_definitions_oracle_sql,
+    )
+
+    pages_sql = """
+SELECT 'u' || doc_id AS url,
+  '<html><dl><dt>'
+  || (CASE (doc_id % 5) WHEN 0 THEN 'hash' WHEN 1 THEN 'merge'
+       WHEN 2 THEN 'spark' WHEN 3 THEN 'window' ELSE 'sort table' END)
+  || '</dt><dd>meaning of '
+  || (CASE (doc_id % 5) WHEN 0 THEN 'hash' WHEN 1 THEN 'merge'
+       WHEN 2 THEN 'spark' WHEN 3 THEN 'window' ELSE 'sort table' END)
+  || ' in doc ' || doc_id || '</dd></dl></html>' AS html
+FROM documents
+"""
+    alias_values = ", ".join(f"('{t}', '{i}')" for t, i in ALIAS)
+    defs = extract_definitions_oracle_sql(pages_sql)
+    return f"""
+WITH dfs AS (SELECT * FROM ({defs})),
+al AS (SELECT term, min(id) AS id
+       FROM (VALUES {alias_values}) a(term, id) GROUP BY term)
+SELECT d.url, d.term, coalesce(al.id, '') AS entity_id, d.definition
+FROM dfs d LEFT JOIN al ON d.term = al.term
+"""
 
 
 def _definitions_oracle() -> str:
@@ -7413,6 +7485,7 @@ FROM cst s JOIN cng n
         "definitions": _definitions_oracle(),
         # Per-host language mixture: the REAL lang_id oracle body as
         # the rows subquery (FROM-nesting, plain WITH)
+        "definition_edges": _definition_edges_oracle(),
         "host_langs": host_lang_mix_oracle_sql(
             "SELECT 'h' || (doc_id % 7) AS host, lang_pred AS lang"
             f" FROM ({langid_sql})"
