@@ -2354,6 +2354,40 @@ def q_definition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_amp_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMP-variant folding composed end-to-end: every 2nd page
+    declares an amphtml mirror (root-relative on every 4th); the
+    edges feed url_equivalence so page + AMP variant land in one
+    canonical class."""
+    from easyner_spark.operators.webtext import (
+        extract_amphtml,
+        url_equivalence,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    amp = F.when(
+        did % 4 == 0, F.concat(F.lit('<link rel="amphtml" href="/amp/'), s,
+                               F.lit('">')),
+    ).otherwise(
+        F.concat(F.lit('<link rel="amphtml" href="https://m'),
+                 (did % 7).cast("string"), F.lit(".example.org/amp/"), s,
+                 F.lit('">')),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(did % 2 == 0, amp).otherwise(F.lit("")),
+        F.lit("</head></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://m"), (did % 7).cast("string"),
+                 F.lit(".example.org/p/"), s).alias("url"),
+        html.alias("html"),
+    )
+    return url_equivalence(pages, extract_amphtml(pages))
+
+
 def q_declarations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-declared page metadata over 4 variants: full declarations
     (rotating lang), lang-only, charset-only, and nothing — the
@@ -4309,6 +4343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "definitions": q_definitions,
         "host_langs": q_host_langs,
         "definition_edges": q_definition_edges,
+        "amp_fold": q_amp_fold,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -5375,6 +5410,33 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+_AMP_PAGES_SQL = """
+SELECT 'https://m' || (doc_id % 7) || '.example.org/p/' || doc_id AS url,
+  '<html><head>'
+  || (CASE WHEN doc_id % 2 = 0 THEN
+        (CASE WHEN doc_id % 4 = 0
+          THEN '<link rel="amphtml" href="/amp/' || doc_id || '">'
+          ELSE '<link rel="amphtml" href="https://m' || (doc_id % 7)
+               || '.example.org/amp/' || doc_id || '">' END)
+      ELSE '' END)
+  || '</head></html>' AS html
+FROM documents
+"""
+
+
+def _amp_fold_oracle() -> str:
+    """q_amp_fold oracle: the amphtml twin as url_equivalence's
+    redirects subquery over the shared synthesis."""
+    from easyner_spark.operators.webtext import (
+        extract_amphtml_oracle_sql,
+        url_equivalence_oracle_sql,
+    )
+
+    return url_equivalence_oracle_sql(
+        _AMP_PAGES_SQL, extract_amphtml_oracle_sql(_AMP_PAGES_SQL)
+    )
 
 
 def _definition_edges_oracle() -> str:
@@ -7486,6 +7548,7 @@ FROM cst s JOIN cng n
         # Per-host language mixture: the REAL lang_id oracle body as
         # the rows subquery (FROM-nesting, plain WITH)
         "definition_edges": _definition_edges_oracle(),
+        "amp_fold": _amp_fold_oracle(),
         "host_langs": host_lang_mix_oracle_sql(
             "SELECT 'h' || (doc_id % 7) AS host, lang_pred AS lang"
             f" FROM ({langid_sql})"

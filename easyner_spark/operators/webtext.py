@@ -3960,3 +3960,51 @@ WHERE lower(trim(regexp_extract(p,
   AND trim(regexp_extract(p,
     '<dt[^>]*>([^<]*)</dt>\\s*<dd[^>]*>([^<]*)</dd>', 2)) != ''
 """
+
+
+# AMP contract: same double-quoted fixed-order class
+AMP_EL_RE = r'<link rel="amphtml" href="([^"]*)"'
+
+
+def extract_amphtml(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """AMP-variant declarations: (src, dst) per rel=amphtml link —
+    the FIFTH url-equivalence evidence source (after rel=canonical,
+    redirects, normalization, and og:url): a page and its AMP mirror
+    are the same document, and treating them as distinct double-counts
+    content in dedup and splits link equity in ranking. Feed directly
+    to url_equivalence's `redirects` argument (same (src, dst) edge
+    shape). Targets resolved via resolve_href (AMP pages are often
+    declared root-relative under /amp/).
+
+    Zero shuffle: scan-fused extraction + resolution.
+    """
+    els = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower(cast({html_col} as string)),"
+                f" '{AMP_EL_RE}', 1)"
+            )
+        ).alias("_href"),
+    )
+    return els.select(
+        "src",
+        resolve_href(F.col("src"), F.col("_href")).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+
+
+def extract_amphtml_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of extract_amphtml; `pages_sql` yields (url, html)."""
+    resolve = href_resolve_case_sql("src", "href")
+    return f"""
+WITH pg AS ({pages_sql}),
+e AS (SELECT url AS src,
+        unnest(regexp_extract_all(lower(html),
+          '<link rel="amphtml" href="([^"]*)"', 1)) AS href
+      FROM pg)
+SELECT src, dst FROM (
+  SELECT src, {resolve} AS dst FROM e
+) WHERE dst IS NOT NULL
+"""
