@@ -2388,6 +2388,44 @@ def q_amp_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_equivalence(pages, extract_amphtml(pages))
 
 
+def q_jsonld_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-fact pulls over mixed JSON-LD blocks: Event blocks
+    (startDate + location) on even docs, Product blocks (price) on
+    odd — one generic puller, the block's @type as class context."""
+    from easyner_spark.operators.webtext import jsonld_fields
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    block = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type": "Event", "name": "ev '),
+            s,
+            F.lit('", "startDate": "2026-0'),
+            (did % 9 + 1).cast("string"),
+            F.lit('-01", "location": "City '),
+            (did % 13).cast("string"),
+            F.lit('"}</script>'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type": "Product", "name": "w '),
+            s,
+            F.lit('", "price": "'),
+            (did % 90 + 10).cast("string"),
+            F.lit('.50"}</script>'),
+        )
+    )
+    pages = d.select(
+        F.concat(F.lit("u"), s).alias("url"),
+        F.concat(F.lit("<html>"), block, F.lit("</html>")).alias("html"),
+    )
+    return jsonld_fields(pages)
+
+
 def q_declarations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-declared page metadata over 4 variants: full declarations
     (rotating lang), lang-only, charset-only, and nothing — the
@@ -4344,6 +4382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_langs": q_host_langs,
         "definition_edges": q_definition_edges,
         "amp_fold": q_amp_fold,
+        "jsonld_fields": q_jsonld_fields,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -5410,6 +5449,27 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _jsonld_fields_oracle() -> str:
+    """q_jsonld_fields oracle: the Event/Product synthesis through the
+    operator's module-local twin."""
+    from easyner_spark.operators.webtext import jsonld_fields_oracle_sql
+
+    pages_sql = """
+SELECT 'u' || doc_id AS url,
+  '<html>'
+  || (CASE WHEN doc_id % 2 = 0
+      THEN '<script type="application/ld+json">{"@type": "Event", "name": "ev '
+           || doc_id || '", "startDate": "2026-0' || (doc_id % 9 + 1)
+           || '-01", "location": "City ' || (doc_id % 13) || '"}</script>'
+      ELSE '<script type="application/ld+json">{"@type": "Product", "name": "w '
+           || doc_id || '", "price": "' || (doc_id % 90 + 10)
+           || '.50"}</script>' END)
+  || '</html>' AS html
+FROM documents
+"""
+    return jsonld_fields_oracle_sql(pages_sql)
 
 
 _AMP_PAGES_SQL = """
@@ -7549,6 +7609,7 @@ FROM cst s JOIN cng n
         # the rows subquery (FROM-nesting, plain WITH)
         "definition_edges": _definition_edges_oracle(),
         "amp_fold": _amp_fold_oracle(),
+        "jsonld_fields": _jsonld_fields_oracle(),
         "host_langs": host_lang_mix_oracle_sql(
             "SELECT 'h' || (doc_id % 7) AS host, lang_pred AS lang"
             f" FROM ({langid_sql})"

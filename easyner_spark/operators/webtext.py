@@ -4008,3 +4008,67 @@ SELECT src, dst FROM (
   SELECT src, {resolve} AS dst FROM e
 ) WHERE dst IS NOT NULL
 """
+
+
+def jsonld_fields(
+    pages: DataFrame,
+    fields: tuple[str, ...] = ("startDate", "location", "author", "price"),
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Generic JSON-LD field pulls: (url, block_idx, type, field,
+    value) — for each declared field name, the block's first string
+    value (same crawl-grade top-level-string contract as @type/name).
+    This is the typed-fact layer over extract_jsonld: an Event block
+    yields its startDate and location, a Product its price — each row
+    a (page entity, field, value) fact with the block's @type as the
+    class context, no per-schema operator needed. Field names are
+    matched case-SENSITIVELY (schema.org camelCase is normative);
+    blocks without a field emit no row for it.
+
+    Zero shuffle: rides extract_jsonld + one explode over the
+    bounded field list with scan-fused pulls.
+    """
+    jl = extract_jsonld(pages, html_col=html_col, url_col=url_col)
+    field_arr = F.array(*[F.lit(f) for f in fields])
+    rows = jl.select(
+        "url", "block_idx", "type", "payload",
+        F.explode(field_arr).alias("field"),
+    )
+    # per-field pull: one CASE arm per requested field (bounded list)
+    value = F.lit(None).cast("string")
+    for f in reversed(fields):
+        pulled = F.nullif(
+            F.regexp_extract(
+                F.col("payload"), '"' + f + r'"\s*:\s*"([^"]*)"', 1
+            ),
+            F.lit(""),
+        )
+        value = F.when(F.col("field") == f, pulled).otherwise(value)
+    return rows.select(
+        "url", "block_idx", "type", "field", value.alias("value")
+    ).where(F.col("value").isNotNull())
+
+
+def jsonld_fields_oracle_sql(
+    pages_sql: str,
+    fields: tuple[str, ...] = ("startDate", "location", "author", "price"),
+) -> str:
+    """DuckDB twin of jsonld_fields; `pages_sql` yields (url, html)."""
+    arms = "\n".join(
+        f"    WHEN field = '{f}' THEN"
+        f" nullif(regexp_extract(payload, '\"{f}\"\\s*:\\s*\"([^\"]*)\"', 1), '')"
+        for f in fields
+    )
+    field_list = ", ".join(f"'{f}'" for f in fields)
+    return f"""
+WITH {_jsonld_cte_sql(pages_sql)},
+fx AS (SELECT url, block_idx, type, payload, unnest([{field_list}]) AS field
+       FROM jl),
+v AS (SELECT url, block_idx, type, field,
+        CASE
+{arms}
+        ELSE NULL END AS value
+      FROM fx)
+SELECT url, block_idx, type, field, value FROM v WHERE value IS NOT NULL
+"""
