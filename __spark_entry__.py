@@ -2426,6 +2426,34 @@ def q_jsonld_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsonld_fields(pages)
 
 
+def q_anchor_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-rel classification over rotating rel variants: nofollow /
+    ugc sponsored / noopener / no rel — the follow flag the link graph
+    filters on before rank flows."""
+    from easyner_spark.operators.webtext import anchor_rels
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    rel = (
+        F.when(did % 4 == 0, F.lit(' rel="nofollow"'))
+        .when(did % 4 == 1, F.lit(' rel="ugc sponsored"'))
+        .when(did % 4 == 2, F.lit(' rel="noopener"'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit('<html><a href="https://t'), (did % 9).cast("string"),
+        F.lit(".example.org/x/"), s, F.lit('"'), rel,
+        F.lit(">out</a></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://a"), (did % 5).cast("string"),
+                 F.lit(".example.org/p/"), s).alias("url"),
+        html.alias("html"),
+    )
+    return anchor_rels(pages)
+
+
 def q_declarations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-declared page metadata over 4 variants: full declarations
     (rotating lang), lang-only, charset-only, and nothing — the
@@ -4383,6 +4411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "definition_edges": q_definition_edges,
         "amp_fold": q_amp_fold,
         "jsonld_fields": q_jsonld_fields,
+        "anchor_rels": q_anchor_rels,
         "compaction_plan": q_compaction_plan,
         "lang_quantiles": q_lang_quantiles,
         "alias_candidates": q_alias_candidates,
@@ -5449,6 +5478,25 @@ SELECT 'https://r' || doc_id || '.example.org/robots.txt' AS url,
 FROM documents
 """
     return robots_sitemaps_oracle_sql(robots_sql)
+
+
+def _anchor_rels_oracle() -> str:
+    """q_anchor_rels oracle: the rotating-rel synthesis through the
+    operator's module-local twin."""
+    from easyner_spark.operators.webtext import anchor_rels_oracle_sql
+
+    pages_sql = """
+SELECT 'https://a' || (doc_id % 5) || '.example.org/p/' || doc_id AS url,
+  '<html><a href="https://t' || (doc_id % 9) || '.example.org/x/'
+  || doc_id || '"'
+  || (CASE WHEN doc_id % 4 = 0 THEN ' rel="nofollow"'
+       WHEN doc_id % 4 = 1 THEN ' rel="ugc sponsored"'
+       WHEN doc_id % 4 = 2 THEN ' rel="noopener"'
+       ELSE '' END)
+  || '>out</a></html>' AS html
+FROM documents
+"""
+    return anchor_rels_oracle_sql(pages_sql)
 
 
 def _jsonld_fields_oracle() -> str:
@@ -7610,6 +7658,7 @@ FROM cst s JOIN cng n
         "definition_edges": _definition_edges_oracle(),
         "amp_fold": _amp_fold_oracle(),
         "jsonld_fields": _jsonld_fields_oracle(),
+        "anchor_rels": _anchor_rels_oracle(),
         "host_langs": host_lang_mix_oracle_sql(
             "SELECT 'h' || (doc_id % 7) AS host, lang_pred AS lang"
             f" FROM ({langid_sql})"

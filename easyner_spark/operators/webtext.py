@@ -4072,3 +4072,67 @@ v AS (SELECT url, block_idx, type, field,
       FROM fx)
 SELECT url, block_idx, type, field, value FROM v WHERE value IS NOT NULL
 """
+
+
+ANCHOR_REL_RE = r' rel="([^"]*)"'
+
+
+def anchor_rels(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Link-rel classification per anchor: (src, dst, rel, follow) —
+    rel="nofollow"/"ugc"/"sponsored" links must not pass rank or count
+    as endorsement evidence (the Google link-spam trichotomy), so the
+    link-graph layer filters on `follow` before host_graph / PageRank
+    and the frontier can deprioritize nofollow-only discoveries.
+    `rel` is the raw lowercased token list (NULL when absent);
+    `follow` is false when any of the three opt-out tokens appears.
+    Targets resolved via resolve_href, non-http dropped.
+
+    Zero shuffle: scan-fused anchor extraction + rel pull + resolve.
+    """
+    els = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower(cast({html_col} as string)),"
+                f" '{ANCHOR_EL_RE}', 0)"
+            )
+        ).alias("_el"),
+    )
+    rel = F.nullif(
+        F.regexp_extract(F.col("_el"), ANCHOR_REL_RE, 1), F.lit("")
+    )
+    return els.select(
+        "src",
+        resolve_href(
+            F.col("src"), F.regexp_extract(F.col("_el"), ANCHOR_HREF_RE, 1)
+        ).alias("dst"),
+        rel.alias("rel"),
+        (
+            ~F.coalesce(
+                rel.rlike(r"\b(nofollow|ugc|sponsored)\b"), F.lit(False)
+            )
+        ).alias("follow"),
+    ).where(F.col("dst").isNotNull())
+
+
+def anchor_rels_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of anchor_rels; `pages_sql` yields (url, html)."""
+    resolve = href_resolve_case_sql("src", "href")
+    return f"""
+WITH pg AS ({pages_sql}),
+a AS (SELECT url AS src,
+        unnest(regexp_extract_all(lower(html),
+          '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) AS el
+      FROM pg),
+f AS (SELECT src,
+        regexp_extract(el, 'href="([^"]*)"', 1) AS href,
+        nullif(regexp_extract(el, ' rel="([^"]*)"', 1), '') AS rel
+      FROM a)
+SELECT src, dst, rel,
+  NOT coalesce(regexp_matches(rel, '\\b(nofollow|ugc|sponsored)\\b'), FALSE)
+    AS follow
+FROM (SELECT src, {resolve} AS dst, rel FROM f)
+WHERE dst IS NOT NULL
+"""
