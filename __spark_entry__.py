@@ -3818,6 +3818,30 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (MOSS, SIGMOD 2003) over the
+    perturbed near-dup corpus: word-3-gram md5 hashes, window w=4,
+    min-per-window with the rightmost-tie rule — position-aware
+    fingerprints the set-based minhash/simhash paths don't provide.
+    Oracle replays the identical hash/key/window chain in DuckDB."""
+    from easyner_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs_perturbed(spark, sf_dir)).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "fp"
+    )
+
+
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs sharing >= 2 winnowing fingerprints,
+    df-capped (a fingerprint in > 200 docs is boilerplate and joins
+    nobody) — the position-aware complement to minhash_dedup."""
+    from easyner_spark.operators.dedup import winnow_candidate_pairs
+
+    return winnow_candidate_pairs(_docs_perturbed(spark, sf_dir)).select(
+        "a", "b", "n_shared"
+    )
+
+
 def q_fuzzy_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup: MinHash-LSH near-dup pairs -> connected
     components -> min-id group keeper (operators/dedup.neardup_groups).
@@ -4468,6 +4492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_dedup": q_simhash_dedup,
+        "winnow_fps": q_winnow_fps,
+        "winnow_dedup": q_winnow_dedup,
         "fuzzy_dedup_groups": q_fuzzy_dedup_groups,
         "incremental_dedup": q_incremental_dedup,
         "decontaminate": q_decontaminate,
@@ -4653,7 +4679,26 @@ FROM feat2
 
 
 def _dedup_oracles() -> dict[str, str]:
-    from easyner_spark.operators.dedup import BAND_ROWS, N_HASHES, SIMHASH_BITS
+    from easyner_spark.operators.dedup import (
+        BAND_ROWS,
+        N_HASHES,
+        SIMHASH_BITS,
+        winnow_candidate_pairs_oracle_sql,
+        winnow_fingerprints_oracle_sql,
+    )
+
+    # the SELECT twin of _docs_perturbed (ids +100000, first word
+    # dropped) — shared by the winnowing oracles
+    docs2_select = (
+        "SELECT doc_id AS id, text FROM documents UNION ALL "
+        "SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)"
+        " FROM documents"
+    )
+    winnow_fp_sql = winnow_fingerprints_oracle_sql(docs2_select).replace(
+        "SELECT doc_id, pos, fp FROM wfp",
+        "SELECT doc_id, pos::BIGINT AS pos, fp FROM wfp",
+    )
+    winnow_pair_sql = winnow_candidate_pairs_oracle_sql(docs2_select)
 
     n_bands = N_HASHES // BAND_ROWS
     docs2 = """
@@ -4800,6 +4845,8 @@ FROM per
         "minhash_dedup": minhash,
         "ngram_jaccard": jaccard,
         "simhash_dedup": simhash,
+        "winnow_fps": winnow_fp_sql,
+        "winnow_dedup": winnow_pair_sql,
         "fuzzy_dedup_groups": fuzzy_groups,
         "incremental_dedup": incremental,
         "decontaminate": decontaminate,

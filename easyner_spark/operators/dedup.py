@@ -993,3 +993,220 @@ JOIN tot tb ON d.contained = tb.id
 WHERE d.shared >= {min_shared}
   AND d.shared * 100 >= {min_containment_pct} * tb.n
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+def _ordered_grams(toks: Column, k: int) -> Column:
+    """Word k-grams IN DOCUMENT ORDER (winnowing needs positions, so
+    no distinct/sort — contrast :func:`_shingles_of`). Documents
+    shorter than k words contribute their whole word sequence as one
+    gram, the same short-doc rule as the shingle contract."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(F.size(toks) >= k, grams).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+# winnowing position-key contract: 8-hex gram hash, '#', then the
+# 9-digit zero-padded value (10^8 - pos) -- string min() == (smallest
+# hash, RIGHTMOST position on ties), the canonical winnowing tie rule.
+# Shared verbatim by the Spark path and the DuckDB oracle.
+_WINNOW_POS_BASE = 100_000_000
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """(doc_id, pos, fp) — winnowing fingerprint selection (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003): hash every word k-gram, slide a
+    window of `w` consecutive hashes, keep each window's minimum
+    (rightmost on ties), dedup the selections. Guarantees: any shared
+    run of >= w + k - 1 words between two documents shares at least
+    one fingerprint, while only ~2/(w+1) of grams are kept — a
+    position-aware near-dup/plagiarism signal the set-based
+    minhash/simhash paths can't provide (they discard WHERE the
+    overlap is; see minhash_lsh_pairs for the set path).
+
+    The reference has no winnowing; this extends its frequency-only
+    text analysis (scripts/analysis.py) for corpus curation at scale.
+
+    Plan shape: tokenize -> ordered k-grams -> posexplode -> ONE
+    window shuffle on doc id (fine-grained key, skew-free) -> partial
+    -agg distinct. Hash is the first 8 md5 hex chars — string order
+    == unsigned numeric order, identical in Spark and DuckDB.
+    Documents with fewer than w grams yield their single best
+    fingerprint (the window frame degenerates gracefully).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"winnow needs k >= 1 and w >= 1: k={k} w={w}")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), words_array(text_col).alias("_toks")
+    )
+    grams = toks.select(
+        "doc_id", _ordered_grams(F.col("_toks"), k).alias("_grams")
+    )
+    g = grams.select(
+        "doc_id",
+        F.size("_grams").alias("_n"),
+        F.posexplode("_grams").alias("pos", "gram"),
+    )
+    keyed = g.select(
+        "doc_id",
+        "_n",
+        "pos",
+        F.concat(
+            F.substring(F.md5(F.col("gram").cast("binary")), 1, 8),
+            F.lit("#"),
+            F.lpad(
+                (F.lit(_WINNOW_POS_BASE) - F.col("pos")).cast("string"),
+                9,
+                "0",
+            ),
+        ).alias("_key"),
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = keyed.select(
+        "doc_id",
+        "_n",
+        "pos",
+        F.min("_key").over(win).alias("_sel"),
+    ).where(F.col("pos") <= F.greatest(F.col("_n") - w, F.lit(0)))
+    return (
+        sel.select(
+            "doc_id",
+            (
+                F.lit(_WINNOW_POS_BASE)
+                - F.substring("_sel", 10, 9).cast("int")
+            ).alias("pos"),
+            F.substring("_sel", 1, 8).alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """(a, b, n_shared), a < b — document pairs sharing >= min_shared
+    winnowing fingerprints. Fingerprints occurring in more than
+    max_bucket_size documents are dropped before the self-join (the
+    boilerplate-gram guard: a site-wide footer k-gram would otherwise
+    pair every page on the host quadratically — same cap idiom as
+    minhash_lsh_pairs). Two shuffles beyond the fingerprint pass:
+    fp-bucket join + pair rollup, candidates only, never all pairs.
+    """
+    fps = winnow_fingerprints(docs, text_col, id_col, k, w).select(
+        "doc_id", "fp"
+    ).distinct()
+    wb = Window.partitionBy("fp")
+    capped = (
+        fps.withColumn("_df", F.count("*").over(wb))
+        .where(F.col("_df") <= max_bucket_size)
+        .drop("_df")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def _winnow_cte_sql(docs_sql: str, k: int, w: int) -> str:
+    """Flat CTE chain ending in wfp(doc_id, pos, fp) — the DuckDB twin
+    of winnow_fingerprints; `docs_sql` yields (id, text)."""
+    gram = " || ' ' || ".join(f"toks[(i + {j + 1})::INT]" for j in range(k))
+    return f"""wd AS ({docs_sql}),
+wtoks AS (SELECT id, regexp_extract_all(lower(text), '\\w+') AS toks FROM wd),
+wgrams AS (
+  SELECT id, CASE WHEN len(toks) >= {k}
+      THEN list_transform(range(0, len(toks) - {k - 1}), i -> {gram})
+      ELSE [array_to_string(toks, ' ')] END AS gs
+  FROM wtoks
+),
+wg AS (
+  SELECT id, len(gs) AS n, u.i::INT AS pos, u.v AS gram
+  FROM (SELECT id, gs, unnest(list_transform(range(0, len(gs)),
+          i -> {{'i': i, 'v': gs[(i+1)::INT]}})) AS u FROM wgrams)
+),
+wkeyed AS (
+  SELECT id, n, pos,
+    substr(md5(gram), 1, 8) || '#'
+      || lpad(({_WINNOW_POS_BASE} - pos)::VARCHAR, 9, '0') AS key
+  FROM wg
+),
+wsel AS (
+  SELECT id, n, pos,
+    min(key) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS s
+  FROM wkeyed
+),
+wfp AS (
+  SELECT DISTINCT id AS doc_id,
+    ({_WINNOW_POS_BASE} - substr(s, 10, 9)::INT) AS pos,
+    substr(s, 1, 8) AS fp
+  FROM wsel WHERE pos <= greatest(n - {w}, 0)
+)"""
+
+
+def winnow_fingerprints_oracle_sql(
+    docs_sql: str, k: int = 3, w: int = 4
+) -> str:
+    """DuckDB twin of winnow_fingerprints; `docs_sql` yields (id, text)."""
+    return f"""
+WITH {_winnow_cte_sql(docs_sql, k, w)}
+SELECT doc_id, pos, fp FROM wfp
+"""
+
+
+def winnow_candidate_pairs_oracle_sql(
+    docs_sql: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int = 200,
+) -> str:
+    """DuckDB twin of winnow_candidate_pairs."""
+    return f"""
+WITH {_winnow_cte_sql(docs_sql, k, w)},
+wdistinct AS (SELECT DISTINCT doc_id, fp FROM wfp),
+wcapped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+    FROM wdistinct
+  ) WHERE df <= {max_bucket_size}
+),
+wpairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS n_shared
+  FROM wcapped a JOIN wcapped b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a, b, n_shared FROM wpairs WHERE n_shared >= {min_shared}
+"""
