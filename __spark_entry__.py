@@ -2708,6 +2708,94 @@ def q_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_jsonld(pages)
 
 
+def _breadcrumb_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BreadcrumbList synthesis: every doc not divisible
+    by 7 declares a 3-level trail Home > Section <id%5> > Doc <id>;
+    every 4th doc prepends an Article decoy block (type gate); every
+    10th doc repeats the trail's top two levels in a second block
+    (distinct-url voting)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    sec = (did % 5).cast("string")
+    trail1 = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type": "BreadcrumbList", "itemListElement": ['
+              '{"@type": "ListItem", "position": 1, "name": "Home"}, '
+              '{"@type": "ListItem", "position": 2, "name": "Section '),
+        sec,
+        F.lit('"}, {"@type": "ListItem", "position": 3, "name": "Doc '),
+        s,
+        F.lit('"}]}</script>'),
+    )
+    trail2 = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type": "BreadcrumbList", "itemListElement": ['
+              '{"@type": "ListItem", "position": 1, "name": "Home"}, '
+              '{"@type": "ListItem", "position": 2, "name": "Section '),
+        sec,
+        F.lit('"}]}</script>'),
+    )
+    html = F.concat(
+        F.lit("<html>"),
+        F.when(
+            did % 4 == 0,
+            F.lit('<script type="application/ld+json">'
+                  '{"@type": "Article", "name": "decoy"}</script>'),
+        ).otherwise(F.lit("")),
+        F.when(did % 7 != 0, trail1).otherwise(F.lit("")),
+        F.when((did % 10 == 0) & (did % 7 != 0), trail2).otherwise(
+            F.lit("")
+        ),
+        F.lit("</html>"),
+    )
+    return d.select(F.concat(F.lit("u"), s).alias("url"), html.alias("html"))
+
+
+_BREADCRUMB_PAGES_SQL = """
+SELECT 'u' || doc_id AS url,
+  '<html>'
+  || (CASE WHEN doc_id % 4 = 0
+      THEN '<script type="application/ld+json">{"@type": "Article", "name": "decoy"}</script>'
+      ELSE '' END)
+  || (CASE WHEN doc_id % 7 != 0
+      THEN '<script type="application/ld+json">{"@type": "BreadcrumbList", "itemListElement": [{"@type": "ListItem", "position": 1, "name": "Home"}, {"@type": "ListItem", "position": 2, "name": "Section '
+        || (doc_id % 5)
+        || '"}, {"@type": "ListItem", "position": 3, "name": "Doc '
+        || doc_id || '"}]}</script>'
+      ELSE '' END)
+  || (CASE WHEN doc_id % 10 = 0 AND doc_id % 7 != 0
+      THEN '<script type="application/ld+json">{"@type": "BreadcrumbList", "itemListElement": [{"@type": "ListItem", "position": 1, "name": "Home"}, {"@type": "ListItem", "position": 2, "name": "Section '
+        || (doc_id % 5) || '"}]}</script>'
+      ELSE '' END)
+  || '</html>' AS html
+FROM documents
+"""
+
+
+def q_breadcrumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-declared taxonomy trails (schema.org BreadcrumbList) over
+    the deterministic synthesis: type gate vs Article decoys, 1-based
+    positions, case-preserved names, block_idx in document order."""
+    from easyner_spark.operators.webtext import extract_breadcrumbs
+
+    return extract_breadcrumbs(_breadcrumb_pages(spark, sf_dir))
+
+
+def q_breadcrumb_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide declared-taxonomy rollup: adjacent trail pairs,
+    lowercased, distinct-url voting (the every-10th second block must
+    NOT double-count its page)."""
+    from easyner_spark.operators.webtext import (
+        breadcrumb_edges,
+        extract_breadcrumbs,
+    )
+
+    return breadcrumb_edges(
+        extract_breadcrumbs(_breadcrumb_pages(spark, sf_dir))
+    ).select("parent", "child", "n_pages")
+
+
 def q_opengraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open Graph extraction over deterministic head synthesis: every
     page carries og:title/og:type (4 rotating types), every 3rd page
@@ -4401,6 +4489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_items": q_feed_items,
         "crawl_frontier": q_crawl_frontier,
         "jsonld": q_jsonld,
+        "breadcrumbs": q_breadcrumbs,
+        "breadcrumb_edges": q_breadcrumb_edges,
         "meta_refresh": q_meta_refresh,
         "page_entities": q_page_entities,
         "sameas": q_sameas,
@@ -6074,6 +6164,24 @@ FROM documents
     return extract_jsonld_oracle_sql(pages_sql)
 
 
+def _breadcrumbs_oracle() -> str:
+    """q_breadcrumbs oracle: the BreadcrumbList synthesis through the
+    operator's module-local twin."""
+    from easyner_spark.operators.webtext import (
+        extract_breadcrumbs_oracle_sql,
+    )
+
+    return extract_breadcrumbs_oracle_sql(_BREADCRUMB_PAGES_SQL)
+
+
+def _breadcrumb_edges_oracle() -> str:
+    """q_breadcrumb_edges oracle: adjacency + distinct-url rollup in
+    SQL over the same synthesis."""
+    from easyner_spark.operators.webtext import breadcrumb_edges_oracle_sql
+
+    return breadcrumb_edges_oracle_sql(_BREADCRUMB_PAGES_SQL)
+
+
 def _kg_pattern_oracle() -> str:
     """q_kg_pattern oracle: the naive conjunctive SQL generated from
     the SAME pattern list the Spark side plans greedily."""
@@ -7582,6 +7690,8 @@ FROM c
         "feed_items": _feed_items_oracle(),
         "crawl_frontier": _crawl_frontier_oracle(),
         "jsonld": _jsonld_oracle(),
+        "breadcrumbs": _breadcrumbs_oracle(),
+        "breadcrumb_edges": _breadcrumb_edges_oracle(),
         "meta_refresh": _meta_refresh_oracle(),
         "page_entities": _page_entities_oracle(),
         "sameas": _sameas_oracle(),

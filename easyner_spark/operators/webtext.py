@@ -4136,3 +4136,163 @@ SELECT src, dst, rel,
 FROM (SELECT src, {resolve} AS dst, rel FROM f)
 WHERE dst IS NOT NULL
 """
+
+
+# breadcrumb contract: schema.org BreadcrumbList JSON-LD, the dominant
+# machine-readable breadcrumb on the web. A block is a breadcrumb
+# trail iff its FIRST "@type" value (extract_jsonld's `type`
+# semantics) is BreadcrumbList; items are fixed-format ListItem
+# objects — double-quoted, position-then-name — matched whole, fields
+# re-pulled per item (the meta-refresh tolerance class).
+BREADCRUMB_ITEM_RE = (
+    r'\{"@type": "ListItem", "position": (\d+), "name": "([^"]*)"\}'
+)
+
+
+def extract_breadcrumbs(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Site-declared taxonomy trails: (url, block_idx, position, name)
+    per ListItem of every schema.org BreadcrumbList JSON-LD block —
+    publishers declaring 'Home > Science > Biology > this page' hand
+    the KG a curated hierarchy no NER pass can match for precision.
+    Feeds breadcrumb_edges (corpus-wide parent->child rollup), which
+    composes with mined_taxonomy/isa_closure exactly as sameas_clusters
+    composes with NEL: declared structure first, mined structure where
+    pages declare nothing. `block_idx` is the page's ld+json block
+    index (document order, shared with extract_jsonld); `position` is
+    the 1-based trail position the publisher declared; `name` is
+    case-preserved.
+
+    Zero shuffle: block regexp_extract_all + posexplode + first-@type
+    gate + item regexp_extract_all + posexplode + scan-fused pulls.
+    """
+    blocks = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all(cast({html_col} as string),"
+                f" r'{JSONLD_BLOCK_RE}', 1)"
+            )
+        ).alias("block_idx", "payload"),
+    ).where(
+        F.regexp_extract(F.col("payload"), JSONLD_TYPE_RE, 1)
+        == "BreadcrumbList"
+    )
+    items = blocks.select(
+        "url",
+        "block_idx",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(payload, r'{BREADCRUMB_ITEM_RE}', 0)")
+        ).alias("_item_idx", "_item"),
+    )
+    return items.select(
+        "url",
+        "block_idx",
+        F.regexp_extract(F.col("_item"), BREADCRUMB_ITEM_RE, 1)
+        .cast("int")
+        .alias("position"),
+        F.regexp_extract(F.col("_item"), BREADCRUMB_ITEM_RE, 2).alias(
+            "name"
+        ),
+    )
+
+
+def _breadcrumb_cte_sql(pages_sql: str) -> str:
+    """Flat CTE chain ending in bc(url, block_idx, position, name) —
+    the DuckDB twin of extract_breadcrumbs."""
+    item_re = (
+        '\\{"@type": "ListItem", "position": (\\d+), "name": "([^"]*)"\\}'
+    )
+    return f"""bpg AS ({pages_sql}),
+bbl AS (SELECT url,
+        regexp_extract_all(html,
+          '(?s)<script type="application/ld\\+json">(.*?)</script>', 1) AS bs
+      FROM bpg),
+bfl AS (
+  SELECT url, u.i::INT AS block_idx, u.v AS payload
+  FROM (SELECT url, unnest(list_transform(range(0, len(bs)),
+          i -> {{'i': i, 'v': bs[(i+1)::INT]}})) AS u FROM bbl)
+  WHERE regexp_extract(u.v, '"@type"\\s*:\\s*"([^"]*)"', 1)
+          = 'BreadcrumbList'
+),
+bit AS (SELECT url, block_idx,
+        regexp_extract_all(payload, '{item_re}', 0) AS its
+      FROM bfl),
+bc AS (
+  SELECT url, block_idx,
+    regexp_extract(u.v, '{item_re}', 1)::INT AS position,
+    regexp_extract(u.v, '{item_re}', 2) AS name
+  FROM (SELECT url, block_idx, unnest(list_transform(range(0, len(its)),
+          i -> {{'i': i, 'v': its[(i+1)::INT]}})) AS u FROM bit)
+)"""
+
+
+def extract_breadcrumbs_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of extract_breadcrumbs; `pages_sql` yields
+    (url, html)."""
+    return f"""
+WITH {_breadcrumb_cte_sql(pages_sql)}
+SELECT url, block_idx, position, name FROM bc
+"""
+
+
+def breadcrumb_edges(
+    crumbs: DataFrame, min_pages: int = 1
+) -> DataFrame:
+    """Corpus-wide declared-taxonomy rollup over extract_breadcrumbs
+    output: (parent, child, n_pages) for every ADJACENT pair within a
+    trail (prev position == position - 1; a publisher skipping a
+    position breaks the chain there by design — a gap means the trail
+    is malformed, and inventing an edge across it would fabricate
+    hierarchy). Names are lowercased for the rollup (the engine-wide
+    canonical comparison form); n_pages counts DISTINCT urls so a
+    page repeating a trail in two blocks votes once.
+
+    Plan: one window shuffle on the fine-grained (url, block_idx)
+    trail key (skew-free: a trail is a handful of rows), then the
+    standard two-phase distinct rollup on (parent, child) — partial
+    aggs absorb hot edges ('home' -> anything) map-side.
+    """
+    w = Window.partitionBy("url", "block_idx").orderBy("position")
+    adj = crumbs.select(
+        "url",
+        F.lag("position").over(w).alias("_prev_pos"),
+        F.lag("name").over(w).alias("_prev_name"),
+        "position",
+        "name",
+    ).where(F.col("_prev_pos") == F.col("position") - 1)
+    return (
+        adj.select(
+            F.lower("_prev_name").alias("parent"),
+            F.lower("name").alias("child"),
+            "url",
+        )
+        .distinct()
+        .groupBy("parent", "child")
+        .agg(F.count("*").alias("n_pages"))
+        .where(F.col("n_pages") >= min_pages)
+    )
+
+
+def breadcrumb_edges_oracle_sql(pages_sql: str, min_pages: int = 1) -> str:
+    """DuckDB twin of breadcrumb_edges over extract_breadcrumbs."""
+    return f"""
+WITH {_breadcrumb_cte_sql(pages_sql)},
+badj AS (
+  SELECT url,
+    lag(position) OVER (PARTITION BY url, block_idx ORDER BY position)
+      AS prev_pos,
+    lag(name) OVER (PARTITION BY url, block_idx ORDER BY position)
+      AS prev_name,
+    position, name
+  FROM bc
+),
+bpair AS (
+  SELECT DISTINCT lower(prev_name) AS parent, lower(name) AS child, url
+  FROM badj WHERE prev_pos = position - 1
+)
+SELECT parent, child, count(*)::BIGINT AS n_pages
+FROM bpair GROUP BY parent, child
+HAVING count(*) >= {min_pages}
+"""
