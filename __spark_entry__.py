@@ -2796,6 +2796,41 @@ def q_breadcrumb_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("parent", "child", "n_pages")
 
 
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection over deterministic synthesis: every 9th doc
+    is a short canonical error page (phrase + short -> soft404), every
+    13th has the phrase buried in real-length text (hit flagged, gated
+    by length), every 11th url carries a not-found path segment."""
+    from easyner_spark.operators.webtext import soft404_signals
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    url = F.concat(
+        F.lit("https://h"),
+        (did % 20).cast("string"),
+        F.lit(".example.com/"),
+        F.when(did % 11 == 0, F.lit("not-found/")).otherwise(F.lit("p/")),
+        s,
+    )
+    txt = (
+        F.when(
+            did % 9 == 0,
+            F.lit("Error 404 page not found. The page does not exist."),
+        )
+        .when(did % 13 == 0, F.concat(F.col("text"), F.lit(" page not found")))
+        .otherwise(F.col("text"))
+    )
+    pages = d.select(url.alias("url"), txt.alias("text"))
+    return soft404_signals(pages).select(
+        "url",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "hit_phrase",
+        "url_404",
+        "is_soft404",
+    )
+
+
 def q_opengraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open Graph extraction over deterministic head synthesis: every
     page carries og:title/og:type (4 rotating types), every 3rd page
@@ -4491,6 +4526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld": q_jsonld,
         "breadcrumbs": q_breadcrumbs,
         "breadcrumb_edges": q_breadcrumb_edges,
+        "soft404": q_soft404,
         "meta_refresh": q_meta_refresh,
         "page_entities": q_page_entities,
         "sameas": q_sameas,
@@ -6182,6 +6218,26 @@ def _breadcrumb_edges_oracle() -> str:
     return breadcrumb_edges_oracle_sql(_BREADCRUMB_PAGES_SQL)
 
 
+def _soft404_oracle() -> str:
+    """q_soft404 oracle: the error-page synthesis through the
+    operator's module-local twin."""
+    from easyner_spark.operators.webtext import soft404_oracle_sql
+
+    pages_sql = """
+SELECT 'https://h' || (doc_id % 20) || '.example.com/'
+         || (CASE WHEN doc_id % 11 = 0 THEN 'not-found/' ELSE 'p/' END)
+         || doc_id AS url,
+  CASE WHEN doc_id % 9 = 0
+       THEN 'Error 404 page not found. The page does not exist.'
+       WHEN doc_id % 13 = 0 THEN text || ' page not found'
+       ELSE text END AS text
+FROM documents
+"""
+    return soft404_oracle_sql(pages_sql).replace(
+        "length(t) AS n_chars", "length(t)::BIGINT AS n_chars"
+    )
+
+
 def _kg_pattern_oracle() -> str:
     """q_kg_pattern oracle: the naive conjunctive SQL generated from
     the SAME pattern list the Spark side plans greedily."""
@@ -7692,6 +7748,7 @@ FROM c
         "jsonld": _jsonld_oracle(),
         "breadcrumbs": _breadcrumbs_oracle(),
         "breadcrumb_edges": _breadcrumb_edges_oracle(),
+        "soft404": _soft404_oracle(),
         "meta_refresh": _meta_refresh_oracle(),
         "page_entities": _page_entities_oracle(),
         "sameas": _sameas_oracle(),

@@ -4296,3 +4296,60 @@ SELECT parent, child, count(*)::BIGINT AS n_pages
 FROM bpair GROUP BY parent, child
 HAVING count(*) >= {min_pages}
 """
+
+
+# soft-404 phrase contract: lowercased alternation, shared verbatim
+# with the oracle. Phrases follow the classic Bar-Yossef et al. (WWW
+# 2004, "Sic transit gloria telae") observation that error pages
+# self-identify textually even when the server says 200.
+SOFT404_RE = (
+    "(page not found|404 not found|404 error|error 404"
+    "|does not exist|no longer available|nothing was found)"
+)
+
+
+def soft404_signals(
+    pages: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    max_chars: int = 600,
+) -> DataFrame:
+    """Soft-404 detection: (url, n_chars, hit_phrase, url_404,
+    is_soft404) — error pages served with HTTP 200 are a classic
+    crawl-corpus poison (they exact-dup across every dead URL of a
+    host and their text is pure noise for NER/KG). Signals: an
+    error-phrase hit in the extracted text (SOFT404_RE on lower),
+    a '404'/'not-found' URL path segment, and shortness
+    (< max_chars). `is_soft404` = phrase hit AND short — the
+    conservative gate; downstream can also group by exact content
+    hash (dedup.exact_dup_groups) to catch a host's entire dead-URL
+    class once one page is flagged.
+
+    Zero shuffle: pure scan-fused codegen columns, pushdown-safe.
+    """
+    txt = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    hit = F.lower(txt).rlike(SOFT404_RE)
+    url_404 = F.lower(F.col(url_col)).rlike("(/404([/.]|$)|not-found)")
+    n = F.length(txt)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        n.alias("n_chars"),
+        hit.alias("hit_phrase"),
+        url_404.alias("url_404"),
+        (hit & (n < max_chars)).alias("is_soft404"),
+    )
+
+
+def soft404_oracle_sql(pages_sql: str, max_chars: int = 600) -> str:
+    """DuckDB twin of soft404_signals; `pages_sql` yields (url, text)."""
+    return f"""
+WITH spg AS ({pages_sql}),
+sft AS (SELECT url, coalesce(text, '') AS t FROM spg)
+SELECT url,
+  length(t) AS n_chars,
+  regexp_matches(lower(t), '{SOFT404_RE}') AS hit_phrase,
+  regexp_matches(lower(url), '(/404([/.]|$)|not-found)') AS url_404,
+  (regexp_matches(lower(t), '{SOFT404_RE}')
+     AND length(t) < {max_chars}) AS is_soft404
+FROM sft
+"""
