@@ -2232,6 +2232,33 @@ def q_copula_isa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copula_isa(sents)
 
 
+def q_apposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Appositive role mining over injected 'Name<k>, the <role>
+    of/at Org<g>' sentences riding on real document text as noise —
+    the NP-carried relation family the verb lexicon can't extract;
+    multi-doc support per (subj, role, obj)."""
+    from easyner_spark.operators.triples import apposition_facts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    role = F.element_at(
+        F.array(F.lit("ceo"), F.lit("director"), F.lit("founder")),
+        (did % 3 + 1).cast("int"),
+    )
+    conn = F.when(did % 2 == 0, F.lit("of")).otherwise(F.lit("at"))
+    sents = d.select(
+        did.cast("string").alias("url"),
+        F.concat(
+            F.col("text"),
+            F.lit(" Note that Alice"), (did % 21).cast("string"),
+            F.lit(", the "), role, F.lit(" "), conn,
+            F.lit(" Acme"), (did % 7).cast("string"),
+            F.lit(", spoke."),
+        ).alias("sentence"),
+    )
+    return apposition_facts(sents)
+
+
 def q_mined_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mining->closure chain composed end-to-end: copula is-a
     candidates over chained hypernym sentences ('kindK is a
@@ -4553,6 +4580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contacts": q_contacts,
         "geo": q_geo,
         "copula_isa": q_copula_isa,
+        "apposition": q_apposition,
         "mined_taxonomy": q_mined_taxonomy,
         "sitemap_index": q_sitemap_index,
         "declarations": q_declarations,
@@ -5845,6 +5873,23 @@ ced AS (SELECT child, parent, count(*)::BIGINT AS n
         FROM cp GROUP BY child, parent),
 e AS (SELECT child, parent FROM ced WHERE n >= 2 AND child != parent)"""
     return isa_closure_oracle_sql(prefix, max_depth=16)
+
+
+def _apposition_oracle() -> str:
+    """q_apposition oracle: the injected-apposition synthesis through
+    the operator's module-local twin."""
+    from easyner_spark.operators.triples import apposition_facts_oracle_sql
+
+    sentences_sql = """
+SELECT doc_id::VARCHAR AS url,
+  text || ' Note that Alice' || (doc_id % 21) || ', the '
+  || (CASE doc_id % 3 WHEN 0 THEN 'ceo' WHEN 1 THEN 'director'
+      ELSE 'founder' END)
+  || ' ' || (CASE WHEN doc_id % 2 = 0 THEN 'of' ELSE 'at' END)
+  || ' Acme' || (doc_id % 7) || ', spoke.' AS sentence
+FROM documents
+"""
+    return apposition_facts_oracle_sql(sentences_sql)
 
 
 def _copula_isa_oracle() -> str:
@@ -7863,6 +7908,7 @@ FROM cst s JOIN cng n
         "contacts": _contacts_oracle(),
         "geo": _geo_oracle(),
         "copula_isa": _copula_isa_oracle(),
+        "apposition": _apposition_oracle(),
         "mined_taxonomy": _mined_taxonomy_oracle(),
         "sitemap_index": _sitemap_index_oracle(),
         "declarations": _declarations_oracle(),

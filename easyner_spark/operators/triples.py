@@ -1298,3 +1298,71 @@ p AS (SELECT DISTINCT url,
 SELECT child, parent, count(*)::BIGINT AS n_docs
 FROM p GROUP BY child, parent
 """
+
+
+# apposition contract, shared with the oracle: 'NAME, a/an/the ROLE
+# of/at NAME' over the raw (case-preserved) sentence; names are 1-2
+# capitalized hyphenatable tokens, the role is one lowercase word —
+# the same zero-parser tier as the copula rule (multi-word NPs and
+# nested appositions need a chunker).
+APPOS_EL_RE = (
+    r"\b[A-Z][a-z0-9-]*(?: [A-Z][a-z0-9-]*)?,"
+    r" (?:a|an|the) [a-z][a-z-]+ (?:of|at)"
+    r" [A-Z][a-z0-9-]*(?: [A-Z][a-z0-9-]*)?"
+)
+APPOS_SUBJ_RE = r"^([A-Z][a-z0-9-]*(?: [A-Z][a-z0-9-]*)?),"
+APPOS_ROLE_RE = r", (?:a|an|the) ([a-z-]+) (?:of|at) "
+APPOS_OBJ_RE = r" ([A-Z][a-z0-9-]*(?: [A-Z][a-z0-9-]*)?)$"
+
+
+def apposition_facts(
+    sentences: DataFrame,
+    url_col: str = "url",
+    text_col: str = "sentence",
+) -> DataFrame:
+    """Appositive role mining: 'Tim Cook, the CEO of Apple' ->
+    (subj, role, obj, n_docs) — the people/org relation family the
+    verb-lexicon path (extract_predicate_triples) can't see, because
+    the relation is carried by an NP apposition, not a verb. Pairs
+    with copula_isa: is-a edges feed the taxonomy, role-of edges feed
+    the entity graph. Names keep their case (they're surface forms
+    for entity_labels/NEL downstream); the role is lowercase by
+    construction of the pattern. Per-doc dedup before the support
+    rollup, same as copula_isa.
+
+    Scale (1 shuffle): scan-fused extraction, per-doc distinct riding
+    the (subj, role, obj) rollup's composite key.
+    """
+    els = sentences.select(
+        F.col(url_col).alias("_u"),
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, r'{APPOS_EL_RE}', 0)")
+        ).alias("_el"),
+    )
+    facts = els.select(
+        "_u",
+        F.regexp_extract(F.col("_el"), APPOS_SUBJ_RE, 1).alias("subj"),
+        F.regexp_extract(F.col("_el"), APPOS_ROLE_RE, 1).alias("role"),
+        F.regexp_extract(F.col("_el"), APPOS_OBJ_RE, 1).alias("obj"),
+    ).distinct()
+    return facts.groupBy("subj", "role", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def apposition_facts_oracle_sql(sentences_sql: str) -> str:
+    """DuckDB twin of apposition_facts; `sentences_sql` yields (url,
+    sentence)."""
+    return f"""
+WITH s AS ({sentences_sql}),
+els AS (SELECT url,
+          unnest(regexp_extract_all(sentence, '{APPOS_EL_RE}', 0)) AS el
+        FROM s),
+f AS (SELECT DISTINCT url,
+        regexp_extract(el, '{APPOS_SUBJ_RE}', 1) AS subj,
+        regexp_extract(el, '{APPOS_ROLE_RE}', 1) AS role,
+        regexp_extract(el, '{APPOS_OBJ_RE}', 1) AS obj
+      FROM els)
+SELECT subj, role, obj, count(*)::BIGINT AS n_docs
+FROM f GROUP BY subj, role, obj
+"""
