@@ -2823,6 +2823,85 @@ def q_breadcrumb_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("parent", "child", "n_pages")
 
 
+def _section_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sectioned-page synthesis: every 6th doc opens
+    with a preamble list (NULL heading); docs not divisible by 7 get
+    '<h2>Topic <id%5></h2>' with a two-item list; every 3rd of those
+    adds a second '<h3>Tools</h3>' section."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    html = F.concat(
+        F.lit("<html>"),
+        F.when(
+            did % 6 == 0,
+            F.concat(
+                F.lit("<ul><li>pre"), (did % 4).cast("string"),
+                F.lit("</li></ul>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 != 0,
+            F.concat(
+                F.lit("<h2>Topic "), (did % 5).cast("string"),
+                F.lit("</h2><p>x</p><ul><li>Item "),
+                (did % 11).cast("string"),
+                F.lit("</li><li>Item "), (did % 13).cast("string"),
+                F.lit("</li></ul>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (did % 3 == 0) & (did % 7 != 0),
+            F.concat(
+                F.lit("<h3>Tools</h3><ol><li>tool"),
+                (did % 3).cast("string"), F.lit("</li></ol>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+    return d.select(F.concat(F.lit("u"), s).alias("url"), html.alias("html"))
+
+
+_SECTION_PAGES_SQL = """
+SELECT 'u' || doc_id AS url,
+  '<html>'
+  || (CASE WHEN doc_id % 6 = 0
+      THEN '<ul><li>pre' || (doc_id % 4) || '</li></ul>' ELSE '' END)
+  || (CASE WHEN doc_id % 7 != 0
+      THEN '<h2>Topic ' || (doc_id % 5) || '</h2><p>x</p><ul><li>Item '
+        || (doc_id % 11) || '</li><li>Item ' || (doc_id % 13)
+        || '</li></ul>'
+      ELSE '' END)
+  || (CASE WHEN doc_id % 3 = 0 AND doc_id % 7 != 0
+      THEN '<h3>Tools</h3><ol><li>tool' || (doc_id % 3) || '</li></ol>'
+      ELSE '' END)
+  || '</html>' AS html
+FROM documents
+"""
+
+
+def q_section_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section-scoped list extraction: nearest-preceding-heading
+    association, preamble lists with NULL heading, document-order
+    section/item indexes."""
+    from easyner_spark.operators.webtext import section_lists
+
+    return section_lists(_section_pages(spark, sf_dir))
+
+
+def q_list_memberships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide (topic, member) rollup over section_lists — the
+    list-page member-of feeder for the mined taxonomy."""
+    from easyner_spark.operators.webtext import (
+        list_memberships,
+        section_lists,
+    )
+
+    return list_memberships(
+        section_lists(_section_pages(spark, sf_dir))
+    ).select("topic", "member", "n_pages")
+
+
 def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft-404 detection over deterministic synthesis: every 9th doc
     is a short canonical error page (phrase + short -> soft404), every
@@ -4554,6 +4633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "breadcrumbs": q_breadcrumbs,
         "breadcrumb_edges": q_breadcrumb_edges,
         "soft404": q_soft404,
+        "section_lists": q_section_lists,
+        "list_memberships": q_list_memberships,
         "meta_refresh": q_meta_refresh,
         "page_entities": q_page_entities,
         "sameas": q_sameas,
@@ -6263,6 +6344,22 @@ def _breadcrumb_edges_oracle() -> str:
     return breadcrumb_edges_oracle_sql(_BREADCRUMB_PAGES_SQL)
 
 
+def _section_lists_oracle() -> str:
+    """q_section_lists oracle: the sectioned-page synthesis through
+    the operator's module-local twin."""
+    from easyner_spark.operators.webtext import section_lists_oracle_sql
+
+    return section_lists_oracle_sql(_SECTION_PAGES_SQL)
+
+
+def _list_memberships_oracle() -> str:
+    """q_list_memberships oracle: the rollup twin over the same
+    synthesis."""
+    from easyner_spark.operators.webtext import list_memberships_oracle_sql
+
+    return list_memberships_oracle_sql(_SECTION_PAGES_SQL)
+
+
 def _soft404_oracle() -> str:
     """q_soft404 oracle: the error-page synthesis through the
     operator's module-local twin."""
@@ -7794,6 +7891,8 @@ FROM c
         "breadcrumbs": _breadcrumbs_oracle(),
         "breadcrumb_edges": _breadcrumb_edges_oracle(),
         "soft404": _soft404_oracle(),
+        "section_lists": _section_lists_oracle(),
+        "list_memberships": _list_memberships_oracle(),
         "meta_refresh": _meta_refresh_oracle(),
         "page_entities": _page_entities_oracle(),
         "sameas": _sameas_oracle(),

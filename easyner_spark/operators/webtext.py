@@ -4353,3 +4353,139 @@ SELECT url,
      AND length(t) < {max_chars}) AS is_soft404
 FROM sft
 """
+
+
+# section contract: a section starts at each <h1>-<h6> open tag; the
+# split sentinel is \x01 (cannot occur in page text -- WARC/parquet
+# strings are control-char-free by the extraction contract). RE2 (the
+# oracle) has no lookahead, so the split marker is injected with
+# regexp_replace instead of a (?=...) split.
+SECTION_SENTINEL = "\x01"
+
+
+def section_lists(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """List-page mining, section-scoped: (url, section_idx, heading,
+    item_idx, item) -- every <li> item associated with its NEAREST
+    PRECEDING heading ('Top frameworks' -> [spark, flink, trino]).
+    The positional association is the signal extract_lists (page-
+    scoped) discards: a list is only a membership claim when a
+    heading names the class. Lists before any heading carry a NULL
+    heading (kept: they're still extract_lists-grade items).
+    heading/item are lowercased+trimmed, empties dropped.
+
+    Zero shuffle: mark heading starts with a sentinel
+    (regexp_replace), split -> posexplode sections, first-heading +
+    item pulls per section -- all scan-fused codegen.
+    """
+    marked = F.regexp_replace(
+        F.lower(F.col(html_col).cast("string")),
+        "<h([1-6])",
+        SECTION_SENTINEL + "<h$1",
+    )
+    secs = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.split(marked, SECTION_SENTINEL)).alias(
+            "section_idx", "_sec"
+        ),
+    )
+    items = secs.select(
+        "url",
+        "section_idx",
+        F.nullif(
+            F.trim(F.regexp_extract(F.col("_sec"), HEADING_EL_RE, 2)),
+            F.lit(""),
+        ).alias("heading"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(_sec, '{LIST_ITEM_RE}', 1)")
+        ).alias("item_idx", "_raw"),
+    )
+    return items.select(
+        "url",
+        "section_idx",
+        "heading",
+        "item_idx",
+        F.trim(F.col("_raw")).alias("item"),
+    ).where(F.col("item") != "")
+
+
+def _section_lists_cte_sql(pages_sql: str) -> str:
+    """Flat CTE chain ending in sl(url, section_idx, heading,
+    item_idx, item) -- the DuckDB twin of section_lists."""
+    return f"""spg AS ({pages_sql}),
+smk AS (SELECT url,
+        regexp_replace(lower(html), '<h([1-6])', chr(1) || '<h\\1', 'g')
+          AS m
+      FROM spg),
+ssc AS (
+  SELECT url, u.i::INT AS section_idx, u.v AS sec
+  FROM (SELECT url, unnest(list_transform(range(0, len(ss)),
+          i -> {{'i': i, 'v': ss[(i+1)::INT]}})) AS u
+        FROM (SELECT url, string_split(m, chr(1)) AS ss FROM smk))
+),
+sit AS (
+  SELECT url, section_idx,
+    nullif(trim(regexp_extract(sec,
+      '<h([1-6])[^>]*>([^<]*)</h[1-6]>', 2)), '') AS heading,
+    regexp_extract_all(sec, '<li[^>]*>([^<]*)</li>', 1) AS its
+  FROM ssc
+),
+sl AS (
+  SELECT url, section_idx, heading, u.i::INT AS item_idx,
+    trim(u.v) AS item
+  FROM (SELECT url, section_idx, heading,
+          unnest(list_transform(range(0, len(its)),
+            i -> {{'i': i, 'v': its[(i+1)::INT]}})) AS u FROM sit)
+  WHERE trim(u.v) != ''
+)"""
+
+
+def section_lists_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of section_lists; `pages_sql` yields (url, html)."""
+    return f"""
+WITH {_section_lists_cte_sql(pages_sql)}
+SELECT url, section_idx, heading, item_idx, item FROM sl
+"""
+
+
+def list_memberships(
+    sections: DataFrame, min_pages: int = 1
+) -> DataFrame:
+    """Corpus-wide membership rollup over section_lists output:
+    (topic, member, n_pages) -- a heading naming a class plus its list
+    items is the web's bulk is-a/member-of assertion format
+    ('Programming languages: - python - rust'). Composes with
+    mined_taxonomy/isa_closure the same way breadcrumb_edges does:
+    one more declared-structure feeder for the KG. NULL-heading
+    sections are excluded (no class to assert); one vote per page.
+
+    One rollup shuffle after the per-page distinct (partial aggs
+    absorb hot topics map-side).
+    """
+    return (
+        sections.where(F.col("heading").isNotNull())
+        .select(
+            F.col("heading").alias("topic"),
+            F.col("item").alias("member"),
+            "url",
+        )
+        .distinct()
+        .groupBy("topic", "member")
+        .agg(F.count("*").alias("n_pages"))
+        .where(F.col("n_pages") >= min_pages)
+    )
+
+
+def list_memberships_oracle_sql(pages_sql: str, min_pages: int = 1) -> str:
+    """DuckDB twin of list_memberships over section_lists."""
+    return f"""
+WITH {_section_lists_cte_sql(pages_sql)},
+sm AS (
+  SELECT DISTINCT heading AS topic, item AS member, url
+  FROM sl WHERE heading IS NOT NULL
+)
+SELECT topic, member, count(*)::BIGINT AS n_pages
+FROM sm GROUP BY topic, member
+HAVING count(*) >= {min_pages}
+"""
