@@ -644,6 +644,80 @@ def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(und, iters=3).select("node", "label")
 
 
+def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient over the entity
+    co-occurrence graph — the clique-vs-star split kg_triangles' raw
+    counts can't make (a promiscuous extraction-artifact hub has many
+    triangles but a near-zero coefficient). Ratio computed from exact
+    integers under the round(·, 6) contract."""
+    from easyner_spark.operators.graph import clustering_coeff, sentence_pairs
+
+    pairs = sentence_pairs(_mentions(spark, sf_dir))
+    und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return clustering_coeff(und).select(
+        "node", "degree", "triangles", "coeff"
+    )
+
+
+def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity decomposition of kg_communities' LPA labels
+    over the co-occurrence graph — per-community q_term rows (exact
+    integers e_c, D_c, m in one rounded double expression) instead of
+    one global order-dependent float sum; Q = sum(q_term)."""
+    from easyner_spark.operators.graph import (
+        label_propagation,
+        modularity,
+        sentence_pairs,
+    )
+
+    pairs = sentence_pairs(_mentions(spark, sf_dir))
+    und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    lab = label_propagation(und, iters=3)
+    return modularity(und, lab).select(
+        "community", "n_nodes", "degree_sum", "intra_edges", "q_term"
+    )
+
+
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two KG epochs: edges from the first 4/5
+    of documents vs the full corpus (weight = support count) through
+    edge_diff — the added/changed/removed audit slice an incremental
+    build publishes next to each checkpoint, and the exact re-process
+    set for downstream consumers."""
+    from easyner_spark.operators.graph import edge_diff
+
+    t = q_triples(spark, sf_dir)
+    keys = ("subj_id", "pred", "obj_id")
+    old = (
+        t.where(F.col("doc_id") % 5 < 4)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    new = t.groupBy(*keys).agg(F.count(F.lit(1)).alias("weight"))
+    return edge_diff(old, new, keys=keys).select(
+        *keys, "old_weight", "new_weight", "delta", "status"
+    )
+
+
+def q_host_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank spam mass over the extracted host link graph:
+    personalized PageRank from the two declared-trusted hosts vs plain
+    PageRank; mass -> 1 flags hosts whose authority is unreachable
+    from trust (link-farm shape). The demotion signal crawl
+    prioritization applies before believing host_rank."""
+    from easyner_spark.operators.graph import spam_mass
+    from easyner_spark.operators.webtext import host_graph
+
+    hg = host_graph(_synth_html_pages(spark, sf_dir))
+    edges = hg.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    seeds = spark.createDataFrame(
+        [("hub.example.com",), ("blog.example.org",)], ["node"]
+    )
+    return spam_mass(edges, seeds).select("node", "pr", "tr", "spam_mass")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-packing metadata: every document's landing
     position (window id + offset) in the capacity-512 packed token
@@ -4591,6 +4665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
         "kg_communities": q_kg_communities,
+        "kg_clustering": q_kg_clustering,
+        "kg_modularity": q_kg_modularity,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
+        "host_trust": q_host_trust,
         "kg_link_predict": q_kg_link_predict,
         "kg_kcore": q_kg_kcore,
         "heavy_hitters": q_heavy_hitters,
@@ -5335,7 +5413,7 @@ FROM m
 """
 
 
-def _lpa_oracle_body(iters: int = 3) -> str:
+def _lpa_oracle_body(iters: int = 3, final_sql: str | None = None) -> str:
     """Unrolled fixed-iteration label propagation over the undirected
     entity co-occurrence graph, mirroring operators/graph.
     label_propagation's contract exactly: symmetrized distinct edges,
@@ -5366,7 +5444,11 @@ it{t} AS (
   ) WHERE rn = 1
 )"""
         )
-    parts.append(f"\nSELECT node, label FROM it{iters}\n")
+    parts.append(
+        final_sql
+        if final_sql is not None
+        else f"\nSELECT node, label FROM it{iters}\n"
+    )
     return "".join(parts)
 
 
@@ -6960,6 +7042,48 @@ FROM a{iters} a JOIN h{iters} h ON a.node = h.node
     return "".join(parts)
 
 
+def _clustering_oracle() -> str:
+    from easyner_spark.operators.graph import clustering_coeff_oracle_sql
+
+    return clustering_coeff_oracle_sql(_cooc_pairs_cte())
+
+
+def _modularity_oracle() -> str:
+    from easyner_spark.operators.graph import modularity_oracle_sql
+
+    prefix = _PRELUDE + _lpa_oracle_body(
+        final_sql=",\nlab AS (SELECT node, label AS community FROM it3)"
+    )
+    return modularity_oracle_sql(prefix)
+
+
+def _snapshot_diff_oracle() -> str:
+    from easyner_spark.operators.graph import edge_diff_oracle_sql
+
+    keys = ("subj_id", "pred", "obj_id")
+    old_sql = (
+        "SELECT subj_id, pred, obj_id, count(*) AS weight FROM triples"
+        " WHERE doc_id % 5 < 4 GROUP BY subj_id, pred, obj_id"
+    )
+    new_sql = (
+        "SELECT subj_id, pred, obj_id, count(*) AS weight FROM triples"
+        " GROUP BY subj_id, pred, obj_id"
+    )
+    return _PRELUDE + edge_diff_oracle_sql(
+        old_sql, new_sql, keys=keys, continuation=True
+    )
+
+
+def _host_trust_oracle() -> str:
+    from easyner_spark.operators.graph import spam_mass_oracle_sql
+
+    return _HOSTLINKS_CTE + spam_mass_oracle_sql(
+        e_sql="SELECT DISTINCT src_host AS src, dst_host AS dst FROM hg",
+        seeds_sql="SELECT 'hub.example.com' AS node"
+        " UNION ALL SELECT 'blog.example.org' AS node",
+    )
+
+
 def _pagerank_oracle_body(
     iters: int = 3,
     e_sql: str = "SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples",
@@ -7748,6 +7872,20 @@ FROM alln LEFT JOIN corners ON alln.node = corners.node
         # 8 unrolled peeling rounds (graph.k_core_oracle_sql), same
         # pr CTE; capped-round contract matches the engine bit-for-bit
         "kg_kcore": _kcore_oracle(),
+        # Wedge-join triangles + degree rollup -> exact-integer ratio
+        # (graph.clustering_coeff_oracle_sql over the shared pr CTE)
+        "kg_clustering": _clustering_oracle(),
+        # LPA chain re-aliased as lab(node, community), then the
+        # per-community exact-integer q_term decomposition
+        # (graph.modularity_oracle_sql)
+        "kg_modularity": _modularity_oracle(),
+        # Full-outer epoch diff over support-weighted triple edges
+        # (graph.edge_diff_oracle_sql, continuation after _PRELUDE)
+        "kg_snapshot_diff": _snapshot_diff_oracle(),
+        # Shared-edge-CTE dual power method: plain p-chain +
+        # seed-teleport t-chain, mass on the 6-rounded outputs
+        # (graph.spam_mass_oracle_sql after _HOSTLINKS_CTE)
+        "host_trust": _host_trust_oracle(),
         "heavy_hitters": _cms_oracle(),
         # Unrolled WL rounds over the shared pr CTE (graph.wl_labels_oracle_sql)
         "kg_wl_labels": _wl_oracle(),

@@ -1433,3 +1433,407 @@ SELECT count(*)::BIGINT AS n_gold,
        (sum(1000000 // rank) // count(*))::BIGINT AS mrr_micro
 FROM ranks
 """
+
+
+# ---------------------------------------------------------------------------
+# Graph cohesion QA: local clustering coefficient, modularity,
+# TrustRank spam mass, and snapshot edge diffs
+# ---------------------------------------------------------------------------
+
+def clustering_coeff(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, degree, triangles, coeff) — the LOCAL clustering
+    coefficient per node over the undirected simple graph:
+    coeff = 2*T / (d*(d-1)), 0.0 when d < 2.
+
+    The per-node companion to :func:`triangle_counts`' raw counts: a
+    KG entity whose neighbors densely interlink (coeff -> 1) sits in
+    a coherent topic clique; a hub with coeff -> 0 is a star — often
+    an extraction artifact ("study", "patient") that links everything
+    and means nothing. That split is exactly what a downstream
+    curator prunes on, and neither count alone exposes it.
+
+    Exactness: T and d are integers; 2.0*T / (d*(d-1)) is one double
+    division of exact integer products (both < 2^53 for any sane
+    degree), round(·, 6) — bit-identical cross-engine. Scale: reuses
+    triangle_counts' wedge join (the a < b < c canonical enumeration
+    that never materializes a hub's full neighborhood square) plus
+    ONE degree rollup whose partial aggs absorb hot nodes.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(und, src="a", dst="b")
+    dd = (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double")
+    return deg.join(tri, "node").select(
+        "node",
+        "degree",
+        "triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                (F.lit(2.0) * F.col("triangles").cast("double")) / dd, 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )
+
+
+def clustering_coeff_oracle_sql(pairs_cte: str) -> str:
+    """DuckDB twin of :func:`clustering_coeff`; `pairs_cte` must
+    expose pr(a, b) canonical distinct undirected edges (the
+    k_core/wl_labels oracle convention)."""
+    return f"""{pairs_cte},
+ccdeg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT a AS node FROM pr UNION ALL SELECT b FROM pr)
+  GROUP BY node
+),
+cctri AS (
+  SELECT w1.a, w1.b, w2.b AS c
+  FROM pr w1
+  JOIN pr w2 ON w1.a = w2.a AND w1.b < w2.b
+  JOIN pr e ON e.a = w1.b AND e.b = w2.b
+),
+cccorn AS (
+  SELECT node, count(*)::BIGINT AS triangles FROM (
+    SELECT a AS node FROM cctri
+    UNION ALL SELECT b FROM cctri
+    UNION ALL SELECT c FROM cctri)
+  GROUP BY node
+)
+SELECT d.node, d.degree,
+       coalesce(t.triangles, 0)::BIGINT AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN round((2.0 * coalesce(t.triangles, 0)::DOUBLE)
+                       / (d.degree * (d.degree - 1))::DOUBLE, 6)
+            ELSE 0.0 END AS coeff
+FROM ccdeg d LEFT JOIN cccorn t ON d.node = t.node
+"""
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """(community, n_nodes, degree_sum, intra_edges, q_term) — the
+    Newman modularity decomposition of a community assignment over
+    the undirected simple graph: q_term_c = e_c/m - (D_c/(2m))^2,
+    global Q = sum of q_term (the caller's one-liner). The QA metric
+    for :func:`label_propagation`'s output — "did LPA find structure
+    or noise?" — emitted PER COMMUNITY instead of as one global float
+    so every row is computed from exact integers (e_c, D_c, m) in one
+    double expression and stays value-oracle-able; a cross-engine
+    global SUM of doubles would be addition-order-dependent.
+
+    Scale: two label joins keyed on node (broadcast-or-AQE decided),
+    one intra-edge rollup and one degree rollup, both partial-agg
+    absorbed; m comes from a one-row agg cross join, never a driver
+    collect.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("community")
+    )
+    m = und.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    el = (
+        und.join(lab.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("community", "ca")
+        .join(
+            lab.select(F.col("node").alias("b"), F.col("community").alias("cb")),
+            "b",
+        )
+    )
+    intra = (
+        el.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    degc = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .join(lab, "node")
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree_sum"))
+    )
+    nn = lab.groupBy("community").agg(
+        F.countDistinct("node").cast("long").alias("n_nodes")
+    )
+    half = F.coalesce(F.col("degree_sum"), F.lit(0)).cast("double") / (
+        F.lit(2.0) * F.col("m")
+    )
+    return (
+        nn.join(degc, "community", "left")
+        .join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("degree_sum"), F.lit(0)).cast("long").alias(
+                "degree_sum"
+            ),
+            F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long").alias(
+                "intra_edges"
+            ),
+            F.round(
+                F.coalesce(F.col("intra_edges"), F.lit(0)).cast("double")
+                / F.col("m")
+                - half * half,
+                6,
+            ).alias("q_term"),
+        )
+    )
+
+
+def modularity_oracle_sql(prefix_cte: str) -> str:
+    """DuckDB twin of :func:`modularity`; `prefix_cte` must expose
+    pr(a, b) canonical distinct undirected edges AND lab(node,
+    community) — e.g. the unrolled LPA chain's final iteration
+    re-aliased. Expression mirrors the operator term for term."""
+    return f"""{prefix_cte},
+qm AS (SELECT count(*)::DOUBLE AS m FROM pr),
+qel AS (
+  SELECT la.community AS ca, lb.community AS cb
+  FROM pr
+  JOIN lab la ON pr.a = la.node
+  JOIN lab lb ON pr.b = lb.node
+),
+qintra AS (SELECT ca AS community, count(*)::BIGINT AS intra_edges
+           FROM qel WHERE ca = cb GROUP BY ca),
+qdeg AS (
+  SELECT l.community, count(*)::BIGINT AS degree_sum
+  FROM (SELECT a AS node FROM pr UNION ALL SELECT b FROM pr) s
+  JOIN lab l ON s.node = l.node
+  GROUP BY l.community
+),
+qnn AS (SELECT community, count(DISTINCT node)::BIGINT AS n_nodes
+        FROM lab GROUP BY community)
+SELECT qnn.community, qnn.n_nodes,
+       coalesce(qdeg.degree_sum, 0)::BIGINT AS degree_sum,
+       coalesce(qintra.intra_edges, 0)::BIGINT AS intra_edges,
+       round(coalesce(qintra.intra_edges, 0)::DOUBLE / qm.m
+             - (coalesce(qdeg.degree_sum, 0)::DOUBLE / (2.0 * qm.m))
+               * (coalesce(qdeg.degree_sum, 0)::DOUBLE / (2.0 * qm.m)),
+             6) AS q_term
+FROM qnn
+LEFT JOIN qdeg ON qnn.community = qdeg.community
+LEFT JOIN qintra ON qnn.community = qintra.community
+CROSS JOIN qm
+"""
+
+
+def spam_mass(
+    edges: DataFrame,
+    trusted: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """(node, pr, tr, spam_mass) — TrustRank spam-mass estimation
+    (Gyongyi et al., VLDB'04/'05, public): tr = PageRank with
+    teleport restricted to a trusted seed set (exactly
+    :func:`personalized_pagerank`), pr = plain :func:`pagerank`, and
+    relative spam mass = (pr - tr) / pr — the fraction of a node's
+    authority NOT reachable from trust. Hosts near 1.0 earn their
+    rank from un-trusted (link-farm-shaped) neighborhoods; crawl
+    prioritization demotes them before host_rank is believed.
+
+    Both ranks follow the repo's round(·, 9) iteration / round(·, 6)
+    output contract, so the mass — one subtraction and division on
+    already-rounded doubles, rounded again to 6 — is bit-identical
+    cross-engine. Scale: the two power methods share the edge prep
+    cost profile (one shuffle per iteration each); the final join is
+    keyed on node, uniform.
+    """
+    pr = pagerank(edges, src=src, dst=dst, iters=iters, damping=damping)
+    tr = personalized_pagerank(
+        edges, trusted, src=src, dst=dst, iters=iters, damping=damping
+    )
+    return (
+        pr.withColumnRenamed("rank", "pr")
+        .join(tr.withColumnRenamed("rank", "tr"), "node")
+        .select(
+            "node",
+            "pr",
+            "tr",
+            F.when(
+                F.col("pr") > 0,
+                F.round((F.col("pr") - F.col("tr")) / F.col("pr"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("spam_mass"),
+        )
+    )
+
+
+def spam_mass_oracle_sql(
+    e_sql: str, seeds_sql: str, iters: int = 3
+) -> str:
+    """DuckDB twin of :func:`spam_mass`: the unrolled plain-PageRank
+    chain (p0..pN) and the unrolled personalized chain (t0..tN) over
+    ONE shared edge/node/degree CTE set, joined on node. `e_sql` must
+    yield DISTINCT (src, dst); `seeds_sql` one column (node).
+
+    Returns a CTE CONTINUATION (leading ', ') -- the caller prepends
+    an existing WITH chain (the _pagerank_oracle_body convention)."""
+    parts = [
+        f"""
+, e AS ({e_sql}),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+s AS (SELECT DISTINCT node FROM ({seeds_sql})
+      WHERE node IN (SELECT node FROM nodes)),
+nsn AS (SELECT count(*)::DOUBLE AS ns FROM s),
+tele AS (
+  SELECT nodes.node,
+         CASE WHEN s.node IS NOT NULL THEN 1.0 / nsn.ns ELSE 0.0 END AS tele
+  FROM nodes CROSS JOIN nsn LEFT JOIN s ON nodes.node = s.node
+),
+p0 AS (SELECT node, round(1.0 / nn.n, 9) AS rank FROM nodes CROSS JOIN nn),
+t0 AS (SELECT node, round(tele, 9) AS rank FROM tele)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+p{t} AS (
+  SELECT nodes.node,
+         round((1.0 - 0.85) / nn.n + 0.85 * coalesce(x.inflow, 0.0), 9) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / deg.deg) AS inflow
+    FROM e
+    JOIN deg ON e.src = deg.src
+    JOIN p{t - 1} r ON e.src = r.node
+    GROUP BY e.dst
+  ) x ON nodes.node = x.node
+),
+t{t} AS (
+  SELECT tele.node,
+         round((1.0 - 0.85) * tele.tele
+               + 0.85 * coalesce(x.inflow, 0.0), 9) AS rank
+  FROM tele
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / deg.deg) AS inflow
+    FROM e
+    JOIN deg ON e.src = deg.src
+    JOIN t{t - 1} r ON e.src = r.node
+    GROUP BY e.dst
+  ) x ON tele.node = x.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT p.node, round(p.rank, 6) AS pr, round(t.rank, 6) AS tr,
+       CASE WHEN round(p.rank, 6) > 0
+            THEN round((round(p.rank, 6) - round(t.rank, 6))
+                       / round(p.rank, 6), 6)
+            ELSE 0.0 END AS spam_mass
+FROM p{iters} p JOIN t{iters} t ON p.node = t.node
+"""
+    )
+    return "".join(parts)
+
+
+def edge_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: tuple[str, ...] = ("subj", "pred", "obj"),
+    weight_col: str = "weight",
+    keep_same: bool = False,
+) -> DataFrame:
+    """(*keys, old_weight, new_weight, delta, status) — the snapshot
+    diff between two KG edge tables: status 'added' (new only),
+    'removed' (old only), 'changed' (weight moved), 'same' (dropped
+    unless `keep_same`). The audit product an INCREMENTAL KG build
+    publishes next to each checkpoint epoch ("what did this crawl
+    batch change?") — SnapshotTable gives resumability, this gives
+    reviewability, and downstream consumers re-process exactly the
+    'added'+'changed' slice instead of the full edge table.
+
+    One full-outer join keyed on the edge identity (uniform — edge
+    keys are near-unique by construction); delta is exact BIGINT
+    arithmetic on coalesced weights.
+    """
+    kcols = list(keys)
+    o = old.select(
+        *kcols, F.col(weight_col).cast("long").alias("old_weight")
+    )
+    n = new.select(
+        *kcols, F.col(weight_col).cast("long").alias("new_weight")
+    )
+    j = o.join(n, kcols, "full_outer")
+    status = (
+        F.when(F.col("old_weight").isNull(), F.lit("added"))
+        .when(F.col("new_weight").isNull(), F.lit("removed"))
+        .when(F.col("old_weight") != F.col("new_weight"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    out = j.select(
+        *kcols,
+        "old_weight",
+        "new_weight",
+        (
+            F.coalesce(F.col("new_weight"), F.lit(0))
+            - F.coalesce(F.col("old_weight"), F.lit(0))
+        ).cast("long").alias("delta"),
+        status.alias("status"),
+    )
+    return out if keep_same else out.where(F.col("status") != "same")
+
+
+def edge_diff_oracle_sql(
+    old_sql: str,
+    new_sql: str,
+    keys: tuple[str, ...] = ("subj", "pred", "obj"),
+    keep_same: bool = False,
+    continuation: bool = False,
+) -> str:
+    """DuckDB twin of :func:`edge_diff`; old_sql/new_sql must yield
+    (*keys, weight) each. `continuation=True` emits a leading ', '
+    CTE continuation instead of a standalone WITH (so the chain can
+    follow an existing prefix like the entry's _PRELUDE)."""
+    kl = ", ".join(keys)
+    kc = ", ".join(f"coalesce(o.{k}, n.{k}) AS {k}" for k in keys)
+    on = " AND ".join(f"o.{k} = n.{k}" for k in keys)
+    where = "" if keep_same else "WHERE status != 'same'"
+    head = ",\n" if continuation else "\nWITH "
+    return f"""{head}dfo AS (SELECT {kl}, weight::BIGINT AS old_weight FROM ({old_sql})),
+dfn AS (SELECT {kl}, weight::BIGINT AS new_weight FROM ({new_sql})),
+dfj AS (
+  SELECT {kc}, o.old_weight, n.new_weight,
+         (coalesce(n.new_weight, 0) - coalesce(o.old_weight, 0))::BIGINT
+           AS delta,
+         CASE WHEN o.old_weight IS NULL THEN 'added'
+              WHEN n.new_weight IS NULL THEN 'removed'
+              WHEN o.old_weight != n.new_weight THEN 'changed'
+              ELSE 'same' END AS status
+  FROM dfo o FULL OUTER JOIN dfn n ON {on}
+)
+SELECT * FROM dfj {where}
+"""
