@@ -699,6 +699,78 @@ def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (smoothed sklearn-style
+    idf, round-6 contract, per-doc window — no SinglePartition) —
+    the per-document tagging/summarization product."""
+    from easyner_spark.operators.ranking import doc_keywords
+
+    return doc_keywords(_docs(spark, sf_dir), k=5)
+
+
+def q_kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the entity co-occurrence graph — one
+    exact-integer-sums Pearson row; the structural fingerprint that
+    picks the pruning strategy (k_core vs template_cap)."""
+    from easyner_spark.operators.graph import (
+        degree_assortativity,
+        sentence_pairs,
+    )
+
+    pairs = sentence_pairs(_mentions(spark, sf_dir))
+    und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return degree_assortativity(und).select(
+        "m2", "sum_x", "sum_xx", "sum_xy", "r"
+    )
+
+
+def _merge_label_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic noisy-label synthesis: four base names cycled by
+    doc_id, a numeric qualifier, and a trailing-typo variant every 7th
+    doc — guarantees distance-1 pairs inside prefix blocks."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    base = (
+        F.when(did % 4 == 0, F.lit("alpha"))
+        .when(did % 4 == 1, F.lit("beta"))
+        .when(did % 4 == 2, F.lit("gamma"))
+        .otherwise(F.lit("delta"))
+    )
+    label = F.concat(
+        base,
+        (did % 25).cast("string"),
+        F.when(did % 7 == 0, F.lit("x")).otherwise(F.lit("")),
+    )
+    return d.select(
+        F.concat(F.lit("n"), did.cast("string")).alias("id"),
+        label.alias("label"),
+    )
+
+
+_MERGE_LABELS_SQL = """
+SELECT 'n' || doc_id AS id,
+       (CASE WHEN doc_id % 4 = 0 THEN 'alpha'
+             WHEN doc_id % 4 = 1 THEN 'beta'
+             WHEN doc_id % 4 = 2 THEN 'gamma'
+             ELSE 'delta' END)
+       || (doc_id % 25)
+       || (CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END) AS label
+FROM documents
+"""
+
+
+def q_entity_merge_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage merge candidates over noisy entity labels:
+    two-key (prefix/suffix + length-bucket) blocking, block-size cap,
+    JVM levenshtein verify — the typo-tolerant canonicalization feeder
+    name_similarity_edges' char-grams under-score."""
+    from easyner_spark.operators.nel import edit_merge_candidates
+
+    return edit_merge_candidates(
+        _merge_label_rows(spark, sf_dir), max_dist=2
+    ).select("id_a", "id_b", "label_a", "label_b", "dist")
+
+
 def q_host_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank spam mass over the extracted host link graph:
     personalized PageRank from the two declared-trusted hosts vs plain
@@ -4669,6 +4741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity": q_kg_modularity,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "host_trust": q_host_trust,
+        "doc_keywords": q_doc_keywords,
+        "kg_assortativity": q_kg_assortativity,
+        "entity_merge_cands": q_entity_merge_cands,
         "kg_link_predict": q_kg_link_predict,
         "kg_kcore": q_kg_kcore,
         "heavy_hitters": q_heavy_hitters,
@@ -7084,6 +7159,24 @@ def _host_trust_oracle() -> str:
     )
 
 
+def _doc_keywords_oracle() -> str:
+    from easyner_spark.operators.ranking import doc_keywords_oracle_sql
+
+    return doc_keywords_oracle_sql(k=5)
+
+
+def _assortativity_oracle() -> str:
+    from easyner_spark.operators.graph import degree_assortativity_oracle_sql
+
+    return degree_assortativity_oracle_sql(_cooc_pairs_cte())
+
+
+def _merge_cands_oracle() -> str:
+    from easyner_spark.operators.nel import edit_merge_candidates_oracle_sql
+
+    return edit_merge_candidates_oracle_sql(_MERGE_LABELS_SQL, max_dist=2)
+
+
 def _pagerank_oracle_body(
     iters: int = 3,
     e_sql: str = "SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples",
@@ -7886,6 +7979,15 @@ FROM alln LEFT JOIN corners ON alln.node = corners.node
         # seed-teleport t-chain, mass on the 6-rounded outputs
         # (graph.spam_mass_oracle_sql after _HOSTLINKS_CTE)
         "host_trust": _host_trust_oracle(),
+        # Smoothed-idf TF-IDF with a per-doc rank window
+        # (ranking.doc_keywords_oracle_sql on the raw documents table)
+        "doc_keywords": _doc_keywords_oracle(),
+        # Exact-BIGINT Pearson sums over the shared pr CTE
+        # (graph.degree_assortativity_oracle_sql)
+        "kg_assortativity": _assortativity_oracle(),
+        # Two-key blocked self-join + levenshtein verify over the
+        # noisy-label synthesis (nel.edit_merge_candidates_oracle_sql)
+        "entity_merge_cands": _merge_cands_oracle(),
         "heavy_hitters": _cms_oracle(),
         # Unrolled WL rounds over the shared pr CTE (graph.wl_labels_oracle_sql)
         "kg_wl_labels": _wl_oracle(),

@@ -232,3 +232,98 @@ SELECT p.term, p.id, p.tf, d.df,
        round(ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS idf
 FROM post p JOIN dfreq d USING (term), n
 """
+
+
+def doc_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, score, rank) — the top-k TF-IDF keywords per
+    document: tf = in-doc term count, idf = ln((N+1)/(df+1)) + 1 (the
+    smoothed scikit-learn-style variant, public), score = tf * idf
+    rounded to the repo's 6-decimal contract, rank 1..k per doc with
+    term as the deterministic tiebreak. The per-document summarization
+    product (doc tagging, weak labels, retrieval expansion) that
+    bm25_rank's query-time scoring doesn't materialize.
+
+    Scale: one (doc, term) rollup (partial aggs absorb stopword-heavy
+    maps), one term-keyed df rollup joined back (AQE decides broadcast
+    vs shuffle), N via a one-row agg cross join — never a driver
+    collect. The top-k window partitions BY DOCUMENT, so partitions
+    are bounded by per-doc vocabulary, not corpus size (no Exchange
+    SinglePartition).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(words_array(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n") + F.lit(1.0))
+                        / (F.col("df").cast("double") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
+def doc_keywords_oracle_sql(
+    k: int = 5, source: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`doc_keywords` over (doc_id, text)."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+  FROM {source}
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM w
+       GROUP BY doc_id, term),
+nd AS (SELECT count(*)::DOUBLE AS n FROM {source}),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf::DOUBLE
+               * (ln((nd.n + 1.0) / (dfq.df::DOUBLE + 1.0)) + 1.0),
+               6) AS score
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nd
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM sc
+)
+SELECT doc_id, term, tf, score, rank::BIGINT AS rank
+FROM rk WHERE rank <= {k}
+"""
