@@ -699,6 +699,115 @@ def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_wrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional PageRank over the host link graph — the
+    rank the link COUNTS justify (host_graph's n_links drives the
+    inflow split), vs host_rank's one-host-one-vote uniform walk."""
+    from easyner_spark.operators.graph import weighted_pagerank
+    from easyner_spark.operators.webtext import host_graph
+
+    hg = host_graph(_synth_html_pages(spark, sf_dir))
+    return weighted_pagerank(
+        hg.select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            F.col("n_links").alias("weight"),
+        )
+    ).select("node", "rank")
+
+
+_KWIC_TERMS = ("hash", "scan", "merge")
+
+
+def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance: first occurrence of each query
+    term per document (instr-located char offsets), 20-char windows —
+    pure substring arithmetic, zero UDF, zero regex."""
+    from easyner_spark.operators.search import kwic
+
+    docs = _docs(spark, sf_dir)
+    sents = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).cast("long").alias("sent_idx"),
+        F.col("text").alias("sentence"),
+    )
+    parts = []
+    for t in _KWIC_TERMS:
+        pos = F.instr(F.col("sentence"), t)
+        parts.append(
+            sents.where(pos > 0).select(
+                "url",
+                "sent_idx",
+                (pos - 1).cast("long").alias("begin"),
+                (pos - 1 + len(t)).cast("long").alias("end"),
+                F.lit(t).alias("mention"),
+            )
+        )
+    ments = parts[0]
+    for x in parts[1:]:
+        ments = ments.unionByName(x)
+    return kwic(ments, sents, window=20)
+
+
+def q_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scholarly-identifier pulls (DOI / arXiv / PMID) over pages with
+    deterministically injected citations — the web->literature
+    linking edge for a scientific KG."""
+    from easyner_spark.operators.webtext import citation_facts
+
+    return citation_facts(_citation_pages(spark, sf_dir))
+
+
+def _citation_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 3rd doc cites a DOI, every 5th an arXiv id, every 7th a
+    PMID (some docs carry several); the rest carry none."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    text = F.concat(
+        F.lit("body "),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("see 10.1038/j"), (did % 50).cast("string"),
+                F.lit(".x "),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("arXiv:20"), F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit(".1"), F.lpad((did % 1000).cast("string"), 4, "0"),
+                F.lit(" "),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit("PMID: "), (10000 + did).cast("string"), F.lit(" ")),
+        ).otherwise(F.lit("")),
+        F.lit("end"),
+    )
+    return d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        text.alias("text"),
+    )
+
+
+_CITATION_PAGES_SQL = """
+SELECT 'u' || doc_id AS url,
+  'body '
+  || (CASE WHEN doc_id % 3 = 0
+      THEN 'see 10.1038/j' || (doc_id % 50) || '.x ' ELSE '' END)
+  || (CASE WHEN doc_id % 5 = 0
+      THEN 'arXiv:20' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+           || '.1' || lpad((doc_id % 1000)::VARCHAR, 4, '0') || ' '
+      ELSE '' END)
+  || (CASE WHEN doc_id % 7 = 0
+      THEN 'PMID: ' || (10000 + doc_id) || ' ' ELSE '' END)
+  || 'end' AS text
+FROM documents
+"""
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF keywords per document (smoothed sklearn-style
     idf, round-6 contract, per-doc window — no SinglePartition) —
@@ -4744,6 +4853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "kg_assortativity": q_kg_assortativity,
         "entity_merge_cands": q_entity_merge_cands,
+        "host_wrank": q_host_wrank,
+        "kwic": q_kwic,
+        "citations": q_citations,
         "kg_link_predict": q_kg_link_predict,
         "kg_kcore": q_kg_kcore,
         "heavy_hitters": q_heavy_hitters,
@@ -7177,6 +7289,39 @@ def _merge_cands_oracle() -> str:
     return edit_merge_candidates_oracle_sql(_MERGE_LABELS_SQL, max_dist=2)
 
 
+def _host_wrank_oracle() -> str:
+    from easyner_spark.operators.graph import weighted_pagerank_oracle_sql
+
+    return _HOSTLINKS_CTE + weighted_pagerank_oracle_sql(
+        e_sql="SELECT src_host AS src, dst_host AS dst,"
+        " n_links::BIGINT AS w FROM hg"
+    )
+
+
+def _kwic_oracle() -> str:
+    from easyner_spark.operators.search import kwic_oracle_sql
+
+    terms = " UNION ALL ".join(f"SELECT '{t}' AS term" for t in _KWIC_TERMS)
+    mentions_sql = f"""
+SELECT doc_id::VARCHAR AS url, 0::BIGINT AS sent_idx,
+       (strpos(text, t.term) - 1)::BIGINT AS begin,
+       (strpos(text, t.term) - 1 + length(t.term))::BIGINT AS "end",
+       t.term AS mention
+FROM documents CROSS JOIN ({terms}) t
+WHERE strpos(text, t.term) > 0"""
+    sentences_sql = (
+        "SELECT doc_id::VARCHAR AS url, 0::BIGINT AS sent_idx,"
+        " text AS sentence FROM documents"
+    )
+    return kwic_oracle_sql(mentions_sql, sentences_sql, window=20)
+
+
+def _citations_oracle() -> str:
+    from easyner_spark.operators.webtext import citation_facts_oracle_sql
+
+    return citation_facts_oracle_sql(_CITATION_PAGES_SQL)
+
+
 def _pagerank_oracle_body(
     iters: int = 3,
     e_sql: str = "SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples",
@@ -7988,6 +8133,15 @@ FROM alln LEFT JOIN corners ON alln.node = corners.node
         # Two-key blocked self-join + levenshtein verify over the
         # noisy-label synthesis (nel.edit_merge_candidates_oracle_sql)
         "entity_merge_cands": _merge_cands_oracle(),
+        # Weight-proportional unrolled power method over hg's n_links
+        # (graph.weighted_pagerank_oracle_sql after _HOSTLINKS_CTE)
+        "host_wrank": _host_wrank_oracle(),
+        # strpos-located first occurrences + pure substr windows
+        # (search.kwic_oracle_sql)
+        "kwic": _kwic_oracle(),
+        # Shared-verbatim DOI/arXiv/PMID patterns over the injected
+        # synthesis (webtext.citation_facts_oracle_sql)
+        "citations": _citations_oracle(),
         "heavy_hitters": _cms_oracle(),
         # Unrolled WL rounds over the shared pr CTE (graph.wl_labels_oracle_sql)
         "kg_wl_labels": _wl_oracle(),

@@ -1941,3 +1941,113 @@ SELECT m2, sum_x, sum_xx, sum_xy,
             ELSE 0.0 END AS r
 FROM daagg
 """
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    iters: int = 3,
+    damping: float = DAMPING,
+    state_round: int = 9,
+) -> DataFrame:
+    """:func:`pagerank` generalized to INTEGER edge weights — inflow
+    distributes proportionally to weight instead of uniformly:
+    r_{t+1}(n) = round((1-d)/N + d * sum_{m->n} r_t(m) * w(m,n)/W(m),
+    state_round), W(m) = m's total out-weight. Over the host graph
+    this is the rank the link COUNTS justify (host_graph carries
+    n_links for exactly this): a host linking a target 10,000 times
+    endorses it differently than one linking it once — and a spam
+    host's repeated self-promotion concentrates on few targets, where
+    uniform PageRank would dilute it.
+
+    Parallel edges must be pre-aggregated (one (src, dst) row each);
+    weights are summed as exact BIGINTs, so w/W is one double
+    division and the round(·, state_round) state contract holds
+    cross-engine exactly as in pagerank. Scale shape identical: one
+    shuffle per iteration, src-partitioned edge reuse,
+    localCheckpoint-capped lineage.
+    """
+    e = (
+        edges.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .agg(F.sum(F.col(weight)).cast("long").alias("w"))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    wdeg = e.groupBy("src").agg(F.sum("w").cast("long").alias("wdeg"))
+    base = (1.0 - damping) / float(n)
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / float(n)), state_round).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(wdeg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.col("rank")
+                    * (F.col("w").cast("double") / F.col("wdeg").cast("double"))
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    state_round,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def weighted_pagerank_oracle_sql(e_sql: str, iters: int = 3) -> str:
+    """DuckDB twin of :func:`weighted_pagerank`; `e_sql` must yield
+    (src, dst, w) with one row per edge (pre-aggregated weights).
+    CTE CONTINUATION (leading ', '), the _pagerank_oracle_body
+    convention. NOTE the inflow term is rank * (w/W) — same
+    association order as the engine."""
+    parts = [
+        f"""
+, we AS ({e_sql}),
+wnodes AS (SELECT src AS node FROM we UNION SELECT dst FROM we),
+wnn AS (SELECT count(*)::DOUBLE AS n FROM wnodes),
+wdeg AS (SELECT src, sum(w)::BIGINT AS wdeg FROM we GROUP BY src),
+w0 AS (SELECT node, round(1.0 / wnn.n, 9) AS rank
+       FROM wnodes CROSS JOIN wnn)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+w{t} AS (
+  SELECT wnodes.node,
+         round((1.0 - 0.85) / wnn.n + 0.85 * coalesce(x.inflow, 0.0), 9)
+           AS rank
+  FROM wnodes CROSS JOIN wnn
+  LEFT JOIN (
+    SELECT we.dst AS node,
+           sum(r.rank * (we.w::DOUBLE / wdeg.wdeg::DOUBLE)) AS inflow
+    FROM we
+    JOIN wdeg ON we.src = wdeg.src
+    JOIN w{t - 1} r ON we.src = r.node
+    GROUP BY we.dst
+  ) x ON wnodes.node = x.node
+)"""
+        )
+    parts.append(f"\nSELECT node, round(rank, 6) AS rank FROM w{iters}\n")
+    return "".join(parts)

@@ -4489,3 +4489,76 @@ SELECT topic, member, count(*)::BIGINT AS n_pages
 FROM sm GROUP BY topic, member
 HAVING count(*) >= {min_pages}
 """
+
+
+# scholarly-identifier pulls; patterns shared VERBATIM with the DuckDB
+# oracle (both engines run them on lower(text); no lookaround, so Java
+# regex and RE2 agree)
+DOI_RE = r"10\.[0-9]{4,9}/[-._;()/:a-z0-9]+"
+ARXIV_RE = r"arxiv:([0-9]{4}\.[0-9]{4,5})"
+PMID_RE = r"pmid:? ?([0-9]{1,8})"
+
+
+def citation_facts(
+    pages: DataFrame, text_col: str = "text", url_col: str = "url"
+) -> DataFrame:
+    """(url, cite_type, cite_idx, cite_id) — scholarly identifiers
+    pulled from page text: DOIs, arXiv ids, PMIDs, in document order
+    per type. The web->literature linking signal a scientific KG
+    joins on (a page citing PMID 123 grounds its extracted triples in
+    that record); the reference pipeline starts FROM PubMed ids —
+    this is the inverse edge the web side contributes.
+
+    Three zero-shuffle regex pulls over one lowered projection,
+    union'd — scan-fused codegen, no UDF. Trailing-punctuation noise
+    on DOI matches is kept verbatim (deterministic > clever); the
+    consumer strips it at join time against a registry.
+    """
+    low = F.lower(F.col(text_col))
+    base = pages.select(F.col(url_col).alias("url"), low.alias("_t"))
+
+    def _pull(kind: str, pat: str, grp: int) -> DataFrame:
+        return base.select(
+            "url",
+            F.lit(kind).alias("cite_type"),
+            F.posexplode(
+                F.expr(f"regexp_extract_all(_t, r'{pat}', {grp})")
+            ).alias("cite_idx", "cite_id"),
+        )
+
+    return (
+        _pull("doi", DOI_RE, 0)
+        .unionByName(_pull("arxiv", ARXIV_RE, 1))
+        .unionByName(_pull("pmid", PMID_RE, 1))
+        .select(
+            "url",
+            "cite_type",
+            F.col("cite_idx").cast("long").alias("cite_idx"),
+            "cite_id",
+        )
+    )
+
+
+def citation_facts_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`citation_facts`; `pages_sql` yields
+    (url, text)."""
+    pulls = []
+    for kind, pat, grp in (
+        ("doi", DOI_RE, 0),
+        ("arxiv", ARXIV_RE, 1),
+        ("pmid", PMID_RE, 1),
+    ):
+        dgrp = grp
+        pulls.append(f"""
+  SELECT url, '{kind}' AS cite_type, u.i::BIGINT AS cite_idx,
+         u.v AS cite_id
+  FROM (SELECT url, unnest(list_transform(range(0, len(ids)),
+          i -> {{'i': i, 'v': ids[(i+1)::INT]}})) AS u
+        FROM (SELECT url,
+                regexp_extract_all(lower(text), '{pat}', {dgrp}) AS ids
+              FROM cfp))""")
+    body = "\n  UNION ALL".join(pulls)
+    return f"""
+WITH cfp AS ({pages_sql})
+{body}
+"""
