@@ -699,6 +699,105 @@ def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-text date mentions normalized to ISO-8601 by pure string
+    ops over deterministically injected long/ISO forms — the temporal
+    grounding feeder beyond edge_temporal's cue words."""
+    from easyner_spark.operators.webtext import date_facts
+
+    return date_facts(_date_pages(spark, sf_dir))
+
+
+def _date_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 2nd doc carries a long-form date (month cycling by
+    doc_id, day 1-28, year 1999+id%25), every 3rd an ISO date, every
+    6th both."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    month_names = [
+        "January", "February", "March", "April", "May", "June",
+        "July", "August", "September", "October", "November",
+        "December",
+    ]
+    mexpr = F.when(did % 12 == 0, F.lit(month_names[0]))
+    for i, nm in enumerate(month_names[1:], start=1):
+        mexpr = mexpr.when(did % 12 == i, F.lit(nm))
+    text = F.concat(
+        F.lit("posted "),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                mexpr, F.lit(" "), (did % 28 + 1).cast("string"),
+                F.lit(", "), (1999 + did % 25).cast("string"), F.lit(" "),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("on 20"), F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit("-"), F.lpad((did % 12 + 1).cast("string"), 2, "0"),
+                F.lit("-"), F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+                F.lit(" "),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("end"),
+    )
+    return d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        text.alias("text"),
+    )
+
+
+_DATE_PAGES_SQL = """
+SELECT 'u' || doc_id AS url,
+  'posted '
+  || (CASE WHEN doc_id % 2 = 0
+      THEN (CASE doc_id % 12
+            WHEN 0 THEN 'January' WHEN 1 THEN 'February'
+            WHEN 2 THEN 'March' WHEN 3 THEN 'April'
+            WHEN 4 THEN 'May' WHEN 5 THEN 'June'
+            WHEN 6 THEN 'July' WHEN 7 THEN 'August'
+            WHEN 8 THEN 'September' WHEN 9 THEN 'October'
+            WHEN 10 THEN 'November' ELSE 'December' END)
+           || ' ' || (doc_id % 28 + 1) || ', ' || (1999 + doc_id % 25)
+           || ' '
+      ELSE '' END)
+  || (CASE WHEN doc_id % 3 = 0
+      THEN 'on 20' || lpad((doc_id % 100)::VARCHAR, 2, '0') || '-'
+           || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-'
+           || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || ' '
+      ELSE '' END)
+  || 'end' AS text
+FROM documents
+"""
+
+
+def q_kg_window_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window (<=5) entity co-occurrence counts — the tighter-
+    evidence edge weighting sentence-level pairs can't express."""
+    from easyner_spark.operators.graph import window_cooc
+
+    m = _mentions(spark, sf_dir)
+    return window_cooc(
+        m, window=5, doc_col="url", sent_col="sent_idx",
+        term_col="mention_lc", pos_col="begin_tok",
+    ).select("a", "b", "n_pairs")
+
+
+def q_kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-bounded harmonic centrality over the triple graph — the
+    disconnected-graph centrality, distance counts rolled up as exact
+    integers and folded in one fixed-order float expression."""
+    from easyner_spark.operators.graph import harmonic_centrality
+
+    edges = q_triples(spark, sf_dir).select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    return harmonic_centrality(edges, k=2).select(
+        "source", "hc", "n_reached"
+    )
+
+
 def q_host_wrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional PageRank over the host link graph — the
     rank the link COUNTS justify (host_graph's n_links drives the
@@ -4856,6 +4955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_wrank": q_host_wrank,
         "kwic": q_kwic,
         "citations": q_citations,
+        "dates": q_dates,
+        "kg_window_cooc": q_kg_window_cooc,
+        "kg_harmonic": q_kg_harmonic,
         "kg_link_predict": q_kg_link_predict,
         "kg_kcore": q_kg_kcore,
         "heavy_hitters": q_heavy_hitters,
@@ -7322,6 +7424,46 @@ def _citations_oracle() -> str:
     return citation_facts_oracle_sql(_CITATION_PAGES_SQL)
 
 
+def _dates_oracle() -> str:
+    from easyner_spark.operators.webtext import date_facts_oracle_sql
+
+    return date_facts_oracle_sql(_DATE_PAGES_SQL)
+
+
+def _window_cooc_oracle() -> str:
+    from easyner_spark.operators.graph import window_cooc_oracle_sql
+
+    occ = (
+        "SELECT DISTINCT doc_id AS d, sent_idx AS s,"
+        " mention_lc AS t, begin_tok AS p FROM mentions"
+    )
+    return _PRELUDE + ",\nwcbase AS (" + occ + ")" + window_cooc_oracle_sql(
+        "SELECT * FROM wcbase", window=5
+    ).replace("WITH wco AS", ", wco AS", 1).lstrip("\n")
+
+
+def _harmonic_oracle() -> str:
+    from easyner_spark.operators.graph import harmonic_centrality_oracle_sql
+
+    prefix = _PRELUDE.replace("WITH sent0", "WITH RECURSIVE sent0", 1) + """
+, hc_edges AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM triples
+               WHERE subj_id <> obj_id),
+hc_sym AS (SELECT a, b FROM hc_edges UNION SELECT b, a FROM hc_edges),
+hc_nodes AS (SELECT DISTINCT a AS node FROM hc_sym),
+hc_walk(source, node, dist) AS (
+  SELECT node, node, 0 FROM hc_nodes
+  UNION
+  SELECT w.source, e.b, w.dist + 1
+  FROM hc_walk w JOIN hc_sym e ON w.node = e.a
+  WHERE w.dist < 2
+),
+hcw AS (
+  SELECT source, node, min(dist)::BIGINT AS dist
+  FROM hc_walk GROUP BY source, node
+)"""
+    return harmonic_centrality_oracle_sql(prefix, k=2)
+
+
 def _pagerank_oracle_body(
     iters: int = 3,
     e_sql: str = "SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples",
@@ -8142,6 +8284,16 @@ FROM alln LEFT JOIN corners ON alln.node = corners.node
         # Shared-verbatim DOI/arXiv/PMID patterns over the injected
         # synthesis (webtext.citation_facts_oracle_sql)
         "citations": _citations_oracle(),
+        # Month-name CASE map + lpad, no engine date parser
+        # (webtext.date_facts_oracle_sql over the injected synthesis)
+        "dates": _dates_oracle(),
+        # Banded self-join on (doc, sent) positions
+        # (graph.window_cooc_oracle_sql over the mentions CTE)
+        "kg_window_cooc": _window_cooc_oracle(),
+        # k_hop's recursive min-dist walk -> per-distance integer
+        # counts -> fixed-order reciprocal fold
+        # (graph.harmonic_centrality_oracle_sql)
+        "kg_harmonic": _harmonic_oracle(),
         "heavy_hitters": _cms_oracle(),
         # Unrolled WL rounds over the shared pr CTE (graph.wl_labels_oracle_sql)
         "kg_wl_labels": _wl_oracle(),

@@ -2051,3 +2051,122 @@ w{t} AS (
         )
     parts.append(f"\nSELECT node, round(rank, 6) AS rank FROM w{iters}\n")
     return "".join(parts)
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(source, hc, n_reached) — k-bounded harmonic centrality:
+    hc(s) = sum over reachable nodes of 1/dist(s, n), dist <= k. The
+    standard centrality for DISCONNECTED graphs (closeness diverges,
+    harmonic just scores unreachable as 0) and the locality-bounded
+    variant is the only one that scales: exact all-pairs harmonic is
+    O(V*E), the k-bounded table is :func:`k_hop`'s output — already
+    the neighborhood product a KG consumer materializes — plus one
+    rollup.
+
+    Float determinism: instead of sum(1.0/dist) over an engine-chosen
+    row order, the rollup counts nodes PER INTEGER DISTANCE (exact
+    BIGINTs) and evaluates n_1*(1/1) + n_2*(1/2) + ... in one fixed
+    left-to-right expression — both engines produce the identical
+    double, round(·, 6).
+    """
+    if k < 1:
+        raise ValueError("harmonic_centrality needs k >= 1")
+    hops = k_hop(edges, k=k, src=src, dst=dst).where(F.col("dist") > 0)
+    counts = hops.groupBy("source").agg(
+        *[
+            F.sum(F.when(F.col("dist") == d, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{d}")
+            for d in range(1, k + 1)
+        ],
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )
+    expr = F.col("n1").cast("double") * F.lit(1.0)
+    for d in range(2, k + 1):
+        expr = expr + F.col(f"n{d}").cast("double") * F.lit(1.0 / float(d))
+    return counts.select(
+        "source", F.round(expr, 6).alias("hc"), "n_reached"
+    )
+
+
+def harmonic_centrality_oracle_sql(prefix_cte: str, k: int = 2) -> str:
+    """DuckDB twin of :func:`harmonic_centrality`; `prefix_cte` is a
+    complete WITH chain whose LAST relation is hcw(source, node, dist)
+    with dist the MINIMUM hop count, 0..k (the k_hop oracle's min-dist
+    rollup, pinned flat per the repo's nested-WITH DuckDB quirk). The
+    1/d factors are Python-side float literals repr'd at full
+    precision — the identical doubles the engine multiplies by."""
+    terms = " + ".join(
+        f"n{d}::DOUBLE * {1.0 / float(d)!r}" for d in range(1, k + 1)
+    )
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN dist = {d} THEN 1 ELSE 0 END)::BIGINT AS n{d}"
+        for d in range(1, k + 1)
+    )
+    return f"""{prefix_cte},
+hcc AS (
+  SELECT source,
+         {sums},
+         count(*)::BIGINT AS n_reached
+  FROM hcw WHERE dist > 0 GROUP BY source
+)
+SELECT source, round({terms}, 6) AS hc, n_reached FROM hcc
+"""
+
+
+def window_cooc(
+    mentions: DataFrame,
+    window: int = 5,
+    doc_col: str = "doc_id",
+    sent_col: str = "sent_idx",
+    term_col: str = "term",
+    pos_col: str = "begin_tok",
+) -> DataFrame:
+    """(a, b, n_pairs) — TOKEN-WINDOW entity co-occurrence: distinct
+    mention positions of two different terms in the same sentence at
+    token distance <= `window`, counted per ordered pair a < b. The
+    tighter-evidence edge weighting sentence_pairs can't express: in
+    a 60-token sentence, adjacent entities and opposite-end entities
+    are very different co-occurrence claims, and PMI over windowed
+    pairs sharpens exactly the edges triple extraction missed.
+
+    One self-join keyed on (doc, sent) — per-sentence mention counts
+    are bounded, so the join is skew-safe by construction — then a
+    band filter and ONE rollup shuffle (partial aggs absorb hot
+    pairs).
+    """
+    occ = mentions.select(
+        F.col(doc_col).alias("d"),
+        F.col(sent_col).alias("s"),
+        F.col(term_col).alias("t"),
+        F.col(pos_col).alias("p"),
+    ).distinct()
+    x = occ.select("d", "s", F.col("t").alias("a"), F.col("p").alias("pa"))
+    y = occ.select("d", "s", F.col("t").alias("b"), F.col("p").alias("pb"))
+    return (
+        x.join(y, ["d", "s"])
+        .where(
+            (F.col("a") < F.col("b"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= window)
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def window_cooc_oracle_sql(occ_sql: str, window: int = 5) -> str:
+    """DuckDB twin of :func:`window_cooc`; `occ_sql` yields DISTINCT
+    (d, s, t, p) mention positions."""
+    return f"""
+WITH wco AS ({occ_sql})
+SELECT x.t AS a, y.t AS b, count(*)::BIGINT AS n_pairs
+FROM wco x JOIN wco y
+  ON x.d = y.d AND x.s = y.s AND x.t < y.t
+     AND abs(x.p - y.p) <= {window}
+GROUP BY x.t, y.t
+"""

@@ -4562,3 +4562,107 @@ def citation_facts_oracle_sql(pages_sql: str) -> str:
 WITH cfp AS ({pages_sql})
 {body}
 """
+
+
+# date patterns, shared verbatim with the oracle (lowered text)
+ISO_DATE_RE = r"[0-9]{4}-[0-9]{2}-[0-9]{2}"
+LONG_DATE_RE = (
+    r"(january|february|march|april|may|june|july|august|september"
+    r"|october|november|december) [0-9]{1,2}, [0-9]{4}"
+)
+_MONTHS = (
+    "january february march april may june july august september"
+    " october november december"
+).split()
+
+
+def date_facts(
+    pages: DataFrame, text_col: str = "text", url_col: str = "url"
+) -> DataFrame:
+    """(url, date_kind, date_idx, raw, iso) — in-text date mentions
+    normalized to ISO-8601 strings: bare YYYY-MM-DD plus the long
+    'Month D, YYYY' form (month-name CASE map + lpad, pure string
+    ops, no engine date parser — to_date/strptime semantics differ
+    across engines, string arithmetic doesn't). The temporal
+    grounding feeder for edge_temporal beyond its in-sentence cue
+    words, and the page-freshness signal crawl scheduling reads when
+    warc_ts disagrees with the content.
+
+    Two zero-shuffle regex pulls over one lowered projection; no
+    validity check (2026-99-99 normalizes verbatim — deterministic >
+    clever; the consumer filters at join time).
+    """
+    low = F.lower(F.col(text_col))
+    base = pages.select(F.col(url_col).alias("url"), low.alias("_t"))
+    iso = base.select(
+        "url",
+        F.lit("iso").alias("date_kind"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(_t, r'{ISO_DATE_RE}', 0)")
+        ).alias("date_idx", "raw"),
+    ).withColumn("iso", F.col("raw"))
+    lng = base.select(
+        "url",
+        F.lit("long").alias("date_kind"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(_t, r'{LONG_DATE_RE}', 0)")
+        ).alias("date_idx", "raw"),
+    )
+    mon = F.regexp_extract(F.col("raw"), LONG_DATE_RE, 1)
+    day = F.regexp_extract(F.col("raw"), r"([0-9]{1,2}), [0-9]{4}", 1)
+    year = F.regexp_extract(F.col("raw"), r"([0-9]{4})$", 1)
+    mexpr = F.when(mon == _MONTHS[0], F.lit("01"))
+    for i, name in enumerate(_MONTHS[1:], start=2):
+        mexpr = mexpr.when(mon == name, F.lit(f"{i:02d}"))
+    lng = lng.withColumn(
+        "iso",
+        F.concat(year, F.lit("-"), mexpr, F.lit("-"), F.lpad(day, 2, "0")),
+    )
+    return iso.unionByName(lng).select(
+        "url",
+        "date_kind",
+        F.col("date_idx").cast("long").alias("date_idx"),
+        "raw",
+        "iso",
+    )
+
+
+def date_facts_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`date_facts`; `pages_sql` yields
+    (url, text)."""
+    mcase = " ".join(
+        f"WHEN '{name}' THEN '{i:02d}'"
+        for i, name in enumerate(_MONTHS, start=1)
+    )
+    return f"""
+WITH dfp AS (SELECT url, lower(text) AS t FROM ({pages_sql})),
+diso AS (
+  SELECT url, 'iso' AS date_kind, u.i::BIGINT AS date_idx,
+         u.v AS raw, u.v AS iso
+  FROM (SELECT url, unnest(list_transform(range(0, len(ms)),
+          i -> {{'i': i, 'v': ms[(i+1)::INT]}})) AS u
+        FROM (SELECT url,
+                regexp_extract_all(t, '{ISO_DATE_RE}', 0) AS ms
+              FROM dfp))
+),
+dlraw AS (
+  SELECT url, u.i::BIGINT AS date_idx, u.v AS raw
+  FROM (SELECT url, unnest(list_transform(range(0, len(ms)),
+          i -> {{'i': i, 'v': ms[(i+1)::INT]}})) AS u
+        FROM (SELECT url,
+                regexp_extract_all(t, '{LONG_DATE_RE}', 0) AS ms
+              FROM dfp))
+),
+dlong AS (
+  SELECT url, 'long' AS date_kind, date_idx, raw,
+         regexp_extract(raw, '([0-9]{{4}})$', 1) || '-'
+         || (CASE regexp_extract(raw, '{LONG_DATE_RE}', 1) {mcase} END)
+         || '-'
+         || lpad(regexp_extract(raw, '([0-9]{{1,2}}), [0-9]{{4}}', 1), 2, '0')
+           AS iso
+  FROM dlraw
+)
+SELECT url, date_kind, date_idx, raw, iso FROM diso
+UNION ALL
+SELECT url, date_kind, date_idx, raw, iso FROM dlong
+"""
