@@ -699,6 +699,108 @@ def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org microdata pulls (itemtype + itemprop/content) over
+    deterministic synthesis — the third structured-data syntax next
+    to jsonld/opengraph; flat-scope contract documented."""
+    from easyner_spark.operators.webtext import extract_microdata
+
+    return extract_microdata(_microdata_pages(spark, sf_dir))
+
+
+def _microdata_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc not divisible by 4 carries an itemscope'd Person/
+    Product (cycling) with two itemprops; every 6th adds a scopeless
+    extra itemprop; every 4th has no microdata."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    typ = F.when(
+        did % 2 == 0, F.lit("https://schema.org/Person")
+    ).otherwise(F.lit("https://schema.org/Product"))
+    html = F.concat(
+        F.lit("<html>"),
+        F.when(
+            did % 4 != 0,
+            F.concat(
+                F.lit('<div itemscope itemtype="'), typ, F.lit('">'),
+                F.lit('<span itemprop="name" content="Entity '),
+                (did % 30).cast("string"), F.lit('">x</span>'),
+                F.lit('<meta itemprop="sku" content="S'),
+                (did % 17).cast("string"), F.lit('"></div>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 6 == 0,
+            F.concat(
+                F.lit('<b itemprop="note" content="n'),
+                (did % 5).cast("string"), F.lit('">y</b>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+    return d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+
+
+_MICRODATA_PAGES_SQL = """
+SELECT 'u' || doc_id AS url,
+  '<html>'
+  || (CASE WHEN doc_id % 4 != 0
+      THEN '<div itemscope itemtype="'
+           || (CASE WHEN doc_id % 2 = 0 THEN 'https://schema.org/Person'
+               ELSE 'https://schema.org/Product' END)
+           || '"><span itemprop="name" content="Entity ' || (doc_id % 30)
+           || '">x</span><meta itemprop="sku" content="S' || (doc_id % 17)
+           || '"></div>'
+      ELSE '' END)
+  || (CASE WHEN doc_id % 6 = 0
+      THEN '<b itemprop="note" content="n' || (doc_id % 5) || '">y</b>'
+      ELSE '' END)
+  || '</html>' AS html
+FROM documents
+"""
+
+
+def q_unescape_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-entity normalization (fixed replace chain, &amp; last) —
+    the equality-key cleaner exact_dedup/anchor_terms/alias joins
+    need ('AT&amp;T' == 'AT&T')."""
+    from easyner_spark.operators.webtext import html_unescape
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.lit("v&amp;"),
+        F.when(did % 2 == 0, F.lit("&lt;tag&gt; ")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("&quot;q&#39; ")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("&amp;lt;dbl ")).otherwise(F.lit("")),
+        F.lit("w&nbsp;z"),
+    )
+    return d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        raw.alias("raw"),
+        html_unescape(raw).alias("clean"),
+    )
+
+
+def q_host_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-bounded strongly-connected-component labels over the host
+    link graph — reciprocal-ring (link-exchange) detection that
+    undirected components over-merge."""
+    from easyner_spark.operators.graph import bounded_scc
+    from easyner_spark.operators.webtext import host_graph
+
+    hg = host_graph(_synth_html_pages(spark, sf_dir))
+    return bounded_scc(
+        hg.select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        ),
+        k=3,
+    ).select("node", "scc_label")
+
+
 def q_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-text date mentions normalized to ISO-8601 by pure string
     ops over deterministically injected long/ISO forms — the temporal
@@ -4958,6 +5060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dates": q_dates,
         "kg_window_cooc": q_kg_window_cooc,
         "kg_harmonic": q_kg_harmonic,
+        "microdata": q_microdata,
+        "unescape_text": q_unescape_text,
+        "host_scc": q_host_scc,
         "kg_link_predict": q_kg_link_predict,
         "kg_kcore": q_kg_kcore,
         "heavy_hitters": q_heavy_hitters,
@@ -7464,6 +7569,35 @@ hcw AS (
     return harmonic_centrality_oracle_sql(prefix, k=2)
 
 
+def _microdata_oracle() -> str:
+    from easyner_spark.operators.webtext import extract_microdata_oracle_sql
+
+    return extract_microdata_oracle_sql(_MICRODATA_PAGES_SQL)
+
+
+def _unescape_oracle() -> str:
+    from easyner_spark.operators.webtext import html_unescape_sql
+
+    raw = """'v&amp;'
+  || (CASE WHEN doc_id % 2 = 0 THEN '&lt;tag&gt; ' ELSE '' END)
+  || (CASE WHEN doc_id % 3 = 0 THEN '&quot;q&#39; ' ELSE '' END)
+  || (CASE WHEN doc_id % 5 = 0 THEN '&amp;lt;dbl ' ELSE '' END)
+  || 'w&nbsp;z'"""
+    return f"""
+WITH ue AS (SELECT 'u' || doc_id AS url, {raw} AS raw FROM documents)
+SELECT url, raw, {html_unescape_sql('raw')} AS clean FROM ue
+"""
+
+
+def _host_scc_oracle() -> str:
+    from easyner_spark.operators.graph import bounded_scc_oracle_sql
+
+    prefix = _HOSTLINKS_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1) + """
+, sccE AS (SELECT DISTINCT src_host AS a, dst_host AS b FROM hg
+           WHERE src_host != dst_host)"""
+    return bounded_scc_oracle_sql(prefix, k=3)
+
+
 def _pagerank_oracle_body(
     iters: int = 3,
     e_sql: str = "SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples",
@@ -8294,6 +8428,15 @@ FROM alln LEFT JOIN corners ON alln.node = corners.node
         # counts -> fixed-order reciprocal fold
         # (graph.harmonic_centrality_oracle_sql)
         "kg_harmonic": _harmonic_oracle(),
+        # Flat-scope itemtype/itemprop pulls, patterns shared verbatim
+        # (webtext.extract_microdata_oracle_sql)
+        "microdata": _microdata_oracle(),
+        # Same fixed replace chain via webtext.html_unescape_sql
+        "unescape_text": _unescape_oracle(),
+        # Recursive directed walk + swapped-key mutual join + min
+        # rollup (graph.bounded_scc_oracle_sql after a RECURSIVE
+        # _HOSTLINKS_CTE)
+        "host_scc": _host_scc_oracle(),
         "heavy_hitters": _cms_oracle(),
         # Unrolled WL rounds over the shared pr CTE (graph.wl_labels_oracle_sql)
         "kg_wl_labels": _wl_oracle(),

@@ -2170,3 +2170,82 @@ FROM wco x JOIN wco y
      AND abs(x.p - y.p) <= {window}
 GROUP BY x.t, y.t
 """
+
+
+def bounded_scc(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, scc_label) — k-bounded strongly-connected-component
+    labels over the DIRECTED edge set: scc_label(n) = the smallest
+    node id m with n ->* m and m ->* n, both within k hops (every
+    node trivially reaches itself, so singletons label themselves).
+    The directed-cycle detector components' undirected transitivity
+    can't be: on the host graph, a nontrivial label groups RECIPROCAL
+    link structures — link exchanges and farm rings — which is
+    exactly the host_spam_signals evidence at multi-hop range.
+
+    Bounded honestly: cycles longer than k hops split (label = self);
+    k is the explicit cost knob because the forward-reach table is
+    the k-neighborhood product. Shape: k directed frontier joins
+    (the k_hop recipe minus symmetrization), then ONE self-join of
+    the reach table on the swapped key pair (source=node AND
+    node=source — mutual reachability), then a min() rollup.
+    """
+    if k < 1:
+        raise ValueError("bounded_scc needs k >= 1")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    best = nodes.select(F.col("node").alias("source"), "node")
+    frontier = best
+    for _ in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["a"])
+            .select("source", F.col("b").alias("node"))
+        )
+        frontier = nxt.join(best, ["source", "node"], "left_anti").distinct()
+        best = best.unionByName(frontier).localCheckpoint(eager=True)
+    back = best.select(
+        F.col("node").alias("source"), F.col("source").alias("node")
+    )
+    mutual = best.join(back, ["source", "node"], "left_semi")
+    return (
+        mutual.groupBy("source")
+        .agg(F.min("node").alias("scc_label"))
+        .select(F.col("source").alias("node"), "scc_label")
+    )
+
+
+def bounded_scc_oracle_sql(prefix_cte: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`bounded_scc`; `prefix_cte` is a complete
+    WITH RECURSIVE chain whose LAST relation is sccE(a, b) —
+    DISTINCT directed edges, no self loops (flat chain per the repo's
+    nested-WITH quirk)."""
+    return f"""{prefix_cte},
+sccN AS (SELECT a AS node FROM sccE UNION SELECT b FROM sccE),
+sccW(source, node, dist) AS (
+  SELECT node, node, 0 FROM sccN
+  UNION
+  SELECT w.source, e.b, w.dist + 1
+  FROM sccW w JOIN sccE e ON w.node = e.a
+  WHERE w.dist < {k}
+),
+sccR AS (SELECT DISTINCT source, node FROM sccW),
+sccM AS (
+  SELECT r.source, r.node
+  FROM sccR r
+  JOIN sccR x ON r.source = x.node AND r.node = x.source
+)
+SELECT source AS node, min(node) AS scc_label
+FROM sccM GROUP BY source
+"""

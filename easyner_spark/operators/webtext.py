@@ -4666,3 +4666,105 @@ SELECT url, date_kind, date_idx, raw, iso FROM diso
 UNION ALL
 SELECT url, date_kind, date_idx, raw, iso FROM dlong
 """
+
+
+# microdata patterns (flat pulls; shared verbatim with the oracle)
+MICRO_TYPE_RE = r'itemscope[^>]*itemtype="([^"]*)"'
+MICRO_PROP_EL_RE = r'<[a-z0-9]+[^>]*itemprop="[^"]*"[^>]*>'
+MICRO_PROP_RE = r'itemprop="([^"]*)"'
+MICRO_CONTENT_RE = r'content="([^"]*)"'
+
+
+def extract_microdata(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, item_type, prop_idx, prop, content) — schema.org
+    MICRODATA pulls, the third structured-data syntax next to
+    extract_jsonld and extract_opengraph (the three together cover
+    essentially all schema.org deployment): every itemprop element's
+    name + content attribute, tagged with the page's FIRST itemtype.
+
+    FLAT contract, stated honestly: nested itemscopes are not scoped
+    (every itemprop on the page attributes to the first itemtype;
+    elements carrying their value in text rather than a content
+    attribute emit content='') — the same pragmatic flattening
+    page_entities applies to JSON-LD @graph. Zero shuffle: two regex
+    pulls + one posexplode over lower(html), scan-fused codegen.
+    """
+    base = pages.select(
+        F.col(url_col).alias("url"),
+        F.lower(F.col(html_col).cast("string")).alias("_h"),
+    )
+    return base.select(
+        "url",
+        F.regexp_extract(F.col("_h"), MICRO_TYPE_RE, 1).alias("item_type"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(_h, '{MICRO_PROP_EL_RE}', 0)")
+        ).alias("prop_idx", "_el"),
+    ).select(
+        "url",
+        "item_type",
+        F.col("prop_idx").cast("long").alias("prop_idx"),
+        F.regexp_extract(F.col("_el"), MICRO_PROP_RE, 1).alias("prop"),
+        F.regexp_extract(F.col("_el"), MICRO_CONTENT_RE, 1).alias("content"),
+    )
+
+
+def extract_microdata_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`extract_microdata`; `pages_sql` yields
+    (url, html) with html TEXT."""
+    return f"""
+WITH mdp AS (SELECT url, lower(html) AS lh FROM ({pages_sql})),
+mde AS (
+  SELECT url,
+         regexp_extract(lh, '{MICRO_TYPE_RE}', 1) AS item_type,
+         regexp_extract_all(lh, '{MICRO_PROP_EL_RE}', 0) AS els
+  FROM mdp
+)
+SELECT url, item_type, u.i::BIGINT AS prop_idx,
+       regexp_extract(u.v, '{MICRO_PROP_RE}', 1) AS prop,
+       regexp_extract(u.v, '{MICRO_CONTENT_RE}', 1) AS content
+FROM (SELECT url, item_type,
+        unnest(list_transform(range(0, len(els)),
+          i -> {{'i': i, 'v': els[(i+1)::INT]}})) AS u
+      FROM mde)
+"""
+
+
+# the five XML-predefined entities + the three numerically-common web
+# ones; ORDER MATTERS (&amp; last, or '&amp;lt;' would double-decode)
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&#x27;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_unescape(col) -> "Column":
+    """Column expression decoding the common HTML entities (&lt;
+    &gt; &quot; &#39; &#x27; &nbsp; &amp;) — the normalization web
+    text needs before any equality-keyed operator (exact_dedup,
+    anchor_terms, alias joins: 'AT&amp;T' and 'AT&T' must hash
+    identically). A fixed chain of literal replace()s — no regex, no
+    UDF, stays in codegen — with &amp; decoded LAST so double-encoded
+    text ('&amp;lt;') decodes one level per pass, exactly like the
+    reference decoders.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def html_unescape_sql(expr: str) -> str:
+    """The DuckDB twin expression of :func:`html_unescape` over
+    `expr` — same replace chain, same order."""
+    out = expr
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return out
