@@ -699,6 +699,101 @@ def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOK_RE = r"(?U)\\w+|[^\\w\\s]"
+
+
+def _pronoun_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document token stream with pronouns injected (' the ' ->
+    ' it ') — corpus vocabulary has no natural pronouns; the
+    substitution is deterministic in both engines (literal
+    non-overlapping regexp_replace)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.lit(0).cast("long").alias("sent_idx"),
+        F.posexplode(
+            F.expr(
+                "regexp_extract_all(regexp_replace(lower(text),"
+                " ' the ', ' it '), r'(?U)\\w+|[^\\w\\s]', 0)"
+            )
+        ).alias("tok_idx", "tok"),
+    ).select(
+        "doc_id", "sent_idx",
+        F.col("tok_idx").cast("long").alias("tok_idx"), "tok",
+    )
+
+
+def q_pronoun_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreference-lite: injected pronouns linked to the nearest
+    preceding dictionary mention in the same sentence (lookback 0) —
+    the KG recall booster for 'it inhibits X' sentences the
+    dictionary path drops."""
+    from easyner_spark.operators.triples import pronoun_links
+
+    toks = _pronoun_tokens(spark, sf_dir)
+    ments = toks.where(F.col("tok").isin("hash", "scan")).select(
+        "doc_id", "sent_idx",
+        F.col("tok_idx").alias("begin_tok"),
+        (F.col("tok_idx") + 1).alias("end_tok"),
+        F.col("tok").alias("term"),
+    )
+    return pronoun_links(toks, ments, lookback=0).select(
+        "doc_id", "sent_idx", "tok_idx", "pronoun",
+        F.col("ant_sent").cast("long").alias("ant_sent"),
+        F.col("ant_tok").cast("long").alias("ant_tok"),
+        "antecedent",
+    )
+
+
+def q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the deterministic pred/gold token
+    labelings (error_regions' rater pair) — chance-corrected
+    agreement as one double division of exact BIGINTs."""
+    from easyner_spark.operators.evaluate import cohens_kappa
+
+    toks = _pronoun_tokens(spark, sf_dir)
+    gold = toks.select(
+        "doc_id", "sent_idx", "tok_idx",
+        F.when(F.col("tok").isin("hash", "scan"), F.lit("B"))
+        .otherwise(F.lit("O")).alias("label"),
+    )
+    pred = toks.select(
+        "doc_id", "sent_idx", "tok_idx",
+        F.when(
+            (F.col("tok") == "hash") & (F.col("tok_idx") % 2 == 0),
+            F.lit("B"),
+        ).otherwise(F.lit("O")).alias("label"),
+    )
+    return cohens_kappa(pred, gold).select(
+        "n", "agree", "chance_prod_sum", "kappa"
+    )
+
+
+def q_host_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-entity affinity: per-host mention counts and shares over
+    the pipeline's real mention table joined to the skewed host
+    synthesis — the source-authority feature for canonicalization
+    and crawl targeting."""
+    from easyner_spark.operators.webtext import host_topics
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 10 < 3, F.lit("hub.example.com"))
+        .when(did % 10 < 5, F.lit("blog.example.org"))
+        .otherwise(
+            F.concat(
+                F.lit("site"), (did % 37).cast("string"),
+                F.lit(".example.net"),
+            )
+        )
+    )
+    hosts = d.select(did.cast("string").alias("url"), host.alias("host"))
+    return host_topics(_mentions(spark, sf_dir), hosts).select(
+        "host", "term", "n_mentions", "share"
+    )
+
+
 def q_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """schema.org microdata pulls (itemtype + itemprop/content) over
     deterministic synthesis — the third structured-data syntax next
@@ -5063,6 +5158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "microdata": q_microdata,
         "unescape_text": q_unescape_text,
         "host_scc": q_host_scc,
+        "pronoun_links": q_pronoun_links,
+        "kappa": q_kappa,
+        "host_topics": q_host_topics,
         "kg_link_predict": q_kg_link_predict,
         "kg_kcore": q_kg_kcore,
         "heavy_hitters": q_heavy_hitters,
@@ -7598,6 +7696,60 @@ def _host_scc_oracle() -> str:
     return bounded_scc_oracle_sql(prefix, k=3)
 
 
+_PRONOUN_TOKS_CTE = """
+WITH pl0 AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), ' the ', ' it ', 'g') AS t
+  FROM documents
+),
+plt0 AS (
+  SELECT doc_id, 0::BIGINT AS sent_idx,
+         generate_subscripts(regexp_extract_all(t, '\\w+|[^\\w\\s]'), 1) - 1
+           AS tok_idx,
+         unnest(regexp_extract_all(t, '\\w+|[^\\w\\s]')) AS tok
+  FROM pl0
+)"""
+
+
+def _pronoun_links_oracle() -> str:
+    from easyner_spark.operators.triples import pronoun_links_oracle_sql
+
+    return _PRONOUN_TOKS_CTE + pronoun_links_oracle_sql(
+        "SELECT doc_id, sent_idx, tok_idx, tok FROM plt0",
+        "SELECT doc_id, sent_idx, tok_idx AS begin_tok,"
+        " tok_idx + 1 AS end_tok, tok AS term FROM plt0"
+        " WHERE tok IN ('hash', 'scan')",
+        lookback=0,
+    )
+
+
+def _kappa_oracle() -> str:
+    from easyner_spark.operators.evaluate import cohens_kappa_oracle_sql
+
+    pred = (
+        "SELECT doc_id, sent_idx, tok_idx,"
+        " CASE WHEN tok = 'hash' AND tok_idx % 2 = 0 THEN 'B'"
+        " ELSE 'O' END AS label FROM plt0"
+    )
+    gold = (
+        "SELECT doc_id, sent_idx, tok_idx,"
+        " CASE WHEN tok IN ('hash', 'scan') THEN 'B'"
+        " ELSE 'O' END AS label FROM plt0"
+    )
+    return _PRONOUN_TOKS_CTE + cohens_kappa_oracle_sql(pred, gold)
+
+
+def _host_topics_oracle() -> str:
+    from easyner_spark.operators.webtext import host_topics_oracle_sql
+
+    hosts = f"""SELECT doc_id::VARCHAR AS url, {_URL_HOST_CASE} AS host
+FROM documents"""
+    return _PRELUDE + host_topics_oracle_sql(
+        "SELECT doc_id::VARCHAR AS url, mention_lc AS term FROM mentions",
+        hosts,
+    )
+
+
 def _pagerank_oracle_body(
     iters: int = 3,
     e_sql: str = "SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples",
@@ -8437,6 +8589,14 @@ FROM alln LEFT JOIN corners ON alln.node = corners.node
         # rollup (graph.bounded_scc_oracle_sql after a RECURSIVE
         # _HOSTLINKS_CTE)
         "host_scc": _host_scc_oracle(),
+        # Banded doc-join + max(struct) nearest-antecedent rollup
+        # (triples.pronoun_links_oracle_sql over the injected stream)
+        "pronoun_links": _pronoun_links_oracle(),
+        # N^2-scaled integer kappa (evaluate.cohens_kappa_oracle_sql)
+        "kappa": _kappa_oracle(),
+        # Composite (host, term) rollup + host-total join
+        # (webtext.host_topics_oracle_sql over the mentions CTE)
+        "host_topics": _host_topics_oracle(),
         "heavy_hitters": _cms_oracle(),
         # Unrolled WL rounds over the shared pr CTE (graph.wl_labels_oracle_sql)
         "kg_wl_labels": _wl_oracle(),

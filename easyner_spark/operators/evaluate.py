@@ -122,3 +122,100 @@ def set_eval(pred: DataFrame, gold: DataFrame, keys: list[str]) -> dict:
         g.join(F.broadcast(p), keys, "left_semi").count() / n_gold if n_gold else 0.0
     )
     return {"tp": tp, "n_pred": n_pred, "n_gold": n_gold, "precision": precision, "recall": recall}
+
+
+def cohens_kappa(
+    pred: DataFrame,
+    gold: DataFrame,
+    keys: tuple[str, ...] = ("doc_id", "sent_idx", "tok_idx"),
+    label_col: str = "label",
+) -> DataFrame:
+    """One row (n, agree, chance_prod_sum, kappa) — Cohen's kappa
+    between two labelings of the same token stream: the chance-
+    corrected agreement the raw-accuracy eval (J6) overstates when
+    one class ('O') dominates, which in NER it always does.
+
+    Exactness trick: the textbook form kappa = (p_o - p_e)/(1 - p_e)
+    divides order-dependent float sums; multiplying through by N^2
+    gives kappa = (N*agree - S) / (N^2 - S) with
+    S = sum_k n_pred(k) * n_gold(k) — and S is an INTEGER sum, exact
+    and order-independent in both engines, so kappa is one double
+    division of two exact BIGINTs, round(·, 6). Rows present on only
+    one side are excluded by the inner key join (both raters must
+    rate an item, the kappa precondition).
+
+    Scale: one key-equi join + three rollups, all partial-agg
+    absorbed; 'O'-marginal hot keys never form a join key.
+    """
+    kl = list(keys)
+    p = pred.select(*kl, F.col(label_col).alias("_pl"))
+    g = gold.select(*kl, F.col(label_col).alias("_gl"))
+    j = p.join(g, kl)
+    tot = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("_pl") == F.col("_gl"), 1).otherwise(0)
+        ).cast("long").alias("agree"),
+    )
+    mp = j.groupBy(F.col("_pl").alias("_l")).agg(
+        F.count(F.lit(1)).cast("long").alias("np")
+    )
+    mg = j.groupBy(F.col("_gl").alias("_l")).agg(
+        F.count(F.lit(1)).cast("long").alias("ng")
+    )
+    s = mp.join(mg, "_l").agg(
+        F.coalesce(F.sum(F.col("np") * F.col("ng")), F.lit(0))
+        .cast("long")
+        .alias("chance_prod_sum")
+    )
+    den = (
+        F.col("n").cast("double") * F.col("n").cast("double")
+        - F.col("chance_prod_sum").cast("double")
+    )
+    num = (
+        F.col("n").cast("double") * F.col("agree").cast("double")
+        - F.col("chance_prod_sum").cast("double")
+    )
+    return tot.crossJoin(s).select(
+        "n",
+        "agree",
+        "chance_prod_sum",
+        F.when(den > 0, F.round(num / den, 6))
+        .otherwise(F.lit(1.0))
+        .alias("kappa"),
+    )
+
+
+def cohens_kappa_oracle_sql(
+    pred_sql: str,
+    gold_sql: str,
+    keys: tuple[str, ...] = ("doc_id", "sent_idx", "tok_idx"),
+) -> str:
+    """DuckDB twin of :func:`cohens_kappa`; pred_sql/gold_sql yield
+    (*keys, label). CTE CONTINUATION (leading ', ')."""
+    kl = ", ".join(keys)
+    on = " AND ".join(f"kp.{k} = kg.{k}" for k in keys)
+    return f"""
+, kp AS (SELECT {kl}, label AS pl FROM ({pred_sql})),
+kg AS (SELECT {kl}, label AS gl FROM ({gold_sql})),
+kj AS (SELECT kp.pl, kg.gl FROM kp JOIN kg ON {on}),
+ktot AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN pl = gl THEN 1 ELSE 0 END)::BIGINT AS agree
+  FROM kj
+),
+kmp AS (SELECT pl AS l, count(*)::BIGINT AS np FROM kj GROUP BY pl),
+kmg AS (SELECT gl AS l, count(*)::BIGINT AS ng FROM kj GROUP BY gl),
+ks AS (
+  SELECT coalesce(sum(np * ng), 0)::BIGINT AS chance_prod_sum
+  FROM kmp JOIN kmg USING (l)
+)
+SELECT n, agree, chance_prod_sum,
+       CASE WHEN (n::DOUBLE * n::DOUBLE - chance_prod_sum::DOUBLE) > 0
+            THEN round((n::DOUBLE * agree::DOUBLE
+                        - chance_prod_sum::DOUBLE)
+                       / (n::DOUBLE * n::DOUBLE
+                          - chance_prod_sum::DOUBLE), 6)
+            ELSE 1.0 END AS kappa
+FROM ktot CROSS JOIN ks
+"""

@@ -4768,3 +4768,66 @@ def html_unescape_sql(expr: str) -> str:
         lit = ch.replace("'", "''")
         out = f"replace({out}, '{ent}', '{lit}')"
     return out
+
+
+def host_topics(
+    mentions: DataFrame,
+    page_hosts: DataFrame,
+    min_count: int = 1,
+    doc_col: str = "url",
+    term_col: str = "mention_lc",
+) -> DataFrame:
+    """(host, term, n_mentions, share) — the host-entity affinity
+    rollup: which hosts talk about which entities, and how much of
+    each host's mention mass an entity takes (share = n / host_total,
+    one exact-integer division). The source-authority feature entity
+    canonicalization and crawl targeting both read ("site X is 40%
+    about rapamycin — trust its alias evidence / crawl it deeper"),
+    and the bipartite matrix behind any host-topic clustering.
+
+    Shape: one doc-keyed join to attach hosts (page_hosts is (url,
+    host), near-unique per url), then ONE composite rollup on (host,
+    term) and a host rollup joined back — partial aggs absorb hot
+    hosts; the share never needs a window.
+    """
+    mh = mentions.select(
+        F.col(doc_col).alias("url"), F.col(term_col).alias("term")
+    ).join(page_hosts.select("url", "host"), "url")
+    per = mh.groupBy("host", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions")
+    )
+    tot = per.groupBy("host").agg(
+        F.sum("n_mentions").cast("long").alias("_tot")
+    )
+    return (
+        per.join(tot, "host")
+        .select(
+            "host",
+            "term",
+            "n_mentions",
+            F.round(
+                F.col("n_mentions").cast("double") / F.col("_tot").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .where(F.col("n_mentions") >= min_count)
+    )
+
+
+def host_topics_oracle_sql(
+    mentions_sql: str, hosts_sql: str, min_count: int = 1
+) -> str:
+    """DuckDB twin of :func:`host_topics`; mentions_sql yields
+    (url, term), hosts_sql (url, host). CTE CONTINUATION."""
+    return f"""
+, htm AS (SELECT m.term, h.host
+          FROM ({mentions_sql}) m JOIN ({hosts_sql}) h ON m.url = h.url),
+htp AS (SELECT host, term, count(*)::BIGINT AS n_mentions
+        FROM htm GROUP BY host, term),
+htt AS (SELECT host, sum(n_mentions)::BIGINT AS tot
+        FROM htp GROUP BY host)
+SELECT p.host, p.term, p.n_mentions,
+       round(p.n_mentions::DOUBLE / t.tot::DOUBLE, 6) AS share
+FROM htp p JOIN htt t ON p.host = t.host
+WHERE p.n_mentions >= {min_count}
+"""
