@@ -142,7 +142,8 @@ def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_predicate_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dependency-pattern predicate extraction (north_star): inject a
-    deterministic relation verb into the word soup (' b ' -> ' inhibits ')
+    deterministic relation verb into the word soup (' slow ' -> ' inhibits ',
+    a token that genuinely occurs in the corpus)
     so the lexicon path fires on real pairs, then run the char-gap
     pattern rule; pairs with no verb between the spans keep the
     co-occurrence fallback."""
@@ -155,7 +156,7 @@ def q_predicate_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = docs.select(
         F.col("doc_id").cast("string").alias("url"),
         F.regexp_replace(
-            F.regexp_replace("text", " b ", " inhibits "), " a ", ". "
+            F.regexp_replace("text", " slow ", " inhibits "), " a ", ". "
         ).alias("text"),
         "lang",
     )
@@ -720,6 +721,40 @@ def _pronoun_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "sent_idx",
         F.col("tok_idx").cast("long").alias("tok_idx"), "tok",
+    )
+
+
+def q_passive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passive-voice pattern triples with flipped roles (north_star
+    coverage): inject ' slow ' -> ' is inhibited by ' (a real corpus
+    token) so the passive rule
+    fires on real pairs; 'X is inhibited by Y' emits
+    (Y, inhibits, X) — the triple the order-based active rule gets
+    backward. Non-passive pairs emit nothing."""
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.ner_dict import dict_ner
+    from easyner_spark.operators.splitter import split_sentences
+    from easyner_spark.operators.triples import extract_passive_triples
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.regexp_replace(
+            F.regexp_replace("text", " slow ", " is inhibited by "), " a ", ". "
+        ).alias("text"),
+        "lang",
+    )
+    sents = split_sentences(pages, lang_filter=None)
+    linked = link_entities(
+        dict_ner(sents, DICT), primary_alias(_alias_df(spark)), keep_unmatched=False
+    )
+    out = extract_passive_triples(linked, sents)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "subj_id",
+        "pred",
+        "obj_id",
     )
 
 
@@ -5159,6 +5194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unescape_text": q_unescape_text,
         "host_scc": q_host_scc,
         "pronoun_links": q_pronoun_links,
+        "passive_triples": q_passive_triples,
         "kappa": q_kappa,
         "host_topics": q_host_topics,
         "kg_link_predict": q_kg_link_predict,
@@ -5829,7 +5865,7 @@ def _predicate_triples_oracle(as_prefix: bool = False) -> str:
     letters-only, so "first lexicon token in the char gap
     (subj.end, obj.begin)" == "first lexicon token with tok_idx in
     [subj.end_tok, obj.begin_tok)" — same hit, same order. The prelude
-    is rewritten with the same ' b ' -> ' inhibits ' verb injection the
+    is rewritten with the same ' slow ' -> ' inhibits ' verb injection the
     Spark query applies (before senticizing, same replace order).
     `as_prefix=True` returns the chain WITHOUT a final SELECT, ending
     in e(subj_id, pred, obj_id) DISTINCT — for composition into
@@ -5841,7 +5877,7 @@ def _predicate_triples_oracle(as_prefix: bool = False) -> str:
     )
     prelude = _PRELUDE.replace(
         "regexp_replace(text, ' a ', '. ', 'g')",
-        "regexp_replace(regexp_replace(text, ' b ', ' inhibits ', 'g'), ' a ', '. ', 'g')",
+        "regexp_replace(regexp_replace(text, ' slow ', ' inhibits ', 'g'), ' a ', '. ', 'g')",
     )
     return (
         prelude
@@ -7750,6 +7786,60 @@ FROM documents"""
     )
 
 
+def _passive_triples_oracle() -> str:
+    """Passive rule on TOKEN indices: adjacent (aux, participle, 'by')
+    triples from the leads CTE, first mapped hit per pair via
+    arg_min, all three tokens inside [gb, ge), output roles flipped
+    — the engine's char-gap regex sees exactly these phrases because
+    the injected pattern is space-separated word-soup tokens."""
+    from easyner_spark.operators.triples import PASSIVE_AUX, PASSIVE_LEXICON
+
+    lex_values = ", ".join(
+        f"('{s_}', '{c}')" for s_, c in sorted(PASSIVE_LEXICON.items())
+    )
+    aux_list = ", ".join(f"'{a}'" for a in PASSIVE_AUX)
+    prelude = _PRELUDE.replace(
+        "regexp_replace(text, ' a ', '. ', 'g')",
+        "regexp_replace(regexp_replace(text, ' slow ', ' is inhibited by ',"
+        " 'g'), ' a ', '. ', 'g')",
+    )
+    return (
+        prelude
+        + f"""
+, pvf2 AS (
+  SELECT doc_id, sent_idx, entity_id, begin_tok, end_tok,
+         row_number() OVER (PARTITION BY doc_id, sent_idx
+                            ORDER BY begin_tok, end_tok, entity_id) AS ord
+  FROM firsts WHERE rn = 1
+),
+pvpp AS (
+  SELECT a.doc_id, a.sent_idx, a.entity_id AS first_id,
+         b.entity_id AS second_id, a.end_tok AS gb, b.begin_tok AS ge
+  FROM pvf2 a JOIN pvf2 b
+    ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.ord < b.ord
+),
+pvlex(surface, canon) AS (VALUES {lex_values}),
+pvhits AS (
+  SELECT l.doc_id, l.sent_idx, l.tok_idx, x.canon
+  FROM leads l JOIN pvlex x ON lower(l.t1) = x.surface
+  WHERE lower(l.t0) IN ({aux_list}) AND lower(l.t2) = 'by'
+),
+pvhit AS (
+  SELECT p.doc_id, p.sent_idx, p.first_id, p.second_id,
+         arg_min(h.canon, h.tok_idx) AS canon
+  FROM pvpp p
+  JOIN pvhits h
+    ON h.doc_id = p.doc_id AND h.sent_idx = p.sent_idx
+   AND h.tok_idx >= p.gb AND h.tok_idx + 2 < p.ge
+  GROUP BY p.doc_id, p.sent_idx, p.first_id, p.second_id
+)
+SELECT doc_id, sent_idx::BIGINT AS sent_idx, second_id AS subj_id,
+       canon AS pred, first_id AS obj_id
+FROM pvhit
+"""
+    )
+
+
 def _pagerank_oracle_body(
     iters: int = 3,
     e_sql: str = "SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples",
@@ -8592,6 +8682,9 @@ FROM alln LEFT JOIN corners ON alln.node = corners.node
         # Banded doc-join + max(struct) nearest-antecedent rollup
         # (triples.pronoun_links_oracle_sql over the injected stream)
         "pronoun_links": _pronoun_links_oracle(),
+        # Token-index mirror of the adjacent aux/participle/'by'
+        # phrase rule via the leads CTE, roles flipped
+        "passive_triples": _passive_triples_oracle(),
         # N^2-scaled integer kappa (evaluate.cohens_kappa_oracle_sql)
         "kappa": _kappa_oracle(),
         # Composite (host, term) rollup + host-total join

@@ -1466,3 +1466,103 @@ SELECT d AS doc_id, ps AS sent_idx, pt AS tok_idx, pronoun,
        a.s AS ant_sent, a.b AS ant_tok, a.t AS antecedent
 FROM plb
 """
+
+
+PASSIVE_AUX = ("is", "are", "was", "were")
+PASSIVE_LEXICON: dict[str, str] = {
+    "activated": "activates",
+    "inhibited": "inhibits",
+    "bound": "binds",
+    "regulated": "regulates",
+    "induced": "induces",
+    "suppressed": "suppresses",
+    "phosphorylated": "phosphorylates",
+    "encoded": "encodes",
+    "targeted": "targets",
+    "blocked": "blocks",
+    "promoted": "promotes",
+    "mediated": "mediates",
+    "modulated": "modulates",
+    "caused": "causes",
+    "treated": "treats",
+}
+
+
+def extract_passive_triples(
+    linked_mentions: DataFrame,
+    sentences: DataFrame,
+    lexicon: dict[str, str] | None = None,
+) -> DataFrame:
+    """(url, sent_idx, subj_id, pred, obj_id) — PASSIVE-voice pattern
+    triples with the roles FLIPPED: for an in-order entity pair
+    (A, B), an 'is|are|was|were <participle> by' phrase in the char
+    gap emits (B, canon(participle), A) — 'mtor is inhibited by
+    rapamycin' yields (rapamycin, inhibits, mtor), the triple
+    extract_predicate_triples gets BACKWARD (it assigns subj by
+    textual order). The standard coverage gap of order-based IE;
+    pairs without a passive phrase emit nothing (this operator is the
+    union partner of the active path, not a replacement).
+
+    Rule contract (mirrored on token indices by the oracle): the
+    first gap phrase whose participle is in the lexicon wins; aux,
+    participle, and 'by' must be adjacent tokens. Same two-shuffle
+    pair plan as extract_predicate_triples + one sentence join; the
+    phrase scan is regexp_extract_all -> map -> filter, 100% JVM.
+    """
+    lex = PASSIVE_LEXICON if lexicon is None else lexicon
+    lex_map = F.create_map(
+        *[F.lit(x) for s, c in sorted(lex.items()) for x in (s, c)]
+    )
+    aux = "|".join(PASSIVE_AUX)
+
+    ids = (
+        linked_mentions.where(F.col("entity_id") != "")
+        .repartition(F.col("url"), F.col("sent_idx"))
+        .groupBy("url", "sent_idx", "entity_id")
+        .agg(F.min(F.struct("begin", "end")).alias("first_span"))
+    )
+    per_sent = ids.groupBy("url", "sent_idx").agg(
+        F.array_sort(F.collect_list(F.struct("first_span", "entity_id"))).alias("ents")
+    )
+    n = F.size("ents")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ents"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ents"), i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x.getField("entity_id").alias("first_id"),
+                    y.getField("entity_id").alias("second_id"),
+                    x.getField("first_span").getField("end").alias("gap_begin"),
+                    y.getField("first_span").getField("begin").alias("gap_end"),
+                ),
+            ),
+        )
+    )
+    exploded = (
+        per_sent.where(n >= 2)
+        .select("url", "sent_idx", F.explode(pairs).alias("p"))
+        .join(sentences.select("url", "sent_idx", "sentence"), ["url", "sent_idx"])
+    )
+    participles = F.expr(
+        "regexp_extract_all(lower(substring(sentence, p.gap_begin + 1,"
+        " greatest(p.gap_end - p.gap_begin, 0))),"
+        f" '(?:{aux}) ([a-z]+) by', 1)"
+    )
+    canon = F.try_element_at(
+        F.filter(
+            F.transform(participles, lambda t: F.try_element_at(lex_map, t)),
+            lambda c: c.isNotNull(),
+        ),
+        F.lit(1),
+    )
+    return (
+        exploded.select(
+            "url",
+            "sent_idx",
+            F.col("p.second_id").alias("subj_id"),
+            canon.alias("pred"),
+            F.col("p.first_id").alias("obj_id"),
+        )
+        .where(F.col("pred").isNotNull())
+    )
