@@ -758,6 +758,48 @@ def q_passive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nominal_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nominalization pattern triples (north_star coverage): inject
+    ' slow ' -> ' inhibition of hash by ' so the phrase lands before a
+    real dictionary mention ('hash') and fires whenever the NEXT soup
+    token is also an entity; 'inhibition of X by Y' emits
+    (Y, inhibits, X) — a shape neither the active order rule (the
+    predicate precedes both entities) nor the passive rule covers.
+    First-span semantics apply: sentences where 'hash' already
+    occurred earlier keep the earlier span and emit nothing."""
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.ner_dict import dict_ner
+    from easyner_spark.operators.splitter import split_sentences
+    from easyner_spark.operators.triples import extract_nominal_triples
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", " slow ", " inhibition of hash by "),
+                " big ",
+                " suppression of merge by ",
+            ),
+            " a ",
+            ". ",
+        ).alias("text"),
+        "lang",
+    )
+    sents = split_sentences(pages, lang_filter=None)
+    linked = link_entities(
+        dict_ner(sents, DICT), primary_alias(_alias_df(spark)), keep_unmatched=False
+    )
+    out = extract_nominal_triples(linked, sents)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "subj_id",
+        "pred",
+        "obj_id",
+    )
+
+
 def q_pronoun_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coreference-lite: injected pronouns linked to the nearest
     preceding dictionary mention in the same sentence (lookback 0) —
@@ -5195,6 +5237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_scc": q_host_scc,
         "pronoun_links": q_pronoun_links,
         "passive_triples": q_passive_triples,
+        "nominal_triples": q_nominal_triples,
         "kappa": q_kappa,
         "host_topics": q_host_topics,
         "kg_link_predict": q_kg_link_predict,
@@ -7840,6 +7883,58 @@ FROM pvhit
     )
 
 
+def _nominal_triples_oracle() -> str:
+    """Nominalization rule on TOKEN indices: a leads row at
+    A.begin_tok - 2 must carry (nominal-in-lexicon, 'of'), the token
+    at A.end_tok must be 'by' with B starting right after — the exact
+    token mirror of the engine's char contract (prefix ends with
+    '<nominal> of ', gap trim-equals 'by') on the single-space
+    word-soup corpus. Roles flipped: B is the subject."""
+    from easyner_spark.operators.triples import NOMINAL_LEXICON
+
+    lex_values = ", ".join(
+        f"('{s_}', '{c}')" for s_, c in sorted(NOMINAL_LEXICON.items())
+    )
+    prelude = _PRELUDE.replace(
+        "regexp_replace(text, ' a ', '. ', 'g')",
+        "regexp_replace(regexp_replace(regexp_replace(text, ' slow ',"
+        " ' inhibition of hash by ', 'g'), ' big ',"
+        " ' suppression of merge by ', 'g'), ' a ', '. ', 'g')",
+    )
+    return (
+        prelude
+        + f"""
+, nmf AS (
+  SELECT doc_id, sent_idx, entity_id, begin_tok, end_tok,
+         row_number() OVER (PARTITION BY doc_id, sent_idx
+                            ORDER BY begin_tok, end_tok, entity_id) AS ord
+  FROM firsts WHERE rn = 1
+),
+nmpp AS (
+  SELECT a.doc_id, a.sent_idx, a.entity_id AS first_id,
+         b.entity_id AS second_id,
+         a.begin_tok AS ab, a.end_tok AS ae, b.begin_tok AS bb
+  FROM nmf a JOIN nmf b
+    ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.ord < b.ord
+),
+nmlex(surface, canon) AS (VALUES {lex_values}),
+nmhit AS (
+  SELECT p.doc_id, p.sent_idx, p.first_id, p.second_id, x.canon
+  FROM nmpp p
+  JOIN leads l1 ON l1.doc_id = p.doc_id AND l1.sent_idx = p.sent_idx
+               AND l1.tok_idx = p.ab - 2 AND lower(l1.t1) = 'of'
+  JOIN nmlex x ON lower(l1.t0) = x.surface
+  JOIN leads l2 ON l2.doc_id = p.doc_id AND l2.sent_idx = p.sent_idx
+               AND l2.tok_idx = p.ae AND lower(l2.t0) = 'by'
+  WHERE p.bb = p.ae + 1
+)
+SELECT doc_id, sent_idx::BIGINT AS sent_idx, second_id AS subj_id,
+       canon AS pred, first_id AS obj_id
+FROM nmhit
+"""
+    )
+
+
 def _pagerank_oracle_body(
     iters: int = 3,
     e_sql: str = "SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples",
@@ -8685,6 +8780,9 @@ FROM alln LEFT JOIN corners ON alln.node = corners.node
         # Token-index mirror of the adjacent aux/participle/'by'
         # phrase rule via the leads CTE, roles flipped
         "passive_triples": _passive_triples_oracle(),
+        # Token-index mirror of the '<nominal> of A by B' prefix/gap
+        # rule via two leads joins, roles flipped
+        "nominal_triples": _nominal_triples_oracle(),
         # N^2-scaled integer kappa (evaluate.cohens_kappa_oracle_sql)
         "kappa": _kappa_oracle(),
         # Composite (host, term) rollup + host-total join

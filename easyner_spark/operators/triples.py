@@ -1566,3 +1566,112 @@ def extract_passive_triples(
         )
         .where(F.col("pred").isNotNull())
     )
+
+
+NOMINAL_LEXICON: dict[str, str] = {
+    "activation": "activates",
+    "binding": "binds",
+    "blockade": "blocks",
+    "causation": "causes",
+    "encoding": "encodes",
+    "induction": "induces",
+    "inhibition": "inhibits",
+    "mediation": "mediates",
+    "modulation": "modulates",
+    "phosphorylation": "phosphorylates",
+    "promotion": "promotes",
+    "regulation": "regulates",
+    "suppression": "suppresses",
+    "targeting": "targets",
+    "treatment": "treats",
+}
+
+
+def extract_nominal_triples(
+    linked_mentions: DataFrame,
+    sentences: DataFrame,
+    lexicon: dict[str, str] | None = None,
+) -> DataFrame:
+    """(url, sent_idx, subj_id, pred, obj_id) — NOMINALIZATION pattern
+    triples: '<nominal> of A by B' emits (B, canon(nominal), A) —
+    'inhibition of mtor by rapamycin' yields (rapamycin, inhibits,
+    mtor). Neither the active order rule (the predicate token precedes
+    BOTH entities, so it is never in the inter-span gap
+    extract_predicate_triples scans) nor the passive rule (no aux/
+    participle) covers this shape; it is the third union partner of
+    the triple layer.
+
+    Rule contract (mirrored on token indices by the oracle): for an
+    in-order first-span entity pair (A, B), the characters before A
+    must END with '<nominal> of ' where the nominal maps through the
+    lexicon, and the char gap between A and B must be exactly the
+    token 'by' (trim-equal). All adjacency is strict — 'inhibition of
+    the mtor by ...' or '... by strong rapamycin' do not fire.
+
+    Same two-shuffle pair plan + one sentence join as the active and
+    passive extractors; the prefix/gap checks are regexp_extract +
+    literal-map lookup, 100% JVM codegen.
+    """
+    lex = NOMINAL_LEXICON if lexicon is None else lexicon
+    lex_map = F.create_map(
+        *[F.lit(x) for s, c in sorted(lex.items()) for x in (s, c)]
+    )
+
+    ids = (
+        linked_mentions.where(F.col("entity_id") != "")
+        .repartition(F.col("url"), F.col("sent_idx"))
+        .groupBy("url", "sent_idx", "entity_id")
+        .agg(F.min(F.struct("begin", "end")).alias("first_span"))
+    )
+    per_sent = ids.groupBy("url", "sent_idx").agg(
+        F.array_sort(F.collect_list(F.struct("first_span", "entity_id"))).alias("ents")
+    )
+    n = F.size("ents")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ents"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ents"), i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x.getField("entity_id").alias("first_id"),
+                    y.getField("entity_id").alias("second_id"),
+                    x.getField("first_span").getField("begin").alias("a_begin"),
+                    x.getField("first_span").getField("end").alias("gap_begin"),
+                    y.getField("first_span").getField("begin").alias("gap_end"),
+                ),
+            ),
+        )
+    )
+    exploded = (
+        per_sent.where(n >= 2)
+        .select("url", "sent_idx", F.explode(pairs).alias("p"))
+        .join(sentences.select("url", "sent_idx", "sentence"), ["url", "sent_idx"])
+    )
+    # chars strictly before A; a_begin is 0-based so substring(s, 1, a_begin)
+    # is exactly that prefix (empty when A starts the sentence)
+    nominal = F.regexp_extract(
+        F.expr("lower(substring(sentence, 1, p.a_begin))"), r"([a-z]+) of $", 1
+    )
+    gap_is_by = (
+        F.lower(
+            F.trim(
+                F.expr(
+                    "substring(sentence, p.gap_begin + 1,"
+                    " greatest(p.gap_end - p.gap_begin, 0))"
+                )
+            )
+        )
+        == "by"
+    )
+    return (
+        exploded.select(
+            "url",
+            "sent_idx",
+            F.col("p.second_id").alias("subj_id"),
+            F.try_element_at(lex_map, nominal).alias("pred"),
+            F.col("p.first_id").alias("obj_id"),
+            gap_is_by.alias("_by"),
+        )
+        .where(F.col("pred").isNotNull() & F.col("_by"))
+        .drop("_by")
+    )
