@@ -123,6 +123,27 @@ def q_link_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lesk-style context disambiguation: 'merge' maps to KB:02|KB:12 in
+    ALIAS, so the corpus genuinely exercises the ambiguous path; profiles
+    are built from the unambiguous terms only."""
+    from easyner_spark.operators.nel import disambiguate_mentions
+
+    out = disambiguate_mentions(
+        _mentions(spark, sf_dir), _sentences(spark, sf_dir), _alias_df(spark)
+    )
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.col("begin_tok").cast("long").alias("begin_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        "mention_lc",
+        "entity_id",
+        F.col("n_cands").cast("long").alias("n_cands"),
+        F.col("score").cast("long").alias("score"),
+    )
+
+
 def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easyner_spark.operators.nel import link_entities, primary_alias
     from easyner_spark.operators.triples import extract_triples
@@ -5195,6 +5216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_frequency": q_entity_frequency,
         "entity_frequency_batched": q_entity_frequency_batched,
         "link_entities": q_link_entities,
+        "disambiguate": q_disambiguate,
         "triples": q_triples,
         "predicate_triples": q_predicate_triples,
         "edges": q_edges,
@@ -8331,6 +8353,63 @@ SELECT m.doc_id, m.sent_idx::BIGINT AS sent_idx, m.begin_tok::BIGINT AS begin_to
        m.end_tok::BIGINT AS end_tok, m.mention_lc,
        coalesce(a.id, '') AS entity_id
 FROM mentions m LEFT JOIN alias a ON m.mention_lc = a.term
+""",
+        "disambiguate": _PRELUDE
+        + """
+, al AS (SELECT DISTINCT lower(term) AS term, id AS entity_id FROM alias),
+nc AS (SELECT term, count(*)::BIGINT AS n_cands FROM al GROUP BY term),
+al2 AS (SELECT al.term, al.entity_id, nc.n_cands FROM al JOIN nc ON al.term = nc.term),
+stoks AS (
+  SELECT DISTINCT doc_id, sent_idx,
+         unnest(list_filter(regexp_split_to_array(lower(sentence), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM sentences
+),
+cand AS (
+  SELECT mn.doc_id, mn.sent_idx, mn.begin_tok, mn.end_tok, mn.mention_lc,
+         al2.entity_id, al2.n_cands
+  FROM mentions mn JOIN al2 ON mn.mention_lc = al2.term
+),
+unamb AS (SELECT * FROM cand WHERE n_cands = 1),
+amb AS (SELECT * FROM cand WHERE n_cands > 1),
+profile AS (
+  SELECT DISTINCT u.entity_id, s.tok
+  FROM (SELECT DISTINCT doc_id, sent_idx, entity_id FROM unamb) u
+  JOIN stoks s ON u.doc_id = s.doc_id AND u.sent_idx = s.sent_idx
+),
+ovl AS (
+  SELECT a.doc_id, a.sent_idx, a.begin_tok, a.end_tok, a.mention_lc,
+         a.entity_id, count(*)::BIGINT AS overlap
+  FROM amb a
+  JOIN stoks s ON a.doc_id = s.doc_id AND a.sent_idx = s.sent_idx
+  JOIN profile p ON p.entity_id = a.entity_id AND p.tok = s.tok
+  GROUP BY ALL
+),
+scored AS (
+  SELECT a.doc_id, a.sent_idx, a.begin_tok, a.end_tok, a.mention_lc,
+         a.entity_id, a.n_cands, coalesce(o.overlap, 0) AS overlap
+  FROM amb a
+  LEFT JOIN ovl o
+    ON a.doc_id = o.doc_id AND a.sent_idx = o.sent_idx
+   AND a.begin_tok = o.begin_tok AND a.end_tok = o.end_tok
+   AND a.mention_lc = o.mention_lc AND a.entity_id = o.entity_id
+),
+best AS (
+  SELECT doc_id, sent_idx, begin_tok, end_tok, mention_lc, entity_id,
+         n_cands, overlap AS score,
+         row_number() OVER (
+           PARTITION BY doc_id, sent_idx, begin_tok, end_tok, mention_lc
+           ORDER BY overlap DESC, entity_id) AS rn
+  FROM scored
+)
+SELECT doc_id, sent_idx::BIGINT AS sent_idx, begin_tok::BIGINT AS begin_tok,
+       end_tok::BIGINT AS end_tok, mention_lc, entity_id,
+       n_cands::BIGINT AS n_cands, score::BIGINT AS score
+FROM best WHERE rn = 1
+UNION ALL
+SELECT doc_id, sent_idx::BIGINT, begin_tok::BIGINT, end_tok::BIGINT,
+       mention_lc, entity_id, n_cands::BIGINT, (-1)::BIGINT
+FROM unamb
 """,
         "triples": _PRELUDE
         + """

@@ -582,3 +582,136 @@ SELECT id_a, id_b, label_a, label_b,
 FROM emp
 WHERE levenshtein(label_a, label_b) <= {max_dist}
 """
+
+
+# Context-token contract shared verbatim with the DuckDB oracle: split
+# the LOWERCASED sentence on this class and drop empties. ASCII-alnum
+# on lowered text so both engines agree byte-for-byte; non-Latin
+# scripts fold to separators identically on both sides.
+CONTEXT_TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def disambiguate_mentions(
+    mentions: DataFrame,
+    sentences: DataFrame,
+    alias: DataFrame,
+    mention_col: str = "mention_lc",
+    max_profile_tokens: int | None = None,
+) -> DataFrame:
+    """Context-based entity disambiguation (Lesk over corpus-built
+    entity profiles) — the canonicalization step exact alias lookup
+    cannot perform: when one surface form maps to SEVERAL entity ids
+    ('merge' -> KB:02 | KB:12), pick per MENTION the candidate whose
+    context profile shares the most tokens with the mention's
+    sentence.
+
+    Contract:
+      * profile(e) = DISTINCT context tokens of sentences containing
+        an UNAMBIGUOUS mention of e (terms with exactly one alias id);
+        ambiguous mentions never feed profiles (no self-reinforcement);
+      * score(mention, e) = |distinct sentence tokens ∩ profile(e)|,
+        an exact integer;
+      * winner = max score, ties -> min entity_id (so an all-zero row
+        degrades to the deterministic primary-alias fallback);
+      * unambiguous mentions pass through with score = -1 (sentinel:
+        'not scored'), n_cands = 1.
+
+    Output: (url, sent_idx, begin_tok, end_tok, <mention_col>,
+    entity_id, n_cands, score).
+
+    Scale shape: the alias table and its per-term candidate counts are
+    broadcast (the north_star alias-dictionary assumption); sentence
+    token arrays are built ONCE and equi-joined on the co-clustered
+    (url, sent_idx) key for both the profile build and the scoring
+    pass; the profile is a distinct (entity_id, token) table (composite
+    uniform key); scoring joins candidate×token rows against it on
+    (entity_id, token) — a hot (popular-entity, stopword) combination
+    is AQE-skew-splittable, and `max_profile_tokens=N` caps each
+    profile to its N most frequent tokens (count desc, token asc — a
+    bounded per-entity window) the way a production profile store
+    would. Two groupBys finish it: overlap counts per
+    (mention, candidate), then an argmax min(struct(-overlap, id))
+    per mention — the second input is k rows per mention, already
+    collapsed.
+    """
+    al = (
+        alias.select(F.lower("term").alias("term"), F.col("ID").alias("entity_id"))
+        .distinct()
+    )
+    ncand = al.groupBy("term").agg(F.count(F.lit(1)).alias("n_cands"))
+    al2 = al.join(ncand, "term")
+
+    sent_toks = sentences.select(
+        "url",
+        "sent_idx",
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower("sentence"), CONTEXT_TOKEN_SPLIT_RE),
+                lambda t: t != "",
+            )
+        ).alias("toks"),
+    )
+
+    key = ["url", "sent_idx", "begin_tok", "end_tok", mention_col]
+    m = mentions.select(*key).join(
+        F.broadcast(al2), mentions[mention_col] == al2["term"], "inner"
+    ).drop("term")
+    unamb = m.where(F.col("n_cands") == 1)
+    amb = m.where(F.col("n_cands") > 1)
+
+    profile = (
+        unamb.select("url", "sent_idx", "entity_id")
+        .distinct()
+        .join(sent_toks, ["url", "sent_idx"])
+        .select("entity_id", F.explode("toks").alias("tok"))
+    )
+    if max_profile_tokens is None:
+        profile = profile.distinct()
+    else:
+        from pyspark.sql.window import Window
+
+        counted = profile.groupBy("entity_id", "tok").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy("entity_id").orderBy(
+            F.col("c").desc(), F.col("tok")
+        )
+        profile = (
+            counted.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_profile_tokens)
+            .select("entity_id", "tok")
+        )
+
+    cand_toks = amb.join(sent_toks, ["url", "sent_idx"]).select(
+        *key, "entity_id", "n_cands", F.explode("toks").alias("tok")
+    )
+    overlaps = (
+        cand_toks.join(profile, ["entity_id", "tok"], "left_semi")
+        .groupBy(*key, "entity_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    scored = (
+        amb.join(overlaps, [*key, "entity_id"], "left")
+        .withColumn("overlap", F.coalesce("overlap", F.lit(0)))
+    )
+    best = (
+        scored.groupBy(*key, "n_cands")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("overlap")).alias("neg"),
+                    F.col("entity_id").alias("e"),
+                )
+            ).alias("b")
+        )
+        .select(
+            *key,
+            F.col("b.e").alias("entity_id"),
+            "n_cands",
+            (-F.col("b.neg")).cast("long").alias("score"),
+        )
+    )
+    passthrough = unamb.select(
+        *key, "entity_id", "n_cands", F.lit(-1).cast("long").alias("score")
+    )
+    return best.unionByName(passthrough)
