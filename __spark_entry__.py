@@ -212,6 +212,38 @@ def q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuse_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge fusion (TruthFinder/Sums-style iterative truth
+    discovery) over the real extraction output: each triple becomes a
+    claim attributed to a synthetic host bucket source = 'h'||(doc_id%7)
+    — the Common-Crawl many-hosts-assert-conflicting-facts shape. Three
+    trust iterations, per-step round(9) state so Spark and DuckDB walk
+    the identical float trajectory."""
+    from easyner_spark.operators.nel import link_entities, primary_alias
+    from easyner_spark.operators.triples import extract_triples, fuse_claims
+
+    linked = link_entities(
+        _mentions(spark, sf_dir), primary_alias(_alias_df(spark)), keep_unmatched=False
+    )
+    claims = extract_triples(linked).select(
+        F.concat(F.lit("h"), (F.col("url").cast("long") % 7).cast("string")).alias(
+            "source"
+        ),
+        "subj_id",
+        "pred",
+        "obj_id",
+    )
+    out = fuse_claims(claims, iters=3, state_round=9)
+    return out.select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("confidence").cast("double").alias("confidence"),
+        "is_best",
+    )
+
+
 def q_predicate_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema induction over the KG edge table: per-predicate
     functional-property profile (1:1 / 1:N / N:1 / N:M). Input edges =
@@ -5220,6 +5252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples": q_triples,
         "predicate_triples": q_predicate_triples,
         "edges": q_edges,
+        "fuse_claims": q_fuse_claims,
         "predicate_cardinality": q_predicate_cardinality,
         "entity_salience": q_entity_salience,
         "host_cocitation": q_host_cocitation,
@@ -8061,6 +8094,7 @@ def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.graph import isa_closure_oracle_sql
     from easyner_spark.operators.triples import (
         entity_types_oracle_sql,
+        fuse_claims_oracle_sql,
         predicate_cardinality_oracle_sql,
     )
     from easyner_spark.operators.webtext import host_cocitation_oracle_sql
@@ -8422,6 +8456,20 @@ SELECT subj_id, pred, obj_id, count(*)::BIGINT AS support,
 FROM triples
 GROUP BY subj_id, pred, obj_id
 """,
+        # Truth discovery over host-attributed claims: with_prefix ends
+        # on claims(source, subj_id, pred, obj_id); the generator
+        # unrolls 3 trust iterations with round(9) state.
+        "fuse_claims": fuse_claims_oracle_sql(
+            _PRELUDE
+            + """,
+claims AS (
+  SELECT 'h' || (doc_id::BIGINT % 7)::VARCHAR AS source,
+         subj_id, pred, obj_id
+  FROM triples
+)""",
+            iters=3,
+            state_round=9,
+        ),
         # Per-predicate cardinality profile: real co-occurrence edges
         # UNION (dedup) the three synthetic single-class predicates —
         # mirrors q_predicate_cardinality's .distinct() on the union

@@ -1675,3 +1675,180 @@ def extract_nominal_triples(
         .where(F.col("pred").isNotNull() & F.col("_by"))
         .drop("_by")
     )
+
+
+def fuse_claims(
+    claims: DataFrame,
+    iters: int = 3,
+    state_round: int = 9,
+) -> DataFrame:
+    """Knowledge fusion by iterative truth discovery (Sums/TruthFinder
+    family, the Knowledge-Vault ingredient the reference pipeline has
+    no analog for): the SAME (subj, pred) slot extracted from many
+    sources carries conflicting objects; estimate per-source trust and
+    per-claim confidence jointly instead of majority-voting every host
+    equally (majority vote = iters=1 with uniform trust, which a spam
+    mirror farm defeats for free).
+
+    Input: claims(source, subj_id, pred, obj_id) — source is typically
+    the url host; rows are deduped here.
+
+    Contract (mirrored verbatim by the DuckDB oracle):
+      * t_0(source) = round(0.5, sr);
+      * support_t(claim) = round(sum of t_t over its sources, sr),
+        n_sources = that count;
+      * slot_mass_t(subj, pred) = round(sum of support over the slot's
+        competing claims, sr);
+      * conf_t(claim) = round(support / slot_mass, sr) — the slot's
+        trust-mass share, in (0, 1];
+      * t_{t+1}(source) = max(round(avg conf_t over the source's
+        claims, sr), 10^-sr) — trusted sources are those whose claims
+        win their slots; the floor keeps slot_mass > 0 on pathological
+        hub slots where a share underflows the state rounding;
+      * after `iters` rounds: confidence = conf_{iters}, is_best marks
+        the slot winner (max confidence, tie -> min obj_id).
+
+    Per-iteration round(sr) is what makes an iterative float algorithm
+    oracle-able at all (operators/graph.pagerank recipe): within one
+    iteration a k-double sum may differ across engines by ~k ulps;
+    rounding snaps both back to identical state before it compounds.
+
+    Output: (subj_id, pred, obj_id, n_sources, confidence, is_best).
+
+    Scale: the claim table is repartitioned ONCE on (subj_id, pred) and
+    localCheckpoint'ed; every iteration reuses that exchange for the
+    slot aggregate. Per iteration: one join keyed on source (uniform —
+    hosts), one (subj,pred,obj) agg and one (subj,pred) agg (both
+    partial-agg absorbed: a hot slot with millions of supporting rows
+    collapses map-side to one partial per task), one source agg. Trust
+    is O(#sources) — it could be broadcast, but stays a join so a
+    billion-host crawl doesn't pin the driver; AQE picks broadcast
+    when it fits. localCheckpoint per iteration caps lineage exactly
+    as pagerank/components do.
+    """
+    if iters < 1:
+        raise ValueError(f"fuse_claims needs iters >= 1: {iters}")
+    floor = 10.0 ** (-state_round)
+    c = (
+        claims.select("source", "subj_id", "pred", "obj_id")
+        .distinct()
+        .repartition("subj_id", "pred")
+        .localCheckpoint(eager=True)
+    )
+    trust = (
+        c.select("source")
+        .distinct()
+        .select("source", F.round(F.lit(0.5), state_round).alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    conf = None
+    for _ in range(iters):
+        sup = (
+            c.join(trust, "source")
+            .groupBy("subj_id", "pred", "obj_id")
+            .agg(
+                F.round(F.sum("t"), state_round).alias("support"),
+                F.count(F.lit(1)).cast("long").alias("n_sources"),
+            )
+        )
+        mass = sup.groupBy("subj_id", "pred").agg(
+            F.round(F.sum("support"), state_round).alias("slot_mass")
+        )
+        conf = sup.join(mass, ["subj_id", "pred"]).select(
+            "subj_id",
+            "pred",
+            "obj_id",
+            "n_sources",
+            F.round(F.col("support") / F.col("slot_mass"), state_round).alias(
+                "confidence"
+            ),
+        )
+        trust = (
+            c.join(
+                conf.select("subj_id", "pred", "obj_id", "confidence"),
+                ["subj_id", "pred", "obj_id"],
+            )
+            .groupBy("source")
+            .agg(
+                F.greatest(
+                    F.round(F.avg("confidence"), state_round), F.lit(floor)
+                ).alias("t")
+            )
+            .localCheckpoint(eager=True)
+        )
+    best = conf.groupBy("subj_id", "pred").agg(
+        F.min(
+            F.struct(
+                (-F.col("confidence")).alias("neg"),
+                F.col("obj_id").alias("o"),
+            )
+        ).alias("b")
+    )
+    return conf.join(best, ["subj_id", "pred"]).select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        "n_sources",
+        "confidence",
+        (F.col("obj_id") == F.col("b.o")).alias("is_best"),
+    )
+
+
+def fuse_claims_oracle_sql(
+    with_prefix: str,
+    iters: int = 3,
+    state_round: int = 9,
+) -> str:
+    """DuckDB twin of fuse_claims; `with_prefix` is a complete WITH
+    chain whose LAST relation is claims(source, subj_id, pred, obj_id).
+    Iterations are unrolled; per-step round({state_round}) keeps both
+    engines on the identical state trajectory (pagerank recipe)."""
+    if iters < 1:
+        raise ValueError(f"fuse_claims needs iters >= 1: {iters}")
+    sr = state_round
+    floor = f"1e-{sr}"
+    parts = [
+        with_prefix,
+        """,
+c AS (SELECT DISTINCT source, subj_id, pred, obj_id FROM claims),
+t0 AS (SELECT DISTINCT source, round(0.5, %d) AS t FROM c)""" % sr,
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+sup{i} AS (
+  SELECT subj_id, pred, obj_id,
+         round(sum(t.t), {sr}) AS support,
+         count(*)::BIGINT AS n_sources
+  FROM c JOIN t{i - 1} t USING (source)
+  GROUP BY 1, 2, 3
+),
+mass{i} AS (
+  SELECT subj_id, pred, round(sum(support), {sr}) AS slot_mass
+  FROM sup{i} GROUP BY 1, 2
+),
+conf{i} AS (
+  SELECT s.subj_id, s.pred, s.obj_id, s.n_sources,
+         round(s.support / m.slot_mass, {sr}) AS confidence
+  FROM sup{i} s JOIN mass{i} m USING (subj_id, pred)
+),
+t{i} AS (
+  SELECT c.source,
+         greatest(round(avg(f.confidence), {sr}), {floor}) AS t
+  FROM c JOIN conf{i} f USING (subj_id, pred, obj_id)
+  GROUP BY 1
+)"""
+        )
+    parts.append(
+        f""",
+best AS (
+  SELECT subj_id, pred,
+         min(struct_pack(neg := -confidence, o := obj_id)) AS b
+  FROM conf{iters} GROUP BY 1, 2
+)
+SELECT f.subj_id, f.pred, f.obj_id, f.n_sources, f.confidence,
+       (f.obj_id = b.b.o) AS is_best
+FROM conf{iters} f JOIN best b USING (subj_id, pred)
+"""
+    )
+    return "".join(parts)
