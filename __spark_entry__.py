@@ -4670,6 +4670,21 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_postings(_docs(spark, sf_dir), min_df=2)
 
 
+def q_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine top-5 neighbors per document through the
+    inverted-index self-join (max_df=50 caps the quadratic hot-term
+    buckets — the gram_capped lesson); integer micro-unit dot/norms,
+    one final rounded float division."""
+    from easyner_spark.operators.ranking import tfidf_sim_topk
+
+    return tfidf_sim_topk(_docs(spark, sf_dir), k=5, min_df=2, max_df=50).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+        "cos",
+    )
+
+
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health report over the text_stats chain —
     integer-only aggregates (counts and sums of exact ints; float
@@ -5417,6 +5432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "corpus_summary": q_corpus_summary,
         "inverted_index": q_inverted_index,
+        "tfidf_sim": q_tfidf_sim,
         "label_centroids": q_label_centroids,
         "distinct_count": q_distinct_count,
         "length_histogram": q_length_histogram,
@@ -8086,6 +8102,7 @@ def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.ranking import (
         bm25_oracle_sql,
         inverted_postings_oracle_sql,
+        tfidf_sim_topk_oracle_sql,
     )
     from easyner_spark.operators.analysis import entity_salience_oracle_sql
     from easyner_spark.operators.textstats import host_lang_mix_oracle_sql
@@ -8208,6 +8225,7 @@ FROM events GROUP BY event_type
         "lang_id": langid_sql,
         "pii_redact": pii_sql,
         "inverted_index": inverted_postings_oracle_sql(min_df=2),
+        "tfidf_sim": tfidf_sim_topk_oracle_sql(k=5, min_df=2, max_df=50),
         "label_centroids": label_centroids_oracle_sql(),
         "distinct_count": linear_count_oracle_sql("text"),
         "length_histogram": histogram_oracle_sql("length(text)", 100, 20),

@@ -234,6 +234,167 @@ FROM post p JOIN dfreq d USING (term), n
 """
 
 
+def tfidf_sim_topk(
+    docs: DataFrame,
+    k: int = 10,
+    min_df: int = 2,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, neighbor_id, rank, cos) — top-k most-similar documents per
+    document under tf-idf cosine, computed SPARSELY through the
+    inverted index (postings self-join on term), the lexical
+    counterpart of the dense-embedding ANN family in
+    operators/similarity.py: no embeddings needed, exact over the
+    pruned vector space, and candidate generation touches only doc
+    pairs that SHARE a surviving term — never all pairs.
+
+    Vector space: the :func:`inverted_postings` relation (min_df /
+    max_df pruned); weight w(t, d) = tf * idf with idf the postings'
+    +1-smoothed round(ln, 6). Norms are over the SURVIVING terms only
+    (self-consistent pruned-vector cosine — a df-capped stopword
+    contributes to neither dot products nor norms).
+
+    Determinism contract — integer micro-units: idf2u(t) =
+    round(idf*idf*1e6) as BIGINT; then dot(a, b) = sum tf_a*tf_b*idf2u
+    and normsq(d) = sum tf*tf*idf2u are EXACT integer sums (order-free
+    across engines, unlike double sums), and the only float math is
+    the final round(dot / sqrt(normsq_a) / sqrt(normsq_b), 6) — the
+    1e6 factors cancel. Ties after rounding break on neighbor id asc.
+
+    Scale shape: the term self-join is the classic quadratic hot-key
+    risk — a df-D term emits D*(D-1)/2 pairs — so `max_df` is the
+    bound (the gram_capped lesson from tools/skew_bench.py `gram`:
+    opt-in at small scale, MANDATORY at crawl scale; max_df=D caps any
+    term's bucket at D^2 rows). Everything else is partial-agg
+    absorbed: postings one shuffle, norms one bounded agg, pair dot
+    one (id_a, id_b) agg, top-k a per-doc window whose input is
+    already collapsed to one row per candidate pair. BIGINT headroom:
+    tf*tf*idf2u needs tf*idf under ~3e4 per posting — any real page
+    qualifies; log-scale tf upstream if a degenerate one doesn't.
+
+    Reference parity: EasyNER has no document-similarity stage at all
+    (its analysis ends at entity frequency, scripts/analysis.py);
+    this is north_star curation surface (near-topic clustering,
+    contamination sweeps) built on the same index bm25_rank queries.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    post = inverted_postings(
+        docs, min_df=min_df, max_df=max_df, text_col=text_col, id_col=id_col
+    ).select(
+        "term",
+        "id",
+        "tf",
+        F.round(F.col("idf") * F.col("idf") * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("idf2u"),
+    )
+    normsq = post.groupBy("id").agg(
+        F.sum(F.col("tf") * F.col("tf") * F.col("idf2u")).alias("nsq")
+    )
+    a = post.select(
+        "term", F.col("id").alias("id_a"), F.col("tf").alias("tf_a"), "idf2u"
+    )
+    b = post.select("term", F.col("id").alias("id_b"), F.col("tf").alias("tf_b"))
+    dot = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b") * F.col("idf2u")).alias("dot"))
+    )
+    sym = dot.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("neighbor_id"), "dot"
+    ).unionByName(
+        dot.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("neighbor_id"), "dot"
+        )
+    )
+    scored = (
+        sym.join(normsq.select(F.col("id"), F.col("nsq").alias("nsq_a")), "id")
+        .join(
+            normsq.select(
+                F.col("id").alias("neighbor_id"), F.col("nsq").alias("nsq_b")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "id",
+            "neighbor_id",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("nsq_a")) / F.sqrt(F.col("nsq_b")), 6
+            ).alias("cos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos")
+    )
+
+
+def tfidf_sim_topk_oracle_sql(
+    k: int = 10,
+    min_df: int = 2,
+    max_df: int | None = None,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`tfidf_sim_topk` (identical integer
+    micro-unit pipeline; the one float expression shares the Spark
+    parenthesization)."""
+    mdf = int(min_df)
+    cap = f"AND df <= {int(max_df)}" if max_df is not None else ""
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS w FROM {source}
+),
+tok AS (SELECT id, unnest(w) AS term FROM toks),
+post0 AS (SELECT term, id, count(*)::BIGINT AS tf FROM tok GROUP BY term, id),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM post0 GROUP BY term
+  HAVING count(*) >= {mdf} {cap}
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM {source}),
+post AS (
+  SELECT p.term, p.id, p.tf,
+         CAST(round(round(ln((n.n_docs + 1.0) / (d.df + 1.0)), 6)
+                    * round(ln((n.n_docs + 1.0) / (d.df + 1.0)), 6)
+                    * 1000000.0, 0) AS BIGINT) AS idf2u
+  FROM post0 p JOIN dfreq d USING (term), n
+),
+normsq AS (SELECT id, sum(tf * tf * idf2u)::BIGINT AS nsq FROM post GROUP BY id),
+dot AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         sum(a.tf * b.tf * a.idf2u)::BIGINT AS dot
+  FROM post a JOIN post b USING (term)
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id
+),
+sym AS (
+  SELECT id_a AS id, id_b AS neighbor_id, dot FROM dot
+  UNION ALL
+  SELECT id_b, id_a, dot FROM dot
+),
+scored AS (
+  SELECT s.id, s.neighbor_id,
+         round(s.dot / sqrt(na.nsq) / sqrt(nb.nsq), 6) AS cos
+  FROM sym s
+  JOIN normsq na ON s.id = na.id
+  JOIN normsq nb ON s.neighbor_id = nb.id
+),
+ranked AS (
+  SELECT id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT id, neighbor_id, rank::BIGINT AS rank, cos FROM ranked WHERE rank <= {int(k)}
+"""
+
+
 def doc_keywords(
     docs: DataFrame,
     k: int = 5,
