@@ -4685,6 +4685,21 @@ def q_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank sentence salience per document: PageRank (5 rounds,
+    d=0.85, round(9) state) over the within-doc shared-token sentence
+    graph built via the (url, token) postings self-join."""
+    from easyner_spark.operators.ranking import textrank_sentences
+
+    out = textrank_sentences(_sentences(spark, sf_dir), iters=5)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "score",
+        "rank",
+    )
+
+
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health report over the text_stats chain —
     integer-only aggregates (counts and sums of exact ints; float
@@ -5433,6 +5448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_summary": q_corpus_summary,
         "inverted_index": q_inverted_index,
         "tfidf_sim": q_tfidf_sim,
+        "textrank": q_textrank,
         "label_centroids": q_label_centroids,
         "distinct_count": q_distinct_count,
         "length_histogram": q_length_histogram,
@@ -8102,6 +8118,7 @@ def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.ranking import (
         bm25_oracle_sql,
         inverted_postings_oracle_sql,
+        textrank_oracle_sql,
         tfidf_sim_topk_oracle_sql,
     )
     from easyner_spark.operators.analysis import entity_salience_oracle_sql
@@ -8226,6 +8243,17 @@ FROM events GROUP BY event_type
         "pii_redact": pii_sql,
         "inverted_index": inverted_postings_oracle_sql(min_df=2),
         "tfidf_sim": tfidf_sim_topk_oracle_sql(k=5, min_df=2, max_df=50),
+        # TextRank over the prelude's sentence split; doc_id aliased to
+        # url to meet the generator's sents(url, sent_idx, sentence)
+        # contract, then back in the outer projection
+        "textrank": "SELECT url::BIGINT AS doc_id, sent_idx::BIGINT AS sent_idx, score, rank FROM ("
+        + textrank_oracle_sql(
+            _PRELUDE
+            + """,
+sents AS (SELECT doc_id AS url, sent_idx, sentence FROM sentences)""",
+            iters=5,
+        )
+        + ") tr",
         "label_centroids": label_centroids_oracle_sql(),
         "distinct_count": linear_count_oracle_sql("text"),
         "length_histogram": histogram_oracle_sql("length(text)", 100, 20),

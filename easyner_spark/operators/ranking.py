@@ -395,6 +395,195 @@ SELECT id, neighbor_id, rank::BIGINT AS rank, cos FROM ranked WHERE rank <= {int
 """
 
 
+def textrank_sentences(
+    sentences: DataFrame,
+    iters: int = 5,
+    d_num: int = 17,
+    d_den: int = 20,
+    unit_exp: int = 9,
+) -> DataFrame:
+    """(url, sent_idx, score, rank) — TextRank sentence salience per
+    document (Mihalcea & Tarau 2004: PageRank over the within-document
+    sentence graph), the extractive-summary / curation signal EasyNER
+    has no analog for (its analysis never ranks sentences; search is
+    boolean containment, scripts/search_sentence.py).
+
+    Graph contract: nodes = every (url, sent_idx); undirected edge
+    weight w(i, j) = |distinct shared lowercase `\\w+` tokens| (an
+    exact integer), built through the (url, token) postings self-join
+    so only sentence pairs that SHARE a token are ever materialized —
+    never the per-doc quadratic pair set.
+
+    Determinism contract — ALL-INTEGER iteration (stronger than the
+    pagerank round-snap recipe): states live in micro-units
+    U = 10^unit_exp (BIGINT), damping is the exact rational
+    d_num/d_den (17/20 = 0.85), and every step is integer arithmetic:
+
+      s_0 = U
+      inc_i   = sum_j (s_j * w_ij) DIV wsum_j        -- exact BIGINT
+      s_{t+1} = BASE_U + (d_num * inc_i) DIV d_den   -- exact BIGINT
+
+    with BASE_U = ((d_den - d_num) * U) DIV d_den and wsum_j the
+    integer weight sum at j. The round-snap recipe is NOT enough here:
+    O(1)-scale grid states times exact rational shares (1/2, 1/4...)
+    land REAL-exactly on half-grid rounding boundaries, where the two
+    engines' double rounding disagrees (measured 2-5 mismatches per
+    1315 rows before this formulation). Integer floor division has no
+    boundary to disagree on; the ONLY float is the final display
+    division score = s/U (two exact integers, correctly rounded).
+    Isolated sentences settle at BASE_U/U ≈ 1-d. rank = row_number
+    within url by (s desc, sent_idx) — an integer sort bounded by the
+    doc's own sentence count, never a global sort.
+
+    Scale shape: ONE postings build, ONE (url, token) self-join (a
+    within-doc stopword token fans out at most doc_sentence_count^2 —
+    bounded by page length, not corpus size), one pair agg; per
+    iteration one join keyed on the co-clustered (url, sent) node key
+    + one node agg, lineage capped by localCheckpoint exactly as
+    graph.pagerank. Edges are repartitioned ONCE on the destination
+    key and reused every round. BIGINT headroom: s_j*w needs
+    score*weight < 9e18/U ≈ 9e9 — unreachable for real pages.
+    """
+    if iters < 1:
+        raise ValueError(f"textrank needs iters >= 1: {iters}")
+    if not (0 < d_num < d_den):
+        raise ValueError(f"damping must satisfy 0 < d_num < d_den: {d_num}/{d_den}")
+    unit = 10**unit_exp
+    base_u = ((d_den - d_num) * unit) // d_den
+    nodes = sentences.select("url", "sent_idx").distinct()
+    post = sentences.select(
+        "url",
+        "sent_idx",
+        F.explode(F.array_distinct(words_array("sentence"))).alias("tok"),
+    )
+    a = post.select("url", F.col("sent_idx").alias("si"), "tok")
+    b = post.select("url", F.col("sent_idx").alias("sj"), "tok")
+    edges = (
+        a.join(b, ["url", "tok"])
+        .where(F.col("si") != F.col("sj"))
+        .groupBy("url", "si", "sj")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    wsum = edges.groupBy("url", F.col("sj").alias("si")).agg(
+        F.sum("w").alias("wsum")
+    )
+    contrib = (
+        edges.join(wsum.withColumnRenamed("si", "sj"), ["url", "sj"])
+        .repartition("url", "si")
+        .localCheckpoint(eager=True)
+    )
+    nodes = nodes.localCheckpoint(eager=True)
+    scores = nodes.select(
+        "url", "sent_idx", F.lit(unit).cast("long").alias("s")
+    )
+    for _ in range(iters):
+        inc = (
+            contrib.join(
+                scores.select(
+                    "url", F.col("sent_idx").alias("sj"), F.col("s").alias("sj_s")
+                ),
+                ["url", "sj"],
+            )
+            .groupBy("url", F.col("si").alias("sent_idx"))
+            .agg(
+                F.sum(
+                    F.expr("(sj_s * w) div wsum")
+                ).alias("inc")
+            )
+        )
+        scores = (
+            nodes.join(inc, ["url", "sent_idx"], "left")
+            .select(
+                "url",
+                "sent_idx",
+                (
+                    F.lit(base_u).cast("long")
+                    + F.expr(
+                        f"({d_num} * coalesce(inc, 0L)) div {d_den}"
+                    )
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy(F.col("s").desc(), "sent_idx")
+    return scores.select(
+        "url",
+        "sent_idx",
+        (F.col("s").cast("double") / F.lit(float(unit))).alias("score"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def textrank_oracle_sql(
+    with_prefix: str,
+    iters: int = 5,
+    d_num: int = 17,
+    d_den: int = 20,
+    unit_exp: int = 9,
+) -> str:
+    """DuckDB twin of :func:`textrank_sentences`; `with_prefix` is a
+    complete WITH chain whose LAST relation is
+    sents(url, sent_idx, sentence). Iterations unrolled; the all-BIGINT
+    state (micro-units, floor division) makes the unrolled chain
+    bit-exact by construction — no float appears before the final
+    display division."""
+    if iters < 1:
+        raise ValueError(f"textrank needs iters >= 1: {iters}")
+    if not (0 < d_num < d_den):
+        raise ValueError(f"damping must satisfy 0 < d_num < d_den: {d_num}/{d_den}")
+    unit = 10**unit_exp
+    base_u = ((d_den - d_num) * unit) // d_den
+    parts = [
+        with_prefix,
+        f""",
+nodes AS (SELECT DISTINCT url, sent_idx FROM sents),
+post AS (
+  SELECT url, sent_idx,
+         unnest(list_distinct(regexp_extract_all(lower(sentence), '\\w+'))) AS tok
+  FROM sents
+),
+edges AS (
+  SELECT a.url, a.sent_idx AS si, b.sent_idx AS sj, count(*)::BIGINT AS w
+  FROM post a JOIN post b ON a.url = b.url AND a.tok = b.tok
+  WHERE a.sent_idx <> b.sent_idx
+  GROUP BY 1, 2, 3
+),
+wsum AS (SELECT url, sj AS si, sum(w)::BIGINT AS wsum FROM edges GROUP BY 1, 2),
+contrib AS (
+  SELECT e.url, e.si, e.sj, e.w, ws.wsum
+  FROM edges e JOIN wsum ws ON e.url = ws.url AND e.sj = ws.si
+),
+s0 AS (SELECT url, sent_idx, {unit}::BIGINT AS s FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+inc{i} AS (
+  SELECT c.url, c.si AS sent_idx,
+         sum((p.s * c.w) // c.wsum)::BIGINT AS inc
+  FROM contrib c
+  JOIN s{i - 1} p ON c.url = p.url AND c.sj = p.sent_idx
+  GROUP BY 1, 2
+),
+s{i} AS (
+  SELECT n.url, n.sent_idx,
+         ({base_u}::BIGINT + ({d_num} * coalesce(i.inc, 0)) // {d_den})::BIGINT AS s
+  FROM nodes n
+  LEFT JOIN inc{i} i ON n.url = i.url AND n.sent_idx = i.sent_idx
+)""",
+        )
+    parts.append(
+        f"""
+SELECT url, sent_idx, s::DOUBLE / {float(unit)!r} AS score,
+       row_number() OVER (PARTITION BY url ORDER BY s DESC, sent_idx)::BIGINT AS rank
+FROM s{iters}
+""",
+    )
+    return "".join(parts)
+
+
 def doc_keywords(
     docs: DataFrame,
     k: int = 5,
