@@ -4700,6 +4700,20 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity terciles under the
+    corpus's own add-one unigram LM; all-integer ce_nano metric,
+    bounded milli-nat threshold bins, type-1 exact quantiles."""
+    from easyner_spark.operators.scoring import ppl_buckets
+
+    return ppl_buckets(_docs(spark, sf_dir), min_count=2).select(
+        F.col("id").cast("long").alias("id"),
+        "n_tokens",
+        "ce_nano",
+        "bucket",
+    )
+
+
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health report over the text_stats chain —
     integer-only aggregates (counts and sums of exact ints; float
@@ -5449,6 +5463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "tfidf_sim": q_tfidf_sim,
         "textrank": q_textrank,
+        "ppl_buckets": q_ppl_buckets,
         "label_centroids": q_label_centroids,
         "distinct_count": q_distinct_count,
         "length_histogram": q_length_histogram,
@@ -8148,6 +8163,7 @@ def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.scoring import (
         bigram_lm_oracle_sql,
         hashed_linear_oracle_sql,
+        ppl_buckets_oracle_sql,
         unigram_lm_oracle_sql,
     )
     from easyner_spark.operators.textstats import (
@@ -8243,6 +8259,7 @@ FROM events GROUP BY event_type
         "pii_redact": pii_sql,
         "inverted_index": inverted_postings_oracle_sql(min_df=2),
         "tfidf_sim": tfidf_sim_topk_oracle_sql(k=5, min_df=2, max_df=50),
+        "ppl_buckets": ppl_buckets_oracle_sql(min_count=2),
         # TextRank over the prelude's sentence split; doc_id aliased to
         # url to meet the generator's sents(url, sent_idx, sentence)
         # contract, then back in the outer projection

@@ -278,6 +278,139 @@ FROM per
 """
 
 
+PPL_TERCILES = (1.0 / 3.0, 2.0 / 3.0)
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_tokens, ce_nano, bucket) — CCNet-style perplexity
+    bucketing (Wenzek et al. 2020): split the corpus into
+    head / middle / tail terciles of language-model perplexity, the
+    standard web-crawl curation gate (keep head+middle, drop or
+    down-sample tail; feed `bucket` to sampling.mixture_sample).
+
+    All-integer contract: ce_nano = (-score_q * 1000) div n_tokens —
+    nano-nats of per-token cross-entropy under the quantized LM of
+    :func:`unigram_lm_score` (monotone in perplexity, so terciles of
+    ce_nano ARE terciles of ppl; exact BIGINT, no float enters the
+    pipeline at all). Tercile thresholds come from
+    sketches.exact_quantiles' type-1 convention (rank = max(1,
+    ceil(q*n)), value = min v with cum >= rank) at q = 1/3, 2/3 —
+    over the MILLI-NAT bin ce_nano div 10^6, NOT the raw nano value:
+    raw ce_nano is distinct per (score_q, n_tokens) pair, i.e.
+    corpus-cardinality, which would defeat exact_quantiles' bounded
+    distinct-value contract at scale, while milli-nat bins are capped
+    by the LM's own ce range (tens of thousands of values at ANY
+    corpus size — exactly the histogram_fixed_bins pre-binning the
+    sketch docstring prescribes, fused in). bucket = head if
+    bin <= t1, middle if bin <= t2, else tail (milli-nat threshold
+    granularity — documents within 0.001 nat of a boundary share its
+    side). Zero-token documents are absent (no LM rows), as in the
+    scorer.
+
+    Scale shape: the LM score is one token shuffle + one doc agg
+    (unigram_lm_score); the threshold table is TWO numbers from a
+    BOUNDED distinct-bin aggregate riding back on a broadcast cross
+    join — no corpus-wide sort, no global window over data rows.
+    Pass a frozen `vocab` (unigram_vocab) to bucket new crawls
+    against a reference LM — the CCNet setup — without rescanning
+    the training corpus.
+
+    Reference parity: EasyNER has no corpus-quality gate at all; this
+    is north_star curation surface.
+    """
+    from easyner_spark.operators.sketches import _q_micro, exact_quantiles
+
+    scored = unigram_lm_score(
+        docs, min_count=min_count, text_col=text_col, id_col=id_col, vocab=vocab
+    )
+    per = scored.select(
+        "id",
+        "n_tokens",
+        F.expr("(-score_q * 1000) div n_tokens").alias("ce_nano"),
+    )
+    # exact_quantiles re-executes its input plan twice (cum + argmin);
+    # the per-doc frame is narrow but derives from a full token
+    # shuffle — pin it once.
+    per = per.localCheckpoint(eager=True)
+    lo_u, hi_u = _q_micro(PPL_TERCILES)
+    binned = per.select(F.expr("ce_nano div 1000000").alias("bin"))
+    th = exact_quantiles(binned, "bin", PPL_TERCILES).agg(
+        F.min(F.when(F.col("q_micro") == lo_u, F.col("value"))).alias("t1"),
+        F.min(F.when(F.col("q_micro") == hi_u, F.col("value"))).alias("t2"),
+    )
+    return per.crossJoin(F.broadcast(th)).select(
+        "id",
+        "n_tokens",
+        "ce_nano",
+        F.when(F.expr("ce_nano div 1000000") <= F.col("t1"), F.lit("head"))
+        .when(F.expr("ce_nano div 1000000") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def ppl_buckets_oracle_sql(min_count: int = 2, source: str = "documents") -> str:
+    """DuckDB twin of :func:`ppl_buckets` (self-contained: unigram LM
+    -> integer ce_nano -> milli-nat bins -> type-1 tercile
+    thresholds -> bucket)."""
+    from easyner_spark.operators.sketches import _Q_UNIT, _q_micro
+
+    mc = int(min_count)
+    lo_u, hi_u = _q_micro(PPL_TERCILES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS w FROM {source}
+),
+tok AS (SELECT id, unnest(w) AS word FROM toks),
+counts AS (SELECT word, count(*)::BIGINT AS cnt FROM tok GROUP BY word),
+stats AS (SELECT sum(cnt)::BIGINT AS n FROM counts),
+vocab AS (
+  SELECT word, CAST(floor(ln(cnt / (n + 1.0)) * 1000000.0) AS BIGINT) AS lp_q
+  FROM counts, stats WHERE cnt >= {mc}
+),
+oov AS (
+  SELECT CAST(floor(ln(1.0 / (n + 1.0)) * 1000000.0) AS BIGINT) AS lp_oov_c
+  FROM stats
+),
+per AS (
+  SELECT t.id, count(*)::BIGINT AS n_tokens,
+         (-sum(coalesce(v.lp_q, o.lp_oov_c)) * 1000) // count(*) AS ce_nano
+  FROM tok t LEFT JOIN vocab v USING (word), oov o
+  GROUP BY t.id
+),
+g AS (SELECT ce_nano // 1000000 AS v, count(*)::BIGINT AS cnt FROM per GROUP BY 1),
+c AS (
+  SELECT v,
+         sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(cnt) OVER ()::BIGINT AS n
+  FROM g
+),
+q(q_micro) AS (VALUES ({lo_u}), ({hi_u})),
+e AS (
+  SELECT q.q_micro, c.v, c.cum,
+         greatest(1, (q.q_micro * c.n + {_Q_UNIT - 1}) // {_Q_UNIT}) AS rank
+  FROM q, c
+),
+th AS (
+  SELECT
+    min(CASE WHEN q_micro = {lo_u} AND cum >= rank THEN v END) AS t1,
+    min(CASE WHEN q_micro = {hi_u} AND cum >= rank THEN v END) AS t2
+  FROM e
+)
+SELECT p.id, p.n_tokens, p.ce_nano,
+       CASE WHEN p.ce_nano // 1000000 <= th.t1 THEN 'head'
+            WHEN p.ce_nano // 1000000 <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM per p, th
+"""
+
+
 BIGRAM_LAMBDA = 0.7  # interpolation weight on the bigram term
 
 
