@@ -641,15 +641,22 @@ def disambiguate_mentions(
     ncand = al.groupBy("term").agg(F.count(F.lit(1)).alias("n_cands"))
     al2 = al.join(ncand, "term")
 
-    sent_toks = sentences.select(
-        "url",
-        "sent_idx",
-        F.array_distinct(
-            F.filter(
-                F.split(F.lower("sentence"), CONTEXT_TOKEN_SPLIT_RE),
-                lambda t: t != "",
-            )
-        ).alias("toks"),
+    # exploded DISTINCT (url, sent_idx, tok) — global, not just
+    # per-row array_distinct: duplicate (url, sent_idx) sentence rows
+    # would otherwise double every overlap count while the oracle's
+    # DISTINCT stoks CTE counts each token once (review r3 finding)
+    sent_toks = (
+        sentences.select(
+            "url",
+            "sent_idx",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("sentence"), CONTEXT_TOKEN_SPLIT_RE),
+                    lambda t: t != "",
+                )
+            ).alias("tok"),
+        )
+        .distinct()
     )
 
     key = ["url", "sent_idx", "begin_tok", "end_tok", mention_col]
@@ -663,7 +670,7 @@ def disambiguate_mentions(
         unamb.select("url", "sent_idx", "entity_id")
         .distinct()
         .join(sent_toks, ["url", "sent_idx"])
-        .select("entity_id", F.explode("toks").alias("tok"))
+        .select("entity_id", "tok")
     )
     if max_profile_tokens is None:
         profile = profile.distinct()
@@ -683,7 +690,7 @@ def disambiguate_mentions(
         )
 
     cand_toks = amb.join(sent_toks, ["url", "sent_idx"]).select(
-        *key, "entity_id", "n_cands", F.explode("toks").alias("tok")
+        *key, "entity_id", "n_cands", "tok"
     )
     overlaps = (
         cand_toks.join(profile, ["entity_id", "tok"], "left_semi")

@@ -209,12 +209,11 @@ def inverted_postings(
     return out.select("term", "id", "tf", "df", F.round(idf, 6).alias("idf"))
 
 
-def inverted_postings_oracle_sql(
-    min_df: int = 1,
-    max_df: int | None = None,
-    source: str = "documents",
-) -> str:
-    """DuckDB twin of :func:`inverted_postings`."""
+def _postings_ctes(min_df: int, max_df: int | None, source: str) -> str:
+    """Shared WITH-chain prefix (toks/tok/post0/dfreq/n) for every
+    postings-derived oracle — ONE copy of the tokenizer and the df
+    cuts, so inverted_postings_oracle_sql and tfidf_sim_topk_oracle_sql
+    cannot drift apart."""
     mdf = int(min_df)
     cap = f"AND df <= {int(max_df)}" if max_df is not None else ""
     return f"""
@@ -222,15 +221,27 @@ WITH toks AS (
   SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS w FROM {source}
 ),
 tok AS (SELECT id, unnest(w) AS term FROM toks),
-post AS (SELECT term, id, count(*)::BIGINT AS tf FROM tok GROUP BY term, id),
+post0 AS (SELECT term, id, count(*)::BIGINT AS tf FROM tok GROUP BY term, id),
 dfreq AS (
-  SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term
+  SELECT term, count(*)::BIGINT AS df FROM post0 GROUP BY term
   HAVING count(*) >= {mdf} {cap}
 ),
-n AS (SELECT count(*)::BIGINT AS n_docs FROM {source})
-SELECT p.term, p.id, p.tf, d.df,
-       round(ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS idf
-FROM post p JOIN dfreq d USING (term), n
+n AS (SELECT count(*)::BIGINT AS n_docs FROM {source})"""
+
+
+# the +1-smoothed idf expression, shared verbatim by both consumers
+_IDF_EXPR = "round(ln((n.n_docs + 1.0) / (d.df + 1.0)), 6)"
+
+
+def inverted_postings_oracle_sql(
+    min_df: int = 1,
+    max_df: int | None = None,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`inverted_postings`."""
+    return f"""{_postings_ctes(min_df, max_df, source)}
+SELECT p.term, p.id, p.tf, d.df, {_IDF_EXPR} AS idf
+FROM post0 p JOIN dfreq d USING (term), n
 """
 
 
@@ -281,15 +292,25 @@ def tfidf_sim_topk(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    post = inverted_postings(
-        docs, min_df=min_df, max_df=max_df, text_col=text_col, id_col=id_col
-    ).select(
-        "term",
-        "id",
-        "tf",
-        F.round(F.col("idf") * F.col("idf") * F.lit(1000000.0), 0)
-        .cast("long")
-        .alias("idf2u"),
+    post = (
+        inverted_postings(
+            docs, min_df=min_df, max_df=max_df, text_col=text_col, id_col=id_col
+        )
+        .select(
+            "term",
+            "id",
+            "tf",
+            F.round(F.col("idf") * F.col("idf") * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("idf2u"),
+        )
+        # idf2u == 0 (df ≈ N, idf rounds to 0) contributes nothing to any
+        # dot product or norm but inflates the worst quadratic term
+        # buckets — and a doc whose ONLY surviving terms are zero-idf
+        # would get nsq = 0 and a division by zero under Spark's ANSI
+        # default. Dropping the postings removes both (the doc then has
+        # no vector and is absent, on both engines).
+        .where(F.col("idf2u") > 0)
     )
     normsq = post.groupBy("id").agg(
         F.sum(F.col("tf") * F.col("tf") * F.col("idf2u")).alias("nsq")
@@ -346,25 +367,13 @@ def tfidf_sim_topk_oracle_sql(
     """DuckDB twin of :func:`tfidf_sim_topk` (identical integer
     micro-unit pipeline; the one float expression shares the Spark
     parenthesization)."""
-    mdf = int(min_df)
-    cap = f"AND df <= {int(max_df)}" if max_df is not None else ""
-    return f"""
-WITH toks AS (
-  SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS w FROM {source}
-),
-tok AS (SELECT id, unnest(w) AS term FROM toks),
-post0 AS (SELECT term, id, count(*)::BIGINT AS tf FROM tok GROUP BY term, id),
-dfreq AS (
-  SELECT term, count(*)::BIGINT AS df FROM post0 GROUP BY term
-  HAVING count(*) >= {mdf} {cap}
-),
-n AS (SELECT count(*)::BIGINT AS n_docs FROM {source}),
+    return f"""{_postings_ctes(min_df, max_df, source)},
 post AS (
-  SELECT p.term, p.id, p.tf,
-         CAST(round(round(ln((n.n_docs + 1.0) / (d.df + 1.0)), 6)
-                    * round(ln((n.n_docs + 1.0) / (d.df + 1.0)), 6)
-                    * 1000000.0, 0) AS BIGINT) AS idf2u
-  FROM post0 p JOIN dfreq d USING (term), n
+  SELECT * FROM (
+    SELECT p.term, p.id, p.tf,
+           CAST(round({_IDF_EXPR} * {_IDF_EXPR} * 1000000.0, 0) AS BIGINT) AS idf2u
+    FROM post0 p JOIN dfreq d USING (term), n
+  ) WHERE idf2u > 0
 ),
 normsq AS (SELECT id, sum(tf * tf * idf2u)::BIGINT AS nsq FROM post GROUP BY id),
 dot AS (

@@ -163,10 +163,11 @@ def _vocab_from_counts(counts: DataFrame, stats: DataFrame, min_count: int) -> D
     )
 
 
-def unigram_lm_oracle_sql(min_count: int = 2, source: str = "documents") -> str:
-    """DuckDB twin of :func:`unigram_lm_score` (kept beside the
-    operator so the quantization and float expression shapes stay in
-    lockstep — the bm25_oracle_sql pattern)."""
+def _unigram_lm_ctes(min_count: int, source: str) -> str:
+    """Shared WITH-chain prefix (toks/tok/counts/stats/vocab/oov/per)
+    ending on per(id, n_tokens, score_q) — ONE copy of the LM
+    quantization so unigram_lm_oracle_sql and ppl_buckets_oracle_sql
+    cannot drift apart (review r3 finding)."""
     mc = int(min_count)
     return f"""
 WITH toks AS (
@@ -196,7 +197,14 @@ per AS (
          sum(coalesce(v.lp_q, o.lp_oov_c))::BIGINT AS score_q
   FROM tok t LEFT JOIN vocab v USING (word), oov o
   GROUP BY t.id
-)
+)"""
+
+
+def unigram_lm_oracle_sql(min_count: int = 2, source: str = "documents") -> str:
+    """DuckDB twin of :func:`unigram_lm_score` (kept beside the
+    operator so the quantization and float expression shapes stay in
+    lockstep — the bm25_oracle_sql pattern)."""
+    return f"""{_unigram_lm_ctes(min_count, source)}
 SELECT id, n_tokens, score_q,
        round((-score_q / 1000000.0) / n_tokens, 6) AS cross_entropy,
        round(exp((-score_q / 1000000.0) / n_tokens), 6) AS ppl
@@ -356,35 +364,17 @@ def ppl_buckets(
 
 
 def ppl_buckets_oracle_sql(min_count: int = 2, source: str = "documents") -> str:
-    """DuckDB twin of :func:`ppl_buckets` (self-contained: unigram LM
-    -> integer ce_nano -> milli-nat bins -> type-1 tercile
-    thresholds -> bucket)."""
+    """DuckDB twin of :func:`ppl_buckets` (shared unigram-LM prefix
+    via _unigram_lm_ctes -> integer ce_nano -> milli-nat bins ->
+    type-1 tercile thresholds -> bucket)."""
     from easyner_spark.operators.sketches import _Q_UNIT, _q_micro
 
-    mc = int(min_count)
     lo_u, hi_u = _q_micro(PPL_TERCILES)
-    return f"""
-WITH toks AS (
-  SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS w FROM {source}
+    return f"""{_unigram_lm_ctes(min_count, source)},
+per2 AS (
+  SELECT id, n_tokens, (-score_q * 1000) // n_tokens AS ce_nano FROM per
 ),
-tok AS (SELECT id, unnest(w) AS word FROM toks),
-counts AS (SELECT word, count(*)::BIGINT AS cnt FROM tok GROUP BY word),
-stats AS (SELECT sum(cnt)::BIGINT AS n FROM counts),
-vocab AS (
-  SELECT word, CAST(floor(ln(cnt / (n + 1.0)) * 1000000.0) AS BIGINT) AS lp_q
-  FROM counts, stats WHERE cnt >= {mc}
-),
-oov AS (
-  SELECT CAST(floor(ln(1.0 / (n + 1.0)) * 1000000.0) AS BIGINT) AS lp_oov_c
-  FROM stats
-),
-per AS (
-  SELECT t.id, count(*)::BIGINT AS n_tokens,
-         (-sum(coalesce(v.lp_q, o.lp_oov_c)) * 1000) // count(*) AS ce_nano
-  FROM tok t LEFT JOIN vocab v USING (word), oov o
-  GROUP BY t.id
-),
-g AS (SELECT ce_nano // 1000000 AS v, count(*)::BIGINT AS cnt FROM per GROUP BY 1),
+g AS (SELECT ce_nano // 1000000 AS v, count(*)::BIGINT AS cnt FROM per2 GROUP BY 1),
 c AS (
   SELECT v,
          sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
@@ -407,7 +397,7 @@ SELECT p.id, p.n_tokens, p.ce_nano,
        CASE WHEN p.ce_nano // 1000000 <= th.t1 THEN 'head'
             WHEN p.ce_nano // 1000000 <= th.t2 THEN 'middle'
             ELSE 'tail' END AS bucket
-FROM per p, th
+FROM per2 p, th
 """
 
 

@@ -99,3 +99,11 @@ def test_profile_token_cap(spark, dis_inputs):
     # d2 overlap drops from 2 to 1 ('jungle' only).
     out = _rows(disambiguate_mentions(*dis_inputs, max_profile_tokens=2))
     assert out[("d2", 0, 0)] == ("E:CAT", 2, 1)
+
+
+def test_duplicate_sentence_rows_do_not_double_count(spark, dis_inputs):
+    mentions, sentences, alias = dis_inputs
+    doubled = sentences.unionByName(sentences)
+    base = _rows(disambiguate_mentions(mentions, sentences, alias))
+    dup = _rows(disambiguate_mentions(mentions, doubled, alias))
+    assert dup == base  # global (url, sent_idx, tok) distinct, not per-row

@@ -77,3 +77,17 @@ def test_self_pairs_never_emitted(spark, corpus):
 def test_k_validation(spark, corpus):
     with pytest.raises(ValueError):
         tfidf_sim_topk(corpus, k=0)
+
+
+def test_universal_term_zero_idf_no_crash(spark):
+    # 'the' appears in every doc: idf rounds to 0, so its postings are
+    # dropped (they contribute 0 to every dot/norm) instead of leaving
+    # doc 3 with nsq = 0 and a division by zero under ANSI mode.
+    docs = spark.createDataFrame(
+        [(1, "the cat the cat"), (2, "the dog the cat"), (3, "the the")],
+        "doc_id int, text string",
+    )
+    rows = tfidf_sim_topk(docs, k=3, min_df=1).collect()
+    assert all(r.id != 3 and r.neighbor_id != 3 for r in rows)
+    # docs 1 and 2 still pair through 'cat' (df=2 < N=3 -> idf > 0)
+    assert {(r.id, r.neighbor_id) for r in rows} == {(1, 2), (2, 1)}
