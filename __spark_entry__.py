@@ -4714,6 +4714,45 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter EM record linkage over consecutive-doc candidate
+    pairs with three agreement fields (lang, 50-word length bucket,
+    first token) — pattern-level EM on a <= 8-row table, 5 iterations,
+    round(9)+clamp state."""
+    from easyner_spark.operators.nel import fs_em_linkage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from easyner_spark.operators.textstats import words_array
+
+    feat = docs.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        F.size(words_array("text")).cast("long").alias("nw"),
+        F.get(words_array("text"), 0).alias("fw"),
+    )
+    a = feat.select(*[F.col(c).alias(f"{c}_a") for c in feat.columns])
+    b = feat.select(*[F.col(c).alias(f"{c}_b") for c in feat.columns])
+    pairs = (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            F.col("id_a"),
+            F.col("id_b"),
+            F.col("lang_a").eqNullSafe(F.col("lang_b")).alias("ag_lang"),
+            F.expr("(nw_a div 50)")
+            .eqNullSafe(F.expr("(nw_b div 50)"))
+            .alias("ag_len"),
+            F.col("fw_a").eqNullSafe(F.col("fw_b")).alias("ag_first"),
+        )
+    )
+    out = fs_em_linkage(pairs, ("ag_lang", "ag_len", "ag_first"), iters=5)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "match_prob",
+        "is_match",
+    )
+
+
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health report over the text_stats chain —
     integer-only aggregates (counts and sums of exact ints; float
@@ -5464,6 +5503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_sim": q_tfidf_sim,
         "textrank": q_textrank,
         "ppl_buckets": q_ppl_buckets,
+        "fs_linkage": q_fs_linkage,
         "label_centroids": q_label_centroids,
         "distinct_count": q_distinct_count,
         "length_histogram": q_length_histogram,
@@ -8139,7 +8179,10 @@ def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.analysis import entity_salience_oracle_sql
     from easyner_spark.operators.textstats import host_lang_mix_oracle_sql
     from easyner_spark.operators.dedup import repeated_spans_oracle_sql
-    from easyner_spark.operators.nel import name_similarity_oracle_sql
+    from easyner_spark.operators.nel import (
+        fs_em_linkage_oracle_sql,
+        name_similarity_oracle_sql,
+    )
     from easyner_spark.operators.graph import isa_closure_oracle_sql
     from easyner_spark.operators.triples import (
         entity_types_oracle_sql,
@@ -8260,6 +8303,25 @@ FROM events GROUP BY event_type
         "inverted_index": inverted_postings_oracle_sql(min_df=2),
         "tfidf_sim": tfidf_sim_topk_oracle_sql(k=5, min_df=2, max_df=50),
         "ppl_buckets": ppl_buckets_oracle_sql(min_count=2),
+        "fs_linkage": fs_em_linkage_oracle_sql(
+            """
+WITH feat AS (
+  SELECT doc_id AS id, lang,
+         len(regexp_extract_all(lower(text), '\\w+'))::BIGINT AS nw,
+         CASE WHEN len(regexp_extract_all(lower(text), '\\w+')) > 0
+              THEN regexp_extract_all(lower(text), '\\w+')[1] END AS fw
+  FROM documents
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         (a.lang IS NOT DISTINCT FROM b.lang)::INT AS a_0,
+         ((a.nw // 50) IS NOT DISTINCT FROM (b.nw // 50))::INT AS a_1,
+         (a.fw IS NOT DISTINCT FROM b.fw)::INT AS a_2
+  FROM feat a JOIN feat b ON b.id = a.id + 1
+)""",
+            n_fields=3,
+            iters=5,
+        ),
         # TextRank over the prelude's sentence split; doc_id aliased to
         # url to meet the generator's sents(url, sent_idx, sentence)
         # contract, then back in the outer projection

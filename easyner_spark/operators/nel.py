@@ -722,3 +722,226 @@ def disambiguate_mentions(
         *key, "entity_id", "n_cands", F.lit(-1).cast("long").alias("score")
     )
     return best.unionByName(passthrough)
+
+
+def fs_em_linkage(
+    pairs: DataFrame,
+    fields: tuple[str, ...],
+    iters: int = 5,
+    threshold: float = 0.5,
+    state_round: int = 9,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_p: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, match_prob, is_match) — Fellegi-Sunter probabilistic
+    record linkage with EM-estimated parameters (Fellegi & Sunter 1969;
+    Winkler's EM formulation): given candidate pairs and boolean
+    field-agreement columns, learn per-field m (P(agree | match)) and
+    u (P(agree | non-match)) plus the match prior p WITHOUT labels,
+    then score every pair. The probabilistic upgrade of the exact
+    alias join / name-gram Jaccard chain: fuzzy_link decides on one
+    similarity, this fuses F independent agreement signals with
+    learned weights — the canonical cross-document entity-merge
+    decision layer.
+
+    EM contract (mirrored verbatim by the DuckDB oracle):
+      * pairs collapse to their agreement PATTERN (one row per
+        distinct (a_1..a_F) vector, <= 2^F rows — the textbook
+        Fellegi-Sunter reduction; EM never touches pair rows);
+      * per pattern: pm = p * prod_f (a_f ? m_f : 1-m_f),
+        pu = (1-p) * prod_f (a_f ? u_f : 1-u_f), g = pm / (pm + pu)
+        — products in FIELD ORDER (fixed, identical in both engines);
+      * M-step (count-weighted over patterns, each result snapped):
+        m_f = round(sum(g*cnt*a_f) / sum(g*cnt), sr),
+        u_f = round(sum((1-g)*cnt*a_f) / sum((1-g)*cnt), sr),
+        p = round(sum(g*cnt) / sum(cnt), sr) — the fuse_claims
+        round-snap recipe (arbitrary-valued ratios, so the half-grid
+        failure mode textrank hit cannot occur);
+      * match_prob = round(g under the POST-iteration params, sr);
+        is_match = match_prob >= threshold.
+    Denominators are strictly positive: g in (0,1) whenever
+    0 < m,u,p < 1, which the init guarantees and round(sr>=1)
+    preserves (a ratio of positive sums cannot round to 0 or 1's
+    complement... it CAN round to exactly 0 or 1 only if the true
+    value is within 5e-10 of it; at that point the fit has collapsed
+    and the floor below applies).
+      * floor: m/u/p are clamped to [10^-sr, 1 - 10^-sr] after each
+        round, so a degenerate field (all pairs agree) cannot zero a
+        product and poison later iterations — same role as
+        fuse_claims' trust floor.
+
+    Scale shape: ONE shuffle builds the pattern table (groupBy on F
+    boolean columns, map-side combined, <= 2^F result rows at ANY
+    corpus size); each EM iteration is one bounded agg over that tiny
+    frame cross-joined with the 1-row param frame — no corpus pass,
+    no driver collect (the same bounded-aggregate discipline as
+    ranking.bm25_rank's stats row). The final scoring join broadcasts
+    the <= 2^F scored patterns back onto the pair table: one
+    broadcast join over the only corpus-sized relation.
+
+    Reference parity: EasyNER links entities by exact dictionary
+    lookup only (scripts/entity_linking.py); probabilistic linkage
+    has no analog there — north_star canonicalization surface.
+    """
+    if iters < 1:
+        raise ValueError(f"fs_em_linkage needs iters >= 1: {iters}")
+    if not fields:
+        raise ValueError("fs_em_linkage needs at least one agreement field")
+    sr = state_round
+    lo = 10.0**-sr
+    hi = 1.0 - lo
+
+    def _clamp(c):
+        return F.least(F.greatest(F.round(c, sr), F.lit(lo)), F.lit(hi))
+
+    a_cols = [F.col(f).cast("int").alias(f"a_{i}") for i, f in enumerate(fields)]
+    nf = len(fields)
+    pat = (
+        pairs.select(*a_cols)
+        .groupBy(*[f"a_{i}" for i in range(nf)])
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    params = pat.sparkSession.createDataFrame(
+        [tuple([float(init_m)] * nf + [float(init_u)] * nf + [float(init_p)])],
+        ", ".join(
+            [f"m_{i} double" for i in range(nf)]
+            + [f"u_{i} double" for i in range(nf)]
+            + ["p double"]
+        ),
+    )
+
+    def _g_col():
+        pm = F.col("p")
+        pu = F.lit(1.0) - F.col("p")
+        for i in range(nf):
+            a = F.col(f"a_{i}") == 1
+            pm = pm * F.when(a, F.col(f"m_{i}")).otherwise(F.lit(1.0) - F.col(f"m_{i}"))
+            pu = pu * F.when(a, F.col(f"u_{i}")).otherwise(F.lit(1.0) - F.col(f"u_{i}"))
+        return pm / (pm + pu)
+
+    for _ in range(iters):
+        e = pat.crossJoin(F.broadcast(params)).withColumn("g", _g_col())
+        aggs = [
+            F.sum(F.col("g") * F.col("cnt")).alias("sg"),
+            F.sum((F.lit(1.0) - F.col("g")) * F.col("cnt")).alias("su"),
+            F.sum("cnt").alias("n"),
+        ]
+        for i in range(nf):
+            aggs.append(
+                F.sum(F.col("g") * F.col("cnt") * F.col(f"a_{i}")).alias(f"sga_{i}")
+            )
+            aggs.append(
+                F.sum(
+                    (F.lit(1.0) - F.col("g")) * F.col("cnt") * F.col(f"a_{i}")
+                ).alias(f"sua_{i}")
+            )
+        st = e.agg(*aggs)
+        params = st.select(
+            *[_clamp(F.col(f"sga_{i}") / F.col("sg")).alias(f"m_{i}") for i in range(nf)],
+            *[_clamp(F.col(f"sua_{i}") / F.col("su")).alias(f"u_{i}") for i in range(nf)],
+            _clamp(F.col("sg") / F.col("n")).alias("p"),
+        ).localCheckpoint(eager=True)
+
+    scored_pat = (
+        pat.crossJoin(F.broadcast(params))
+        .withColumn("match_prob", F.round(_g_col(), sr))
+        .select(*[f"a_{i}" for i in range(nf)], "match_prob")
+    )
+    keyed = pairs.select(
+        "id_a",
+        "id_b",
+        *[F.col(f).cast("int").alias(f"a_{i}") for i, f in enumerate(fields)],
+    )
+    return keyed.join(F.broadcast(scored_pat), [f"a_{i}" for i in range(nf)]).select(
+        "id_a",
+        "id_b",
+        "match_prob",
+        (F.col("match_prob") >= F.lit(float(threshold))).alias("is_match"),
+    )
+
+
+def fs_em_linkage_oracle_sql(
+    with_prefix: str,
+    n_fields: int,
+    iters: int = 5,
+    threshold: float = 0.5,
+    state_round: int = 9,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_p: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`fs_em_linkage`; `with_prefix` is a
+    complete WITH chain whose LAST relation is
+    pairs(id_a, id_b, a_0..a_{n_fields-1} as 0/1 INTs). Iterations
+    unrolled; field-order products and per-step round/clamp shared
+    with the Spark loop."""
+    if iters < 1:
+        raise ValueError(f"fs_em_linkage needs iters >= 1: {iters}")
+    if n_fields < 1:
+        raise ValueError("fs_em_linkage needs at least one agreement field")
+    sr = state_round
+    lo = f"1e-{sr}"
+    hi = f"(1.0 - 1e-{sr})"
+    ks = list(range(n_fields))
+    acols = ", ".join(f"a_{i}" for i in ks)
+
+    def g_expr(t):
+        pm = f"{t}.p"
+        pu = f"(1.0 - {t}.p)"
+        for i in ks:
+            pm += f" * (CASE WHEN a_{i} = 1 THEN {t}.m_{i} ELSE 1.0 - {t}.m_{i} END)"
+            pu += f" * (CASE WHEN a_{i} = 1 THEN {t}.u_{i} ELSE 1.0 - {t}.u_{i} END)"
+        return f"(({pm}) / (({pm}) + ({pu})))"
+
+    def clamp(c):
+        return f"least(greatest(round({c}, {sr}), {lo}), {hi})"
+
+    init_cols = ", ".join(
+        [f"{init_m!r}::DOUBLE AS m_{i}" for i in ks]
+        + [f"{init_u!r}::DOUBLE AS u_{i}" for i in ks]
+        + [f"{init_p!r}::DOUBLE AS p"]
+    )
+    parts = [
+        with_prefix,
+        f""",
+pat AS (
+  SELECT {acols}, count(*)::BIGINT AS cnt FROM pairs GROUP BY {acols}
+),
+prm0 AS (SELECT {init_cols})""",
+    ]
+    for t in range(1, iters + 1):
+        g = g_expr("q")
+        m_cols = ", ".join(
+            clamp(f"sum(g * cnt * a_{i}) / sum(g * cnt)") + f" AS m_{i}" for i in ks
+        )
+        u_cols = ", ".join(
+            clamp(f"sum((1.0 - g) * cnt * a_{i}) / sum((1.0 - g) * cnt)")
+            + f" AS u_{i}"
+            for i in ks
+        )
+        parts.append(
+            f""",
+e{t} AS (
+  SELECT pat.*, {g} AS g FROM pat CROSS JOIN prm{t - 1} q
+),
+prm{t} AS (
+  SELECT {m_cols}, {u_cols},
+         {clamp("sum(g * cnt) / sum(cnt)")} AS p
+  FROM e{t}
+)""",
+        )
+    gfin = g_expr("q")
+    parts.append(
+        f""",
+scored AS (
+  SELECT {acols}, round({gfin}, {sr}) AS match_prob
+  FROM pat CROSS JOIN prm{iters} q
+)
+SELECT pr.id_a, pr.id_b, s.match_prob,
+       (s.match_prob >= {float(threshold)!r}) AS is_match
+FROM pairs pr JOIN scored s USING ({acols})
+""",
+    )
+    return "".join(parts)
