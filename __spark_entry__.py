@@ -675,6 +675,18 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).select("node", "rank")
 
 
+def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from seeds (KB:01, KB:03) over the
+    directed triple graph — random walk with restart, ALL-BIGINT
+    micro-unit iteration (3 rounds, damping 17/20)."""
+    from easyner_spark.operators.graph import ppr
+
+    edges = q_triples(spark, sf_dir).select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    return ppr(edges, seeds=("KB:01", "KB:03")).select("node", "score", "is_seed")
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the undirected entity
     co-occurrence graph (canonical-ordering wedge join, a < b < c) —
@@ -5355,6 +5367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_hop": q_k_hop,
         "kg_pmi": q_kg_pmi,
         "kg_pagerank": q_kg_pagerank,
+        "kg_ppr": q_kg_ppr,
         "kg_triangles": q_kg_triangles,
         "kg_communities": q_kg_communities,
         "kg_clustering": q_kg_clustering,
@@ -6728,7 +6741,10 @@ def _mined_taxonomy_oracle() -> str:
     """q_mined_taxonomy oracle: the chained-hypernym mining flattened
     into the WITH RECURSIVE prefix the closure twin requires (flat
     chain per the nested-WITH quirk; explicit self-edge drop)."""
-    from easyner_spark.operators.graph import isa_closure_oracle_sql
+    from easyner_spark.operators.graph import (
+        isa_closure_oracle_sql,
+        ppr_oracle_sql,
+    )
 
     prefix = r"""WITH RECURSIVE csent AS (
   SELECT doc_id::VARCHAR AS url,
@@ -8183,7 +8199,10 @@ def oracle_sql() -> dict[str, str]:
         fs_em_linkage_oracle_sql,
         name_similarity_oracle_sql,
     )
-    from easyner_spark.operators.graph import isa_closure_oracle_sql
+    from easyner_spark.operators.graph import (
+        isa_closure_oracle_sql,
+        ppr_oracle_sql,
+    )
     from easyner_spark.operators.triples import (
         entity_types_oracle_sql,
         fuse_claims_oracle_sql,
@@ -8938,6 +8957,13 @@ CROSS JOIN ns
         # Unrolled 3-iteration PageRank; per-iteration round(·, 9) is
         # the cross-engine state contract (operators/graph.pagerank)
         "kg_pagerank": _PRELUDE + _pagerank_oracle_body(),
+        "kg_ppr": ppr_oracle_sql(
+            _PRELUDE
+            + """,
+e AS (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples)""",
+            seeds=("KB:01", "KB:03"),
+            iters=3,
+        ),
         # Canonical-ordering wedge join, integer-exact
         "kg_triangles": _PRELUDE
         + """

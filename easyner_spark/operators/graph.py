@@ -2249,3 +2249,170 @@ sccM AS (
 SELECT source AS node, min(node) AS scc_label
 FROM sccM GROUP BY source
 """
+
+
+def ppr(
+    edges: DataFrame,
+    seeds: tuple[str, ...],
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    d_num: int = 17,
+    d_den: int = 20,
+    unit_exp: int = 9,
+) -> DataFrame:
+    """(node, score, is_seed) — personalized PageRank from a seed set:
+    random walk with restart to `seeds`, the seed-relative entity
+    relatedness ranker (disambiguation priors, "entities related to X"
+    panels, local KG exploration) that global :func:`pagerank` cannot
+    express — its stationary mass is query-independent.
+
+    Contract (mirrored verbatim by the DuckDB oracle):
+      * edges are DISTINCT directed (src, dst); nodes = src UNION dst
+        UNION seeds; dangling-node mass is dropped (same documented
+        choice as pagerank);
+      * ALL-BIGINT iteration in micro-units U = 10^unit_exp with
+        damping the exact rational d_num/d_den (the textrank recipe —
+        the round-snap contract provably hits half-grid rounding
+        boundaries on O(1)-scale states, so no float enters the loop):
+          restart_u(n) = U div |seeds| if n in seeds else 0
+          s_0 = restart_u
+          inc_i = sum_{j->i} (s_j div deg_j)            -- exact BIGINT
+          s_{t+1} = ((d_den-d_num) * restart_u) div d_den
+                    + (d_num * inc) div d_den            -- exact BIGINT
+      * score = s / U (one division of exact integers, correctly
+        rounded; the only float anywhere).
+
+    Scale shape: deg computed once; per iteration ONE src-keyed rank
+    join (edges pre-partitioned on src, exchange reused every round)
+    + one dst agg (partial-agg absorbed — a hub's in-edges combine
+    map-side); localCheckpoint per iteration caps lineage exactly as
+    pagerank/components. The seed set is a plan-time literal
+    (F.isin), never a joined table — seeds are user queries, not data.
+
+    Reference parity: EasyNER has no graph analytics at all
+    (scripts/analysis.py stops at frequency); north_star KG surface.
+    """
+    if iters < 1:
+        raise ValueError(f"ppr needs iters >= 1: {iters}")
+    if not seeds:
+        raise ValueError("ppr needs at least one seed")
+    if not (0 < d_num < d_den):
+        raise ValueError(f"damping must satisfy 0 < d_num < d_den: {d_num}/{d_den}")
+    unit = 10**unit_exp
+    share = unit // len(seeds)
+    seed_list = [str(s) for s in seeds]
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.repartition("src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(
+            e.sparkSession.createDataFrame(
+                [(s,) for s in seed_list], "node string"
+            )
+        )
+        .distinct()
+        .select(
+            "node",
+            F.when(F.col("node").isin(*seed_list), F.lit(share))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("restart_u"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.col("restart_u").alias("s"))
+    for _ in range(iters):
+        inc = (
+            e.join(deg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "s"), "src")
+            .select(F.col("dst").alias("node"), F.expr("(s div deg)").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            nodes.join(inc, "node", "left")
+            .select(
+                "node",
+                "restart_u",
+                F.expr(
+                    f"(({d_den - d_num} * restart_u) div {d_den})"
+                    f" + (({d_num} * coalesce(inc, 0L)) div {d_den})"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node",
+        (F.col("s").cast("double") / F.lit(float(unit))).alias("score"),
+        F.col("restart_u").cast("long").alias("restart_u"),
+    ).select(
+        "node", "score", (F.col("restart_u") > 0).alias("is_seed")
+    )
+
+
+def ppr_oracle_sql(
+    with_prefix: str,
+    seeds: tuple[str, ...],
+    iters: int = 3,
+    d_num: int = 17,
+    d_den: int = 20,
+    unit_exp: int = 9,
+) -> str:
+    """DuckDB twin of :func:`ppr`; `with_prefix` is a complete WITH
+    chain whose LAST relation is e(src, dst) (distinct directed
+    edges). Iterations unrolled; all-BIGINT state."""
+    if iters < 1:
+        raise ValueError(f"ppr needs iters >= 1: {iters}")
+    if not seeds:
+        raise ValueError("ppr needs at least one seed")
+    if not (0 < d_num < d_den):
+        raise ValueError(f"damping must satisfy 0 < d_num < d_den: {d_num}/{d_den}")
+    unit = 10**unit_exp
+    share = unit // len(seeds)
+    seed_rows = ", ".join("('" + str(s).replace("'", "''") + "')" for s in seeds)
+    parts = [
+        with_prefix,
+        f""",
+seedv(node) AS (VALUES {seed_rows}),
+nodes AS (
+  SELECT node,
+         CASE WHEN node IN (SELECT node FROM seedv)
+              THEN {share}::BIGINT ELSE 0::BIGINT END AS restart_u
+  FROM (
+    SELECT src AS node FROM e
+    UNION
+    SELECT dst FROM e
+    UNION
+    SELECT node FROM seedv
+  )
+),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+p0 AS (SELECT node, restart_u AS s FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+inc{i} AS (
+  SELECT e.dst AS node, sum(p.s // d.deg)::BIGINT AS inc
+  FROM e JOIN deg d ON e.src = d.src
+  JOIN p{i - 1} p ON e.src = p.node
+  GROUP BY e.dst
+),
+p{i} AS (
+  SELECT n.node,
+         (({d_den - d_num} * n.restart_u) // {d_den}
+          + ({d_num} * coalesce(i.inc, 0)) // {d_den})::BIGINT AS s
+  FROM nodes n LEFT JOIN inc{i} i ON n.node = i.node
+)""",
+        )
+    parts.append(
+        f"""
+SELECT n.node, p.s::DOUBLE / {float(unit)!r} AS score,
+       (n.restart_u > 0) AS is_seed
+FROM p{iters} p JOIN nodes n ON p.node = n.node
+""",
+    )
+    return "".join(parts)
