@@ -176,7 +176,26 @@ def run_pipeline(spark: SparkSession, cfg: dict) -> dict[str, int]:
     if modules["nel"] and ments is not None:
         raw_alias = _load_alias(spark, cfg.get("alias_path"))
         alias = primary_alias(raw_alias)
-        if cfg.get("fuzzy_nel"):
+        if cfg.get("disambiguate_nel") and sents is not None:
+            # context disambiguation: when one surface maps to SEVERAL
+            # alias ids, pick per mention the candidate whose corpus
+            # profile (built from unambiguous mentions only) best
+            # overlaps the mention's sentence — instead of the exact
+            # path's deterministic primary-alias collapse. Unambiguous
+            # surfaces pass through unchanged; surfaces absent from
+            # the alias table drop (keep_unmatched=False semantics).
+            from easyner_spark.operators.nel import disambiguate_mentions
+
+            key = ["url", "sent_idx", "begin_tok", "end_tok", "mention_lc"]
+            linked = materialize(
+                "linked",
+                lambda: disambiguate_mentions(ments, sents, raw_alias)
+                .drop("n_cands", "score")
+                # reattach the char spans downstream triple extraction
+                # keys on (the disambiguator works in token space)
+                .join(ments.select(*key, "begin", "end"), key),
+            )
+        elif cfg.get("fuzzy_nel"):
             # second-pass canonicalization: surface forms the exact
             # alias join misses remap to the char-gram-closest alias
             # entity (>= fuzzy_threshold), so morphological variants
@@ -228,6 +247,7 @@ def run_curation(spark: SparkSession, cfg: dict) -> dict[str, int]:
         {"latest": true,                 # collapse recrawls per url
          "gopher": {"min_words": 20},    # kwargs for gopher_filters
          "paragraph_dedup": true,        # CCNet corpus-wide para dedup
+         "ppl_keep": ["head", "middle"], # LM perplexity gate (null = off)
          "pii": false,                   # email/IP/phone scrub
          "host_cap": 200,                # max pages per host (null = off)
          "sample_rate": null}            # deterministic md5 gate
@@ -277,6 +297,19 @@ def run_curation(spark: SparkSession, cfg: dict) -> dict[str, int]:
 
     def corpus_df() -> DataFrame:
         df = gated
+        keep_buckets = cur.get("ppl_keep")
+        if keep_buckets:
+            # CCNet-style LM gate on the gopher survivors: train the
+            # unigram LM on the gated corpus itself, bucket by
+            # perplexity terciles, keep e.g. ["head", "middle"]
+            from easyner_spark.operators.scoring import ppl_buckets
+
+            keep_ids = (
+                ppl_buckets(df, id_col="url")
+                .where(F.col("bucket").isin(*keep_buckets))
+                .select(F.col("id").alias("url"))
+            )
+            df = df.join(keep_ids, "url", "left_semi")
         if cur.get("paragraph_dedup", True):
             from easyner_spark.operators.dedup import paragraph_dedup
 

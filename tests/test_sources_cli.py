@@ -242,6 +242,33 @@ class TestCli:
         skipped = capsys.readouterr().out.count("[skip]")
         assert skipped == 6
 
+    def test_disambiguate_nel_stage(self, spark, pages_df, tmp_path):
+        from easyner_spark.cli import run_pipeline
+
+        pages_path = str(tmp_path / "pages_d.parquet")
+        pages_df.write.parquet(pages_path)
+        cfg = {
+            "input": {"pages_path": pages_path},
+            "output_dir": str(tmp_path / "out_d"),
+            "disambiguate_nel": True,
+        }
+        counts = run_pipeline(spark, cfg)
+        assert counts["linked"] > 0 and counts["edges"] > 0
+        from easyner_spark.sinks.checkpoint import SnapshotTable
+
+        linked = SnapshotTable(f"{cfg['output_dir']}/linked", ["url"]).read(spark)
+        # context pick: exactly ONE entity per mention occurrence, even
+        # for surfaces with several alias ids ('merge' -> KB:02|KB:12)
+        dup = (
+            linked.groupBy("url", "sent_idx", "begin_tok", "end_tok")
+            .count()
+            .where("count > 1")
+            .count()
+        )
+        assert dup == 0
+        ids = {r.entity_id for r in linked.select("entity_id").distinct().collect()}
+        assert ids and all(i.startswith("KB:") for i in ids)
+
     def test_module_flags(self, spark, pages_df, tmp_path):
         from easyner_spark.cli import run_pipeline
 
@@ -334,6 +361,28 @@ class TestCurationPipeline:
 
         corpus = SnapshotTable(f"{cfg['output_dir']}/corpus", ["url"]).read(spark)
         assert set(corpus.columns) == {"url", "text"}
+
+    def test_curate_ppl_gate(self, spark, pages_df, tmp_path):
+        from easyner_spark.cli import run_curation
+
+        base = {
+            "input": {"pages_path": self._pages_path(spark, pages_df, tmp_path)},
+            "curation": {
+                "gopher": {"min_words": 3, "min_stop_hits": 0},
+                "paragraph_dedup": False,
+            },
+        }
+        cfg_all = dict(base, output_dir=str(tmp_path / "cur_all"))
+        all_counts = run_curation(spark, cfg_all)
+        cfg_gate = dict(
+            base,
+            output_dir=str(tmp_path / "cur_gate"),
+            curation=dict(base["curation"], ppl_keep=["head", "middle"]),
+        )
+        gated_counts = run_curation(spark, cfg_gate)
+        # tail tercile dropped: strictly fewer docs than the ungated run
+        assert 0 < gated_counts["corpus"] < all_counts["corpus"]
+        assert gated_counts["gated"] == all_counts["gated"]
 
     def test_curate_defaults_only(self, spark, pages_df, tmp_path):
         from easyner_spark.cli import run_curation
