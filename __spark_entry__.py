@@ -4491,6 +4491,22 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-paragraph language segmentation rolled up per doc: majority
+    lang (algebraic argmax), distinct-lang count, mixed flag — the
+    CCNet/mC4-style segment-before-filter signal."""
+    from easyner_spark.operators.textstats import paragraph_langs
+
+    out = paragraph_langs(_docs(spark, sf_dir))
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        "n_paras",
+        "majority_lang",
+        "n_langs",
+        "is_mixed",
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easyner_spark.operators.textstats import lang_id
 
@@ -5510,6 +5526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filters": q_gopher_filters,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "paragraph_langs": q_paragraph_langs,
         "pii_redact": q_pii_redact,
         "corpus_summary": q_corpus_summary,
         "inverted_index": q_inverted_index,
@@ -8193,7 +8210,10 @@ def oracle_sql() -> dict[str, str]:
         tfidf_sim_topk_oracle_sql,
     )
     from easyner_spark.operators.analysis import entity_salience_oracle_sql
-    from easyner_spark.operators.textstats import host_lang_mix_oracle_sql
+    from easyner_spark.operators.textstats import (
+        host_lang_mix_oracle_sql,
+        paragraph_langs_oracle_sql,
+    )
     from easyner_spark.operators.dedup import repeated_spans_oracle_sql
     from easyner_spark.operators.nel import (
         fs_em_linkage_oracle_sql,
@@ -8318,6 +8338,7 @@ FROM events GROUP BY event_type
     extra = {
         "text_stats": stats_sql,
         "lang_id": langid_sql,
+        "paragraph_langs": paragraph_langs_oracle_sql(),
         "pii_redact": pii_sql,
         "inverted_index": inverted_postings_oracle_sql(min_df=2),
         "tfidf_sim": tfidf_sim_topk_oracle_sql(k=5, min_df=2, max_df=50),

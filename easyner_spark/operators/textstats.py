@@ -785,3 +785,117 @@ tot AS (SELECT host, sum(n_docs)::BIGINT AS t FROM cnt GROUP BY host)
 SELECT c.host, c.lang, c.n_docs, c.n_docs * 1000000 // t.t AS pct_micro
 FROM cnt c JOIN tot t ON c.host = t.host
 """
+
+
+def paragraph_langs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_paras, majority_lang, n_langs, is_mixed) — per-PARAGRAPH
+    language segmentation rolled up per document: the mixed-language
+    detection a doc-level lang_id cannot do (a page that is 60% English
+    navigation around a German article IDs as one language doc-level;
+    paragraph granularity exposes the mixture, the standard multilingual
+    crawl-curation split signal — CCNet/mC4 segment before filtering).
+
+    Contract: paragraphs = '\\n'-split spans with non-empty trim (the
+    paragraph_dedup split); each paragraph classified by the SAME
+    marker-lexicon argmax as lang_id (CJK codepoints win as 'zh',
+    otherwise max marker hits over lowercase `\\w+` words, ties to the
+    ascending language code, zero hits -> 'und'); majority_lang = the
+    language of the most paragraphs (tie -> ascending code, via
+    min(struct(-cnt, lang)) — algebraic, no window); n_langs counts
+    distinct predicted languages including 'und'; is_mixed = n_langs>1.
+
+    Scale shape: explode + per-paragraph classification is scan-fused
+    codegen (no Python); the rollup is TWO partial-agg-absorbed
+    shuffles — (id, lang) paragraph counts, then the per-doc argmax /
+    distinct-lang count over a table already collapsed to a few rows
+    per document. No per-doc language cardinality can exceed the
+    lexicon size, so the second agg's input is bounded at
+    |langs|+1 rows per doc.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), "\n"), lambda p: F.trim(p) != ""
+            )
+        ).alias("_para"),
+    )
+    with_words = paras.select("id", "_para", _words("_para").alias("_w"))
+    hits = with_words.select(
+        "id",
+        "_para",
+        *[c.alias(n) for n, c in _hit_cols(F.col("_w")).items()],
+    )
+    classified = hits.select("id", _lang_pred_col("_para").alias("lang"))
+    per_lang = classified.groupBy("id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return (
+        per_lang.groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_paras"),
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg"), F.col("lang").alias("l"))
+            ).alias("_b"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+        )
+        .select(
+            "id",
+            "n_paras",
+            F.col("_b.l").alias("majority_lang"),
+            "n_langs",
+            (F.col("n_langs") > 1).alias("is_mixed"),
+        )
+    )
+
+
+def paragraph_langs_oracle_sql(source: str = "documents") -> str:
+    """DuckDB twin of :func:`paragraph_langs` (marker lists interpolated
+    from LANG_MARKERS so the lexicons cannot drift)."""
+
+    def _lst(words):
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    hit_cols = ",\n         ".join(
+        f"len(list_filter(w, x -> list_contains({_lst(m)}, x))) AS hits_{lg}"
+        for lg, m in sorted(LANG_MARKERS.items())
+    )
+    lang_case = (
+        "CASE WHEN regexp_matches(para, '[一-鿿]') THEN 'zh' "
+        + " ".join(
+            f"WHEN hits_{lg} > 0 AND hits_{lg} = best THEN '{lg}'"
+            for lg in sorted(LANG_MARKERS)
+        )
+        + " ELSE 'und' END"
+    )
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in sorted(LANG_MARKERS)) + ")"
+    return f"""
+WITH paras AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(text, chr(10)), p -> trim(p) <> '')) AS para
+  FROM {source}
+),
+ww AS (
+  SELECT id, para, regexp_extract_all(lower(para), '\\w+') AS w FROM paras
+),
+hits AS (
+  SELECT id, para,
+         {hit_cols}
+  FROM ww
+),
+cls AS (
+  SELECT id, {lang_case.replace('best', best)} AS lang FROM hits
+),
+per_lang AS (
+  SELECT id, lang, count(*)::BIGINT AS cnt FROM cls GROUP BY id, lang
+)
+SELECT id,
+       sum(cnt)::BIGINT AS n_paras,
+       (min(struct_pack(neg := -cnt, l := lang))).l AS majority_lang,
+       count(*)::BIGINT AS n_langs,
+       (count(*) > 1) AS is_mixed
+FROM per_lang
+GROUP BY id
+"""
