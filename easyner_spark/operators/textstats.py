@@ -796,6 +796,10 @@ def paragraph_langs(
     navigation around a German article IDs as one language doc-level;
     paragraph granularity exposes the mixture, the standard multilingual
     crawl-curation split signal — CCNet/mC4 segment before filtering).
+    Reference parity: EasyNER processes monolingual English biomedical
+    text end to end (no language stage anywhere in scripts/); this is
+    north_star multilingual-crawl surface, the raw-text counterpart of
+    the input_hint's lang column.
 
     Contract: paragraphs = '\\n'-split spans with non-empty trim (the
     paragraph_dedup split); each paragraph classified by the SAME
