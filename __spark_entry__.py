@@ -1652,6 +1652,31 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=3).select("node", "rank")
 
 
+def q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host link reciprocity over the extracted host graph — the
+    graph-side link-farm fingerprint (reciprocal-ring detection)."""
+    from easyner_spark.operators.webtext import host_graph, host_reciprocity
+
+    hg = host_graph(_synth_html_pages(spark, sf_dir))
+    return host_reciprocity(hg)
+
+
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-proportional deterministic sampling (FineWeb-style soft
+    quality filter): keep probability n_words/200, integer-exact
+    md5_long32 cross-multiplication gate, zero shuffle."""
+    from easyner_spark.operators.sampling import quality_weighted_sample
+    from easyner_spark.operators.textstats import words_array
+
+    scored = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(words_array("text")).cast("long").alias("n_words"),
+    )
+    return quality_weighted_sample(
+        scored, score_col="n_words", max_score=200, key="doc_id", seed="qs1"
+    ).select(F.col("doc_id").alias("id"), "n_words")
+
+
 def q_host_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-farm signals over the extracted host graph: outlink
     volume, fanout, hottest-target share, and reciprocity per source
@@ -5506,6 +5531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stale_pages": q_stale_pages,
         "latest_crawl": q_latest_crawl,
         "host_graph": q_host_graph,
+        "host_reciprocity": q_host_reciprocity,
+        "quality_sample": q_quality_sample,
         "host_rank": q_host_rank,
         "host_hits": q_host_hits,
         "anchor_terms": q_anchor_terms,
@@ -8228,7 +8255,13 @@ def oracle_sql() -> dict[str, str]:
         fuse_claims_oracle_sql,
         predicate_cardinality_oracle_sql,
     )
-    from easyner_spark.operators.webtext import host_cocitation_oracle_sql
+    from easyner_spark.operators.webtext import (
+        host_cocitation_oracle_sql,
+        host_reciprocity_oracle_sql,
+    )
+    from easyner_spark.operators.sampling import (
+        quality_weighted_sample_oracle_sql,
+    )
     from easyner_spark.operators.sampling import chunk_docs_oracle_sql
     from easyner_spark.operators.similarity import label_centroids_oracle_sql
     from easyner_spark.operators.sketches import (
@@ -9464,6 +9497,20 @@ LEFT JOIN np_dg ON pe.entity_id = np_dg.e
         + """
 SELECT src_host, dst_host, n_links::BIGINT AS n_links FROM hg
 """,
+        "host_reciprocity": host_reciprocity_oracle_sql(
+            "SELECT src_host AS s, dst_host AS d FROM hg",
+            with_prefix=_HOSTLINKS_CTE.rstrip().rstrip(","),
+        ),
+        "quality_sample": "SELECT doc_id AS id, n_words FROM ("
+        + quality_weighted_sample_oracle_sql(
+            "SELECT doc_id, len(regexp_extract_all(lower(text), '\\w+'))::BIGINT"
+            " AS n_words FROM documents",
+            score_expr="n_words",
+            max_score=200,
+            key="doc_id",
+            seed="qs1",
+        )
+        + ") qs",
         # Co-citation over the same link graph, fanout cap biting
         "host_cocitation": host_cocitation_oracle_sql(_HOSTLINKS_CTE, max_out=3),
         # PageRank over the extracted host link graph (same unrolled

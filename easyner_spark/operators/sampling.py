@@ -807,3 +807,64 @@ SELECT {key_col}, weight, quota,
        (quota - least(quota, coalesce(ceiling, quota)))::BIGINT AS clipped
 FROM j
 """
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    score_col: str,
+    max_score: int,
+    key: str = "url",
+    seed: str = "",
+) -> DataFrame:
+    """Soft quality filter: keep each row with probability
+    score/max_score — the FineWeb/DCLM-style alternative to a hard
+    quality threshold (a hard cut at q discards EVERYTHING below it;
+    proportional sampling keeps a graded tail, which measurably helps
+    corpus diversity). Deterministic and resumption-stable like
+    deterministic_sample: the gate is a pure function of (seed, key),
+    so re-runs, resumes, and the DuckDB oracle select the SAME rows.
+
+    Contract (integer-exact, no float and no hex-to-int ambiguity):
+    keep iff md5_long32(seed || key) * max_score < score * 2^32 — one
+    BIGINT cross-multiplication per row (md5_long32 is the engine-wide
+    32-bit hash; its DuckDB twin is ('0x'||substr(md5(x),1,8))::BIGINT).
+    `score_col` must be an integer column in [0, max_score]; scores
+    are clamped into that range (score <= 0 drops the row, score >=
+    max_score always keeps). max_score must stay < 2^31 so the product
+    cannot overflow BIGINT. Zero shuffle — a scan-fused predicate.
+
+    Reference parity: EasyNER has no sampling stage (its subsetting is
+    the id-list filter, scripts/searcher.py); north_star curation
+    surface alongside mixture_sample / token_budget_select.
+    """
+    if not (0 < max_score < 2**31):
+        raise ValueError(f"max_score must be in (0, 2^31): {max_score}")
+    h = md5_long32(key, seed)
+    s = F.least(
+        F.greatest(F.col(score_col).cast("long"), F.lit(0)), F.lit(max_score)
+    )
+    return df.where(h * F.lit(int(max_score)) < s * F.lit(2**32))
+
+
+def quality_weighted_sample_oracle_sql(
+    source_sql: str,
+    score_expr: str,
+    max_score: int,
+    key: str = "url",
+    seed: str = "",
+) -> str:
+    """DuckDB twin of :func:`quality_weighted_sample`; `source_sql`
+    yields the input relation, `score_expr` the integer score."""
+    if not (0 < max_score < 2**31):
+        raise ValueError(f"max_score must be in (0, 2^31): {max_score}")
+    sd = seed.replace("'", "''")
+    return f"""
+WITH src AS ({source_sql})
+SELECT * EXCLUDE (__h) FROM (
+  SELECT src.*,
+         ('0x' || substr(md5('{sd}' || {key}::VARCHAR), 1, 8))::BIGINT AS __h
+  FROM src
+)
+WHERE __h * {int(max_score)} <
+      least(greatest(CAST({score_expr} AS BIGINT), 0), {int(max_score)}) * 4294967296
+"""

@@ -4831,3 +4831,76 @@ SELECT p.host, p.term, p.n_mentions,
 FROM htp p JOIN htt t ON p.host = t.host
 WHERE p.n_mentions >= {min_count}
 """
+
+
+def host_reciprocity(
+    host_edges: DataFrame, src: str = "src_host", dst: str = "dst_host"
+) -> DataFrame:
+    """(host, n_out, n_recip, recip_micro) — per-host link reciprocity
+    over the host graph: the fraction of a host's distinct outlink
+    targets that link back. The classic link-farm fingerprint (organic
+    sites link out far more than back; reciprocal-link rings built for
+    rank manipulation sit near 1.0), complementing host_spam_signals'
+    content-side tests with a pure graph-side one — TrustRank-era spam
+    taxonomy (Gyongyi et al. 2004 classify reciprocal link exchange as
+    the basic farm primitive).
+
+    Contract: edges dedup to distinct directed (src, dst) host pairs,
+    self-loops dropped; n_out = distinct targets, n_recip = targets t
+    with (t, src) also present (left-semi against the reversed edge
+    set); recip_micro = n_recip * 1e6 div n_out (exact integer
+    micro-fraction, the host_lang_mix pct convention).
+
+    Scale shape: one distinct over host pairs (bounded by the host
+    graph, orders of magnitude under page count), ONE self-semi-join
+    on the (dst, src) key, one partial-agg rollup per src. A hub host
+    with millions of outlinks is a big GROUP, not a hot reducer row —
+    count aggregates combine map-side.
+
+    Reference parity: EasyNER has no link graph (no analog anywhere in
+    scripts/); north_star crawl-hygiene surface over webtext.host_graph.
+    """
+    e = (
+        host_edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = e.join(rev, ["s", "d"], "left_semi").groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recip")
+    )
+    out = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("n_out"))
+    return (
+        out.join(recip, "s", "left")
+        .select(
+            F.col("s").alias("host"),
+            "n_out",
+            F.coalesce("n_recip", F.lit(0)).cast("long").alias("n_recip"),
+            F.expr("(coalesce(n_recip, 0) * 1000000) div n_out").alias(
+                "recip_micro"
+            ),
+        )
+    )
+
+
+def host_reciprocity_oracle_sql(edges_sql: str, with_prefix: str = "") -> str:
+    """DuckDB twin of :func:`host_reciprocity`; `edges_sql` yields
+    (s, d) directed host pairs (pre-dedup input is fine). Pass an
+    existing WITH chain via `with_prefix` (ending mid-chain, no
+    trailing comma) to build edges from its relations."""
+    head = f"{with_prefix}," if with_prefix else "WITH"
+    return f"""{head}
+e AS (
+  SELECT DISTINCT s, d FROM ({edges_sql}) WHERE s <> d
+),
+recip AS (
+  SELECT a.s, count(*)::BIGINT AS n_recip
+  FROM e a WHERE EXISTS (SELECT 1 FROM e b WHERE b.s = a.d AND b.d = a.s)
+  GROUP BY a.s
+),
+outs AS (SELECT s, count(*)::BIGINT AS n_out FROM e GROUP BY s)
+SELECT o.s AS host, o.n_out,
+       coalesce(r.n_recip, 0)::BIGINT AS n_recip,
+       (coalesce(r.n_recip, 0) * 1000000) // o.n_out AS recip_micro
+FROM outs o LEFT JOIN recip r ON o.s = r.s
+"""
