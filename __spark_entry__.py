@@ -4532,6 +4532,40 @@ def q_paragraph_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-encoding artifact detection. The synthetic corpus is
+    clean ASCII, so deterministic corruption is injected first (the
+    q_predicate_triples recipe): docs with doc_id%3==0 get ' a ' ->
+    ' \u00c3\u00a1 ' (the UTF-8-as-Latin-1 shape), docs with
+    doc_id%7==0 get a smart-quote artifact suffix — both mirrored
+    verbatim in the oracle SQL."""
+    from easyner_spark.operators.textstats import mojibake_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corrupted = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.regexp_replace("text", " a ", " \u00c3\u00a1 "),
+            ).otherwise(F.col("text")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\u00e2\u20ac\u2122\u00c2 ")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return mojibake_stats(corrupted).select(
+        F.col("id").cast("long").alias("id"),
+        "n_chars",
+        "n_atilde",
+        "n_smart",
+        "n_acirc",
+        "n_repl",
+        "mojibake_hits",
+        "is_mojibake",
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easyner_spark.operators.textstats import lang_id
 
@@ -5553,6 +5587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filters": q_gopher_filters,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "mojibake": q_mojibake,
         "paragraph_langs": q_paragraph_langs,
         "pii_redact": q_pii_redact,
         "corpus_summary": q_corpus_summary,
@@ -8239,6 +8274,7 @@ def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.analysis import entity_salience_oracle_sql
     from easyner_spark.operators.textstats import (
         host_lang_mix_oracle_sql,
+        mojibake_stats_oracle_sql,
         paragraph_langs_oracle_sql,
     )
     from easyner_spark.operators.dedup import repeated_spans_oracle_sql
@@ -8372,6 +8408,14 @@ FROM events GROUP BY event_type
         "text_stats": stats_sql,
         "lang_id": langid_sql,
         "paragraph_langs": paragraph_langs_oracle_sql(),
+        "mojibake": mojibake_stats_oracle_sql(
+            "SELECT doc_id AS id,"
+            " (CASE WHEN doc_id % 3 = 0"
+            "   THEN regexp_replace(text, ' a ', ' \u00c3\u00a1 ', 'g')"
+            "   ELSE text END)"
+            " || (CASE WHEN doc_id % 7 = 0 THEN '\u00e2\u20ac\u2122\u00c2 ' ELSE '' END)"
+            " AS text FROM documents"
+        ),
         "pii_redact": pii_sql,
         "inverted_index": inverted_postings_oracle_sql(min_df=2),
         "tfidf_sim": tfidf_sim_topk_oracle_sql(k=5, min_df=2, max_df=50),

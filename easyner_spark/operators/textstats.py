@@ -903,3 +903,100 @@ SELECT id,
 FROM per_lang
 GROUP BY id
 """
+
+
+# mojibake contract: the three classic UTF-8-bytes-redecoded-as-
+# Latin-1/windows-1252 artifact families, matched as the LITERAL
+# characters they become in the corrupted text (e.g. 'é' -> 'Ã©',
+# smart quotes -> 'â€¦'-family, NBSP -> 'Â'), plus U+FFFD replacement
+# chars from lossy decodes. Shared verbatim with the DuckDB oracle.
+MOJIBAKE_ATILDE_RE = "Ã[¡-¿]"   # double-encoded Latin-1 letters
+MOJIBAKE_SMART_RE = "â€"        # double-encoded windows-1252 punctuation
+MOJIBAKE_ACIRC_RE = "Â"         # double-encoded NBSP / soft hyphen lead
+MOJIBAKE_REPL_RE = "�"     # replacement character
+
+
+def mojibake_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hits_per_kchar: int = 1,
+) -> DataFrame:
+    """(id, n_chars, n_atilde, n_smart, n_acirc, n_repl, mojibake_hits,
+    is_mojibake) — double-encoding corruption detection, the crawl-
+    cleaning signal the quality/lang gates miss: a page whose bytes
+    were decoded with the wrong charset reads as fluent-ish text full
+    of 'Ã©'/'â€™'/'Â ' artifacts (UTF-8 bytes re-decoded as Latin-1 /
+    windows-1252) — it passes length and stopword checks while being
+    garbage for training. Counts are exact integers per artifact
+    family; is_mojibake flags docs with >= `hits_per_kchar` artifacts
+    per 1000 chars (integer cross-multiply, no float).
+
+    Zero shuffle: four regexp_extract_all counts fused into the scan.
+    Fix-up belongs upstream (ftfy-style repair is byte-level work for
+    the loader); this operator is the detector that routes pages there.
+
+    Reference parity: EasyNER assumes clean UTF-8 PubMed XML
+    (scripts/downloader.py) and has no charset hygiene; north_star
+    web-crawl surface.
+    """
+    if hits_per_kchar < 1:
+        raise ValueError(f"hits_per_kchar must be >= 1: {hits_per_kchar}")
+
+    def cnt(pat: str):
+        return F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast(
+            "long"
+        )
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        cnt(MOJIBAKE_ATILDE_RE).alias("n_atilde"),
+        cnt(MOJIBAKE_SMART_RE).alias("n_smart"),
+        cnt(MOJIBAKE_ACIRC_RE).alias("n_acirc"),
+        cnt(MOJIBAKE_REPL_RE).alias("n_repl"),
+    )
+    hits = (
+        F.col("n_atilde") + F.col("n_smart") + F.col("n_acirc") + F.col("n_repl")
+    )
+    return base.select(
+        "*",
+        hits.alias("mojibake_hits"),
+        (
+            (hits * F.lit(1000) >= F.col("n_chars") * F.lit(int(hits_per_kchar)))
+            & (hits > 0)
+        ).alias("is_mojibake"),
+    )
+
+
+def mojibake_stats_oracle_sql(
+    source_sql: str, hits_per_kchar: int = 1
+) -> str:
+    """DuckDB twin of :func:`mojibake_stats`; `source_sql` yields
+    (id, text)."""
+    if hits_per_kchar < 1:
+        raise ValueError(f"hits_per_kchar must be >= 1: {hits_per_kchar}")
+    pats = {
+        "n_atilde": MOJIBAKE_ATILDE_RE,
+        "n_smart": MOJIBAKE_SMART_RE,
+        "n_acirc": MOJIBAKE_ACIRC_RE,
+        "n_repl": MOJIBAKE_REPL_RE,
+    }
+    cols = ",\n         ".join(
+        f"len(regexp_extract_all(text, '{p}'))::BIGINT AS {n}"
+        for n, p in pats.items()
+    )
+    return f"""
+WITH src AS ({source_sql}),
+c AS (
+  SELECT id, length(text)::BIGINT AS n_chars,
+         {cols}
+  FROM src
+)
+SELECT id, n_chars, n_atilde, n_smart, n_acirc, n_repl,
+       (n_atilde + n_smart + n_acirc + n_repl)::BIGINT AS mojibake_hits,
+       ((n_atilde + n_smart + n_acirc + n_repl) * 1000
+          >= n_chars * {int(hits_per_kchar)}
+        AND (n_atilde + n_smart + n_acirc + n_repl) > 0) AS is_mojibake
+FROM c
+"""
