@@ -1728,6 +1728,34 @@ def _synth_anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _synth_url_pages(spark, sf_dir).withColumn("html", html.cast("binary"))
 
 
+def q_link_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text link density (jusText-style list-page signal):
+    synthetic pages whose anchor text is a 40-char snippet of the doc
+    and whose even-id pages carry 200 extra chars of body text, so
+    density splits by id parity; exact integer counts both engines."""
+    from easyner_spark.operators.webtext import link_density
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="https://x.example/p">'),
+        F.substring("text", 1, 40),
+        F.lit("</a>"),
+        F.when(did % 2 == 0, F.substring("text", 41, 200)).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(did.cast("string").alias("url"), html.alias("html"))
+    out = link_density(pages)
+    return out.select(
+        F.col("url").cast("long").alias("id"),
+        "n_chars",
+        "n_anchors",
+        "anchor_chars",
+        "density_micro",
+        "is_linkfarm_page",
+    )
+
+
 def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host anchor-text term profile (dst_host, term, n) — the
     web-derived alias/name table for entity canonicalization; one
@@ -5588,6 +5616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "mojibake": q_mojibake,
+        "link_density": q_link_density,
         "paragraph_langs": q_paragraph_langs,
         "pii_redact": q_pii_redact,
         "corpus_summary": q_corpus_summary,
@@ -8294,6 +8323,7 @@ def oracle_sql() -> dict[str, str]:
     from easyner_spark.operators.webtext import (
         host_cocitation_oracle_sql,
         host_reciprocity_oracle_sql,
+        link_density_oracle_sql,
     )
     from easyner_spark.operators.sampling import (
         quality_weighted_sample_oracle_sql,
@@ -8408,6 +8438,17 @@ FROM events GROUP BY event_type
         "text_stats": stats_sql,
         "lang_id": langid_sql,
         "paragraph_langs": paragraph_langs_oracle_sql(),
+        "link_density": "SELECT url::BIGINT AS id, n_chars, n_anchors,"
+        " anchor_chars, density_micro, is_linkfarm_page FROM ("
+        + link_density_oracle_sql(
+            "SELECT doc_id::VARCHAR AS url,"
+            " '<html><body><a href=\"https://x.example/p\">'"
+            " || substr(text, 1, 40) || '</a>'"
+            " || (CASE WHEN doc_id % 2 = 0 THEN substr(text, 41, 200)"
+            "     ELSE '' END)"
+            " || '</body></html>' AS html FROM documents"
+        )
+        + ") ld",
         "mojibake": mojibake_stats_oracle_sql(
             "SELECT doc_id AS id,"
             " (CASE WHEN doc_id % 3 = 0"

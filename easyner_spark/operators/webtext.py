@@ -4904,3 +4904,93 @@ SELECT o.s AS host, o.n_out,
        (coalesce(r.n_recip, 0) * 1000000) // o.n_out AS recip_micro
 FROM outs o LEFT JOIN recip r ON o.s = r.s
 """
+
+
+def link_density(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, n_chars, n_anchors, anchor_chars, density_micro,
+    is_linkfarm_page) — anchor-text link density per page: the jusText /
+    boilerplate-literature signal the Gopher word-level rules cannot
+    see (a navigation hub or tag-cloud page is fluent English word by
+    word; what gives it away is that most of its TEXT lives inside
+    <a> elements). density_micro = anchor_chars * 1e6 div n_chars over
+    the raw html's visible anchor text vs total non-tag text;
+    is_linkfarm_page flags density > 50% (integer cross-multiply).
+
+    Contract shared verbatim with the oracle: anchors are the
+    crawl-grade double-quoted `<a href="...">text</a>` elements of
+    extract_anchors (ANCHOR_EL_RE); page text = html with all
+    `<...>` tags deleted (the boilerplate module's tag-strip
+    simplification); both lengths are exact integers. Zero shuffle —
+    two regex passes fused into the scan.
+
+    Reference parity: EasyNER never sees HTML (its inputs are abstract
+    text, scripts/downloader.py); north_star crawl-curation surface
+    alongside gopher_filters/template_strip.
+    """
+    h = F.col(html_col).cast("string")
+    base = pages.select(
+        F.col(url_col).alias("url"),
+        F.length(F.regexp_replace(h, "<[^>]*>", "")).cast("long").alias("n_chars"),
+        F.expr(
+            f"regexp_extract_all(cast({html_col} as string), '{ANCHOR_EL_RE}', 0)"
+        ).alias("_els"),
+    )
+    texts = base.select(
+        "url",
+        "n_chars",
+        F.size("_els").cast("long").alias("n_anchors"),
+        F.aggregate(
+            F.transform(
+                F.col("_els"),
+                lambda el: F.length(F.regexp_extract(el, ANCHOR_TEXT_RE, 1)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("anchor_chars"),
+    )
+    return texts.select(
+        "url",
+        "n_chars",
+        "n_anchors",
+        "anchor_chars",
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr("(anchor_chars * 1000000) div n_chars"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("density_micro"),
+        (
+            (F.col("anchor_chars") * F.lit(2) > F.col("n_chars"))
+            & (F.col("n_chars") > 0)
+        ).alias("is_linkfarm_page"),
+    )
+
+
+def link_density_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`link_density`; `pages_sql` yields
+    (url, html)."""
+    return f"""
+WITH pg AS ({pages_sql}),
+base AS (
+  SELECT url,
+         length(regexp_replace(html, '<[^>]*>', '', 'g'))::BIGINT AS n_chars,
+         regexp_extract_all(html, '{ANCHOR_EL_RE}') AS els
+  FROM pg
+),
+t AS (
+  SELECT url, n_chars,
+         len(els)::BIGINT AS n_anchors,
+         coalesce(list_sum(list_transform(els,
+             el -> length(regexp_extract(el, '>([^<]*)</a>', 1)))), 0)::BIGINT
+           AS anchor_chars
+  FROM base
+)
+SELECT url, n_chars, n_anchors, anchor_chars,
+       (CASE WHEN n_chars > 0 THEN (anchor_chars * 1000000) // n_chars
+             ELSE 0 END)::BIGINT AS density_micro,
+       (anchor_chars * 2 > n_chars AND n_chars > 0) AS is_linkfarm_page
+FROM t
+"""
