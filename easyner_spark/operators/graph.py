@@ -1214,6 +1214,8 @@ def personalized_pagerank(
     the dst rollup, rank join keyed on the src-partitioned edges,
     localCheckpoint-capped lineage); the seed table is broadcast-small
     by definition (a query's topic seeds), joined once to build tele.
+    See :func:`ppr` below for the integer-exact walk-with-restart twin
+    (plan-time seed literals, no float in the loop).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.repartition("src").localCheckpoint(eager=True)
@@ -2266,6 +2268,16 @@ def ppr(
     relatedness ranker (disambiguation priors, "entities related to X"
     panels, local KG exploration) that global :func:`pagerank` cannot
     express — its stationary mass is query-independent.
+
+    Relationship to :func:`personalized_pagerank` (the round-snap
+    float formulation above): same algorithm family, DIFFERENT
+    determinism class and seed contract — this one iterates in exact
+    BIGINT micro-units (no rounding-boundary exposure at all), takes
+    seeds as plan-time literals (a user query, not a joined table),
+    and keeps out-of-graph seeds as isolated restart nodes instead of
+    raising. Prefer this formulation for new work; the float twin
+    stays as the teleport-normalized (1/|S| mass) variant whose
+    scores are comparable across seed-set sizes.
 
     Contract (mirrored verbatim by the DuckDB oracle):
       * edges are DISTINCT directed (src, dst); nodes = src UNION dst
