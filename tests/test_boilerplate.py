@@ -1,12 +1,16 @@
 """Trafilatura-style boilerplate stripping (operators/boilerplate):
 the north-star byte-identity invariant — extract(html) == text per url
-— plus pure-Python extraction semantics on messy markup."""
+— plus pure-Python extraction semantics on messy markup, plus the
+fast-scanner <-> stdlib-twin byte-parity fuzz contract."""
+
+import random
 
 from pyspark.sql import functions as F
 
 from easyner_spark.operators.boilerplate import (
     extract_text,
     extract_text_py,
+    extract_text_py_stdlib,
     extraction_mismatches,
 )
 
@@ -61,6 +65,87 @@ class TestExtractPy:
     def test_nested_prune_with_inner_content_tags(self):
         html = "<nav><ul><li>home</li><li>about</li></ul></nav><p>kept</p>"
         assert extract_text_py(html) == "kept"
+
+
+# Adversarial construct corpus: every stdlib-parser edge the fast
+# scanner either handles inline or must route to its stdlib fallback —
+# CDATA (script/style) with fake inner tags and uppercase close tags,
+# unterminated comments/scripts/tags at EOF, XHTML self-closing,
+# the `<a href=x/>` bare-value-eats-slash quirk, quoted '>' inside
+# attributes, bogus comments, charref edge forms, junk start tags.
+NASTY = [
+    '<script>var a = "<div>fake</div>";</script>', "<SCRIPT>x<b></SCRIPT>",
+    "<style>.x{}</style>", "<script>unterminated", "<!-- comment <p>fake</p> -->",
+    "<!-- unterminated", "<!DOCTYPE html>", "<![CDATA[ <p>x</p> ]]>", "</>",
+    '<a href="x>y">q</a>', "<a href='1'y>t</a>", "<a href=x/>z</a>", "<br/>",
+    "<br />", "<p/>", '<img src=a.png alt="b">',
+    "&amp; &lt; &#65; &#x41; &notaref &amp", "a < b", "<", "<a", "<a ", "<a x=",
+    "<?php echo 1 ?>", "<? pi", "<! decl >", "<!bogus", '<a "junk>', "<a =v>",
+    "<a x=1, y=2>", "<p \x00weird>", "<1abc>", "< a>", "</ p>", "</p >",
+    '</p attr=">">', "<p>text", "text&", "tail&amp", '<A HREF="X">CAP</A>',
+    "<DIV>updown</div>", '<script src="x"/>after',
+    "<noscript><p>ns</p></noscript>", "<nav><a href=1>l</a></nav>",
+    "<td>cell</td>", "<li>item<li>item2", "<em>inline</em>", "&#invalid;",
+    "&#;", "&;", "<p>&euro;100</p>", "<p>café &eacute;</p>",
+    '<style>@import "a.css"; /* </style */ x</style>',
+]
+
+WORDS = ["alpha", "beta", "gamma", "text", "word", "entity", "&amp;",
+         "&lt;x&gt;", "ünïcode", "汉字"]
+TAGS = ["p", "div", "span", "a", "li", "ul", "td", "h1", "br", "hr", "script",
+        "style", "nav", "em", "b", "table", "tr", "footer", "header",
+        "section", "article", "figure", "main", "aside", "form", "button"]
+
+
+def _fuzz_page(rng: random.Random, n: int = 80) -> str:
+    parts = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.25:
+            parts.append(rng.choice(NASTY))
+        elif r < 0.45:
+            t = rng.choice(TAGS)
+            if rng.random() < 0.3:
+                parts.append(
+                    f"<{t} class=\"c{rng.randint(0, 9)}\" "
+                    f"data-x='{rng.randint(0, 99)}' id=i{rng.randint(0, 9)}>"
+                )
+            else:
+                parts.append(f"<{t}>")
+        elif r < 0.6:
+            parts.append(f"</{rng.choice(TAGS)}>")
+        else:
+            parts.append(" ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 8))))
+    s = "".join(parts)
+    if rng.random() < 0.2:
+        s = s[: rng.randint(0, len(s))]  # truncate mid-construct
+    return s
+
+
+class TestFastScannerParity:
+    """extract_text_py (fast one-shot scanner) must be byte-identical
+    to extract_text_py_stdlib (the pinned HTMLParser reference) on
+    every input — the determinism contract transfers to the fast path
+    only through this equivalence."""
+
+    def test_nasty_corpus_parity(self):
+        for page in NASTY:
+            assert extract_text_py(page) == extract_text_py_stdlib(page), repr(page)
+
+    def test_fuzz_parity(self):
+        rng = random.Random(20260819)
+        for _ in range(4000):
+            page = _fuzz_page(rng)
+            assert extract_text_py(page) == extract_text_py_stdlib(page), repr(
+                page[:400]
+            )
+
+    def test_fixture_corpus_parity(self):
+        from easyner_spark.fixtures import generate
+
+        fx = generate(n_docs=300, with_gold=False)
+        for h in fx.pages["html"]:
+            assert extract_text_py(h) == extract_text_py_stdlib(h)
 
 
 class TestSparkByteIdentity:
