@@ -547,7 +547,8 @@ def paragraph_dedup(
     bullets and blank separators are not boilerplate evidence and
     would otherwise all collapse onto their global first occurrence).
 
-    Scale shape (2 shuffles, both skew-safe):
+    Scale shape (ONE scan of `docs`, 2 shuffles, both skew-safe,
+    no join):
       1. first-occurrence agg: groupBy the paragraph DIGEST with an
          ALGEBRAIC min(struct(id, idx, para)) — the winning row's text
          rides IN the aggregation buffer, so the survivor set falls
@@ -559,9 +560,19 @@ def paragraph_dedup(
          hex, so the namespaces cannot collide) and therefore always
          survive, without a second scan for a bypass branch.
       2. document rebuild: groupBy id, sort_array over (idx, para)
-         structs — per-document data only. The totals frame then
-         left-joins on id (id-keyed like the rebuild — AQE broadcasts
-         or co-partitions).
+         structs — per-document data only.
+    The per-doc totals (n_paras, and presence of fully-deduped docs)
+    ride a SENTINEL element appended to each document's paragraph
+    array in the same explode: (_pidx = n_paras, _para = NULL). The
+    sentinel takes the singleton-bypass key (length(NULL) is NULL, so
+    the sha2 branch never fires), always survives stage 1, and lands
+    in stage 2's group, where count(_para) skips it (SQL count of an
+    expression ignores NULLs), collect_list skips the NULL-mapped
+    struct, and max(case when _para is null then _pidx end) recovers
+    n_paras. Net effect vs the r3 shape: the upstream plan (at 100 TB:
+    html scan + extraction + quality gates) is evaluated ONCE instead
+    of twice, and the id-keyed totals join disappears — measured 1.7x
+    on the composed crawl2corpus funnel (BASELINE.md r4).
 
     Design note (measured, tools/skew_bench.py para tier, 6.2M
     paragraphs / 29% on 3 hot keys, interleaved same-window pairs):
@@ -578,7 +589,12 @@ def paragraph_dedup(
     did, idx = F.col(id_col), F.col("_pidx")
     paras = docs.select(
         did,
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pidx", "_para"),
+        F.posexplode(
+            F.concat(
+                F.split(F.col(text_col), "\n"),
+                F.array(F.lit(None).cast("string")),  # per-doc sentinel
+            )
+        ).alias("_pidx", "_para"),
     )
     pkey = F.when(
         F.length("_para") >= min_para_chars, F.sha2(F.col("_para"), 256)
@@ -593,33 +609,28 @@ def paragraph_dedup(
         F.col("_first.p").alias("_pidx"),
         F.col("_first.t").alias("_para"),
     )
-    rebuilt = kept.groupBy(id_col).agg(
+    return kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("_pidx").alias("p"), F.col("_para").alias("t"))
+                    F.collect_list(  # skips the NULL-mapped sentinel rows
+                        F.when(
+                            F.col("_para").isNotNull(),
+                            F.struct(
+                                F.col("_pidx").alias("p"),
+                                F.col("_para").alias("t"),
+                            ),
+                        )
                     )
                 ),
                 lambda s: s["t"],
             ),
             "\n",
         ).alias("text_dedup"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    totals = docs.select(
-        did,
-        F.size(F.split(F.col(text_col), "\n")).alias("n_paras"),
-    )
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            did,
-            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
-            F.col("n_paras"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        )
-    )
+        # sentinel _pidx == len(paragraph array) == n_paras
+        F.max(F.when(F.col("_para").isNull(), F.col("_pidx"))).alias("n_paras"),
+        F.count(F.col("_para")).alias("n_kept"),  # count(expr) skips NULLs
+    ).select(did, "text_dedup", "n_paras", "n_kept")
 
 
 # ---------------------------------------------------------------------------
