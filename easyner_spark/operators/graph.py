@@ -887,6 +887,7 @@ def kg_negatives(
     subj_col: str = "subj",
     pred_col: str = "pred",
     obj_col: str = "obj",
+    rank_strategy: str = "auto",
 ) -> DataFrame:
     """Deterministic negative sampling for KG-embedding training
     (TransE/DistMult-style): per true triple, k object-corrupted
@@ -899,9 +900,10 @@ def kg_negatives(
     state, no seed plumbing (the engine's deterministic-sample rule).
 
     Scale shape: the object vocabulary is one distinct shuffle; its
-    rank assignment is a global sort window over the BOUNDED node
-    vocab (entities, not mentions — millions, not trillions; same
-    documented bounded-SinglePartition contract as length_quantiles).
+    rank assignment rides sampling.global_rank — 'auto' keeps the
+    one-reducer window while the vocab is bounded and switches to the
+    two-pass range prefix-rank past the threshold (a web-scale entity
+    vocab is 10^8-10^9 rows; same values either way).
     Candidate generation is a zero-shuffle posexplode fan-out of k;
     the idx->entity lookup joins on the rank key (AQE decides
     broadcast — the vocab is small next to k*|triples|); the filter
@@ -914,14 +916,14 @@ def kg_negatives(
         F.col(pred_col).alias("pred"),
         F.col(obj_col).alias("obj"),
     )
-    vocab = (
-        t.select(F.col("obj").alias("entity"))
-        .distinct()
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy("entity")).cast("long") - 1,
-        )
-    )
+    from easyner_spark.operators.sampling import global_rank
+
+    vocab = global_rank(
+        t.select(F.col("obj").alias("entity")).distinct(),
+        [F.col("entity").asc()],
+        rank_col="rank",
+        strategy=rank_strategy,
+    ).withColumn("rank", F.col("rank") - 1)
     n = vocab.select(F.count(F.lit(1)).cast("long").alias("_n"))
     cand = (
         t.crossJoin(F.broadcast(n))

