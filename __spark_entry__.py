@@ -5439,8 +5439,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return top_n(freq, 50)
 
 
+# The external driver value-checks the FIRST 50 registry entries (in
+# dict order) against the DuckDB oracles; the full 217 run locally via
+# tools/check_oracle.py. Lead the registry with this round's touched
+# operators and the riskiest recent additions so the driver's window
+# covers them (VERDICT r3 #4); everything else keeps its historical
+# order behind them. queries() and oracle_sql() reorder identically,
+# so the 1:1 key contract is unaffected.
+_DRIVER_WINDOW_FIRST = [
+    # --- round 4: touched this round ---
+    "boilerplate_extract",   # fast one-shot scanner (parity-fuzzed)
+    "paragraph_dedup",       # sentinel single-scan rewrite
+    "host_skew",             # global_rank rewire
+    "crawl_quota",           # apportion_budget -> global_rank
+    "polite_quota",
+    "kg_negatives",          # vocab rank -> global_rank
+    "token_budget",          # shares the ranged-cache machinery
+    # --- riskiest r3 additions (never in the driver window) ---
+    "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
+    "fs_linkage", "unigram_lm", "bigram_lm", "quality_classifier",
+    "tfidf_sim", "bm25_rank", "pack_sequences", "tokenized_pack",
+    "bpe_encode", "bpe_merges", "bpe_token_counts", "length_quantiles",
+    "chunk_docs", "mixture_sample", "per_host_cap", "gopher_filters",
+    "word_repetition", "paragraph_langs", "pii_redact", "mojibake",
+    "exact_dedup", "minhash_dedup", "simhash_dedup", "ngram_jaccard",
+    "winnow_fps", "winnow_dedup", "fuzzy_dedup_groups",
+    "incremental_dedup", "decontaminate", "containment", "ann_topk",
+    "ann_sq_topk", "ann_topk_blocked", "ann_ivf_topk", "ann_lsh_topk",
+    "emb_neardup", "kg_link_predict", "kg_kcore", "kg_wl_labels",
+    "kg_random_walks", "walk_skipgrams", "sessionize", "asof_join",
+    "url_dedup",
+]
+
+
+def _prioritize(d: dict) -> dict:
+    out = {k: d[k] for k in _DRIVER_WINDOW_FIRST if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _prioritize({
         "split_sentences": q_split_sentences,
         "dict_ner": q_dict_ner,
         "entity_frequency": q_entity_frequency,
@@ -5658,7 +5697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "craft_iob2": q_craft_iob2,
         "flair_parse": q_flair_parse,
-    }
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -8624,7 +8663,7 @@ FROM d CROSS JOIN t
         **_dedup_oracles(),
         **_similarity_oracles(),
     }
-    return extra | {
+    return _prioritize(extra | {
         "split_sentences": _PRELUDE
         + """
 SELECT doc_id, sent_idx::BIGINT AS sent_idx, sentence FROM sentences
@@ -9888,4 +9927,4 @@ SELECT d.doc_id,
         ELSE 0.0::DOUBLE END <= 0.2) AS repetition_ok
 FROM denom d LEFT JOIN top t ON d.doc_id = t.doc_id
 """,
-    }
+    })
