@@ -8135,11 +8135,13 @@ FROM documents"""
 
 
 def _passive_triples_oracle() -> str:
-    """Passive rule on TOKEN indices: adjacent (aux, participle, 'by')
-    triples from the leads CTE, first mapped hit per pair via
-    arg_min, all three tokens inside [gb, ge), output roles flipped
-    — the engine's char-gap regex sees exactly these phrases because
-    the injected pattern is space-separated word-soup tokens."""
+    """Passive rule on TOKEN indices: an (aux, participle, 'by')
+    lead from the leads CTE that spans the ENTIRE pair gap — aux at
+    gb, 'by' at ge - 1 (strict adjacency, ADVICE r3: the unanchored
+    range test also fired for non-adjacent pairs around the phrase),
+    output roles flipped. The engine's anchored trim-equals char
+    regex sees exactly these phrases because the injected pattern is
+    space-separated word-soup tokens."""
     from easyner_spark.operators.triples import PASSIVE_AUX, PASSIVE_LEXICON
 
     lex_values = ", ".join(
@@ -8178,7 +8180,7 @@ pvhit AS (
   FROM pvpp p
   JOIN pvhits h
     ON h.doc_id = p.doc_id AND h.sent_idx = p.sent_idx
-   AND h.tok_idx >= p.gb AND h.tok_idx + 2 < p.ge
+   AND h.tok_idx = p.gb AND h.tok_idx + 3 = p.ge
   GROUP BY p.doc_id, p.sent_idx, p.first_id, p.second_id
 )
 SELECT doc_id, sent_idx::BIGINT AS sent_idx, second_id AS subj_id,

@@ -866,15 +866,19 @@ def paragraph_langs_oracle_sql(source: str = "documents") -> str:
         f"len(list_filter(w, x -> list_contains({_lst(m)}, x))) AS hits_{lg}"
         for lg, m in sorted(LANG_MARKERS.items())
     )
+    # the greatest(...) expression is inlined directly into each CASE
+    # arm (ADVICE r3: a post-hoc str.replace over assembled SQL would
+    # silently corrupt if any marker/code ever contained the
+    # placeholder substring)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in sorted(LANG_MARKERS)) + ")"
     lang_case = (
         "CASE WHEN regexp_matches(para, '[一-鿿]') THEN 'zh' "
         + " ".join(
-            f"WHEN hits_{lg} > 0 AND hits_{lg} = best THEN '{lg}'"
+            f"WHEN hits_{lg} > 0 AND hits_{lg} = {best} THEN '{lg}'"
             for lg in sorted(LANG_MARKERS)
         )
         + " ELSE 'und' END"
     )
-    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in sorted(LANG_MARKERS)) + ")"
     return f"""
 WITH paras AS (
   SELECT doc_id AS id,
@@ -890,7 +894,7 @@ hits AS (
   FROM ww
 ),
 cls AS (
-  SELECT id, {lang_case.replace('best', best)} AS lang FROM hits
+  SELECT id, {lang_case} AS lang FROM hits
 ),
 per_lang AS (
   SELECT id, lang, count(*)::BIGINT AS cnt FROM cls GROUP BY id, lang

@@ -1504,10 +1504,16 @@ def extract_passive_triples(
     union partner of the active path, not a replacement).
 
     Rule contract (mirrored on token indices by the oracle): the
-    first gap phrase whose participle is in the lexicon wins; aux,
-    participle, and 'by' must be adjacent tokens. Same two-shuffle
-    pair plan as extract_predicate_triples + one sentence join; the
-    phrase scan is regexp_extract_all -> map -> filter, 100% JVM.
+    passive phrase must span the ENTIRE gap between the pair — the
+    trimmed gap text IS '<aux> <participle> by' (aux, participle,
+    'by' adjacent, anchored to both span boundaries), the same strict
+    adjacency extract_nominal_triples uses. Anchoring is what keeps
+    precision: with >= 3 entities in a sentence ('Z ... A is
+    inhibited by B'), an unanchored scan would also fire for the
+    non-adjacent pair (Z, B) and emit a flipped triple with the wrong
+    agent (ADVICE r3). Same two-shuffle pair plan as
+    extract_predicate_triples + one sentence join; the phrase test is
+    one anchored regexp_extract + map lookup, 100% JVM.
     """
     lex = PASSIVE_LEXICON if lexicon is None else lexicon
     lex_map = F.create_map(
@@ -1544,18 +1550,12 @@ def extract_passive_triples(
         .select("url", "sent_idx", F.explode(pairs).alias("p"))
         .join(sentences.select("url", "sent_idx", "sentence"), ["url", "sent_idx"])
     )
-    participles = F.expr(
-        "regexp_extract_all(lower(substring(sentence, p.gap_begin + 1,"
-        " greatest(p.gap_end - p.gap_begin, 0))),"
-        f" '(?:{aux}) ([a-z]+) by', 1)"
+    participle = F.expr(
+        "regexp_extract(trim(lower(substring(sentence, p.gap_begin + 1,"
+        " greatest(p.gap_end - p.gap_begin, 0)))),"
+        f" '^(?:{aux}) ([a-z]+) by$', 1)"
     )
-    canon = F.try_element_at(
-        F.filter(
-            F.transform(participles, lambda t: F.try_element_at(lex_map, t)),
-            lambda c: c.isNotNull(),
-        ),
-        F.lit(1),
-    )
+    canon = F.try_element_at(lex_map, participle)
     return (
         exploded.select(
             "url",

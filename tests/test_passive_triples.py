@@ -37,12 +37,37 @@ def test_passive_requires_adjacency_and_lexicon(spark):
     assert extract_passive_triples(ments, sents).collect() == []
 
 
-def test_passive_first_mapped_hit_wins(spark):
+def test_passive_phrase_must_span_entire_gap(spark):
+    # ADVICE r3 precision fix: the phrase is anchored to BOTH span
+    # boundaries — extra material in the gap means the pair is not
+    # the passive construction's (patient, agent) and emits nothing
     ments, sents = _fixture(
         spark, "mtor is zapped by x and is blocked by rapamycin"
     )
+    assert extract_passive_triples(ments, sents).collect() == []
+
+
+def test_passive_nonadjacent_pair_not_flipped(spark):
+    # 'Z ... A is inhibited by B': only (B, inhibits, A) — the
+    # unanchored scan used to also emit (B, inhibits, Z)
+    sentence = "tsc1 binds mtor is inhibited by rapamycin"
+    sents = spark.createDataFrame(
+        [("u1", 0, sentence)], ["url", "sent_idx", "sentence"]
+    )
+    b_mtor = sentence.index("mtor")
+    b_rapa = sentence.index("rapamycin")
+    ments = spark.createDataFrame(
+        [
+            ("u1", 0, 0, 4, "TSC1"),
+            ("u1", 0, b_mtor, b_mtor + 4, "MTOR"),
+            ("u1", 0, b_rapa, b_rapa + 9, "RAPA"),
+        ],
+        ["url", "sent_idx", "begin", "end", "entity_id"],
+    )
     out = extract_passive_triples(ments, sents).collect()
-    assert len(out) == 1 and out[0].pred == "blocks"
+    assert [(r.subj_id, r.pred, r.obj_id) for r in out] == [
+        ("RAPA", "inhibits", "MTOR")
+    ]
 
 
 def test_active_voice_emits_nothing(spark):
