@@ -5023,6 +5023,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_topk with a PRE-TRAINED centroid list (train_ivf_centroids
+    -> ivf_topk(centroids=...)): the repeat-query amortization path —
+    training runs once per corpus snapshot, queries skip the Lloyd
+    assignment jobs entirely. Values must equal the self-training
+    refine_iters=0 path exactly, so it shares ann_ivf_topk's oracle
+    SQL verbatim."""
+    from easyner_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(emb, refine_iters=0)
+    return ivf_topk(emb, k=10, centroids=cents).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
 def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized ANN: symmetric integer-dot ranking over int8-
     style affine codes — the bandwidth leg of the ANN suite (8x fewer
@@ -5449,6 +5465,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_WINDOW_FIRST = [
     # --- round 4: touched this round ---
     "boilerplate_extract",   # fast one-shot scanner (parity-fuzzed)
+    "ann_ivf_cached",        # NEW: pre-trained-centroid ANN path
     "paragraph_dedup",       # sentinel single-scan rewrite
     "host_skew",             # global_rank rewire
     "crawl_quota",           # apportion_budget -> global_rank
@@ -5688,6 +5705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_blocked": q_ann_topk_blocked,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_cached": q_ann_ivf_cached,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_exact": q_emb_neardup_exact,
         "media_meta": q_media_meta,
@@ -6140,6 +6158,7 @@ SELECT a, b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.3
         "ann_topk_blocked": topk,
         "ann_lsh_topk": lsh,
         "ann_ivf_topk": ivf,
+        "ann_ivf_cached": ivf,  # same values: supplied == seed centroids
         "emb_neardup": neardup,
         "emb_neardup_exact": neardup_exact,
         "ann_sq_topk": _sq_oracle(),

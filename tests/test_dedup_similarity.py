@@ -337,6 +337,29 @@ class TestSimilarity:
             map(tuple, brute_force_topk(df, k=5).collect())
         )
 
+    def test_ivf_cached_centroids_match_self_trained(self, spark):
+        """train_ivf_centroids + ivf_topk(centroids=...) must equal the
+        self-training path row-for-row, with and without Lloyd rounds
+        — the repeat-query amortization path cannot change values."""
+        from easyner_spark.operators.similarity import (
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        import random
+
+        rng = random.Random(17)
+        vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        for iters in (0, 2):
+            cents = train_ivf_centroids(df, n_centroids=4, refine_iters=iters)
+            assert len(cents) == 4
+            cached = ivf_topk(df, k=5, nprobe=2, centroids=cents).collect()
+            self_t = ivf_topk(
+                df, k=5, n_centroids=4, nprobe=2, refine_iters=iters
+            ).collect()
+            assert sorted(map(tuple, cached)) == sorted(map(tuple, self_t))
+
     def test_ivf_score_engines_agree(self, spark):
         """The cogrouped Arrow/BLAS scorer (default) and the pure
         JVM-expression join produce IDENTICAL rows — numpy pairwise-sum
