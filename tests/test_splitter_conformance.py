@@ -79,6 +79,7 @@ class TestPinnedContract:
 
 
 class TestSpacyConformance:
+    @pytest.mark.models
     @pytest.mark.skipif(
         not (_HAS_SPACY and os.path.exists(SPACY_GOLDEN)),
         reason="spaCy and/or splitter_spacy.jsonl not present "
