@@ -2049,6 +2049,98 @@ def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg_negatives(_kg_synth_triples(spark, sf_dir), k=3)
 
 
+# Richer closed synthetic KG for rule mining: 31-entity vocab, 7
+# predicates built as residue permutations x -> a*x+b (mod 31) so the
+# DISTINCT triple set is the same exact algebra at every sf >= 217
+# docs, with DESIGNED rule structure: employs = works_for^-1 (inv rule
+# conf 1.0), city_of = located_in gated on subj residue (imp rule one
+# direction 1.0, other 21/31), near an involution (symmetric inv
+# rule), and same_region = near o located_in gated on subj%5 (chain
+# rule std-conf 24/31 but PCA-conf 1.0 — the open-world case PCA
+# exists for). One definition per side (the _KG_EDGES_SQL pattern).
+_KG_RULES_SQL = """SELECT DISTINCT
+  'n' || (CASE WHEN doc_id % 7 = 1 THEN (doc_id * 3 + 2) % 31
+               ELSE doc_id % 31 END) AS subj,
+  CASE doc_id % 7 WHEN 0 THEN 'works_for' WHEN 1 THEN 'employs'
+       WHEN 2 THEN 'located_in' WHEN 3 THEN 'city_of'
+       WHEN 4 THEN 'near' WHEN 5 THEN 'partner_of'
+       ELSE 'same_region' END AS pred,
+  'n' || (CASE doc_id % 7
+       WHEN 0 THEN (doc_id * 3 + 2) % 31
+       WHEN 1 THEN doc_id % 31
+       WHEN 2 THEN (doc_id * 5 + 4) % 31
+       WHEN 3 THEN (doc_id * 5 + 4) % 31
+       WHEN 4 THEN (31 - doc_id % 31) % 31
+       WHEN 5 THEN (doc_id * 7 + 9) % 31
+       ELSE (doc_id * 26 + 27) % 31 END) AS obj
+  FROM documents
+  WHERE NOT (doc_id % 7 = 3 AND (doc_id % 31) % 3 = 0)
+    AND NOT (doc_id % 7 = 5 AND (doc_id % 31) % 2 = 1)
+    AND NOT (doc_id % 7 = 6 AND (doc_id % 31) % 5 = 0)"""
+
+
+def _kg_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(subj, pred, obj) twin of _KG_RULES_SQL."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    m = did % 7
+    x = did % 31
+    subj = F.concat(
+        F.lit("n"),
+        F.when(m == 1, (did * 3 + 2) % 31).otherwise(x).cast("string"),
+    )
+    pred = (
+        F.when(m == 0, F.lit("works_for"))
+        .when(m == 1, F.lit("employs"))
+        .when(m == 2, F.lit("located_in"))
+        .when(m == 3, F.lit("city_of"))
+        .when(m == 4, F.lit("near"))
+        .when(m == 5, F.lit("partner_of"))
+        .otherwise(F.lit("same_region"))
+    )
+    obj = F.concat(
+        F.lit("n"),
+        F.when(m == 0, (did * 3 + 2) % 31)
+        .when(m == 1, x)
+        .when(m == 2, (did * 5 + 4) % 31)
+        .when(m == 3, (did * 5 + 4) % 31)
+        .when(m == 4, (31 - x) % 31)
+        .when(m == 5, (did * 7 + 9) % 31)
+        .otherwise((did * 26 + 27) % 31)
+        .cast("string"),
+    )
+    return (
+        d.where(
+            ~((m == 3) & (x % 3 == 0))
+            & ~((m == 5) & (x % 2 == 1))
+            & ~((m == 6) & (x % 5 == 0))
+        )
+        .select(subj.alias("subj"), pred.alias("pred"), obj.alias("obj"))
+        .distinct()
+    )
+
+
+def q_kg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style closed horn-rule mining (imp/inv/chain shapes with
+    support, std confidence, PCA confidence, head coverage — all
+    exact BIGINT micro-units) over the designed 31-entity rule KG."""
+    from easyner_spark.operators.triples import mine_rules
+
+    return mine_rules(_kg_rules_triples(spark, sf_dir), min_support=2)
+
+
+def q_kg_rule_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG completion: apply the mined rules (PCA confidence >= 0.7)
+    to derive missing triples with best-rule score + firing-rule
+    count — the AMIE prediction step, broadcast rules on bounded
+    predicate vocabulary."""
+    from easyner_spark.operators.triples import rule_predictions
+
+    return rule_predictions(
+        _kg_rules_triples(spark, sf_dir), min_support=2, min_pca_micro=700_000
+    )
+
+
 def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk corpus over the closed 23-entity triple
     graph (subj->obj edges): 2 walks x 3 steps per start node,
@@ -5471,6 +5563,8 @@ _DRIVER_WINDOW_FIRST = [
     "crawl_quota",           # apportion_budget -> global_rank
     "polite_quota",
     "kg_negatives",          # vocab rank -> global_rank
+    "kg_rules",              # NEW: AMIE-style horn-rule mining
+    "kg_rule_preds",         # NEW: rule application / KG completion
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -5569,6 +5663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": q_html_meta,
         "entity_bursts": q_entity_bursts,
         "kg_negatives": q_kg_negatives,
+        "kg_rules": q_kg_rules,
+        "kg_rule_preds": q_kg_rule_preds,
         "kg_random_walks": q_kg_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "kg_degree_stats": q_kg_degree_stats,
@@ -7667,6 +7763,24 @@ def _kg_negatives_oracle() -> str:
     return kg_negatives_oracle_sql(_KG_TRIPLES_SQL, k=3)
 
 
+def _kg_rules_oracle() -> str:
+    """q_kg_rules oracle: the designed rule-KG synthesis fed to the
+    miner's module-local SQL twin."""
+    from easyner_spark.operators.triples import mine_rules_oracle_sql
+
+    return mine_rules_oracle_sql(_KG_RULES_SQL, min_support=2)
+
+
+def _kg_rule_preds_oracle() -> str:
+    """q_kg_rule_preds oracle: same synthesis through the prediction
+    twin (which composes the miner's oracle as a CTE)."""
+    from easyner_spark.operators.triples import rule_predictions_oracle_sql
+
+    return rule_predictions_oracle_sql(
+        _KG_RULES_SQL, min_support=2, min_pca_micro=700_000
+    )
+
+
 def _entity_bursts_oracle() -> str:
     """q_entity_bursts oracle: the shared mentions prelude extended
     with m(entity, epoch), fed to the operator's module-local twin."""
@@ -9367,6 +9481,12 @@ FROM c
         "entity_bursts": _entity_bursts_oracle(),
         # Filtered-LCWA negative sampling (graph.kg_negatives_oracle_sql)
         "kg_negatives": _kg_negatives_oracle(),
+        # AMIE-style horn-rule mining over the designed 31-entity
+        # rule KG (triples.mine_rules_oracle_sql)
+        "kg_rules": _kg_rules_oracle(),
+        # Rule application / KG completion
+        # (triples.rule_predictions_oracle_sql)
+        "kg_rule_preds": _kg_rule_preds_oracle(),
         # Deterministic DeepWalk corpus (graph.kg_random_walks_oracle_sql)
         "kg_random_walks": _kg_random_walks_oracle(),
         # Skip-gram pairs over the walk corpus

@@ -1852,3 +1852,412 @@ FROM conf{iters} f JOIN best b USING (subj_id, pred)
 """
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# AMIE-style horn-rule mining over the materialized KG edge table.
+# ---------------------------------------------------------------------------
+
+
+def mine_rules(
+    edges: DataFrame,
+    min_support: int = 2,
+    max_chain_degree: int | None = None,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Closed horn-rule mining over the KG edge table — the AMIE(+)
+    core (Galarraga et al., WWW 2013) restricted to the three rule
+    shapes that cover most KG-completion deployments:
+
+      imp    p(x,y)            => r(x,y)   (implication/subsumption)
+      inv    p(x,y)            => r(y,x)   (inversion; p = r detects
+                                            symmetric predicates)
+      chain  p(x,y) AND q(y,z) => r(x,z)   (composition)
+
+    Output, one row per rule passing ``support >= min_support``:
+    (rule_type, body_p, body_q, head_r, support, body_size,
+    head_size, pca_size, conf_micro, pca_conf_micro, hc_micro) with
+
+      support         #distinct head-variable groundings where body
+                      AND head hold (set semantics over DISTINCT
+                      (s,p,o); chain bodies dedup (p,q,x,z) first, so
+                      multiple connecting y count once),
+      body_size       #distinct body groundings,
+      head_size       #distinct pairs of the head predicate,
+      pca_size        #body groundings whose head-subject has SOME
+                      head_r edge (the Partial Completeness
+                      Assumption denominator — AMIE's answer to the
+                      open-world problem: missing facts only count
+                      against a rule where the KG is known non-empty
+                      for that subject),
+      conf_micro      support * 1e6 div body_size   (std confidence),
+      pca_conf_micro  support * 1e6 div pca_size    (PCA confidence),
+      hc_micro        support * 1e6 div head_size   (head coverage),
+
+    all exact BIGINTs (the repo-wide *_micro convention) so the DuckDB
+    oracle is bit-identical. ``body_q`` is '' for the 1-atom shapes.
+
+    Scale shape: ONE distinct over (s,p,o), then every statistic is an
+    equi-join + partial-agg count. Join keys are (s,o) pairs, subject
+    ids, or the chain pivot y — entity keys, uniform except hub
+    entities. The rule space itself is tiny (bounded by the predicate
+    vocabulary, P^2 + P^2 + P^3 for P predicates — dozens to a few
+    thousand rows even on open-domain KGs), so every *rollup* is
+    skew-free map-side combining; only the chain body join can
+    explode, on a hub pivot y (a country entity with 1e7 in-edges and
+    1e6 out-edges would ground 1e13 bodies). ``max_chain_degree``
+    is the standard mitigation: pivots whose per-predicate in- or
+    out-degree exceeds the cap are dropped from BOTH chain sides (a
+    stated, oracle-shared semantics change — hub-pivot rules are
+    exactly the near-zero-confidence ones the cap's bias discards;
+    AMIE+ applies the same functionality-driven pruning). Default
+    None = exact, for bounded KGs like the test corpus.
+
+    Reference parity: EasyNER has no rule mining (its KG surface stops
+    at co-occurrence counts, scripts/entity_parser.py:41-42); this is
+    the north-star KG-construction layer's completion/QA step,
+    downstream of aggregate_edges.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1: {min_support}")
+    t = (
+        edges.select(
+            F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+        )
+        .distinct()
+    )
+    psize = t.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    sp = t.select("p", "s").distinct()  # (pred, subject) existence
+
+    def _metrics(
+        supp: DataFrame, bsize: DataFrame, pca: DataFrame, rtype: str, has_q: bool
+    ) -> DataFrame:
+        keys = ["p", "q", "hp"] if has_q else ["p", "hp"]
+        out = (
+            supp.join(bsize, keys[:-1])
+            .join(pca, keys)
+            .join(psize.select(F.col("p").alias("hp"), F.col("sz").alias("head_size")), "hp")
+            .where(F.col("support") >= F.lit(min_support))
+        )
+        return out.select(
+            F.lit(rtype).alias("rule_type"),
+            F.col("p").alias("body_p"),
+            (F.col("q") if has_q else F.lit("")).alias("body_q"),
+            F.col("hp").alias("head_r"),
+            "support",
+            "body_size",
+            "head_size",
+            "pca_size",
+            F.expr("(support * 1000000) div body_size").alias("conf_micro"),
+            F.expr("(support * 1000000) div pca_size").alias("pca_conf_micro"),
+            F.expr("(support * 1000000) div head_size").alias("hc_micro"),
+        )
+
+    # imp: p(x,y) => r(x,y), p != r
+    th = t.select("s", F.col("p").alias("hp"), "o")
+    imp_sup = (
+        t.join(th, ["s", "o"])
+        .where(F.col("p") != F.col("hp"))
+        .groupBy("p", "hp")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    pair_bsize = psize.select("p", F.col("sz").alias("body_size"))
+    imp_pca = (
+        t.join(sp.select(F.col("s"), F.col("p").alias("hp")), "s")
+        .where(F.col("p") != F.col("hp"))
+        .groupBy("p", "hp")
+        .agg(F.count(F.lit(1)).cast("long").alias("pca_size"))
+    )
+    r_imp = _metrics(imp_sup, pair_bsize, imp_pca, "imp", has_q=False)
+
+    # inv: p(x,y) => r(y,x); p == r allowed (symmetry detection)
+    rev = t.select(
+        F.col("o").alias("s"), F.col("p").alias("hp"), F.col("s").alias("o")
+    )
+    inv_sup = (
+        t.join(rev, ["s", "o"])
+        .groupBy("p", "hp")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    inv_pca = (
+        t.join(sp.select(F.col("s").alias("o"), F.col("p").alias("hp")), "o")
+        .groupBy("p", "hp")
+        .agg(F.count(F.lit(1)).cast("long").alias("pca_size"))
+    )
+    r_inv = _metrics(inv_sup, pair_bsize, inv_pca, "inv", has_q=False)
+
+    # chain: p(x,y) AND q(y,z) => r(x,z)
+    mid = t.select(F.col("o").alias("y"), "p", F.col("s").alias("x"))
+    nxt = t.select(F.col("s").alias("y"), F.col("p").alias("q"), F.col("o").alias("z"))
+    if max_chain_degree is not None:
+        cap = F.lit(int(max_chain_degree))
+        hot_in = (
+            t.groupBy(F.col("o").alias("y"), "p")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") > cap)
+            .select("y")
+        )
+        hot_out = (
+            t.groupBy(F.col("s").alias("y"), "p")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") > cap)
+            .select("y")
+        )
+        hot = hot_in.union(hot_out).distinct()
+        mid = mid.join(hot, "y", "left_anti")
+        nxt = nxt.join(hot, "y", "left_anti")
+    body = mid.join(nxt, "y").select("p", "q", "x", "z").distinct()
+    chain_bsize = body.groupBy("p", "q").agg(
+        F.count(F.lit(1)).cast("long").alias("body_size")
+    )
+    heads = t.select(
+        F.col("s").alias("x"), F.col("p").alias("hp"), F.col("o").alias("z")
+    )
+    chain_sup = (
+        body.join(heads, ["x", "z"])
+        .groupBy("p", "q", "hp")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    chain_pca = (
+        body.join(sp.select(F.col("s").alias("x"), F.col("p").alias("hp")), "x")
+        .groupBy("p", "q", "hp")
+        .agg(F.count(F.lit(1)).cast("long").alias("pca_size"))
+    )
+    r_chain = _metrics(chain_sup, chain_bsize, chain_pca, "chain", has_q=True)
+
+    return r_imp.unionByName(r_inv).unionByName(r_chain)
+
+
+def mine_rules_oracle_sql(
+    triples_sql: str,
+    min_support: int = 2,
+    max_chain_degree: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`mine_rules`; ``triples_sql`` yields
+    (subj, pred, obj) rows (pre-dedup input is fine). Same CTE per
+    statistic, same integer micro-fractions — bit-identical."""
+    if max_chain_degree is None:
+        mid_src = "SELECT o AS y, p, s AS x FROM t"
+        nxt_src = "SELECT s AS y, p AS q, o AS z FROM t"
+        hot_cte = ""
+    else:
+        cap = int(max_chain_degree)
+        hot_cte = f"""
+hot AS (
+  SELECT DISTINCT y FROM (
+    SELECT o AS y, p, count(*) AS d FROM t GROUP BY o, p HAVING count(*) > {cap}
+    UNION ALL
+    SELECT s AS y, p, count(*) AS d FROM t GROUP BY s, p HAVING count(*) > {cap}
+  )
+),"""
+        mid_src = "SELECT o AS y, p, s AS x FROM t WHERE o NOT IN (SELECT y FROM hot)"
+        nxt_src = (
+            "SELECT s AS y, p AS q, o AS z FROM t WHERE s NOT IN (SELECT y FROM hot)"
+        )
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM ({triples_sql})
+),
+ps AS (SELECT p, count(*)::BIGINT AS sz FROM t GROUP BY p),
+sp AS (SELECT DISTINCT p, s FROM t),{hot_cte}
+imp_sup AS (
+  SELECT a.p, b.p AS hp, count(*)::BIGINT AS support
+  FROM t a JOIN t b ON a.s = b.s AND a.o = b.o AND a.p <> b.p
+  GROUP BY a.p, b.p
+),
+imp_pca AS (
+  SELECT a.p, h.p AS hp, count(*)::BIGINT AS pca_size
+  FROM t a JOIN sp h ON a.s = h.s AND a.p <> h.p
+  GROUP BY a.p, h.p
+),
+inv_sup AS (
+  SELECT a.p, b.p AS hp, count(*)::BIGINT AS support
+  FROM t a JOIN t b ON a.s = b.o AND a.o = b.s
+  GROUP BY a.p, b.p
+),
+inv_pca AS (
+  SELECT a.p, h.p AS hp, count(*)::BIGINT AS pca_size
+  FROM t a JOIN sp h ON a.o = h.s
+  GROUP BY a.p, h.p
+),
+body AS (
+  SELECT DISTINCT m.p, n.q, m.x, n.z
+  FROM ({mid_src}) m JOIN ({nxt_src}) n ON m.y = n.y
+),
+chain_bsize AS (
+  SELECT p, q, count(*)::BIGINT AS body_size FROM body GROUP BY p, q
+),
+chain_sup AS (
+  SELECT c.p, c.q, h.p AS hp, count(*)::BIGINT AS support
+  FROM body c JOIN t h ON c.x = h.s AND c.z = h.o
+  GROUP BY c.p, c.q, h.p
+),
+chain_pca AS (
+  SELECT c.p, c.q, h.p AS hp, count(*)::BIGINT AS pca_size
+  FROM body c JOIN sp h ON c.x = h.s
+  GROUP BY c.p, c.q, h.p
+)
+SELECT 'imp' AS rule_type, i.p AS body_p, '' AS body_q, i.hp AS head_r,
+       i.support, bs.sz AS body_size, hs.sz AS head_size, ip.pca_size,
+       (i.support * 1000000) // bs.sz AS conf_micro,
+       (i.support * 1000000) // ip.pca_size AS pca_conf_micro,
+       (i.support * 1000000) // hs.sz AS hc_micro
+FROM imp_sup i
+JOIN ps bs ON bs.p = i.p
+JOIN ps hs ON hs.p = i.hp
+JOIN imp_pca ip ON ip.p = i.p AND ip.hp = i.hp
+WHERE i.support >= {int(min_support)}
+UNION ALL
+SELECT 'inv', i.p, '', i.hp, i.support, bs.sz, hs.sz, ip.pca_size,
+       (i.support * 1000000) // bs.sz,
+       (i.support * 1000000) // ip.pca_size,
+       (i.support * 1000000) // hs.sz
+FROM inv_sup i
+JOIN ps bs ON bs.p = i.p
+JOIN ps hs ON hs.p = i.hp
+JOIN inv_pca ip ON ip.p = i.p AND ip.hp = i.hp
+WHERE i.support >= {int(min_support)}
+UNION ALL
+SELECT 'chain', c.p, c.q, c.hp, c.support, bs.body_size, hs.sz, cp.pca_size,
+       (c.support * 1000000) // bs.body_size,
+       (c.support * 1000000) // cp.pca_size,
+       (c.support * 1000000) // hs.sz
+FROM chain_sup c
+JOIN chain_bsize bs ON bs.p = c.p AND bs.q = c.q
+JOIN ps hs ON hs.p = c.hp
+JOIN chain_pca cp ON cp.p = c.p AND cp.q = c.q AND cp.hp = c.hp
+WHERE c.support >= {int(min_support)}
+"""
+
+
+def rule_predictions(
+    edges: DataFrame,
+    min_support: int = 2,
+    min_pca_micro: int = 500000,
+    max_chain_degree: int | None = None,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """KG completion by applying the mined rules: (subj, pred, obj,
+    score_micro, n_rules) — every triple NOT in the KG that at least
+    one rule with ``pca_conf_micro >= min_pca_micro`` (and mining
+    ``min_support``) derives, scored with the best firing rule's PCA
+    confidence and the count of distinct firing rules.
+
+    Shape: rules come from :func:`mine_rules` — a vocabulary-bounded
+    table (never data-sized), so every rule application is a
+    BROADCAST join of rules against the body-grounding frames the
+    miner already defines; then one anti-join against the KG drops
+    known facts and one rollup aggregates per predicted triple.
+    Derivations are set-semantic (body groundings are distinct per
+    rule), so n_rules is an exact distinct-rule count without a
+    distinct aggregate.
+    """
+    t = (
+        edges.select(
+            F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+        )
+        .distinct()
+    )
+    rules = mine_rules(
+        edges,
+        min_support=min_support,
+        max_chain_degree=max_chain_degree,
+        subj=subj,
+        pred=pred,
+        obj=obj,
+    ).where(F.col("pca_conf_micro") >= F.lit(int(min_pca_micro)))
+
+    imp_rules = F.broadcast(
+        rules.where(F.col("rule_type") == "imp").select(
+            F.col("body_p").alias("p"),
+            F.col("head_r").alias("hp"),
+            F.col("pca_conf_micro").alias("score"),
+        )
+    )
+    inv_rules = F.broadcast(
+        rules.where(F.col("rule_type") == "inv").select(
+            F.col("body_p").alias("p"),
+            F.col("head_r").alias("hp"),
+            F.col("pca_conf_micro").alias("score"),
+        )
+    )
+    chain_rules = F.broadcast(
+        rules.where(F.col("rule_type") == "chain").select(
+            F.col("body_p").alias("p"),
+            F.col("body_q").alias("q"),
+            F.col("head_r").alias("hp"),
+            F.col("pca_conf_micro").alias("score"),
+        )
+    )
+
+    d_imp = t.join(imp_rules, "p").select(
+        "s", F.col("hp").alias("p2"), "o", "score"
+    )
+    d_inv = t.join(inv_rules, "p").select(
+        F.col("o").alias("s"), F.col("hp").alias("p2"), F.col("s").alias("o"), "score"
+    )
+    mid = t.select(F.col("o").alias("y"), "p", F.col("s").alias("x"))
+    nxt = t.select(F.col("s").alias("y"), F.col("p").alias("q"), F.col("o").alias("z"))
+    body = mid.join(nxt, "y").select("p", "q", "x", "z").distinct()
+    d_chain = body.join(chain_rules, ["p", "q"]).select(
+        F.col("x").alias("s"), F.col("hp").alias("p2"), F.col("z").alias("o"), "score"
+    )
+    derived = d_imp.unionByName(d_inv).unionByName(d_chain)
+    known = t.select("s", F.col("p").alias("p2"), "o")
+    novel = derived.join(known, ["s", "p2", "o"], "left_anti")
+    return novel.groupBy("s", "p2", "o").agg(
+        F.max("score").cast("long").alias("score_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_rules"),
+    ).select(
+        F.col("s").alias("subj"),
+        F.col("p2").alias("pred"),
+        F.col("o").alias("obj"),
+        "score_micro",
+        "n_rules",
+    )
+
+
+def rule_predictions_oracle_sql(
+    triples_sql: str,
+    min_support: int = 2,
+    min_pca_micro: int = 500000,
+    max_chain_degree: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`rule_predictions` — composes the miner's
+    oracle as a CTE and re-applies the same three derivation joins."""
+    rules_sql = mine_rules_oracle_sql(
+        triples_sql, min_support=min_support, max_chain_degree=max_chain_degree
+    )
+    return f"""
+WITH t2 AS MATERIALIZED (
+  SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM ({triples_sql})
+),
+rules AS MATERIALIZED (
+  SELECT * FROM ({rules_sql}) WHERE pca_conf_micro >= {int(min_pca_micro)}
+),
+derived AS (
+  SELECT a.s, r.head_r AS p2, a.o, r.pca_conf_micro AS score
+  FROM t2 a JOIN rules r ON r.rule_type = 'imp' AND r.body_p = a.p
+  UNION ALL
+  SELECT a.o AS s, r.head_r, a.s AS o, r.pca_conf_micro
+  FROM t2 a JOIN rules r ON r.rule_type = 'inv' AND r.body_p = a.p
+  UNION ALL
+  SELECT c.x, r.head_r, c.z, r.pca_conf_micro
+  FROM (SELECT DISTINCT m.p, n.q, m.x, n.z
+        FROM (SELECT o AS y, p, s AS x FROM t2) m
+        JOIN (SELECT s AS y, p AS q, o AS z FROM t2) n ON m.y = n.y) c
+  JOIN rules r ON r.rule_type = 'chain' AND r.body_p = c.p AND r.body_q = c.q
+)
+SELECT d.s AS subj, d.p2 AS pred, d.o AS obj,
+       max(d.score)::BIGINT AS score_micro,
+       count(*)::BIGINT AS n_rules
+FROM derived d
+WHERE NOT EXISTS (
+  SELECT 1 FROM t2 k WHERE k.s = d.s AND k.p = d.p2 AND k.o = d.o
+)
+GROUP BY d.s, d.p2, d.o
+"""
