@@ -2141,6 +2141,39 @@ def q_kg_rule_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic node-type table for the 31-entity rule KG: residue
+# mod 3 -> person/place/org; 'n7' left untyped to exercise the
+# unknown bucket. One definition per side.
+_KG_TYPES_SQL = """SELECT 'n' || range AS entity_id,
+  CASE range % 3 WHEN 0 THEN 'person' WHEN 1 THEN 'place'
+       ELSE 'org' END AS ent_type
+  FROM range(0, 31) WHERE range != 7"""
+
+
+def _kg_rules_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(entity_id, ent_type) twin of _KG_TYPES_SQL."""
+    r = spark.range(31).where(F.col("id") != 7)
+    return r.select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("entity_id"),
+        F.when(F.col("id") % 3 == 0, F.lit("person"))
+        .when(F.col("id") % 3 == 1, F.lit("place"))
+        .otherwise(F.lit("org"))
+        .alias("ent_type"),
+    )
+
+
+def q_kg_pred_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate domain/range signature induction over the rule KG:
+    per (pred, subj_type, obj_type) exact counts, micro shares, and
+    the min(struct)-argmax dominant flag; 'n7' untyped to cover the
+    unknown bucket."""
+    from easyner_spark.operators.triples import predicate_signatures
+
+    return predicate_signatures(
+        _kg_rules_triples(spark, sf_dir), _kg_rules_types(spark, sf_dir)
+    )
+
+
 def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk corpus over the closed 23-entity triple
     graph (subj->obj edges): 2 walks x 3 steps per start node,
@@ -5565,6 +5598,7 @@ _DRIVER_WINDOW_FIRST = [
     "kg_negatives",          # vocab rank -> global_rank
     "kg_rules",              # NEW: AMIE-style horn-rule mining
     "kg_rule_preds",         # NEW: rule application / KG completion
+    "kg_pred_signatures",    # NEW: domain/range signature induction
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -5665,6 +5699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": q_kg_negatives,
         "kg_rules": q_kg_rules,
         "kg_rule_preds": q_kg_rule_preds,
+        "kg_pred_signatures": q_kg_pred_signatures,
         "kg_random_walks": q_kg_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "kg_degree_stats": q_kg_degree_stats,
@@ -7781,6 +7816,14 @@ def _kg_rule_preds_oracle() -> str:
     )
 
 
+def _kg_pred_signatures_oracle() -> str:
+    """q_kg_pred_signatures oracle: rule-KG triples + the residue
+    type table through the operator's module-local twin."""
+    from easyner_spark.operators.triples import predicate_signatures_oracle_sql
+
+    return predicate_signatures_oracle_sql(_KG_RULES_SQL, _KG_TYPES_SQL)
+
+
 def _entity_bursts_oracle() -> str:
     """q_entity_bursts oracle: the shared mentions prelude extended
     with m(entity, epoch), fed to the operator's module-local twin."""
@@ -9487,6 +9530,9 @@ FROM c
         # Rule application / KG completion
         # (triples.rule_predictions_oracle_sql)
         "kg_rule_preds": _kg_rule_preds_oracle(),
+        # Predicate domain/range signatures
+        # (triples.predicate_signatures_oracle_sql)
+        "kg_pred_signatures": _kg_pred_signatures_oracle(),
         # Deterministic DeepWalk corpus (graph.kg_random_walks_oracle_sql)
         "kg_random_walks": _kg_random_walks_oracle(),
         # Skip-gram pairs over the walk corpus

@@ -2261,3 +2261,116 @@ WHERE NOT EXISTS (
 )
 GROUP BY d.s, d.p2, d.o
 """
+
+
+def predicate_signatures(
+    edges: DataFrame,
+    types: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    entity_col: str = "entity_id",
+    type_col: str = "ent_type",
+    unknown: str = "unknown",
+) -> DataFrame:
+    """Predicate argument-type signature induction — the inverse of
+    :func:`entity_types` (which types nodes FROM predicate usage, this
+    profiles predicates FROM node types): per (pred, subj_type,
+    obj_type) the edge count, the predicate total, the exact
+    share_micro, and an is_dominant flag on the winning signature
+    (ties broken (subj_type, obj_type) ascending via the repo's
+    min(struct) argmax). The schema-induction/QA table: 'inhibits:
+    chemical->gene 92%' is a usable domain/range constraint, and a
+    low-share signature row is a triple-extraction error candidate —
+    the relational face of SHACL-style domain/range validation.
+
+    `types` carries one row per entity (entity_types' contract);
+    untyped entities fall into the `unknown` bucket via left joins,
+    so coverage gaps are visible rather than silently dropped.
+
+    Scale: two entity-keyed equi-joins (uniform but for hub entities
+    — AQE skew-split, the engine-wide contract), then the
+    predicate_cardinality shuffle shape: groupBy (pred, types) with
+    map-side combine absorbing hot predicates (a web-scale pred has
+    billions of edges but <= |types|^2 signature rows per map task),
+    then a predicate rollup of the already-collapsed table.
+
+    Reference parity: no analog (the reference's classes are NER-model
+    outputs, scripts/ner_inference.py); this is north-star KG QA over
+    aggregate_edges + entity_types.
+    """
+    t = edges.select(
+        F.col(subj).alias("_s"), F.col(pred).alias("pred"), F.col(obj).alias("_o")
+    )
+    ty_s = types.select(
+        F.col(entity_col).alias("_s"), F.col(type_col).alias("_st")
+    )
+    ty_o = types.select(
+        F.col(entity_col).alias("_o"), F.col(type_col).alias("_ot")
+    )
+    sig = (
+        t.join(ty_s, "_s", "left")
+        .join(ty_o, "_o", "left")
+        .groupBy(
+            "pred",
+            F.coalesce("_st", F.lit(unknown)).alias("subj_type"),
+            F.coalesce("_ot", F.lit(unknown)).alias("obj_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    roll = sig.groupBy("pred").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.min(
+            F.struct(
+                (-F.col("n")).alias("neg"),
+                F.col("subj_type").alias("st"),
+                F.col("obj_type").alias("ot"),
+            )
+        ).alias("_dom"),
+    )
+    return sig.join(roll, "pred").select(
+        "pred",
+        "subj_type",
+        "obj_type",
+        "n",
+        "total",
+        F.expr("(n * 1000000) div total").alias("share_micro"),
+        (
+            (F.col("n") == -F.col("_dom.neg"))
+            & (F.col("subj_type") == F.col("_dom.st"))
+            & (F.col("obj_type") == F.col("_dom.ot"))
+        ).alias("is_dominant"),
+    )
+
+
+def predicate_signatures_oracle_sql(
+    triples_sql: str, types_sql: str, unknown: str = "unknown"
+) -> str:
+    """DuckDB twin of :func:`predicate_signatures`; `triples_sql`
+    yields (subj, pred, obj), `types_sql` yields (entity_id,
+    ent_type) one row per entity."""
+    u = unknown.replace("'", "''")
+    return f"""
+WITH t AS MATERIALIZED (SELECT subj, pred, obj FROM ({triples_sql})),
+ty AS MATERIALIZED (SELECT entity_id, ent_type FROM ({types_sql})),
+sig AS (
+  SELECT t.pred,
+         coalesce(s.ent_type, '{u}') AS subj_type,
+         coalesce(o.ent_type, '{u}') AS obj_type,
+         count(*)::BIGINT AS n
+  FROM t
+  LEFT JOIN ty s ON s.entity_id = t.subj
+  LEFT JOIN ty o ON o.entity_id = t.obj
+  GROUP BY 1, 2, 3
+),
+roll AS (
+  SELECT pred, sum(n)::BIGINT AS total,
+         min(struct_pack(neg := -n, st := subj_type, ot := obj_type)) AS dom
+  FROM sig GROUP BY pred
+)
+SELECT s.pred, s.subj_type, s.obj_type, s.n, r.total,
+       (s.n * 1000000) // r.total AS share_micro,
+       (s.n = -r.dom.neg AND s.subj_type = r.dom.st
+        AND s.obj_type = r.dom.ot) AS is_dominant
+FROM sig s JOIN roll r ON r.pred = s.pred
+"""
