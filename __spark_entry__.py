@@ -2174,6 +2174,51 @@ def q_kg_pred_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_pred_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate synonym / inverse / symmetry detection over the
+    designed rule KG — employs=works_for^-1 scores inverse containment
+    1.0, 'near' scores as an involution, city_of surfaces as a
+    located_in subset; exact BIGINT micro-unit Jaccard + both
+    containments."""
+    from easyner_spark.operators.triples import predicate_equivalences
+
+    return predicate_equivalences(_kg_rules_triples(spark, sf_dir))
+
+
+# Sparser node-type table for type inference: only residues with
+# range % 4 != 0 are typed, so n0, n4, ..., n28 (8 entities) are the
+# inference targets. One definition per side.
+_KG_SPARSE_TYPES_SQL = """SELECT 'n' || range AS entity_id,
+  CASE range % 3 WHEN 0 THEN 'person' WHEN 1 THEN 'place'
+       ELSE 'org' END AS ent_type
+  FROM range(0, 31) WHERE range % 4 != 0"""
+
+
+def _kg_sparse_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(entity_id, ent_type) twin of _KG_SPARSE_TYPES_SQL."""
+    r = spark.range(31).where(F.col("id") % 4 != 0)
+    return r.select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("entity_id"),
+        F.when(F.col("id") % 3 == 0, F.lit("person"))
+        .when(F.col("id") % 3 == 1, F.lit("place"))
+        .otherwise(F.lit("org"))
+        .alias("ent_type"),
+    )
+
+
+def q_kg_type_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-vote type propagation: the 8 untyped rule-KG
+    entities inherit exact BIGINT vote shares from the typed
+    participants of their predicates (subject votes from domain
+    counts, object votes from range counts), argmax flagged via the
+    min(struct) rule."""
+    from easyner_spark.operators.triples import infer_entity_types
+
+    return infer_entity_types(
+        _kg_rules_triples(spark, sf_dir), _kg_sparse_types(spark, sf_dir)
+    )
+
+
 def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk corpus over the closed 23-entity triple
     graph (subj->obj edges): 2 walks x 3 steps per start node,
@@ -5599,6 +5644,8 @@ _DRIVER_WINDOW_FIRST = [
     "kg_rules",              # NEW: AMIE-style horn-rule mining
     "kg_rule_preds",         # NEW: rule application / KG completion
     "kg_pred_signatures",    # NEW: domain/range signature induction
+    "kg_pred_equiv",         # NEW: predicate synonym/inverse detection
+    "kg_type_infer",         # NEW: signature-vote type propagation
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -5700,6 +5747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rules": q_kg_rules,
         "kg_rule_preds": q_kg_rule_preds,
         "kg_pred_signatures": q_kg_pred_signatures,
+        "kg_pred_equiv": q_kg_pred_equiv,
+        "kg_type_infer": q_kg_type_infer,
         "kg_random_walks": q_kg_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "kg_degree_stats": q_kg_degree_stats,
@@ -7824,6 +7873,22 @@ def _kg_pred_signatures_oracle() -> str:
     return predicate_signatures_oracle_sql(_KG_RULES_SQL, _KG_TYPES_SQL)
 
 
+def _kg_pred_equiv_oracle() -> str:
+    """q_kg_pred_equiv oracle: rule-KG triples through the operator's
+    module-local pair-set overlap twin."""
+    from easyner_spark.operators.triples import predicate_equivalences_oracle_sql
+
+    return predicate_equivalences_oracle_sql(_KG_RULES_SQL)
+
+
+def _kg_type_infer_oracle() -> str:
+    """q_kg_type_infer oracle: rule-KG triples + the sparse type
+    table through the operator's module-local vote twin."""
+    from easyner_spark.operators.triples import infer_entity_types_oracle_sql
+
+    return infer_entity_types_oracle_sql(_KG_RULES_SQL, _KG_SPARSE_TYPES_SQL)
+
+
 def _entity_bursts_oracle() -> str:
     """q_entity_bursts oracle: the shared mentions prelude extended
     with m(entity, epoch), fed to the operator's module-local twin."""
@@ -9533,6 +9598,12 @@ FROM c
         # Predicate domain/range signatures
         # (triples.predicate_signatures_oracle_sql)
         "kg_pred_signatures": _kg_pred_signatures_oracle(),
+        # Predicate synonym/inverse/symmetry detection
+        # (triples.predicate_equivalences_oracle_sql)
+        "kg_pred_equiv": _kg_pred_equiv_oracle(),
+        # Signature-vote type propagation to untyped entities
+        # (triples.infer_entity_types_oracle_sql)
+        "kg_type_infer": _kg_type_infer_oracle(),
         # Deterministic DeepWalk corpus (graph.kg_random_walks_oracle_sql)
         "kg_random_walks": _kg_random_walks_oracle(),
         # Skip-gram pairs over the walk corpus

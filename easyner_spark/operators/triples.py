@@ -2374,3 +2374,245 @@ SELECT s.pred, s.subj_type, s.obj_type, s.n, r.total,
         AND s.obj_type = r.dom.ot) AS is_dominant
 FROM sig s JOIN roll r ON r.pred = s.pred
 """
+
+
+def predicate_equivalences(
+    edges: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Predicate synonym / inverse detection by pair-set overlap — the
+    ontology-alignment step a web-scale KG needs because crawled
+    predicates are surface strings ('acquired' vs 'bought',
+    'employs' vs 'works_for' flipped): per unordered predicate pair
+    emit kind='equiv' overlap of the DISTINCT (subj, obj) pair sets
+    (pred_a < pred_b) and kind='inverse' overlap of A's pairs with
+    B's REVERSED pairs (pred_a <= pred_b; pred_a == pred_b is
+    symmetric-predicate detection — n_both then counts DIRECTED pairs
+    whose reverse also exists, so an involution scores
+    jaccard_micro=1_000_000). Scores are exact BIGINT micro-units:
+    jaccard over the pair-set union, plus both containments
+    (a_in_b_micro = n_both/n_a) so subset predicates ('city_of' ⊂
+    'located_in') surface even when Jaccard is low. This is the
+    length-1 specialization of :func:`mine_rules` (imp/inv shapes)
+    restricted to pair-set algebra — kept separate because it needs
+    no head-variable accounting and emits containment both ways.
+
+    Scale: dedup to distinct (pred, subj, obj) once (one shuffle),
+    self-join on the (subj, obj) pair key — a pair key appears at
+    most |pred-vocab| times per side, so fan-out per key is bounded
+    by vocab^2, not data; groupBy (pred_a, pred_b, kind) collapses
+    map-side to <= vocab^2 rows per task; per-predicate totals are a
+    bounded table joined broadcast. No driver collect.
+
+    Reference parity: no analog (the reference emits one fixed
+    'co-occurs' relation, scripts/entity_parser.py:41-42); north-star
+    canonicalization layer over aggregate_edges output.
+    """
+    pairs = edges.select(
+        F.col(pred).alias("p"), F.col(subj).alias("s"), F.col(obj).alias("o")
+    ).distinct()
+    tot = pairs.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    a = pairs.select(F.col("p").alias("pa"), "s", "o")
+    b = pairs.select(F.col("p").alias("pb"), "s", "o")
+    eq = (
+        a.join(b, ["s", "o"])
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb", F.lit("equiv").alias("kind"))
+    )
+    brev = pairs.select(
+        F.col("p").alias("pb"), F.col("o").alias("s"), F.col("s").alias("o")
+    )
+    inv = (
+        a.join(brev, ["s", "o"])
+        .where(F.col("pa") <= F.col("pb"))
+        .select("pa", "pb", F.lit("inverse").alias("kind"))
+    )
+    both = (
+        eq.unionByName(inv)
+        .groupBy("pa", "pb", "kind")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .where(F.col("n_both") >= min_overlap)
+    )
+    ta = tot.select(F.col("p").alias("pa"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("p").alias("pb"), F.col("n").alias("n_b"))
+    return (
+        both.join(F.broadcast(ta), "pa")
+        .join(F.broadcast(tb), "pb")
+        .select(
+            F.col("pa").alias("pred_a"),
+            F.col("pb").alias("pred_b"),
+            "kind",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr("(n_both * 1000000) div (n_a + n_b - n_both)").alias(
+                "jaccard_micro"
+            ),
+            F.expr("(n_both * 1000000) div n_a").alias("a_in_b_micro"),
+            F.expr("(n_both * 1000000) div n_b").alias("b_in_a_micro"),
+        )
+    )
+
+
+def predicate_equivalences_oracle_sql(
+    triples_sql: str, min_overlap: int = 1
+) -> str:
+    """DuckDB twin of :func:`predicate_equivalences`; `triples_sql`
+    yields (subj, pred, obj)."""
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT pred AS p, subj AS s, obj AS o FROM ({triples_sql})
+),
+tot AS (SELECT p, count(*)::BIGINT AS n FROM pairs GROUP BY p),
+eq AS (
+  SELECT a.p AS pa, b.p AS pb, 'equiv' AS kind
+  FROM pairs a JOIN pairs b ON a.s = b.s AND a.o = b.o AND a.p < b.p
+),
+inv AS (
+  SELECT a.p AS pa, b.p AS pb, 'inverse' AS kind
+  FROM pairs a JOIN pairs b ON a.s = b.o AND a.o = b.s AND a.p <= b.p
+),
+ovl AS (
+  SELECT pa, pb, kind, count(*)::BIGINT AS n_both
+  FROM (SELECT * FROM eq UNION ALL SELECT * FROM inv)
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= {min_overlap}
+)
+SELECT b.pa AS pred_a, b.pb AS pred_b, b.kind,
+       ta.n AS n_a, tb.n AS n_b, b.n_both,
+       (b.n_both * 1000000) // (ta.n + tb.n - b.n_both) AS jaccard_micro,
+       (b.n_both * 1000000) // ta.n AS a_in_b_micro,
+       (b.n_both * 1000000) // tb.n AS b_in_a_micro
+FROM ovl b JOIN tot ta ON ta.p = b.pa JOIN tot tb ON tb.p = b.pb
+"""
+
+
+def infer_entity_types(
+    edges: DataFrame,
+    types: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    entity_col: str = "entity_id",
+    type_col: str = "ent_type",
+) -> DataFrame:
+    """Type propagation to UNTYPED entities via predicate-signature
+    votes — the KG-completion companion of
+    :func:`predicate_signatures` (which profiles predicates from
+    typed nodes; this types nodes from predicate profiles). For every
+    entity that appears in `edges` but not in `types`: each of its
+    subject occurrences under predicate p casts n_subj(p, ty) votes
+    for type ty (the count of TYPED subjects of type ty under p), and
+    each object occurrence casts n_obj(p, ty). All-BIGINT products
+    and sums — exact, order-independent, engine-checkable. Output one
+    row per (entity_id, candidate type) with votes, total, exact
+    share_micro, and is_best on the argmax (ties break on ent_type
+    ascending via the repo's min(struct) rule). Entities whose every
+    (pred, role) has zero typed participants emit no rows (no
+    evidence — visible as absence, never a fabricated type).
+
+    Scale: the (pred, role, type) vote table is bounded by
+    |pred-vocab| x |type-vocab| x 2 -> broadcast. The untyped
+    occurrence table is repartitioned ONCE on entity_id; all three
+    downstream groupBys key on an entity_id prefix, so
+    EnsureRequirements inserts no further exchange (the
+    extract_triples single-exchange pattern). Hub entities collapse
+    map-side to <= vocab-bounded rows per task.
+
+    Reference parity: no analog (reference types come only from the
+    NER model's class head, scripts/ner_inference.py); north-star
+    node-table enrichment.
+    """
+    t = edges.select(
+        F.col(subj).alias("_s"), F.col(pred).alias("p"), F.col(obj).alias("_o")
+    )
+    ty = types.select(
+        F.col(entity_col).alias("eid"), F.col(type_col).alias("ty")
+    )
+    sig = (
+        t.join(ty.withColumnRenamed("eid", "_s"), "_s")
+        .groupBy("p", "ty")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("p", F.lit("s").alias("role"), "ty", "n")
+    ).unionByName(
+        t.join(ty.withColumnRenamed("eid", "_o"), "_o")
+        .groupBy("p", "ty")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("p", F.lit("o").alias("role"), "ty", "n")
+    )
+    occ = t.select(
+        F.col("_s").alias("eid"), "p", F.lit("s").alias("role")
+    ).unionByName(t.select(F.col("_o").alias("eid"), "p", F.lit("o").alias("role")))
+    cnt = (
+        occ.join(ty.select("eid"), "eid", "left_anti")
+        .repartition("eid")
+        .groupBy("eid", "p", "role")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    votes = (
+        cnt.join(F.broadcast(sig), ["p", "role"])
+        .groupBy("eid", "ty")
+        .agg(F.sum(F.col("m") * F.col("n")).cast("long").alias("votes"))
+    )
+    roll = votes.groupBy("eid").agg(
+        F.sum("votes").cast("long").alias("total"),
+        F.min(
+            F.struct((-F.col("votes")).alias("neg"), F.col("ty").alias("t"))
+        ).alias("_best"),
+    )
+    return votes.join(roll, "eid").select(
+        F.col("eid").alias("entity_id"),
+        F.col("ty").alias("ent_type"),
+        "votes",
+        "total",
+        F.expr("(votes * 1000000) div total").alias("share_micro"),
+        (
+            (F.col("votes") == -F.col("_best.neg"))
+            & (F.col("ty") == F.col("_best.t"))
+        ).alias("is_best"),
+    )
+
+
+def infer_entity_types_oracle_sql(triples_sql: str, types_sql: str) -> str:
+    """DuckDB twin of :func:`infer_entity_types`; `triples_sql` yields
+    (subj, pred, obj), `types_sql` yields (entity_id, ent_type)."""
+    return f"""
+WITH t AS MATERIALIZED (SELECT subj, pred AS p, obj FROM ({triples_sql})),
+ty AS MATERIALIZED (SELECT entity_id AS eid, ent_type AS ty
+                    FROM ({types_sql})),
+sig AS (
+  SELECT p, 's' AS role, s.ty, count(*)::BIGINT AS n
+  FROM t JOIN ty s ON s.eid = t.subj GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT p, 'o' AS role, o.ty, count(*)::BIGINT AS n
+  FROM t JOIN ty o ON o.eid = t.obj GROUP BY 1, 2, 3
+),
+occ AS (
+  SELECT subj AS eid, p, 's' AS role FROM t
+  UNION ALL
+  SELECT obj AS eid, p, 'o' AS role FROM t
+),
+cnt AS (
+  SELECT eid, p, role, count(*)::BIGINT AS m FROM occ
+  WHERE eid NOT IN (SELECT eid FROM ty)
+  GROUP BY 1, 2, 3
+),
+votes AS (
+  SELECT c.eid, s.ty, sum(c.m * s.n)::BIGINT AS votes
+  FROM cnt c JOIN sig s ON s.p = c.p AND s.role = c.role
+  GROUP BY 1, 2
+),
+roll AS (
+  SELECT eid, sum(votes)::BIGINT AS total,
+         min(struct_pack(neg := -votes, t := ty)) AS best
+  FROM votes GROUP BY eid
+)
+SELECT v.eid AS entity_id, v.ty AS ent_type, v.votes, r.total,
+       (v.votes * 1000000) // r.total AS share_micro,
+       (v.votes = -r.best.neg AND v.ty = r.best.t) AS is_best
+FROM votes v JOIN roll r ON r.eid = v.eid
+"""
