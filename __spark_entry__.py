@@ -2219,6 +2219,52 @@ def q_kg_type_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared KMV fixture: 5 hosts with overlapping deterministic token
+# vocabularies (residues mod 211). One definition per side.
+_KMV_SRC_SQL = """SELECT
+  CASE WHEN doc_id % 10 < 3 THEN 'hub' WHEN doc_id % 10 < 5 THEN 'blog'
+       ELSE 'site' || (doc_id % 3) END AS host,
+  't' || (doc_id % 211) AS tok
+  FROM documents"""
+
+
+def _kmv_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, tok) twin of _KMV_SRC_SQL."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 10 < 3, F.lit("hub"))
+        .when(did % 10 < 5, F.lit("blog"))
+        .otherwise(F.concat(F.lit("site"), (did % 3).cast("string")))
+    )
+    return d.select(
+        host.alias("host"),
+        F.concat(F.lit("t"), (did % 211).cast("string")).alias("tok"),
+    )
+
+
+def q_host_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host KMV bottom-k distinct sketch (k=64) of the token
+    column: exact counts below k, order-statistic inversion above —
+    deterministic 48-bit md5 hashes, mapInPandas map-side prune, one
+    bounded shuffle."""
+    from easyner_spark.operators.sketches import kmv_sketch
+
+    return kmv_sketch(_kmv_src(spark, sf_dir), "tok", ["host"], k=64).drop(
+        "sketch"
+    )
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise union / intersection / Jaccard estimates between the
+    5 host token sets computed from the KMV sketches ALONE (no data
+    rescan) — all BIGINT floor arithmetic, oracle-identical."""
+    from easyner_spark.operators.sketches import kmv_set_ops, kmv_sketch
+
+    sk = kmv_sketch(_kmv_src(spark, sf_dir), "tok", ["host"], k=64)
+    return kmv_set_ops(sk, "host", k=64)
+
+
 def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk corpus over the closed 23-entity triple
     graph (subj->obj edges): 2 walks x 3 steps per start node,
@@ -5646,6 +5692,8 @@ _DRIVER_WINDOW_FIRST = [
     "kg_pred_signatures",    # NEW: domain/range signature induction
     "kg_pred_equiv",         # NEW: predicate synonym/inverse detection
     "kg_type_infer",         # NEW: signature-vote type propagation
+    "host_kmv",              # NEW: bottom-k distinct sketch
+    "kmv_set_ops",           # NEW: sketch-only union/Jaccard estimates
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -5749,6 +5797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_signatures": q_kg_pred_signatures,
         "kg_pred_equiv": q_kg_pred_equiv,
         "kg_type_infer": q_kg_type_infer,
+        "host_kmv": q_host_kmv,
+        "kmv_set_ops": q_kmv_set_ops,
         "kg_random_walks": q_kg_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "kg_degree_stats": q_kg_degree_stats,
@@ -7889,6 +7939,24 @@ def _kg_type_infer_oracle() -> str:
     return infer_entity_types_oracle_sql(_KG_RULES_SQL, _KG_SPARSE_TYPES_SQL)
 
 
+def _host_kmv_oracle() -> str:
+    """q_host_kmv oracle: the shared token synthesis through the
+    sketch's module-local rank twin."""
+    from easyner_spark.operators.sketches import kmv_sketch_oracle_sql
+
+    return kmv_sketch_oracle_sql(
+        _KMV_SRC_SQL, "host", "tok", k=64, group_alias="host"
+    )
+
+
+def _kmv_set_ops_oracle() -> str:
+    """q_kmv_set_ops oracle: same synthesis through the pairwise
+    set-operation twin."""
+    from easyner_spark.operators.sketches import kmv_set_ops_oracle_sql
+
+    return kmv_set_ops_oracle_sql(_KMV_SRC_SQL, "host", "tok", k=64)
+
+
 def _entity_bursts_oracle() -> str:
     """q_entity_bursts oracle: the shared mentions prelude extended
     with m(entity, epoch), fed to the operator's module-local twin."""
@@ -9604,6 +9672,11 @@ FROM c
         # Signature-vote type propagation to untyped entities
         # (triples.infer_entity_types_oracle_sql)
         "kg_type_infer": _kg_type_infer_oracle(),
+        # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
+        "host_kmv": _host_kmv_oracle(),
+        # Sketch-only pairwise set-operation estimates
+        # (sketches.kmv_set_ops_oracle_sql)
+        "kmv_set_ops": _kmv_set_ops_oracle(),
         # Deterministic DeepWalk corpus (graph.kg_random_walks_oracle_sql)
         "kg_random_walks": _kg_random_walks_oracle(),
         # Skip-gram pairs over the walk corpus

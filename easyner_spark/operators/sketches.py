@@ -474,3 +474,275 @@ SELECT grp, q_micro, max(n)::BIGINT AS n, max(rank)::BIGINT AS rank,
        min(CASE WHEN cum >= rank THEN v END)::BIGINT AS value
 FROM e GROUP BY grp, q_micro
 """
+
+
+KMV_NIBBLES = 12          # 48-bit hash space: (k-1)*KMV_SPACE fits BIGINT
+KMV_SPACE = 1 << 48
+KMV_K = 256
+
+
+def _kmv_hash(col: Column) -> Column:
+    """48-bit md5 hash — the KMV order statistic. 12 hex nibbles of
+    md5(cast(x as string)) as BIGINT; DuckDB twin:
+    ('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 12))::BIGINT. 48 bits
+    (not the engine-wide 32 of sampling.md5_long32) because KMV
+    estimates from the k-th ORDER STATISTIC: 32-bit birthday
+    collisions bias h_k low at ~10^5 distincts, 48-bit pushes that to
+    ~10^7 per group; and (k-1) * 2^48 still multiplies inside BIGINT."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, KMV_NIBBLES), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values / bottom-k) distinct sketch
+    (Bar-Yossef et al. 2002): the k smallest DISTINCT 48-bit md5
+    hashes of `col` as a sorted array, plus n_min = |sketch| and the
+    cardinality estimate — exact n_min while the group holds < k
+    distincts, else the order-statistic inversion
+    (k-1) * 2^48 div h_k (floor division: deterministic, so a DuckDB
+    oracle reproduces the IDENTICAL estimate; HLL++ cannot promise
+    that). Unlike linear_count_distinct this sketch is MERGEABLE with
+    set semantics — :func:`kmv_set_ops` derives union / intersection /
+    Jaccard estimates from two sketches without rescanning data — and
+    needs no up-front size parameter m.
+
+    Scale shape: an Arrow mapInPandas pre-prune keeps at most 2k
+    hashes per (partition, group) while streaming batches — the
+    map-side combine of the sketch — so the single shuffle moves
+    <= k * n_partitions longs per group no matter how hot the group
+    (a 10^9-url host ships the same few KB as a 10-url host); the
+    final collect_set input is bounded by the same product. No window,
+    no driver collect.
+
+    Reference parity: no analog (the reference counts exact
+    frequencies in pandas, scripts/analysis.py); corpus-monitoring
+    layer for the north-star crawl tables.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    gcols = list(group_cols or [])
+    h = _kmv_hash(F.col(col)).alias("h")
+    proj = df.select(*gcols, h)
+    schema = proj.schema
+
+    def prune(batches):
+        import pandas as pd
+
+        state: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pairs = (
+                pdf.groupby(gcols)["h"] if gcols else [((), pdf["h"])]
+            )
+            for key, hs in pairs:
+                cur = state.get(key)
+                vals = set(hs.unique())
+                if cur is None:
+                    cur = vals
+                else:
+                    cur |= vals
+                if len(cur) > 2 * k:
+                    cur = set(sorted(cur)[:k])
+                state[key] = cur
+        rows = []
+        for key, hs in state.items():
+            key = key if isinstance(key, tuple) else (key,)
+            for hv in sorted(hs)[:k]:
+                rows.append((*key, hv))
+        yield pd.DataFrame(rows, columns=[*gcols, "h"])
+
+    pruned = proj.mapInPandas(prune, schema=schema)
+    agg = pruned.groupBy(*gcols).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("sketch")
+    )
+    n_min = F.size("sketch")
+    # integer floor division written as expr so Spark and DuckDB agree
+    est = F.when(n_min < k, n_min.cast("long")).otherwise(
+        F.expr(
+            f"(CAST({k - 1} AS BIGINT) * CAST({KMV_SPACE} AS BIGINT))"
+            f" div greatest(element_at(sketch, size(sketch)), 1)"
+        )
+    )
+    return agg.select(
+        *gcols,
+        "sketch",
+        n_min.cast("long").alias("n_min"),
+        F.lit(k).alias("k"),
+        est.alias("estimate"),
+    )
+
+
+def kmv_set_ops(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Pairwise set-operation estimates from KMV sketches alone (no
+    data rescan): for every group pair a < b, the union sketch X = k
+    smallest of sketch_a ∪ sketch_b (valid because the k smallest of
+    the true union all live in one of the two sketches), union_est by
+    the same order-statistic inversion, overlap = |X ∩ sketch_a ∩
+    sketch_b| (for x in X, membership in a sketch == membership in
+    the full set — a fuller set's smaller hashes would have evicted x
+    from X first), jaccard_micro = overlap * 1e6 div |X|, and
+    inter_est = overlap * union_est div |X|. All BIGINT floor
+    arithmetic ((k-1)*2^48 div h_k <= 2^48 since the k-th smallest of
+    k distinct non-negatives is >= k-1, so overlap * union_est stays
+    in BIGINT for k <= 4096). Exact (not estimates) whenever |X| < k.
+
+    Scale: the sketch table is one bounded row per group (<= k longs);
+    the self-join is array math over group-pair rows — for unbounded
+    group counts feed a candidate pair list instead of the full cross
+    (the host_cocitation pattern)."""
+    a = sketches.select(
+        F.col(group_col).alias("g_a"), F.col("sketch").alias("sk_a")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("g_b"), F.col("sketch").alias("sk_b")
+    )
+    x = F.slice(
+        F.array_sort(F.array_distinct(F.concat("sk_a", "sk_b"))), 1, k
+    ).alias("x")
+    joined = (
+        a.join(b, F.col("g_a") < F.col("g_b"))
+        .select("g_a", "g_b", "sk_a", "sk_b", x)
+        .select(
+            "g_a",
+            "g_b",
+            "sk_a",
+            "sk_b",
+            "x",
+            F.size("x").alias("sx"),
+            F.size(
+                F.array_intersect(F.array_intersect("x", "sk_a"), "sk_b")
+            ).alias("overlap"),
+        )
+    )
+    union_est = F.when(
+        F.col("sx") < k, F.col("sx").cast("long")
+    ).otherwise(
+        F.expr(
+            f"(CAST({k - 1} AS BIGINT) * CAST({KMV_SPACE} AS BIGINT))"
+            f" div greatest(element_at(x, sx), 1)"
+        )
+    )
+    return joined.select(
+        "g_a",
+        "g_b",
+        F.col("sx").cast("long").alias("n_union_min"),
+        union_est.alias("union_est"),
+        F.col("overlap").cast("long").alias("overlap"),
+        F.expr("(overlap * 1000000) div sx").cast("long").alias("jaccard_micro"),
+        (
+            F.col("overlap").cast("long") * union_est
+        ).alias("_oe"),
+    ).select(
+        "g_a",
+        "g_b",
+        "n_union_min",
+        "union_est",
+        "overlap",
+        "jaccard_micro",
+        F.expr("_oe div n_union_min").alias("inter_est"),
+    )
+
+
+def kmv_sketch_oracle_sql(
+    values_sql: str,
+    group_expr: str,
+    value_expr: str,
+    k: int = KMV_K,
+    group_alias: str = "g",
+) -> str:
+    """DuckDB twin of :func:`kmv_sketch` WITHOUT the array column
+    (group, n_min, k, estimate): ranks distinct 48-bit hashes per
+    group and inverts the k-th order statistic with the same floor
+    arithmetic. `group_alias` names the group column in the output
+    (an f-string placeholder, never post-hoc substitution on the
+    assembled SQL)."""
+    ki = int(k)
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT {group_expr} AS g,
+         ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, {KMV_NIBBLES}))::BIGINT AS h
+  FROM ({values_sql})
+),
+d AS (SELECT DISTINCT g, h FROM src),
+r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM d),
+s AS (
+  SELECT g, count(*)::BIGINT AS n_min, max(h) AS kth
+  FROM r WHERE rk <= {ki} GROUP BY g
+)
+SELECT g AS {group_alias}, n_min, {ki}::INT AS k,
+       CASE WHEN n_min < {ki} THEN n_min
+            ELSE ({ki - 1}::BIGINT * {KMV_SPACE}::BIGINT)
+                 // greatest(kth, 1) END AS estimate
+FROM s
+"""
+
+
+def kmv_set_ops_oracle_sql(
+    values_sql: str,
+    group_expr: str,
+    value_expr: str,
+    k: int = KMV_K,
+) -> str:
+    """DuckDB twin of :func:`kmv_sketch` |> :func:`kmv_set_ops`:
+    rebuilds each group's bottom-k hash set relationally, unions pairs
+    of SKETCHES (not full sets — mirroring what the operator can see),
+    and applies the identical floor arithmetic."""
+    ki = int(k)
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT {group_expr} AS g,
+         ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, {KMV_NIBBLES}))::BIGINT AS h
+  FROM ({values_sql})
+),
+d AS (SELECT DISTINCT g, h FROM src),
+sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM d
+  ) WHERE rk <= {ki}
+),
+pairs AS (
+  SELECT a.g AS g_a, b.g AS g_b
+  FROM (SELECT DISTINCT g FROM sk) a JOIN (SELECT DISTINCT g FROM sk) b
+    ON a.g < b.g
+),
+u AS (
+  SELECT p.g_a, p.g_b, s.h,
+         row_number() OVER (PARTITION BY p.g_a, p.g_b ORDER BY s.h) AS rk
+  FROM pairs p
+  JOIN (SELECT DISTINCT x.g_a, x.g_b, y.h
+        FROM pairs x JOIN sk y ON y.g IN (x.g_a, x.g_b)) s
+    ON s.g_a = p.g_a AND s.g_b = p.g_b
+),
+x AS (SELECT g_a, g_b, h FROM u WHERE rk <= {ki}),
+st AS (
+  SELECT x.g_a, x.g_b,
+         count(*)::BIGINT AS sx,
+         max(x.h) AS kth,
+         count(*) FILTER (
+           WHERE EXISTS (SELECT 1 FROM sk a WHERE a.g = x.g_a AND a.h = x.h)
+             AND EXISTS (SELECT 1 FROM sk b WHERE b.g = x.g_b AND b.h = x.h)
+         )::BIGINT AS overlap
+  FROM x GROUP BY 1, 2
+)
+SELECT g_a, g_b, sx AS n_union_min,
+       CASE WHEN sx < {ki} THEN sx
+            ELSE ({ki - 1}::BIGINT * {KMV_SPACE}::BIGINT)
+                 // greatest(kth, 1) END AS union_est,
+       overlap,
+       (overlap * 1000000) // sx AS jaccard_micro,
+       (overlap * CASE WHEN sx < {ki} THEN sx
+            ELSE ({ki - 1}::BIGINT * {KMV_SPACE}::BIGINT)
+                 // greatest(kth, 1) END) // sx AS inter_est
+FROM st
+"""

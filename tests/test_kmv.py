@@ -1,0 +1,84 @@
+"""KMV / bottom-k distinct sketches and set-operation estimates
+(sketches.kmv_sketch, sketches.kmv_set_ops)."""
+
+import duckdb
+
+from easyner_spark.operators.sketches import (
+    kmv_set_ops,
+    kmv_set_ops_oracle_sql,
+    kmv_sketch,
+    kmv_sketch_oracle_sql,
+)
+
+ROWS = [
+    # g1: 5 distinct (v1 duplicated), g2: 6 distinct, overlap {v3,v4,v5}
+    ("g1", "v1"), ("g1", "v1"), ("g1", "v2"), ("g1", "v3"),
+    ("g1", "v4"), ("g1", "v5"),
+    ("g2", "v3"), ("g2", "v4"), ("g2", "v5"), ("g2", "v6"),
+    ("g2", "v7"), ("g2", "v8"),
+]
+
+
+def _frame(spark, rows=ROWS):
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_exact_regime(spark):
+    sk = kmv_sketch(_frame(spark), "v", ["g"], k=16)
+    got = {r.g: r for r in sk.collect()}
+    assert (got["g1"].n_min, got["g1"].estimate) == (5, 5)
+    assert (got["g2"].n_min, got["g2"].estimate) == (6, 6)
+    assert got["g1"].sketch == sorted(got["g1"].sketch)
+    ops = kmv_set_ops(sk, "g", k=16).collect()
+    assert len(ops) == 1
+    r = ops[0]
+    assert (r.g_a, r.g_b) == ("g1", "g2")
+    # exact: |union| = 8, |intersection| = 3
+    assert (r.n_union_min, r.union_est, r.overlap) == (8, 8, 3)
+    assert r.jaccard_micro == 3 * 1_000_000 // 8
+    assert r.inter_est == 3
+
+
+def test_estimate_regime_and_partition_invariance(spark):
+    rows = [("g", f"tok{i % 3000}") for i in range(6000)]
+    df = _frame(spark, rows)
+    est = kmv_sketch(df, "v", ["g"], k=64).collect()[0]
+    assert est.n_min == 64
+    assert abs(est.estimate - 3000) / 3000 < 0.25
+    # the k smallest distinct hashes are partition-invariant
+    est7 = kmv_sketch(df.repartition(7), "v", ["g"], k=64).collect()[0]
+    assert est7.sketch == est.sketch and est7.estimate == est.estimate
+
+
+def test_global_sketch_no_groups(spark):
+    est = kmv_sketch(_frame(spark), "v", k=16).collect()[0]
+    assert (est.n_min, est.estimate) == (8, 8)
+
+
+def test_oracle_twins(spark):
+    vals = ", ".join(f"('{g}', '{v}')" for g, v in ROWS)
+    src = f"SELECT * FROM (VALUES {vals}) AS t(g, v)"
+    got = sorted(
+        tuple(r)
+        for r in kmv_sketch(_frame(spark), "v", ["g"], k=4)
+        .drop("sketch")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(kmv_sketch_oracle_sql(src, "g", "v", k=4)).fetchall()
+    )
+    assert got == want
+    got_ops = sorted(
+        tuple(r)
+        for r in kmv_set_ops(
+            kmv_sketch(_frame(spark), "v", ["g"], k=4), "g", k=4
+        ).collect()
+    )
+    want_ops = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            kmv_set_ops_oracle_sql(src, "g", "v", k=4)
+        ).fetchall()
+    )
+    assert got_ops == want_ops
