@@ -34,6 +34,7 @@ driver.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 from collections.abc import Callable
@@ -209,6 +210,59 @@ class SnapshotTable:
         df.write.mode("overwrite").parquet(self._snap_dir(snap))
         self._commit(snap, self.current_epoch())
         return snap
+
+    # -- table maintenance -------------------------------------------
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Iceberg expire_snapshots semantics: physically delete all
+        but the newest `keep_last` snapshots — ALWAYS retaining the
+        CURRENT snapshot even when a rollback left the pointer on an
+        old id (expiring the live snapshot would corrupt the table;
+        Iceberg's procedure refuses the same way). Returns the expired
+        ids. Time-travel reads and rollback() to an expired id raise
+        afterwards — that is the contract's point: retention bounds
+        storage at 10^12-document scale, where every snapshot of an
+        edges table is the FULL table and an unexpired history is a
+        100x storage bill. The pointer file never moves, so a reader
+        racing an expiry keeps a complete snapshot either way."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1: {keep_last}")
+        hist = self.history()
+        cur = self.current_snapshot()
+        retain = set(hist[-keep_last:])
+        if cur is not None:
+            retain.add(cur)
+        expired = [s for s in hist if s not in retain]
+        for s in expired:
+            shutil.rmtree(self._snap_dir(s), ignore_errors=True)
+        return expired
+
+    def orphan_files(self) -> list[str]:
+        """Crash debris under the table root that no retained snapshot
+        or the pointer references: abandoned `.current.*` /
+        `._epoch.*` temporaries from a writer killed between write and
+        os.replace. Names only — :meth:`remove_orphans` deletes."""
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            if name.startswith((".current.", "._epoch.")):
+                out.append(name)
+        for snap in self.history():
+            d = self._snap_dir(snap)
+            for name in sorted(os.listdir(d)):
+                if name.startswith("._epoch."):
+                    out.append(os.path.join(f"snap-{snap:06d}", name))
+        return out
+
+    def remove_orphans(self) -> list[str]:
+        """Delete :meth:`orphan_files` (Iceberg remove_orphan_files).
+        Safe concurrently with readers: orphans are by definition
+        unreferenced."""
+        orphans = self.orphan_files()
+        for rel in orphans:
+            try:
+                os.remove(os.path.join(self.path, rel))
+            except FileNotFoundError:
+                pass
+        return orphans
 
 
 def resumable_run(

@@ -221,3 +221,38 @@ class IcebergSnapshotTable:
         else:
             writer.create()
         return self.current_snapshot()
+
+    # -- table maintenance -------------------------------------------
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """CALL <catalog>.system.expire_snapshots(retain_last =>
+        keep_last) — the genuine retention procedure behind the
+        parquet twin's method of the same name. Iceberg itself never
+        expires the current snapshot; `older_than => now` makes
+        retain_last the only binding constraint (the procedure's
+        default is a 5-day age floor, useless in tests). Returns the
+        ids that disappeared from the snapshots metadata table."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1: {keep_last}")
+        before = set(self.history())
+        tbl = self.ident.split(".", 1)[1]
+        now = self.spark.sql("SELECT CAST(current_timestamp() AS STRING)").first()[0]
+        self.spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots("
+            f"table => '{tbl}', older_than => TIMESTAMP '{now}', "
+            f"retain_last => {int(keep_last)})"
+        )
+        return sorted(before - set(self.history()))
+
+    def remove_orphans(self) -> list[str]:
+        """CALL <catalog>.system.remove_orphan_files — the genuine
+        unreferenced-file GC behind the parquet twin's method. Returns
+        the orphan file locations the procedure deleted. NOTE: Iceberg
+        refuses to consider files younger than a safety interval
+        (default 3 days) so a just-crashed writer's in-flight files
+        survive — production calls need no override; tests assert the
+        call shape, not young-file deletion."""
+        tbl = self.ident.split(".", 1)[1]
+        rows = self.spark.sql(
+            f"CALL {self.catalog}.system.remove_orphan_files(table => '{tbl}')"
+        ).collect()
+        return sorted(r[0] for r in rows)

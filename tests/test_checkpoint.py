@@ -254,3 +254,40 @@ class TestRollbackRestoresEpoch:
         assert {r.k: r.v for r in t.read(spark).collect()} == {"a": 2}
         with pytest.raises(ValueError):
             t.read_snapshot(spark, 999)
+
+
+class TestTableMaintenance:
+    def test_expire_never_drops_current_after_rollback(self, spark, tmp_table):
+        t = tmp_table("exp_rb", ["k"])
+        snaps = [
+            t.overwrite(spark.createDataFrame([("a", i)], "k string, v int"))
+            for i in range(1, 5)
+        ]
+        t.rollback(snaps[1])
+        expired = t.expire_snapshots(keep_last=1)
+        # newest snapshot retained by keep_last, live snapshot retained
+        # unconditionally
+        assert set(expired) == {snaps[0], snaps[2]}
+        assert t.history() == [snaps[1], snaps[3]]
+        assert {r.v for r in t.read(spark).collect()} == {2}
+
+    def test_orphan_cleanup(self, spark, tmp_table):
+        import os
+
+        t = tmp_table("orph", ["k"])
+        s1 = t.merge(spark.createDataFrame([("a", 1)], "k string, v int"))
+        # simulate writers killed between tmp write and os.replace
+        debris_root = os.path.join(t.path, ".current.deadbeef")
+        debris_snap = os.path.join(t.path, f"snap-{s1:06d}", "._epoch.cafe")
+        for p in (debris_root, debris_snap):
+            with open(p, "w", encoding="utf-8") as f:
+                f.write("junk")
+        assert t.orphan_files() == [
+            ".current.deadbeef",
+            os.path.join(f"snap-{s1:06d}", "._epoch.cafe"),
+        ]
+        removed = t.remove_orphans()
+        assert len(removed) == 2 and t.orphan_files() == []
+        # table state untouched
+        assert t.current_snapshot() == s1
+        assert {r.v for r in t.read(spark).collect()} == {1}

@@ -105,3 +105,24 @@ class TestWriterParity:
         t.merge(_rows(spark, [("a", 1)]))
         with pytest.raises(ValueError, match="unknown snapshot"):
             t.rollback(10**12)
+
+    def test_expire_snapshots_retention(self, spark, table_factory):
+        t = table_factory("exp", ["k"])
+        for i in range(1, 5):
+            t.overwrite(_rows(spark, [("a", i)]))
+        hist = t.history()
+        assert len(hist) == 4
+        expired = t.expire_snapshots(keep_last=2)
+        assert expired == hist[:2]
+        assert t.history() == hist[2:]
+        assert {r.v for r in t.read(spark).collect()} == {4}
+        with pytest.raises(ValueError):
+            t.read_snapshot(spark, hist[0])
+
+    def test_expire_keeps_everything_when_short(self, spark, table_factory):
+        t = table_factory("exps", ["k"])
+        t.overwrite(_rows(spark, [("a", 1)]))
+        assert t.expire_snapshots(keep_last=5) == []
+        assert len(t.history()) == 1
+        with pytest.raises(ValueError):
+            t.expire_snapshots(keep_last=0)
