@@ -2265,6 +2265,21 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(sk, "host", k=64)
 
 
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over two deterministic
+    6-bit dimensions of doc_id — the layout key behind
+    sinks/layout.write_clustered's multi-dimensional file pruning;
+    pure codegen'd bit math shared verbatim with the oracle."""
+    from easyner_spark.sinks.layout import zorder_key
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        (F.col("doc_id") % 64).alias("x"),
+        ((F.col("doc_id") * 7) % 64).alias("y"),
+    ).select("doc_id", "x", "y", zorder_key(["x", "y"], bits=6).alias("zkey"))
+
+
 def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk corpus over the closed 23-entity triple
     graph (subj->obj edges): 2 walks x 3 steps per start node,
@@ -5694,6 +5709,7 @@ _DRIVER_WINDOW_FIRST = [
     "kg_type_infer",         # NEW: signature-vote type propagation
     "host_kmv",              # NEW: bottom-k distinct sketch
     "kmv_set_ops",           # NEW: sketch-only union/Jaccard estimates
+    "zorder_keys",           # NEW: space-filling-curve layout keys
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -5799,6 +5815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_infer": q_kg_type_infer,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
+        "zorder_keys": q_zorder_keys,
         "kg_random_walks": q_kg_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "kg_degree_stats": q_kg_degree_stats,
@@ -7939,6 +7956,18 @@ def _kg_type_infer_oracle() -> str:
     return infer_entity_types_oracle_sql(_KG_RULES_SQL, _KG_SPARSE_TYPES_SQL)
 
 
+def _zorder_keys_oracle() -> str:
+    """q_zorder_keys oracle: the SAME generated bit-interleave
+    expression (layout.zorder_key_sql) over the same dimensions."""
+    from easyner_spark.sinks.layout import zorder_key_sql
+
+    return f"""
+SELECT doc_id, x, y, {zorder_key_sql(["x", "y"], bits=6)} AS zkey
+FROM (SELECT doc_id, doc_id % 64 AS x, (doc_id * 7) % 64 AS y
+      FROM documents)
+"""
+
+
 def _host_kmv_oracle() -> str:
     """q_host_kmv oracle: the shared token synthesis through the
     sketch's module-local rank twin."""
@@ -9677,6 +9706,8 @@ FROM c
         # Sketch-only pairwise set-operation estimates
         # (sketches.kmv_set_ops_oracle_sql)
         "kmv_set_ops": _kmv_set_ops_oracle(),
+        # Z-order layout keys (layout.zorder_key_sql, shared generator)
+        "zorder_keys": _zorder_keys_oracle(),
         # Deterministic DeepWalk corpus (graph.kg_random_walks_oracle_sql)
         "kg_random_walks": _kg_random_walks_oracle(),
         # Skip-gram pairs over the walk corpus
