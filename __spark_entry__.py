@@ -2265,6 +2265,16 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(sk, "host", k=64)
 
 
+def q_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity cards over the designed rule KG: per entity the top-3
+    facts ranked by predicate rarity (ascending global edge count,
+    deterministic tie-break) — the serving projection of the node/edge
+    tables."""
+    from easyner_spark.operators.triples import entity_summaries
+
+    return entity_summaries(_kg_rules_triples(spark, sf_dir), k=3)
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering keys over two deterministic
     6-bit dimensions of doc_id — the layout key behind
@@ -5710,6 +5720,7 @@ _DRIVER_WINDOW_FIRST = [
     "host_kmv",              # NEW: bottom-k distinct sketch
     "kmv_set_ops",           # NEW: sketch-only union/Jaccard estimates
     "zorder_keys",           # NEW: space-filling-curve layout keys
+    "entity_cards",          # NEW: rarity-ranked entity summaries
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -5816,6 +5827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
         "zorder_keys": q_zorder_keys,
+        "entity_cards": q_entity_cards,
         "kg_random_walks": q_kg_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "kg_degree_stats": q_kg_degree_stats,
@@ -7956,6 +7968,14 @@ def _kg_type_infer_oracle() -> str:
     return infer_entity_types_oracle_sql(_KG_RULES_SQL, _KG_SPARSE_TYPES_SQL)
 
 
+def _entity_cards_oracle() -> str:
+    """q_entity_cards oracle: rule-KG triples through the operator's
+    module-local rank twin."""
+    from easyner_spark.operators.triples import entity_summaries_oracle_sql
+
+    return entity_summaries_oracle_sql(_KG_RULES_SQL, k=3)
+
+
 def _zorder_keys_oracle() -> str:
     """q_zorder_keys oracle: the SAME generated bit-interleave
     expression (layout.zorder_key_sql) over the same dimensions."""
@@ -9708,6 +9728,8 @@ FROM c
         "kmv_set_ops": _kmv_set_ops_oracle(),
         # Z-order layout keys (layout.zorder_key_sql, shared generator)
         "zorder_keys": _zorder_keys_oracle(),
+        # Rarity-ranked entity cards (triples.entity_summaries_oracle_sql)
+        "entity_cards": _entity_cards_oracle(),
         # Deterministic DeepWalk corpus (graph.kg_random_walks_oracle_sql)
         "kg_random_walks": _kg_random_walks_oracle(),
         # Skip-gram pairs over the walk corpus

@@ -2616,3 +2616,62 @@ SELECT v.eid AS entity_id, v.ty AS ent_type, v.votes, r.total,
        (v.votes = -r.best.neg AND v.ty = r.best.t) AS is_best
 FROM votes v JOIN roll r ON r.eid = v.eid
 """
+
+
+def entity_summaries(
+    edges: DataFrame,
+    k: int = 5,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Entity cards: per subject entity the top-k facts ranked by
+    predicate INFORMATIVENESS — a rarer predicate says more about its
+    subject than a ubiquitous one (the predicate-level IDF intuition,
+    integer-exact: rank ascending on the predicate's global edge
+    count, ties (pred, obj) ascending so cards are deterministic).
+    The serving-layer projection of the node/edge tables: "show me
+    the k facts that best characterize this entity".
+
+    Scale: predicate totals are a bounded broadcast table; the only
+    shuffle is the per-entity rank window, partitioned BY entity — a
+    hub entity sorts its own facts inside one task (degree-bounded,
+    the url_dedup-measured window class), never the corpus.
+
+    Reference parity: no analog (the reference's analysis ends at
+    frequency rollups, scripts/analysis.py:40-80).
+    """
+    t = edges.select(
+        F.col(subj).alias("entity_id"),
+        F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+    ).distinct()
+    ptot = t.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("pred_count")
+    )
+    w = Window.partitionBy("entity_id").orderBy("pred_count", "pred", "obj")
+    return (
+        t.join(F.broadcast(ptot), "pred")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("entity_id", "rank", "pred", "obj", "pred_count")
+    )
+
+
+def entity_summaries_oracle_sql(triples_sql: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`entity_summaries`."""
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT DISTINCT subj AS entity_id, pred, obj FROM ({triples_sql})
+),
+pt AS (SELECT pred, count(*)::BIGINT AS pred_count FROM t GROUP BY pred),
+r AS (
+  SELECT t.entity_id, t.pred, t.obj, pt.pred_count,
+         row_number() OVER (
+           PARTITION BY t.entity_id
+           ORDER BY pt.pred_count, t.pred, t.obj
+         )::BIGINT AS rank
+  FROM t JOIN pt ON pt.pred = t.pred
+)
+SELECT entity_id, rank, pred, obj, pred_count FROM r WHERE rank <= {int(k)}
+"""
