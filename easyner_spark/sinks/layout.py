@@ -77,6 +77,18 @@ def zorder_key(cols: list[str], bits: int = 16) -> Column:
     return F.expr(zorder_key_sql(cols, bits))
 
 
+BLOOM_BUCKETS = 4096
+
+
+def _bloom_bucket(col: Column) -> Column:
+    """Membership bucket for the per-file Bloom manifest: the
+    engine-wide md5 32-bit hash mod BLOOM_BUCKETS (deterministic and
+    cross-engine, like every hash in this repo)."""
+    from easyner_spark.operators.sampling import md5_long32
+
+    return md5_long32(col) % F.lit(BLOOM_BUCKETS)
+
+
 def write_clustered(
     df: DataFrame,
     path: str,
@@ -84,6 +96,7 @@ def write_clustered(
     n_files: int,
     layout: str = "zorder",
     bits: int = 10,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Cluster `df` into `n_files` range-partitioned files on either
     the z-key (`layout='zorder'`) or the lexicographic first column
@@ -118,8 +131,23 @@ def write_clustered(
     for c in cluster_by:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
+    for c in bloom_cols or []:
+        # per-file membership filter for POINT predicates on
+        # high-cardinality columns, where min/max boxes are useless
+        # (a url column's [min, max] spans everything): the distinct
+        # md5 buckets seen in the file, <= BLOOM_BUCKETS ints per file
+        # — the manifest stays file-count-sized, never row-sized
+        aggs.append(
+            F.sort_array(F.collect_set(_bloom_bucket(F.col(c)))).alias(
+                f"bloom_{c}"
+            )
+        )
     manifest = (
-        written.select(F.input_file_name().alias("file"), *cluster_by)
+        written.select(
+            F.input_file_name().alias("file"),
+            *cluster_by,
+            *[c for c in (bloom_cols or []) if c not in cluster_by],
+        )
         .groupBy("file")
         .agg(*aggs)
     )
@@ -132,17 +160,23 @@ def write_clustered(
 def plan_files(
     spark: SparkSession,
     path: str,
-    ranges: dict[str, tuple[int, int]],
+    ranges: dict[str, tuple[int, int]] | None = None,
+    equals: dict[str, object] | None = None,
 ) -> tuple[list[str], int]:
     """(surviving files, total files): manifest rows whose [min, max]
-    box intersects every predicate range [lo, hi]. The manifest is one
-    row per file — driver-safe at any corpus size (file counts, not
-    row counts)."""
+    box intersects every predicate range [lo, hi] AND whose Bloom
+    bucket list contains every equality predicate's bucket. The
+    manifest is one row per file — driver-safe at any corpus size
+    (file counts, not row counts)."""
     m = spark.read.parquet(os.path.join(path, MANIFEST))
     total = m.count()
     cond = F.lit(True)
-    for c, (lo, hi) in ranges.items():
+    for c, (lo, hi) in (ranges or {}).items():
         cond = cond & (F.col(f"max_{c}") >= lo) & (F.col(f"min_{c}") <= hi)
+    for c, v in (equals or {}).items():
+        cond = cond & F.array_contains(
+            F.col(f"bloom_{c}"), _bloom_bucket(F.lit(v))
+        )
     kept = [r.file for r in m.where(cond).select("file").collect()]
     return kept, total
 
@@ -150,19 +184,22 @@ def plan_files(
 def pruned_read(
     spark: SparkSession,
     path: str,
-    ranges: dict[str, tuple[int, int]],
+    ranges: dict[str, tuple[int, int]] | None = None,
+    equals: dict[str, object] | None = None,
 ) -> DataFrame:
-    """Read only the manifest-surviving files, then re-apply the box
-    predicate as a residual filter (file-level stats admit false
-    positives, never false negatives — the residual keeps results
-    EXACTLY equal to a full scan + filter, which is the correctness
-    contract tests pin). An empty survivor set returns an empty frame
-    with the table's schema."""
-    kept, _ = plan_files(spark, path, ranges)
+    """Read only the manifest-surviving files, then re-apply the
+    predicates as a residual filter (file-level stats and Bloom
+    buckets admit false positives, never false negatives — the
+    residual keeps results EXACTLY equal to a full scan + filter,
+    which is the correctness contract tests pin). An empty survivor
+    set returns an empty frame with the table's schema."""
+    kept, _ = plan_files(spark, path, ranges, equals)
     full_schema = spark.read.parquet(path).schema
     if not kept:
         return spark.createDataFrame([], full_schema)
     df = spark.read.parquet(*kept)
-    for c, (lo, hi) in ranges.items():
+    for c, (lo, hi) in (ranges or {}).items():
         df = df.where((F.col(c) >= lo) & (F.col(c) <= hi))
+    for c, v in (equals or {}).items():
+        df = df.where(F.col(c) == v)
     return df

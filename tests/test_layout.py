@@ -100,3 +100,50 @@ def test_bad_args(spark):
         zorder_key_sql(["a", "b"], bits=32)
     with pytest.raises(ValueError):
         write_clustered(_grid(spark), "/tmp/x", ["x"], 4, layout="hilbert")
+
+
+class TestBloomManifest:
+    @pytest.fixture(scope="class")
+    def bloom_path(self, spark, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("layout_bloom") / "t")
+        # 4096 rows, each with a high-cardinality url-like key whose
+        # min/max box is useless for pruning
+        df = _grid(spark).withColumn(
+            "url", F.concat(F.lit("https://h"), F.col("payload") % 50,
+                            F.lit(".org/p/"), F.col("payload"))
+        )
+        write_clustered(df, path, ["x", "y"], 16, "zorder", bits=6,
+                        bloom_cols=["url"])
+        return path
+
+    def test_point_lookup_prunes_files(self, spark, bloom_path):
+        kept, total = plan_files(
+            spark, bloom_path, equals={"url": "https://h7.org/p/7"}
+        )
+        # the key lives in exactly one file; bloom false positives may
+        # keep a few more, never most
+        assert total == 16 and 1 <= len(kept) <= 4
+
+    def test_point_lookup_exactly_matches_full_scan(self, spark, bloom_path):
+        got = [
+            (r.x, r.y, r.payload)
+            for r in pruned_read(
+                spark, bloom_path, equals={"url": "https://h7.org/p/7"}
+            ).collect()
+        ]
+        assert got == [(7 % 64, 7 // 64, 7)]
+
+    def test_absent_key_reads_nothing_or_false_positives_only(
+        self, spark, bloom_path
+    ):
+        out = pruned_read(
+            spark, bloom_path, equals={"url": "https://absent.example/x"}
+        )
+        assert out.count() == 0
+
+    def test_combined_box_and_point(self, spark, bloom_path):
+        got = pruned_read(
+            spark, bloom_path,
+            ranges={"x": (0, 63)}, equals={"url": "https://h9.org/p/9"},
+        ).collect()
+        assert [(r.x, r.y, r.payload) for r in got] == [(9, 0, 9)]
