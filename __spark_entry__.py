@@ -2275,6 +2275,40 @@ def q_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_summaries(_kg_rules_triples(spark, sf_dir), k=3)
 
 
+# Predicate provenance fixture: 4 multi-host predicates + one
+# single-source spam predicate. One definition per side.
+_PRED_SUPPORT_SQL = """SELECT
+  CASE doc_id % 5 WHEN 0 THEN 'treats' WHEN 1 THEN 'inhibits'
+       WHEN 2 THEN 'binds' WHEN 3 THEN 'activates'
+       ELSE 'spamlink' END AS pred,
+  CASE WHEN doc_id % 5 = 4 THEN 'farm.biz'
+       ELSE 'h' || (doc_id % 7) END AS host
+  FROM documents"""
+
+
+def q_pred_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate source-diversity QA: exact per-predicate fact and
+    distinct-source counts, dominant source share, single-source
+    tripwire (the 'spamlink' predicate trips it by construction)."""
+    from easyner_spark.operators.triples import predicate_support_profile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    m = did % 5
+    t = d.select(
+        F.when(m == 0, F.lit("treats"))
+        .when(m == 1, F.lit("inhibits"))
+        .when(m == 2, F.lit("binds"))
+        .when(m == 3, F.lit("activates"))
+        .otherwise(F.lit("spamlink"))
+        .alias("pred"),
+        F.when(m == 4, F.lit("farm.biz"))
+        .otherwise(F.concat(F.lit("h"), (did % 7).cast("string")))
+        .alias("host"),
+    )
+    return predicate_support_profile(t)
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering keys over two deterministic
     6-bit dimensions of doc_id — the layout key behind
@@ -5721,6 +5755,7 @@ _DRIVER_WINDOW_FIRST = [
     "kmv_set_ops",           # NEW: sketch-only union/Jaccard estimates
     "zorder_keys",           # NEW: space-filling-curve layout keys
     "entity_cards",          # NEW: rarity-ranked entity summaries
+    "pred_support",          # NEW: predicate source-diversity QA
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -5828,6 +5863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops": q_kmv_set_ops,
         "zorder_keys": q_zorder_keys,
         "entity_cards": q_entity_cards,
+        "pred_support": q_pred_support,
         "kg_random_walks": q_kg_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "kg_degree_stats": q_kg_degree_stats,
@@ -7968,6 +8004,16 @@ def _kg_type_infer_oracle() -> str:
     return infer_entity_types_oracle_sql(_KG_RULES_SQL, _KG_SPARSE_TYPES_SQL)
 
 
+def _pred_support_oracle() -> str:
+    """q_pred_support oracle: the provenance synthesis through the
+    operator's module-local twin."""
+    from easyner_spark.operators.triples import (
+        predicate_support_profile_oracle_sql,
+    )
+
+    return predicate_support_profile_oracle_sql(_PRED_SUPPORT_SQL)
+
+
 def _entity_cards_oracle() -> str:
     """q_entity_cards oracle: rule-KG triples through the operator's
     module-local rank twin."""
@@ -9730,6 +9776,9 @@ FROM c
         "zorder_keys": _zorder_keys_oracle(),
         # Rarity-ranked entity cards (triples.entity_summaries_oracle_sql)
         "entity_cards": _entity_cards_oracle(),
+        # Predicate source-diversity QA
+        # (triples.predicate_support_profile_oracle_sql)
+        "pred_support": _pred_support_oracle(),
         # Deterministic DeepWalk corpus (graph.kg_random_walks_oracle_sql)
         "kg_random_walks": _kg_random_walks_oracle(),
         # Skip-gram pairs over the walk corpus

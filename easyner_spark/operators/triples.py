@@ -2675,3 +2675,72 @@ r AS (
 )
 SELECT entity_id, rank, pred, obj, pred_count FROM r WHERE rank <= {int(k)}
 """
+
+
+def predicate_support_profile(
+    triples: DataFrame,
+    pred: str = "pred",
+    source_col: str = "host",
+) -> DataFrame:
+    """Per-predicate source-diversity QA: n_facts, n_sources (exact
+    distinct), top_source and its exact share_micro — the provenance
+    lens on the edge table. A predicate asserted 10^6 times by ONE
+    host is a template artifact or spam campaign, not knowledge
+    (the fuse_claims intuition at schema granularity); surfacing
+    single-source predicates is the cheapest KG-poisoning tripwire a
+    crawl-scale pipeline can run.
+
+    Scale: one groupBy (pred, source) with map-side combine absorbing
+    hot predicates (<= |preds| x |sources-per-task| rows shipped),
+    then a predicate rollup of the collapsed table; top source via the
+    repo's min(struct) argmax — no window, no second scan.
+
+    Reference parity: no analog; north-star edge-table QA beside
+    :func:`predicate_signatures` (types) and
+    :func:`predicate_equivalences` (synonymy).
+    """
+    ps = (
+        triples.groupBy(
+            F.col(pred).alias("pred"), F.col(source_col).alias("src")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    roll = ps.groupBy("pred").agg(
+        F.sum("n").cast("long").alias("n_facts"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.min(
+            F.struct((-F.col("n")).alias("neg"), F.col("src").alias("s"))
+        ).alias("_top"),
+    )
+    return roll.select(
+        "pred",
+        "n_facts",
+        "n_sources",
+        F.col("_top.s").alias("top_source"),
+        F.expr("((-_top.neg) * 1000000) div n_facts").alias(
+            "top_share_micro"
+        ),
+        (F.col("n_sources") == 1).alias("single_source"),
+    )
+
+
+def predicate_support_profile_oracle_sql(
+    triples_sql: str, source_col: str = "host"
+) -> str:
+    """DuckDB twin of :func:`predicate_support_profile`; `triples_sql`
+    yields (pred, <source_col>)."""
+    return f"""
+WITH ps AS (
+  SELECT pred, {source_col} AS src, count(*)::BIGINT AS n
+  FROM ({triples_sql}) GROUP BY 1, 2
+),
+roll AS (
+  SELECT pred, sum(n)::BIGINT AS n_facts, count(*)::BIGINT AS n_sources,
+         min(struct_pack(neg := -n, s := src)) AS top
+  FROM ps GROUP BY pred
+)
+SELECT pred, n_facts, n_sources, top.s AS top_source,
+       ((-top.neg) * 1000000) // n_facts AS top_share_micro,
+       (n_sources = 1) AS single_source
+FROM roll
+"""
