@@ -2275,6 +2275,39 @@ def q_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_summaries(_kg_rules_triples(spark, sf_dir), k=3)
 
 
+# N-Triples fixture: ids that exercise IRI percent-encoding (space,
+# angle brackets, pipe, quote). One definition per side.
+_NT_SRC_SQL = """SELECT
+  'e' || (doc_id % 17)
+      || CASE WHEN doc_id % 4 = 0 THEN ' sp' ELSE '' END AS subj,
+  CASE WHEN doc_id % 2 = 0 THEN 'rel<a>' ELSE 'rel|b' END AS pred,
+  'o"' || (doc_id % 13) AS obj
+  FROM documents"""
+
+
+def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF N-Triples serialization of an edge table with
+    spec-correct IRI percent-encoding — one codegen'd projection,
+    zero shuffle; ids deliberately carry space/angle/pipe/quote to
+    exercise every escape in the value hash."""
+    from easyner_spark.sinks.rdf import to_ntriples
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    t = d.select(
+        F.concat(
+            F.lit("e"),
+            (did % 17).cast("string"),
+            F.when(did % 4 == 0, F.lit(" sp")).otherwise(F.lit("")),
+        ).alias("subj"),
+        F.when(did % 2 == 0, F.lit("rel<a>"))
+        .otherwise(F.lit("rel|b"))
+        .alias("pred"),
+        F.concat(F.lit('o"'), (did % 13).cast("string")).alias("obj"),
+    )
+    return to_ntriples(t)
+
+
 # Predicate provenance fixture: 4 multi-host predicates + one
 # single-source spam predicate. One definition per side.
 _PRED_SUPPORT_SQL = """SELECT
@@ -5756,6 +5789,7 @@ _DRIVER_WINDOW_FIRST = [
     "zorder_keys",           # NEW: space-filling-curve layout keys
     "entity_cards",          # NEW: rarity-ranked entity summaries
     "pred_support",          # NEW: predicate source-diversity QA
+    "kg_ntriples",           # NEW: RDF N-Triples serialization
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -5864,6 +5898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": q_zorder_keys,
         "entity_cards": q_entity_cards,
         "pred_support": q_pred_support,
+        "kg_ntriples": q_kg_ntriples,
         "kg_random_walks": q_kg_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "kg_degree_stats": q_kg_degree_stats,
@@ -8004,6 +8039,15 @@ def _kg_type_infer_oracle() -> str:
     return infer_entity_types_oracle_sql(_KG_RULES_SQL, _KG_SPARSE_TYPES_SQL)
 
 
+def _kg_ntriples_oracle() -> str:
+    """q_kg_ntriples oracle: the escape-exercising synthesis through
+    the sink's module-local twin (escape chains generated from the
+    same pair tables)."""
+    from easyner_spark.sinks.rdf import to_ntriples_oracle_sql
+
+    return to_ntriples_oracle_sql(_NT_SRC_SQL)
+
+
 def _pred_support_oracle() -> str:
     """q_pred_support oracle: the provenance synthesis through the
     operator's module-local twin."""
@@ -9779,6 +9823,8 @@ FROM c
         # Predicate source-diversity QA
         # (triples.predicate_support_profile_oracle_sql)
         "pred_support": _pred_support_oracle(),
+        # RDF N-Triples serialization (rdf.to_ntriples_oracle_sql)
+        "kg_ntriples": _kg_ntriples_oracle(),
         # Deterministic DeepWalk corpus (graph.kg_random_walks_oracle_sql)
         "kg_random_walks": _kg_random_walks_oracle(),
         # Skip-gram pairs over the walk corpus
