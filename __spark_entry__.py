@@ -2275,6 +2275,35 @@ def q_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_summaries(_kg_rules_triples(spark, sf_dir), k=3)
 
 
+# Declared SHACL-lite shapes for the rule KG. One definition per side.
+_KG_SHAPES_SQL = """SELECT * FROM (VALUES
+  ('works_for', 'person', 'org', 2),
+  ('located_in', '', 'place', 0),
+  ('near', 'place', 'place', 3)) AS s(pred, domain_type, range_type, max_out)"""
+
+_KG_SHAPES_ROWS = [
+    ("works_for", "person", "org", 2),
+    ("located_in", "", "place", 0),
+    ("near", "place", "place", 3),
+]
+
+
+def q_kg_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite validation of the rule KG against declared
+    domain/range/max-out shapes — the residue type table guarantees
+    deterministic violations of all three kinds; n7 stays untyped and
+    is correctly never flagged."""
+    from easyner_spark.operators.triples import validate_shapes
+
+    shapes = spark.createDataFrame(
+        _KG_SHAPES_ROWS,
+        "pred string, domain_type string, range_type string, max_out long",
+    )
+    return validate_shapes(
+        _kg_rules_triples(spark, sf_dir), _kg_rules_types(spark, sf_dir), shapes
+    )
+
+
 # N-Triples fixture: ids that exercise IRI percent-encoding (space,
 # angle brackets, pipe, quote). One definition per side.
 _NT_SRC_SQL = """SELECT
@@ -5790,6 +5819,7 @@ _DRIVER_WINDOW_FIRST = [
     "entity_cards",          # NEW: rarity-ranked entity summaries
     "pred_support",          # NEW: predicate source-diversity QA
     "kg_ntriples",           # NEW: RDF N-Triples serialization
+    "kg_shapes",             # NEW: SHACL-lite shape validation
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -5899,6 +5929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_cards": q_entity_cards,
         "pred_support": q_pred_support,
         "kg_ntriples": q_kg_ntriples,
+        "kg_shapes": q_kg_shapes,
         "kg_random_walks": q_kg_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "kg_degree_stats": q_kg_degree_stats,
@@ -8039,6 +8070,16 @@ def _kg_type_infer_oracle() -> str:
     return infer_entity_types_oracle_sql(_KG_RULES_SQL, _KG_SPARSE_TYPES_SQL)
 
 
+def _kg_shapes_oracle() -> str:
+    """q_kg_shapes oracle: rule-KG triples + residue types + the
+    declared shapes through the operator's module-local twin."""
+    from easyner_spark.operators.triples import validate_shapes_oracle_sql
+
+    return validate_shapes_oracle_sql(
+        _KG_RULES_SQL, _KG_TYPES_SQL, _KG_SHAPES_SQL
+    )
+
+
 def _kg_ntriples_oracle() -> str:
     """q_kg_ntriples oracle: the escape-exercising synthesis through
     the sink's module-local twin (escape chains generated from the
@@ -9825,6 +9866,8 @@ FROM c
         "pred_support": _pred_support_oracle(),
         # RDF N-Triples serialization (rdf.to_ntriples_oracle_sql)
         "kg_ntriples": _kg_ntriples_oracle(),
+        # SHACL-lite shape validation (triples.validate_shapes_oracle_sql)
+        "kg_shapes": _kg_shapes_oracle(),
         # Deterministic DeepWalk corpus (graph.kg_random_walks_oracle_sql)
         "kg_random_walks": _kg_random_walks_oracle(),
         # Skip-gram pairs over the walk corpus

@@ -2744,3 +2744,125 @@ SELECT pred, n_facts, n_sources, top.s AS top_source,
        (n_sources = 1) AS single_source
 FROM roll
 """
+
+
+def validate_shapes(
+    edges: DataFrame,
+    types: DataFrame,
+    shapes: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    entity_col: str = "entity_id",
+    type_col: str = "ent_type",
+) -> DataFrame:
+    """SHACL-lite shape validation — the unified QA gate over the
+    edge table. `shapes` declares per-predicate constraints
+    (pred, domain_type, range_type, max_out): '' disables a type
+    constraint, max_out <= 0 disables the cardinality cap (explicit
+    sentinels, not NULLs, so Spark and the oracle share one equality
+    semantics). Emits one row per violation:
+
+      kind='domain' / 'range' — an edge whose typed subject/object
+        contradicts the declared type (detail = the actual type;
+        UNTYPED endpoints are unverifiable and never flagged — the
+        typing gap is visible in predicate_signatures' unknown
+        bucket, not here);
+      kind='max_out' — a (subj, pred) whose out-degree exceeds
+        max_out (obj='', detail = the count).
+
+    The relational face of SHACL sh:class / sh:maxCount — the checks
+    :func:`functional_violations` (max_out=1 special case) and
+    :func:`predicate_signatures` (induced, not declared) bracket.
+
+    Scale: shapes is vocabulary-bounded -> broadcast; type joins are
+    the entity-keyed equi-joins of predicate_signatures (AQE
+    skew-split); the out-degree groupBy collapses map-side per
+    (subj, pred). No window, no driver collect.
+
+    Reference parity: no analog; north-star edge-table QA.
+    """
+    t = edges.select(
+        F.col(subj).alias("s"), F.col(pred).alias("pred"), F.col(obj).alias("o")
+    )
+    sh = F.broadcast(
+        shapes.select(
+            F.col("pred"),
+            F.col("domain_type").alias("_dom"),
+            F.col("range_type").alias("_rng"),
+            F.col("max_out").cast("long").alias("_max"),
+        )
+    )
+    ty_s = types.select(
+        F.col(entity_col).alias("s"), F.col(type_col).alias("_st")
+    )
+    ty_o = types.select(
+        F.col(entity_col).alias("o"), F.col(type_col).alias("_ot")
+    )
+    constrained = t.join(sh, "pred")
+    dom = (
+        constrained.where(F.col("_dom") != "")
+        .join(ty_s, "s")
+        .where(F.col("_st") != F.col("_dom"))
+        .select(
+            F.lit("domain").alias("kind"),
+            "pred",
+            F.col("s").alias("subj"),
+            F.col("o").alias("obj"),
+            F.col("_st").alias("detail"),
+        )
+    )
+    rng = (
+        constrained.where(F.col("_rng") != "")
+        .join(ty_o, "o")
+        .where(F.col("_ot") != F.col("_rng"))
+        .select(
+            F.lit("range").alias("kind"),
+            "pred",
+            F.col("s").alias("subj"),
+            F.col("o").alias("obj"),
+            F.col("_ot").alias("detail"),
+        )
+    )
+    card = (
+        constrained.where(F.col("_max") > 0)
+        .groupBy("s", "pred", "_max")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") > F.col("_max"))
+        .select(
+            F.lit("max_out").alias("kind"),
+            "pred",
+            F.col("s").alias("subj"),
+            F.lit("").alias("obj"),
+            F.col("n").cast("string").alias("detail"),
+        )
+    )
+    return dom.unionByName(rng).unionByName(card)
+
+
+def validate_shapes_oracle_sql(
+    triples_sql: str, types_sql: str, shapes_sql: str
+) -> str:
+    """DuckDB twin of :func:`validate_shapes`; inputs yield
+    (subj, pred, obj), (entity_id, ent_type), and
+    (pred, domain_type, range_type, max_out)."""
+    return f"""
+WITH t AS MATERIALIZED (SELECT subj AS s, pred, obj AS o FROM ({triples_sql})),
+ty AS MATERIALIZED (SELECT entity_id, ent_type FROM ({types_sql})),
+sh AS MATERIALIZED (SELECT pred, domain_type, range_type,
+                           max_out::BIGINT AS max_out FROM ({shapes_sql})),
+c AS (SELECT t.*, sh.domain_type, sh.range_type, sh.max_out
+      FROM t JOIN sh ON sh.pred = t.pred)
+SELECT 'domain' AS kind, pred, s AS subj, o AS obj, st.ent_type AS detail
+FROM c JOIN ty st ON st.entity_id = c.s
+WHERE domain_type != '' AND st.ent_type != domain_type
+UNION ALL
+SELECT 'range', pred, s, o, ot.ent_type
+FROM c JOIN ty ot ON ot.entity_id = c.o
+WHERE range_type != '' AND ot.ent_type != range_type
+UNION ALL
+SELECT 'max_out', pred, s, '', CAST(n AS VARCHAR)
+FROM (SELECT s, pred, max_out, count(*)::BIGINT AS n
+      FROM c WHERE max_out > 0 GROUP BY 1, 2, 3)
+WHERE n > max_out
+"""
