@@ -2,6 +2,7 @@ from easyner_spark.streaming.pipeline import (
     incremental_kg,
     stateful_crawl_delta,
     stateful_first_seen,
+    stateful_kmv_distinct,
     stream_events,
     stream_pages,
     streaming_sessions,
@@ -12,6 +13,7 @@ __all__ = [
     "incremental_kg",
     "stateful_crawl_delta",
     "stateful_first_seen",
+    "stateful_kmv_distinct",
     "stream_events",
     "stream_pages",
     "streaming_sessions",

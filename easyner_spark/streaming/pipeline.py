@@ -402,3 +402,93 @@ def stateful_crawl_delta(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stateful_kmv_distinct(
+    stream: DataFrame,
+    group_col: str = "host",
+    value_col: str = "url",
+    k: int = 256,
+) -> DataFrame:
+    """Streaming twin of sketches.kmv_sketch: a per-group RUNNING
+    distinct-cardinality estimate maintained across micro-batches in
+    applyInPandasWithState state. State per group is exactly the
+    batch sketch — the bottom-k distinct 48-bit md5 hashes (<= k
+    BIGINTs, bounded forever, no TTL needed) — and the estimate
+    applies the IDENTICAL integer floor inversion, so after any
+    sequence of micro-batches the emitted figure equals what the
+    batch operator computes on the union of all arrivals (pinned by
+    tests/test_streaming.py against kmv_sketch).
+
+    Emits one changelog row per (group, micro-batch that touched it):
+    (group, update_seq, n_min, estimate); append mode so file sinks
+    compose — readers take the max-update_seq row per group for the
+    current figure (the monotone seq comes from state, not wall
+    clock, so replays reproduce it).
+    """
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    kmv_space = 1 << 48
+    in_fields = {f.name: f for f in stream.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[group_col],
+            StructField("update_seq", LongType()),
+            StructField("n_min", LongType()),
+            StructField("estimate", LongType()),
+        ]
+    )
+    state_schema = "sketch array<bigint>, seq bigint"
+
+    def upd(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cur, seq = (
+            (set(state.get[0]), int(state.get[1]))
+            if state.exists
+            else (set(), 0)
+        )
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                # the batch operator hashes CAST(value AS STRING); md5
+                # of the same bytes keeps stream == batch bit-parity
+                h = int(
+                    hashlib.md5(str(v).encode("utf-8")).hexdigest()[:12], 16
+                )
+                cur.add(h)
+        sketch = sorted(cur)[:k]
+        seq += 1
+        state.update((sketch, seq))
+        n_min = len(sketch)
+        est = n_min if n_min < k else ((k - 1) * kmv_space) // max(sketch[-1], 1)
+        return iter(
+            [
+                pd.DataFrame(
+                    [
+                        {
+                            group_col: key[0],
+                            "update_seq": seq,
+                            "n_min": n_min,
+                            "estimate": est,
+                        }
+                    ]
+                )
+            ]
+        )
+
+    return (
+        stream.select(group_col, value_col)
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            upd,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

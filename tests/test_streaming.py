@@ -408,3 +408,67 @@ class TestCurationOpsOnStreams:
         self._assert_stream_eq_batch(
             spark, docs_dir, hashed_linear_score, "m_qual", lambda r: r["id"],
         )
+
+
+class TestStatefulKmvDistinct:
+    def test_running_estimate_matches_batch_sketch(self, spark, tmp_path):
+        """Streaming per-host KMV distinct across two waves: after each
+        group's last update the estimate equals the BATCH kmv_sketch on
+        the union of every arrival so far (state IS the batch sketch)."""
+        from easyner_spark.operators.sketches import kmv_sketch
+        from easyner_spark.streaming import stateful_kmv_distinct
+
+        land = str(tmp_path / "land")
+        os.makedirs(land)
+        cp = str(tmp_path / "cp")
+        out = str(tmp_path / "out")
+        schema = "host string, url string"
+        wave1 = [("h1", f"u{i % 7}") for i in range(20)] + [("h2", "x")]
+        wave2 = [("h1", f"u{i % 11}") for i in range(30)] + [("h3", "y")]
+
+        def run_wave(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(land)
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(land)
+            )
+            q = (
+                stateful_kmv_distinct(stream, "host", "url", k=8)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("checkpointLocation", cp)
+                .option("path", out)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        run_wave(wave1)
+        run_wave(wave2)
+        # changelog: take each host's max-seq row
+        rows = spark.read.parquet(out).collect()
+        final = {}
+        for r in rows:
+            if r.host not in final or r.update_seq > final[r.host].update_seq:
+                final[r.host] = r
+        batch = {
+            r.host: r
+            for r in kmv_sketch(
+                spark.createDataFrame(wave1 + wave2, schema),
+                "url",
+                ["host"],
+                k=8,
+            ).collect()
+        }
+        assert set(final) == set(batch) == {"h1", "h2", "h3"}
+        for h in batch:
+            assert final[h].n_min == batch[h].n_min
+            assert final[h].estimate == batch[h].estimate
+        # h1 exceeded k=8 distinct urls (11): estimate regime, its
+        # figure is the inversion, not the raw count
+        assert final["h1"].n_min == 8
+        # h2/h3 exact regime
+        assert final["h2"].estimate == 1 and final["h3"].estimate == 1
