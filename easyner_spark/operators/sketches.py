@@ -528,7 +528,10 @@ def kmv_sketch(
         raise ValueError(f"k must be >= 2: {k}")
     gcols = list(group_cols or [])
     h = _kmv_hash(F.col(col)).alias("h")
-    proj = df.select(*gcols, h)
+    # NULL values carry no identity: the sketch counts DISTINCT
+    # NON-NULL values (COUNT(DISTINCT x) semantics; an unfiltered
+    # NULL would reach the pandas prune as NA and poison the sort)
+    proj = df.where(F.col(col).isNotNull()).select(*gcols, h)
     schema = proj.schema
 
     def prune(batches):
@@ -673,6 +676,7 @@ WITH src AS MATERIALIZED (
   SELECT {group_expr} AS g,
          ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, {KMV_NIBBLES}))::BIGINT AS h
   FROM ({values_sql})
+  WHERE {value_expr} IS NOT NULL
 ),
 d AS (SELECT DISTINCT g, h FROM src),
 r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM d),
@@ -704,6 +708,7 @@ WITH src AS MATERIALIZED (
   SELECT {group_expr} AS g,
          ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, {KMV_NIBBLES}))::BIGINT AS h
   FROM ({values_sql})
+  WHERE {value_expr} IS NOT NULL
 ),
 d AS (SELECT DISTINCT g, h FROM src),
 sk AS (

@@ -482,7 +482,11 @@ def stateful_kmv_distinct(
         )
 
     return (
-        stream.select(group_col, value_col)
+        # NULL values carry no identity (the batch twin's contract);
+        # unfiltered they would hash as the string 'None'/'nan' and
+        # diverge from kmv_sketch
+        stream.where(F.col(value_col).isNotNull())
+        .select(group_col, value_col)
         .groupBy(group_col)
         .applyInPandasWithState(
             upd,

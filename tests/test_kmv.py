@@ -82,3 +82,16 @@ def test_oracle_twins(spark):
         ).fetchall()
     )
     assert got_ops == want_ops
+
+
+def test_null_values_carry_no_identity(spark):
+    rows = [("g1", "v1"), ("g1", None), ("g1", "v2"), ("g2", None)]
+    got = {r.g: r for r in kmv_sketch(_frame(spark, rows), "v", ["g"], k=8).collect()}
+    # NULLs are not values: g1 counts 2, an all-NULL group vanishes
+    assert set(got) == {"g1"}
+    assert (got["g1"].n_min, got["g1"].estimate) == (2, 2)
+    # oracle agrees on the same frame
+    src = ("SELECT * FROM (VALUES ('g1', 'v1'), ('g1', NULL), "
+           "('g1', 'v2'), ('g2', NULL)) AS t(g, v)")
+    want = duckdb.sql(kmv_sketch_oracle_sql(src, "g", "v", k=8)).fetchall()
+    assert [(r[0], r[1], r[3]) for r in want] == [("g1", 2, 2)]
