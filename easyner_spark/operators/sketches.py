@@ -594,8 +594,10 @@ def kmv_set_ops(
     the same order-statistic inversion, overlap = |X ∩ sketch_a ∩
     sketch_b| (for x in X, membership in a sketch == membership in
     the full set — a fuller set's smaller hashes would have evicted x
-    from X first), jaccard_micro = overlap * 1e6 div |X|, and
-    inter_est = overlap * union_est div |X|. All BIGINT floor
+    from X first), jaccard_micro = overlap * 1e6 div |X|,
+    inter_est = overlap * union_est div |X|, plus the set-DIFFERENCE
+    sample counts a_only / b_only (X members in exactly one sketch)
+    and their scaled estimates. All BIGINT floor
     arithmetic ((k-1)*2^48 div h_k <= 2^48 since the k-th smallest of
     k distinct non-negatives is >= k-1, so overlap * union_est stays
     in BIGINT for k <= 4096). Exact (not estimates) whenever |X| < k.
@@ -626,6 +628,7 @@ def kmv_set_ops(
             F.size(
                 F.array_intersect(F.array_intersect("x", "sk_a"), "sk_b")
             ).alias("overlap"),
+            F.size(F.array_intersect("x", "sk_a")).alias("_xa"),
         )
     )
     union_est = F.when(
@@ -643,9 +646,12 @@ def kmv_set_ops(
         union_est.alias("union_est"),
         F.col("overlap").cast("long").alias("overlap"),
         F.expr("(overlap * 1000000) div sx").cast("long").alias("jaccard_micro"),
-        (
-            F.col("overlap").cast("long") * union_est
-        ).alias("_oe"),
+        (F.col("overlap").cast("long") * union_est).alias("_oe"),
+        # X members in exactly one sketch: the set-DIFFERENCE counts
+        # (for x in X, sketch membership == full-set membership, so
+        # these are unbiased |A\B| / |B\A| sample counts over X)
+        (F.col("_xa") - F.col("overlap")).cast("long").alias("_ao"),
+        (F.col("sx") - F.col("_xa")).cast("long").alias("_bo"),
     ).select(
         "g_a",
         "g_b",
@@ -654,6 +660,10 @@ def kmv_set_ops(
         "overlap",
         "jaccard_micro",
         F.expr("_oe div n_union_min").alias("inter_est"),
+        F.col("_ao").alias("a_only"),
+        F.col("_bo").alias("b_only"),
+        F.expr("(_ao * union_est) div n_union_min").alias("a_only_est"),
+        F.expr("(_bo * union_est) div n_union_min").alias("b_only_est"),
     )
 
 
@@ -737,17 +747,26 @@ st AS (
          count(*) FILTER (
            WHERE EXISTS (SELECT 1 FROM sk a WHERE a.g = x.g_a AND a.h = x.h)
              AND EXISTS (SELECT 1 FROM sk b WHERE b.g = x.g_b AND b.h = x.h)
-         )::BIGINT AS overlap
+         )::BIGINT AS overlap,
+         count(*) FILTER (
+           WHERE EXISTS (SELECT 1 FROM sk a WHERE a.g = x.g_a AND a.h = x.h)
+         )::BIGINT AS xa
   FROM x GROUP BY 1, 2
+),
+fin AS (
+  SELECT *,
+         CASE WHEN sx < {ki} THEN sx
+              ELSE ({ki - 1}::BIGINT * {KMV_SPACE}::BIGINT)
+                   // greatest(kth, 1) END AS union_est,
+         xa - overlap AS a_only,
+         sx - xa AS b_only
+  FROM st
 )
-SELECT g_a, g_b, sx AS n_union_min,
-       CASE WHEN sx < {ki} THEN sx
-            ELSE ({ki - 1}::BIGINT * {KMV_SPACE}::BIGINT)
-                 // greatest(kth, 1) END AS union_est,
-       overlap,
+SELECT g_a, g_b, sx AS n_union_min, union_est, overlap,
        (overlap * 1000000) // sx AS jaccard_micro,
-       (overlap * CASE WHEN sx < {ki} THEN sx
-            ELSE ({ki - 1}::BIGINT * {KMV_SPACE}::BIGINT)
-                 // greatest(kth, 1) END) // sx AS inter_est
-FROM st
+       (overlap * union_est) // sx AS inter_est,
+       a_only, b_only,
+       (a_only * union_est) // sx AS a_only_est,
+       (b_only * union_est) // sx AS b_only_est
+FROM fin
 """

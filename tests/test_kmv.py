@@ -37,6 +37,9 @@ def test_exact_regime(spark):
     assert (r.n_union_min, r.union_est, r.overlap) == (8, 8, 3)
     assert r.jaccard_micro == 3 * 1_000_000 // 8
     assert r.inter_est == 3
+    # exact set differences: g1\g2 = {v1,v2}, g2\g1 = {v6,v7,v8}
+    assert (r.a_only, r.b_only) == (2, 3)
+    assert (r.a_only_est, r.b_only_est) == (2, 3)
 
 
 def test_estimate_regime_and_partition_invariance(spark):
