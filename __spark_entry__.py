@@ -2275,6 +2275,52 @@ def q_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_summaries(_kg_rules_triples(spark, sf_dir), k=3)
 
 
+def q_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two deterministic epoch halves of
+    the corpus (even vs odd doc_id) over the text-length histogram —
+    exact micro-unit shares and signed deltas; sum(abs_delta)/2 is the
+    total-variation distance, the crawl-shift tripwire."""
+    from easyner_spark.operators.sketches import (
+        histogram_drift,
+        histogram_fixed_bins,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = d.where(F.col("doc_id") % 2 == 0).select(
+        F.length("text").alias("x")
+    )
+    b = d.where(F.col("doc_id") % 2 == 1).select(
+        (F.length("text") + (F.col("doc_id") % 90)).alias("x")
+    )
+    return histogram_drift(
+        histogram_fixed_bins(a, "x", bin_width=100, n_bins=12),
+        histogram_fixed_bins(b, "x", bin_width=100, n_bins=12),
+    )
+
+
+def _length_drift_oracle() -> str:
+    """q_length_drift oracle: two histogram twins through the drift
+    twin."""
+    from easyner_spark.operators.sketches import (
+        histogram_drift_oracle_sql,
+        histogram_oracle_sql,
+    )
+
+    ha = histogram_oracle_sql(
+        "length(text)",
+        100,
+        12,
+        source="(SELECT * FROM documents WHERE doc_id % 2 = 0) AS da",
+    )
+    hb = histogram_oracle_sql(
+        "length(text) + (doc_id % 90)",
+        100,
+        12,
+        source="(SELECT * FROM documents WHERE doc_id % 2 = 1) AS db",
+    )
+    return histogram_drift_oracle_sql(ha, hb)
+
+
 # Declared SHACL-lite shapes for the rule KG. One definition per side.
 _KG_SHAPES_SQL = """SELECT * FROM (VALUES
   ('works_for', 'person', 'org', 2),
@@ -5820,6 +5866,7 @@ _DRIVER_WINDOW_FIRST = [
     "pred_support",          # NEW: predicate source-diversity QA
     "kg_ntriples",           # NEW: RDF N-Triples serialization
     "kg_shapes",             # NEW: SHACL-lite shape validation
+    "length_drift",          # NEW: epoch distribution drift monitor
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -5930,6 +5977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pred_support": q_pred_support,
         "kg_ntriples": q_kg_ntriples,
         "kg_shapes": q_kg_shapes,
+        "length_drift": q_length_drift,
         "kg_random_walks": q_kg_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "kg_degree_stats": q_kg_degree_stats,
@@ -9868,6 +9916,8 @@ FROM c
         "kg_ntriples": _kg_ntriples_oracle(),
         # SHACL-lite shape validation (triples.validate_shapes_oracle_sql)
         "kg_shapes": _kg_shapes_oracle(),
+        # Epoch distribution drift (sketches.histogram_drift_oracle_sql)
+        "length_drift": _length_drift_oracle(),
         # Deterministic DeepWalk corpus (graph.kg_random_walks_oracle_sql)
         "kg_random_walks": _kg_random_walks_oracle(),
         # Skip-gram pairs over the walk corpus

@@ -770,3 +770,84 @@ SELECT g_a, g_b, sx AS n_union_min, union_est, overlap,
        (b_only * union_est) // sx AS b_only_est
 FROM fin
 """
+
+
+def histogram_drift(
+    hist_a: DataFrame,
+    hist_b: DataFrame,
+) -> DataFrame:
+    """Distribution-drift monitor between two epochs' fixed-bin
+    histograms (both from :func:`histogram_fixed_bins` with the SAME
+    binning): per-bin exact micro-unit shares and their signed delta,
+    plus a 1-row-per-bin total-variation contribution — sum(
+    abs_delta_micro) div 2 over the output IS the total-variation
+    distance in micro-units, the standard crawl-shift tripwire
+    ("epoch 12's length distribution moved 8% of mass vs epoch 11"),
+    all BIGINT so the alert threshold is bit-reproducible. Bins
+    absent on one side count as zero there (full outer join).
+
+    Scale: inputs are <= n_bins rows by construction — this is
+    bounded-table arithmetic, the one place tiny frames are the
+    honest design (the exact_quantiles contract class).
+    """
+    tot_a = hist_a.agg(F.sum("n").cast("long").alias("ta"))
+    tot_b = hist_b.agg(F.sum("n").cast("long").alias("tb"))
+    a = hist_a.select("bin", "lo", "hi", F.col("n").alias("n_a"))
+    b = hist_b.select("bin", "lo", "hi", F.col("n").alias("n_b"))
+    j = (
+        a.join(b, ["bin", "lo", "hi"], "full_outer")
+        .select(
+            "bin",
+            "lo",
+            "hi",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+        .crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    return j.select(
+        "bin",
+        "lo",
+        "hi",
+        "n_a",
+        "n_b",
+        F.expr("(n_a * 1000000) div greatest(ta, 1)").alias("share_a_micro"),
+        F.expr("(n_b * 1000000) div greatest(tb, 1)").alias("share_b_micro"),
+        F.expr(
+            "(n_b * 1000000) div greatest(tb, 1)"
+            " - (n_a * 1000000) div greatest(ta, 1)"
+        ).alias("delta_micro"),
+        F.expr(
+            "abs((n_b * 1000000) div greatest(tb, 1)"
+            " - (n_a * 1000000) div greatest(ta, 1))"
+        ).alias("abs_delta_micro"),
+    )
+
+
+def histogram_drift_oracle_sql(hist_a_sql: str, hist_b_sql: str) -> str:
+    """DuckDB twin of :func:`histogram_drift`; inputs yield
+    (bin, lo, hi, n) — typically two :func:`histogram_oracle_sql`
+    results."""
+    return f"""
+WITH ha AS MATERIALIZED (SELECT * FROM ({hist_a_sql})),
+hb AS MATERIALIZED (SELECT * FROM ({hist_b_sql})),
+ta AS (SELECT greatest(sum(n), 1)::BIGINT AS t FROM ha),
+tb AS (SELECT greatest(sum(n), 1)::BIGINT AS t FROM hb),
+j AS (
+  SELECT coalesce(ha.bin, hb.bin) AS bin,
+         coalesce(ha.lo, hb.lo) AS lo,
+         coalesce(ha.hi, hb.hi) AS hi,
+         coalesce(ha.n, 0)::BIGINT AS n_a,
+         coalesce(hb.n, 0)::BIGINT AS n_b
+  FROM ha FULL OUTER JOIN hb
+    ON ha.bin = hb.bin AND ha.lo = hb.lo AND ha.hi = hb.hi
+)
+SELECT bin, lo, hi, n_a, n_b,
+       (n_a * 1000000) // ta.t AS share_a_micro,
+       (n_b * 1000000) // tb.t AS share_b_micro,
+       (n_b * 1000000) // tb.t - (n_a * 1000000) // ta.t AS delta_micro,
+       abs((n_b * 1000000) // tb.t - (n_a * 1000000) // ta.t)
+         AS abs_delta_micro
+FROM j, ta, tb
+"""

@@ -98,3 +98,41 @@ def test_null_values_carry_no_identity(spark):
            "('g1', 'v2'), ('g2', NULL)) AS t(g, v)")
     want = duckdb.sql(kmv_sketch_oracle_sql(src, "g", "v", k=8)).fetchall()
     assert [(r[0], r[1], r[3]) for r in want] == [("g1", 2, 2)]
+
+
+def test_histogram_drift(spark):
+    from easyner_spark.operators.sketches import (
+        histogram_drift,
+        histogram_drift_oracle_sql,
+        histogram_fixed_bins,
+    )
+    from pyspark.sql import functions as F
+
+    # epoch A: uniform 0..99; epoch B: shifted mass into the tail bin
+    a = spark.range(100).select(F.col("id").alias("x"))
+    b = spark.range(100).select((F.col("id") % 40 + 60).alias("x"))
+    ha = histogram_fixed_bins(a, "x", bin_width=25, n_bins=4)
+    hb = histogram_fixed_bins(b, "x", bin_width=25, n_bins=4)
+    rows = {r.bin: r for r in histogram_drift(ha, hb).collect()}
+    # A: 25 rows per bin (shares 250k); B: bins 0,1 empty (absent side
+    # counts as zero), bins 2/3 hold 45/55 rows (shares 450k/550k)
+    assert rows[0].n_b == 0 and rows[0].share_a_micro == 250_000
+    assert rows[0].delta_micro == -250_000
+    tv = sum(r.abs_delta_micro for r in rows.values()) // 2
+    assert tv == 500_000  # half the mass moved
+    # oracle twin on the same frames via VALUES
+    import duckdb
+
+    def vals(df):
+        return "SELECT * FROM (VALUES " + ", ".join(
+            f"({r.bin}, {r.lo}, {r.hi}, {r.n})" for r in df.collect()
+        ) + ") AS h(bin, lo, hi, n)"
+
+    got = sorted(tuple(r) for r in histogram_drift(ha, hb).collect())
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            histogram_drift_oracle_sql(vals(ha), vals(hb))
+        ).fetchall()
+    )
+    assert got == want
