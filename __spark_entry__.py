@@ -5827,6 +5827,81 @@ def q_flair_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_rules_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (src, dst) directed edge set of the designed rule KG
+    (no self loops) — the shared graph under the path-query fixtures."""
+    t = _kg_rules_triples(spark, sf_dir)
+    return (
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_kg_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark BFS distances (GraphFrames shortestPaths contract)
+    over the rule-KG edge set: every node's directed hop distance to
+    landmarks n0/n5 within 3 hops — reverse frontier expansion, first
+    arrival is minimal, hop counts exact BIGINT."""
+    from easyner_spark.operators.graph import shortest_paths
+
+    return shortest_paths(
+        _kg_rules_edges(spark, sf_dir), ("n0", "n5"), k=3
+    )
+
+
+def q_kg_paths_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded simple-path enumeration ("how is X connected to Y"):
+    every <=3-hop cycle-free directed path from n1/n2 into n0/n3 over
+    the rule KG, the full hop sequence spelled out as 'a>b>c' — the
+    provenance view a KG consumer shows next to an inferred edge."""
+    from easyner_spark.operators.graph import kg_paths
+
+    return kg_paths(
+        _kg_rules_edges(spark, sf_dir),
+        sources=("n1", "n2"),
+        targets=("n0", "n3"),
+        max_len=3,
+    )
+
+
+# Blocking-evaluation fixture: records are the documents themselves;
+# gold duplicate pairs are (d, d+1) for doc_id % 4 = 0, the "blocker"
+# under evaluation recalls half of gold (doc_id % 8 = 0) and adds
+# (d, d+2) noise pairs for doc_id % 5 = 0. One definition per side.
+_BQ_GOLD_SQL = """SELECT 'd' || doc_id AS a, 'd' || (doc_id + 1) AS b
+  FROM documents WHERE doc_id % 4 = 0"""
+_BQ_CAND_SQL = """SELECT 'd' || doc_id AS a, 'd' || (doc_id + 1) AS b
+  FROM documents WHERE doc_id % 8 = 0
+  UNION ALL
+  SELECT 'd' || (doc_id + 2) AS a, 'd' || doc_id AS b
+  FROM documents WHERE doc_id % 5 = 0"""
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER-blocking evaluation (Christen's pairs-completeness / pairs-
+    quality / reduction-ratio triple) of a deterministic half-recall
+    blocker against designed gold duplicate pairs — all-BIGINT
+    micro-unit floors, the tuning harness for every LSH/blocking
+    candidate generator in operators/dedup."""
+    from easyner_spark.operators.dedup import blocking_quality
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    dd = lambda c: F.concat(F.lit("d"), c.cast("string"))  # noqa: E731
+    gold = d.where(did % 4 == 0).select(
+        dd(did).alias("a"), dd(did + 1).alias("b")
+    )
+    cand = d.where(did % 8 == 0).select(
+        dd(did).alias("a"), dd(did + 1).alias("b")
+    ).unionByName(
+        d.where(did % 5 == 0).select(
+            dd(did + 2).alias("a"), dd(did).alias("b")
+        )
+    )
+    return blocking_quality(cand, gold, n_records=d.count())
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> sentences -> dictionary NER -> ranked entity
     frequency top-50 (the reference pipeline's main output,
@@ -5867,6 +5942,9 @@ _DRIVER_WINDOW_FIRST = [
     "kg_ntriples",           # NEW: RDF N-Triples serialization
     "kg_shapes",             # NEW: SHACL-lite shape validation
     "length_drift",          # NEW: epoch distribution drift monitor
+    "kg_shortest_paths",     # NEW: landmark BFS distances
+    "kg_paths",              # NEW: bounded simple-path enumeration
+    "blocking_quality",      # NEW: ER-blocking evaluation triple
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -5970,6 +6048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_signatures": q_kg_pred_signatures,
         "kg_pred_equiv": q_kg_pred_equiv,
         "kg_type_infer": q_kg_type_infer,
+        "kg_shortest_paths": q_kg_shortest_paths,
+        "kg_paths": q_kg_paths_2hop,
+        "blocking_quality": q_blocking_quality,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
         "zorder_keys": q_zorder_keys,
@@ -8118,6 +8199,61 @@ def _kg_type_infer_oracle() -> str:
     return infer_entity_types_oracle_sql(_KG_RULES_SQL, _KG_SPARSE_TYPES_SQL)
 
 
+def _kg_shortest_paths_oracle() -> str:
+    """q_kg_shortest_paths oracle: the rule-KG edge set walked
+    backwards from the landmarks by the operator's recursive twin."""
+    from easyner_spark.operators.graph import shortest_paths_oracle_sql
+
+    prefix = f"""WITH RECURSIVE kgrE AS ({_KG_RULES_SQL}),
+spE AS (SELECT DISTINCT subj AS a, obj AS b FROM kgrE WHERE subj <> obj)"""
+    return shortest_paths_oracle_sql(prefix, ("n0", "n5"), k=3)
+
+
+def _kg_paths_oracle() -> str:
+    """q_kg_paths_2hop oracle: fenced simple-path recursion over the
+    same edge set."""
+    from easyner_spark.operators.graph import kg_paths_oracle_sql
+
+    prefix = f"""WITH RECURSIVE kgrE AS ({_KG_RULES_SQL}),
+kpE AS (SELECT DISTINCT subj AS a, obj AS b FROM kgrE WHERE subj <> obj)"""
+    return kg_paths_oracle_sql(
+        prefix, sources=("n1", "n2"), targets=("n0", "n3"), max_len=3
+    )
+
+
+def _blocking_quality_oracle() -> str:
+    """q_blocking_quality oracle: the module twin's arithmetic with
+    n_records computed in-SQL (count of documents, matching the Spark
+    side's d.count())."""
+    return f"""
+WITH bq_cand AS (
+  SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+  FROM ({_BQ_CAND_SQL}) WHERE a <> b
+),
+bq_gold AS (
+  SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+  FROM ({_BQ_GOLD_SQL}) WHERE a <> b
+),
+bq_counts AS (
+  SELECT
+    (SELECT count(*) FROM bq_cand)::BIGINT AS n_cand,
+    (SELECT count(*) FROM bq_gold)::BIGINT AS n_gold,
+    (SELECT count(*) FROM bq_cand c
+       WHERE EXISTS (SELECT 1 FROM bq_gold g
+                     WHERE g.lo = c.lo AND g.hi = c.hi))::BIGINT AS n_true,
+    (SELECT count(*) FROM documents)::BIGINT AS nrec
+)
+SELECT n_cand, n_gold, n_true,
+  CASE WHEN n_gold > 0
+       THEN (1000000 * n_true) // n_gold ELSE NULL END::BIGINT AS pc_micro,
+  CASE WHEN n_cand > 0
+       THEN (1000000 * n_true) // n_cand ELSE NULL END::BIGINT AS pq_micro,
+  (1000000 - (1000000 * n_cand) // ((nrec * (nrec - 1)) // 2))::BIGINT
+    AS rr_micro
+FROM bq_counts
+"""
+
+
 def _kg_shapes_oracle() -> str:
     """q_kg_shapes oracle: rule-KG triples + residue types + the
     declared shapes through the operator's module-local twin."""
@@ -9900,6 +10036,9 @@ FROM c
         # Signature-vote type propagation to untyped entities
         # (triples.infer_entity_types_oracle_sql)
         "kg_type_infer": _kg_type_infer_oracle(),
+        "kg_shortest_paths": _kg_shortest_paths_oracle(),
+        "kg_paths": _kg_paths_oracle(),
+        "blocking_quality": _blocking_quality_oracle(),
         # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
         "host_kmv": _host_kmv_oracle(),
         # Sketch-only pairwise set-operation estimates

@@ -1221,3 +1221,119 @@ wpairs AS (
 )
 SELECT a, b, n_shared FROM wpairs WHERE n_shared >= {min_shared}
 """
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    gold: DataFrame,
+    n_records: int,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """One row of entity-resolution blocking metrics — the evaluation
+    harness for EVERY candidate generator in this module (minhash_lsh_
+    pairs, simhash_pairs, winnow_candidate_pairs, name_similarity
+    blocking): given the candidate pair set a blocker emitted and a
+    gold duplicate-pair set, report
+
+        n_cand, n_gold, n_true   exact pair counts (BIGINT)
+        pc_micro   pairs completeness = recall of gold pairs,
+                   floor(1e6 * n_true / n_gold)
+        pq_micro   pairs quality = precision of candidates,
+                   floor(1e6 * n_true / n_cand)
+        rr_micro   reduction ratio vs the all-pairs quadratic,
+                   1e6 - floor(1e6 * n_cand / C(n_records, 2))
+
+    the standard blocking triple (Christen, "Data Matching", ch. 7).
+    The tension it measures is THE 100-TB dedup design question: LSH
+    band count / shingle size trade pc against rr, and this operator
+    is how you tune them on a labeled sample before burning a corpus
+    pass.
+
+    Exactness: all-BIGINT micro-unit floors — products stay below
+    2^63 for any n_true/n_cand < ~9.2e12 pairs, far beyond a labeled
+    evaluation sample by contract. Pairs are normalized to unordered
+    (least, greatest) DISTINCT form on BOTH inputs first, so emit
+    order and duplicates in either input cannot skew counts.
+
+    Shape: two distinct-aggregates plus ONE broadcast-sized equi-join
+    (the gold side of an evaluation is small by definition; Catalyst
+    AQE broadcasts it), then three 1-row aggregates combined by
+    broadcast cross joins — no collect, no single-partition window.
+    """
+    if n_records < 2:
+        raise ValueError("blocking_quality needs n_records >= 2")
+
+    def _norm(df: DataFrame) -> DataFrame:
+        a, b = F.col(a_col), F.col(b_col)
+        return (
+            df.select(
+                F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi")
+            )
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    cand_n = _norm(candidates).localCheckpoint(eager=True)
+    gold_n = _norm(gold).localCheckpoint(eager=True)
+    n_cand = cand_n.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_gold = gold_n.agg(F.count(F.lit(1)).alias("n_gold"))
+    n_true = cand_n.join(gold_n, ["lo", "hi"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    total_pairs = n_records * (n_records - 1) // 2
+    out = (
+        n_cand.crossJoin(F.broadcast(n_gold))
+        .crossJoin(F.broadcast(n_true))
+    )
+    return out.select(
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.col("n_gold").cast("long").alias("n_gold"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.expr(
+            "CASE WHEN n_gold > 0 THEN (1000000 * n_true) div n_gold END"
+        )
+        .cast("long")
+        .alias("pc_micro"),
+        F.expr(
+            "CASE WHEN n_cand > 0 THEN (1000000 * n_true) div n_cand END"
+        )
+        .cast("long")
+        .alias("pq_micro"),
+        F.expr(f"1000000 - (1000000 * n_cand) div CAST({total_pairs} AS BIGINT)")
+        .cast("long")
+        .alias("rr_micro"),
+    )
+
+
+def blocking_quality_oracle_sql(
+    cand_sql: str, gold_sql: str, n_records: int
+) -> str:
+    """DuckDB twin of :func:`blocking_quality`; `cand_sql` / `gold_sql`
+    each yield (a, b) pair rows (any order/duplication)."""
+    total_pairs = n_records * (n_records - 1) // 2
+    return f"""
+WITH bq_cand AS (
+  SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+  FROM ({cand_sql}) WHERE a <> b
+),
+bq_gold AS (
+  SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+  FROM ({gold_sql}) WHERE a <> b
+),
+bq_counts AS (
+  SELECT
+    (SELECT count(*) FROM bq_cand)::BIGINT AS n_cand,
+    (SELECT count(*) FROM bq_gold)::BIGINT AS n_gold,
+    (SELECT count(*) FROM bq_cand c
+       WHERE EXISTS (SELECT 1 FROM bq_gold g
+                     WHERE g.lo = c.lo AND g.hi = c.hi))::BIGINT AS n_true
+)
+SELECT n_cand, n_gold, n_true,
+  CASE WHEN n_gold > 0
+       THEN (1000000 * n_true) // n_gold ELSE NULL END::BIGINT AS pc_micro,
+  CASE WHEN n_cand > 0
+       THEN (1000000 * n_true) // n_cand ELSE NULL END::BIGINT AS pq_micro,
+  (1000000 - (1000000 * n_cand) // {total_pairs})::BIGINT AS rr_micro
+FROM bq_counts
+"""

@@ -2430,3 +2430,188 @@ FROM p{iters} p JOIN nodes n ON p.node = n.node
 """,
     )
     return "".join(parts)
+
+
+def shortest_paths(
+    edges: DataFrame,
+    landmarks: tuple[str, ...],
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, landmark, dist) — bounded BFS distance from every node
+    that can reach a landmark to that landmark along DIRECTED edges
+    (node ->* landmark, dist <= k hops; the landmark itself appears
+    at dist 0). The GraphFrames `shortestPaths` contract re-expressed
+    as plain DataFrame joins — the KG "how far is every entity from
+    these hub entities" primitive that k_hop (reachability only) and
+    harmonic_centrality (aggregate only) don't expose.
+
+    Shape: REVERSE frontier expansion — seed one row per landmark,
+    then k rounds of edge-join walking edges backwards (if `b` is at
+    dist d from a landmark, `a` with a->b is at d+1). First arrival
+    is minimal by BFS invariant, enforced by a left_anti against the
+    known table, so no min() re-aggregation is needed; each round is
+    ONE equi-join + anti-join, `localCheckpoint` cuts the iterative
+    lineage exactly like pagerank/components. Integer-exact end to
+    end — dist is a hop count.
+
+    Scale: the frontier is |reachable-within-k| x |landmarks| rows at
+    worst; landmarks are a small explicit tuple (hub entities, seed
+    pages) by contract — the landmark dimension multiplies state, so
+    callers with thousands of landmarks should batch them. Hot
+    landmark in-degree concentrates on the landmark's frontier rows;
+    the equi-join key is the frontier node, which spreads across the
+    expanding wavefront after round 1 (no single-reducer pattern).
+    """
+    if k < 1:
+        raise ValueError("shortest_paths needs k >= 1")
+    if not landmarks:
+        raise ValueError("shortest_paths needs at least one landmark")
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    known = spark.createDataFrame(
+        [(m, m, 0) for m in landmarks], ["node", "landmark", "dist"]
+    ).select("node", "landmark", F.col("dist").cast("long").alias("dist"))
+    frontier = known
+    for d in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["b"])
+            .select(
+                e["a"].alias("node"),
+                "landmark",
+                F.lit(d).cast("long").alias("dist"),
+            )
+            .distinct()
+        )
+        frontier = nxt.join(known, ["node", "landmark"], "left_anti")
+        # breaks the e-derived lineage so round d+1's join to e is not
+        # an ambiguous self-join (and caps the iterative plan depth)
+        frontier = frontier.localCheckpoint(eager=True)
+        known = known.unionByName(frontier).localCheckpoint(eager=True)
+    return known
+
+
+def shortest_paths_oracle_sql(
+    prefix_cte: str, landmarks: tuple[str, ...], k: int = 3
+) -> str:
+    """DuckDB twin of :func:`shortest_paths`; `prefix_cte` is a
+    complete WITH RECURSIVE chain whose LAST relation is spE(a, b) —
+    DISTINCT directed edges, no self loops."""
+    seeds = " UNION ALL ".join(f"SELECT '{m}' AS landmark" for m in landmarks)
+    return f"""{prefix_cte},
+spL AS ({seeds}),
+spW(node, landmark, dist) AS (
+  SELECT landmark, landmark, 0 FROM spL
+  UNION
+  SELECT e.a, w.landmark, w.dist + 1
+  FROM spW w JOIN spE e ON e.b = w.node
+  WHERE w.dist < {k}
+)
+SELECT node, landmark, min(dist)::BIGINT AS dist
+FROM spW GROUP BY node, landmark
+"""
+
+
+def kg_paths(
+    edges: DataFrame,
+    sources: tuple[str, ...],
+    targets: tuple[str, ...],
+    max_len: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(src, dst, path, hops) — every SIMPLE directed path (no
+    repeated node) of 1..max_len hops from a source-set entity to a
+    target-set entity, with the full hop sequence spelled out as
+    'a>b>c'. The "how is X connected to Y" explanation query: k_hop
+    says THAT two entities connect, this says HOW — the provenance a
+    KG consumer shows next to an inferred relation.
+
+    Shape: iterative path-extension joins. Round i joins the round
+    i-1 frontier to the edge table on the path head; the simple-path
+    guard is a substring test against the '|'-fenced node list
+    ('|a|b|' NOT CONTAINS '|b|'), fencing both ends so ids that are
+    substrings of other ids cannot false-positive. Every path string
+    encodes its complete walk, and edges are deduplicated first, so
+    each path is generated exactly once — plain unionByName, no
+    dedup shuffles. Integer/string-exact end to end.
+
+    Scale: path enumeration is exponential in max_len by nature —
+    this is an EXPLANATION query over a handful of query entities,
+    not a corpus sweep; sources/targets are small explicit tuples by
+    contract and the source-set filter is the first thing pushed into
+    the edge scan. State per round is (paths alive) rows, each a
+    short string; hub fan-out inside a round spreads across tasks on
+    the join key (path head), the same wavefront argument as
+    shortest_paths. localCheckpoint per round cuts the lineage.
+    """
+    if max_len < 1:
+        raise ValueError("kg_paths needs max_len >= 1")
+    if not sources or not targets:
+        raise ValueError("kg_paths needs non-empty sources and targets")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    fence = lambda c: F.concat(F.lit("|"), c, F.lit("|"))  # noqa: E731
+    start = e.where(F.col("a").isin(*sources)).select(
+        F.col("a").alias("first"),
+        F.col("b").alias("node"),
+        F.concat(fence(F.col("a")), F.col("b"), F.lit("|")).alias("fenced"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    paths = start.localCheckpoint(eager=True)
+    frontier = paths
+    for i in range(2, max_len + 1):
+        frontier = (
+            frontier.join(e, frontier["node"] == e["a"])
+            .where(~F.col("fenced").contains(fence(e["b"])))
+            .select(
+                "first",
+                e["b"].alias("node"),
+                F.concat(F.col("fenced"), e["b"], F.lit("|")).alias("fenced"),
+                F.lit(i).cast("long").alias("hops"),
+            )
+        ).localCheckpoint(eager=True)
+        paths = paths.unionByName(frontier)
+    return paths.where(F.col("node").isin(*targets)).select(
+        F.col("first").alias("src"),
+        F.col("node").alias("dst"),
+        F.regexp_replace(
+            F.expr("trim(BOTH '|' FROM fenced)"), r"\|", ">"
+        ).alias("path"),
+        "hops",
+    )
+
+
+def kg_paths_oracle_sql(
+    prefix_cte: str,
+    sources: tuple[str, ...],
+    targets: tuple[str, ...],
+    max_len: int = 3,
+) -> str:
+    """DuckDB twin of :func:`kg_paths`; `prefix_cte` is a complete
+    WITH RECURSIVE chain whose LAST relation is kpE(a, b) — DISTINCT
+    directed edges, no self loops."""
+    src_list = ", ".join(f"'{s}'" for s in sources)
+    dst_list = ", ".join(f"'{t}'" for t in targets)
+    return f"""{prefix_cte},
+kpW(first, node, fenced, hops) AS (
+  SELECT a, b, '|' || a || '|' || b || '|', 1
+  FROM kpE WHERE a IN ({src_list})
+  UNION ALL
+  SELECT w.first, e.b, w.fenced || e.b || '|', w.hops + 1
+  FROM kpW w JOIN kpE e ON w.node = e.a
+  WHERE w.hops < {max_len}
+    AND strpos(w.fenced, '|' || e.b || '|') = 0
+)
+SELECT first AS src, node AS dst,
+       replace(trim(fenced, '|'), '|', '>') AS path, hops::BIGINT AS hops
+FROM kpW WHERE node IN ({dst_list})
+"""
