@@ -5865,6 +5865,29 @@ def q_kg_paths_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_schema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-level quotient of the rule KG (person/place/org residue
+    types, n7 untyped -> 'unknown'): every (subj_type, pred, obj_type)
+    cell with exact edge and distinct-participant counts — the schema
+    summary and BGP-planner statistics table."""
+    from easyner_spark.operators.triples import schema_graph
+
+    return schema_graph(
+        _kg_rules_triples(spark, sf_dir), _kg_rules_types(spark, sf_dir)
+    )
+
+
+def q_kg_metapath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """works_for>located_in metapath composition over the rule KG:
+    "entity connected to place via an employer", with the exact count
+    of distinct intermediate instantiations as edge weight."""
+    from easyner_spark.operators.triples import metapath_join
+
+    return metapath_join(
+        _kg_rules_triples(spark, sf_dir), ("works_for", "located_in")
+    )
+
+
 # Blocking-evaluation fixture: records are the documents themselves;
 # gold duplicate pairs are (d, d+1) for doc_id % 4 = 0, the "blocker"
 # under evaluation recalls half of gold (doc_id % 8 = 0) and adds
@@ -5944,6 +5967,8 @@ _DRIVER_WINDOW_FIRST = [
     "length_drift",          # NEW: epoch distribution drift monitor
     "kg_shortest_paths",     # NEW: landmark BFS distances
     "kg_paths",              # NEW: bounded simple-path enumeration
+    "kg_schema_graph",       # NEW: type-level quotient summary
+    "kg_metapath",           # NEW: predicate-sequence composition
     "blocking_quality",      # NEW: ER-blocking evaluation triple
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
@@ -6050,6 +6075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_infer": q_kg_type_infer,
         "kg_shortest_paths": q_kg_shortest_paths,
         "kg_paths": q_kg_paths_2hop,
+        "kg_schema_graph": q_kg_schema_graph,
+        "kg_metapath": q_kg_metapath,
         "blocking_quality": q_blocking_quality,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
@@ -8221,6 +8248,24 @@ kpE AS (SELECT DISTINCT subj AS a, obj AS b FROM kgrE WHERE subj <> obj)"""
     )
 
 
+def _kg_schema_graph_oracle() -> str:
+    """q_kg_schema_graph oracle: rule-KG triples + residue types
+    through the operator's module-local quotient twin."""
+    from easyner_spark.operators.triples import schema_graph_oracle_sql
+
+    return schema_graph_oracle_sql(_KG_RULES_SQL, _KG_TYPES_SQL)
+
+
+def _kg_metapath_oracle() -> str:
+    """q_kg_metapath oracle: rule-KG triples through the operator's
+    chained-hop twin."""
+    from easyner_spark.operators.triples import metapath_join_oracle_sql
+
+    return metapath_join_oracle_sql(
+        _KG_RULES_SQL, ("works_for", "located_in")
+    )
+
+
 def _blocking_quality_oracle() -> str:
     """q_blocking_quality oracle: the module twin's arithmetic with
     n_records computed in-SQL (count of documents, matching the Spark
@@ -10038,6 +10083,8 @@ FROM c
         "kg_type_infer": _kg_type_infer_oracle(),
         "kg_shortest_paths": _kg_shortest_paths_oracle(),
         "kg_paths": _kg_paths_oracle(),
+        "kg_schema_graph": _kg_schema_graph_oracle(),
+        "kg_metapath": _kg_metapath_oracle(),
         "blocking_quality": _blocking_quality_oracle(),
         # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
         "host_kmv": _host_kmv_oracle(),

@@ -2866,3 +2866,169 @@ FROM (SELECT s, pred, max_out, count(*)::BIGINT AS n
       FROM c WHERE max_out > 0 GROUP BY 1, 2, 3)
 WHERE n > max_out
 """
+
+
+def schema_graph(
+    triples: DataFrame,
+    types: DataFrame,
+    subj: str = "subj",
+    obj: str = "obj",
+    id_col: str = "entity_id",
+    type_col: str = "ent_type",
+) -> DataFrame:
+    """(subj_type, pred, obj_type, n_edges, n_subj, n_obj) — the
+    TYPE-LEVEL quotient of the instance KG: every edge mapped to its
+    endpoint types and rolled up, with exact distinct-participant
+    counts per quotient edge. The schema summary a KG consumer reads
+    FIRST (what relates to what, and how broadly), and the
+    size-estimation input a BGP planner (match_patterns) would use;
+    complements predicate_signatures (per-pred argmax shares) by
+    keeping the full type x pred x type matrix. Untyped entities
+    roll up under 'unknown' rather than dropping edges — the quotient
+    must cover the instance graph.
+
+    Shape: the type table is entity-vocabulary-sized (<< edges), so
+    both endpoint joins broadcast; then THREE skew-free aggregates —
+    n_edges is one algebraic count rollup, and each distinct-
+    participant count is a distinct() on a uniform composite key
+    followed by a schema-cardinality count — joined back broadcast
+    (the quotient is small by definition). countDistinct's Expand
+    rewrite (which would triple the map-side stream of the ONE big
+    pass) is deliberately avoided; partial aggs absorb hot predicates
+    everywhere. Integer-exact end to end.
+    """
+    ty = F.broadcast(
+        types.select(
+            F.col(id_col).alias("_e"), F.col(type_col).alias("_t")
+        )
+    )
+    typed = (
+        triples.select(subj, "pred", obj)
+        .join(ty.withColumnRenamed("_e", subj), subj, "left")
+        .withColumnRenamed("_t", "subj_type")
+        .join(
+            ty.withColumnRenamed("_e", obj).withColumnRenamed("_t", "_ot"),
+            obj,
+            "left",
+        )
+        .select(
+            F.coalesce("subj_type", F.lit("unknown")).alias("subj_type"),
+            "pred",
+            F.coalesce("_ot", F.lit("unknown")).alias("obj_type"),
+            F.col(subj).alias("_s"),
+            F.col(obj).alias("_o"),
+        )
+    )
+    keys = ["subj_type", "pred", "obj_type"]
+    n_edges = typed.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    n_subj = (
+        typed.select(*keys, "_s")
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_subj"))
+    )
+    n_obj = (
+        typed.select(*keys, "_o")
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obj"))
+    )
+    return n_edges.join(F.broadcast(n_subj), keys).join(
+        F.broadcast(n_obj), keys
+    )
+
+
+def schema_graph_oracle_sql(triples_sql: str, types_sql: str) -> str:
+    """DuckDB twin of :func:`schema_graph`; `triples_sql` yields
+    (subj, pred, obj), `types_sql` yields (entity_id, ent_type)."""
+    return f"""
+WITH sg_t AS ({triples_sql}),
+sg_ty AS ({types_sql}),
+sg_typed AS (
+  SELECT coalesce(ts.ent_type, 'unknown') AS subj_type, t.pred,
+         coalesce(tyo.ent_type, 'unknown') AS obj_type,
+         t.subj AS s, t.obj AS o
+  FROM sg_t t
+  LEFT JOIN sg_ty ts ON t.subj = ts.entity_id
+  LEFT JOIN sg_ty tyo ON t.obj = tyo.entity_id
+)
+SELECT subj_type, pred, obj_type,
+       count(*)::BIGINT AS n_edges,
+       count(DISTINCT s)::BIGINT AS n_subj,
+       count(DISTINCT o)::BIGINT AS n_obj
+FROM sg_typed GROUP BY subj_type, pred, obj_type
+"""
+
+
+def metapath_join(
+    triples: DataFrame,
+    path: tuple[str, ...],
+    subj: str = "subj",
+    obj: str = "obj",
+) -> DataFrame:
+    """(src, dst, n_paths) — the composed relation along a PREDICATE
+    SEQUENCE: src --p1--> x --p2--> ... --pk--> dst, with the exact
+    count of distinct intermediate instantiations. The heterogeneous-
+    network metapath primitive (PathSim's building block): composing
+    works_for>located_in materializes "person connected to city via
+    an employer", a typed multi-hop relation kg_paths (which
+    enumerates over ALL predicates) cannot express. n_paths is the
+    natural edge weight for downstream similarity or rule evidence.
+
+    Shape: each hop filters the triple table to ONE predicate (the
+    filter pushes to the scan) and deduplicates to its distinct
+    (subj, obj) pairs — multiplicities from repeated extraction must
+    not multiply path counts — then k-1 equi-joins chain hops on the
+    shared intermediate node, and ONE rollup counts instantiations
+    per endpoint pair. Hot intermediate nodes (a hub employer) fan
+    out inside the joins — that is the semantics, the count IS the
+    fan-out — while the final count rollup absorbs them map-side.
+    Each hop is localCheckpoint'ed so chained self-joins of the same
+    source never trip ambiguous-lineage resolution. Integer-exact.
+    """
+    if not path:
+        raise ValueError("metapath_join needs at least one predicate")
+
+    def hop(p: str) -> DataFrame:
+        return (
+            triples.where(F.col("pred") == p)
+            .select(F.col(subj).alias("a"), F.col(obj).alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    cur = hop(path[0]).select(F.col("a").alias("src"), F.col("b").alias("cur"))
+    for p in path[1:]:
+        nxt = hop(p)
+        cur = (
+            cur.join(nxt, cur["cur"] == nxt["a"])
+            .select("src", F.col("b").alias("cur"))
+        )
+    return (
+        cur.groupBy("src", F.col("cur").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+
+
+def metapath_join_oracle_sql(triples_sql: str, path: tuple[str, ...]) -> str:
+    """DuckDB twin of :func:`metapath_join`; `triples_sql` yields
+    (subj, pred, obj)."""
+    ctes = [f"mp_t AS ({triples_sql})"]
+    for i, p in enumerate(path):
+        ctes.append(
+            f"mp_h{i} AS (SELECT DISTINCT subj AS a, obj AS b FROM mp_t "
+            f"WHERE pred = '{p}')"
+        )
+    joins = "mp_h0 h0"
+    for i in range(1, len(path)):
+        joins += f" JOIN mp_h{i} h{i} ON h{i - 1}.b = h{i}.a"
+    last = len(path) - 1
+    cte_body = ",\n".join(ctes)
+    return f"""
+WITH {cte_body}
+SELECT h0.a AS src, h{last}.b AS dst, count(*)::BIGINT AS n_paths
+FROM {joins}
+GROUP BY h0.a, h{last}.b
+"""
