@@ -5888,6 +5888,87 @@ def q_kg_metapath(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Affiliation KG for PathSim: 40 persons across 7 companies of UNEQUAL
+# size (p works_for c(p%7); every 5th person moonlights at c((p+3)%7))
+# with employs as the exact inverse — off-diagonal peer pairs exist and
+# double-affiliation persons get larger diagonals. One def per side.
+_KG_AFFIL_SQL = """WITH affil_p AS (
+  SELECT DISTINCT doc_id % 40 AS x FROM documents
+)
+SELECT 'p' || x AS subj, 'works_for' AS pred, 'c' || (x % 7) AS obj
+  FROM affil_p
+UNION ALL
+SELECT 'c' || (x % 7), 'employs', 'p' || x FROM affil_p
+UNION ALL
+SELECT 'p' || x, 'works_for', 'c' || ((x + 3) % 7) FROM affil_p
+  WHERE x % 5 = 0
+UNION ALL
+SELECT 'c' || ((x + 3) % 7), 'employs', 'p' || x FROM affil_p
+  WHERE x % 5 = 0"""
+
+
+def _kg_affil_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(subj, pred, obj) twin of _KG_AFFIL_SQL."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = d.select((F.col("doc_id") % 40).alias("x")).distinct()
+    px = F.concat(F.lit("p"), F.col("x").cast("string"))
+    c1 = F.concat(F.lit("c"), (F.col("x") % 7).cast("string"))
+    c2 = F.concat(F.lit("c"), ((F.col("x") + 3) % 7).cast("string"))
+    moon = p.where(F.col("x") % 5 == 0)
+    return (
+        p.select(px.alias("subj"), F.lit("works_for").alias("pred"), c1.alias("obj"))
+        .unionByName(
+            p.select(c1.alias("subj"), F.lit("employs").alias("pred"), px.alias("obj"))
+        )
+        .unionByName(
+            moon.select(
+                px.alias("subj"), F.lit("works_for").alias("pred"), c2.alias("obj")
+            )
+        )
+        .unionByName(
+            moon.select(
+                c2.alias("subj"), F.lit("employs").alias("pred"), px.alias("obj")
+            )
+        )
+    )
+
+
+def q_kg_pathsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PathSim peer similarity under the symmetric works_for>employs
+    metapath over the affiliation KG (employs is works_for's exact
+    inverse; unequal company sizes + double affiliations make the
+    normalization bite) — micro-unit floors, each unordered pair once."""
+    from easyner_spark.operators.triples import metapath_pathsim
+
+    return metapath_pathsim(
+        _kg_affil_triples(spark, sf_dir), ("works_for", "employs")
+    )
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-url recrawl scheduling (change rate x staleness, Cho-style)
+    over the 5-fetch synthetic recrawl history crawl_delta uses —
+    all-BIGINT rates and priorities."""
+    from easyner_spark.operators.webtext import recrawl_schedule
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (did % 100).cast("string"), F.lit(".example.net/p")
+    )
+    text = F.concat(
+        F.lit("page content "),
+        (did % 100).cast("string"),
+        F.when(did % 7 < 2, F.lit(" v2")).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        url.alias("url"),
+        (F.lit(1700000000) + did).cast("long").alias("warc_ts"),
+        text.alias("text"),
+    )
+    return recrawl_schedule(pages)
+
+
 # Blocking-evaluation fixture: records are the documents themselves;
 # gold duplicate pairs are (d, d+1) for doc_id % 4 = 0, the "blocker"
 # under evaluation recalls half of gold (doc_id % 8 = 0) and adds
@@ -5969,6 +6050,8 @@ _DRIVER_WINDOW_FIRST = [
     "kg_paths",              # NEW: bounded simple-path enumeration
     "kg_schema_graph",       # NEW: type-level quotient summary
     "kg_metapath",           # NEW: predicate-sequence composition
+    "kg_pathsim",            # NEW: PathSim peer similarity
+    "recrawl_schedule",      # NEW: change-rate x staleness priority
     "blocking_quality",      # NEW: ER-blocking evaluation triple
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
@@ -6077,6 +6160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_paths": q_kg_paths_2hop,
         "kg_schema_graph": q_kg_schema_graph,
         "kg_metapath": q_kg_metapath,
+        "kg_pathsim": q_kg_pathsim,
+        "recrawl_schedule": q_recrawl_schedule,
         "blocking_quality": q_blocking_quality,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
@@ -8266,6 +8351,31 @@ def _kg_metapath_oracle() -> str:
     )
 
 
+def _kg_pathsim_oracle() -> str:
+    """q_kg_pathsim oracle: affiliation-KG triples through the
+    operator's flat-CTE PathSim twin (the fixture's own WITH folds
+    into the twin's chain via a subquery)."""
+    from easyner_spark.operators.triples import metapath_pathsim_oracle_sql
+
+    return metapath_pathsim_oracle_sql(
+        f"SELECT * FROM ({_KG_AFFIL_SQL})", ("works_for", "employs")
+    )
+
+
+def _recrawl_schedule_oracle() -> str:
+    """q_recrawl_schedule oracle: the crawl_delta pages synthesis
+    through the operator's module-local twin."""
+    from easyner_spark.operators.webtext import recrawl_schedule_oracle_sql
+
+    pages_sql = """SELECT
+  'https://site' || (doc_id % 100) || '.example.net/p' AS url,
+  1700000000 + doc_id AS warc_ts,
+  'page content ' || (doc_id % 100)
+  || (CASE WHEN doc_id % 7 < 2 THEN ' v2' ELSE '' END) AS text
+  FROM documents"""
+    return recrawl_schedule_oracle_sql(pages_sql)
+
+
 def _blocking_quality_oracle() -> str:
     """q_blocking_quality oracle: the module twin's arithmetic with
     n_records computed in-SQL (count of documents, matching the Spark
@@ -10085,6 +10195,8 @@ FROM c
         "kg_paths": _kg_paths_oracle(),
         "kg_schema_graph": _kg_schema_graph_oracle(),
         "kg_metapath": _kg_metapath_oracle(),
+        "kg_pathsim": _kg_pathsim_oracle(),
+        "recrawl_schedule": _recrawl_schedule_oracle(),
         "blocking_quality": _blocking_quality_oracle(),
         # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
         "host_kmv": _host_kmv_oracle(),

@@ -3015,6 +3015,20 @@ def metapath_join(
 def metapath_join_oracle_sql(triples_sql: str, path: tuple[str, ...]) -> str:
     """DuckDB twin of :func:`metapath_join`; `triples_sql` yields
     (subj, pred, obj)."""
+    cte_body, joins = _metapath_hop_ctes(triples_sql, path)
+    last = len(path) - 1
+    return f"""
+WITH {cte_body}
+SELECT h0.a AS src, h{last}.b AS dst, count(*)::BIGINT AS n_paths
+FROM {joins}
+GROUP BY h0.a, h{last}.b
+"""
+
+
+def _metapath_hop_ctes(
+    triples_sql: str, path: tuple[str, ...]
+) -> tuple[str, str]:
+    """(cte_body, final_join) shared by the metapath oracles."""
     ctes = [f"mp_t AS ({triples_sql})"]
     for i, p in enumerate(path):
         ctes.append(
@@ -3024,11 +3038,81 @@ def metapath_join_oracle_sql(triples_sql: str, path: tuple[str, ...]) -> str:
     joins = "mp_h0 h0"
     for i in range(1, len(path)):
         joins += f" JOIN mp_h{i} h{i} ON h{i - 1}.b = h{i}.a"
+    return ",\n".join(ctes), joins
+
+
+def metapath_pathsim(
+    triples: DataFrame,
+    path: tuple[str, ...],
+    subj: str = "subj",
+    obj: str = "obj",
+) -> DataFrame:
+    """(a, b, n_paths, sim_micro) — PathSim similarity (Sun et al.,
+    VLDB 2011) between same-type entities under a SYMMETRIC metapath:
+
+        sim(x, y) = 2·M(x, y) / (M(x, x) + M(y, y))
+
+    where M counts distinct metapath instantiations (metapath_join).
+    The normalization is what makes this the standard "peers, not
+    just neighbors of hubs" measure: a tiny startup sharing its only
+    employer-path with you scores higher than a megacorp sharing one
+    of its thousands. Caller contract: `path` must be symmetric (a
+    sequence composed with its inverse, e.g. works_for>employs) so
+    M is symmetric and the diagonal exists for every connected node;
+    each unordered pair reports once (a < b).
+
+    Exactness: sim is the BIGINT micro-unit floor
+    (2e6·M(x,y)) div (M(x,x)+M(y,y)) — no floats. Shape: one
+    metapath_join (hop joins + count rollup), then the diagonal
+    (node-vocabulary-sized by definition) broadcasts onto the pair
+    table twice; pairs without both diagonals are dropped (inner
+    join), which under the symmetry contract cannot happen.
+    """
+    m = metapath_join(triples, path, subj=subj, obj=obj)
+    m = m.localCheckpoint(eager=True)
+    diag = m.where(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("_n"), F.col("n_paths").alias("_self")
+    )
+    pairs = m.where(F.col("src") < F.col("dst"))
+    return (
+        pairs.join(
+            F.broadcast(diag.withColumnRenamed("_n", "src")), "src"
+        )
+        .withColumnRenamed("_self", "_sa")
+        .join(
+            F.broadcast(diag.withColumnRenamed("_n", "dst")), "dst"
+        )
+        .withColumnRenamed("_self", "_sb")
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            "n_paths",
+            F.expr("(2000000 * n_paths) div (_sa + _sb)")
+            .cast("long")
+            .alias("sim_micro"),
+        )
+    )
+
+
+def metapath_pathsim_oracle_sql(
+    triples_sql: str, path: tuple[str, ...]
+) -> str:
+    """DuckDB twin of :func:`metapath_pathsim` (flat CTE chain)."""
+    cte_body, joins = _metapath_hop_ctes(triples_sql, path)
     last = len(path) - 1
-    cte_body = ",\n".join(ctes)
     return f"""
-WITH {cte_body}
-SELECT h0.a AS src, h{last}.b AS dst, count(*)::BIGINT AS n_paths
-FROM {joins}
-GROUP BY h0.a, h{last}.b
+WITH {cte_body},
+mp_m AS (
+  SELECT h0.a AS src, h{last}.b AS dst, count(*)::BIGINT AS n_paths
+  FROM {joins}
+  GROUP BY h0.a, h{last}.b
+),
+mp_diag AS (SELECT src AS n, n_paths AS self_n FROM mp_m WHERE src = dst)
+SELECT m.src AS a, m.dst AS b, m.n_paths,
+       ((2000000 * m.n_paths) // (da.self_n + db.self_n))::BIGINT
+         AS sim_micro
+FROM mp_m m
+JOIN mp_diag da ON m.src = da.n
+JOIN mp_diag db ON m.dst = db.n
+WHERE m.src < m.dst
 """

@@ -5001,3 +5001,111 @@ SELECT url, n_chars, n_anchors, anchor_chars,
        (anchor_chars * 2 > n_chars AND n_chars > 0) AS is_linkfarm_page
 FROM t
 """
+
+
+def recrawl_schedule(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    prior_rate_micro: int = 500_000,
+) -> DataFrame:
+    """(url, n_fetches, n_changed, change_rate_micro, age_s,
+    priority) — frequency-based recrawl scheduling (the Cho &
+    Garcia-Molina estimator shape): per url, the observed change
+    rate across its fetch history times its staleness, the number a
+    crawler sorts its recrawl frontier by. Complements
+    crawl_priority (host authority x change activity) with the
+    PER-URL rate-x-staleness view:
+
+        change_rate_micro  floor(1e6 · n_changed / (n_fetches - 1)),
+                           the fraction of revisits that found new
+                           content; single-fetch urls take
+                           `prior_rate_micro` (unknown rate, prior ½)
+        age_s              corpus-latest-fetch ts minus this url's
+                           last fetch ts (exact integer seconds)
+        priority           change_rate_micro · (age_s + 1) — BIGINT;
+                           +1 keeps just-fetched-but-volatile urls
+                           ordered above frozen ones at equal age
+
+    Exactness: all BIGINT (rate is a micro-unit floor; the product is
+    < 2^63 for any age below ~292k years). Scale shape: crawl_delta's
+    per-url window (each url sorts only its own history) then ONE
+    url-keyed rollup; the corpus-max timestamp rides back as a
+    broadcast 1-row cross join — never a collect, never a global
+    window.
+    """
+    d = crawl_delta(pages, url_col=url_col, ts_col=ts_col, text_col=text_col)
+    per = (
+        d.groupBy(F.col(url_col).alias("url"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.sum((F.col("change") == "changed").cast("long"))
+            .cast("long")
+            .alias("n_changed"),
+            F.max(F.col(ts_col).cast("long")).alias("_last_ts"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mx = per.agg(F.max("_last_ts").alias("_now_ts"))
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "change_rate_micro",
+            F.when(
+                F.col("n_fetches") > 1,
+                F.expr("(1000000 * n_changed) div (n_fetches - 1)"),
+            )
+            .otherwise(F.lit(prior_rate_micro))
+            .cast("long"),
+        )
+        .withColumn(
+            "age_s", (F.col("_now_ts") - F.col("_last_ts")).cast("long")
+        )
+        .select(
+            "url",
+            "n_fetches",
+            "n_changed",
+            "change_rate_micro",
+            "age_s",
+            F.expr("change_rate_micro * (age_s + 1)")
+            .cast("long")
+            .alias("priority"),
+        )
+    )
+
+
+def recrawl_schedule_oracle_sql(
+    pages_sql: str, prior_rate_micro: int = 500_000
+) -> str:
+    """DuckDB twin of :func:`recrawl_schedule`; `pages_sql` yields
+    (url, warc_ts, text) fetch rows."""
+    return f"""
+WITH rs_pages AS ({pages_sql}),
+rs_lag AS (
+  SELECT url, warc_ts,
+         coalesce(text, '') AS cur,
+         lag(coalesce(text, '')) OVER (PARTITION BY url ORDER BY warc_ts)
+           AS prev
+  FROM rs_pages
+),
+rs_per AS (
+  SELECT url,
+         count(*)::BIGINT AS n_fetches,
+         sum(CASE WHEN prev IS NOT NULL AND prev <> cur
+                  THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+         max(warc_ts)::BIGINT AS last_ts
+  FROM rs_lag GROUP BY url
+),
+rs_now AS (SELECT max(last_ts) AS now_ts FROM rs_per)
+SELECT url, n_fetches, n_changed,
+       (CASE WHEN n_fetches > 1
+             THEN (1000000 * n_changed) // (n_fetches - 1)
+             ELSE {prior_rate_micro} END)::BIGINT AS change_rate_micro,
+       (now_ts - last_ts)::BIGINT AS age_s,
+       ((CASE WHEN n_fetches > 1
+              THEN (1000000 * n_changed) // (n_fetches - 1)
+              ELSE {prior_rate_micro} END)
+        * (now_ts - last_ts + 1))::BIGINT AS priority
+FROM rs_per, rs_now
+"""
