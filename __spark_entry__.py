@@ -2520,15 +2520,20 @@ def q_kg_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-bound-first by triples.match_patterns; the oracle verifies
     with the naive cross-product formulation (conjunctive queries are
     join-order independent under bag semantics, so the oracle checks
-    the RESULT without replicating the plan)."""
-    from easyner_spark.operators.triples import match_patterns
+    the RESULT without replicating the plan). Runs through the
+    cost-based path: bgp_stats' per-predicate (n_edges, n_subj,
+    n_obj) System-R estimates replace the syntactic literal-count
+    heuristic for the join order."""
+    from easyner_spark.operators.triples import bgp_stats, match_patterns
 
+    t = _kg_synth_triples(spark, sf_dir)
     return match_patterns(
-        _kg_synth_triples(spark, sf_dir),
+        t,
         _KG_PATTERNS,
         subj="subj",
         pred="pred",
         obj="obj",
+        stats=bgp_stats(t, subj="subj", pred="pred", obj="obj"),
     )
 
 _TEMPLATE_PAGES_SQL = """SELECT 'https://site' || (doc_id % 7)

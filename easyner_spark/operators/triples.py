@@ -550,33 +550,109 @@ def _validate_patterns(patterns: list[tuple[str, str, str]]) -> None:
             )
 
 
-def _join_order(patterns: list[tuple[str, str, str]]) -> list[int]:
-    """Greedy selectivity order: start at the most-literal-bound
-    pattern, then repeatedly add the connected pattern with the most
-    already-bound variables (ties: more literals, then input order).
+def _pattern_estimate(
+    pat: tuple[str, str, str],
+    stats: dict[str, tuple[int, int, int]],
+) -> int:
+    """System-R-style cardinality estimate of one triple pattern from
+    per-predicate stats {pred: (n_edges, n_subj, n_obj)}: a literal
+    predicate starts at its edge count; a literal subject/object
+    divides by the predicate's distinct-participant count (uniformity
+    assumption, ceil so estimates stay >= 1); a variable predicate
+    sums over the whole table. Unknown predicates estimate 0 — the
+    empty scan is the BEST possible seed, it zeroes the query."""
+    s, p, o = pat
+    if p.startswith("?"):
+        cards = [v for v in stats.values()] or [(0, 1, 1)]
+        n = sum(v[0] for v in cards)
+        ns = sum(v[1] for v in cards)
+        no = sum(v[2] for v in cards)
+    else:
+        n, ns, no = stats.get(p, (0, 1, 1))
+    est = n
+    if not s.startswith("?") and ns > 0:
+        est = -(-est // ns)
+    if not o.startswith("?") and no > 0:
+        est = -(-est // no)
+    return est
+
+
+def _join_order(
+    patterns: list[tuple[str, str, str]],
+    stats: dict[str, tuple[int, int, int]] | None = None,
+) -> list[int]:
+    """Greedy selectivity order: start at the most selective pattern,
+    then repeatedly add the connected pattern with the most
+    already-bound variables (ties: more selective, then input order).
     Catalyst cannot reorder inner joins across the var-renaming
     projections we build, so the logical order we emit matters; AQE
     still picks the physical strategy (broadcast vs shuffle) per join.
+
+    Selectivity: without `stats`, literal count (the syntactic
+    heuristic — more constants, fewer rows). With `stats` (per-
+    predicate (n_edges, n_subj, n_obj), see bgp_stats), the System-R
+    uniform-selectivity estimate replaces it: a 3-literal pattern on
+    a billion-edge predicate no longer beats a 1-literal pattern on a
+    ten-edge predicate.
     """
     def lits(i: int) -> int:
         return sum(0 if t.startswith("?") else 1 for t in patterns[i])
 
+    def sel(i: int) -> int:
+        # higher = more selective (max() keys on it)
+        if stats is None:
+            return lits(i)
+        return -_pattern_estimate(patterns[i], stats)
+
     def pvars(i: int) -> set:
         return {t[1:] for t in patterns[i] if t.startswith("?")}
 
-    order = [max(range(len(patterns)), key=lambda i: (lits(i), -i))]
+    order = [max(range(len(patterns)), key=lambda i: (sel(i), -i))]
     bound = pvars(order[0])
     while len(order) < len(patterns):
         rest = [i for i in range(len(patterns)) if i not in order]
         nxt = max(
             rest,
-            key=lambda i: (len(pvars(i) & bound), lits(i), -i),
+            key=lambda i: (len(pvars(i) & bound), sel(i), -i),
         )
         if not pvars(nxt) & bound:  # pragma: no cover - _validate guards
             raise ValueError("disconnected pattern set")
         order.append(nxt)
         bound |= pvars(nxt)
     return order
+
+
+def bgp_stats(
+    edges: DataFrame,
+    subj: str = "subj_id",
+    pred: str = "pred",
+    obj: str = "obj_id",
+) -> dict[str, tuple[int, int, int]]:
+    """{pred: (n_edges, n_subj, n_obj)} — the per-predicate statistics
+    match_patterns' cost-based join ordering consumes. Computed once
+    per KG snapshot and reused across queries (the ANALYZE step of
+    this mini query planner; schema_graph is the same numbers at
+    type granularity).
+
+    Driver contract: the result is PREDICATE-VOCABULARY-sized (tens
+    to thousands of relations in any real KG) — this is a bounded
+    `.collect()` by the same argument as IVF centroids. Each distinct
+    count is a distinct() on a uniform composite key + bounded count
+    rollup; no Expand rewrite of the full edge stream."""
+    e = edges.select(
+        F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+    )
+    n_edges = e.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    n_subj = (
+        e.select("p", "s").distinct().groupBy("p")
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    n_obj = (
+        e.select("p", "o").distinct().groupBy("p")
+        .agg(F.count(F.lit(1)).alias("no"))
+    )
+    rows = n_edges.join(n_subj, "p").join(n_obj, "p").collect()
+    return {r.p: (r.n, r.ns, r.no) for r in rows}
 
 
 def match_patterns(
@@ -586,6 +662,7 @@ def match_patterns(
     pred: str = "pred",
     obj: str = "obj_id",
     distinct: bool = False,
+    stats: dict[str, tuple[int, int, int]] | None = None,
 ) -> DataFrame:
     """Conjunctive triple-pattern matching (the SPARQL basic-graph-
     pattern core) over the materialized KG edge table: each pattern is
@@ -610,6 +687,14 @@ def match_patterns(
     A variable repeated WITHIN one pattern (e.g. ('?x', 'knows',
     '?x')) becomes an intra-pattern equality filter, also pushed to
     the scan.
+
+    `stats` (from :func:`bgp_stats`, computed once per KG snapshot)
+    upgrades the greedy order from the syntactic literal-count
+    heuristic to System-R cardinality estimates — on skewed predicate
+    distributions (every real KG) the seed pattern choice is the
+    difference between starting from ten rows and starting from a
+    billion. Results are identical either way (conjunctive queries
+    are join-order independent); only the plan changes.
     """
     _validate_patterns(patterns)
     cols = {"s": subj, "p": pred, "o": obj}
@@ -630,7 +715,7 @@ def match_patterns(
         frames.append(
             df.select(*[F.col(c).alias(v) for v, c in rename.items()])
         )
-    order = _join_order(patterns)
+    order = _join_order(patterns, stats)
     out = frames[order[0]]
     for i in order[1:]:
         shared = [c for c in frames[i].columns if c in out.columns]

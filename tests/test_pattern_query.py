@@ -118,3 +118,46 @@ def test_oracle_literal_escaping():
         "SELECT 1", [("?x", "o'brien", "?y")]
     )
     assert "'o''brien'" in sql
+
+
+def test_stats_ordering_same_results(spark, edges):
+    from easyner_spark.operators.triples import bgp_stats
+
+    pats = [
+        ("?x", "inhibits", "?y"),
+        ("?y", "binds", "?z"),
+    ]
+    stats = bgp_stats(edges)
+    assert set(stats) >= {"inhibits", "binds"}
+    n, ns, no = stats["inhibits"]
+    assert n >= ns and n >= no and ns >= 1
+    got_stats = rows(match_patterns(edges, pats, stats=stats))
+    got_plain = rows(match_patterns(edges, pats))
+    assert got_stats == got_plain
+
+
+def test_stats_join_order_prefers_rare_predicate():
+    from easyner_spark.operators.triples import _join_order
+
+    # 'common' has 1e9 edges, 'rare' has 10: the syntactic heuristic
+    # seeds at the 2-literal common pattern; the estimator must seed
+    # at the rare one (est 10 << ceil(1e9/100) = 1e7)
+    stats = {
+        "common": (1_000_000_000, 100, 100),
+        "rare": (10, 10, 10),
+    }
+    pats = [
+        ("s1", "common", "?x"),   # 2 literals, est 1e7
+        ("?x", "rare", "?y"),     # 1 literal, est 10
+        ("?y", "common", "?z"),
+    ]
+    assert _join_order(pats)[0] == 0          # syntactic: 2 literals
+    assert _join_order(pats, stats)[0] == 1   # estimated: rare first
+
+
+def test_pattern_estimate_unknown_pred_is_zero():
+    from easyner_spark.operators.triples import _pattern_estimate
+
+    assert _pattern_estimate(("?x", "nope", "?y"), {"p": (5, 2, 3)}) == 0
+    # variable predicate sums the table
+    assert _pattern_estimate(("?x", "?p", "?y"), {"p": (5, 2, 3)}) == 5
