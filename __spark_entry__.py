@@ -4750,6 +4750,37 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "url", "lang")
 
 
+def _temp_mixture_rates() -> dict:
+    """Shared (Spark + oracle) temperature-mixture rates: designed
+    per-language corpus counts through temperature_targets(alpha=0.3)
+    then mixture_rates — one Python source of truth, embedded as ppm
+    literals on both sides (the q_mixture_sample pattern; the float
+    pow happens ONCE, driver-side, never per row or per engine)."""
+    from easyner_spark.operators.sampling import (
+        mixture_rates,
+        temperature_targets,
+    )
+
+    counts = {"en": 1_000_000, "de": 100_000, "fr": 10_000}
+    return mixture_rates(counts, temperature_targets(counts, alpha=0.3))
+
+
+def q_temp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3, the XLM-R rule) mixture
+    resampling: designed head/tail language counts flattened into
+    downsample-only ppm rates driver-side, rows gated by the exact
+    BIGINT md5 threshold — head language downsampled hard, tail kept
+    whole."""
+    from easyner_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _synth_url_pages(spark, sf_dir),
+        _temp_mixture_rates(),
+        group_col="lang",
+        key="url",
+    ).select("doc_id", "url", "lang")
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-gated 30% sample keyed on url (seed 'r3') —
     reproducible split selection, zero shuffle."""
@@ -6057,6 +6088,8 @@ _DRIVER_WINDOW_FIRST = [
     "kg_metapath",           # NEW: predicate-sequence composition
     "kg_pathsim",            # NEW: PathSim peer similarity
     "recrawl_schedule",      # NEW: change-rate x staleness priority
+    "kg_align",              # NEW: reciprocal-best-match alignment
+    "temp_mixture",          # NEW: temperature-scaled mixture rates
     "blocking_quality",      # NEW: ER-blocking evaluation triple
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
@@ -6167,6 +6200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_metapath": q_kg_metapath,
         "kg_pathsim": q_kg_pathsim,
         "recrawl_schedule": q_recrawl_schedule,
+        "kg_align": q_kg_align,
+        "temp_mixture": q_temp_mixture,
         "blocking_quality": q_blocking_quality,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
@@ -8381,6 +8416,57 @@ def _recrawl_schedule_oracle() -> str:
     return recrawl_schedule_oracle_sql(pages_sql)
 
 
+def _temp_mixture_oracle() -> str:
+    """q_temp_mixture oracle: the SAME driver-side rate dict (one
+    Python source of truth) embedded as ppm literals over the shared
+    BIGINT md5 gate."""
+    rates = _temp_mixture_rates()
+    case = " ".join(
+        f"WHEN '{g}' THEN {ppm}" for g, ppm in sorted(rates.items())
+    )
+    return _URL_PAGES_CTE + f"""
+SELECT doc_id, url, lang FROM h
+WHERE ('0x' || substr(md5(url), 1, 8))::BIGINT * 1000000
+      < (CASE lang {case} ELSE 0 END)::BIGINT * 4294967296
+"""
+
+
+_KG_ALIGN_PAIRS_SQL = """SELECT 's' || (doc_id % 25) AS a,
+  't' || (doc_id % 40) AS b,
+  (doc_id % 97)::BIGINT AS score
+  FROM documents"""
+
+
+def _kg_align_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, score) twin of _KG_ALIGN_PAIRS_SQL."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("s"), (did % 25).cast("string")).alias("a"),
+        F.concat(F.lit("t"), (did % 40).cast("string")).alias("b"),
+        (did % 97).cast("long").alias("score"),
+    )
+
+
+def q_kg_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-best-match entity alignment over a deterministic
+    scored candidate table (25 source x 40 target entities, residue
+    scores): keep (a, b) only when each is the other's argmax —
+    min(struct) argmax both ways, lexicographic tie-break, exact
+    integers."""
+    from easyner_spark.operators.nel import reciprocal_best_links
+
+    return reciprocal_best_links(_kg_align_pairs(spark, sf_dir))
+
+
+def _kg_align_oracle() -> str:
+    """q_kg_align oracle: the candidate synthesis through the
+    operator's window-formulated twin."""
+    from easyner_spark.operators.nel import reciprocal_best_links_oracle_sql
+
+    return reciprocal_best_links_oracle_sql(_KG_ALIGN_PAIRS_SQL)
+
+
 def _blocking_quality_oracle() -> str:
     """q_blocking_quality oracle: the module twin's arithmetic with
     n_records computed in-SQL (count of documents, matching the Spark
@@ -10202,6 +10288,8 @@ FROM c
         "kg_metapath": _kg_metapath_oracle(),
         "kg_pathsim": _kg_pathsim_oracle(),
         "recrawl_schedule": _recrawl_schedule_oracle(),
+        "kg_align": _kg_align_oracle(),
+        "temp_mixture": _temp_mixture_oracle(),
         "blocking_quality": _blocking_quality_oracle(),
         # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
         "host_kmv": _host_kmv_oracle(),

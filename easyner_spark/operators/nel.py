@@ -15,7 +15,7 @@ shuffle; `salted=True` demonstrates that formulation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -945,3 +945,82 @@ FROM pairs pr JOIN scored s USING ({acols})
 """,
     )
     return "".join(parts)
+
+
+def reciprocal_best_links(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    score_col: str = "score",
+) -> DataFrame:
+    """(a, b, score) — reciprocal-best-match filtering of a scored
+    candidate-pair table: keep (a, b) iff b is a's highest-scoring
+    partner AND a is b's. The standard high-precision gate for entity
+    alignment (cross-KG sameAs), bilingual lexicon induction over
+    bitext_candidates, and mirror-host pairing — mutual preference
+    kills the asymmetric hub matches a one-sided argmax lets through.
+
+    Determinism contract: `score_col` is an INTEGER (micro-unit
+    scores like sim_micro — the repo-wide rule for oracle-able
+    ranking); ties break toward the lexicographically smallest
+    partner, so the winner is unique and engine-independent.
+
+    Shape: two min(struct) aggregates (argmax by (-score, partner) —
+    partial aggs absorb hub keys map-side, the skew posture every
+    per-key argmax in this engine uses) joined back on the pair —
+    both joins are equi-joins on the candidate table's own keys; no
+    window, no single-reducer."""
+    a, b, s = F.col(a_col), F.col(b_col), F.col(score_col)
+
+    def best(key_col: str, partner: Column) -> DataFrame:
+        return (
+            pairs.groupBy(F.col(key_col).alias("_k"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-s).cast("long").alias("ns"),
+                        partner.alias("p"),
+                    )
+                ).alias("_m")
+            )
+            .select(
+                "_k",
+                F.col("_m.p").alias("_p"),
+                (-F.col("_m.ns")).cast("long").alias("_s"),
+            )
+        )
+
+    best_a = best(a_col, b)  # per a: its best b
+    best_b = best(b_col, a)  # per b: its best a
+    return (
+        best_a.join(
+            best_b,
+            (best_a["_k"] == best_b["_p"]) & (best_a["_p"] == best_b["_k"]),
+        )
+        .select(
+            best_a["_k"].alias("a"),
+            best_a["_p"].alias("b"),
+            best_a["_s"].alias("score"),
+        )
+    )
+
+
+def reciprocal_best_links_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`reciprocal_best_links`; `pairs_sql`
+    yields (a, b, score) with integer scores."""
+    return f"""
+WITH rb_p AS ({pairs_sql}),
+rb_a AS (
+  SELECT a, b, score,
+         row_number() OVER (PARTITION BY a ORDER BY score DESC, b) AS rn
+  FROM rb_p
+),
+rb_b AS (
+  SELECT a, b, score,
+         row_number() OVER (PARTITION BY b ORDER BY score DESC, a) AS rn
+  FROM rb_p
+)
+SELECT x.a, x.b, x.score::BIGINT AS score
+FROM rb_a x JOIN rb_b y ON x.a = y.a AND x.b = y.b
+WHERE x.rn = 1 AND y.rn = 1
+"""

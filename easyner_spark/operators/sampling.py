@@ -1004,3 +1004,24 @@ SELECT * EXCLUDE (__h) FROM (
 WHERE __h * {int(max_score)} <
       least(greatest(CAST({score_expr} AS BIGINT), 0), {int(max_score)}) * 4294967296
 """
+
+
+def temperature_targets(counts: dict, alpha: float = 0.3) -> dict:
+    """Temperature-scaled mixture targets (the multilingual-LM
+    sampling rule, e.g. XLM-R's alpha=0.3): target weight per group =
+    count^alpha, flattening the head and boosting the tail — alpha=1
+    reproduces the natural mixture, alpha=0 the uniform one. Feed the
+    result to :func:`mixture_rates` (which converts any positive
+    weight scale to downsample-only ppm rates) and then
+    :func:`mixture_sample`:
+
+        counts  = {r[g]: r[n] for r in df.groupBy(g).count().collect()}
+        rates   = mixture_rates(counts, temperature_targets(counts, 0.3))
+        sampled = mixture_sample(df, rates, g)
+
+    Driver-side arithmetic over O(groups) numbers (the IVF-centroid
+    class); the float pow never touches row data — row selection
+    stays the exact integer md5-threshold gate."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha out of [0, 1]: {alpha}")
+    return {g: float(c) ** alpha for g, c in counts.items() if c > 0}
