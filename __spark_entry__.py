@@ -2536,6 +2536,30 @@ def q_kg_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats=bgp_stats(t, subj="subj", pred="pred", obj="obj"),
     )
 
+_KG_OPT_PATTERNS = [("?x", "inhibits", "?y")]
+_KG_OPT_GROUPS = [
+    [("?y", "binds", "?z")],
+    [("?w", "activates", "?x")],
+]
+
+
+def q_kg_pattern_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL over the closed KG: required ?x inhibits ?y
+    with two optional groups (?y binds ?z; ?w activates ?x) — LEFT
+    JOIN bag semantics, unmatched bindings keep NULLs; the oracle
+    runs the same LEFT JOIN formulation naively."""
+    from easyner_spark.operators.triples import match_patterns
+
+    return match_patterns(
+        _kg_synth_triples(spark, sf_dir),
+        _KG_OPT_PATTERNS,
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        optionals=_KG_OPT_GROUPS,
+    )
+
+
 _TEMPLATE_PAGES_SQL = """SELECT 'https://site' || (doc_id % 7)
       || '.example.net/p/' || doc_id AS url,
     regexp_replace(text, ' a ', chr(10), 'g')
@@ -6090,6 +6114,7 @@ _DRIVER_WINDOW_FIRST = [
     "recrawl_schedule",      # NEW: change-rate x staleness priority
     "kg_align",              # NEW: reciprocal-best-match alignment
     "temp_mixture",          # NEW: temperature-scaled mixture rates
+    "kg_pattern_optional",   # NEW: SPARQL OPTIONAL left joins
     "blocking_quality",      # NEW: ER-blocking evaluation triple
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
@@ -6202,6 +6227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "kg_align": q_kg_align,
         "temp_mixture": q_temp_mixture,
+        "kg_pattern_optional": q_kg_pattern_optional,
         "blocking_quality": q_blocking_quality,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
@@ -8006,6 +8032,21 @@ def _kg_pattern_oracle() -> str:
 
     return match_patterns_oracle_sql(
         _KG_TRIPLES_SQL, _KG_PATTERNS, subj="subj", pred="pred", obj="obj"
+    )
+
+
+def _kg_pattern_optional_oracle() -> str:
+    """q_kg_pattern_optional oracle: the LEFT JOIN formulation from
+    the SAME required patterns + optional groups."""
+    from easyner_spark.operators.triples import match_patterns_oracle_sql
+
+    return match_patterns_oracle_sql(
+        _KG_TRIPLES_SQL,
+        _KG_OPT_PATTERNS,
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        optionals=_KG_OPT_GROUPS,
     )
 
 
@@ -10290,6 +10331,7 @@ FROM c
         "recrawl_schedule": _recrawl_schedule_oracle(),
         "kg_align": _kg_align_oracle(),
         "temp_mixture": _temp_mixture_oracle(),
+        "kg_pattern_optional": _kg_pattern_optional_oracle(),
         "blocking_quality": _blocking_quality_oracle(),
         # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
         "host_kmv": _host_kmv_oracle(),

@@ -663,6 +663,7 @@ def match_patterns(
     obj: str = "obj_id",
     distinct: bool = False,
     stats: dict[str, tuple[int, int, int]] | None = None,
+    optionals: list[list[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """Conjunctive triple-pattern matching (the SPARQL basic-graph-
     pattern core) over the materialized KG edge table: each pattern is
@@ -695,32 +696,66 @@ def match_patterns(
     difference between starting from ten rows and starting from a
     billion. Results are identical either way (conjunctive queries
     are join-order independent); only the plan changes.
+
+    `optionals` adds SPARQL OPTIONAL semantics: each entry is its own
+    connected pattern group left-joined onto the required block on
+    their shared variables — bindings that have no optional match
+    keep their required columns and take NULLs for the group's new
+    variables (bag semantics throughout: an optional group matching k
+    ways multiplies its row k-fold, exactly as SPARQL defines it).
+    Groups must each share >= 1 variable with the required block and
+    introduce disjoint new variables.
     """
     _validate_patterns(patterns)
     cols = {"s": subj, "p": pred, "o": obj}
-    frames = []
-    for pat in patterns:
-        df = edges
-        rename: dict[str, str] = {}  # var -> source col (first position)
-        for pos, term in zip(("s", "p", "o"), pat):
-            c = cols[pos]
-            if not term.startswith("?"):
-                df = df.where(F.col(c) == term)
-            else:
-                v = term[1:]
-                if v in rename:  # repeated var inside one pattern
-                    df = df.where(F.col(c) == F.col(rename[v]))
+
+    def block(pats: list[tuple[str, str, str]]) -> DataFrame:
+        frames = []
+        for pat in pats:
+            df = edges
+            rename: dict[str, str] = {}  # var -> source col (1st position)
+            for pos, term in zip(("s", "p", "o"), pat):
+                c = cols[pos]
+                if not term.startswith("?"):
+                    df = df.where(F.col(c) == term)
                 else:
-                    rename[v] = c
-        frames.append(
-            df.select(*[F.col(c).alias(v) for v, c in rename.items()])
-        )
-    order = _join_order(patterns, stats)
-    out = frames[order[0]]
-    for i in order[1:]:
-        shared = [c for c in frames[i].columns if c in out.columns]
-        out = out.join(frames[i], shared)
-    out = out.select(*_pattern_vars(patterns))
+                    v = term[1:]
+                    if v in rename:  # repeated var inside one pattern
+                        df = df.where(F.col(c) == F.col(rename[v]))
+                    else:
+                        rename[v] = c
+            frames.append(
+                df.select(*[F.col(c).alias(v) for v, c in rename.items()])
+            )
+        order = _join_order(pats, stats)
+        out = frames[order[0]]
+        for i in order[1:]:
+            shared = [c for c in frames[i].columns if c in out.columns]
+            out = out.join(frames[i], shared)
+        return out
+
+    out = block(patterns)
+    req_vars = _pattern_vars(patterns)
+    all_vars = list(req_vars)
+    for group in optionals or []:
+        _validate_patterns(group)
+        gvars = _pattern_vars(group)
+        shared = [v for v in gvars if v in req_vars]
+        new = [v for v in gvars if v not in req_vars]
+        if not shared:
+            raise ValueError(
+                f"optional group shares no variable with the required "
+                f"block: {group!r}"
+            )
+        clash = [v for v in new if v in all_vars]
+        if clash:
+            raise ValueError(
+                f"optional groups must introduce disjoint new "
+                f"variables; clash on {clash!r}"
+            )
+        out = out.join(block(group).select(*shared, *new), shared, "left")
+        all_vars.extend(new)
+    out = out.select(*all_vars)
     return out.distinct() if distinct else out
 
 
@@ -731,37 +766,64 @@ def match_patterns_oracle_sql(
     pred: str = "pred",
     obj: str = "obj_id",
     distinct: bool = False,
+    optionals: list[list[tuple[str, str, str]]] | None = None,
 ) -> str:
     """DuckDB twin of match_patterns, generated from the SAME pattern
     list (repo oracle policy: one definition per side). Emits the
     naive conjunctive formulation — cross product + WHERE — which is
     bag-equivalent to any join order, so it checks the Spark side's
-    greedy plan without replicating it. `triples_sql` yields
-    (subj, pred, obj)-shaped rows under the given column names."""
+    greedy plan without replicating it; OPTIONAL groups become LEFT
+    JOINs of their own naive blocks on the shared variables.
+    `triples_sql` yields (subj, pred, obj)-shaped rows under the
+    given column names."""
     _validate_patterns(patterns)
     cols = {"s": subj, "p": pred, "o": obj}
-    conds: list[str] = []
-    first_occ: dict[str, str] = {}
-    for i, pat in enumerate(patterns):
-        for pos, term in zip(("s", "p", "o"), pat):
-            ref = f"p{i}.{cols[pos]}"
-            if not term.startswith("?"):
-                lit = term.replace("'", "''")
-                conds.append(f"{ref} = '{lit}'")
-            elif term[1:] in first_occ:
-                conds.append(f"{ref} = {first_occ[term[1:]]}")
-            else:
-                first_occ[term[1:]] = ref
-    sel = ", ".join(
-        f"{first_occ[v]} AS {v}" for v in _pattern_vars(patterns)
-    )
-    froms = ", ".join(f"t p{i}" for i in range(len(patterns)))
+
+    def naive(pats: list[tuple[str, str, str]]) -> str:
+        conds: list[str] = []
+        first_occ: dict[str, str] = {}
+        for i, pat in enumerate(pats):
+            for pos, term in zip(("s", "p", "o"), pat):
+                ref = f"p{i}.{cols[pos]}"
+                if not term.startswith("?"):
+                    lit = term.replace("'", "''")
+                    conds.append(f"{ref} = '{lit}'")
+                elif term[1:] in first_occ:
+                    conds.append(f"{ref} = {first_occ[term[1:]]}")
+                else:
+                    first_occ[term[1:]] = ref
+        sel = ", ".join(
+            f"{first_occ[v]} AS {v}" for v in _pattern_vars(pats)
+        )
+        froms = ", ".join(f"t p{i}" for i in range(len(pats)))
+        where = f"\nWHERE {' AND '.join(conds)}" if conds else ""
+        return f"SELECT {sel}\nFROM {froms}{where}"
+
     kw = "DISTINCT " if distinct else ""
+    req_vars = _pattern_vars(patterns)
+    if not optionals:
+        return f"""
+WITH t AS MATERIALIZED ({triples_sql})
+SELECT {kw}{", ".join(req_vars)} FROM ({naive(patterns)}) req
+"""
+    out_cols = [f"req.{v}" for v in req_vars]
+    joins = []
+    seen = set(req_vars)
+    for gi, group in enumerate(optionals):
+        _validate_patterns(group)
+        gvars = _pattern_vars(group)
+        shared = [v for v in gvars if v in req_vars]
+        new = [v for v in gvars if v not in seen]
+        on = " AND ".join(f"req.{v} = g{gi}.{v}" for v in shared)
+        joins.append(f"LEFT JOIN ({naive(group)}) g{gi} ON {on}")
+        out_cols.extend(f"g{gi}.{v}" for v in new)
+        seen.update(new)
+    nl = "\n"
     return f"""
 WITH t AS MATERIALIZED ({triples_sql})
-SELECT {kw}{sel}
-FROM {froms}
-WHERE {" AND ".join(conds)}
+SELECT {kw}{", ".join(out_cols)}
+FROM ({naive(patterns)}) req
+{nl.join(joins)}
 """
 
 

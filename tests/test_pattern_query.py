@@ -161,3 +161,53 @@ def test_pattern_estimate_unknown_pred_is_zero():
     assert _pattern_estimate(("?x", "nope", "?y"), {"p": (5, 2, 3)}) == 0
     # variable predicate sums the table
     assert _pattern_estimate(("?x", "?p", "?y"), {"p": (5, 2, 3)}) == 5
+
+
+def test_optional_patterns_left_join(spark, edges):
+    from easyner_spark.operators.triples import (
+        match_patterns,
+        match_patterns_oracle_sql,
+    )
+
+    # binds rows: (b,c), (b,d), (a,c); only d activates anything ->
+    # (b,d) gets z='a', the others keep NULL z
+    pats = [("?s", "binds", "?c")]
+    opts = [[("?c", "activates", "?z")]]
+    out = match_patterns(edges, pats, optionals=opts)
+    assert out.columns == ["s", "c", "z"]
+    got = rows(out)
+    base = rows(match_patterns(edges, pats))
+    assert {(s, c) for s, c, _ in got} == set(base)
+    assert ("b", "d", "a") in got
+    assert any(z is None for _, _, z in got)
+    # oracle twin agrees
+    vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in TRIPLES)
+    sql = match_patterns_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(subj_id, pred, obj_id)",
+        pats,
+        optionals=opts,
+    )
+    want = sorted(
+        tuple(r) for r in duckdb.sql(sql).fetchall()
+    )
+    assert got == want
+
+
+def test_optional_validation(spark, edges):
+    from easyner_spark.operators.triples import match_patterns
+
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_patterns(
+            edges,
+            [("?x", "inhibits", "?y")],
+            optionals=[[("?a", "binds", "?b")]],
+        )
+    with pytest.raises(ValueError, match="disjoint new"):
+        match_patterns(
+            edges,
+            [("?x", "inhibits", "?y")],
+            optionals=[
+                [("?y", "binds", "?z")],
+                [("?x", "activates", "?z")],
+            ],
+        )
