@@ -70,3 +70,78 @@ def test_zorder_key_is_pure_projection(spark):
     ).select(zorder_key(["x", "y"], bits=4).alias("z"))
     plan = _final_plan(out)
     assert "Exchange" not in plan  # scan-fused: no shuffle at all
+
+
+def test_schema_graph_no_serial_reducer(spark):
+    from easyner_spark.operators.triples import schema_graph
+
+    types = spark.range(37).select(
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("entity_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("person"))
+        .otherwise(F.lit("org"))
+        .alias("ent_type"),
+    )
+    plan = _final_plan(schema_graph(_kg(spark), types))
+    assert "Exchange SinglePartition" not in plan
+    # the vocabulary-sized type table must ride broadcasts
+    assert "BroadcastExchange" in plan
+
+
+def test_metapath_and_pathsim_no_serial_reducer(spark):
+    from easyner_spark.operators.triples import (
+        metapath_join,
+        metapath_pathsim,
+    )
+
+    plan = _final_plan(metapath_join(_kg(spark), ("p0", "p1")))
+    assert "Exchange SinglePartition" not in plan
+    plan2 = _final_plan(metapath_pathsim(_kg(spark), ("p0", "p1")))
+    assert "Exchange SinglePartition" not in plan2
+
+
+def test_blocking_quality_broadcast_combine(spark):
+    from easyner_spark.operators.dedup import blocking_quality
+
+    cand = spark.range(300).select(
+        F.concat(F.lit("d"), (F.col("id") % 50).cast("string")).alias("a"),
+        F.concat(F.lit("d"), ((F.col("id") + 1) % 50).cast("string")).alias("b"),
+    )
+    gold = spark.range(100).select(
+        F.concat(F.lit("d"), (F.col("id") % 25).cast("string")).alias("a"),
+        F.concat(F.lit("d"), ((F.col("id") + 1) % 25).cast("string")).alias("b"),
+    )
+    out = blocking_quality(cand, gold, n_records=50)
+    plan = _final_plan(out)
+    # the three 1-row aggregates combine via broadcast cross joins;
+    # a global agg's own SinglePartition exchange is inherent to a
+    # 1-row result — what must NOT appear is a serial exchange over
+    # ROW data, i.e. any SinglePartition feeding a non-agg operator.
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_recrawl_schedule_no_global_window(spark):
+    from easyner_spark.operators.webtext import recrawl_schedule
+
+    pages = spark.range(400).select(
+        F.concat(F.lit("u"), (F.col("id") % 40).cast("string")).alias("url"),
+        (F.lit(1700000000) + F.col("id")).cast("long").alias("warc_ts"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("text"),
+    )
+    plan = _final_plan(recrawl_schedule(pages))
+    # the per-url window partitions by url; the corpus max rides a
+    # broadcast 1-row join — no serial exchange over row data
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_shortest_paths_and_kg_paths_no_serial_reducer(spark):
+    from easyner_spark.operators.graph import kg_paths, shortest_paths
+
+    e = _kg(spark).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    plan = _final_plan(shortest_paths(e, ("e0", "e1"), k=2))
+    assert "Exchange SinglePartition" not in plan
+    plan2 = _final_plan(
+        kg_paths(e, sources=("e0",), targets=("e5",), max_len=2)
+    )
+    assert "Exchange SinglePartition" not in plan2
