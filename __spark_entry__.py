@@ -2560,6 +2560,28 @@ def q_kg_pattern_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KG_PATH_PATTERNS = [
+    ("?x", "works_for", "?e"),
+    ("?e", "located_in+", "?y"),
+]
+
+
+def q_kg_property_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property path over the rule KG: ?x works_for ?e,
+    ?e located_in+ ?y — the employer's whole location ANCESTRY via
+    the 10-hop-bounded transitive closure (BFS pair expansion with
+    first-arrival pruning; recursive-CTE twin on the oracle side)."""
+    from easyner_spark.operators.triples import match_patterns
+
+    return match_patterns(
+        _kg_rules_triples(spark, sf_dir),
+        _KG_PATH_PATTERNS,
+        subj="subj",
+        pred="pred",
+        obj="obj",
+    )
+
+
 _TEMPLATE_PAGES_SQL = """SELECT 'https://site' || (doc_id % 7)
       || '.example.net/p/' || doc_id AS url,
     regexp_replace(text, ' a ', chr(10), 'g')
@@ -6115,6 +6137,7 @@ _DRIVER_WINDOW_FIRST = [
     "kg_align",              # NEW: reciprocal-best-match alignment
     "temp_mixture",          # NEW: temperature-scaled mixture rates
     "kg_pattern_optional",   # NEW: SPARQL OPTIONAL left joins
+    "kg_property_path",      # NEW: pred+ transitive-closure paths
     "blocking_quality",      # NEW: ER-blocking evaluation triple
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
@@ -6228,6 +6251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_align": q_kg_align,
         "temp_mixture": q_temp_mixture,
         "kg_pattern_optional": q_kg_pattern_optional,
+        "kg_property_path": q_kg_property_path,
         "blocking_quality": q_blocking_quality,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
@@ -8047,6 +8071,20 @@ def _kg_pattern_optional_oracle() -> str:
         pred="pred",
         obj="obj",
         optionals=_KG_OPT_GROUPS,
+    )
+
+
+def _kg_property_path_oracle() -> str:
+    """q_kg_property_path oracle: the rule-KG synthesis through the
+    twin's recursive closure formulation."""
+    from easyner_spark.operators.triples import match_patterns_oracle_sql
+
+    return match_patterns_oracle_sql(
+        _KG_RULES_SQL,
+        _KG_PATH_PATTERNS,
+        subj="subj",
+        pred="pred",
+        obj="obj",
     )
 
 
@@ -10332,6 +10370,7 @@ FROM c
         "kg_align": _kg_align_oracle(),
         "temp_mixture": _temp_mixture_oracle(),
         "kg_pattern_optional": _kg_pattern_optional_oracle(),
+        "kg_property_path": _kg_property_path_oracle(),
         "blocking_quality": _blocking_quality_oracle(),
         # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
         "host_kmv": _host_kmv_oracle(),

@@ -568,7 +568,13 @@ def _pattern_estimate(
         ns = sum(v[1] for v in cards)
         no = sum(v[2] for v in cards)
     else:
-        n, ns, no = stats.get(p, (0, 1, 1))
+        # a '+' property path estimates from its base predicate,
+        # doubled — a rough closure-growth factor for the bounded-
+        # depth hierarchy predicates the contract allows
+        base = p[:-1] if p.endswith("+") else p
+        n, ns, no = stats.get(base, (0, 1, 1))
+        if p.endswith("+"):
+            n *= 2
     est = n
     if not s.startswith("?") and ns > 0:
         est = -(-est // ns)
@@ -664,6 +670,7 @@ def match_patterns(
     distinct: bool = False,
     stats: dict[str, tuple[int, int, int]] | None = None,
     optionals: list[list[tuple[str, str, str]]] | None = None,
+    max_closure_depth: int = 10,
 ) -> DataFrame:
     """Conjunctive triple-pattern matching (the SPARQL basic-graph-
     pattern core) over the materialized KG edge table: each pattern is
@@ -705,14 +712,66 @@ def match_patterns(
     ways multiplies its row k-fold, exactly as SPARQL defines it).
     Groups must each share >= 1 variable with the required block and
     introduce disjoint new variables.
+
+    A literal predicate ending in '+' is a SPARQL property path
+    (one-or-more): the pattern matches the predicate's transitive
+    closure, bounded at `max_closure_depth` hops (bounded honestly —
+    the closure table is materialized once per such predicate by
+    fixed BFS pair-expansion rounds with first-arrival pruning, then
+    reused by every pattern that names it). Contract: '+' paths are
+    for HIERARCHY predicates (located_in, isa — bounded depth, tree
+    fan-in); the closure of a dense social predicate is quadratic by
+    nature and this operator will faithfully build it.
     """
     _validate_patterns(patterns)
     cols = {"s": subj, "p": pred, "o": obj}
+    closures: dict[str, DataFrame] = {}
+
+    def closure_frame(term: str) -> DataFrame:
+        # transitive closure of base predicate term[:-1], presented
+        # under the SAME (subj, pred, obj) column names so the
+        # generic pattern machinery applies unchanged
+        if term not in closures:
+            base = (
+                edges.where(F.col(pred) == term[:-1])
+                .select(F.col(subj).alias("a"), F.col(obj).alias("b"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            reach = base
+            frontier = base
+            for _ in range(1, max_closure_depth):
+                nxt = (
+                    frontier.join(
+                        base.select(
+                            F.col("a").alias("b"), F.col("b").alias("c")
+                        ),
+                        "b",
+                    )
+                    .select("a", F.col("c").alias("b"))
+                    .distinct()
+                )
+                frontier = nxt.join(
+                    reach, ["a", "b"], "left_anti"
+                ).localCheckpoint(eager=True)
+                reach = reach.unionByName(frontier).localCheckpoint(
+                    eager=True
+                )
+            closures[term] = reach.select(
+                F.col("a").alias(subj),
+                F.lit(term).alias(pred),
+                F.col("b").alias(obj),
+            )
+        return closures[term]
 
     def block(pats: list[tuple[str, str, str]]) -> DataFrame:
         frames = []
         for pat in pats:
-            df = edges
+            p_term = pat[1]
+            if not p_term.startswith("?") and p_term.endswith("+"):
+                df = closure_frame(p_term)
+            else:
+                df = edges
             rename: dict[str, str] = {}  # var -> source col (1st position)
             for pos, term in zip(("s", "p", "o"), pat):
                 c = cols[pos]
@@ -767,23 +826,53 @@ def match_patterns_oracle_sql(
     obj: str = "obj_id",
     distinct: bool = False,
     optionals: list[list[tuple[str, str, str]]] | None = None,
+    max_closure_depth: int = 10,
 ) -> str:
     """DuckDB twin of match_patterns, generated from the SAME pattern
     list (repo oracle policy: one definition per side). Emits the
     naive conjunctive formulation — cross product + WHERE — which is
     bag-equivalent to any join order, so it checks the Spark side's
     greedy plan without replicating it; OPTIONAL groups become LEFT
-    JOINs of their own naive blocks on the shared variables.
+    JOINs of their own naive blocks on the shared variables; '+'
+    property paths become depth-bounded WITH RECURSIVE closure CTEs
+    (flat chain, per the repo's nested-WITH DuckDB quirk — so
+    `triples_sql` must be a plain SELECT, not itself a WITH).
     `triples_sql` yields (subj, pred, obj)-shaped rows under the
     given column names."""
     _validate_patterns(patterns)
     cols = {"s": subj, "p": pred, "o": obj}
 
+    closure_preds: list[str] = []
+    for grp in [patterns, *(optionals or [])]:
+        for pat in grp:
+            p_term = pat[1]
+            if (
+                not p_term.startswith("?")
+                and p_term.endswith("+")
+                and p_term not in closure_preds
+            ):
+                closure_preds.append(p_term)
+
+    def closure_rel(term: str) -> str:
+        return f"tc{closure_preds.index(term)}"
+
     def naive(pats: list[tuple[str, str, str]]) -> str:
         conds: list[str] = []
         first_occ: dict[str, str] = {}
+        froms: list[str] = []
         for i, pat in enumerate(pats):
+            p_term = pat[1]
+            is_closure = not p_term.startswith("?") and p_term.endswith("+")
+            if is_closure:
+                froms.append(
+                    f"(SELECT a AS {subj}, b AS {obj} "
+                    f"FROM {closure_rel(p_term)}) p{i}"
+                )
+            else:
+                froms.append(f"t p{i}")
             for pos, term in zip(("s", "p", "o"), pat):
+                if pos == "p" and is_closure:
+                    continue  # the closure relation IS the predicate
                 ref = f"p{i}.{cols[pos]}"
                 if not term.startswith("?"):
                     lit = term.replace("'", "''")
@@ -795,15 +884,31 @@ def match_patterns_oracle_sql(
         sel = ", ".join(
             f"{first_occ[v]} AS {v}" for v in _pattern_vars(pats)
         )
-        froms = ", ".join(f"t p{i}" for i in range(len(pats)))
         where = f"\nWHERE {' AND '.join(conds)}" if conds else ""
-        return f"SELECT {sel}\nFROM {froms}{where}"
+        return f"SELECT {sel}\nFROM {', '.join(froms)}{where}"
+
+    recursive = "RECURSIVE " if closure_preds else ""
+    ctes = [f"t AS MATERIALIZED ({triples_sql})"]
+    for term in closure_preds:
+        rel = closure_rel(term)
+        base = term[:-1].replace("'", "''")
+        ctes.append(
+            f"""{rel}_w(a, b, d) AS (
+  SELECT DISTINCT {subj}, {obj}, 1 FROM t WHERE {pred} = '{base}'
+  UNION
+  SELECT w.a, e.{obj}, w.d + 1
+  FROM {rel}_w w JOIN t e ON w.b = e.{subj}
+  WHERE e.{pred} = '{base}' AND w.d < {max_closure_depth}
+),
+{rel} AS (SELECT DISTINCT a, b FROM {rel}_w)"""
+        )
+    with_block = f"WITH {recursive}" + ",\n".join(ctes)
 
     kw = "DISTINCT " if distinct else ""
     req_vars = _pattern_vars(patterns)
     if not optionals:
         return f"""
-WITH t AS MATERIALIZED ({triples_sql})
+{with_block}
 SELECT {kw}{", ".join(req_vars)} FROM ({naive(patterns)}) req
 """
     out_cols = [f"req.{v}" for v in req_vars]
@@ -820,7 +925,7 @@ SELECT {kw}{", ".join(req_vars)} FROM ({naive(patterns)}) req
         seen.update(new)
     nl = "\n"
     return f"""
-WITH t AS MATERIALIZED ({triples_sql})
+{with_block}
 SELECT {kw}{", ".join(out_cols)}
 FROM ({naive(patterns)}) req
 {nl.join(joins)}

@@ -211,3 +211,64 @@ def test_optional_validation(spark, edges):
                 [("?x", "activates", "?z")],
             ],
         )
+
+
+CHAIN = [
+    ("a", "located_in", "b"),
+    ("b", "located_in", "c"),
+    ("c", "located_in", "d"),
+    ("a", "inhibits", "q"),
+    ("q", "located_in", "b"),
+]
+
+
+@pytest.fixture(scope="module")
+def chain_edges(spark):
+    return spark.createDataFrame(
+        CHAIN, "subj_id string, pred string, obj_id string"
+    )
+
+
+def test_property_path_closure(spark, chain_edges):
+    out = match_patterns(chain_edges, [("a", "located_in+", "?y")])
+    assert rows(out) == [("b",), ("c",), ("d",)]
+    # bounded depth cuts the 3-hop pair
+    out2 = match_patterns(
+        chain_edges, [("a", "located_in+", "?y")], max_closure_depth=2
+    )
+    assert rows(out2) == [("b",), ("c",)]
+
+
+def test_property_path_composes_and_oracle(spark, chain_edges):
+    pats = [("?x", "inhibits", "?q"), ("?q", "located_in+", "?y")]
+    out = match_patterns(chain_edges, pats)
+    assert rows(out) == [("a", "q", "b"), ("a", "q", "c"), ("a", "q", "d")]
+    vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in CHAIN)
+    sql = match_patterns_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(subj_id, pred, obj_id)", pats
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert rows(out) == want
+
+
+def test_property_path_in_optional_group(spark, chain_edges):
+    pats = [("?x", "inhibits", "?q")]
+    opts = [[("?q", "located_in+", "?y")]]
+    out = match_patterns(chain_edges, pats, optionals=opts)
+    got = rows(out)
+    assert ("a", "q", "b") in got and ("a", "q", "d") in got
+    vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in CHAIN)
+    sql = match_patterns_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(subj_id, pred, obj_id)",
+        pats,
+        optionals=opts,
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+def test_property_path_estimate_uses_base_pred():
+    from easyner_spark.operators.triples import _pattern_estimate
+
+    stats = {"located_in": (100, 50, 40)}
+    assert _pattern_estimate(("?x", "located_in+", "?y"), stats) == 200
