@@ -349,14 +349,67 @@ def run_curation(spark: SparkSession, cfg: dict) -> dict[str, int]:
     return counts
 
 
+def run_query(spark: SparkSession, cfg: dict) -> dict[str, int]:
+    """`--mode query`: run declarative KG queries from the config
+    against a previously materialized edges table (the run_pipeline
+    product) — the consumer surface of the engine. Config:
+
+        {"output_dir": "...",            # where run_pipeline wrote
+         "queries": [
+           {"name": "who_inhibits",
+            "patterns": [["?x", "inhibits", "?y"],
+                         ["?y", "located_in+", "?z"]],
+            "optionals": [[["?x", "binds", "?w"]]],   # optional
+            "distinct": true,                          # optional
+            "limit": 1000}]}                           # optional
+
+    Each query runs match_patterns (with cost-based join ordering
+    from bgp_stats, computed ONCE per invocation over the edge
+    snapshot) and writes TSV to <output_dir>/query_<name>/. Patterns
+    use the materialized edge schema (subj_id, pred, obj_id); '+'
+    predicates follow the bounded-closure contract."""
+    from easyner_spark.operators.triples import bgp_stats, match_patterns
+    from easyner_spark.sinks.checkpoint import SnapshotTable
+    from easyner_spark.sinks.export import write_tsv
+
+    out_dir = cfg.get("output_dir", "/tmp/easyner_out")
+    edges = SnapshotTable(
+        f"{out_dir}/edges", ["subj_id", "pred", "obj_id"]
+    ).read(spark)
+    stats = bgp_stats(edges)
+    counts: dict[str, int] = {}
+    for q in cfg.get("queries", []):
+        name = q["name"]
+        pats = [tuple(p) for p in q["patterns"]]
+        opts = [
+            [tuple(p) for p in grp] for grp in q.get("optionals", [])
+        ] or None
+        out = match_patterns(
+            edges,
+            pats,
+            distinct=bool(q.get("distinct", False)),
+            stats=stats,
+            optionals=opts,
+            max_closure_depth=int(q.get("max_closure_depth", 10)),
+        )
+        if q.get("limit"):
+            out = out.limit(int(q["limit"]))
+        write_tsv(out, f"{out_dir}/query_{name}")
+        counts[name] = out.count()
+    return counts
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="easyner_spark.cli")
     ap.add_argument("--config", required=True)
     ap.add_argument(
         "--mode",
-        choices=("kg", "curate"),
+        choices=("kg", "curate", "query"),
         default="kg",
-        help="kg = the reference IE/KG pipeline; curate = crawl -> training corpus",
+        help=(
+            "kg = the reference IE/KG pipeline; curate = crawl -> "
+            "training corpus; query = BGP queries over materialized edges"
+        ),
     )
     args = ap.parse_args(argv)
     with open(args.config, encoding="utf-8") as f:
@@ -366,7 +419,12 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark("easyner-pipeline")
     spark.sparkContext.setLogLevel("WARN")
-    counts = (run_curation if args.mode == "curate" else run_pipeline)(spark, cfg)
+    runner = {
+        "kg": run_pipeline,
+        "curate": run_curation,
+        "query": run_query,
+    }[args.mode]
+    counts = runner(spark, cfg)
     print(json.dumps({"stages": counts}))
     spark.stop()
 

@@ -463,3 +463,41 @@ class TestCliFuzzyNel:
         # instead of dropping them, so the linked table can only grow
         assert fuzzy["linked"] >= exact["linked"]
         assert fuzzy["nodes"] > 0 and fuzzy["edges"] > 0
+
+
+class TestQueryMode:
+    def test_query_mode_over_materialized_edges(self, spark, pages_df, tmp_path):
+        from easyner_spark.cli import run_pipeline, run_query
+
+        pages_path = str(tmp_path / "pages.parquet")
+        pages_df.write.parquet(pages_path)
+        out_dir = str(tmp_path / "out")
+        cfg = {"input": {"pages_path": pages_path}, "output_dir": out_dir}
+        run_pipeline(spark, cfg)
+
+        qcfg = {
+            "output_dir": out_dir,
+            "queries": [
+                {
+                    "name": "cooc",
+                    "patterns": [["?x", "co_occurs_with", "?y"]],
+                    "distinct": True,
+                },
+                {
+                    "name": "two_hop",
+                    "patterns": [
+                        ["?x", "co_occurs_with", "?y"],
+                        ["?y", "co_occurs_with", "?z"],
+                    ],
+                    "distinct": True,
+                    "limit": 50,
+                },
+            ],
+        }
+        counts = run_query(spark, qcfg)
+        assert counts["cooc"] > 0
+        assert 0 < counts["two_hop"] <= 50
+        import os
+
+        assert os.path.exists(f"{out_dir}/query_cooc")
+        assert os.path.exists(f"{out_dir}/query_two_hop")
