@@ -2560,6 +2560,27 @@ def q_kg_pattern_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KG_MINUS_PATTERNS = [("?x", "located_in", "?y")]
+_KG_MINUS_GROUPS = [[("?y", "city_of", "?z")]]
+
+
+def q_kg_pattern_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS over the rule KG: located_in pairs whose OBJECT is
+    not itself a declared city (city_of's designed residue gaps make
+    the exclusion split 31 -> 11 rows) — left anti-join on the shared
+    variable, NOT EXISTS on the oracle side."""
+    from easyner_spark.operators.triples import match_patterns
+
+    return match_patterns(
+        _kg_rules_triples(spark, sf_dir),
+        _KG_MINUS_PATTERNS,
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        minus=_KG_MINUS_GROUPS,
+    )
+
+
 _KG_PATH_PATTERNS = [
     ("?x", "works_for", "?e"),
     ("?e", "located_in+", "?y"),
@@ -6138,6 +6159,7 @@ _DRIVER_WINDOW_FIRST = [
     "temp_mixture",          # NEW: temperature-scaled mixture rates
     "kg_pattern_optional",   # NEW: SPARQL OPTIONAL left joins
     "kg_property_path",      # NEW: pred+ transitive-closure paths
+    "kg_pattern_minus",      # NEW: SPARQL MINUS anti-joins
     "blocking_quality",      # NEW: ER-blocking evaluation triple
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
@@ -6252,6 +6274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_mixture": q_temp_mixture,
         "kg_pattern_optional": q_kg_pattern_optional,
         "kg_property_path": q_kg_property_path,
+        "kg_pattern_minus": q_kg_pattern_minus,
         "blocking_quality": q_blocking_quality,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
@@ -8071,6 +8094,21 @@ def _kg_pattern_optional_oracle() -> str:
         pred="pred",
         obj="obj",
         optionals=_KG_OPT_GROUPS,
+    )
+
+
+def _kg_pattern_minus_oracle() -> str:
+    """q_kg_pattern_minus oracle: NOT EXISTS formulation from the
+    SAME required patterns + MINUS groups."""
+    from easyner_spark.operators.triples import match_patterns_oracle_sql
+
+    return match_patterns_oracle_sql(
+        _KG_RULES_SQL,
+        _KG_MINUS_PATTERNS,
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        minus=_KG_MINUS_GROUPS,
     )
 
 
@@ -10371,6 +10409,7 @@ FROM c
         "temp_mixture": _temp_mixture_oracle(),
         "kg_pattern_optional": _kg_pattern_optional_oracle(),
         "kg_property_path": _kg_property_path_oracle(),
+        "kg_pattern_minus": _kg_pattern_minus_oracle(),
         "blocking_quality": _blocking_quality_oracle(),
         # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
         "host_kmv": _host_kmv_oracle(),

@@ -384,12 +384,16 @@ def run_query(spark: SparkSession, cfg: dict) -> dict[str, int]:
         opts = [
             [tuple(p) for p in grp] for grp in q.get("optionals", [])
         ] or None
+        mins = [
+            [tuple(p) for p in grp] for grp in q.get("minus", [])
+        ] or None
         out = match_patterns(
             edges,
             pats,
             distinct=bool(q.get("distinct", False)),
             stats=stats,
             optionals=opts,
+            minus=mins,
             max_closure_depth=int(q.get("max_closure_depth", 10)),
         )
         if q.get("limit"):

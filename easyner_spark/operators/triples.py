@@ -670,6 +670,7 @@ def match_patterns(
     distinct: bool = False,
     stats: dict[str, tuple[int, int, int]] | None = None,
     optionals: list[list[tuple[str, str, str]]] | None = None,
+    minus: list[list[tuple[str, str, str]]] | None = None,
     max_closure_depth: int = 10,
 ) -> DataFrame:
     """Conjunctive triple-pattern matching (the SPARQL basic-graph-
@@ -712,6 +713,14 @@ def match_patterns(
     ways multiplies its row k-fold, exactly as SPARQL defines it).
     Groups must each share >= 1 variable with the required block and
     introduce disjoint new variables.
+
+    `minus` adds SPARQL MINUS semantics: each entry is a connected
+    pattern group; required bindings for which the group has ANY
+    match on the shared variables are REMOVED (left anti-join — the
+    "entities with no English label", "pairs not already linked"
+    exclusion queries). Groups must share >= 1 variable with the
+    required block; variables private to a MINUS group are
+    existentially quantified and never appear in the output.
 
     A literal predicate ending in '+' is a SPARQL property path
     (one-or-more): the pattern matches the predicate's transitive
@@ -795,6 +804,17 @@ def match_patterns(
 
     out = block(patterns)
     req_vars = _pattern_vars(patterns)
+    for group in minus or []:
+        _validate_patterns(group)
+        shared = [v for v in _pattern_vars(group) if v in req_vars]
+        if not shared:
+            raise ValueError(
+                f"minus group shares no variable with the required "
+                f"block: {group!r}"
+            )
+        out = out.join(
+            block(group).select(*shared).distinct(), shared, "left_anti"
+        )
     all_vars = list(req_vars)
     for group in optionals or []:
         _validate_patterns(group)
@@ -826,6 +846,7 @@ def match_patterns_oracle_sql(
     obj: str = "obj_id",
     distinct: bool = False,
     optionals: list[list[tuple[str, str, str]]] | None = None,
+    minus: list[list[tuple[str, str, str]]] | None = None,
     max_closure_depth: int = 10,
 ) -> str:
     """DuckDB twin of match_patterns, generated from the SAME pattern
@@ -833,17 +854,17 @@ def match_patterns_oracle_sql(
     naive conjunctive formulation — cross product + WHERE — which is
     bag-equivalent to any join order, so it checks the Spark side's
     greedy plan without replicating it; OPTIONAL groups become LEFT
-    JOINs of their own naive blocks on the shared variables; '+'
-    property paths become depth-bounded WITH RECURSIVE closure CTEs
-    (flat chain, per the repo's nested-WITH DuckDB quirk — so
-    `triples_sql` must be a plain SELECT, not itself a WITH).
-    `triples_sql` yields (subj, pred, obj)-shaped rows under the
-    given column names."""
+    JOINs of their own naive blocks on the shared variables; MINUS
+    groups become NOT EXISTS anti-conditions; '+' property paths
+    become depth-bounded WITH RECURSIVE closure CTEs (flat chain, per
+    the repo's nested-WITH DuckDB quirk — so `triples_sql` must be a
+    plain SELECT, not itself a WITH). `triples_sql` yields
+    (subj, pred, obj)-shaped rows under the given column names."""
     _validate_patterns(patterns)
     cols = {"s": subj, "p": pred, "o": obj}
 
     closure_preds: list[str] = []
-    for grp in [patterns, *(optionals or [])]:
+    for grp in [patterns, *(optionals or []), *(minus or [])]:
         for pat in grp:
             p_term = pat[1]
             if (
@@ -906,15 +927,10 @@ def match_patterns_oracle_sql(
 
     kw = "DISTINCT " if distinct else ""
     req_vars = _pattern_vars(patterns)
-    if not optionals:
-        return f"""
-{with_block}
-SELECT {kw}{", ".join(req_vars)} FROM ({naive(patterns)}) req
-"""
     out_cols = [f"req.{v}" for v in req_vars]
     joins = []
     seen = set(req_vars)
-    for gi, group in enumerate(optionals):
+    for gi, group in enumerate(optionals or []):
         _validate_patterns(group)
         gvars = _pattern_vars(group)
         shared = [v for v in gvars if v in req_vars]
@@ -923,12 +939,21 @@ SELECT {kw}{", ".join(req_vars)} FROM ({naive(patterns)}) req
         joins.append(f"LEFT JOIN ({naive(group)}) g{gi} ON {on}")
         out_cols.extend(f"g{gi}.{v}" for v in new)
         seen.update(new)
+    antis = []
+    for mi, group in enumerate(minus or []):
+        _validate_patterns(group)
+        shared = [v for v in _pattern_vars(group) if v in req_vars]
+        on = " AND ".join(f"m{mi}.{v} = req.{v}" for v in shared)
+        antis.append(
+            f"NOT EXISTS (SELECT 1 FROM ({naive(group)}) m{mi} WHERE {on})"
+        )
     nl = "\n"
+    where = f"\nWHERE {' AND '.join(antis)}" if antis else ""
     return f"""
 {with_block}
 SELECT {kw}{", ".join(out_cols)}
 FROM ({naive(patterns)}) req
-{nl.join(joins)}
+{nl.join(joins)}{where}
 """
 
 

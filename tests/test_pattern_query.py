@@ -272,3 +272,49 @@ def test_property_path_estimate_uses_base_pred():
 
     stats = {"located_in": (100, 50, 40)}
     assert _pattern_estimate(("?x", "located_in+", "?y"), stats) == 200
+
+
+def test_minus_group_excludes(spark, edges):
+    # binds pairs: (b,c), (b,d), (a,c); MINUS "?c activates ?w"
+    # removes the (b,d) row (d activates a); bag semantics preserved
+    pats = [("?s", "binds", "?c")]
+    out = match_patterns(
+        edges, pats, minus=[[("?c", "activates", "?w")]]
+    )
+    assert out.columns == ["s", "c"]
+    assert rows(out) == [("a", "c"), ("b", "c")]
+    # oracle twin agrees
+    vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in TRIPLES)
+    sql = match_patterns_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(subj_id, pred, obj_id)",
+        pats,
+        minus=[[("?c", "activates", "?w")]],
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert rows(out) == want
+
+
+def test_minus_validation(spark, edges):
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_patterns(
+            edges,
+            [("?x", "inhibits", "?y")],
+            minus=[[("?a", "binds", "?b")]],
+        )
+
+
+def test_minus_with_property_path(spark, chain_edges):
+    # everything a is transitively located_in, minus the direct hop
+    pats = [("a", "located_in+", "?y")]
+    out = match_patterns(
+        chain_edges, pats, minus=[[("a", "located_in", "?y")]]
+    )
+    assert rows(out) == [("c",), ("d",)]
+    vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in CHAIN)
+    sql = match_patterns_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(subj_id, pred, obj_id)",
+        pats,
+        minus=[[("a", "located_in", "?y")]],
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert rows(out) == want
