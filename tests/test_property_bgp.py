@@ -36,6 +36,8 @@ shape_strat = st.tuples(
     st.sampled_from([None, *NODES]),  # literal anchor for ?x (or var)
     st.booleans(),                    # add an OPTIONAL group
     st.sampled_from(PREDS),           # optional group pred
+    st.booleans(),                    # add a MINUS group
+    st.sampled_from(PREDS),           # minus group pred
 )
 
 
@@ -47,11 +49,12 @@ def _sorted(tuples):
 
 
 def _run_both(spark, rows, shape):
-    p1, p2, plus, anchor, with_opt, opred = shape
+    p1, p2, plus, anchor, with_opt, opred, with_minus, mpred = shape
     p2_term = p2 + "+" if plus else p2
     x_term = anchor if anchor is not None else "?x"
     pats = [(x_term, p1, "?y"), ("?y", p2_term, "?z")]
     opts = [[("?z", opred, "?w")]] if with_opt else None
+    mins = [[("?y", mpred, "?m")]] if with_minus else None
 
     edges = spark.createDataFrame(
         rows, "subj_id string, pred string, obj_id string"
@@ -59,7 +62,7 @@ def _run_both(spark, rows, shape):
     got = _sorted(
         tuple(r)
         for r in match_patterns(
-            edges, pats, optionals=opts, max_closure_depth=4
+            edges, pats, optionals=opts, minus=mins, max_closure_depth=4
         ).collect()
     )
     vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in rows)
@@ -67,6 +70,7 @@ def _run_both(spark, rows, shape):
         f"SELECT * FROM (VALUES {vals}) v(subj_id, pred, obj_id)",
         pats,
         optionals=opts,
+        minus=mins,
         max_closure_depth=4,
     )
     want = _sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
