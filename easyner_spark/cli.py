@@ -387,6 +387,9 @@ def run_query(spark: SparkSession, cfg: dict) -> dict[str, int]:
         mins = [
             [tuple(p) for p in grp] for grp in q.get("minus", [])
         ] or None
+        binds = {
+            v: tuple(vals) for v, vals in q.get("bindings", {}).items()
+        } or None
         out = match_patterns(
             edges,
             pats,
@@ -394,6 +397,7 @@ def run_query(spark: SparkSession, cfg: dict) -> dict[str, int]:
             stats=stats,
             optionals=opts,
             minus=mins,
+            bindings=binds,
             max_closure_depth=int(q.get("max_closure_depth", 10)),
         )
         if q.get("limit"):

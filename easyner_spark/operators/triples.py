@@ -671,6 +671,7 @@ def match_patterns(
     stats: dict[str, tuple[int, int, int]] | None = None,
     optionals: list[list[tuple[str, str, str]]] | None = None,
     minus: list[list[tuple[str, str, str]]] | None = None,
+    bindings: dict[str, tuple[str, ...]] | None = None,
     max_closure_depth: int = 10,
 ) -> DataFrame:
     """Conjunctive triple-pattern matching (the SPARQL basic-graph-
@@ -713,6 +714,13 @@ def match_patterns(
     ways multiplies its row k-fold, exactly as SPARQL defines it).
     Groups must each share >= 1 variable with the required block and
     introduce disjoint new variables.
+
+    `bindings` adds SPARQL VALUES semantics: {var: allowed values}
+    restricts a required variable to an explicit literal set — the
+    parameterized-query surface ("run this shape for THESE 50
+    entities"). Emitted as isin() predicates, which Catalyst pushes
+    through the joins to the scans; at KG scale this is what turns a
+    corpus-wide pattern sweep into an indexed lookup.
 
     `minus` adds SPARQL MINUS semantics: each entry is a connected
     pattern group; required bindings for which the group has ANY
@@ -804,6 +812,15 @@ def match_patterns(
 
     out = block(patterns)
     req_vars = _pattern_vars(patterns)
+    for v, vals in (bindings or {}).items():
+        if v not in req_vars:
+            raise ValueError(
+                f"bindings variable '?{v}' is not bound by the "
+                f"required patterns"
+            )
+        if not vals:
+            raise ValueError(f"bindings for '?{v}' are empty")
+        out = out.where(F.col(v).isin(*vals))
     for group in minus or []:
         _validate_patterns(group)
         shared = [v for v in _pattern_vars(group) if v in req_vars]
@@ -847,6 +864,7 @@ def match_patterns_oracle_sql(
     distinct: bool = False,
     optionals: list[list[tuple[str, str, str]]] | None = None,
     minus: list[list[tuple[str, str, str]]] | None = None,
+    bindings: dict[str, tuple[str, ...]] | None = None,
     max_closure_depth: int = 10,
 ) -> str:
     """DuckDB twin of match_patterns, generated from the SAME pattern
@@ -940,6 +958,11 @@ def match_patterns_oracle_sql(
         out_cols.extend(f"g{gi}.{v}" for v in new)
         seen.update(new)
     antis = []
+    for v, vals in (bindings or {}).items():
+        in_list = ", ".join(
+            "'" + val.replace("'", "''") + "'" for val in vals
+        )
+        antis.append(f"req.{v} IN ({in_list})")
     for mi, group in enumerate(minus or []):
         _validate_patterns(group)
         shared = [v for v in _pattern_vars(group) if v in req_vars]

@@ -318,3 +318,25 @@ def test_minus_with_property_path(spark, chain_edges):
     )
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert rows(out) == want
+
+
+def test_values_bindings(spark, edges):
+    pats = [("?s", "binds", "?c")]
+    out = match_patterns(edges, pats, bindings={"s": ("b",)})
+    assert rows(out) == [("b", "c"), ("b", "d")]
+    # oracle twin agrees
+    vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in TRIPLES)
+    sql = match_patterns_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(subj_id, pred, obj_id)",
+        pats,
+        bindings={"s": ("b",)},
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert rows(out) == want
+    # multi-value + unknown-var validation
+    out2 = match_patterns(edges, pats, bindings={"c": ("c", "zzz")})
+    assert rows(out2) == [("a", "c"), ("b", "c")]
+    with pytest.raises(ValueError, match="not bound"):
+        match_patterns(edges, pats, bindings={"nope": ("x",)})
+    with pytest.raises(ValueError, match="empty"):
+        match_patterns(edges, pats, bindings={"s": ()})
