@@ -2581,6 +2581,25 @@ def q_kg_pattern_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KG_VALUES_BINDINGS = {"x": ("n1", "n2", "n3", "n4", "n5")}
+
+
+def q_kg_pattern_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES over the rule KG: the located_in pattern
+    restricted to five explicit subjects (the parameterized-query
+    surface; isin predicates push to the scan)."""
+    from easyner_spark.operators.triples import match_patterns
+
+    return match_patterns(
+        _kg_rules_triples(spark, sf_dir),
+        [("?x", "located_in", "?y")],
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        bindings=_KG_VALUES_BINDINGS,
+    )
+
+
 _KG_PATH_PATTERNS = [
     ("?x", "works_for", "?e"),
     ("?e", "located_in+", "?y"),
@@ -6160,6 +6179,7 @@ _DRIVER_WINDOW_FIRST = [
     "kg_pattern_optional",   # NEW: SPARQL OPTIONAL left joins
     "kg_property_path",      # NEW: pred+ transitive-closure paths
     "kg_pattern_minus",      # NEW: SPARQL MINUS anti-joins
+    "kg_pattern_values",     # NEW: SPARQL VALUES bindings
     "blocking_quality",      # NEW: ER-blocking evaluation triple
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
@@ -6275,6 +6295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_optional": q_kg_pattern_optional,
         "kg_property_path": q_kg_property_path,
         "kg_pattern_minus": q_kg_pattern_minus,
+        "kg_pattern_values": q_kg_pattern_values,
         "blocking_quality": q_blocking_quality,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
@@ -8109,6 +8130,21 @@ def _kg_pattern_minus_oracle() -> str:
         pred="pred",
         obj="obj",
         minus=_KG_MINUS_GROUPS,
+    )
+
+
+def _kg_pattern_values_oracle() -> str:
+    """q_kg_pattern_values oracle: IN-list formulation from the SAME
+    bindings dict."""
+    from easyner_spark.operators.triples import match_patterns_oracle_sql
+
+    return match_patterns_oracle_sql(
+        _KG_RULES_SQL,
+        [("?x", "located_in", "?y")],
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        bindings=_KG_VALUES_BINDINGS,
     )
 
 
@@ -10410,6 +10446,7 @@ FROM c
         "kg_pattern_optional": _kg_pattern_optional_oracle(),
         "kg_property_path": _kg_property_path_oracle(),
         "kg_pattern_minus": _kg_pattern_minus_oracle(),
+        "kg_pattern_values": _kg_pattern_values_oracle(),
         "blocking_quality": _blocking_quality_oracle(),
         # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
         "host_kmv": _host_kmv_oracle(),
