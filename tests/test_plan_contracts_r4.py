@@ -145,3 +145,28 @@ def test_shortest_paths_and_kg_paths_no_serial_reducer(spark):
         kg_paths(e, sources=("e0",), targets=("e5",), max_len=2)
     )
     assert "Exchange SinglePartition" not in plan2
+
+
+def test_bgp_literals_and_values_push_to_scan(spark, tmp_path):
+    """The BGP matcher's literal predicates and VALUES bindings must
+    reach the parquet scan as pushed filters — at KG scale this is
+    what turns a corpus sweep into an indexed lookup."""
+    from easyner_spark.operators.triples import match_patterns
+
+    path = str(tmp_path / "kg_edges.parquet")
+    _kg(spark).write.parquet(path)
+    edges = spark.read.parquet(path)
+    out = match_patterns(
+        edges,
+        [("?x", "p1", "?y"), ("?y", "p2", "?z")],
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        bindings={"x": ("e1", "e2", "e3")},
+    )
+    plan = _final_plan(out)
+    assert "PushedFilters" in plan
+    # the predicate literals are pushed...
+    assert plan.count("EqualTo(pred,") >= 2
+    # ...and the VALUES in-list is pushed into at least one scan
+    assert "In(subj, [e1,e2,e3])" in plan
