@@ -6091,6 +6091,36 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl_schedule(pages)
 
 
+_B3_ASSIGN_SQL = """SELECT 'r' || doc_id AS r,
+  'p' || (doc_id % 20) AS p, 'g' || (doc_id % 25) AS g
+  FROM documents"""
+
+
+def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed clustering evaluation of a deterministic residue
+    clustering (predicted mod-20 vs gold mod-25 clusters — partial
+    systematic overlap) — per-record micro-floor ratios, group-size
+    arithmetic only, no pairwise join."""
+    from easyner_spark.operators.dedup import bcubed_quality
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    a = d.select(
+        F.concat(F.lit("r"), did.cast("string")).alias("record"),
+        F.concat(F.lit("p"), (did % 20).cast("string")).alias("pred_cluster"),
+        F.concat(F.lit("g"), (did % 25).cast("string")).alias("gold_cluster"),
+    )
+    return bcubed_quality(a)
+
+
+def _bcubed_oracle() -> str:
+    """q_bcubed oracle: the assignment synthesis through the
+    operator's module-local twin."""
+    from easyner_spark.operators.dedup import bcubed_quality_oracle_sql
+
+    return bcubed_quality_oracle_sql(_B3_ASSIGN_SQL)
+
+
 # Blocking-evaluation fixture: records are the documents themselves;
 # gold duplicate pairs are (d, d+1) for doc_id % 4 = 0, the "blocker"
 # under evaluation recalls half of gold (doc_id % 8 = 0) and adds
@@ -6181,6 +6211,7 @@ _DRIVER_WINDOW_FIRST = [
     "kg_pattern_minus",      # NEW: SPARQL MINUS anti-joins
     "kg_pattern_values",     # NEW: SPARQL VALUES bindings
     "blocking_quality",      # NEW: ER-blocking evaluation triple
+    "bcubed_quality",        # NEW: B-cubed cluster evaluation
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -6297,6 +6328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_minus": q_kg_pattern_minus,
         "kg_pattern_values": q_kg_pattern_values,
         "blocking_quality": q_blocking_quality,
+        "bcubed_quality": q_bcubed,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
         "zorder_keys": q_zorder_keys,
@@ -10448,6 +10480,7 @@ FROM c
         "kg_pattern_minus": _kg_pattern_minus_oracle(),
         "kg_pattern_values": _kg_pattern_values_oracle(),
         "blocking_quality": _blocking_quality_oracle(),
+        "bcubed_quality": _bcubed_oracle(),
         # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
         "host_kmv": _host_kmv_oracle(),
         # Sketch-only pairwise set-operation estimates

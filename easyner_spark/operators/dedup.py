@@ -1337,3 +1337,114 @@ SELECT n_cand, n_gold, n_true,
   (1000000 - (1000000 * n_cand) // {total_pairs})::BIGINT AS rr_micro
 FROM bq_counts
 """
+
+
+def bcubed_quality(
+    assignments: DataFrame,
+    record_col: str = "record",
+    pred_col: str = "pred_cluster",
+    gold_col: str = "gold_cluster",
+) -> DataFrame:
+    """One row of B-cubed clustering metrics — the CLUSTER-level
+    companion to blocking_quality's pair metrics: given each record's
+    predicted cluster (neardup_groups, fuzzy_dedup_groups, components
+    output) and gold cluster, report
+
+        n_records                 evaluated records (BIGINT)
+        bcubed_precision_micro    avg over records of
+                                  |pred∩gold|/|pred|, micro floor
+        bcubed_recall_micro       avg of |pred∩gold|/|gold|
+        bcubed_f1_micro           harmonic mean of the two averages
+
+    B³ (Bagga & Baldwin 1998) is the standard ER-clustering score:
+    unlike pair-F1 it doesn't let one giant merged cluster dominate.
+
+    Exactness contract: per-record ratios are BIGINT micro floors
+    (1e6·n_pg div n_p), the averages are floor(sum/n), and f1 is
+    floor(2·P·R/(P+R)) on the micro units — floor-before-average is
+    part of the contract (deterministic on both engines; the bias is
+    < 1 micro-unit per record). Records missing either cluster id are
+    dropped (inner semantics) — score what both sides clustered.
+
+    Shape: one (pred, gold) pair-size aggregate — the intersection
+    size n_pg is a GROUP SIZE, no pairwise join ever happens — plus
+    two cluster-size aggregates joined back (AQE broadcasts the
+    cluster-size tables; cluster counts << records), then ONE global
+    rollup. A giant predicted cluster is one hot GROUP KEY absorbed
+    map-side by partial aggregation, not a quadratic pair explosion —
+    that is the whole point of evaluating B³ instead of pair counts
+    at corpus scale.
+    """
+    a = assignments.select(
+        F.col(record_col).alias("r"),
+        F.col(pred_col).alias("p"),
+        F.col(gold_col).alias("g"),
+    ).where(F.col("p").isNotNull() & F.col("g").isNotNull())
+    pg = a.groupBy("p", "g").agg(F.count(F.lit(1)).alias("n_pg"))
+    np_ = a.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    ng = a.groupBy("g").agg(F.count(F.lit(1)).alias("n_g"))
+    per = (
+        pg.join(F.broadcast(np_), "p")
+        .join(F.broadcast(ng), "g")
+        .select(
+            "n_pg",
+            F.expr("(1000000 * n_pg) div n_p").alias("prec_micro"),
+            F.expr("(1000000 * n_pg) div n_g").alias("rec_micro"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_pg").cast("long").alias("n_records"),
+        # each (p,g) cell contributes its ratio once PER RECORD in it
+        F.sum(F.col("prec_micro") * F.col("n_pg")).cast("long").alias("_ps"),
+        F.sum(F.col("rec_micro") * F.col("n_pg")).cast("long").alias("_rs"),
+    )
+    return tot.select(
+        "n_records",
+        F.expr("_ps div n_records").cast("long").alias(
+            "bcubed_precision_micro"
+        ),
+        F.expr("_rs div n_records").cast("long").alias(
+            "bcubed_recall_micro"
+        ),
+        F.expr(
+            "CASE WHEN _ps div n_records + _rs div n_records > 0 THEN "
+            "(2 * (_ps div n_records) * (_rs div n_records)) div "
+            "((_ps div n_records) + (_rs div n_records)) ELSE 0 END"
+        )
+        .cast("long")
+        .alias("bcubed_f1_micro"),
+    )
+
+
+def bcubed_quality_oracle_sql(assign_sql: str) -> str:
+    """DuckDB twin of :func:`bcubed_quality`; `assign_sql` yields
+    (r, p, g) record-cluster assignment rows."""
+    return f"""
+WITH b3_a AS (
+  SELECT r, p, g FROM ({assign_sql})
+  WHERE p IS NOT NULL AND g IS NOT NULL
+),
+b3_pg AS (SELECT p, g, count(*)::BIGINT AS n_pg FROM b3_a GROUP BY p, g),
+b3_p AS (SELECT p, count(*)::BIGINT AS n_p FROM b3_a GROUP BY p),
+b3_g AS (SELECT g, count(*)::BIGINT AS n_g FROM b3_a GROUP BY g),
+b3_per AS (
+  SELECT x.n_pg,
+         (1000000 * x.n_pg) // pp.n_p AS prec_micro,
+         (1000000 * x.n_pg) // gg.n_g AS rec_micro
+  FROM b3_pg x JOIN b3_p pp ON x.p = pp.p JOIN b3_g gg ON x.g = gg.g
+),
+b3_tot AS (
+  SELECT sum(n_pg)::BIGINT AS n_records,
+         sum(prec_micro * n_pg)::BIGINT AS ps,
+         sum(rec_micro * n_pg)::BIGINT AS rs
+  FROM b3_per
+)
+SELECT n_records,
+       (ps // n_records)::BIGINT AS bcubed_precision_micro,
+       (rs // n_records)::BIGINT AS bcubed_recall_micro,
+       (CASE WHEN ps // n_records + rs // n_records > 0 THEN
+          (2 * (ps // n_records) * (rs // n_records)) //
+          ((ps // n_records) + (rs // n_records)) ELSE 0 END)::BIGINT
+         AS bcubed_f1_micro
+FROM b3_tot
+"""
