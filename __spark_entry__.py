@@ -6091,6 +6091,76 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl_schedule(pages)
 
 
+def q_kg_ego(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop ego subgraph around n0/n5 over the rule KG: the induced
+    edge set whose endpoints both lie within 2 undirected hops of a
+    seed — one BFS + two broadcast semi-joins."""
+    from easyner_spark.operators.graph import ego_subgraph
+
+    return ego_subgraph(_kg_rules_edges(spark, sf_dir), ("n0", "n5"), k=2)
+
+
+def _kg_ego_oracle() -> str:
+    """q_kg_ego oracle: rule-KG edges through the operator's
+    recursive-BFS twin."""
+    from easyner_spark.operators.graph import ego_subgraph_oracle_sql
+
+    prefix = f"""WITH RECURSIVE kgrE AS ({_KG_RULES_SQL}),
+egoE AS (SELECT DISTINCT subj AS a, obj AS b FROM kgrE WHERE subj <> obj)"""
+    return ego_subgraph_oracle_sql(prefix, ("n0", "n5"), k=2)
+
+
+# Epoch-stamped functional-conflict fixture: 10 subjects x 4 objects
+# across 3 epochs, predicate split by parity. One definition per side.
+_TFV_SQL = """SELECT 's' || (doc_id % 10) AS subj,
+  CASE WHEN doc_id % 2 = 0 THEN 'capital_of' ELSE 'id_of' END AS pred,
+  'o' || (doc_id % 4) AS obj,
+  doc_id % 3 AS epoch
+  FROM documents"""
+
+
+def _tfv_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(subj, pred, obj, epoch) twin of _TFV_SQL."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("s"), (did % 10).cast("string")).alias("subj"),
+        F.when(did % 2 == 0, F.lit("capital_of"))
+        .otherwise(F.lit("id_of"))
+        .alias("pred"),
+        F.concat(F.lit("o"), (did % 4).cast("string")).alias("obj"),
+        (did % 3).alias("epoch"),
+    )
+
+
+def q_kg_temporal_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch functional conflicts: capital_of (functional) and
+    id_of (inverse-functional) violations WITHIN each crawl epoch —
+    the extraction-error feed an incremental-KG ingest reviews, as
+    opposed to cross-epoch change (edge_history's status)."""
+    from easyner_spark.operators.triples import (
+        temporal_functional_violations,
+    )
+
+    return temporal_functional_violations(
+        _tfv_triples(spark, sf_dir),
+        [("capital_of", "functional"), ("id_of", "inverse_functional")],
+    )
+
+
+def _kg_temporal_conflicts_oracle() -> str:
+    """q_kg_temporal_conflicts oracle: the epoch-stamped synthesis
+    through the operator's module-local twin."""
+    from easyner_spark.operators.triples import (
+        temporal_functional_violations_oracle_sql,
+    )
+
+    return temporal_functional_violations_oracle_sql(
+        _TFV_SQL,
+        [("capital_of", "functional"), ("id_of", "inverse_functional")],
+    )
+
+
 _B3_ASSIGN_SQL = """SELECT 'r' || doc_id AS r,
   'p' || (doc_id % 20) AS p, 'g' || (doc_id % 25) AS g
   FROM documents"""
@@ -6212,6 +6282,8 @@ _DRIVER_WINDOW_FIRST = [
     "kg_pattern_values",     # NEW: SPARQL VALUES bindings
     "blocking_quality",      # NEW: ER-blocking evaluation triple
     "bcubed_quality",        # NEW: B-cubed cluster evaluation
+    "kg_ego",                # NEW: k-hop ego subgraph export
+    "kg_temporal_conflicts", # NEW: per-epoch functional conflicts
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -6329,6 +6401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_values": q_kg_pattern_values,
         "blocking_quality": q_blocking_quality,
         "bcubed_quality": q_bcubed,
+        "kg_ego": q_kg_ego,
+        "kg_temporal_conflicts": q_kg_temporal_conflicts,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
         "zorder_keys": q_zorder_keys,
@@ -10481,6 +10555,8 @@ FROM c
         "kg_pattern_values": _kg_pattern_values_oracle(),
         "blocking_quality": _blocking_quality_oracle(),
         "bcubed_quality": _bcubed_oracle(),
+        "kg_ego": _kg_ego_oracle(),
+        "kg_temporal_conflicts": _kg_temporal_conflicts_oracle(),
         # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
         "host_kmv": _host_kmv_oracle(),
         # Sketch-only pairwise set-operation estimates

@@ -2615,3 +2615,73 @@ SELECT first AS src, node AS dst,
        replace(trim(fenced, '|'), '|', '>') AS path, hops::BIGINT AS hops
 FROM kpW WHERE node IN ({dst_list})
 """
+
+
+def ego_subgraph(
+    edges: DataFrame,
+    seeds: tuple[str, ...],
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(src, dst) — the k-hop EGO SUBGRAPH around a seed entity set:
+    every edge whose BOTH endpoints lie within k undirected hops of
+    some seed. The "show me X's neighborhood" export a KG consumer
+    renders next to an entity card (entity_summaries gives the facts,
+    this gives the local graph), and the standard sampling primitive
+    for subgraph-level GNN training data.
+
+    Shape: one k_hop BFS from the seeds (seed tuple is small by
+    contract — this is a per-entity/per-query operation, not a corpus
+    sweep) gives the member-node set; the induced edges are two
+    semi-joins of the edge table against that set. The member set is
+    neighborhood-sized, so AQE broadcasts it and the edge scan is
+    filtered without a shuffle; hub seeds inflate the member set —
+    that IS the query's answer size, and k is the explicit cost knob.
+    Output is DISTINCT directed edges (self-loops dropped, matching
+    every other edge contract in this module).
+    """
+    if not seeds:
+        raise ValueError("ego_subgraph needs at least one seed")
+    spark = edges.sparkSession
+    seed_df = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    members = (
+        k_hop(edges, k=k, sources=seed_df, src=src, dst=dst)
+        .select("node")
+        .distinct()
+    )
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return e.join(
+        F.broadcast(members.withColumnRenamed("node", "src")), "src", "left_semi"
+    ).join(
+        F.broadcast(members.withColumnRenamed("node", "dst")), "dst", "left_semi"
+    ).select("src", "dst")
+
+
+def ego_subgraph_oracle_sql(
+    prefix_cte: str, seeds: tuple[str, ...], k: int = 2
+) -> str:
+    """DuckDB twin of :func:`ego_subgraph`; `prefix_cte` is a complete
+    WITH RECURSIVE chain whose LAST relation is egoE(a, b) — DISTINCT
+    directed edges, no self loops."""
+    seed_rows = " UNION ALL ".join(f"SELECT '{s}' AS node" for s in seeds)
+    return f"""{prefix_cte},
+egoSym AS (SELECT a, b FROM egoE UNION SELECT b, a FROM egoE),
+egoSeed AS ({seed_rows}),
+egoW(node, dist) AS (
+  SELECT node, 0 FROM egoSeed
+  UNION
+  SELECT e.b, w.dist + 1
+  FROM egoW w JOIN egoSym e ON w.node = e.a
+  WHERE w.dist < {k}
+),
+egoN AS (SELECT DISTINCT node FROM egoW)
+SELECT e.a AS src, e.b AS dst
+FROM egoE e
+JOIN egoN x ON e.a = x.node
+JOIN egoN y ON e.b = y.node
+"""

@@ -3416,3 +3416,104 @@ JOIN mp_diag da ON m.src = da.n
 JOIN mp_diag db ON m.dst = db.n
 WHERE m.src < m.dst
 """
+
+
+def temporal_functional_violations(
+    triples: DataFrame,
+    constraints: list[tuple[str, str]],
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """(pred, kind, entity, epoch, n_values, first_value, last_value)
+    — the TEMPORAL refinement of functional_violations: a functional
+    conflict only counts when the contradictory values are asserted
+    in the SAME crawl epoch. "The capital moved between epochs" is
+    history (edge_history's status column tracks it); "two capitals
+    claimed in one epoch" is an extraction error — this table is the
+    per-epoch error feed an incremental-KG ingest reviews before
+    folding an epoch in.
+
+    Same contracts as functional_violations: kinds 'functional' /
+    'inverse_functional'; counts are exact because the per-epoch
+    DISTINCT projection precedes the rollup; min/max values as repair
+    anchors; no collect_set (O(1) state per key).
+
+    Scale: the declared-predicate isin pushes to the scan; then ONE
+    distinct + ONE composite-key rollup per kind on
+    (pred, entity, epoch) — epochs bound the key space, partial aggs
+    absorb hub entities; kinds union with no further shuffle.
+    """
+    kinds = {k for _, k in constraints}
+    bad = kinds - {"functional", "inverse_functional"}
+    if bad:
+        raise ValueError(f"unknown constraint kind(s): {sorted(bad)!r}")
+
+    def _side(kind: str, key: str, val: str) -> DataFrame:
+        preds = sorted(p for p, k in constraints if k == kind)
+        if not preds:
+            return None
+        return (
+            triples.where(F.col("pred").isin(preds))
+            .select(
+                "pred",
+                F.col(key).alias("entity"),
+                F.col(epoch_col).cast("long").alias("epoch"),
+                F.col(val).alias("_v"),
+            )
+            .distinct()
+            .groupBy("pred", "entity", "epoch")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_values"),
+                F.min("_v").alias("first_value"),
+                F.max("_v").alias("last_value"),
+            )
+            .where(F.col("n_values") > 1)
+            .select(
+                "pred",
+                F.lit(kind).alias("kind"),
+                "entity",
+                "epoch",
+                "n_values",
+                "first_value",
+                "last_value",
+            )
+        )
+
+    f = _side("functional", "subj", "obj")
+    inv = _side("inverse_functional", "obj", "subj")
+    if f is None:
+        return inv
+    if inv is None:
+        return f
+    return f.unionByName(inv)
+
+
+def temporal_functional_violations_oracle_sql(
+    triples_sql: str, constraints: list[tuple[str, str]]
+) -> str:
+    """DuckDB twin of :func:`temporal_functional_violations`;
+    `triples_sql` yields (subj, pred, obj, epoch)."""
+    parts = []
+    for kind, key, val in (
+        ("functional", "subj", "obj"),
+        ("inverse_functional", "obj", "subj"),
+    ):
+        preds = sorted(p for p, k in constraints if k == kind)
+        if not preds:
+            continue
+        in_list = ", ".join(f"'{p}'" for p in preds)
+        parts.append(
+            f"""
+SELECT pred, '{kind}' AS kind, entity, epoch,
+       count(*)::BIGINT AS n_values,
+       min(v) AS first_value, max(v) AS last_value
+FROM (SELECT DISTINCT pred, {key} AS entity, epoch::BIGINT AS epoch,
+             {val} AS v
+      FROM tfv_t WHERE pred IN ({in_list}))
+GROUP BY pred, entity, epoch
+HAVING count(*) > 1"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tfv_t AS ({triples_sql})
+{body}
+"""

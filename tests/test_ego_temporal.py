@@ -1,0 +1,61 @@
+"""Ego-subgraph extraction and per-epoch functional conflicts."""
+
+import pytest
+
+from easyner_spark.operators.graph import ego_subgraph
+from easyner_spark.operators.triples import temporal_functional_violations
+
+
+def test_ego_subgraph_induced_edges(spark):
+    #   s - a - b - c   and isolated pair x - y
+    e = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "c"), ("x", "y"), ("a", "a")],
+        ["src", "dst"],
+    )
+    out = {(r.src, r.dst) for r in ego_subgraph(e, ("s",), k=2).collect()}
+    # members within 2 hops of s: s, a, b (c is 3 away); induced
+    # edges: s-a, a-b; self-loop dropped; x-y outside
+    assert out == {("s", "a"), ("a", "b")}
+    out3 = {(r.src, r.dst) for r in ego_subgraph(e, ("s",), k=3).collect()}
+    assert out3 == {("s", "a"), ("a", "b"), ("b", "c")}
+
+
+def test_ego_subgraph_multi_seed_and_validation(spark):
+    e = spark.createDataFrame([("a", "b"), ("x", "y")], ["src", "dst"])
+    out = {
+        (r.src, r.dst)
+        for r in ego_subgraph(e, ("a", "x"), k=1).collect()
+    }
+    assert out == {("a", "b"), ("x", "y")}
+    with pytest.raises(ValueError, match="at least one seed"):
+        ego_subgraph(e, ())
+
+
+def test_temporal_functional_violations(spark):
+    rows = [
+        # epoch 1: s1 capital_of two values -> violation
+        ("s1", "capital_of", "x", 1),
+        ("s1", "capital_of", "y", 1),
+        # epoch 2: s1 only one value -> fine (the capital "moved")
+        ("s1", "capital_of", "y", 2),
+        # duplicate assertion within the epoch must not double-count
+        ("s1", "capital_of", "y", 2),
+        # inverse-functional: two subjects for object o in epoch 1
+        ("a", "id_of", "o", 1),
+        ("b", "id_of", "o", 1),
+        # undeclared predicate ignored
+        ("s1", "knows", "z", 1),
+        ("s1", "knows", "w", 1),
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj", "epoch"])
+    out = temporal_functional_violations(
+        t,
+        [("capital_of", "functional"), ("id_of", "inverse_functional")],
+    ).collect()
+    got = {(r.pred, r.kind, r.entity, r.epoch): (r.n_values, r.first_value, r.last_value) for r in out}
+    assert got == {
+        ("capital_of", "functional", "s1", 1): (2, "x", "y"),
+        ("id_of", "inverse_functional", "o", 1): (2, "a", "b"),
+    }
+    with pytest.raises(ValueError, match="unknown constraint"):
+        temporal_functional_violations(t, [("p", "nope")])
