@@ -400,6 +400,14 @@ def run_query(spark: SparkSession, cfg: dict) -> dict[str, int]:
             bindings=binds,
             max_closure_depth=int(q.get("max_closure_depth", 10)),
         )
+        if q.get("group_by"):
+            # SPARQL SELECT-COUNT shape: roll bindings up per group
+            # (one keyed shuffle; partial aggs absorb hub bindings)
+            out = (
+                out.groupBy(*[str(v) for v in q["group_by"]])
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .orderBy(F.col("n").desc(), *[str(v) for v in q["group_by"]])
+            )
         if q.get("limit"):
             out = out.limit(int(q["limit"]))
         write_tsv(out, f"{out_dir}/query_{name}")

@@ -501,3 +501,28 @@ class TestQueryMode:
 
         assert os.path.exists(f"{out_dir}/query_cooc")
         assert os.path.exists(f"{out_dir}/query_two_hop")
+
+    def test_query_mode_group_by(self, spark, pages_df, tmp_path):
+        from easyner_spark.cli import run_pipeline, run_query
+
+        pages_path = str(tmp_path / "pages.parquet")
+        pages_df.write.parquet(pages_path)
+        out_dir = str(tmp_path / "out")
+        run_pipeline(
+            spark, {"input": {"pages_path": pages_path}, "output_dir": out_dir}
+        )
+        counts = run_query(
+            spark,
+            {
+                "output_dir": out_dir,
+                "queries": [
+                    {
+                        "name": "per_subj",
+                        "patterns": [["?x", "co_occurs_with", "?y"]],
+                        "group_by": ["x"],
+                        "limit": 10,
+                    }
+                ],
+            },
+        )
+        assert 0 < counts["per_subj"] <= 10
