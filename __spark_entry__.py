@@ -6161,6 +6161,26 @@ def _kg_temporal_conflicts_oracle() -> str:
     )
 
 
+def q_kg_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core-number decomposition (k_max=3) of the rule KG's
+    undirected projection — nested peels, each on the previous core's
+    reduced edge set; the graph-ML coreness tier feature."""
+    from easyner_spark.operators.graph import core_numbers
+
+    return core_numbers(_kg_rules_edges(spark, sf_dir), k_max=3)
+
+
+def _kg_core_numbers_oracle() -> str:
+    """q_kg_core_numbers oracle: stacked unrolled peels over the
+    canonical undirected rule-KG pairs."""
+    from easyner_spark.operators.graph import core_numbers_oracle_sql
+
+    prefix = f"""WITH kgrE AS ({_KG_RULES_SQL}),
+cnE AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+        FROM kgrE WHERE subj <> obj)"""
+    return core_numbers_oracle_sql(prefix, k_max=3)
+
+
 _B3_ASSIGN_SQL = """SELECT 'r' || doc_id AS r,
   'p' || (doc_id % 20) AS p, 'g' || (doc_id % 25) AS g
   FROM documents"""
@@ -6284,6 +6304,7 @@ _DRIVER_WINDOW_FIRST = [
     "bcubed_quality",        # NEW: B-cubed cluster evaluation
     "kg_ego",                # NEW: k-hop ego subgraph export
     "kg_temporal_conflicts", # NEW: per-epoch functional conflicts
+    "kg_core_numbers",       # NEW: full coreness decomposition
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -6403,6 +6424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed_quality": q_bcubed,
         "kg_ego": q_kg_ego,
         "kg_temporal_conflicts": q_kg_temporal_conflicts,
+        "kg_core_numbers": q_kg_core_numbers,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
         "zorder_keys": q_zorder_keys,
@@ -10557,6 +10579,7 @@ FROM c
         "bcubed_quality": _bcubed_oracle(),
         "kg_ego": _kg_ego_oracle(),
         "kg_temporal_conflicts": _kg_temporal_conflicts_oracle(),
+        "kg_core_numbers": _kg_core_numbers_oracle(),
         # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
         "host_kmv": _host_kmv_oracle(),
         # Sketch-only pairwise set-operation estimates

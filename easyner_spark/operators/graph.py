@@ -2685,3 +2685,129 @@ FROM egoE e
 JOIN egoN x ON e.a = x.node
 JOIN egoN y ON e.b = y.node
 """
+
+
+def core_numbers(
+    edges: DataFrame,
+    k_max: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """(node, core) — the full core-number decomposition up to k_max:
+    core(n) = the largest k such that n survives k-peeling (nodes in
+    deeper cores than k_max report k_max — the bounded-honesty
+    contract every iterative operator here uses). The graph-ML node
+    feature k_core's single-k membership can't give: coreness is the
+    standard engagement/centrality tier (Kitsara et al.'s influential-
+    spreader result) and a degree-noise-robust ranking signal.
+
+    Shape: k_max successive k_core peels, each on the PREVIOUS core's
+    edge set — the (k+1)-core is a subgraph of the k-core, so each
+    peel starts from the already-reduced survivor graph rather than
+    the full edge list (the nested-decomposition shortcut; total work
+    is the peeling-depth sum, dominated by the k=1 pass). Core
+    numbers come from one coalesce over the per-k survivor tables —
+    node-vocabulary-sized joins, AQE-broadcast.
+    """
+    if k_max < 1:
+        raise ValueError(f"core_numbers needs k_max >= 1: {k_max}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("core"))
+    )
+    cur = e
+    for k in range(1, k_max + 1):
+        surv = k_core(cur, k=k, src="a", dst="b", max_rounds=max_rounds)
+        if not surv.take(1):
+            break
+        members = surv.select("node").localCheckpoint(eager=True)
+        out = (
+            out.join(
+                F.broadcast(
+                    members.select("node", F.lit(k).cast("long").alias("_k"))
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("_k", F.col("core")).alias("core"),
+            )
+        )
+        # restrict the edge set to the surviving core before the
+        # next, deeper peel
+        cur = (
+            cur.join(members.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(members.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return out
+
+
+def core_numbers_oracle_sql(
+    prefix_cte: str, k_max: int = 6, max_rounds: int = 8
+) -> str:
+    """DuckDB twin of :func:`core_numbers`; `prefix_cte` is a complete
+    WITH chain whose LAST relation is cnE(a, b) — DISTINCT undirected
+    canonical edges (a < b), no self loops. Unrolls k_max peels of
+    max_rounds rounds each (the k_core oracle's unrolled shape,
+    stacked; round edge CTEs MATERIALIZED — without it DuckDB inlines
+    the multi-referenced rounds exponentially, see k_core_oracle_sql's
+    note)."""
+    parts = [prefix_cte]
+    prev = "cnE"
+    sel_terms = []
+    for k in range(1, k_max + 1):
+        rel = f"cn{k}"
+        parts.append(
+            f""",
+{rel}_r0 AS MATERIALIZED (SELECT a, b FROM {prev})"""
+        )
+        for r in range(1, max_rounds + 1):
+            parts.append(
+                f""",
+{rel}_d{r} AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT a AS node FROM {rel}_r{r - 1}
+    UNION ALL SELECT b FROM {rel}_r{r - 1}
+  ) GROUP BY node HAVING count(*) >= {k}
+),
+{rel}_r{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {rel}_r{r - 1} e
+  JOIN {rel}_d{r} x ON e.a = x.node
+  JOIN {rel}_d{r} y ON e.b = y.node
+)"""
+            )
+        parts.append(
+            f""",
+{rel} AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM {rel}_r{max_rounds}
+    UNION ALL SELECT b FROM {rel}_r{max_rounds}
+  )
+)"""
+        )
+        prev = f"{rel}_r{max_rounds}"
+        sel_terms.append(f"CASE WHEN n.node IN (SELECT node FROM {rel}) THEN {k} ELSE 0 END")
+    core_expr = "greatest(" + ", ".join(sel_terms) + ")"
+    parts.append(
+        f""",
+cnN AS (SELECT DISTINCT node FROM (
+  SELECT a AS node FROM cnE UNION ALL SELECT b FROM cnE))
+SELECT n.node, ({core_expr})::BIGINT AS core
+FROM cnN n
+"""
+    )
+    return "".join(parts)

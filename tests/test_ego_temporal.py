@@ -59,3 +59,39 @@ def test_temporal_functional_violations(spark):
     }
     with pytest.raises(ValueError, match="unknown constraint"):
         temporal_functional_violations(t, [("p", "nope")])
+
+
+def test_core_numbers_triangle_with_tail(spark):
+    from easyner_spark.operators.graph import core_numbers
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["src", "dst"]
+    )
+    out = {r.node: r.core for r in core_numbers(e, k_max=4).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2, "d": 1}
+
+
+def test_core_numbers_oracle_parity(spark):
+    import duckdb
+
+    from easyner_spark.operators.graph import (
+        core_numbers,
+        core_numbers_oracle_sql,
+    )
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
+        ("e", "f"), ("f", "d"), ("c", "e"),
+    ]
+    e = spark.createDataFrame(pairs, ["src", "dst"])
+    got = sorted(
+        (r.node, r.core) for r in core_numbers(e, k_max=3).collect()
+    )
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    prefix = (
+        "WITH cnE AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) "
+        f"AS b FROM (VALUES {vals}) v(x, y) WHERE x <> y)"
+    )
+    sql = core_numbers_oracle_sql(prefix, k_max=3)
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
