@@ -1,0 +1,77 @@
+"""KnowledgeGraph facade — thin-delegation correctness and the
+pipeline->facade end-to-end path."""
+
+from easyner_spark.kg import KnowledgeGraph
+
+
+def _kg(spark):
+    rows = [
+        ("a", "inhibits", "b"),
+        ("b", "binds", "c"),
+        ("c", "located_in", "d"),
+        ("d", "located_in", "e"),
+        ("a", "inhibits", "z"),
+    ]
+    return KnowledgeGraph(
+        spark.createDataFrame(rows, ["subj_id", "pred", "obj_id"])
+    )
+
+
+def test_query_with_cached_stats_and_paths(spark):
+    kg = _kg(spark)
+    st = kg.stats()
+    assert st["inhibits"][0] == 2
+    assert st is kg.stats()  # cached
+    out = {
+        tuple(r)
+        for r in kg.query(
+            [("?x", "inhibits", "?y"), ("?y", "binds", "?z")]
+        ).collect()
+    }
+    assert out == {("a", "b", "c")}
+    closure = {
+        tuple(r) for r in kg.query([("c", "located_in+", "?y")]).collect()
+    }
+    assert closure == {("d",), ("e",)}
+
+
+def test_distances_ego_and_metapath(spark):
+    kg = _kg(spark)
+    dist = {
+        (r.node, r.dist) for r in kg.distances(("d",), k=3).collect()
+    }
+    assert ("a", 3) in dist and ("d", 0) in dist
+    ego = {(r.src, r.dst) for r in kg.ego(("a",), k=1).collect()}
+    assert ego == {("a", "b"), ("a", "z")}
+    mp = {
+        (r.src, r.dst): r.n_paths
+        for r in kg.metapath(("inhibits", "binds")).collect()
+    }
+    assert mp == {("a", "c"): 1}
+
+
+def test_analytics_and_qa(spark):
+    kg = _kg(spark)
+    comps = {r.node: r.component for r in kg.components().collect()}
+    assert len(set(comps.values())) == 1  # everything connects
+    cores = {r.node: r.core for r in kg.core_numbers(k_max=2).collect()}
+    assert all(c == 1 for c in cores.values())  # a tree: coreness 1
+    conf = kg.conflicts([("inhibits", "functional")]).collect()
+    assert len(conf) == 1 and conf[0].entity == "a" and conf[0].n_values == 2
+    summ = kg.summaries(k=2)
+    assert summ.count() > 0
+
+
+def test_load_from_pipeline_output(spark, pages_df, tmp_path):
+    from easyner_spark.cli import run_pipeline
+
+    pages_path = str(tmp_path / "pages.parquet")
+    pages_df.write.parquet(pages_path)
+    out_dir = str(tmp_path / "out")
+    run_pipeline(
+        spark, {"input": {"pages_path": pages_path}, "output_dir": out_dir}
+    )
+    kg = KnowledgeGraph.load(spark, out_dir)
+    assert kg.nodes is not None and kg.nodes.count() > 0
+    res = kg.query([("?x", "co_occurs_with", "?y")], distinct=True)
+    assert res.count() > 0
