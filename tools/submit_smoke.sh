@@ -29,3 +29,18 @@ cd "$work"
 spark-submit --master 'local[4]' --py-files easyner_spark.zip \
   run_job.py --config job.json 2>/dev/null | tail -1
 test -s out/top_entities.svg && echo "chart: ok"
+
+# query-mode leg: the same zip serves the consumer BGP surface over
+# the edges the pipeline just materialized
+python - "$work" <<'PY'
+import json, sys
+work = sys.argv[1]
+json.dump({"output_dir": f"{work}/out",
+           "queries": [{"name": "smoke",
+                        "patterns": [["?x", "co_occurs_with", "?y"]],
+                        "group_by": ["x"], "limit": 5}]},
+          open(f"{work}/query.json", "w"))
+PY
+spark-submit --master 'local[4]' --py-files easyner_spark.zip \
+  run_job.py --config query.json --mode query 2>/dev/null | tail -1
+test -s out/query_smoke && echo "query: ok"
