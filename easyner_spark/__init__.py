@@ -18,5 +18,16 @@ Python appears only inside Arrow-vectorized pandas UDFs (model-ish ops).
 
 from easyner_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name):
+    # lazy: importing the facade pulls operator modules; keep bare
+    # `import easyner_spark` cheap for spark-submit workers
+    if name == "KnowledgeGraph":
+        from easyner_spark.kg import KnowledgeGraph
+
+        return KnowledgeGraph
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "KnowledgeGraph"]
 __version__ = "0.1.0"
