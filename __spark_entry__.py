@@ -6181,6 +6181,38 @@ cnE AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
     return core_numbers_oracle_sql(prefix, k_max=3)
 
 
+_KG_WHEN_PATTERNS = [("?x", "capital_of", "?y"), ("?z", "id_of", "?y")]
+
+
+def q_kg_standing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-query matching over the epoch-stamped triple stream:
+    bindings of the capital_of/id_of join plus the first epoch at
+    which the WHOLE binding held (greatest of per-triple first
+    assertions, min over join witnesses) — `first_epoch = e` IS the
+    per-epoch delta feed an incremental KG alerts on."""
+    from easyner_spark.operators.triples import match_patterns_when
+
+    return match_patterns_when(
+        _tfv_triples(spark, sf_dir),
+        _KG_WHEN_PATTERNS,
+        subj="subj",
+        pred="pred",
+        obj="obj",
+    )
+
+
+def _kg_standing_query_oracle() -> str:
+    """q_kg_standing_query oracle: the epoch-stamped synthesis through
+    the operator's rolled-min + greatest twin."""
+    from easyner_spark.operators.triples import (
+        match_patterns_when_oracle_sql,
+    )
+
+    return match_patterns_when_oracle_sql(
+        _TFV_SQL, _KG_WHEN_PATTERNS, subj="subj", pred="pred", obj="obj"
+    )
+
+
 _B3_ASSIGN_SQL = """SELECT 'r' || doc_id AS r,
   'p' || (doc_id % 20) AS p, 'g' || (doc_id % 25) AS g
   FROM documents"""
@@ -6305,6 +6337,7 @@ _DRIVER_WINDOW_FIRST = [
     "kg_ego",                # NEW: k-hop ego subgraph export
     "kg_temporal_conflicts", # NEW: per-epoch functional conflicts
     "kg_core_numbers",       # NEW: full coreness decomposition
+    "kg_standing_query",     # NEW: first-epoch standing-query match
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -6425,6 +6458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ego": q_kg_ego,
         "kg_temporal_conflicts": q_kg_temporal_conflicts,
         "kg_core_numbers": q_kg_core_numbers,
+        "kg_standing_query": q_kg_standing_query,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
         "zorder_keys": q_zorder_keys,
@@ -10580,6 +10614,7 @@ FROM c
         "kg_ego": _kg_ego_oracle(),
         "kg_temporal_conflicts": _kg_temporal_conflicts_oracle(),
         "kg_core_numbers": _kg_core_numbers_oracle(),
+        "kg_standing_query": _kg_standing_query_oracle(),
         # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
         "host_kmv": _host_kmv_oracle(),
         # Sketch-only pairwise set-operation estimates

@@ -3517,3 +3517,133 @@ HAVING count(*) > 1"""
 WITH tfv_t AS ({triples_sql})
 {body}
 """
+
+
+def match_patterns_when(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    epoch_col: str = "epoch",
+    subj: str = "subj_id",
+    pred: str = "pred",
+    obj: str = "obj_id",
+) -> DataFrame:
+    """STANDING-QUERY matching over an epoch-stamped triple stream:
+    the distinct bindings of a conjunctive pattern set plus
+    `first_epoch` — the earliest crawl epoch at which the WHOLE
+    binding held. A binding holds once every constituent triple has
+    been asserted, so first_epoch = greatest over the matched
+    triples' own first-assertion epochs. diff two epochs of a
+    standing query by filtering this one table (`first_epoch = e` IS
+    the per-epoch delta feed) — the incremental-KG monitor
+    ("alert me when X starts inhibiting something that binds Z")
+    without re-running the query per epoch and anti-joining histories.
+
+    Contract: required conjunctive patterns only (no OPTIONAL/MINUS/
+    closure — a standing query is a materialized view; keep it
+    deterministic and monotone). Bindings are SET semantics (distinct
+    triples by construction: the per-(s,p,o) min-epoch rollup is the
+    dedup). Integer-exact.
+
+    Shape: ONE rollup of the stream to distinct (s, p, o, min epoch)
+    — the same materialization edge_history keeps, so at scale this
+    reads the maintained table instead — then the standard pattern
+    equi-joins with each frame carrying its _e column, and
+    first_epoch = greatest(...) in the final projection. Join order
+    via the same greedy planner as match_patterns.
+    """
+    _validate_patterns(patterns)
+    for pat in patterns:
+        if pat[1].endswith("+") and not pat[1].startswith("?"):
+            raise ValueError(
+                "match_patterns_when supports plain predicates only "
+                f"(no '+' closure): {pat!r}"
+            )
+    rolled = (
+        edges.groupBy(
+            F.col(subj).alias("_s"),
+            F.col(pred).alias("_p"),
+            F.col(obj).alias("_o"),
+        )
+        .agg(F.min(F.col(epoch_col).cast("long")).alias("_e"))
+        .localCheckpoint(eager=True)
+    )
+    cols = {"s": "_s", "p": "_p", "o": "_o"}
+    frames = []
+    for i, pat in enumerate(patterns):
+        df = rolled
+        rename: dict[str, str] = {}
+        for pos, term in zip(("s", "p", "o"), pat):
+            c = cols[pos]
+            if not term.startswith("?"):
+                df = df.where(F.col(c) == term)
+            else:
+                v = term[1:]
+                if v in rename:
+                    df = df.where(F.col(c) == F.col(rename[v]))
+                else:
+                    rename[v] = c
+        sel = [F.col(c).alias(v) for v, c in rename.items()]
+        frames.append(df.select(*sel, F.col("_e").alias(f"_e{i}")))
+    order = _join_order(patterns)
+    out = frames[order[0]]
+    for i in order[1:]:
+        shared = [
+            c for c in frames[i].columns
+            if c in out.columns and not c.startswith("_e")
+        ]
+        out = out.join(frames[i], shared)
+    first = F.greatest(*[F.col(f"_e{i}") for i in range(len(patterns))]) \
+        if len(patterns) > 1 else F.col("_e0")
+    # a binding may arise from SEVERAL triple combinations (different
+    # join witnesses); it first holds at the EARLIEST complete one
+    pvars = _pattern_vars(patterns)
+    return (
+        out.select(*pvars, first.cast("long").alias("_fe"))
+        .groupBy(*pvars)
+        .agg(F.min("_fe").alias("first_epoch"))
+    )
+
+
+def match_patterns_when_oracle_sql(
+    triples_sql: str,
+    patterns: list[tuple[str, str, str]],
+    subj: str = "subj_id",
+    pred: str = "pred",
+    obj: str = "obj_id",
+) -> str:
+    """DuckDB twin of :func:`match_patterns_when`; `triples_sql`
+    yields (subj, pred, obj, epoch)-shaped rows under the given
+    column names."""
+    _validate_patterns(patterns)
+    cols = {"s": "s", "p": "p", "o": "o"}
+    conds: list[str] = []
+    first_occ: dict[str, str] = {}
+    e_terms = []
+    for i, pat in enumerate(patterns):
+        e_terms.append(f"p{i}.e")
+        for pos, term in zip(("s", "p", "o"), pat):
+            ref = f"p{i}.{cols[pos]}"
+            if not term.startswith("?"):
+                lit = term.replace("'", "''")
+                conds.append(f"{ref} = '{lit}'")
+            elif term[1:] in first_occ:
+                conds.append(f"{ref} = {first_occ[term[1:]]}")
+            else:
+                first_occ[term[1:]] = ref
+    sel = ", ".join(f"{first_occ[v]} AS {v}" for v in _pattern_vars(patterns))
+    fe = (
+        f"greatest({', '.join(e_terms)})" if len(e_terms) > 1 else e_terms[0]
+    )
+    froms = ", ".join(f"mw p{i}" for i in range(len(patterns)))
+    where = f"\nWHERE {' AND '.join(conds)}" if conds else ""
+    group = ", ".join(_pattern_vars(patterns))
+    return f"""
+WITH mw AS MATERIALIZED (
+  SELECT {subj} AS s, {pred} AS p, {obj} AS o,
+         min(epoch)::BIGINT AS e
+  FROM ({triples_sql}) GROUP BY 1, 2, 3
+)
+SELECT {sel}, min({fe})::BIGINT AS first_epoch
+FROM {froms}{where}
+GROUP BY {group}
+"""

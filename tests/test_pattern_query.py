@@ -340,3 +340,36 @@ def test_values_bindings(spark, edges):
         match_patterns(edges, pats, bindings={"nope": ("x",)})
     with pytest.raises(ValueError, match="empty"):
         match_patterns(edges, pats, bindings={"s": ()})
+
+
+def test_match_patterns_when_standing_query(spark):
+    from easyner_spark.operators.triples import (
+        match_patterns_when,
+        match_patterns_when_oracle_sql,
+    )
+
+    rows_ = [
+        ("a", "inhibits", "b", 1),
+        ("b", "binds", "c", 3),
+        ("b", "binds", "c", 5),   # re-assertion must not move first
+        ("a", "inhibits", "q", 4),
+        ("q", "binds", "c", 2),   # q-path completes at epoch 4
+    ]
+    t = spark.createDataFrame(rows_, ["subj_id", "pred", "obj_id", "epoch"])
+    pats = [("?x", "inhibits", "?y"), ("?y", "binds", "?z")]
+    got = sorted(tuple(r) for r in match_patterns_when(t, pats).collect())
+    assert got == [("a", "b", "c", 3), ("a", "q", "c", 4)]
+    vals = ", ".join(
+        f"('{s}', '{p}', '{o}', {e})" for s, p, o, e in rows_
+    )
+    sql = match_patterns_when_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(subj_id, pred, obj_id, epoch)",
+        pats,
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
+    # the per-epoch delta feed: new matches at epoch 4 only
+    delta = [g for g in got if g[-1] == 4]
+    assert delta == [("a", "q", "c", 4)]
+    with pytest.raises(ValueError, match="closure"):
+        match_patterns_when(t, [("?x", "inhibits+", "?y")])
