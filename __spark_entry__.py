@@ -6181,19 +6181,43 @@ cnE AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
     return core_numbers_oracle_sql(prefix, k_max=3)
 
 
-_KG_WHEN_PATTERNS = [("?x", "capital_of", "?y"), ("?z", "id_of", "?y")]
+_KG_WHEN_PATTERNS = [("?x", "p", "?y"), ("?y", "q", "?z")]
+
+# Epoch-stamped chain fixture: 6 entities on a shifted cycle, three
+# predicates by doc residue, epochs 0-3 — p's objects and q's
+# subjects overlap so the chain binds. One definition per side.
+_KG_WHEN_SQL = """SELECT 'e' || (doc_id % 6) AS subj,
+  CASE doc_id % 3 WHEN 0 THEN 'p' WHEN 1 THEN 'q' ELSE 'r' END AS pred,
+  'e' || ((doc_id + 1) % 6) AS obj,
+  doc_id % 4 AS epoch
+  FROM documents"""
+
+
+def _kg_when_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(subj, pred, obj, epoch) twin of _KG_WHEN_SQL."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("e"), (did % 6).cast("string")).alias("subj"),
+        F.when(did % 3 == 0, F.lit("p"))
+        .when(did % 3 == 1, F.lit("q"))
+        .otherwise(F.lit("r"))
+        .alias("pred"),
+        F.concat(F.lit("e"), ((did + 1) % 6).cast("string")).alias("obj"),
+        (did % 4).alias("epoch"),
+    )
 
 
 def q_kg_standing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standing-query matching over the epoch-stamped triple stream:
-    bindings of the capital_of/id_of join plus the first epoch at
-    which the WHOLE binding held (greatest of per-triple first
-    assertions, min over join witnesses) — `first_epoch = e` IS the
-    per-epoch delta feed an incremental KG alerts on."""
+    bindings of the p/q chain plus the first epoch at which the WHOLE
+    binding held (greatest of per-triple first assertions, min over
+    join witnesses) — `first_epoch = e` IS the per-epoch delta feed
+    an incremental KG alerts on."""
     from easyner_spark.operators.triples import match_patterns_when
 
     return match_patterns_when(
-        _tfv_triples(spark, sf_dir),
+        _kg_when_triples(spark, sf_dir),
         _KG_WHEN_PATTERNS,
         subj="subj",
         pred="pred",
@@ -6209,7 +6233,7 @@ def _kg_standing_query_oracle() -> str:
     )
 
     return match_patterns_when_oracle_sql(
-        _TFV_SQL, _KG_WHEN_PATTERNS, subj="subj", pred="pred", obj="obj"
+        _KG_WHEN_SQL, _KG_WHEN_PATTERNS, subj="subj", pred="pred", obj="obj"
     )
 
 
