@@ -6237,6 +6237,29 @@ def _kg_standing_query_oracle() -> str:
     )
 
 
+def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift across synthetic crawl epochs
+    (vec_id % 4): cosine between consecutive epoch mean embeddings —
+    micro-quantized BIGINT centroids, one (epoch, dim) rollup, float
+    only in the final round(·,6) cosine."""
+    from easyner_spark.operators.similarity import embedding_drift
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_drift(
+        e.select((F.col("vec_id") % 4).alias("epoch"), "embedding")
+    )
+
+
+def _emb_drift_oracle() -> str:
+    """q_emb_drift oracle: the epoch stamping through the operator's
+    module-local twin."""
+    from easyner_spark.operators.similarity import embedding_drift_oracle_sql
+
+    return embedding_drift_oracle_sql(
+        "SELECT vec_id % 4 AS epoch, embedding FROM embeddings"
+    )
+
+
 _B3_ASSIGN_SQL = """SELECT 'r' || doc_id AS r,
   'p' || (doc_id % 20) AS p, 'g' || (doc_id % 25) AS g
   FROM documents"""
@@ -6362,6 +6385,7 @@ _DRIVER_WINDOW_FIRST = [
     "kg_temporal_conflicts", # NEW: per-epoch functional conflicts
     "kg_core_numbers",       # NEW: full coreness decomposition
     "kg_standing_query",     # NEW: first-epoch standing-query match
+    "emb_drift",             # NEW: epoch centroid drift monitor
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -6483,6 +6507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_temporal_conflicts": q_kg_temporal_conflicts,
         "kg_core_numbers": q_kg_core_numbers,
         "kg_standing_query": q_kg_standing_query,
+        "emb_drift": q_emb_drift,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
         "zorder_keys": q_zorder_keys,
@@ -10639,6 +10664,7 @@ FROM c
         "kg_temporal_conflicts": _kg_temporal_conflicts_oracle(),
         "kg_core_numbers": _kg_core_numbers_oracle(),
         "kg_standing_query": _kg_standing_query_oracle(),
+        "emb_drift": _emb_drift_oracle(),
         # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
         "host_kmv": _host_kmv_oracle(),
         # Sketch-only pairwise set-operation estimates

@@ -849,3 +849,124 @@ SELECT label, dim::INT AS dim, n,
        CAST(floor(sq / n) AS BIGINT) / 1000000.0 AS mean
 FROM g
 """
+
+
+def embedding_drift(
+    emb: DataFrame,
+    epoch_col: str = "epoch",
+    vec_col: str = "embedding",
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """(epoch, n_vecs, cos_to_prev) — embedding-distribution drift
+    between consecutive corpus epochs: the cosine between the MEAN
+    embedding of epoch e and of epoch e-1 (null for the earliest
+    epoch). The semantic companion to sketches.histogram_drift's
+    length-distribution monitor: a crawl epoch whose centroid swings
+    away from the trailing one has changed in KIND (topic/spam/
+    language mix), which no length histogram sees. Production use:
+    gate epoch ingestion on cos_to_prev, like the histogram monitor
+    gates on total variation.
+
+    Exactness: per-dimension micro-quantization BEFORE any cross-row
+    arithmetic — floor(v * unit) per component, exact BIGINT sums per
+    (epoch, dim), mean = sum div n (integer floor) — so the epoch
+    centroids are engine-identical regardless of row order; the final
+    cosine is the ONE float expression (dot and norms are exact
+    BIGINT folds of the centroid table, cast to double only for the
+    sqrt/divide), round(·, 6) per the repo-wide oracle rounding.
+
+    Shape: one posexplode + ONE (epoch, dim) aggregate — the key
+    space is epochs x dims (bounded; this is a monitoring table, not
+    row data), partial sums absorb any epoch-size skew map-side; the
+    consecutive-epoch comparison is a self-join of the
+    epochs-x-dims-sized centroid table on (dim, epoch-1). No collect.
+    """
+    base = emb.select(
+        F.col(epoch_col).cast("long").alias("ep"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    )
+    cent = (
+        base.groupBy("ep", "dim")
+        .agg(
+            F.sum(F.floor(F.col("v").cast("double") * unit))
+            .cast("long")
+            .alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("ep", "dim", F.expr("s div n").alias("m"), "n")
+        .localCheckpoint(eager=True)
+    )
+    prev = cent.select(
+        (F.col("ep") + 1).alias("ep"),
+        F.col("dim"),
+        F.col("m").alias("pm"),
+    )
+    j = cent.join(prev, ["ep", "dim"], "left")
+    rolled = j.groupBy("ep").agg(
+        F.max("n").alias("n_vecs"),  # n identical across dims per epoch
+        F.sum(F.col("m") * F.col("pm")).cast("long").alias("dot"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("na"),
+        F.sum(
+            F.when(F.col("pm").isNotNull(), F.col("pm") * F.col("pm"))
+        )
+        .cast("long")
+        .alias("nb"),
+        F.count("pm").alias("n_prev_dims"),
+        F.count(F.lit(1)).alias("n_dims"),
+    )
+    cos = F.when(
+        (F.col("n_prev_dims") == F.col("n_dims"))
+        & (F.col("na") > 0)
+        & (F.col("nb") > 0),
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            ),
+            6,
+        ),
+    )
+    return rolled.select(
+        F.col("ep").alias("epoch"), "n_vecs", cos.alias("cos_to_prev")
+    )
+
+
+def embedding_drift_oracle_sql(
+    emb_sql: str, unit: int = 1_000_000
+) -> str:
+    """DuckDB twin of :func:`embedding_drift`; `emb_sql` yields
+    (epoch, embedding) rows with a list-typed embedding."""
+    return f"""
+WITH ed_base AS (
+  SELECT epoch::BIGINT AS ep,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS v
+  FROM ({emb_sql})
+),
+ed_cent AS (
+  SELECT ep, dim,
+         (sum(floor(v::DOUBLE * {unit}))::BIGINT // count(*)::BIGINT) AS m,
+         count(*)::BIGINT AS n
+  FROM ed_base GROUP BY ep, dim
+),
+ed_j AS (
+  SELECT c.ep, c.dim, c.m, c.n, p.m AS pm
+  FROM ed_cent c
+  LEFT JOIN ed_cent p ON p.dim = c.dim AND p.ep = c.ep - 1
+),
+ed_roll AS (
+  SELECT ep, max(n) AS n_vecs,
+         sum(m * pm)::BIGINT AS dot,
+         sum(m * m)::BIGINT AS na,
+         sum(CASE WHEN pm IS NOT NULL THEN pm * pm END)::BIGINT AS nb,
+         count(pm)::BIGINT AS n_prev_dims,
+         count(*)::BIGINT AS n_dims
+  FROM ed_j GROUP BY ep
+)
+SELECT ep AS epoch, n_vecs,
+       CASE WHEN n_prev_dims = n_dims AND na > 0 AND nb > 0 THEN
+         round(dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), 6)
+       END AS cos_to_prev
+FROM ed_roll
+"""

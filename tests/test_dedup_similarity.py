@@ -969,3 +969,46 @@ class TestSQTopk:
             tuple(r) for r in con.execute(sq_topk_oracle_sql(k=3)).fetchall()
         )
         assert got == want
+
+
+def test_embedding_drift_exact_and_monitorable(spark):
+    from easyner_spark.operators.similarity import embedding_drift
+
+    rows = [
+        # epoch 0 centered on +x; epoch 1 identical -> cos 1.0;
+        # epoch 2 flipped -> cos -1.0
+        (0, [1.0, 0.0]), (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [-1.0, 0.0]), (2, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["epoch", "embedding"])
+    out = {r.epoch: r for r in embedding_drift(df).collect()}
+    assert out[0].cos_to_prev is None and out[0].n_vecs == 2
+    assert out[1].cos_to_prev == 1.0
+    assert out[2].cos_to_prev == -1.0
+
+
+def test_embedding_drift_oracle_parity(spark):
+    import duckdb
+
+    from easyner_spark.operators.similarity import (
+        embedding_drift,
+        embedding_drift_oracle_sql,
+    )
+
+    rows = [
+        (e, [((e * 7 + i * 3 + j) % 11) / 7.0 - 0.5 for j in range(4)])
+        for e in range(3)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["epoch", "embedding"])
+    got = sorted(tuple(r) for r in embedding_drift(df).collect())
+    vals = ", ".join(
+        "({}, [{}])".format(e, ", ".join(f"{x!r}::FLOAT" for x in v))
+        for e, v in rows
+    )
+    sql = embedding_drift_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) t(epoch, embedding)"
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
