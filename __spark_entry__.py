@@ -6260,6 +6260,31 @@ def _emb_drift_oracle() -> str:
     )
 
 
+def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (k=6) over the embeddings table —
+    farthest-point traversal on exact milli-quantized BIGINT squared
+    distances; the diversity sampler (one exemplar per far mode) next
+    to sampling's distribution-preserving gates. The driver list is
+    k rows (bounded-collect class) re-framed for the value check."""
+    from easyner_spark.operators.similarity import kcenter_select
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sel = kcenter_select(e, k=6)
+    return spark.createDataFrame(
+        [(int(r), int(i), int(d)) for r, i, d in sel],
+        "rank long, id long, radius_q2 long",
+    )
+
+
+def _kcenter_oracle() -> str:
+    """q_kcenter oracle: unrolled greedy stages over the same table."""
+    from easyner_spark.operators.similarity import kcenter_select_oracle_sql
+
+    return kcenter_select_oracle_sql(
+        "SELECT vec_id AS id, embedding FROM embeddings", k=6
+    )
+
+
 _B3_ASSIGN_SQL = """SELECT 'r' || doc_id AS r,
   'p' || (doc_id % 20) AS p, 'g' || (doc_id % 25) AS g
   FROM documents"""
@@ -6386,6 +6411,7 @@ _DRIVER_WINDOW_FIRST = [
     "kg_core_numbers",       # NEW: full coreness decomposition
     "kg_standing_query",     # NEW: first-epoch standing-query match
     "emb_drift",             # NEW: epoch centroid drift monitor
+    "kcenter_coreset",       # NEW: farthest-point diversity coreset
     "token_budget",          # shares the ranged-cache machinery
     # --- riskiest r3 additions (never in the driver window) ---
     "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
@@ -6508,6 +6534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_core_numbers": q_kg_core_numbers,
         "kg_standing_query": q_kg_standing_query,
         "emb_drift": q_emb_drift,
+        "kcenter_coreset": q_kcenter,
         "host_kmv": q_host_kmv,
         "kmv_set_ops": q_kmv_set_ops,
         "zorder_keys": q_zorder_keys,
@@ -10665,6 +10692,7 @@ FROM c
         "kg_core_numbers": _kg_core_numbers_oracle(),
         "kg_standing_query": _kg_standing_query_oracle(),
         "emb_drift": _emb_drift_oracle(),
+        "kcenter_coreset": _kcenter_oracle(),
         # Bottom-k distinct sketch per host (sketches.kmv_sketch_oracle_sql)
         "host_kmv": _host_kmv_oracle(),
         # Sketch-only pairwise set-operation estimates

@@ -970,3 +970,125 @@ SELECT ep AS epoch, n_vecs,
        END AS cos_to_prev
 FROM ed_roll
 """
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_unit: int = 1000,
+) -> list[tuple[int, object, int]]:
+    """[(rank, id, radius_q2)] — greedy k-center coreset selection
+    (farthest-point traversal, the Sener & Savarese active-learning /
+    diverse-subset rule): start from the smallest id, then repeatedly
+    add the point FARTHEST from the selected set. radius_q2 is the
+    chosen point's squared distance to the previous set in quantized
+    units — the sequence is non-increasing and radius_q2[k] bounds
+    the covering radius, so it doubles as the "how many exemplars do
+    I need" diagnostic. The diversity complement to the quality/
+    mixture samplers in operators/sampling: those keep DISTRIBUTIONS,
+    this keeps EXTREMES (one exemplar per far-flung mode).
+
+    Determinism contract: components are milli-quantized
+    (floor(v·q_unit), exact BIGINT squared distances — (2^10)^2 x 64
+    dims stays far under 2^63); argmax ties break toward the smaller
+    id via the min(struct(-d, id)) rule. The return value is a
+    DRIVER-side list (k rows — the IVF-centroid bounded-collect
+    class), because the selection is inherently sequential: each
+    round is ONE broadcast-join distance pass + ONE 1-row argmax
+    aggregate over the corpus, k-1 rounds total; the corpus is never
+    collected.
+    """
+    if k < 1:
+        raise ValueError("kcenter_select needs k >= 1")
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            vec_col, lambda v: F.floor(v.cast("double") * q_unit).cast("long")
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+    first = q.select(F.min("id").alias("m")).collect()[0].m
+    if first is None:
+        return []
+    selected: list[tuple[int, object, int]] = [(0, first, 0)]
+    best = None  # (id, min-dist-to-selected) frame
+    for rank in range(1, k):
+        last_id = selected[-1][1]
+        last_vec = q.where(F.col("id") == last_id).select(
+            F.col("qv").alias("sv")
+        )
+        d_last = q.crossJoin(F.broadcast(last_vec)).select(
+            "id",
+            "qv",
+            F.aggregate(
+                F.zip_with("qv", "sv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        if best is None:
+            best = d_last.select("id", "qv", F.col("d").alias("dmin"))
+        else:
+            best = (
+                best.join(d_last.select("id", "d"), "id")
+                .select("id", "qv", F.least("dmin", "d").alias("dmin"))
+            )
+        best = best.localCheckpoint(eager=True)
+        w = (
+            best.agg(
+                F.min(F.struct((-F.col("dmin")).alias("nd"), F.col("id")))
+                .alias("m")
+            )
+            .select(F.col("m.id").alias("id"), (-F.col("m.nd")).alias("d"))
+            .collect()[0]
+        )
+        if w.d == 0:
+            break  # every remaining point duplicates a selected one
+        selected.append((rank, w.id, int(w.d)))
+    return selected
+
+
+def kcenter_select_oracle_sql(
+    emb_sql: str, k: int = 8, q_unit: int = 1000
+) -> str:
+    """DuckDB twin of :func:`kcenter_select` (unrolled k-1 greedy
+    stages; each stage's winner is a 1-row CTE the next stage's
+    min-distance fold references). `emb_sql` yields (id, embedding).
+    Emits (rank, id, radius_q2) rows matching the driver list."""
+    parts = [
+        f"""
+WITH kc_q AS MATERIALIZED (
+  SELECT id, list_transform(embedding,
+           v -> floor(v::DOUBLE * {q_unit})::BIGINT) AS qv
+  FROM ({emb_sql})
+),
+kc_s0 AS (SELECT min(id) AS id, 0::BIGINT AS d FROM kc_q)"""
+    ]
+    dist = (
+        "list_sum(list_transform(range(1, len(q.qv) + 1), "
+        "i -> (q.qv[i] - s.qv[i]) * (q.qv[i] - s.qv[i])))::BIGINT"
+    )
+    for r in range(1, k):
+        prev = ", ".join(f"SELECT id FROM kc_s{i}" for i in range(r))
+        parts.append(
+            f""",
+kc_d{r} AS MATERIALIZED (
+  SELECT q.id, min({dist}) AS dmin
+  FROM kc_q q
+  JOIN kc_q s ON s.id IN ({" UNION ".join(f"SELECT id FROM kc_s{i}" for i in range(r))})
+  GROUP BY q.id
+),
+kc_s{r} AS (
+  SELECT id, dmin AS d FROM kc_d{r}
+  WHERE dmin > 0
+  ORDER BY dmin DESC, id LIMIT 1
+)"""
+        )
+        del prev
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, id, d AS radius_q2 FROM kc_s{i}"
+        for i in range(k)
+    )
+    parts.append(f"\n{sel}")
+    return "".join(parts)

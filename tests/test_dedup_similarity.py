@@ -1012,3 +1012,46 @@ def test_embedding_drift_oracle_parity(spark):
     )
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_kcenter_select_hand_geometry(spark):
+    from easyner_spark.operators.similarity import kcenter_select
+
+    # three tight clusters on a line: {0}, {10}, {100} (1-D embeddings)
+    rows = [
+        (1, [0.0]), (2, [0.001]), (3, [10.0]), (4, [10.001]),
+        (5, [100.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    sel = kcenter_select(df, k=3)
+    # seed = min id (1, at 0); farthest = 5 (at 100); then the 10ish
+    # cluster — 4 (10.001) edges out 3 (10.0) by the quantized hair
+    assert [(r, i) for r, i, _ in sel] == [(0, 1), (1, 5), (2, 4)]
+    # radii non-increasing
+    radii = [d for _, _, d in sel[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_select_oracle_parity(spark):
+    import duckdb
+
+    from easyner_spark.operators.similarity import (
+        kcenter_select,
+        kcenter_select_oracle_sql,
+    )
+
+    rows = [
+        (i, [((i * 7 + j * 3) % 13) / 3.0 for j in range(4)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = kcenter_select(df, k=5)
+    vals = ", ".join(
+        "({}, [{}])".format(i, ", ".join(f"{x!r}::FLOAT" for x in v))
+        for i, v in rows
+    )
+    sql = kcenter_select_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) t(id, embedding)", k=5
+    )
+    want = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+    assert [(r, i, d) for r, i, d in got] == want
