@@ -496,3 +496,48 @@ def stateful_kmv_distinct(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def fold_standing_query(
+    spark: SparkSession,
+    edges_table,
+    matches_table,
+    patterns: list,
+    epoch: int,
+) -> int:
+    """One epoch's maintenance of a STANDING conjunctive query over
+    the incremental KG: run `patterns` (match_patterns, set
+    semantics) against the CURRENT cumulative edge snapshot,
+    anti-join the bindings already emitted, and merge the new ones
+    into `matches_table` stamped `first_epoch = epoch`. Returns the
+    number of new bindings — the alert count for this epoch.
+
+    Call it inside incremental_kg's foreachBatch right after the edge
+    fold (same epoch id), or from any batch refresh loop. Replay
+    safety: the merge is keyed last-wins on the binding variables, so
+    re-folding an epoch rewrites identical rows (idempotent) — the
+    same argument as the sentences/mentions merges; and because a
+    binding, once emitted, is anti-joined away forever, first_epoch
+    never moves (the no-retraction monotonicity the batch twin
+    triples.match_patterns_when derives analytically — its
+    first_epoch equals this fold's whenever triples arrive in epoch
+    order, which the batch-vs-streaming parity test pins).
+
+    Scale: one pattern-join pass over the edge snapshot per epoch
+    (the cost a monitor pays anyway) + one anti-join against the
+    matches table keyed on the binding tuple.
+    """
+    from easyner_spark.operators.triples import match_patterns
+
+    edges = edges_table.read(spark)
+    m = match_patterns(edges, patterns, distinct=True)
+    var_cols = list(m.columns)
+    if matches_table.current_snapshot() is not None:
+        existing = matches_table.read(spark).select(*var_cols)
+        m = m.join(existing, var_cols, "left_anti")
+    new = m.withColumn("first_epoch", F.lit(epoch).cast("long"))
+    new = new.localCheckpoint(eager=True)
+    n = new.count()
+    if n:
+        matches_table.merge(new)
+    return n

@@ -472,3 +472,49 @@ class TestStatefulKmvDistinct:
         assert final["h1"].n_min == 8
         # h2/h3 exact regime
         assert final["h2"].estimate == 1 and final["h3"].estimate == 1
+
+
+def test_standing_query_fold_matches_batch_twin(spark, tmp_path):
+    """Two epoch folds of fold_standing_query == match_patterns_when
+    over the epoch-stamped union (monotone arrivals)."""
+    from easyner_spark.operators.triples import match_patterns_when
+    from easyner_spark.sinks.checkpoint import SnapshotTable
+    from easyner_spark.streaming.pipeline import fold_standing_query
+
+    pats = [("?x", "inhibits", "?y"), ("?y", "binds", "?z")]
+    e1 = [("a", "inhibits", "b"), ("q", "binds", "c")]
+    e2 = [("b", "binds", "c"), ("a", "inhibits", "q")]
+
+    edges_t = SnapshotTable(
+        str(tmp_path / "edges"), ["subj_id", "pred", "obj_id"]
+    )
+    matches_t = SnapshotTable(str(tmp_path / "matches"), ["x", "y", "z"])
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "subj_id string, pred string, obj_id string"
+        )
+
+    edges_t.merge(df(e1))
+    n1 = fold_standing_query(spark, edges_t, matches_t, pats, epoch=1)
+    assert n1 == 0  # no chain complete yet
+    edges_t.merge(df(e2))
+    n2 = fold_standing_query(spark, edges_t, matches_t, pats, epoch=2)
+    assert n2 == 2  # (a,b,c) and (a,q,c) both complete at epoch 2
+
+    got = sorted(
+        tuple(r) for r in matches_t.read(spark)
+        .select("x", "y", "z", "first_epoch").collect()
+    )
+    stamped = df(e1).withColumn("epoch", F.lit(1)).unionByName(
+        df(e2).withColumn("epoch", F.lit(2))
+    )
+    want = sorted(
+        tuple(r) for r in match_patterns_when(stamped, pats).collect()
+    )
+    assert got == want
+
+    # replay of epoch 2 is a no-op (idempotent maintenance)
+    n2b = fold_standing_query(spark, edges_t, matches_t, pats, epoch=2)
+    assert n2b == 0
+    assert matches_t.read(spark).count() == 2
