@@ -165,10 +165,17 @@ def incremental_kg(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    standing_patterns: list | None = None,
 ):
     """Continuous pages -> KG job. Returns the started StreamingQuery;
     with available_now the caller `awaitTermination()`s to drain the
-    backlog and stop (the incremental batch-refresh pattern)."""
+    backlog and stop (the incremental batch-refresh pattern).
+
+    `standing_patterns` (optional) registers a standing conjunctive
+    query: after each epoch's edge fold, fold_standing_query runs the
+    patterns over the cumulative edge snapshot and appends newly-true
+    bindings to `<out_dir>/matches` with `first_epoch` = the epoch id
+    — the continuous-alert table a monitor tails."""
     from easyner_spark.operators.ner_dict import dict_ner
     from easyner_spark.operators.nel import link_entities, primary_alias
     from easyner_spark.operators.splitter import split_sentences
@@ -183,6 +190,12 @@ def incremental_kg(
         ),
         "edges": SnapshotTable(f"{out_dir}/edges", ["subj_id", "pred", "obj_id"]),
     }
+    if standing_patterns:
+        from easyner_spark.operators.triples import _pattern_vars
+
+        tables["matches"] = SnapshotTable(
+            f"{out_dir}/matches", _pattern_vars(standing_patterns)
+        )
     ledger_dir = f"{out_dir}/_epochs"
     os.makedirs(ledger_dir, exist_ok=True)
 
@@ -212,6 +225,16 @@ def incremental_kg(
                     sum_cols=["support", "doc_count"],
                     epoch=batch_id,
                 )
+                if standing_patterns:
+                    # replay-safe: re-folding an epoch rewrites the
+                    # identical binding rows (keyed last-wins)
+                    fold_standing_query(
+                        spark,
+                        tables["edges"],
+                        tables["matches"],
+                        standing_patterns,
+                        epoch=batch_id,
+                    )
             finally:
                 mentions.unpersist()
         finally:

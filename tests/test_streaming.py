@@ -518,3 +518,46 @@ def test_standing_query_fold_matches_batch_twin(spark, tmp_path):
     n2b = fold_standing_query(spark, edges_t, matches_t, pats, epoch=2)
     assert n2b == 0
     assert matches_t.read(spark).count() == 2
+
+
+def test_incremental_kg_standing_patterns(spark, fx, tmp_path):
+    """incremental_kg with a registered standing query: the matches
+    table equals a fresh batch match over the final edges, and every
+    first_epoch is a real folded epoch id."""
+    import os as _os
+
+    from easyner_spark.operators.triples import match_patterns
+    from easyner_spark.sinks.checkpoint import SnapshotTable
+    from easyner_spark.streaming.pipeline import incremental_kg
+
+    pages_dir = str(tmp_path / "pages")
+    _os.makedirs(pages_dir)
+    pdf = fx.pages
+    spark.createDataFrame(pdf, schema=PAGES).coalesce(1).write.mode(
+        "append"
+    ).parquet(pages_dir)
+    alias_df = spark.createDataFrame(ALIAS, "term string, ID string")
+    pats = [("?x", "co_occurs_with", "?y")]
+    out_dir = str(tmp_path / "out")
+    _drain(
+        incremental_kg(
+            spark, pages_dir, out_dir, TERMS, alias_df,
+            str(tmp_path / "cp"), standing_patterns=pats,
+        )
+    )
+    edges_t = SnapshotTable(f"{out_dir}/edges", ["subj_id", "pred", "obj_id"])
+    matches_t = SnapshotTable(f"{out_dir}/matches", ["x", "y"])
+    got = sorted(
+        (r.x, r.y) for r in matches_t.read(spark).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in match_patterns(
+            edges_t.read(spark), pats, distinct=True
+        ).collect()
+    )
+    assert got == want and got
+    epochs = {
+        r.first_epoch for r in matches_t.read(spark).collect()
+    }
+    assert epochs and all(e >= 0 for e in epochs)
