@@ -95,3 +95,26 @@ def test_core_numbers_oracle_parity(spark):
     sql = core_numbers_oracle_sql(prefix, k_max=3)
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_to_dot_deterministic_and_bounded(spark, tmp_path):
+    import pytest as _pytest
+
+    from easyner_spark.sinks.graphviz import to_dot, write_dot
+
+    e = spark.createDataFrame(
+        [("a", "b", "binds"), ('q"x', "b", "inhibits")],
+        ["src", "dst", "pred"],
+    )
+    dot = to_dot(e, label="pred")
+    assert dot.startswith('digraph "kg" {')
+    assert '"a" -> "b" [label="binds"];' in dot
+    assert '"q\\"x" -> "b" [label="inhibits"];' in dot
+    assert dot == to_dot(e, label="pred")  # deterministic
+    und = to_dot(e, directed=False)
+    assert und.startswith('graph "kg" {') and "--" in und
+    with _pytest.raises(ValueError, match="max_edges"):
+        to_dot(e, max_edges=1)
+    p = str(tmp_path / "g.dot")
+    write_dot(e, p, label="pred")
+    assert open(p).read() == dot
