@@ -116,7 +116,17 @@ class KnowledgeGraph:
     def ego(self, seeds: tuple, k: int = 2) -> DataFrame:
         from easyner_spark.operators.graph import ego_subgraph
 
-        return ego_subgraph(self._directed(), seeds, k=k)
+        s, p, o = self._cols
+        return ego_subgraph(
+            self.edges, seeds, k=k, src=s, dst=o, pred=p
+        )
+
+    def ego_dot(self, seeds: tuple, k: int = 2, **kwargs) -> str:
+        """Graphviz DOT text of the labeled k-hop ego subgraph
+        (bounded rendering sink; raises past max_edges)."""
+        from easyner_spark.sinks.graphviz import to_dot
+
+        return to_dot(self.ego(seeds, k=k), label="pred", **kwargs)
 
     def metapath(self, path: tuple) -> DataFrame:
         from easyner_spark.operators.triples import metapath_join

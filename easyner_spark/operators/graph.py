@@ -2623,6 +2623,7 @@ def ego_subgraph(
     k: int = 2,
     src: str = "src",
     dst: str = "dst",
+    pred: str | None = None,
 ) -> DataFrame:
     """(src, dst) — the k-hop EGO SUBGRAPH around a seed entity set:
     every edge whose BOTH endpoints lie within k undirected hops of
@@ -2639,7 +2640,9 @@ def ego_subgraph(
     filtered without a shuffle; hub seeds inflate the member set —
     that IS the query's answer size, and k is the explicit cost knob.
     Output is DISTINCT directed edges (self-loops dropped, matching
-    every other edge contract in this module).
+    every other edge contract in this module); `pred` optionally
+    names a predicate column to carry through (the labeled form
+    sinks.graphviz.to_dot renders).
     """
     if not seeds:
         raise ValueError("ego_subgraph needs at least one seed")
@@ -2650,8 +2653,13 @@ def ego_subgraph(
         .select("node")
         .distinct()
     )
+    keep = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    out_cols = ["src", "dst"]
+    if pred is not None:
+        keep.append(F.col(pred).alias("pred"))
+        out_cols.append("pred")
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        edges.select(*keep)
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -2659,7 +2667,7 @@ def ego_subgraph(
         F.broadcast(members.withColumnRenamed("node", "src")), "src", "left_semi"
     ).join(
         F.broadcast(members.withColumnRenamed("node", "dst")), "dst", "left_semi"
-    ).select("src", "dst")
+    ).select(*out_cols)
 
 
 def ego_subgraph_oracle_sql(

@@ -75,3 +75,13 @@ def test_load_from_pipeline_output(spark, pages_df, tmp_path):
     assert kg.nodes is not None and kg.nodes.count() > 0
     res = kg.query([("?x", "co_occurs_with", "?y")], distinct=True)
     assert res.count() > 0
+
+
+def test_ego_labeled_and_dot(spark):
+    kg = _kg(spark)
+    ego = kg.ego(("a",), k=1)
+    assert ego.columns == ["src", "dst", "pred"]
+    got = {(r.src, r.pred, r.dst) for r in ego.collect()}
+    assert got == {("a", "inhibits", "b"), ("a", "inhibits", "z")}
+    dot = kg.ego_dot(("a",), k=1)
+    assert '"a" -> "b" [label="inhibits"];' in dot
