@@ -167,3 +167,42 @@ def test_kcenter_matches_python_greedy(spark, data):
     df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
     got = [(r, i, d) for r, i, d in kcenter_select(df, k=4)]
     assert got == _py_kcenter(vecs, k=4)
+
+
+def _py_paths(pairs, sources, targets, max_len):
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+    out = set()
+
+    def walk(node, path):
+        if len(path) - 1 >= max_len:
+            return
+        for nxt in adj[node]:
+            if nxt in path:
+                continue
+            p2 = path + [nxt]
+            if nxt in targets:
+                out.add((p2[0], nxt, ">".join(p2), len(p2) - 1))
+            walk(nxt, p2)
+
+    for s in sources:
+        walk(s, [s])
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(pairs=edges_strat, ml=st.integers(min_value=1, max_value=3))
+def test_kg_paths_matches_python_dfs(spark, pairs, ml):
+    from easyner_spark.operators.graph import kg_paths
+
+    e = spark.createDataFrame(pairs, ["src", "dst"])
+    sources, targets = ("n0", "n1"), ("n4", "n5")
+    got = {
+        (r.src, r.dst, r.path, r.hops)
+        for r in kg_paths(
+            e, sources=sources, targets=targets, max_len=ml
+        ).collect()
+    }
+    assert got == _py_paths(pairs, sources, set(targets), ml)
