@@ -231,6 +231,26 @@ def run_pipeline(spark: SparkSession, cfg: dict) -> dict[str, int]:
         )
         counts["nodes"] = nodes.count()
 
+    # standing queries: fold each registered pattern set against the
+    # fresh edge snapshot (epoch = the snapshot id, so alerts line up
+    # with the resume ledger); idempotent on re-runs by construction
+    if cfg.get("standing_queries") and edges is not None:
+        from easyner_spark.operators.triples import _pattern_vars
+        from easyner_spark.streaming.pipeline import fold_standing_query
+
+        for sq in cfg["standing_queries"]:
+            pats = [tuple(p) for p in sq["patterns"]]
+            mt = SnapshotTable(
+                f"{out_dir}/standing_{sq['name']}", _pattern_vars(pats)
+            )
+            counts[f"standing_{sq['name']}"] = fold_standing_query(
+                spark,
+                tables["edges"],
+                mt,
+                pats,
+                epoch=tables["edges"].current_snapshot() or 0,
+            )
+
     return counts
 
 

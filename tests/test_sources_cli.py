@@ -526,3 +526,27 @@ class TestQueryMode:
             },
         )
         assert 0 < counts["per_subj"] <= 10
+
+    def test_standing_queries_in_pipeline(self, spark, pages_df, tmp_path):
+        from easyner_spark.cli import run_pipeline
+        from easyner_spark.sinks.checkpoint import SnapshotTable
+
+        pages_path = str(tmp_path / "pages.parquet")
+        pages_df.write.parquet(pages_path)
+        out_dir = str(tmp_path / "out")
+        cfg = {
+            "input": {"pages_path": pages_path},
+            "output_dir": out_dir,
+            "standing_queries": [
+                {"name": "cooc", "patterns": [["?x", "co_occurs_with", "?y"]]}
+            ],
+        }
+        counts = run_pipeline(spark, cfg)
+        assert counts["standing_cooc"] > 0
+        mt = SnapshotTable(f"{out_dir}/standing_cooc", ["x", "y"])
+        n = mt.read(spark).count()
+        assert n == counts["standing_cooc"]
+        # re-run: stages skip, the fold finds nothing new
+        counts2 = run_pipeline(spark, cfg)
+        assert counts2["standing_cooc"] == 0
+        assert mt.read(spark).count() == n
