@@ -2600,6 +2600,40 @@ def q_kg_pattern_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KG_UNION_ALTS = [[("?x", "city_of", "?y")]]
+
+
+def q_kg_pattern_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION over the rule KG: located_in pairs OR city_of
+    pairs as ONE query (bag union of alternate required groups; the
+    oracle runs the same UNION ALL formulation)."""
+    from easyner_spark.operators.triples import match_patterns
+
+    return match_patterns(
+        _kg_rules_triples(spark, sf_dir),
+        [("?x", "located_in", "?y")],
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        unions=_KG_UNION_ALTS,
+    )
+
+
+def _kg_pattern_union_oracle() -> str:
+    """q_kg_pattern_union oracle: UNION ALL formulation from the SAME
+    alternates."""
+    from easyner_spark.operators.triples import match_patterns_oracle_sql
+
+    return match_patterns_oracle_sql(
+        _KG_RULES_SQL,
+        [("?x", "located_in", "?y")],
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        unions=_KG_UNION_ALTS,
+    )
+
+
 _KG_PATH_PATTERNS = [
     ("?x", "works_for", "?e"),
     ("?e", "located_in+", "?y"),
@@ -6404,6 +6438,7 @@ _DRIVER_WINDOW_FIRST = [
     "kg_property_path",      # NEW: pred+ transitive-closure paths
     "kg_pattern_minus",      # NEW: SPARQL MINUS anti-joins
     "kg_pattern_values",     # NEW: SPARQL VALUES bindings
+    "kg_pattern_union",      # NEW: SPARQL UNION alternates
     "blocking_quality",      # NEW: ER-blocking evaluation triple
     "bcubed_quality",        # NEW: B-cubed cluster evaluation
     "kg_ego",                # NEW: k-hop ego subgraph export
@@ -6527,6 +6562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_path": q_kg_property_path,
         "kg_pattern_minus": q_kg_pattern_minus,
         "kg_pattern_values": q_kg_pattern_values,
+        "kg_pattern_union": q_kg_pattern_union,
         "blocking_quality": q_blocking_quality,
         "bcubed_quality": q_bcubed,
         "kg_ego": q_kg_ego,
@@ -10685,6 +10721,7 @@ FROM c
         "kg_property_path": _kg_property_path_oracle(),
         "kg_pattern_minus": _kg_pattern_minus_oracle(),
         "kg_pattern_values": _kg_pattern_values_oracle(),
+        "kg_pattern_union": _kg_pattern_union_oracle(),
         "blocking_quality": _blocking_quality_oracle(),
         "bcubed_quality": _bcubed_oracle(),
         "kg_ego": _kg_ego_oracle(),

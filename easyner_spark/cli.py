@@ -410,6 +410,9 @@ def run_query(spark: SparkSession, cfg: dict) -> dict[str, int]:
         binds = {
             v: tuple(vals) for v, vals in q.get("bindings", {}).items()
         } or None
+        unis = [
+            [tuple(p) for p in grp] for grp in q.get("unions", [])
+        ] or None
         out = match_patterns(
             edges,
             pats,
@@ -418,6 +421,7 @@ def run_query(spark: SparkSession, cfg: dict) -> dict[str, int]:
             optionals=opts,
             minus=mins,
             bindings=binds,
+            unions=unis,
             max_closure_depth=int(q.get("max_closure_depth", 10)),
         )
         if q.get("group_by"):

@@ -672,6 +672,7 @@ def match_patterns(
     optionals: list[list[tuple[str, str, str]]] | None = None,
     minus: list[list[tuple[str, str, str]]] | None = None,
     bindings: dict[str, tuple[str, ...]] | None = None,
+    unions: list[list[tuple[str, str, str]]] | None = None,
     max_closure_depth: int = 10,
 ) -> DataFrame:
     """Conjunctive triple-pattern matching (the SPARQL basic-graph-
@@ -721,6 +722,13 @@ def match_patterns(
     entities"). Emitted as isin() predicates, which Catalyst pushes
     through the joins to the scans; at KG scale this is what turns a
     corpus-wide pattern sweep into an indexed lookup.
+
+    `unions` adds SPARQL UNION semantics: each entry is an ALTERNATE
+    required pattern group binding exactly the same variable set as
+    `patterns`; the result is the bag union of all alternates (after
+    VALUES restriction, before MINUS/OPTIONAL, which then apply to
+    the union — the SPARQL algebra's group ordering). "x inhibits y
+    OR x suppresses y" without running the query twice and stitching.
 
     `minus` adds SPARQL MINUS semantics: each entry is a connected
     pattern group; required bindings for which the group has ANY
@@ -812,6 +820,15 @@ def match_patterns(
 
     out = block(patterns)
     req_vars = _pattern_vars(patterns)
+    for group in unions or []:
+        _validate_patterns(group)
+        gvars = _pattern_vars(group)
+        if set(gvars) != set(req_vars):
+            raise ValueError(
+                f"union group must bind exactly the required variables "
+                f"{sorted(req_vars)!r}; got {sorted(gvars)!r}"
+            )
+        out = out.unionByName(block(group).select(*req_vars))
     for v, vals in (bindings or {}).items():
         if v not in req_vars:
             raise ValueError(
@@ -865,6 +882,7 @@ def match_patterns_oracle_sql(
     optionals: list[list[tuple[str, str, str]]] | None = None,
     minus: list[list[tuple[str, str, str]]] | None = None,
     bindings: dict[str, tuple[str, ...]] | None = None,
+    unions: list[list[tuple[str, str, str]]] | None = None,
     max_closure_depth: int = 10,
 ) -> str:
     """DuckDB twin of match_patterns, generated from the SAME pattern
@@ -882,7 +900,7 @@ def match_patterns_oracle_sql(
     cols = {"s": subj, "p": pred, "o": obj}
 
     closure_preds: list[str] = []
-    for grp in [patterns, *(optionals or []), *(minus or [])]:
+    for grp in [patterns, *(optionals or []), *(minus or []), *(unions or [])]:
         for pat in grp:
             p_term = pat[1]
             if (
@@ -945,6 +963,14 @@ def match_patterns_oracle_sql(
 
     kw = "DISTINCT " if distinct else ""
     req_vars = _pattern_vars(patterns)
+    req_src = naive(patterns)
+    if unions:
+        cast = ", ".join(req_vars)
+        alts = [f"SELECT {cast} FROM ({naive(patterns)}) u0"]
+        for ui, group in enumerate(unions, start=1):
+            _validate_patterns(group)
+            alts.append(f"SELECT {cast} FROM ({naive(group)}) u{ui}")
+        req_src = "\nUNION ALL\n".join(alts)
     out_cols = [f"req.{v}" for v in req_vars]
     joins = []
     seen = set(req_vars)
@@ -975,7 +1001,7 @@ def match_patterns_oracle_sql(
     return f"""
 {with_block}
 SELECT {kw}{", ".join(out_cols)}
-FROM ({naive(patterns)}) req
+FROM ({req_src}) req
 {nl.join(joins)}{where}
 """
 

@@ -373,3 +373,30 @@ def test_match_patterns_when_standing_query(spark):
     assert delta == [("a", "q", "c", 4)]
     with pytest.raises(ValueError, match="closure"):
         match_patterns_when(t, [("?x", "inhibits+", "?y")])
+
+
+def test_union_groups(spark, edges):
+    # inhibits-pairs OR activates-pairs, one query
+    pats = [("?x", "inhibits", "?y")]
+    uni = [[("?x", "activates", "?y")]]
+    out = match_patterns(edges, pats, unions=uni)
+    got = rows(out)
+    assert got == sorted([("a", "b")] * 2 + [("d", "a")])
+    # oracle twin agrees, and MINUS applies to the UNION
+    vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in TRIPLES)
+    src = f"SELECT * FROM (VALUES {vals}) v(subj_id, pred, obj_id)"
+    sql = match_patterns_oracle_sql(src, pats, unions=uni)
+    assert got == sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    out2 = match_patterns(
+        edges, pats, unions=uni, minus=[[("?x", "binds", "?w")]]
+    )
+    # a binds c -> both (a, b) rows and nothing else with x=a drop
+    assert rows(out2) == [("d", "a")]
+    sql2 = match_patterns_oracle_sql(
+        src, pats, unions=uni, minus=[[("?x", "binds", "?w")]]
+    )
+    assert rows(out2) == sorted(
+        tuple(r) for r in duckdb.sql(sql2).fetchall()
+    )
+    with pytest.raises(ValueError, match="exactly the required"):
+        match_patterns(edges, pats, unions=[[("?x", "binds", "?z")]])
