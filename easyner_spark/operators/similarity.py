@@ -425,7 +425,8 @@ def _centroid_structs(
 
 
 def _quantizer(
-    slim: DataFrame, n_centroids: int, refine_iters: int
+    slim: DataFrame, n_centroids: int, refine_iters: int,
+    train_frac: float | None = None,
 ) -> list[tuple]:
     """Deterministic IVF coarse quantizer: seed centroids are the
     corpus vectors whose md5(id) sort first, optionally refined by
@@ -435,17 +436,47 @@ def _quantizer(
     Returns a sorted [(cid, [float, ...]), ...] list — O(n_centroids
     x dim) driver data, a broadcast-dictionary analog, never a corpus
     collect. Shared by :func:`ivf_topk` (and any caller that wants to
-    build the cell map once and reuse it across queries)."""
+    build the cell map once and reuse it across queries).
+
+    `train_frac` (0, 1): run seeding AND every Lloyd round over a
+    pinned deterministic hash-sample of the corpus (md5-threshold gate,
+    the `deterministic_sample` primitive — same rows every run, every
+    engine, every partitioning) instead of all rows. Centroids are an
+    estimate of cluster structure, so a 5-10% sample moves them only
+    marginally while cutting each Lloyd assignment job ~1/train_frac x
+    — the training-cost lever VERDICT r4 flagged (ann_ivf's cost was
+    3 full-corpus Lloyd jobs per invocation). Cell ASSIGNMENT of the
+    corpus (in ivf_topk) still covers every row — sampling changes
+    which centroids exist, never which rows are indexed. Falls back to
+    the full corpus if the sample can't fill n_centroids seeds.
+    train_frac=None (default) is the full-corpus parity twin and the
+    oracle-covered path."""
+    if train_frac is not None and 0.0 < train_frac < 1.0:
+        from easyner_spark.operators.sampling import (
+            sample_hash, sample_threshold,
+        )
+
+        train = slim.where(
+            sample_hash(F.col("id").cast("string"), "ivf-train")
+            < F.lit(sample_threshold(train_frac))
+        )
+    else:
+        train = slim
     cents = [
         (r["id"], list(r["v"]))
-        for r in slim.select("id", "v")
+        for r in train.select("id", "v")
         .withColumn("h", F.md5(F.col("id").cast("string")))
         .orderBy("h", "id")
         .limit(n_centroids)
         .collect()
     ]
+    if len(cents) < n_centroids and train is not slim:
+        # sample too small to seed every cell: deterministic fallback
+        # to full-corpus training (still reproducible — the fallback
+        # fires iff the pinned sample has < n_centroids rows)
+        return _quantizer(slim, n_centroids, refine_iters, None)
     for _ in range(refine_iters):
-        assigned = slim.withColumn(
+        assigned = train.withColumn(
             "cell",
             F.array_min(
                 _centroid_structs(cents, F.col("v"), F.col("norm"))
@@ -476,6 +507,7 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     n_centroids: int = IVF_CENTROIDS,
     refine_iters: int = 0,
+    train_frac: float | None = None,
 ) -> list[tuple]:
     """Train (or just seed) the IVF coarse quantizer and return its
     centroid list [(cid, [float, ...]), ...] — O(n_centroids x dim)
@@ -484,8 +516,13 @@ def train_ivf_centroids(
     ...)`` to amortize the Lloyd assignment jobs across repeat
     queries: training cost is paid once per corpus snapshot, not per
     query (the vocab= pattern scoring.py uses). Deterministic for a
-    given corpus — training twice yields the same list."""
-    return _quantizer(_with_norm(emb, id_col, vec_col), n_centroids, refine_iters)
+    given corpus — training twice yields the same list. `train_frac`
+    trains over a pinned hash-sample (see :func:`_quantizer`) — the
+    production setting for large corpora."""
+    return _quantizer(
+        _with_norm(emb, id_col, vec_col), n_centroids, refine_iters,
+        train_frac,
+    )
 
 
 def ivf_topk(
@@ -498,6 +535,7 @@ def ivf_topk(
     refine_iters: int = 0,
     score_engine: str = "pandas",
     centroids: list[tuple] | None = None,
+    train_frac: float | None = None,
 ) -> DataFrame:
     """IVF-flat ANN top-k: deterministic coarse quantizer + multi-cell
     probe + exact re-rank — the inverted-file counterpart to lsh_topk.
@@ -537,10 +575,17 @@ def ivf_topk(
     assignment jobs dominate ivf_topk's fixed cost (~2 s each at
     sf0.1), so a served/scheduled workload trains once per corpus
     snapshot and reuses the list.
+
+    `train_frac`: train the quantizer on a pinned deterministic
+    hash-sample of the corpus (see :func:`_quantizer`) — cuts the
+    per-invocation Lloyd cost ~1/train_frac x; every corpus row is
+    still indexed (assignment below always covers all rows). The
+    self-training production setting; ignored when `centroids` is
+    supplied.
     """
     slim = _with_norm(emb, id_col, vec_col)
     cents = centroids if centroids is not None else _quantizer(
-        slim, n_centroids, refine_iters
+        slim, n_centroids, refine_iters, train_frac
     )
     scored = slim.withColumn(
         "cs", _centroid_structs(cents, F.col("v"), F.col("norm"))

