@@ -2600,6 +2600,54 @@ def q_kg_pattern_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KG_FILTER_PATTERNS = [
+    ("?x", "located_in", "?y"),
+    ("?y", "near", "?z"),
+]
+_KG_FILTERS = {
+    "x": [(">=", "n1"), ("<", "n8")],   # binary string range
+    "y": [("contains", "2")],
+    "z": [("regex", "^n[0-9]+$"), ("!=", "n15")],
+}
+
+
+def q_kg_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER over the rule KG (r5): the located_in/near chain
+    with per-variable scalar predicates — a binary-collation string
+    range on ?x, substring containment on ?y, regex + inequality on
+    ?z. match_patterns applies each predicate INSIDE every pattern
+    frame that binds the variable (scan-level, before the joins —
+    PushedFilters on a parquet KG), so the filters cut seed
+    cardinality rather than trimming the joined result; the oracle
+    emits the same predicates as WHERE conditions of the naive
+    formulation."""
+    from easyner_spark.operators.triples import match_patterns
+
+    return match_patterns(
+        _kg_rules_triples(spark, sf_dir),
+        _KG_FILTER_PATTERNS,
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        filters=_KG_FILTERS,
+    )
+
+
+def _kg_pattern_filter_oracle() -> str:
+    """q_kg_pattern_filter oracle: naive formulation with the SAME
+    filter dict emitted as WHERE conditions."""
+    from easyner_spark.operators.triples import match_patterns_oracle_sql
+
+    return match_patterns_oracle_sql(
+        _KG_RULES_SQL,
+        _KG_FILTER_PATTERNS,
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        filters=_KG_FILTERS,
+    )
+
+
 _KG_UNION_ALTS = [[("?x", "city_of", "?y")]]
 
 
@@ -6562,6 +6610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_path": q_kg_property_path,
         "kg_pattern_minus": q_kg_pattern_minus,
         "kg_pattern_values": q_kg_pattern_values,
+        "kg_pattern_filter": q_kg_pattern_filter,
         "kg_pattern_union": q_kg_pattern_union,
         "blocking_quality": q_blocking_quality,
         "bcubed_quality": q_bcubed,
@@ -10721,6 +10770,7 @@ FROM c
         "kg_property_path": _kg_property_path_oracle(),
         "kg_pattern_minus": _kg_pattern_minus_oracle(),
         "kg_pattern_values": _kg_pattern_values_oracle(),
+        "kg_pattern_filter": _kg_pattern_filter_oracle(),
         "kg_pattern_union": _kg_pattern_union_oracle(),
         "blocking_quality": _blocking_quality_oracle(),
         "bcubed_quality": _bcubed_oracle(),

@@ -550,6 +550,41 @@ def _validate_patterns(patterns: list[tuple[str, str, str]]) -> None:
             )
 
 
+_FILTER_OPS = {
+    "=", "!=", "<", "<=", ">", ">=", "prefix", "contains", "regex",
+}
+
+
+def _validate_filters(
+    filters: dict[str, list[tuple[str, str]]] | None,
+    req_vars: list[str],
+) -> None:
+    """Shared by match_patterns and its oracle twin: FILTER predicates
+    may only name required variables and known operators, and every
+    operand must be a string (the KG term type)."""
+    for v, preds in (filters or {}).items():
+        if v not in req_vars:
+            raise ValueError(
+                f"filter variable '?{v}' is not bound by the required "
+                f"patterns"
+            )
+        if not preds:
+            raise ValueError(f"filters for '?{v}' are empty")
+        for entry in preds:
+            if len(entry) != 2:
+                raise ValueError(f"filter must be (op, operand): {entry!r}")
+            op, val = entry
+            if op not in _FILTER_OPS:
+                raise ValueError(
+                    f"unknown filter op {op!r}; expected one of "
+                    f"{sorted(_FILTER_OPS)!r}"
+                )
+            if not isinstance(val, str):
+                raise ValueError(
+                    f"filter operand for '?{v}' must be a string: {val!r}"
+                )
+
+
 def _pattern_estimate(
     pat: tuple[str, str, str],
     stats: dict[str, tuple[int, int, int]],
@@ -674,6 +709,7 @@ def match_patterns(
     bindings: dict[str, tuple[str, ...]] | None = None,
     unions: list[list[tuple[str, str, str]]] | None = None,
     max_closure_depth: int = 10,
+    filters: dict[str, list[tuple[str, str]]] | None = None,
 ) -> DataFrame:
     """Conjunctive triple-pattern matching (the SPARQL basic-graph-
     pattern core) over the materialized KG edge table: each pattern is
@@ -738,6 +774,24 @@ def match_patterns(
     required block; variables private to a MINUS group are
     existentially quantified and never appear in the output.
 
+    `filters` adds the SPARQL FILTER core: {var: [(op, operand),
+    ...]} with op in {'=', '!=', '<', '<=', '>', '>=', 'prefix',
+    'contains', 'regex'} restricts a REQUIRED variable by a scalar
+    predicate over its (string) value — the "?year >= '2020'",
+    "STRSTARTS(?id, 'Q')", "regex(?name, 'ase$')" class. Each
+    predicate is applied INSIDE every pattern frame that binds the
+    variable (required block and every UNION alternate) before any
+    join, so Catalyst folds it into the scan (PushedFilters for
+    =/!=/range/prefix/contains on a parquet-backed KG; regex filters
+    at the first projection) — pattern-local filtering cuts the seed
+    cardinality the join-order estimator reasons about, instead of
+    trimming the joined result. Equi-joined occurrences make one
+    application sufficient; applying at all binding sites is the
+    pushdown-maximizing equivalent. String comparisons are binary
+    (ASCII-safe, both engines' default collation); 'regex' uses the
+    RE2-compatible subset shared by Java and DuckDB regex — keep
+    oracle-shared patterns in that subset.
+
     A literal predicate ending in '+' is a SPARQL property path
     (one-or-more): the pattern matches the predicate's transitive
     closure, bounded at `max_closure_depth` hops (bounded honestly —
@@ -749,8 +803,28 @@ def match_patterns(
     nature and this operator will faithfully build it.
     """
     _validate_patterns(patterns)
+    _validate_filters(filters, _pattern_vars(patterns))
     cols = {"s": subj, "p": pred, "o": obj}
     closures: dict[str, DataFrame] = {}
+
+    def filter_pred(col: Column, op: str, val: str) -> Column:
+        if op == "=":
+            return col == val
+        if op == "!=":
+            return col != val
+        if op == "<":
+            return col < val
+        if op == "<=":
+            return col <= val
+        if op == ">":
+            return col > val
+        if op == ">=":
+            return col >= val
+        if op == "prefix":
+            return col.startswith(val)
+        if op == "contains":
+            return col.contains(val)
+        return col.rlike(val)  # 'regex' — validated upstream
 
     def closure_frame(term: str) -> DataFrame:
         # transitive closure of base predicate term[:-1], presented
@@ -789,7 +863,9 @@ def match_patterns(
             )
         return closures[term]
 
-    def block(pats: list[tuple[str, str, str]]) -> DataFrame:
+    def block(
+        pats: list[tuple[str, str, str]], apply_filters: bool = False
+    ) -> DataFrame:
         frames = []
         for pat in pats:
             p_term = pat[1]
@@ -808,6 +884,13 @@ def match_patterns(
                         df = df.where(F.col(c) == F.col(rename[v]))
                     else:
                         rename[v] = c
+            if apply_filters:
+                for v, preds in (filters or {}).items():
+                    if v in rename:
+                        for op, val in preds:
+                            df = df.where(
+                                filter_pred(F.col(rename[v]), op, val)
+                            )
             frames.append(
                 df.select(*[F.col(c).alias(v) for v, c in rename.items()])
             )
@@ -818,7 +901,7 @@ def match_patterns(
             out = out.join(frames[i], shared)
         return out
 
-    out = block(patterns)
+    out = block(patterns, apply_filters=True)
     req_vars = _pattern_vars(patterns)
     for group in unions or []:
         _validate_patterns(group)
@@ -828,7 +911,9 @@ def match_patterns(
                 f"union group must bind exactly the required variables "
                 f"{sorted(req_vars)!r}; got {sorted(gvars)!r}"
             )
-        out = out.unionByName(block(group).select(*req_vars))
+        out = out.unionByName(
+            block(group, apply_filters=True).select(*req_vars)
+        )
     for v, vals in (bindings or {}).items():
         if v not in req_vars:
             raise ValueError(
@@ -884,6 +969,7 @@ def match_patterns_oracle_sql(
     bindings: dict[str, tuple[str, ...]] | None = None,
     unions: list[list[tuple[str, str, str]]] | None = None,
     max_closure_depth: int = 10,
+    filters: dict[str, list[tuple[str, str]]] | None = None,
 ) -> str:
     """DuckDB twin of match_patterns, generated from the SAME pattern
     list (repo oracle policy: one definition per side). Emits the
@@ -895,9 +981,27 @@ def match_patterns_oracle_sql(
     become depth-bounded WITH RECURSIVE closure CTEs (flat chain, per
     the repo's nested-WITH DuckDB quirk — so `triples_sql` must be a
     plain SELECT, not itself a WITH). `triples_sql` yields
-    (subj, pred, obj)-shaped rows under the given column names."""
+    (subj, pred, obj)-shaped rows under the given column names.
+    `filters` mirrors match_patterns' FILTER dict — emitted as WHERE
+    conditions on the variable's first-occurrence column inside the
+    required block and every UNION alternate (string comparison /
+    prefix / contains / regexp_matches; same binary-collation and
+    shared-regex-subset contract as the Spark side)."""
     _validate_patterns(patterns)
+    _validate_filters(filters, _pattern_vars(patterns))
     cols = {"s": subj, "p": pred, "o": obj}
+
+    def filter_cond(ref: str, op: str, val: str) -> str:
+        lit = "'" + val.replace("'", "''") + "'"
+        if op in {"=", "<", "<=", ">", ">="}:
+            return f"{ref} {op} {lit}"
+        if op == "!=":
+            return f"{ref} <> {lit}"
+        if op == "prefix":
+            return f"starts_with({ref}, {lit})"
+        if op == "contains":
+            return f"contains({ref}, {lit})"
+        return f"regexp_matches({ref}, {lit})"  # 'regex'
 
     closure_preds: list[str] = []
     for grp in [patterns, *(optionals or []), *(minus or []), *(unions or [])]:
@@ -913,7 +1017,9 @@ def match_patterns_oracle_sql(
     def closure_rel(term: str) -> str:
         return f"tc{closure_preds.index(term)}"
 
-    def naive(pats: list[tuple[str, str, str]]) -> str:
+    def naive(
+        pats: list[tuple[str, str, str]], apply_filters: bool = False
+    ) -> str:
         conds: list[str] = []
         first_occ: dict[str, str] = {}
         froms: list[str] = []
@@ -938,6 +1044,11 @@ def match_patterns_oracle_sql(
                     conds.append(f"{ref} = {first_occ[term[1:]]}")
                 else:
                     first_occ[term[1:]] = ref
+        if apply_filters:
+            for v, preds in (filters or {}).items():
+                if v in first_occ:
+                    for op, val in preds:
+                        conds.append(filter_cond(first_occ[v], op, val))
         sel = ", ".join(
             f"{first_occ[v]} AS {v}" for v in _pattern_vars(pats)
         )
@@ -963,13 +1074,13 @@ def match_patterns_oracle_sql(
 
     kw = "DISTINCT " if distinct else ""
     req_vars = _pattern_vars(patterns)
-    req_src = naive(patterns)
+    req_src = naive(patterns, apply_filters=True)
     if unions:
         cast = ", ".join(req_vars)
-        alts = [f"SELECT {cast} FROM ({naive(patterns)}) u0"]
+        alts = [f"SELECT {cast} FROM ({naive(patterns, True)}) u0"]
         for ui, group in enumerate(unions, start=1):
             _validate_patterns(group)
-            alts.append(f"SELECT {cast} FROM ({naive(group)}) u{ui}")
+            alts.append(f"SELECT {cast} FROM ({naive(group, True)}) u{ui}")
         req_src = "\nUNION ALL\n".join(alts)
     out_cols = [f"req.{v}" for v in req_vars]
     joins = []

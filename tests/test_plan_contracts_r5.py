@@ -1,0 +1,113 @@
+"""Round-5 plan + semantics contracts: SPARQL FILTER predicates in
+match_patterns must reach the parquet scan (PushedFilters), and the
+filter surface must validate its inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from easyner_spark.operators.triples import match_patterns
+
+
+def _final_plan(df):
+    df.collect()  # materialize so the AQE plan is final
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _kg(spark, n=400):
+    return spark.range(n).select(
+        F.concat(F.lit("e"), (F.col("id") % 37).cast("string")).alias("subj"),
+        F.concat(F.lit("p"), (F.col("id") % 5).cast("string")).alias("pred"),
+        F.concat(F.lit("e"), ((F.col("id") * 7) % 37).cast("string")).alias("obj"),
+    )
+
+
+@pytest.fixture()
+def parquet_kg(spark, tmp_path):
+    path = str(tmp_path / "kg_edges.parquet")
+    _kg(spark).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_bgp_filters_push_to_scan(spark, parquet_kg):
+    """FILTER predicates are applied inside the pattern frames, so
+    range / prefix / contains filters fold into PushedFilters on a
+    parquet-backed KG — pattern-local seed-cardinality cuts, not a
+    post-join trim (VERDICT r4 #4 done-bar)."""
+    out = match_patterns(
+        parquet_kg,
+        [("?x", "p1", "?y"), ("?y", "p2", "?z")],
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        filters={
+            "x": [(">=", "e1"), ("prefix", "e")],
+            "z": [("contains", "2")],
+        },
+    )
+    # the default 100-char metadata cap truncates PushedFilters lists
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _final_plan(out)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "GreaterThanOrEqual(subj,e1)" in plan
+    assert "StringStartsWith(subj,e)" in plan
+    assert "StringContains(obj,2)" in plan
+
+
+def test_bgp_filter_semantics_match_post_hoc_where(spark):
+    """Scan-level filter application must equal filtering the
+    unfiltered BGP result post-hoc (equi-joined occurrences make the
+    two formulations bag-equivalent) — including a regex op, which
+    stays at the projection rather than the scan."""
+    kg = _kg(spark)
+    pats = [("?x", "p1", "?y"), ("?y", "p2", "?z")]
+    kw = dict(subj="subj", pred="pred", obj="obj")
+    filtered = match_patterns(
+        kg, pats, **kw,
+        filters={"y": [(">", "e1"), ("regex", "[02468]$")]},
+    )
+    post = (
+        match_patterns(kg, pats, **kw)
+        .where((F.col("y") > "e1") & F.col("y").rlike("[02468]$"))
+    )
+    a = sorted(map(tuple, filtered.collect()))
+    b = sorted(map(tuple, post.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_bgp_filters_apply_to_union_alternates(spark):
+    """Filters restrict every UNION alternate, not just the first
+    required block (the SPARQL algebra applies FILTER to the whole
+    group pattern)."""
+    kg = _kg(spark)
+    kw = dict(subj="subj", pred="pred", obj="obj")
+    out = match_patterns(
+        kg,
+        [("?x", "p1", "?y")],
+        **kw,
+        unions=[[("?x", "p2", "?y")]],
+        filters={"x": [("=", "e1")]},
+    )
+    assert out.where(F.col("x") != "e1").count() == 0
+    assert out.count() > 0
+
+
+def test_bgp_filter_validation(spark):
+    kg = _kg(spark)
+    kw = dict(subj="subj", pred="pred", obj="obj")
+    with pytest.raises(ValueError, match="not bound"):
+        match_patterns(
+            kg, [("?x", "p1", "?y")], **kw, filters={"q": [("=", "e1")]}
+        )
+    with pytest.raises(ValueError, match="unknown filter op"):
+        match_patterns(
+            kg, [("?x", "p1", "?y")], **kw, filters={"x": [("~", "e1")]}
+        )
+    with pytest.raises(ValueError, match="empty"):
+        match_patterns(kg, [("?x", "p1", "?y")], **kw, filters={"x": []})
+    with pytest.raises(ValueError, match="must be a string"):
+        match_patterns(
+            kg, [("?x", "p1", "?y")], **kw, filters={"x": [(">", 3)]}
+        )
