@@ -79,9 +79,12 @@ class KnowledgeGraph:
     # -- queries -----------------------------------------------------------
 
     def query(self, patterns: list, **kwargs) -> DataFrame:
-        """match_patterns with this KG's columns and cached stats;
-        accepts the full keyword surface (distinct, optionals, minus,
-        bindings, max_closure_depth)."""
+        """match_patterns with this KG's columns and cached stats —
+        facade users get cost-based join ordering by default (the
+        measured 4.4x-20x win over the syntactic heuristic, see
+        tools/bgp_bench.py) without ever seeing bgp_stats; accepts the
+        full keyword surface (distinct, optionals, minus, bindings,
+        unions, filters, max_closure_depth)."""
         from easyner_spark.operators.triples import match_patterns
 
         s, p, o = self._cols

@@ -85,3 +85,58 @@ def test_ego_labeled_and_dot(spark):
     assert got == {("a", "inhibits", "b"), ("a", "inhibits", "z")}
     dot = kg.ego_dot(("a",), k=1)
     assert '"a" -> "b" [label="inhibits"];' in dot
+
+
+def test_query_uses_cost_based_order_without_explicit_stats(
+    spark, monkeypatch
+):
+    """VERDICT r4 #5 done-bar: kg.query() must feed the cached
+    bgp_stats into match_patterns when the caller passes none — the
+    cost-based join order is the facade DEFAULT, not an opt-in. The
+    spy records what _join_order received; the skew between a hub
+    predicate (many edges) and a rare one makes the cost-based seed
+    choice differ from the syntactic literal-count heuristic, so we
+    also assert the stats actually changed the chosen order."""
+    from pyspark.sql import functions as F
+
+    from easyner_spark.operators import triples as T
+
+    # 'common' is a 200-edge hub, 'rare' has 2 edges; both patterns
+    # have identical literal counts, so the syntactic heuristic keeps
+    # the written order while the estimates seed from 'rare'.
+    hub = spark.range(200).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("subj_id"),
+        F.lit("common").alias("pred"),
+        F.concat(F.lit("m"), (F.col("id") % 3).cast("string")).alias("obj_id"),
+    )
+    rare = spark.createDataFrame(
+        [("m0", "rare", "t1"), ("m1", "rare", "t2")],
+        ["subj_id", "pred", "obj_id"],
+    )
+    kg = KnowledgeGraph(hub.unionByName(rare))
+    pats = [("?x", "common", "?y"), ("?y", "rare", "?z")]
+
+    seen: dict = {}
+    real = T._join_order
+
+    def spy(p, stats=None):
+        seen["stats"] = stats
+        return real(p, stats)
+
+    monkeypatch.setattr(T, "_join_order", spy)
+    kg.query(pats).collect()
+    assert seen["stats"] == kg.stats()  # cached stats flowed through
+    assert real(pats, seen["stats"]) != real(pats, None)  # and matter
+
+
+def test_query_filters_passthrough(spark):
+    """The r5 FILTER surface rides the facade unchanged."""
+    kg = _kg(spark)
+    out = {
+        tuple(r)
+        for r in kg.query(
+            [("?x", "located_in", "?y")],
+            filters={"y": [(">=", "e")]},
+        ).collect()
+    }
+    assert out == {("d", "e")}
