@@ -107,13 +107,13 @@ class KnowledgeGraph:
         return shortest_paths(self._directed(), landmarks, k=k)
 
     def paths(
-        self, sources: tuple, targets: tuple, max_len: int = 3
+        self, sources: tuple, targets: tuple, max_len: int = 3, **kwargs
     ) -> DataFrame:
         from easyner_spark.operators.graph import kg_paths
 
         return kg_paths(
             self._directed(), sources=sources, targets=targets,
-            max_len=max_len,
+            max_len=max_len, **kwargs,
         )
 
     def ego(self, seeds: tuple, k: int = 2) -> DataFrame:

@@ -2524,6 +2524,7 @@ def kg_paths(
     max_len: int = 3,
     src: str = "src",
     dst: str = "dst",
+    max_frontier_rows: int | None = None,
 ) -> DataFrame:
     """(src, dst, path, hops) — every SIMPLE directed path (no
     repeated node) of 1..max_len hops from a source-set entity to a
@@ -2549,6 +2550,14 @@ def kg_paths(
     short string; hub fan-out inside a round spreads across tasks on
     the join key (path head), the same wavefront argument as
     shortest_paths. localCheckpoint per round cuts the lineage.
+
+    `max_frontier_rows` backstops the explanation-query contract
+    (VERDICT r4 #6): each round's frontier is already materialized by
+    the localCheckpoint, so counting it is free — if a round exceeds
+    the cap (a hub-dense neighborhood the caller didn't expect), the
+    operator raises immediately with the round and count instead of
+    silently building an exponential path set. None (default) trusts
+    the contract, preserving existing plans and oracles.
     """
     if max_len < 1:
         raise ValueError("kg_paths needs max_len >= 1")
@@ -2566,19 +2575,36 @@ def kg_paths(
         F.concat(fence(F.col("a")), F.col("b"), F.lit("|")).alias("fenced"),
         F.lit(1).cast("long").alias("hops"),
     )
-    paths = start.localCheckpoint(eager=True)
+    def guard(f: DataFrame, hops: int) -> DataFrame:
+        if max_frontier_rows is not None:
+            n = f.count()  # free: f is an eager localCheckpoint
+            if n > max_frontier_rows:
+                raise ValueError(
+                    f"kg_paths frontier exploded: {n} live paths at "
+                    f"{hops} hops > max_frontier_rows="
+                    f"{max_frontier_rows} — a hub-dense neighborhood; "
+                    f"lower max_len or shrink the source set"
+                )
+        return f
+
+    paths = guard(start.localCheckpoint(eager=True), 1)
     frontier = paths
     for i in range(2, max_len + 1):
-        frontier = (
-            frontier.join(e, frontier["node"] == e["a"])
-            .where(~F.col("fenced").contains(fence(e["b"])))
-            .select(
-                "first",
-                e["b"].alias("node"),
-                F.concat(F.col("fenced"), e["b"], F.lit("|")).alias("fenced"),
-                F.lit(i).cast("long").alias("hops"),
-            )
-        ).localCheckpoint(eager=True)
+        frontier = guard(
+            (
+                frontier.join(e, frontier["node"] == e["a"])
+                .where(~F.col("fenced").contains(fence(e["b"])))
+                .select(
+                    "first",
+                    e["b"].alias("node"),
+                    F.concat(
+                        F.col("fenced"), e["b"], F.lit("|")
+                    ).alias("fenced"),
+                    F.lit(i).cast("long").alias("hops"),
+                )
+            ).localCheckpoint(eager=True),
+            i,
+        )
         paths = paths.unionByName(frontier)
     return paths.where(F.col("node").isin(*targets)).select(
         F.col("first").alias("src"),

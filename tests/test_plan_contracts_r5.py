@@ -111,3 +111,70 @@ def test_bgp_filter_validation(spark):
         match_patterns(
             kg, [("?x", "p1", "?y")], **kw, filters={"x": [(">", 3)]}
         )
+
+
+def test_kg_paths_frontier_guard_fires_on_dense_graph(spark):
+    """VERDICT r4 #6 done-bar: a hub-dense graph must hit the
+    max_frontier_rows backstop instead of silently enumerating an
+    exponential path set; a sane cap on the same graph still returns."""
+    from easyner_spark.operators.graph import kg_paths
+
+    # complete-ish digraph on 12 nodes: path count explodes by hop 3
+    dense = spark.range(12).alias("a").crossJoin(
+        spark.range(12).alias("b")
+    ).select(
+        F.concat(F.lit("n"), F.col("a.id").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("b.id").cast("string")).alias("dst"),
+    )
+    with pytest.raises(ValueError, match="frontier exploded"):
+        kg_paths(
+            dense, sources=("n0",), targets=("n1",), max_len=4,
+            max_frontier_rows=100,
+        ).collect()
+    ok = kg_paths(
+        dense, sources=("n0",), targets=("n1",), max_len=2,
+        max_frontier_rows=10_000,
+    )
+    assert ok.count() > 0
+
+
+def test_property_path_closure_guard_fires_on_dense_predicate(spark):
+    """Same backstop for match_patterns' '+' closure: a dense
+    predicate raises with the predicate name; a hierarchy-shaped
+    chain under the same cap completes."""
+    # chain + skip links: the closure keeps ADDING ~2n new pairs per
+    # BFS round (a complete graph would converge in one round and
+    # never trip the guard — the growth, not the density, is what the
+    # backstop watches)
+    n = 300
+    chain1 = spark.range(n - 1).select(
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("subj"),
+        F.lit("follows").alias("pred"),
+        F.concat(F.lit("e"), (F.col("id") + 1).cast("string")).alias("obj"),
+    )
+    chain2 = spark.range(n - 2).select(
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("subj"),
+        F.lit("follows").alias("pred"),
+        F.concat(F.lit("e"), (F.col("id") + 2).cast("string")).alias("obj"),
+    )
+    dense = chain1.unionByName(chain2)
+    with pytest.raises(ValueError, match="follows.*exploded|exploded.*follows"):
+        match_patterns(
+            dense,
+            [("?x", "follows+", "?y")],
+            subj="subj", pred="pred", obj="obj",
+            max_frontier_rows=300,
+        ).collect()
+    chain = spark.range(20).select(
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("subj"),
+        F.lit("under").alias("pred"),
+        F.concat(F.lit("e"), (F.col("id") + 1).cast("string")).alias("obj"),
+    )
+    out = match_patterns(
+        chain,
+        [("?x", "under+", "?y")],
+        subj="subj", pred="pred", obj="obj",
+        max_closure_depth=5,
+        max_frontier_rows=10_000,
+    )
+    assert out.count() > 0
