@@ -6453,63 +6453,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # order behind them. queries() and oracle_sql() reorder identically,
 # so the 1:1 key contract is unaffected.
 _DRIVER_WINDOW_FIRST = [
-    # --- round 4: touched this round ---
-    "boilerplate_extract",   # fast one-shot scanner (parity-fuzzed)
-    "ann_ivf_cached",        # NEW: pre-trained-centroid ANN path
-    "paragraph_dedup",       # sentinel single-scan rewrite
-    "host_skew",             # global_rank rewire
-    "crawl_quota",           # apportion_budget -> global_rank
-    "polite_quota",
-    "kg_negatives",          # vocab rank -> global_rank
-    "kg_rules",              # NEW: AMIE-style horn-rule mining
-    "kg_rule_preds",         # NEW: rule application / KG completion
-    "kg_pred_signatures",    # NEW: domain/range signature induction
-    "kg_pred_equiv",         # NEW: predicate synonym/inverse detection
-    "kg_type_infer",         # NEW: signature-vote type propagation
-    "host_kmv",              # NEW: bottom-k distinct sketch
-    "kmv_set_ops",           # NEW: sketch-only union/Jaccard estimates
-    "zorder_keys",           # NEW: space-filling-curve layout keys
-    "entity_cards",          # NEW: rarity-ranked entity summaries
-    "pred_support",          # NEW: predicate source-diversity QA
-    "kg_ntriples",           # NEW: RDF N-Triples serialization
-    "kg_shapes",             # NEW: SHACL-lite shape validation
-    "length_drift",          # NEW: epoch distribution drift monitor
-    "kg_shortest_paths",     # NEW: landmark BFS distances
-    "kg_paths",              # NEW: bounded simple-path enumeration
-    "kg_schema_graph",       # NEW: type-level quotient summary
-    "kg_metapath",           # NEW: predicate-sequence composition
-    "kg_pathsim",            # NEW: PathSim peer similarity
-    "recrawl_schedule",      # NEW: change-rate x staleness priority
-    "kg_align",              # NEW: reciprocal-best-match alignment
-    "temp_mixture",          # NEW: temperature-scaled mixture rates
-    "kg_pattern_optional",   # NEW: SPARQL OPTIONAL left joins
-    "kg_property_path",      # NEW: pred+ transitive-closure paths
-    "kg_pattern_minus",      # NEW: SPARQL MINUS anti-joins
-    "kg_pattern_values",     # NEW: SPARQL VALUES bindings
-    "kg_pattern_union",      # NEW: SPARQL UNION alternates
-    "blocking_quality",      # NEW: ER-blocking evaluation triple
-    "bcubed_quality",        # NEW: B-cubed cluster evaluation
-    "kg_ego",                # NEW: k-hop ego subgraph export
-    "kg_temporal_conflicts", # NEW: per-epoch functional conflicts
-    "kg_core_numbers",       # NEW: full coreness decomposition
-    "kg_standing_query",     # NEW: first-epoch standing-query match
-    "emb_drift",             # NEW: epoch centroid drift monitor
-    "kcenter_coreset",       # NEW: farthest-point diversity coreset
-    "token_budget",          # shares the ranged-cache machinery
-    # --- riskiest r3 additions (never in the driver window) ---
-    "passive_triples", "nominal_triples", "textrank", "ppl_buckets",
-    "fs_linkage", "unigram_lm", "bigram_lm", "quality_classifier",
-    "tfidf_sim", "bm25_rank", "pack_sequences", "tokenized_pack",
-    "bpe_encode", "bpe_merges", "bpe_token_counts", "length_quantiles",
-    "chunk_docs", "mixture_sample", "per_host_cap", "gopher_filters",
-    "word_repetition", "paragraph_langs", "pii_redact", "mojibake",
-    "exact_dedup", "minhash_dedup", "simhash_dedup", "ngram_jaccard",
-    "winnow_fps", "winnow_dedup", "fuzzy_dedup_groups",
-    "incremental_dedup", "decontaminate", "containment", "ann_topk",
-    "ann_sq_topk", "ann_topk_blocked", "ann_ivf_topk", "ann_lsh_topk",
-    "emb_neardup", "kg_link_predict", "kg_kcore", "kg_wl_labels",
-    "kg_random_walks", "walk_skipgrams", "sessionize", "asof_join",
-    "url_dedup",
+    # --- round 5 window: the new FILTER query, then the oldest
+    # never-driver-verified registry queries (VERDICT r4 #1 —
+    # close the external ledger; the driver checks the FIRST 50) ---
+    "kg_pattern_filter", "kappa", "host_topics", "kg_link_predict",
+    "kg_kcore", "heavy_hitters", "kg_wl_labels", "kg_edge_history",
+    "pack_sequences", "length_quantiles", "bpe_merges", "bpe_token_counts",
+    "bpe_encode", "tokenized_pack", "host_stats", "url_dedup",
+    "resolve_redirects", "robots_rules", "html_meta", "entity_bursts",
+    "kg_random_walks", "walk_skipgrams", "kg_degree_stats", "kg_pattern",
+    "kg_violations", "host_templates", "template_strip", "kg_rank_eval",
+    "kg_rank_summary", "bitext", "mirror_hosts", "url_equivalence",
+    "containment", "html_tables", "infobox", "host_spam", "opengraph",
+    "feed_items", "crawl_frontier", "jsonld", "breadcrumbs",
+    "breadcrumb_edges", "soft404", "section_lists", "list_memberships",
+    "meta_refresh", "page_entities", "sameas", "sameas_entities",
+    "pagination",
+    # --- remaining never-driver-verified (orders the tail so any
+    # wider driver window keeps covering unchecked queries first) ---
+    "series_text", "surface_profile", "robots_sitemaps", "readability",
+    "url_templates", "template_cap", "edge_evidence", "edge_temporal",
+    "edge_negation", "edge_confidence", "acronyms", "quotes", "numeric_facts",
+    "headings", "html_lists", "ntriples", "entity_labels", "social",
+    "contacts", "geo", "copula_isa", "apposition", "mined_taxonomy",
+    "sitemap_index", "declarations", "definitions", "host_langs",
+    "definition_edges", "amp_fold", "jsonld_fields", "anchor_rels",
+    "compaction_plan", "lang_quantiles", "alias_candidates", "seed_expansion",
+    "ner_examples", "doc_links", "surt_index", "page_rank", "eval_split",
+    "robots_parse", "sitemap_urls", "meta_robots", "hreflang_clusters",
+    "kg_node_profile", "stale_pages", "latest_crawl", "host_graph",
+    "host_reciprocity", "quality_sample", "host_rank", "host_hits",
+    "anchor_terms", "crawl_delta", "crawl_priority", "name_match",
+    "fuzzy_link", "topic_id", "repeated_spans", "chunk_docs", "url_blocklist",
+    "mixture_sample", "deterministic_sample", "per_host_cap",
+    "word_repetition", "gopher_filters", "mojibake", "link_density",
+    "paragraph_langs", "pii_redact", "corpus_summary", "inverted_index",
+    "tfidf_sim", "label_centroids", "distinct_count", "length_histogram",
+    "sessionize", "asof_join", "event_rollup", "bm25_rank", "winnow_fps",
+    "winnow_dedup", "fuzzy_dedup_groups", "incremental_dedup",
+    "decontaminate", "ann_sq_topk", "warc_extract", "craft_iob2",
+    "flair_parse",
 ]
 
 
