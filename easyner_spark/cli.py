@@ -380,6 +380,8 @@ def run_query(spark: SparkSession, cfg: dict) -> dict[str, int]:
             "patterns": [["?x", "inhibits", "?y"],
                          ["?y", "located_in+", "?z"]],
             "optionals": [[["?x", "binds", "?w"]]],   # optional
+            "filters": {"z": [[">=", "n1"],            # optional:
+                              ["regex", "ase$"]]},     #  SPARQL FILTER
             "distinct": true,                          # optional
             "limit": 1000}]}                           # optional
 
@@ -413,6 +415,10 @@ def run_query(spark: SparkSession, cfg: dict) -> dict[str, int]:
         unis = [
             [tuple(p) for p in grp] for grp in q.get("unions", [])
         ] or None
+        filts = {
+            v: [tuple(f) for f in fl]
+            for v, fl in q.get("filters", {}).items()
+        } or None
         out = match_patterns(
             edges,
             pats,
@@ -423,6 +429,7 @@ def run_query(spark: SparkSession, cfg: dict) -> dict[str, int]:
             bindings=binds,
             unions=unis,
             max_closure_depth=int(q.get("max_closure_depth", 10)),
+            filters=filts,
         )
         if q.get("group_by"):
             # SPARQL SELECT-COUNT shape: roll bindings up per group

@@ -492,11 +492,20 @@ class TestQueryMode:
                     "distinct": True,
                     "limit": 50,
                 },
+                {
+                    # r5 FILTER plumbing: JSON-shaped [op, operand]
+                    # pairs reach match_patterns' filters kwarg
+                    "name": "cooc_f",
+                    "patterns": [["?x", "co_occurs_with", "?y"]],
+                    "distinct": True,
+                    "filters": {"x": [[">=", "a"], ["regex", "."]]},
+                },
             ],
         }
         counts = run_query(spark, qcfg)
         assert counts["cooc"] > 0
         assert 0 < counts["two_hop"] <= 50
+        assert 0 <= counts["cooc_f"] <= counts["cooc"]
         import os
 
         assert os.path.exists(f"{out_dir}/query_cooc")

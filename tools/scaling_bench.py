@@ -96,7 +96,9 @@ def ensure_corpus(n_docs: int) -> str:
     return path
 
 
-def run_worker(cores: int, pages_path: str, runs: int) -> None:
+def run_worker(
+    cores: int, pages_path: str, runs: int, max_runs: int | None = None
+) -> None:
     from pyspark.sql import functions as F
 
     from easyner_spark.fixtures import ALIAS, TERMS
@@ -140,7 +142,11 @@ def run_worker(cores: int, pages_path: str, runs: int) -> None:
     job()
     elapsed: list[float] = []
     steady: list[float] | None = None
-    max_runs = max(runs, 12)
+    # --max-runs raises the convergence budget: the periodic ~24s VM
+    # preemption spikes (r4 watch-item) defeat a 12-run cap roughly
+    # every other window; more attempts buy a clean spike-free
+    # trailing window WITHOUT changing the criterion itself.
+    max_runs = max(runs, max_runs or 12)
     while len(elapsed) < max_runs:
         t0 = time.perf_counter()
         job()
@@ -164,6 +170,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=2_400_000)
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--max-runs", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--control-worker", action="store_true")
@@ -175,7 +182,7 @@ def main() -> None:
 
     path = ensure_corpus(args.pages)
     if args.worker:
-        run_worker(args.cores, path, args.runs)
+        run_worker(args.cores, path, args.runs, args.max_runs)
         return
 
     results = {}
@@ -189,7 +196,8 @@ def main() -> None:
             ["taskset", "-c", f"0-{cores - 1}",
              sys.executable, os.path.abspath(__file__), "--worker",
              "--cores", str(cores), "--pages", str(args.pages),
-             "--runs", str(args.runs)],
+             "--runs", str(args.runs)]
+            + (["--max-runs", str(args.max_runs)] if args.max_runs else []),
             capture_output=True, text=True, cwd=REPO, check=True,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
