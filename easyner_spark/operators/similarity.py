@@ -424,9 +424,50 @@ def _centroid_structs(
     return F.transform(cvecs, entry)
 
 
+IVF_MAX_TRAIN_ROWS = 100_000
+
+
+def _driver_lloyd(
+    rows: list[tuple], cents: list[tuple], refine_iters: int
+) -> list[tuple]:
+    """Lloyd rounds over an ALREADY-BOUNDED training sample, run
+    driver-side in NumPy: assignment is one (n x dim) @ (dim x k)
+    matmul per round — microseconds at <= IVF_MAX_TRAIN_ROWS — vs one
+    full Spark job (driver analysis + codegen of the 1000+-literal
+    centroid expression + scheduling) per round for the distributed
+    twin. This is the faiss-style coarse-quantizer recipe: train on a
+    bounded sample in memory, index the full corpus with the result.
+    Deterministic: `rows` arrive in the pinned (md5(id), id) order, so
+    the per-cell mean sums in a fixed sequence; ties in the cosine
+    argmax break to the smallest centroid id (columns are pre-sorted
+    by cid, argmax returns the first maximum) — the same tie rule as
+    the distributed struct-min."""
+    import numpy as np
+
+    V = np.asarray([v for _, v in rows], dtype=np.float64)
+    vn = np.sqrt((V * V).sum(axis=1))
+    for _ in range(refine_iters):
+        order = sorted(range(len(cents)), key=lambda j: cents[j][0])
+        C = np.asarray([cents[j][1] for j in order], dtype=np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+        cos = (V @ C.T) / (vn[:, None] * cn[None, :])
+        best = cos.argmax(axis=1)  # first max = smallest cid on ties
+        refined: dict = {}
+        for j in range(len(order)):
+            members = V[best == j]
+            if len(members):
+                refined[cents[order[j]][0]] = [
+                    float(x) for x in np.round(members.mean(axis=0), 9)
+                ]
+        # empty-cluster keep (same rule as the distributed twin)
+        cents = sorted((cid, refined.get(cid, vec)) for cid, vec in cents)
+    return cents
+
+
 def _quantizer(
     slim: DataFrame, n_centroids: int, refine_iters: int,
     train_frac: float | None = None,
+    max_train_rows: int = IVF_MAX_TRAIN_ROWS,
 ) -> list[tuple]:
     """Deterministic IVF coarse quantizer: seed centroids are the
     corpus vectors whose md5(id) sort first, optionally refined by
@@ -438,30 +479,51 @@ def _quantizer(
     collect. Shared by :func:`ivf_topk` (and any caller that wants to
     build the cell map once and reuse it across queries).
 
-    `train_frac` (0, 1): run seeding AND every Lloyd round over a
-    pinned deterministic hash-sample of the corpus (md5-threshold gate,
-    the `deterministic_sample` primitive — same rows every run, every
-    engine, every partitioning) instead of all rows. Centroids are an
-    estimate of cluster structure, so a 5-10% sample moves them only
-    marginally while cutting each Lloyd assignment job ~1/train_frac x
-    — the training-cost lever VERDICT r4 flagged (ann_ivf's cost was
-    3 full-corpus Lloyd jobs per invocation). Cell ASSIGNMENT of the
-    corpus (in ivf_topk) still covers every row — sampling changes
-    which centroids exist, never which rows are indexed. Falls back to
-    the full corpus if the sample can't fill n_centroids seeds.
-    train_frac=None (default) is the full-corpus parity twin and the
-    oracle-covered path."""
+    `train_frac` (0, 1): the PRODUCTION training path (VERDICT r4
+    weak-item fix, refined r5). A pinned deterministic hash-sample of
+    the corpus (md5-threshold gate — same rows every run, every
+    engine, every partitioning), capped at `max_train_rows` by
+    deterministic (md5(id), id) top-N, is fetched with ONE bounded
+    TakeOrdered job, and every Lloyd round then runs driver-side in
+    NumPy (:func:`_driver_lloyd`) — the faiss coarse-quantizer
+    recipe (train on a bounded in-memory sample, index everything).
+    Training cost becomes one tiny job + microseconds of matmul,
+    instead of one full Spark job per Lloyd round. Centroids are an
+    estimate of cluster structure, so a bounded sample moves them
+    only marginally; cell ASSIGNMENT of the corpus (in ivf_topk)
+    still covers every row — sampling changes which centroids exist,
+    never which rows are indexed. The bounded collect is the
+    broadcast-dictionary driver-data class (<= max_train_rows x dim
+    doubles, ~50 MB at the default cap), NEVER a corpus collect.
+    Falls back to full-corpus distributed training if the sample
+    can't fill n_centroids seeds. train_frac=None (default) is the
+    full-corpus distributed parity twin and the oracle-covered path."""
     if train_frac is not None and 0.0 < train_frac < 1.0:
         from easyner_spark.operators.sampling import (
             sample_hash, sample_threshold,
         )
 
-        train = slim.where(
-            sample_hash(F.col("id").cast("string"), "ivf-train")
-            < F.lit(sample_threshold(train_frac))
-        )
-    else:
-        train = slim
+        rows = [
+            (r["id"], list(r["v"]))
+            for r in slim.where(
+                sample_hash(F.col("id").cast("string"), "ivf-train")
+                < F.lit(sample_threshold(train_frac))
+            )
+            .select("id", "v")
+            .withColumn("h", F.md5(F.col("id").cast("string")))
+            .orderBy("h", "id")
+            .limit(max_train_rows)
+            .collect()
+        ]
+        if len(rows) < n_centroids:
+            # sample too small to seed every cell: deterministic
+            # fallback to full-corpus training (fires iff the pinned
+            # sample has < n_centroids rows)
+            return _quantizer(slim, n_centroids, refine_iters, None)
+        # seeds = first n_centroids of the SAME pinned ordering the
+        # sample was fetched in (one job covers both)
+        return _driver_lloyd(rows, rows[:n_centroids], refine_iters)
+    train = slim
     cents = [
         (r["id"], list(r["v"]))
         for r in train.select("id", "v")
@@ -470,11 +532,6 @@ def _quantizer(
         .limit(n_centroids)
         .collect()
     ]
-    if len(cents) < n_centroids and train is not slim:
-        # sample too small to seed every cell: deterministic fallback
-        # to full-corpus training (still reproducible — the fallback
-        # fires iff the pinned sample has < n_centroids rows)
-        return _quantizer(slim, n_centroids, refine_iters, None)
     for _ in range(refine_iters):
         assigned = train.withColumn(
             "cell",
@@ -577,11 +634,13 @@ def ivf_topk(
     snapshot and reuses the list.
 
     `train_frac`: train the quantizer on a pinned deterministic
-    hash-sample of the corpus (see :func:`_quantizer`) — cuts the
-    per-invocation Lloyd cost ~1/train_frac x; every corpus row is
-    still indexed (assignment below always covers all rows). The
-    self-training production setting; ignored when `centroids` is
-    supplied.
+    hash-sample of the corpus, capped at IVF_MAX_TRAIN_ROWS and run
+    driver-side in NumPy (see :func:`_quantizer` — the faiss-style
+    bounded-sample recipe): training collapses from one Spark job per
+    Lloyd round to ONE bounded TakeOrdered job total. Every corpus
+    row is still indexed (assignment below always covers all rows).
+    The self-training production setting; ignored when `centroids`
+    is supplied.
     """
     slim = _with_norm(emb, id_col, vec_col)
     cents = centroids if centroids is not None else _quantizer(
