@@ -2648,6 +2648,52 @@ def _kg_pattern_filter_oracle() -> str:
     )
 
 
+_KG_AGG_PATTERNS = [("?x", "located_in", "?y")]
+_KG_AGG_GROUP_BY = ["y"]
+_KG_AGG_AGGS = {
+    "n": ("count", "*"),
+    "n_subj": ("count_distinct", "x"),
+    "first_subj": ("min", "x"),
+    "last_subj": ("max", "x"),
+}
+
+
+def q_kg_pattern_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregation over the rule KG (r5): the located_in
+    pattern rolled up per region — COUNT(*), COUNT(DISTINCT ?x),
+    MIN/MAX(?x) GROUP BY ?y, applied over the solution bag after the
+    full pattern algebra (the SELECT-COUNT shape CLI query mode
+    special-cased is now native to match_patterns). One keyed
+    shuffle; partial aggs absorb hub regions."""
+    from easyner_spark.operators.triples import match_patterns
+
+    return match_patterns(
+        _kg_rules_triples(spark, sf_dir),
+        _KG_AGG_PATTERNS,
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        group_by=_KG_AGG_GROUP_BY,
+        aggregates=_KG_AGG_AGGS,
+    )
+
+
+def _kg_pattern_agg_oracle() -> str:
+    """q_kg_pattern_agg oracle: outer GROUP BY over the naive
+    formulation, from the SAME group_by/aggregates dicts."""
+    from easyner_spark.operators.triples import match_patterns_oracle_sql
+
+    return match_patterns_oracle_sql(
+        _KG_RULES_SQL,
+        _KG_AGG_PATTERNS,
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        group_by=_KG_AGG_GROUP_BY,
+        aggregates=_KG_AGG_AGGS,
+    )
+
+
 _KG_UNION_ALTS = [[("?x", "city_of", "?y")]]
 
 
@@ -6456,7 +6502,8 @@ _DRIVER_WINDOW_FIRST = [
     # --- round 5 window: the new FILTER query, then the oldest
     # never-driver-verified registry queries (VERDICT r4 #1 —
     # close the external ledger; the driver checks the FIRST 50) ---
-    "kg_pattern_filter", "kappa", "host_topics", "kg_link_predict",
+    "kg_pattern_filter", "kg_pattern_agg", "kappa", "host_topics",
+    "kg_link_predict",
     "kg_kcore", "heavy_hitters", "kg_wl_labels", "kg_edge_history",
     "pack_sequences", "length_quantiles", "bpe_merges", "bpe_token_counts",
     "bpe_encode", "tokenized_pack", "host_stats", "url_dedup",
@@ -6594,6 +6641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_minus": q_kg_pattern_minus,
         "kg_pattern_values": q_kg_pattern_values,
         "kg_pattern_filter": q_kg_pattern_filter,
+        "kg_pattern_agg": q_kg_pattern_agg,
         "kg_pattern_union": q_kg_pattern_union,
         "blocking_quality": q_blocking_quality,
         "bcubed_quality": q_bcubed,
@@ -10754,6 +10802,7 @@ FROM c
         "kg_pattern_minus": _kg_pattern_minus_oracle(),
         "kg_pattern_values": _kg_pattern_values_oracle(),
         "kg_pattern_filter": _kg_pattern_filter_oracle(),
+        "kg_pattern_agg": _kg_pattern_agg_oracle(),
         "kg_pattern_union": _kg_pattern_union_oracle(),
         "blocking_quality": _blocking_quality_oracle(),
         "bcubed_quality": _bcubed_oracle(),

@@ -585,6 +585,52 @@ def _validate_filters(
                 )
 
 
+_AGG_FNS = {"count", "count_distinct", "min", "max"}
+
+
+def _validate_aggregates(
+    group_by: list[str] | None,
+    aggregates: dict[str, tuple[str, str]] | None,
+    out_vars: list[str],
+) -> tuple[list[str], dict[str, tuple[str, str]]]:
+    """Shared by match_patterns and its oracle twin: normalize the
+    (group_by, aggregates) pair — group_by vars must be output
+    variables; aggregate inputs must be output variables (or '*' for
+    count); aggregates default to {"n": ("count", "*")}; an empty
+    group_by is the SPARQL global-aggregate (one-row) shape."""
+    gb = list(group_by or [])
+    for v in gb:
+        if v not in out_vars:
+            raise ValueError(
+                f"group_by variable '?{v}' is not an output variable"
+            )
+    aggs = dict(aggregates) if aggregates else {"n": ("count", "*")}
+    for name, entry in aggs.items():
+        if not isinstance(name, str) or not name.isidentifier():
+            raise ValueError(f"bad aggregate output name: {name!r}")
+        if len(entry) != 2:
+            raise ValueError(f"aggregate must be (fn, var): {entry!r}")
+        fn, var = entry
+        if fn not in _AGG_FNS:
+            raise ValueError(
+                f"unknown aggregate fn {fn!r}; expected one of "
+                f"{sorted(_AGG_FNS)!r}"
+            )
+        if var == "*":
+            if fn != "count":
+                raise ValueError(f"'*' is only valid with count: {entry!r}")
+        elif var not in out_vars:
+            raise ValueError(
+                f"aggregate input '?{var}' is not an output variable"
+            )
+        if name in gb:
+            raise ValueError(
+                f"aggregate output {name!r} collides with a group_by "
+                f"variable"
+            )
+    return gb, aggs
+
+
 def _pattern_estimate(
     pat: tuple[str, str, str],
     stats: dict[str, tuple[int, int, int]],
@@ -711,6 +757,8 @@ def match_patterns(
     max_closure_depth: int = 10,
     filters: dict[str, list[tuple[str, str]]] | None = None,
     max_frontier_rows: int | None = None,
+    group_by: list[str] | None = None,
+    aggregates: dict[str, tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Conjunctive triple-pattern matching (the SPARQL basic-graph-
     pattern core) over the materialized KG edge table: each pattern is
@@ -774,6 +822,19 @@ def match_patterns(
     exclusion queries). Groups must share >= 1 variable with the
     required block; variables private to a MINUS group are
     existentially quantified and never appear in the output.
+
+    `group_by` + `aggregates` add the SPARQL aggregation core
+    (SELECT ?g (COUNT(*) AS ?n) ... GROUP BY ?g): `group_by` names
+    output variables; `aggregates` is {out_col: (fn, var)} with fn in
+    {'count', 'count_distinct', 'min', 'max'} and var an output
+    variable or '*' (count only). Defaults to {"n": ("count", "*")}
+    when only group_by is given. Applied AFTER the full algebra
+    (UNION -> VALUES/FILTER -> MINUS -> OPTIONAL -> DISTINCT), i.e.
+    over the solution bag the un-aggregated query would return —
+    exactly the SPARQL group-graph-pattern ordering. One keyed
+    shuffle; partial aggs absorb hub groups (count/min/max are
+    algebraic; count_distinct rides Spark's Expand rewrite). Result
+    ordering is the consumer's `.orderBy` — DataFrames are unordered.
 
     `filters` adds the SPARQL FILTER core: {var: [(op, operand),
     ...]} with op in {'=', '!=', '<', '<=', '>', '>=', 'prefix',
@@ -972,7 +1033,23 @@ def match_patterns(
         out = out.join(block(group).select(*shared, *new), shared, "left")
         all_vars.extend(new)
     out = out.select(*all_vars)
-    return out.distinct() if distinct else out
+    if distinct:
+        out = out.distinct()
+    if group_by is not None or aggregates is not None:
+        gb, aggs = _validate_aggregates(group_by, aggregates, all_vars)
+        exprs = []
+        for name, (fn, var) in aggs.items():
+            if fn == "count":
+                col = F.count(F.lit(1)) if var == "*" else F.count(var)
+            elif fn == "count_distinct":
+                col = F.countDistinct(var)
+            elif fn == "min":
+                col = F.min(var)
+            else:  # 'max' — validated upstream
+                col = F.max(var)
+            exprs.append(col.alias(name))
+        out = out.groupBy(*gb).agg(*exprs)
+    return out
 
 
 def match_patterns_oracle_sql(
@@ -988,6 +1065,8 @@ def match_patterns_oracle_sql(
     unions: list[list[tuple[str, str, str]]] | None = None,
     max_closure_depth: int = 10,
     filters: dict[str, list[tuple[str, str]]] | None = None,
+    group_by: list[str] | None = None,
+    aggregates: dict[str, tuple[str, str]] | None = None,
 ) -> str:
     """DuckDB twin of match_patterns, generated from the SAME pattern
     list (repo oracle policy: one definition per side). Emits the
@@ -1127,12 +1206,30 @@ def match_patterns_oracle_sql(
         )
     nl = "\n"
     where = f"\nWHERE {' AND '.join(antis)}" if antis else ""
-    return f"""
+    core = f"""
 {with_block}
 SELECT {kw}{", ".join(out_cols)}
 FROM ({req_src}) req
 {nl.join(joins)}{where}
 """
+    if group_by is None and aggregates is None:
+        return core
+    all_out = list(req_vars) + [
+        v for gi, group in enumerate(optionals or [])
+        for v in _pattern_vars(group) if v not in req_vars
+    ]
+    gb, aggs = _validate_aggregates(group_by, aggregates, all_out)
+    agg_sql = {
+        "count": lambda v: "COUNT(*)" if v == "*" else f"COUNT({v})",
+        "count_distinct": lambda v: f"COUNT(DISTINCT {v})",
+        "min": lambda v: f"MIN({v})",
+        "max": lambda v: f"MAX({v})",
+    }
+    sel = ", ".join(
+        gb + [f"{agg_sql[fn](var)} AS {name}" for name, (fn, var) in aggs.items()]
+    )
+    grp = f"\nGROUP BY {', '.join(gb)}" if gb else ""
+    return f"SELECT {sel}\nFROM ({core}) aggq{grp}"
 
 
 def functional_violations(

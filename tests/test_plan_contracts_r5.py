@@ -178,3 +178,44 @@ def test_property_path_closure_guard_fires_on_dense_predicate(spark):
         max_frontier_rows=10_000,
     )
     assert out.count() > 0
+
+
+def test_bgp_aggregation_shapes(spark):
+    """SPARQL aggregation core (r5): GROUP BY rollup, default COUNT,
+    global one-row aggregate, and validation."""
+    kg = _kg(spark)
+    kw = dict(subj="subj", pred="pred", obj="obj")
+    pats = [("?x", "p1", "?y")]
+    base = match_patterns(kg, pats, **kw)
+    n_total = base.count()
+    # group_by with explicit aggregates
+    rolled = match_patterns(
+        kg, pats, **kw,
+        group_by=["x"],
+        aggregates={"n": ("count", "*"), "hi": ("max", "y"),
+                    "ys": ("count_distinct", "y")},
+    ).collect()
+    assert sum(r.n for r in rolled) == n_total
+    manual = base.groupBy("x").count().collect()
+    assert {(r.x, r.n) for r in rolled} == {(r.x, r["count"]) for r in manual}
+    for r in rolled:
+        assert r.hi >= "e" and 1 <= r.ys <= r.n
+    # bare group_by defaults to {"n": ("count", "*")}
+    dflt = match_patterns(kg, pats, **kw, group_by=["x"])
+    assert set(dflt.columns) == {"x", "n"}
+    # empty group_by = SPARQL global aggregate (one row)
+    glob = match_patterns(
+        kg, pats, **kw, aggregates={"n": ("count", "*")}
+    ).collect()
+    assert len(glob) == 1 and glob[0].n == n_total
+    with pytest.raises(ValueError, match="not an output variable"):
+        match_patterns(kg, pats, **kw, group_by=["z"])
+    with pytest.raises(ValueError, match="unknown aggregate fn"):
+        match_patterns(kg, pats, **kw, group_by=["x"],
+                       aggregates={"s": ("sum", "y")})
+    with pytest.raises(ValueError, match="only valid with count"):
+        match_patterns(kg, pats, **kw, group_by=["x"],
+                       aggregates={"m": ("min", "*")})
+    with pytest.raises(ValueError, match="collides"):
+        match_patterns(kg, pats, **kw, group_by=["x"],
+                       aggregates={"x": ("count", "*")})
