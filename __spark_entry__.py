@@ -2694,6 +2694,46 @@ def _kg_pattern_agg_oracle() -> str:
     )
 
 
+def q_kg_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ORDER BY / LIMIT over the rule KG (r5): the located_in
+    rollup ranked by count descending, top 10 — TakeOrderedAndProject
+    (per-partition top-k + one tiny merge), never a global sort; the
+    sort is made total (remaining columns ascending) on BOTH engines
+    with explicit NULLS placement, so the surviving-k set is
+    deterministic and oracle-checkable."""
+    from easyner_spark.operators.triples import match_patterns
+
+    return match_patterns(
+        _kg_rules_triples(spark, sf_dir),
+        _KG_AGG_PATTERNS,
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        group_by=_KG_AGG_GROUP_BY,
+        aggregates={"n": ("count", "*")},
+        order_by=[("n", "desc")],
+        limit=10,
+    )
+
+
+def _kg_pattern_topk_oracle() -> str:
+    """q_kg_pattern_topk oracle: ORDER BY ... LIMIT over the naive
+    GROUP BY formulation, same total-order tie-break."""
+    from easyner_spark.operators.triples import match_patterns_oracle_sql
+
+    return match_patterns_oracle_sql(
+        _KG_RULES_SQL,
+        _KG_AGG_PATTERNS,
+        subj="subj",
+        pred="pred",
+        obj="obj",
+        group_by=_KG_AGG_GROUP_BY,
+        aggregates={"n": ("count", "*")},
+        order_by=[("n", "desc")],
+        limit=10,
+    )
+
+
 _KG_UNION_ALTS = [[("?x", "city_of", "?y")]]
 
 
@@ -6502,7 +6542,8 @@ _DRIVER_WINDOW_FIRST = [
     # --- round 5 window: the new FILTER query, then the oldest
     # never-driver-verified registry queries (VERDICT r4 #1 —
     # close the external ledger; the driver checks the FIRST 50) ---
-    "kg_pattern_filter", "kg_pattern_agg", "kappa", "host_topics",
+    "kg_pattern_filter", "kg_pattern_agg", "kg_pattern_topk", "kappa",
+    "host_topics",
     "kg_link_predict",
     "kg_kcore", "heavy_hitters", "kg_wl_labels", "kg_edge_history",
     "pack_sequences", "length_quantiles", "bpe_merges", "bpe_token_counts",
@@ -6642,6 +6683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_values": q_kg_pattern_values,
         "kg_pattern_filter": q_kg_pattern_filter,
         "kg_pattern_agg": q_kg_pattern_agg,
+        "kg_pattern_topk": q_kg_pattern_topk,
         "kg_pattern_union": q_kg_pattern_union,
         "blocking_quality": q_blocking_quality,
         "bcubed_quality": q_bcubed,
@@ -10803,6 +10845,7 @@ FROM c
         "kg_pattern_values": _kg_pattern_values_oracle(),
         "kg_pattern_filter": _kg_pattern_filter_oracle(),
         "kg_pattern_agg": _kg_pattern_agg_oracle(),
+        "kg_pattern_topk": _kg_pattern_topk_oracle(),
         "kg_pattern_union": _kg_pattern_union_oracle(),
         "blocking_quality": _blocking_quality_oracle(),
         "bcubed_quality": _bcubed_oracle(),

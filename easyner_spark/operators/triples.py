@@ -631,6 +631,44 @@ def _validate_aggregates(
     return gb, aggs
 
 
+def _validate_order(
+    order_by: list[tuple[str, str]] | None,
+    limit: int | None,
+    out_cols: list[str],
+) -> list[tuple[str, str]]:
+    """Shared by match_patterns and its oracle twin: order_by and
+    limit must arrive together; keys must be output columns with
+    'asc'/'desc' directions; the returned key list is made TOTAL by
+    appending every remaining output column ascending (deterministic
+    surviving-k set — see the match_patterns docstring)."""
+    if order_by is None or limit is None:
+        raise ValueError(
+            "order_by and limit must be used together (a limit without "
+            "a total order returns arbitrary rows; an order without a "
+            "limit is lost downstream — use .orderBy at display time)"
+        )
+    if not order_by:
+        raise ValueError("order_by is empty")
+    if int(limit) < 1:
+        raise ValueError(f"limit must be >= 1: {limit!r}")
+    keys = []
+    seen = set()
+    for entry in order_by:
+        if len(entry) != 2:
+            raise ValueError(f"order_by entry must be (col, dir): {entry!r}")
+        c, d = entry
+        if c not in out_cols:
+            raise ValueError(f"order_by column {c!r} is not an output column")
+        if d not in ("asc", "desc"):
+            raise ValueError(f"order_by direction must be asc|desc: {d!r}")
+        if c in seen:
+            raise ValueError(f"duplicate order_by column {c!r}")
+        seen.add(c)
+        keys.append((c, d))
+    keys.extend((c, "asc") for c in out_cols if c not in seen)
+    return keys
+
+
 def _pattern_estimate(
     pat: tuple[str, str, str],
     stats: dict[str, tuple[int, int, int]],
@@ -759,6 +797,8 @@ def match_patterns(
     max_frontier_rows: int | None = None,
     group_by: list[str] | None = None,
     aggregates: dict[str, tuple[str, str]] | None = None,
+    order_by: list[tuple[str, str]] | None = None,
+    limit: int | None = None,
 ) -> DataFrame:
     """Conjunctive triple-pattern matching (the SPARQL basic-graph-
     pattern core) over the materialized KG edge table: each pattern is
@@ -835,6 +875,21 @@ def match_patterns(
     shuffle; partial aggs absorb hub groups (count/min/max are
     algebraic; count_distinct rides Spark's Expand rewrite). Result
     ordering is the consumer's `.orderBy` — DataFrames are unordered.
+
+    `order_by` + `limit` add the SPARQL ORDER BY / LIMIT top-k shape:
+    `order_by` is [(col, 'asc'|'desc'), ...] over the FINAL output
+    columns (variables, or aggregate names when group_by/aggregates
+    ran); `limit` keeps the first k rows of that order. The sort is
+    made TOTAL by appending every remaining output column ascending —
+    without it, rows tied on the caller's keys would make the
+    surviving-k set nondeterministic (engine-, partitioning-, and
+    run-dependent), which breaks resumability and the oracle contract
+    alike. A limit plans TakeOrderedAndProject (per-partition top-k,
+    one tiny merge — never a global sort of the solution bag);
+    `limit` without `order_by` is rejected rather than returning
+    arbitrary rows. DataFrames are unordered downstream of any later
+    operator, so `order_by` without `limit` is also rejected — use
+    the consumer's own .orderBy for display ordering.
 
     `filters` adds the SPARQL FILTER core: {var: [(op, operand),
     ...]} with op in {'=', '!=', '<', '<=', '>', '>=', 'prefix',
@@ -1049,6 +1104,20 @@ def match_patterns(
                 col = F.max(var)
             exprs.append(col.alias(name))
         out = out.groupBy(*gb).agg(*exprs)
+    if order_by is not None or limit is not None:
+        keys = _validate_order(order_by, limit, out.columns)
+        # NULLS pinned explicitly (asc -> first, desc -> last): Spark's
+        # defaults, but DuckDB defaults the OPPOSITE way — the oracle
+        # twin emits the same explicit placement so OPTIONAL-produced
+        # NULLs cannot flip the surviving-k set between engines
+        out = out.orderBy(
+            *[
+                F.col(c).asc_nulls_first()
+                if d == "asc"
+                else F.col(c).desc_nulls_last()
+                for c, d in keys
+            ]
+        ).limit(int(limit))
     return out
 
 
@@ -1067,6 +1136,8 @@ def match_patterns_oracle_sql(
     filters: dict[str, list[tuple[str, str]]] | None = None,
     group_by: list[str] | None = None,
     aggregates: dict[str, tuple[str, str]] | None = None,
+    order_by: list[tuple[str, str]] | None = None,
+    limit: int | None = None,
 ) -> str:
     """DuckDB twin of match_patterns, generated from the SAME pattern
     list (repo oracle policy: one definition per side). Emits the
@@ -1212,24 +1283,39 @@ SELECT {kw}{", ".join(out_cols)}
 FROM ({req_src}) req
 {nl.join(joins)}{where}
 """
-    if group_by is None and aggregates is None:
-        return core
     all_out = list(req_vars) + [
         v for gi, group in enumerate(optionals or [])
         for v in _pattern_vars(group) if v not in req_vars
     ]
-    gb, aggs = _validate_aggregates(group_by, aggregates, all_out)
-    agg_sql = {
-        "count": lambda v: "COUNT(*)" if v == "*" else f"COUNT({v})",
-        "count_distinct": lambda v: f"COUNT(DISTINCT {v})",
-        "min": lambda v: f"MIN({v})",
-        "max": lambda v: f"MAX({v})",
-    }
-    sel = ", ".join(
-        gb + [f"{agg_sql[fn](var)} AS {name}" for name, (fn, var) in aggs.items()]
-    )
-    grp = f"\nGROUP BY {', '.join(gb)}" if gb else ""
-    return f"SELECT {sel}\nFROM ({core}) aggq{grp}"
+    final_cols = all_out
+    if group_by is not None or aggregates is not None:
+        gb, aggs = _validate_aggregates(group_by, aggregates, all_out)
+        agg_sql = {
+            "count": lambda v: "COUNT(*)" if v == "*" else f"COUNT({v})",
+            "count_distinct": lambda v: f"COUNT(DISTINCT {v})",
+            "min": lambda v: f"MIN({v})",
+            "max": lambda v: f"MAX({v})",
+        }
+        sel = ", ".join(
+            gb
+            + [
+                f"{agg_sql[fn](var)} AS {name}"
+                for name, (fn, var) in aggs.items()
+            ]
+        )
+        grp = f"\nGROUP BY {', '.join(gb)}" if gb else ""
+        core = f"SELECT {sel}\nFROM ({core}) aggq{grp}"
+        final_cols = gb + list(aggs)
+    if order_by is not None or limit is not None:
+        keys = _validate_order(order_by, limit, final_cols)
+        ob = ", ".join(
+            f"{c} {'ASC NULLS FIRST' if d == 'asc' else 'DESC NULLS LAST'}"
+            for c, d in keys
+        )
+        core = (
+            f"SELECT * FROM ({core}) ordq\nORDER BY {ob}\nLIMIT {int(limit)}"
+        )
+    return core
 
 
 def functional_violations(

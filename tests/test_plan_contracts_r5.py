@@ -219,3 +219,40 @@ def test_bgp_aggregation_shapes(spark):
     with pytest.raises(ValueError, match="collides"):
         match_patterns(kg, pats, **kw, group_by=["x"],
                        aggregates={"x": ("count", "*")})
+
+
+def test_bgp_topk_plan_and_semantics(spark):
+    """ORDER BY/LIMIT (r5): plans TakeOrderedAndProject (per-partition
+    top-k, no global sort of the solution bag), the surviving-k set is
+    deterministic under the total-order tie-break, and the pairing
+    contract validates."""
+    kg = _kg(spark)
+    kw = dict(subj="subj", pred="pred", obj="obj")
+    pats = [("?x", "p1", "?y")]
+    top = match_patterns(
+        kg, pats, **kw,
+        group_by=["x"], aggregates={"n": ("count", "*")},
+        order_by=[("n", "desc")], limit=5,
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = top.collect()
+    assert len(rows) == 5
+    # deterministic: equal to the manual total-order top-5
+    manual = sorted(
+        match_patterns(kg, pats, **kw, group_by=["x"]).collect(),
+        key=lambda r: (-r.n, r.x),
+    )[:5]
+    assert [(r.x, r.n) for r in rows] == [(r.x, r.n) for r in manual]
+    with pytest.raises(ValueError, match="together"):
+        match_patterns(kg, pats, **kw, order_by=[("x", "asc")])
+    with pytest.raises(ValueError, match="together"):
+        match_patterns(kg, pats, **kw, limit=5)
+    with pytest.raises(ValueError, match="not an output column"):
+        match_patterns(
+            kg, pats, **kw, order_by=[("q", "asc")], limit=5
+        )
+    with pytest.raises(ValueError, match="asc|desc"):
+        match_patterns(
+            kg, pats, **kw, order_by=[("x", "up")], limit=5
+        )
