@@ -82,3 +82,63 @@ def _run_both(spark, rows, shape):
 def test_bgp_matches_duckdb_oracle(spark, rows, shape):
     got, want = _run_both(spark, rows, shape)
     assert got == want
+
+
+# --- r5 surface: FILTER + aggregation + top-k -------------------------
+
+filter_strat = st.lists(
+    st.tuples(
+        st.sampled_from(["x", "y"]),
+        st.sampled_from(
+            ["=", "!=", "<", "<=", ">", ">=", "prefix", "contains", "regex"]
+        ),
+        st.sampled_from(["n", "n1", "n2", "1", "[13]$"]),
+    ),
+    max_size=3,
+)
+
+agg_strat = st.tuples(
+    st.booleans(),                               # group by y (else global)
+    st.sampled_from(
+        [
+            {"n": ("count", "*")},
+            {"n": ("count", "*"), "xs": ("count_distinct", "x")},
+            {"lo": ("min", "x"), "hi": ("max", "x")},
+        ]
+    ),
+    st.sampled_from([None, 1, 3]),               # top-k limit (None = no)
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=edges_strat, filts=filter_strat, agg=agg_strat)
+def test_bgp_filter_agg_topk_matches_duckdb_oracle(spark, rows, filts, agg):
+    """The r5 additions under random inputs: FILTER predicates, GROUP
+    BY aggregates, and the deterministic ORDER/LIMIT top-k must match
+    the DuckDB twin row-for-row (same construction on both sides)."""
+    with_gb, aggs, k = agg
+    pats = [("?x", "p", "?y")]
+    filters: dict = {}
+    for var, op, val in filts:
+        filters.setdefault(var, []).append((op, val))
+    kw = dict(
+        filters=filters or None,
+        group_by=["y"] if with_gb else [],
+        aggregates=aggs,
+    )
+    if k is not None:
+        first = next(iter(aggs))
+        kw["order_by"] = [(first, "desc")]
+        kw["limit"] = k
+    edges = spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string"
+    )
+    got = _sorted(tuple(r) for r in match_patterns(edges, pats, **kw).collect())
+    vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in rows)
+    sql = match_patterns_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(subj_id, pred, obj_id)",
+        pats,
+        **kw,
+    )
+    want = _sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
