@@ -5390,6 +5390,46 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(_docs(spark, sf_dir), BM25_TERMS)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): add-one-smoothed
+    hashed-bigram bag models for a target domain (doc_id % 7 == 0
+    slice) vs the raw corpus; per-doc weight = exact BIGINT sum of
+    per-bucket floor-quantized log ratios. The data-selection score
+    for steering a crawl toward a target distribution; model is a
+    bounded n_buckets-row table (train once, reuse via ratios=)."""
+    from easyner_spark.operators.scoring import dsir_weights
+
+    d = _docs(spark, sf_dir)
+    return dsir_weights(d, d.where(F.col("doc_id") % 7 == 0))
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling step: Gumbel top-k over the importance weights
+    with an exact integer Gumbel key (md5-derived u, floor-quantized
+    micro-nats) — the surviving-k set is engine- and run-stable;
+    plans TakeOrderedAndProject, never a global sort."""
+    from easyner_spark.operators.scoring import dsir_sample
+
+    d = _docs(spark, sf_dir)
+    return dsir_sample(d, d.where(F.col("doc_id") % 7 == 0), k=50)
+
+
+def _dsir_weights_oracle() -> str:
+    """q_dsir_weights oracle: generated by the operator module from
+    the SAME bucket/smoothing/quantization construction."""
+    from easyner_spark.operators.scoring import dsir_weights_oracle_sql
+
+    return dsir_weights_oracle_sql()
+
+
+def _dsir_sample_oracle() -> str:
+    """q_dsir_sample oracle: same exact integer Gumbel key and total
+    order."""
+    from easyner_spark.operators.scoring import dsir_sample_oracle_sql
+
+    return dsir_sample_oracle_sql(50)
+
+
 def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shape quality filter: unigram LM trained on the corpus
     itself (bounded vocab aggregate), every document scored by
@@ -6542,7 +6582,8 @@ _DRIVER_WINDOW_FIRST = [
     # --- round 5 window: the new FILTER query, then the oldest
     # never-driver-verified registry queries (VERDICT r4 #1 —
     # close the external ledger; the driver checks the FIRST 50) ---
-    "kg_pattern_filter", "kg_pattern_agg", "kg_pattern_topk", "kappa",
+    "kg_pattern_filter", "kg_pattern_agg", "kg_pattern_topk",
+    "dsir_weights", "dsir_sample", "kappa",
     "host_topics",
     "kg_link_predict",
     "kg_kcore", "heavy_hitters", "kg_wl_labels", "kg_edge_history",
@@ -6684,6 +6725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_filter": q_kg_pattern_filter,
         "kg_pattern_agg": q_kg_pattern_agg,
         "kg_pattern_topk": q_kg_pattern_topk,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
         "kg_pattern_union": q_kg_pattern_union,
         "blocking_quality": q_blocking_quality,
         "bcubed_quality": q_bcubed,
@@ -10846,6 +10889,8 @@ FROM c
         "kg_pattern_filter": _kg_pattern_filter_oracle(),
         "kg_pattern_agg": _kg_pattern_agg_oracle(),
         "kg_pattern_topk": _kg_pattern_topk_oracle(),
+        "dsir_weights": _dsir_weights_oracle(),
+        "dsir_sample": _dsir_sample_oracle(),
         "kg_pattern_union": _kg_pattern_union_oracle(),
         "blocking_quality": _blocking_quality_oracle(),
         "bcubed_quality": _bcubed_oracle(),

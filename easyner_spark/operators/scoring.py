@@ -571,3 +571,246 @@ SELECT id, n_transitions, score_q,
        round(exp((-score_q / 1000000.0) / n_transitions), 6) AS ppl
 FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 2048
+
+
+def _bigram_array(w: Column) -> Column:
+    """["a","b","c"] -> ["a b","b c"]; [] / single-word -> []. The
+    sequence is guarded (Spark's sequence(1, 0) would count DOWN);
+    try_element_at is 1-based. DuckDB twin: list_transform(range(1,
+    len(w)), i -> w[i] || ' ' || w[i+1]) — range() end-exclusive,
+    1-based list index."""
+    return F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat(
+                F.try_element_at(w, i), F.lit(" "), F.try_element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dsir_bucket_counts(
+    docs: DataFrame, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(b, c) — hashed-bigram bucket counts for one corpus. One
+    groupBy-bucket shuffle; map-side partial combine absorbs the
+    Zipf-hot buckets, and the output is BOUNDED at n_buckets rows
+    regardless of corpus size."""
+    from easyner_spark.operators.sampling import md5_long32
+
+    return (
+        docs.select(_bigram_array(words_array(text_col)).alias("_b"))
+        .select(F.explode("_b").alias("g"))
+        .groupBy((md5_long32(F.col("g")) % F.lit(n_buckets)).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_log_ratios(
+    target: DataFrame,
+    raw: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(b, lr_q) for EVERY bucket 0..n_buckets-1 — the DSIR importance
+    model: add-one-smoothed hashed-bigram bag models for the target
+    and raw corpora, lr_q = floor(ln p_target(b) * 1e6) - floor(ln
+    p_raw(b) * 1e6) as exact BIGINT micro-nats (the module's
+    quantize-before-sum contract, so per-document sums below are
+    order-independent integers). Bounded at n_buckets rows — train
+    once per (target, corpus-snapshot) pair and reuse, exactly like
+    unigram_vocab / train_ivf_centroids."""
+    spark = raw.sparkSession
+    t = _dsir_bucket_counts(target, text_col, n_buckets)
+    r = _dsir_bucket_counts(raw, text_col, n_buckets)
+    nt = t.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nt"))
+    nr = r.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nr"))
+    buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
+    joined = (
+        buckets.join(t.withColumnRenamed("c", "tc"), "b", "left")
+        .join(r.withColumnRenamed("c", "rc"), "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+    )
+    fb = F.lit(float(n_buckets))
+    lp_t = F.floor(
+        F.log(
+            (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+            / (F.col("nt") + fb)
+        )
+        * F.lit(float(Q))
+    ).cast("long")
+    lp_r = F.floor(
+        F.log(
+            (F.coalesce(F.col("rc"), F.lit(0)) + F.lit(1.0))
+            / (F.col("nr") + fb)
+        )
+        * F.lit(float(Q))
+    ).cast("long")
+    return joined.select("b", (lp_t - lp_r).alias("lr_q"))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ratios: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_grams, weight_q, log_ratio) — per-document DSIR
+    importance weights: weight_q = sum over the document's hashed
+    bigrams of the bucket log-ratio (exact BIGINT micro-nats),
+    log_ratio = weight_q / 1e6 rounded to 6 (the only float, per-row).
+    High weight = looks like the target domain relative to the raw
+    crawl — the data-selection score FineWeb-style pipelines rank
+    with when a quality classifier is too blunt.
+
+    Documents with < 2 words have no bigrams and are absent (the
+    unigram_lm_score GROUP BY convention). `ratios` accepts a
+    persisted :func:`dsir_log_ratios` frame to skip model fitting
+    (the vocab= / centroids= amortization pattern).
+
+    Scale: two bounded bucket-count shuffles to fit the model (or
+    zero with `ratios=`); scoring is explode-bigrams -> broadcast
+    join against the n_buckets-row ratio table -> one groupBy(id)
+    with partial combine. No corpus collect, no unbounded state."""
+    if ratios is None:
+        ratios = dsir_log_ratios(target, raw, n_buckets, text_col)
+    from easyner_spark.operators.sampling import md5_long32
+
+    bg = raw.select(
+        F.col(id_col).alias("id"),
+        F.explode(_bigram_array(words_array(text_col))).alias("g"),
+    ).select("id", (md5_long32(F.col("g")) % F.lit(n_buckets)).alias("b"))
+    per = (
+        bg.join(F.broadcast(ratios), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr_q").alias("weight_q"),
+        )
+    )
+    return per.select(
+        "id",
+        "n_grams",
+        "weight_q",
+        F.round(F.col("weight_q") / F.lit(float(Q)), 6).alias("log_ratio"),
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "",
+    ratios: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_grams, weight_q, key_q) — the DSIR selection itself:
+    Gumbel top-k over the importance weights (sampling WITHOUT
+    replacement proportional to exp(weight), the paper's resampling
+    step). The Gumbel noise is DETERMINISTIC and exact: u = (md5_32
+    (seed || id) + 0.5) / 2^32, g_q = floor(-ln(-ln(u)) * 1e6) as
+    BIGINT micro-nats, key_q = weight_q + g_q — an exact integer
+    sort key, so the surviving-k set is engine- and run-stable
+    (ties broken by id). Plans TakeOrderedAndProject: per-partition
+    top-k, one tiny merge, never a global sort. Distinct `seed`
+    strings draw independent samples."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from easyner_spark.operators.sampling import md5_long32
+
+    w = dsir_weights(raw, target, n_buckets, text_col, id_col, ratios)
+    h = md5_long32(F.col("id"), seed)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    g_q = F.floor(-F.log(-F.log(u)) * F.lit(float(Q))).cast("long")
+    return (
+        w.select("id", "n_grams", "weight_q", (F.col("weight_q") + g_q).alias("key_q"))
+        .orderBy(F.col("key_q").desc(), F.col("id").asc())
+        .limit(int(k))
+    )
+
+
+def _dsir_cte(n_buckets: int, target_where: str, source: str) -> str:
+    """Shared WITH-body of the DSIR oracles (per, the per-doc weight
+    relation) — one definition feeding both twins."""
+    nb = int(n_buckets)
+    bg = (
+        "CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), "
+        "i -> w[i] || ' ' || w[i+1]) ELSE [] END"
+    )
+    bkt = f"('0x' || substr(md5(g), 1, {HASH_NIBBLES}))::BIGINT % {nb}"
+    return f"""
+tw AS (SELECT regexp_extract_all(lower(text), '\\w+') AS w
+       FROM {source} WHERE {target_where}),
+tg AS (SELECT unnest({bg}) AS g FROM tw),
+tcnt AS (SELECT {bkt} AS b, count(*) AS c FROM tg GROUP BY 1),
+rw AS (SELECT regexp_extract_all(lower(text), '\\w+') AS w FROM {source}),
+rg AS (SELECT unnest({bg}) AS g FROM rw),
+rcnt AS (SELECT {bkt} AS b, count(*) AS c FROM rg GROUP BY 1),
+tstat AS (SELECT coalesce(sum(c), 0) AS nt FROM tcnt),
+rstat AS (SELECT coalesce(sum(c), 0) AS nr FROM rcnt),
+lr AS (
+  SELECT bk.range AS b,
+         CAST(floor(ln((coalesce(t.c, 0) + 1.0) / (tstat.nt + {nb}.0)) * 1000000.0) AS BIGINT)
+       - CAST(floor(ln((coalesce(r.c, 0) + 1.0) / (rstat.nr + {nb}.0)) * 1000000.0) AS BIGINT) AS lr_q
+  FROM range({nb}) bk
+  LEFT JOIN tcnt t ON t.b = bk.range
+  LEFT JOIN rcnt r ON r.b = bk.range, tstat, rstat
+),
+docg AS (
+  SELECT doc_id AS id, unnest({bg}) AS g
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w FROM {source})
+),
+per AS (
+  SELECT d.id, count(*)::BIGINT AS n_grams, sum(lr.lr_q)::BIGINT AS weight_q
+  FROM docg d JOIN lr ON {bkt.replace("md5(g)", "md5(d.g)")} = lr.b
+  GROUP BY d.id
+)"""
+
+
+def dsir_weights_oracle_sql(
+    n_buckets: int = DSIR_BUCKETS,
+    target_where: str = "doc_id % 7 = 0",
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dsir_weights` (same construction: hashed
+    bigram buckets, add-one smoothing, per-term floor-quantized ln)."""
+    return f"""
+WITH {_dsir_cte(n_buckets, target_where, source)}
+SELECT id, n_grams, weight_q,
+       round(weight_q / 1000000.0, 6) AS log_ratio
+FROM per
+"""
+
+
+def dsir_sample_oracle_sql(
+    k: int,
+    n_buckets: int = DSIR_BUCKETS,
+    target_where: str = "doc_id % 7 = 0",
+    source: str = "documents",
+    seed: str = "",
+) -> str:
+    """DuckDB twin of :func:`dsir_sample` — same exact integer Gumbel
+    key, same total order (key_q DESC, id ASC)."""
+    h = f"('0x' || substr(md5('{seed}' || id::VARCHAR), 1, {HASH_NIBBLES}))::BIGINT"
+    return f"""
+WITH {_dsir_cte(n_buckets, target_where, source)}
+SELECT id, n_grams, weight_q,
+       (weight_q + CAST(floor(-ln(-ln(({h} + 0.5) / 4294967296.0)) * 1000000.0) AS BIGINT)) AS key_q
+FROM per
+ORDER BY key_q DESC, id ASC
+LIMIT {int(k)}
+"""
