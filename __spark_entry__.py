@@ -5725,6 +5725,18 @@ def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): IVF-cell clustering + within-cell
+    cosine pruning — one row per vector with its cell, the smallest
+    near-duplicate cell-mate (dup_of, NULL if unique at >= 0.3), and
+    the kept flag. The semantic-dedup counterpart of minhash (lexical)
+    and emb_neardup (pairwise): never all-pairs, quadratic only
+    within corpus/n_centroids-sized cells."""
+    from easyner_spark.operators.similarity import semdedup
+
+    return semdedup(_emb(spark, sf_dir), threshold=0.3)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: deterministic md5-ranked centroids, argmax-cosine
     cell assignment (pure JVM array_max), nprobe-cell candidates, exact
@@ -6583,7 +6595,7 @@ _DRIVER_WINDOW_FIRST = [
     # never-driver-verified registry queries (VERDICT r4 #1 —
     # close the external ledger; the driver checks the FIRST 50) ---
     "kg_pattern_filter", "kg_pattern_agg", "kg_pattern_topk",
-    "dsir_weights", "dsir_sample", "kappa",
+    "dsir_weights", "dsir_sample", "semdedup", "kappa",
     "host_topics",
     "kg_link_predict",
     "kg_kcore", "heavy_hitters", "kg_wl_labels", "kg_edge_history",
@@ -6880,6 +6892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_blocked": q_ann_topk_blocked,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "semdedup": q_semdedup,
         "ann_ivf_cached": q_ann_ivf_cached,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_exact": q_emb_neardup_exact,
@@ -7309,6 +7322,27 @@ r AS (
 )
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM r WHERE rank <= 10
 """
+    semdd = f"""{norm},
+cent AS (SELECT id AS cid, v AS cv FROM n ORDER BY md5(id::VARCHAR), id LIMIT {IVF_CENTROIDS}),
+asg0 AS (
+  SELECT n.id, n.v, n.norm, c.cid,
+         row_number() OVER (PARTITION BY n.id
+                            ORDER BY list_dot_product(n.v, c.cv)
+                                     / (n.norm * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                     c.cid ASC) AS rn
+  FROM n CROSS JOIN cent c
+),
+asg AS (SELECT id, v, norm, cid AS cell FROM asg0 WHERE rn = 1),
+p AS (
+  SELECT b.id AS id, a.id AS dup,
+         list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+),
+d AS (SELECT id, min(dup) AS dup_of FROM p WHERE cos >= 0.3 GROUP BY id)
+SELECT asg.id, asg.cell, d.dup_of, d.dup_of IS NULL AS kept
+FROM asg LEFT JOIN d ON asg.id = d.id
+"""
+
     nd_bucket = _bucket_sql(hyperplanes(NEARDUP_BITS, DIM))
     neardup = f"""{norm},
 bk AS (SELECT id, v, norm, {nd_bucket} AS bucket FROM n),
@@ -7337,6 +7371,7 @@ SELECT a, b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.3
         "emb_neardup": neardup,
         "emb_neardup_exact": neardup_exact,
         "ann_sq_topk": _sq_oracle(),
+        "semdedup": semdd,
     }
 
 

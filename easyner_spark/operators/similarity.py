@@ -1196,3 +1196,66 @@ kc_s{r} AS (
     )
     parts.append(f"\n{sel}")
     return "".join(parts)
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = IVF_CENTROIDS,
+    refine_iters: int = 0,
+    train_frac: float | None = None,
+    centroids: list[tuple] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the corpus
+    with the IVF coarse quantizer, then prune SEMANTIC near-duplicates
+    WITHIN each cluster — pairwise cosine is only ever computed
+    between cell-mates, never across the corpus. Output one row per
+    corpus vector: (id, cell, dup_of, kept) where dup_of is the
+    SMALLEST cell-mate id with cosine >= threshold (NULL if none —
+    the first-occurrence keep rule paragraph_dedup uses, made
+    deterministic by the id order) and kept = dup_of IS NULL.
+    Downstream: `.where("kept")` is the deduplicated corpus;
+    grouping by coalesce(dup_of, id) recovers the duplicate sets.
+
+    Scale contract: within-cell scoring is quadratic in the CELL
+    size by design (the paper's trick — cells are corpus/n_centroids
+    sized, so n_centroids scales with the corpus exactly like
+    emb_neardup's n_bits="auto"); cell assignment is the pure-JVM
+    argmax projection, candidate generation is ONE equi-join shuffle
+    on the cell key, AQE splits any hot cell. Training follows
+    ivf_topk: `centroids=` reuses a persisted quantizer,
+    `train_frac=` trains driver-side on a bounded pinned sample.
+    The raw-cosine threshold compare (not the rounded display value)
+    matches the DuckDB twin exactly — both engines fold the same
+    IEEE dot (the embedding_neardup_pairs contract)."""
+    slim = _with_norm(emb, id_col, vec_col)
+    cents = centroids if centroids is not None else _quantizer(
+        slim, n_centroids, refine_iters, train_frac
+    )
+    corpus = slim.withColumn(
+        "cs", _centroid_structs(cents, F.col("v"), F.col("norm"))
+    ).select("id", "v", "norm", F.array_min("cs")["cid"].alias("cell"))
+    a, b = corpus.alias("a"), corpus.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("b.id").alias("id"),
+            F.col("a.id").alias("dup"),
+            _pair_cosine().alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .groupBy("id")
+        .agg(F.min("dup").alias("dup_of"))
+    )
+    return (
+        corpus.select("id", "cell")
+        .join(dups, "id", "left")
+        .select("id", "cell", "dup_of", F.col("dup_of").isNull().alias("kept"))
+    )

@@ -1088,3 +1088,50 @@ def test_kcenter_select_oracle_parity(spark):
     )
     want = [tuple(r) for r in duckdb.sql(sql).fetchall()]
     assert [(r, i, d) for r, i, d in got] == want
+
+
+class TestSemDeDup:
+    """SemDeDup (r5): within-cell semantic pruning semantics."""
+
+    def test_duplicates_pruned_within_cell(self, spark):
+        from easyner_spark.operators.similarity import semdedup
+
+        # two tight duplicate groups + one unique vector
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),   # ~dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.01, 0.999, 0.0, 0.0]),   # ~dup of 3
+            (5, [0.0, 0.0, 1.0, 0.0]),      # unique
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = {r.id: (r.dup_of, r.kept) for r in semdedup(
+            emb, threshold=0.95, n_centroids=3
+        ).collect()}
+        assert len(out) == 5
+        kept = {i for i, (_, k) in out.items() if k}
+        dropped = {i: d for i, (d, k) in out.items() if not k}
+        # every vector is either kept or points at a smaller kept-ish id
+        assert all(d < i for i, d in dropped.items())
+        # the two near-identical pairs cannot BOTH survive if they
+        # share a cell; 5 is always kept (nothing is close to it)
+        assert 5 in kept and 1 in kept and 3 in kept
+
+    def test_centroid_reuse_matches_self_train(self, spark):
+        import os
+
+        from easyner_spark.operators.similarity import (
+            semdedup,
+            train_ivf_centroids,
+        )
+
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+        cents = train_ivf_centroids(emb, refine_iters=0)
+        a = sorted(map(tuple, semdedup(emb, threshold=0.3).collect()))
+        b = sorted(map(tuple, semdedup(
+            emb, threshold=0.3, centroids=cents
+        ).collect()))
+        assert a == b and len(a) == 300
