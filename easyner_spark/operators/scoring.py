@@ -582,35 +582,51 @@ DSIR_BUCKETS = 2048
 
 
 def _bigram_array(w: Column) -> Column:
-    """["a","b","c"] -> ["a b","b c"]; [] / single-word -> []. The
-    sequence is guarded (Spark's sequence(1, 0) would count DOWN);
-    try_element_at is 1-based. DuckDB twin: list_transform(range(1,
-    len(w)), i -> w[i] || ' ' || w[i+1]) — range() end-exclusive,
+    """["a","b","c"] -> ["a b","b c"]; [] / single-word -> [].
+    zip_with(w, tail(w), concat) — zip_with pads the shorter side
+    with NULL, concat-with-NULL is NULL, and the filter drops it, so
+    no length guard is needed. This shape is ~14x faster than the
+    index-lambda formulation (sequence + try_element_at per element:
+    interpreted random access per index — measured 5.3 s vs 0.38 s
+    per sf0.1 corpus scan); HOFs don't codegen, so the lambda BODY
+    cost is everything. DuckDB twin: list_transform(range(1, len(w)),
+    i -> w[i] || ' ' || w[i+1]) — same values, range() end-exclusive,
     1-based list index."""
-    return F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat(
-                F.try_element_at(w, i), F.lit(" "), F.try_element_at(w, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tail = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
+    return F.filter(
+        F.zip_with(w, tail, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+
+
+def _dsir_bucket(g: Column, n_buckets: int, hash_fn: str) -> Column:
+    """Bigram -> bucket. hash_fn='md5' is the engine-portable oracle
+    default (md5_long32, bit-identical in DuckDB); 'xxhash64' is the
+    JVM-native fast path (same knob and rationale as
+    dedup.minhash_signature's hash_fn — md5 is ~2x the cost and the
+    bucket assignment only needs to be a uniform hash, not a
+    cross-engine one). pmod keeps xxhash64's signed output in
+    [0, n_buckets)."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(g), F.lit(n_buckets))
+    if hash_fn != "md5":
+        raise ValueError(f"hash_fn must be md5|xxhash64: {hash_fn!r}")
+    from easyner_spark.operators.sampling import md5_long32
+
+    return md5_long32(g) % F.lit(n_buckets)
 
 
 def _dsir_bucket_counts(
-    docs: DataFrame, text_col: str, n_buckets: int
+    docs: DataFrame, text_col: str, n_buckets: int, hash_fn: str = "md5"
 ) -> DataFrame:
     """(b, c) — hashed-bigram bucket counts for one corpus. One
     groupBy-bucket shuffle; map-side partial combine absorbs the
     Zipf-hot buckets, and the output is BOUNDED at n_buckets rows
     regardless of corpus size."""
-    from easyner_spark.operators.sampling import md5_long32
-
     return (
         docs.select(_bigram_array(words_array(text_col)).alias("_b"))
         .select(F.explode("_b").alias("g"))
-        .groupBy((md5_long32(F.col("g")) % F.lit(n_buckets)).alias("b"))
+        .groupBy(_dsir_bucket(F.col("g"), n_buckets, hash_fn).alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
@@ -620,6 +636,7 @@ def dsir_log_ratios(
     raw: DataFrame,
     n_buckets: int = DSIR_BUCKETS,
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(b, lr_q) for EVERY bucket 0..n_buckets-1 — the DSIR importance
     model: add-one-smoothed hashed-bigram bag models for the target
@@ -630,8 +647,8 @@ def dsir_log_ratios(
     once per (target, corpus-snapshot) pair and reuse, exactly like
     unigram_vocab / train_ivf_centroids."""
     spark = raw.sparkSession
-    t = _dsir_bucket_counts(target, text_col, n_buckets)
-    r = _dsir_bucket_counts(raw, text_col, n_buckets)
+    t = _dsir_bucket_counts(target, text_col, n_buckets, hash_fn)
+    r = _dsir_bucket_counts(raw, text_col, n_buckets, hash_fn)
     nt = t.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nt"))
     nr = r.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nr"))
     buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
@@ -666,6 +683,7 @@ def dsir_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     ratios: DataFrame | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, n_grams, weight_q, log_ratio) — per-document DSIR
     importance weights: weight_q = sum over the document's hashed
@@ -678,20 +696,23 @@ def dsir_weights(
     Documents with < 2 words have no bigrams and are absent (the
     unigram_lm_score GROUP BY convention). `ratios` accepts a
     persisted :func:`dsir_log_ratios` frame to skip model fitting
-    (the vocab= / centroids= amortization pattern).
+    (the vocab= / centroids= amortization pattern) — it must have
+    been built with the SAME hash_fn and n_buckets. `hash_fn=
+    'xxhash64'` is the production fast path (~3x at sf0.1: the cost
+    is one hash per bigram occurrence over three corpus scans, and
+    xxhash64 is JVM-native where md5 round-trips a hex string);
+    'md5' (default) is the engine-portable oracle twin.
 
     Scale: two bounded bucket-count shuffles to fit the model (or
     zero with `ratios=`); scoring is explode-bigrams -> broadcast
     join against the n_buckets-row ratio table -> one groupBy(id)
     with partial combine. No corpus collect, no unbounded state."""
     if ratios is None:
-        ratios = dsir_log_ratios(target, raw, n_buckets, text_col)
-    from easyner_spark.operators.sampling import md5_long32
-
+        ratios = dsir_log_ratios(target, raw, n_buckets, text_col, hash_fn)
     bg = raw.select(
         F.col(id_col).alias("id"),
         F.explode(_bigram_array(words_array(text_col))).alias("g"),
-    ).select("id", (md5_long32(F.col("g")) % F.lit(n_buckets)).alias("b"))
+    ).select("id", _dsir_bucket(F.col("g"), n_buckets, hash_fn).alias("b"))
     per = (
         bg.join(F.broadcast(ratios), "b")
         .groupBy("id")
@@ -717,6 +738,7 @@ def dsir_sample(
     id_col: str = "doc_id",
     seed: str = "",
     ratios: DataFrame | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, n_grams, weight_q, key_q) — the DSIR selection itself:
     Gumbel top-k over the importance weights (sampling WITHOUT
@@ -732,7 +754,7 @@ def dsir_sample(
         raise ValueError(f"k must be >= 1: {k}")
     from easyner_spark.operators.sampling import md5_long32
 
-    w = dsir_weights(raw, target, n_buckets, text_col, id_col, ratios)
+    w = dsir_weights(raw, target, n_buckets, text_col, id_col, ratios, hash_fn)
     h = md5_long32(F.col("id"), seed)
     u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
     g_q = F.floor(-F.log(-F.log(u)) * F.lit(float(Q))).cast("long")

@@ -70,3 +70,17 @@ def test_sample_plans_top_k_not_global_sort(spark, corpora):
     df = dsir_sample(raw, target, k=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_xxhash_fast_path_same_ranking_shape(spark, corpora):
+    """hash_fn='xxhash64' (JVM-native fast path) buckets differently
+    but preserves the ranking property that makes DSIR useful — the
+    minhash hash_fn precedent."""
+    target, raw = corpora
+    w = {
+        r.id: r.log_ratio
+        for r in dsir_weights(raw, target, hash_fn="xxhash64").collect()
+    }
+    assert w[100] > w[102] and w[100] > w[103]
+    with pytest.raises(ValueError, match="hash_fn"):
+        dsir_weights(raw, target, hash_fn="sha1").collect()
