@@ -368,10 +368,12 @@ def word_repetition(
     (doc_id is unique).
     """
     base = _with_words(docs, text_col, id_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("_w")) - n),
-        lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
-    )
+    from easyner_spark.operators.dedup import _gram_chain
+
+    # zip_with gram fold (see dedup._gram_chain: ~6x the index-lambda
+    # form, identical values/order); the n>=size guard below keeps the
+    # short-doc ('', 0, 0.0) contract unchanged
+    grams = _gram_chain(F.col("_w"), n)
     denom = base.select(
         F.col(id_col),
         _sum_wlen_col(F.col("_w")).alias("_sum_wlen"),
